@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine capability: a Spark implementation plus (where the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * The driver compares the Spark result against the oracle by sorting columns
+  * by name and hashing values, so every computed column is aliased to the
+  * same name on both sides, timestamps are surfaced as DATE/STRING, and
+  * derived double aggregates go through exact DECIMAL accumulation before a
+  * final cast back to DOUBLE (identical correctly-rounded result on both
+  * engines; see operators/Relational.scala `dsum`).
+  */
+final case class Query(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Query {
+  def sql(name: String, run: (SparkSession, String) => DataFrame, oracle: String): Query =
+    Query(name, run, Some(oracle))
+  def rowsOnly(name: String, run: (SparkSession, String) => DataFrame): Query =
+    Query(name, run, None)
+}

@@ -1,0 +1,529 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** First-class relational operators. The reference (AyeAye) leaves all of
+  * these to hand-written Python inside model `build()` methods (e.g.
+  * group-by at `examples/poisonous_animals.py:17-19`, hash aggregation at
+  * `examples/favourite_colours.py:64-81`, filters at
+  * `examples/noaa_climatology.py:66-67`, cross join at
+  * `tests/test_models.py:41-81`); here each is a declarative Spark plan so
+  * Catalyst gets pushdown/pruning/join-selection for free.
+  *
+  * Numeric policy (for DuckDB oracle hash-equality): doubles read straight
+  * from parquet pass through bit-identical; every *derived* double aggregate
+  * is accumulated exactly as DECIMAL(18,6) and cast back to DOUBLE at the
+  * end — the final conversion is correctly rounded on both engines, so
+  * results are bit-identical regardless of accumulation order. This also
+  * makes results deterministic across partitionings/cluster sizes, which
+  * plain double sums are not.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 6)
+  /** Exact (order-independent) sum of a double expression → double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** SQL-side mirror of [[dsum]]. */
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // -- q01: scan → filter → hash aggregate (TPC-H Q1 shape) -----------------
+  private val discPrice = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+  private val charge =
+    "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)"
+
+  val q01 = Query.sql(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val chrg  = disc * (lit(1.0) + col("l_tax"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= to_date(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(chrg).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlDsum(discPrice)} AS sum_disc_price,
+       |  ${sqlDsum(charge)} AS sum_charge,
+       |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // -- q02: global sort + limit (top-k) -------------------------------------
+  val q02 = Query.sql(
+    "q02_top_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10),
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+
+  // -- q03: 3-way equi-join → agg → top-k (TPC-H Q3 shape) ------------------
+  val q03 = Query.sql(
+    "q03_shipping_priority",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < to_date(lit("1997-01-01")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > to_date(lit("1997-01-01")))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+    s"""SELECT l_orderkey, ${sqlDsum(discPrice)} AS revenue,
+       |  CAST(o_orderdate AS DATE) AS o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+
+  // -- q04: conditional semi-join (EXISTS) → agg (TPC-H Q4 shape) -----------
+  val q04 = Query.sql(
+    "q04_order_priority",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(
+          l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate").cast("date") > date_add(o("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  // -- q05: 6-way join with broadcast dims (TPC-H Q5 shape) -----------------
+  val q05 = Query.sql(
+    "q05_nation_revenue",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    s"""SELECT n_name, ${sqlDsum(discPrice)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+
+  // -- q06: selective filter → scalar agg (TPC-H Q6 shape) ------------------
+  val q06 = Query.sql(
+    "q06_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate").cast("date") >= to_date(lit("1996-01-01")) &&
+            col("l_shipdate").cast("date") < to_date(lit("1997-01-01")) &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items")),
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+       |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)
+
+  // -- q07: left outer join → agg with null handling ------------------------
+  val q07 = Query.sql(
+    "q07_customer_order_stats",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       |  ${sqlDsum("COALESCE(o_totalprice, CAST(0 AS DOUBLE))")} AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
+
+  // -- q08: self theta-join (inequality condition) --------------------------
+  val q08 = Query.sql(
+    "q08_lineitem_pairs",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val a = l.as("a")
+      val b = l.as("b")
+      a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .groupBy(col("a.l_orderkey").as("orderkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), asc("orderkey"))
+        .limit(50)
+    },
+    """SELECT a.l_orderkey AS orderkey, COUNT(*) AS n_pairs
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+      |GROUP BY a.l_orderkey ORDER BY n_pairs DESC, orderkey LIMIT 50""".stripMargin)
+
+  // -- q09: semi join -------------------------------------------------------
+  val q09 = Query.sql(
+    "q09_active_customers",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND year(CAST(o_orderdate AS DATE)) = 1995)
+      |ORDER BY c_custkey""".stripMargin)
+
+  // -- q10: anti join -------------------------------------------------------
+  val q10 = Query.sql(
+    "q10_no_big_orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  // -- q11: window row_number (top-n per group) -----------------------------
+  val q11 = Query.sql(
+    "q11_top3_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    },
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin)
+
+  // -- q12: window running aggregate (frame spec) ---------------------------
+  val q12 = Query.sql(
+    "q12_running_spend",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          sum(col("o_totalprice").cast(D)).over(w).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  // -- q13: rollup ----------------------------------------------------------
+  val q13 = Query.sql(
+    "q13_rollup_returns",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlDsum("l_quantity")} AS qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+
+  // -- q14: cube ------------------------------------------------------------
+  val q14 = Query.sql(
+    "q14_cube_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+
+  // -- q15: grouping sets (via Spark SQL) -----------------------------------
+  val q15 = Query.sql(
+    "q15_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               |  ${sqlDsum("l_extendedprice")} AS total
+               |FROM lineitem
+               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlDsum("l_extendedprice")} AS total
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+
+  // -- q16: union distinct --------------------------------------------------
+  val q16 = Query.sql(
+    "q16_union_segments",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("custkey"))
+      val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      big.union(bld).distinct().orderBy("custkey")
+    },
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY custkey""".stripMargin)
+
+  // -- q17: intersect + except ----------------------------------------------
+  val q17 = Query.sql(
+    "q17_intersect_except",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val mach = t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey"))
+      val negbal = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      big.intersect(mach).except(negbal).orderBy("custkey")
+    },
+    """(SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      | INTERSECT
+      | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY custkey""".stripMargin)
+
+  // -- q18: distinct counts per group ---------------------------------------
+  val q18 = Query.sql(
+    "q18_distinct_suppliers",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag"),
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // -- q19: interval → rows expansion (explode/sequence; the reference's
+  //   favourite_colours.py:70-81 month loop) --------------------------------
+  val q19 = Query.sql(
+    "q19_explode_days",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          explode(sequence(
+            col("o_orderdate").cast("date"),
+            date_add(col("o_orderdate").cast("date"), 13),
+            expr("interval 1 day"))).as("day"))
+        .groupBy(col("o_orderkey"), trunc(col("day"), "month").as("month"))
+        .agg(count(lit(1)).as("n_days"))
+        .orderBy("o_orderkey", "month"),
+    """SELECT o_orderkey, CAST(date_trunc('month', day) AS DATE) AS month,
+      |  COUNT(*) AS n_days
+      |FROM (
+      |  SELECT o_orderkey,
+      |    unnest(generate_series(CAST(o_orderdate AS DATE),
+      |      CAST(o_orderdate AS DATE) + INTERVAL 13 DAY, INTERVAL 1 DAY)) AS day
+      |  FROM orders WHERE o_orderkey < 100)
+      |GROUP BY o_orderkey, CAST(date_trunc('month', day) AS DATE)
+      |ORDER BY o_orderkey, month""".stripMargin)
+
+  // -- q20: string functions ------------------------------------------------
+  val q20 = Query.sql(
+    "q20_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+    """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+      |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+      |  LENGTH(p_name) AS name_len,
+      |  CONCAT(p_brand, ':', p_type) AS brand_type
+      |FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin)
+
+  // -- q21: CASE WHEN bucketing ---------------------------------------------
+  val q21 = Query.sql(
+    "q21_price_buckets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket"),
+    s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+       |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS bucket,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+
+  // -- q22: date part extraction --------------------------------------------
+  val q22 = Query.sql(
+    "q22_orders_by_month",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr", "mo"),
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
+
+  // -- q23: broadcast dim join ----------------------------------------------
+  val q23 = Query.sql(
+    "q23_nations_per_region",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    },
+    """SELECT r_name, COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin)
+
+  // -- q24: full outer join -------------------------------------------------
+  val q24 = Query.sql(
+    "q24_full_outer_balance",
+    (s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.as("c").join(su.as("s"), col("c.nationkey") === col("s.nationkey"), "full")
+        .select(
+          coalesce(col("c.nationkey"), col("s.nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s
+      |  ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin)
+
+  // -- q25: window lag/lead + avg frame -------------------------------------
+  val q25 = Query.sql(
+    "q25_order_gaps",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          lag(col("o_orderdate").cast("date"), 1).over(w).as("prev_date"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate").cast("date"), 1).over(w)).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  lag(CAST(o_orderdate AS DATE), 1) OVER w AS prev_date,
+      |  CAST(CAST(o_orderdate AS DATE) - lag(CAST(o_orderdate AS DATE), 1) OVER w
+      |    AS INTEGER) AS gap_days
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  val all: Seq[Query] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}

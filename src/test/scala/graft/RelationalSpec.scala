@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs at sf0.001 and returns rows") {
+    Relational.all.foreach { q =>
+      val df = q.run(spark, sf0001)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q01 groups by returnflag+linestatus with positive sums") {
+    val rows = Relational.q01.run(spark, sf0001).collect()
+    assert(rows.length >= 3 && rows.length <= 8)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q02 is sorted descending by totalprice") {
+    val prices = Relational.q02.run(spark, sf0001)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q11 emits at most 3 rows per customer, rank ascending") {
+    val rows = Relational.q11.run(spark, sf0001).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("q13 rollup grand total equals table count") {
+    val rows = Relational.q13.run(spark, sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = Tables.load(spark, sf0001, "lineitem").count()
+    assert(grand.head.getAs[Long]("n") == total)
+  }
+
+  test("q16/q17 set ops return distinct keys") {
+    Seq(Relational.q16, Relational.q17).foreach { q =>
+      val keys = q.run(spark, sf0001).collect().map(_.getLong(0))
+      assert(keys.distinct.length == keys.length, s"${q.name} has dup keys")
+    }
+  }
+}

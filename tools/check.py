@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out>/<name> parquet dir written by graft.Verify, runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB against the sf_dir
+parquet tables, and compares: schema (column names, sorted), row count, and
+values (columns sorted by name, rows sorted, exact match + float tolerance
+report so we can see HOW exact we are).
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def load_spark_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+def canon(table):
+    cols = sorted(table.column_names)
+    rows = []
+    for batch in table.select(cols).to_pylist():
+        rows.append(tuple(batch[c] for c in cols))
+    # sort rows with None-safe key
+    rows.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    return cols, rows
+
+def approx_eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+    return a == b
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_t = load_spark_result(os.path.join(out_dir, name))
+        if spark_t is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracle:
+            print(f"ROWS {name}: rows={spark_t.num_rows} (no oracle)"); continue
+        try:
+            duck_t = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        sc, sr = canon(spark_t)
+        dc, dr = canon(duck_t)
+        if sc != dc:
+            print(f"FAIL {name}: schema {sc} != {dc}"); n_fail += 1; continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows {len(sr)} != {len(dr)}"); n_fail += 1; continue
+        exact = sr == dr
+        if exact:
+            print(f"PASS {name}: {len(sr)} rows exact"); n_pass += 1; continue
+        # find first mismatch
+        bad = None
+        n_approx = 0
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if a != b:
+                if all(approx_eq(x, y) for x, y in zip(a, b)):
+                    n_approx += 1
+                    if bad is None:
+                        bad = (i, a, b, "approx")
+                else:
+                    bad = (i, a, b, "hard")
+                    break
+        if bad and bad[3] == "hard":
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"NEAR {name}: {n_approx} rows approx-only (first: {bad[1] if bad else ''} vs {bad[2] if bad else ''})")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
