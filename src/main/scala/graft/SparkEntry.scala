@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** Every verifiable capability, one [[Query]] per operator (SURVEY.md §2). */
   def allQueries: Seq[Query] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.TextAnalysis.all ++
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Events.all ++ operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash group-by), word
+  * n-gram Jaccard near-dup, MinHash + LSH banding, and SimHash.
+  *
+  * Scale design (100 TB): exact dedup is a single hash shuffle on a 128-bit
+  * content digest (never on the full text — the digest is 16 bytes/row vs
+  * KBs). Pairwise Jaccard is only ever run on *candidate* pairs produced by
+  * LSH banding: signatures are computed map-side (one pass over tokens per
+  * row), then exploded into (band, bandHash) keys so the shuffle carries
+  * `bands × 8` bytes per doc and the quadratic comparison happens only
+  * inside buckets. The all-pairs q42 exists as the small-scale oracle of
+  * the same semantics, restricted per-language.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Word-level 3-gram shingles, deduped, as a codegen'd expression. */
+  private val shinglesExpr =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> array_join(slice(split(text, ' '), i, 3), ' ')))""".stripMargin
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |  i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))""".stripMargin
+
+  // -- q40: exact-dedup stats ----------------------------------------------
+  val q40 = Query.sql(
+    "q40_dedup_exact",
+    (s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dups")),
+    """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_dups
+      |FROM documents""".stripMargin)
+
+  // -- q41: exact dedup by content digest, keep-first -----------------------
+  //   Grouping on md5(text) not text: at scale the shuffle key is 16 bytes.
+  val q41 = Query.sql(
+    "q41_dedup_keep_first",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+    """SELECT keep_id, n_copies FROM (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY md5(text))
+      |ORDER BY keep_id""".stripMargin)
+
+  // -- q42: n-gram Jaccard near-dup (within-language all-pairs oracle) ------
+  //   All-pairs is the SEMANTIC ORACLE only and is bounded to doc_id < 2000
+  //   (covers the sf0.01 correctness corpus completely); the unbounded
+  //   scale path for near-dup detection is q43's LSH banding.
+  val q42 = Query.sql(
+    "q42_ngram_jaccard",
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"), expr(shinglesExpr).as("shingles"))
+      val a = d.as("a")
+      val b = d.as("b")
+      val inter = size(array_intersect(col("a.shingles"), col("b.shingles")))
+        .cast("double")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
+          (inter / (size(col("a.shingles")) + size(col("b.shingles")) - inter))
+            .as("jaccard"))
+        .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+        .limit(50)
+    },
+    s"""WITH d AS (SELECT doc_id, lang, $shinglesSql AS shingles
+       |           FROM documents WHERE doc_id < 2000)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / (len(a.shingles) + len(b.shingles)
+       |       - CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE))
+       |    AS jaccard
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)
+
+  // -- q43: MinHash + LSH banding (rows-only: hash impl is Spark-specific) --
+  //   Pipeline: shingles (one map-side pass) → k-slot signature (min of
+  //   xxhash64 per seed, computed over the PRECOMPUTED shingle column so
+  //   shingling runs once, not k times) → explode bands → shuffle on
+  //   (band, bandHash) → bucket pairs. The shuffle carries bands×8 bytes
+  //   per doc, never the text. Output is a stats row so the result is
+  //   stable and non-empty even with zero near-dups in the corpus.
+  val q43 = Query.rowsOnly(
+    "q43_minhash_lsh",
+    (s, dir) => {
+      val bands = 8
+      val rowsPerBand = 2 // k = 16
+      val k = bands * rowsPerBand
+      // Single fold over the shingle array carrying all k running minima:
+      // Catalyst's projection collapse would otherwise inline the shingle
+      // computation into a per-seed lambda and recompute it k times.
+      val banded = docs(s, dir)
+        .select(col("doc_id"), expr(
+          s"""aggregate($shinglesExpr,
+             |  array_repeat(CAST(9223372036854775807 AS BIGINT), $k),
+             |  (acc, sh) -> zip_with(acc, sequence(0, ${k - 1}),
+             |    (m, j) -> least(m, xxhash64(sh, j))))""".stripMargin).as("sig"))
+        .select(
+          col("doc_id"),
+          explode(expr(
+            s"""transform(sequence(0, ${bands - 1}),
+               |  b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), ',')) AS bh))"""
+              .stripMargin)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        .cache()
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val out = cand.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        countDistinct(col("id_a")).as("n_docs_with_candidates"))
+      out.collect() // materialize before unpersist
+      banded.unpersist()
+      out
+    })
+
+  // -- q44: SimHash (64-bit, bit-vote over token hashes; rows-only) ---------
+  //   simhash bit b = majority vote of bit b across xxhash64(token).
+  //   Computed as ONE fold over the token-hash array accumulating 64 bit
+  //   counters (projection collapse would re-inline the hash array into a
+  //   per-bit lambda, making it O(64·tokens) hash computations), then one
+  //   fold over the counters to assemble the 64-bit word.
+  val q44 = Query.rowsOnly(
+    "q44_simhash",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("""aggregate(
+            |  transform(array_distinct(split(text, ' ')), tk -> xxhash64(tk)),
+            |  named_struct('n', CAST(0 AS BIGINT), 'cnt', array_repeat(CAST(0 AS BIGINT), 64)),
+            |  (acc, h) -> named_struct('n', acc.n + 1,
+            |    'cnt', zip_with(acc.cnt, sequence(0, 63),
+            |      (c, b) -> c + IF((h >> b) % 2 != 0, 1, 0))))""".stripMargin)
+            .as("votes"))
+        .select(
+          col("doc_id"),
+          expr("""aggregate(
+            |  zip_with(votes.cnt, sequence(0, 63),
+            |    (c, b) -> IF(c * 2 > votes.n, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+            .as("simhash"))
+        .orderBy("doc_id"))
+
+  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators over the `events` table, batch-verified here and
+  * reused by the streaming package (same plans run under `readStream` with
+  * watermarks — see graft.streaming). Covers time bucketing (tumbling
+  * windows), sessionization (session_window vs. gaps-and-islands oracle),
+  * semi-structured JSON extraction, and pivot.
+  */
+object Events {
+
+  private val D = DecimalType(18, 6)
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  // -- q60: tumbling-window aggregation -------------------------------------
+  val q60 = Query.sql(
+    "q60_hourly_events",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour", "event_type"),
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+
+  // -- q61: sessionization (30-minute inactivity gap) -----------------------
+  //   Spark: native session_window. Oracle: gaps-and-islands (a new session
+  //   starts when the gap from the previous event is >= 30 min).
+  val q61 = Query.sql(
+    "q61_user_sessions",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id"),
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events
+      |  FROM sessions GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |  MAX(n_events) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  // -- q62: JSON property extraction ----------------------------------------
+  val q62 = Query.sql(
+    "q62_json_props",
+    (s, dir) =>
+      ev(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"))
+        .orderBy("k_bucket"),
+    """SELECT CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+
+  // -- q63: pivot (event_type → columns) ------------------------------------
+  val q63 = Query.sql(
+    "q63_event_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_id")
+    },
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  // -- q64: event-type share per day (window over aggregate) ----------------
+  val q64 = Query.sql(
+    "q64_daily_type_share",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("day_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("day")))
+        .select(col("day"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("day_total")).as("share"))
+        .orderBy("day", "event_type")
+    },
+    """SELECT day, event_type, n,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day) AS share
+      |FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |ORDER BY day, event_type""".stripMargin)
+
+  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `BinaryType` columns with a typed metadata struct, plus decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (clearly marked below): "dimensions" are derived
+  * from the payload bytes, "frames" are byte-range samples. Everything
+  * around it — binary schema, metadata struct, batch-shaped
+  * `mapPartitions` plumbing, partition-parallel execution — is real and
+  * is exactly what a codec-backed implementation would keep.
+  *
+  * Scale notes: payloads never enter a shuffle — every operator here is
+  * map-side; metadata-only aggregations project the struct so the parquet
+  * reader prunes the (large) binary column away entirely.
+  */
+object Multimodal {
+
+  /** documents.text re-encoded as a fake binary payload with media metadata.
+    * In a real corpus this would be `spark.read.format("binaryFile")` or a
+    * parquet table with a binary column.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        concat(lit("img/"), col("source")).as("uri"),
+        element_at(split(col("source"), ""), -1).as("codec"),
+        col("n_chars").cast("long").as("n_bytes_claimed")).as("meta"))
+
+  // -- q70: decode stub → dimensions + digest (oracle-able: the fake decode
+  //   uses only arithmetic both engines share) ------------------------------
+  val q70 = Query.sql(
+    "q70_media_decode",
+    (s, dir) =>
+      mediaTable(s, dir).select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        // FAKE DECODE: dimensions derived from payload length, stands in
+        // for a codec call; deterministic across engines.
+        (lit(320) + pmod(length(col("payload")), lit(13)) * 32).cast("long").as("width"),
+        (lit(240) + pmod(length(col("payload")), lit(7)) * 32).cast("long").as("height"))
+        .orderBy("media_id"),
+    """SELECT doc_id AS media_id,
+      |  LENGTH(text) AS n_bytes,
+      |  md5(text) AS digest,
+      |  320 + (LENGTH(text) % 13) * 32 AS width,
+      |  240 + (LENGTH(text) % 7) * 32 AS height
+      |FROM documents ORDER BY media_id""".stripMargin)
+
+  // -- q71: frame sampling via mapPartitions (batch-shaped; rows-only) ------
+  //   Real plumbing: iterate partition rows, emit one row per sampled
+  //   "frame" (byte slice). A codec-backed version swaps sliceFrames only.
+  val q71 = Query.rowsOnly(
+    "q71_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val nFrames = 4
+      val frames = mediaTable(s, dir)
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            // FAKE FRAME EXTRACT: fixed-stride byte slices stand in for
+            // video frame decode; batch shape (iterator→iterator) is real.
+            val stride = math.max(payload.length / nFrames, 1)
+            (0 until math.min(nFrames, payload.length)).map { f =>
+              val from = f * stride
+              val slice = payload.slice(from, math.min(from + stride, payload.length))
+              (id, f, slice.length.toLong,
+                java.util.Arrays.hashCode(slice).toLong)
+            }
+          }
+        }
+        .toDF("media_id", "frame_no", "frame_bytes", "frame_hash")
+      frames.groupBy("frame_no")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).as("total_bytes"),
+          countDistinct(col("frame_hash")).as("n_distinct"))
+        .orderBy("frame_no")
+    })
+
+  // -- q72: metadata-only scan (binary column must be pruned) ---------------
+  val q72 = Query.sql(
+    "q72_media_meta_stats",
+    (s, dir) =>
+      mediaTable(s, dir)
+        .groupBy(col("meta.codec").as("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.n_bytes_claimed")).as("total_bytes"))
+        .orderBy("codec"),
+    """SELECT substring(source, LENGTH(source), 1) AS codec, COUNT(*) AS n,
+      |  SUM(n_chars) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY codec""".stripMargin)
+
+  val all: Seq[Query] = Seq(q70, q71, q72)
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Scale design (100 TB): brute-force top-k against a single query vector
+  * is a broadcast (the query) + map (codegen'd fold over the array) +
+  * `TakeOrderedAndProject` — no shuffle of the corpus at all, linear scan
+  * at full parallelism. The all-pairs threshold join (q51) is the oracle
+  * for semantics; its scale path is q53: random-hyperplane LSH bucketing
+  * so the join key is a small bucket id and the quadratic part runs only
+  * within buckets.
+  *
+  * All arithmetic is double, computed by sequential left-folds so Spark and
+  * DuckDB produce bit-identical results.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** dot(a, b) as a deterministic left-fold in double precision. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private def cosExpr(a: String, b: String): String =
+    s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // -- q50: brute-force cosine top-k for one query vector -------------------
+  val q50 = Query.sql(
+    "q50_knn_brute",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          expr(cosExpr("embedding", "qv")).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS cos_sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  // -- q51: threshold similarity join (all-pairs oracle) --------------------
+  //   Vectors are L2-normalized ONCE map-side, so the quadratic inner step
+  //   is a single dot product (3× less arithmetic than cos per pair).
+  //   All-pairs is the semantic oracle, bounded to vec_id < 1000 (covers
+  //   the sf0.01 corpus fully); the unbounded scale path is q53's LSH.
+  val q51 = Query.sql(
+    "q51_sim_threshold",
+    (s, dir) => {
+      val u = emb(s, dir).filter(col("vec_id") < 1000)
+        .withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("uv"))
+      val a = u.select(col("vec_id").as("id_a"), col("uv").as("ua"))
+      val b = u.select(col("vec_id").as("id_b"), col("uv").as("ub"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("""aggregate(zip_with(ua, ub, (x, y) -> x * y),
+                 |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            .as("cos_sim"))
+        .filter(col("cos_sim") > 0.35)
+        .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+    },
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) AS uv
+       |  FROM embeddings WHERE vec_id < 1000)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_sum(list_transform(list_zip(a.uv, b.uv), s -> s[1] * s[2])) AS cos_sim
+       |FROM u a JOIN u b ON a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(list_zip(a.uv, b.uv), s -> s[1] * s[2])) > 0.35
+       |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin)
+
+  // -- q52: per-label vector stats (exact decimal-accumulated averages) -----
+  val q52 = Query.sql(
+    "q52_label_stats",
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), expr(s"sqrt(${dotExpr("embedding", "embedding")})").as("norm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("norm").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+            .as("avg_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))
+        .orderBy("label"),
+    s"""SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(CAST(sqrt(${dotSql("embedding", "embedding")}) AS DECIMAL(18,6)))
+       |    AS DOUBLE) / COUNT(*) AS avg_norm,
+       |  MIN(sqrt(${dotSql("embedding", "embedding")})) AS min_norm,
+       |  MAX(sqrt(${dotSql("embedding", "embedding")})) AS max_norm
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+
+  // -- q53: random-hyperplane LSH bucketing + recall check (rows-only) ------
+  //   Bucket id = 8 sign bits of dots with deterministic pseudo-random
+  //   hyperplanes (components ±1 from xxhash64 of (plane, dim)). The stats
+  //   row reports bucket-shape and the recall of bucket-restricted search
+  //   vs the brute-force top-10 for query vec 0.
+  val q53 = Query.rowsOnly(
+    "q53_ann_lsh",
+    (s, dir) => {
+      val planes = 8
+      val bucketExpr =
+        s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
+           |  IF(aggregate(zip_with(embedding, sequence(0, 63),
+           |        (x, i) -> CAST(x AS DOUBLE) *
+           |          IF(xxhash64(p * 64 + i) % 2 = 0, 1.0D, -1.0D)),
+           |      CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+      val bucketed = emb(s, dir).select(col("vec_id"), col("embedding"),
+        expr(bucketExpr).as("bucket"))
+      bucketed.cache()
+      val q0Bucket = bucketed.filter(col("vec_id") === 0).select("bucket")
+      val candidates = bucketed.join(broadcast(q0Bucket), "bucket")
+        .filter(col("vec_id") =!= 0)
+      val brute = q50.run(s, dir).select("vec_id")
+      val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
+      val stats = bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+          (sum(col("sz")).cast("double") / count(lit(1))).as("avg_bucket"))
+      stats.withColumn("recall_at_10_q0", lit(recall))
+    })
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53)
+}

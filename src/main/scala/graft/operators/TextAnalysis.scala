@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * per-language stats, quality scoring, fingerprinting, and a heuristic
+  * n-gram/stopword language-ID — the building blocks a large-scale
+  * training-data pipeline runs before dedup/filtering.
+  *
+  * Everything stays inside whole-stage codegen: tokenization is
+  * `split`, per-token work uses higher-order array functions
+  * (`transform`/`filter`/`aggregate`), no UDFs in the hot path. At 100 TB
+  * these are embarrassingly parallel map-side operators — no shuffle at
+  * all except the final small aggregations.
+  */
+object TextAnalysis {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  // -- q30: token counting --------------------------------------------------
+  val q30 = Query.sql(
+    "q30_doc_tokens",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_unique"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, LENGTH(text) AS len_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -- q31: per-language stats ----------------------------------------------
+  val q31 = Query.sql(
+    "q31_lang_stats",
+    (s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang"),
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  // -- q32: quality scoring (length/stopword/uniqueness ratios) -------------
+  //   The score mirrors heuristic quality filters in web-scale corpus
+  //   cleaning: stopword presence and vocabulary diversity.
+  val q32 = Query.sql(
+    "q32_quality_score",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+          .cast("long").as("n_stopwords"),
+        expr("""CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+               | / size(split(text, ' '))""".stripMargin).as("stopword_ratio"),
+        expr("""CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+               | / size(split(text, ' '))""".stripMargin).as("uniq_ratio"))
+        .withColumn("quality",
+          col("stopword_ratio") * lit(0.5) + col("uniq_ratio") * lit(0.5))
+        .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+      |    AS n_stopwords,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+      |    AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS uniq_ratio,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+      |    AS DOUBLE) / len(string_split(text, ' ')) * 0.5
+      |  + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) * 0.5 AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -- q33: document fingerprinting (content hash) --------------------------
+  val q33 = Query.sql(
+    "q33_fingerprint",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 4).as("fp_bucket"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, md5(text) AS fp, SUBSTRING(md5(text), 1, 4) AS fp_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -- q34: heuristic language ID (stopword-hit argmax) ---------------------
+  //   Same deterministic scoring logic on both engines; demonstrates the
+  //   langid operator shape (tokenize → per-language evidence → argmax).
+  val q34 = Query.sql(
+    "q34_langid",
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          expr("""CASE
+            |  WHEN size(filter(split(text, ' '), w -> w IN ('the', 'a'))) >
+            |       size(filter(split(text, ' '), w -> w IN ('data', 'table')))
+            |    THEN 'en_stopword'
+            |  WHEN size(filter(split(text, ' '), w -> w IN ('data', 'table'))) > 0
+            |    THEN 'tech_jargon'
+            |  ELSE 'unknown'
+            |END""".stripMargin).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+    """SELECT lang, predicted, COUNT(*) AS n FROM (
+      |  SELECT lang, CASE
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) >
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('data', 'table')))
+      |      THEN 'en_stopword'
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('data', 'table'))) > 0
+      |      THEN 'tech_jargon'
+      |    ELSE 'unknown'
+      |  END AS predicted
+      |  FROM documents)
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)
+
+  // -- q36: corpus token frequency ------------------------------------------
+  val q36 = Query.sql(
+    "q36_token_freq",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(50),
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin)
+
+  // -- q37: character n-gram profile (the langid building block) ------------
+  val q37 = Query.sql(
+    "q37_char_trigrams",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+          .as("trigram"))
+        .groupBy("trigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("trigram"))
+        .limit(30),
+    """SELECT trigram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(generate_series(1, greatest(LENGTH(text) - 2, 1)),
+      |    i -> substring(text, i, 3))) AS trigram
+      |  FROM documents)
+      |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""".stripMargin)
+
+  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators._
+
+/** Cross-module invariants for the text / dedup / similarity / events /
+  * multimodal operator suites (sf0.001 for speed; the DuckDB oracle gate
+  * at sf0.01 is driven by tools/check.py).
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("every operator query runs and returns rows") {
+    val qs = TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Events.all ++ Multimodal.all
+    qs.foreach { q =>
+      assert(q.run(spark, sf0001).count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q30 token counts: unique <= tokens, chars match n_chars column") {
+    val joined = TextAnalysis.q30.run(spark, sf0001)
+      .join(Tables.load(spark, sf0001, "documents"), Seq("doc_id"))
+    joined.collect().foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("len_chars") == r.getAs[Long]("n_chars"))
+    }
+  }
+
+  test("q40/q41 dedup agree on distinct count") {
+    val stats = Dedup.q40.run(spark, sf0001).collect().head
+    val keepers = Dedup.q41.run(spark, sf0001).count()
+    assert(stats.getAs[Long]("n_distinct") == keepers)
+    assert(stats.getAs[Long]("n_docs") == keepers + stats.getAs[Long]("n_dups"))
+  }
+
+  test("q42 jaccard values are in [0, 1] and sorted descending") {
+    val jac = Dedup.q42.run(spark, sf0001).collect()
+      .map(_.getAs[Double]("jaccard"))
+    assert(jac.forall(j => j >= 0.0 && j <= 1.0))
+    assert(jac.sameElements(jac.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q44 simhash is deterministic across runs") {
+    val a = Dedup.q44.run(spark, sf0001).collect().map(_.getLong(1))
+    val b = Dedup.q44.run(spark, sf0001).collect().map(_.getLong(1))
+    assert(a.sameElements(b))
+  }
+
+  test("q50 knn similarities are within [-1, 1], descending") {
+    val sims = Similarity.q50.run(spark, sf0001).collect()
+      .map(_.getAs[Double]("cos_sim"))
+    assert(sims.length == 10)
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q53 LSH recall stats are sane") {
+    val r = Similarity.q53.run(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_buckets") >= 1)
+    val recall = r.getAs[Double]("recall_at_10_q0")
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
+
+  test("q61 session counts bounded by event counts") {
+    Events.q61.run(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("max_session_events") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("q63 pivot row sums equal per-user event counts") {
+    val pivoted = Events.q63.run(spark, sf0001).collect()
+    val totals = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    pivoted.foreach { r =>
+      val sum = Seq("click", "error", "purchase", "signup", "view")
+        .map(c => r.getAs[Long](c)).sum
+      assert(sum == totals(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("q71 frame sampling emits nFrames groups with full coverage") {
+    val rows = Multimodal.q71.run(spark, sf0001).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_frames")).distinct.length == 1)
+  }
+}
