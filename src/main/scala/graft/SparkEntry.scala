@@ -9,7 +9,8 @@ object SparkEntry {
   def allQueries: Seq[Query] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Events.all ++ operators.Multimodal.all
+      operators.Events.all ++ operators.Multimodal.all ++
+      operators.Sources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,62 @@
+package graft.core
+
+/** Parsed engine URL: `[modifier+...]scheme://path[;key=value...]`.
+  *
+  * Mirrors the reference's URL grammar (engine-type modifier prefixes like
+  * `gz+s3+csv://`, scheme dispatch, and `;k=v` option suffixes — see
+  * reference `connectors/__init__.py:106-140` and `ignition.py:84-127`)
+  * without copying its implementation. Modifiers that select compression or
+  * remote filesystems are no-ops for Spark reads (Hadoop FS handles `.gz`
+  * and `s3a://` natively) but are preserved for path rewriting.
+  */
+final case class EngineUrl(
+    scheme: String,
+    modifiers: Seq[String],
+    path: String,
+    options: Map[String, String]) {
+
+  def option(key: String): Option[String] = options.get(key)
+
+  /** Path as Spark/Hadoop wants it: s3 modifier → s3a:// prefix. */
+  def sparkPath: String =
+    if (modifiers.contains("s3")) s"s3a://$path" else path
+
+  override def toString: String = {
+    val mods = if (modifiers.isEmpty) "" else modifiers.mkString("", "+", "+")
+    val opts = if (options.isEmpty) ""
+      else options.toSeq.sortBy(_._1).map { case (k, v) => s";$k=$v" }.mkString
+    s"$mods$scheme://$path$opts"
+  }
+}
+
+object EngineUrl {
+
+  final case class ParseError(message: String) extends RuntimeException(message)
+
+  /** Parse `gz+s3+csv://data/file.csv;encoding=utf-8;start=2`. */
+  def parse(url: String): EngineUrl = {
+    val sep = url.indexOf("://")
+    if (sep < 0) throw ParseError(s"engine url needs '://': $url")
+    val schemePart = url.substring(0, sep)
+    val rest = url.substring(sep + 3)
+    if (schemePart.isEmpty) throw ParseError(s"empty scheme: $url")
+    val stack = schemePart.split('+').toSeq
+    val (modifiers, scheme) = (stack.init, stack.last)
+    if (scheme.isEmpty) throw ParseError(s"empty scheme: $url")
+    val segments = rest.split(';').toSeq
+    val path = segments.head
+    val options = segments.tail.filter(_.nonEmpty).map { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k)    => k -> ""
+      }
+    }.toMap
+    EngineUrl(scheme, modifiers, path, options)
+  }
+
+  /** True if the path contains filesystem wildcards (the reference expands
+    * these into a MultiConnector; Spark reads globs natively).
+    */
+  def isWildcard(url: EngineUrl): Boolean =
+    url.path.exists(c => c == '*' || c == '?')
+}

@@ -1,0 +1,41 @@
+package graft.core
+
+/** Late-bound template resolution for engine URLs plus repeatability docs.
+  *
+  * The reference resolves `{var}` placeholders in engine URLs against a
+  * global context of plain values, callables and secrets
+  * (`connect_resolve.py`), and captures the non-secret part into a "lock"
+  * document for repeatable builds (`model.py:242-280`). Here: an immutable
+  * context map; secrets live in a separate map that resolves but is never
+  * exported to lock docs.
+  */
+final case class RunContext(
+    vars: Map[String, String] = Map.empty,
+    secrets: Map[String, String] = Map.empty) {
+
+  final case class UnresolvedVar(name: String, template: String)
+    extends RuntimeException(s"unresolved {$name} in: $template")
+
+  private val Placeholder = "\\{([A-Za-z0-9_]+)\\}".r
+
+  /** Substitute every `{name}` placeholder; secrets resolve last so a var
+    * can never shadow a secret accidentally being exported.
+    */
+  def resolve(template: String): String =
+    Placeholder.replaceAllIn(template, m => {
+      val name = m.group(1)
+      vars.get(name).orElse(secrets.get(name)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(v)
+        case None    => throw UnresolvedVar(name, template)
+      }
+    })
+
+  def withVars(kv: (String, String)*): RunContext = copy(vars = vars ++ kv)
+  def withSecrets(kv: (String, String)*): RunContext = copy(secrets = secrets ++ kv)
+
+  /** Repeatability document: everything needed to re-run, minus secrets. */
+  def lockDoc: Map[String, String] = vars
+
+  /** Scoped context: run `f` with extra vars without mutating this one. */
+  def scoped[T](kv: (String, String)*)(f: RunContext => T): T = f(withVars(kv: _*))
+}

@@ -1,0 +1,47 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-validation helpers for pre/post build checks — the engine-level
+  * version of the reference's hand-written check methods (e.g. the
+  * single-year assertion in `examples/favourite_colours.py:41-61` and the
+  * conservation-of-days check at `:89-110`). Each check is a Spark action
+  * over a declarative plan, so it scales with the data.
+  */
+object Checks {
+
+  final case class CheckFailure(message: String) extends RuntimeException(message)
+
+  def nonEmpty(df: DataFrame, what: String = "dataset"): Boolean =
+    !df.isEmpty || fail(s"$what is empty")
+
+  def noViolations(df: DataFrame, violation: Column, what: String): Boolean =
+    df.filter(violation).isEmpty || fail(s"$what: violations found")
+
+  def unique(df: DataFrame, cols: Seq[String]): Boolean = {
+    val dups = df.groupBy(cols.map(col): _*).count().filter(col("count") > 1)
+    dups.isEmpty || fail(s"duplicate keys on (${cols.mkString(",")})")
+  }
+
+  def noNulls(df: DataFrame, cols: Seq[String]): Boolean =
+    cols.forall { c =>
+      df.filter(col(c).isNull).isEmpty || fail(s"nulls in $c")
+    }
+
+  def rowCountBetween(df: DataFrame, min: Long, max: Long): Boolean = {
+    val n = df.count()
+    (n >= min && n <= max) || fail(s"row count $n outside [$min, $max]")
+  }
+
+  /** Conservation check: an aggregate is preserved between input and output
+    * (e.g. total days in == total days out).
+    */
+  def conserved(in: DataFrame, out: DataFrame, inAgg: Column, outAgg: Column): Boolean = {
+    val a = in.agg(inAgg).collect()(0)(0)
+    val b = out.agg(outAgg).collect()(0)(0)
+    (a == b) || fail(s"conservation violated: $a != $b")
+  }
+
+  private def fail(message: String): Boolean = throw CheckFailure(message)
+}

@@ -1,0 +1,56 @@
+package graft.model
+
+import graft.core.RunContext
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Versioned-build manifests: engine urls read from a manifest dataset so a
+  * build can pin exactly which inputs it consumed, and lock docs that make
+  * a run repeatable — reference `common_pattern/manifest.py:16-326` and
+  * `model.py:242-280`.
+  */
+object Manifest {
+
+  /** Read a JSON manifest (one object, `{"engine_urls": [...], ...}`) from
+    * the driver filesystem and expose its urls — the reference's
+    * EngineFromManifest. Driver-side on purpose: manifests are tiny and
+    * parameterize plan construction, they are not data.
+    */
+  def engineUrls(manifestPath: String): Seq[String] = {
+    val text = new String(Files.readAllBytes(Paths.get(manifestPath)), "UTF-8")
+    // minimal extraction: "engine_urls": ["a", "b", ...]
+    val m = "\"engine_urls\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no engine_urls array in $manifestPath"))
+    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+  }
+
+  /** 1→N mapping from manifest items to per-item input/output urls — the
+    * reference's AbstractManifestMapper: each item yields a work unit.
+    */
+  final case class Mapper(
+      items: Seq[String],
+      inputTemplate: String,
+      outputTemplate: String) {
+    def workUnits(ctx: RunContext): Seq[(String, String)] =
+      items.map { item =>
+        val scoped = ctx.withVars("item" -> item)
+        (scoped.resolve(inputTemplate), scoped.resolve(outputTemplate))
+      }
+  }
+
+  /** Write a model's lock/repeatability doc as JSON. */
+  def writeLock(path: String, model: Model, ctx: RunContext): Unit = {
+    val entries = model.lock(ctx).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "${escape(k)}": "${escape(v)}"""" }
+    Files.writeString(Paths.get(path), entries.mkString("{\n", ",\n", "\n}\n"))
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}

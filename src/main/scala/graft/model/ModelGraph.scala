@@ -1,0 +1,82 @@
+package graft.model
+
+import graft.core.RunContext
+import org.apache.spark.sql.SparkSession
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Model dependency graph: run-order as parallel stages, provenance edges,
+  * Mermaid rendering, cycle detection — the Spark-side equivalent of the
+  * reference's ModelCollection (`model_collection.py:12-358`). Dependencies
+  * derive from dataset url identity: a model that reads what another writes
+  * runs after it. Models inside one stage run as concurrent Spark jobs
+  * (separate threads sharing the session — Spark's scheduler interleaves
+  * their stages across the cluster).
+  */
+final class ModelGraph(models: Seq[Model]) {
+
+  final case class CycleError(remaining: Seq[String]) extends RuntimeException(
+    s"models can't be built into an acyclic graph: ${remaining.mkString(", ")}")
+
+  /** Iterative frontier algorithm: a model is runnable once every source it
+    * reads is either external (no model writes it) or already produced.
+    */
+  def runOrder(): Seq[Seq[Model]] = {
+    val allTargets = models.flatMap(_.targets).toSet
+    var produced = Set.empty[String] // urls written by completed stages
+    var pending = models
+    val stages = Seq.newBuilder[Seq[Model]]
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition { m =>
+        m.sources.forall(s => !allTargets.contains(s) || produced.contains(s))
+      }
+      if (ready.isEmpty) throw CycleError(blocked.map(_.name))
+      stages += ready
+      produced ++= ready.flatMap(_.targets)
+      pending = blocked
+    }
+    stages.result()
+  }
+
+  /** Edge list (producerModel, consumerModel, datasetUrl). */
+  def provenance(): Seq[(String, String, String)] =
+    for {
+      producer <- models
+      consumer <- models if consumer ne producer
+      url <- producer.targets.intersect(consumer.sources).toSeq.sorted
+    } yield (producer.name, consumer.name, url)
+
+  def mermaid(): String = {
+    val edges = provenance().map { case (a, b, ds) =>
+      s"""  $a -->|"$ds"| $b"""
+    }
+    ("graph TD" +: edges).mkString("\n")
+  }
+
+  /** Run every model: stages sequentially, models within a stage
+    * concurrently. Fails fast on the first failed model.
+    */
+  def run(spark: SparkSession, ctx: RunContext = RunContext()): Unit = {
+    implicit val ec: ExecutionContext = ModelGraph.stageEc
+    runOrder().foreach { stage =>
+      val results = stage.map(m => Future(m.name -> m.go(spark, ctx)))
+      val done = Await.result(Future.sequence(results), Duration.Inf)
+      done.collectFirst { case (n, false) => n }.foreach { failed =>
+        throw new RuntimeException(s"model $failed failed its checks")
+      }
+    }
+  }
+}
+
+object ModelGraph {
+  /** Pool for intra-stage concurrency; sized to keep a few concurrent Spark
+    * jobs in flight (jobs themselves fan out to executor cores).
+    */
+  private lazy val stageEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-model-stage")
+        t.setDaemon(true)
+        t
+      }))
+}

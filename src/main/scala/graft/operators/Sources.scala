@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.sources.ConnectorRegistry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Source/sink connector coverage, verified as ROUND-TRIPS: a table is
+  * written through the connector under test, read back through it, and
+  * aggregated — the DuckDB oracle computes the same aggregate from the
+  * original parquet, so a pass proves the format preserved the data
+  * byte-for-byte (doubles round-trip via shortest-repr text, so even CSV
+  * is lossless).
+  */
+object Sources {
+
+  private val D = DecimalType(18, 6)
+  private def tmp(dir: String, name: String): String = {
+    val base = s"/tmp/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s"$base/$name"
+  }
+
+  // -- q80: CSV write → read (header + explicit schema) ---------------------
+  val q80 = Query.sql(
+    "q80_csv_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "nation_csv")
+      ConnectorRegistry.write(Tables.load(s, dir, "nation"), s"csv://$out")
+      ConnectorRegistry.read(s,
+          s"csv://$out;schema=n_nationkey INT, n_name STRING, n_regionkey INT")
+        .orderBy("n_nationkey")
+    },
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+
+  // -- q81: TSV write → read → aggregate (doubles survive text) -------------
+  val q81 = Query.sql(
+    "q81_tsv_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "part_tsv")
+      ConnectorRegistry.write(Tables.load(s, dir, "part"), s"tsv://$out")
+      ConnectorRegistry.read(s,
+          s"tsv://$out;schema=p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE")
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast(D)).cast("double").as("total_price"))
+        .orderBy("p_type")
+    },
+    """SELECT p_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin)
+
+  // -- q82: NDJSON write → read → aggregate ---------------------------------
+  val q82 = Query.sql(
+    "q82_ndjson_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "customer_ndjson")
+      ConnectorRegistry.write(Tables.load(s, dir, "customer"), s"ndjson://$out")
+      ConnectorRegistry.read(s,
+          s"ndjson://$out;schema=c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  // -- q83: raw text ("uncooked") write → read ------------------------------
+  val q83 = Query.sql(
+    "q83_text_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "documents_text")
+      ConnectorRegistry.write(
+        Tables.load(s, dir, "documents").select("text"), s"text://$out")
+      ConnectorRegistry.read(s, s"text://$out")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("total_chars"))
+    },
+    """SELECT COUNT(*) AS n_lines, SUM(LENGTH(text)) AS total_chars
+      |FROM documents""".stripMargin)
+
+  // -- q84: partitioned parquet fan-out → partition-discovering read --------
+  //   The write side is the reference's per-key fan-out
+  //   (`manifest_mapper.py:29-30,56`); the read side demonstrates partition
+  //   discovery + pruning over the k=v directory layout.
+  val q84 = Query.sql(
+    "q84_partitioned_fanout",
+    (s, dir) => {
+      val out = tmp(dir, "orders_by_status")
+      ConnectorRegistry.write(Tables.load(s, dir, "orders"),
+        s"parquet://$out;partitionBy=o_orderstatus")
+      ConnectorRegistry.read(s, s"parquet://$out")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  // -- q85: whole-doc JSON connector round-trip -----------------------------
+  val q85 = Query.sql(
+    "q85_jsondoc_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "region_json")
+      ConnectorRegistry.write(Tables.load(s, dir, "region"), s"json://$out")
+      ConnectorRegistry.read(s, s"json://$out")
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+
+  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85)
+}

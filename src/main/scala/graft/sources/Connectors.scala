@@ -1,0 +1,252 @@
+package graft.sources
+
+import graft.core.EngineUrl
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Connector: a reader/writer pair for one engine-url scheme family.
+  *
+  * The reference dispatches 12+ connector classes on url scheme with
+  * plugin registration (`connectors/__init__.py:21-142`); each is a
+  * row-at-a-time Python iterator. Here every connector maps to Spark's
+  * native distributed readers/writers — the registry only routes and
+  * translates options. Compression (`gz+`) and object stores (`s3+`) are
+  * engine-type modifiers in the reference (`engine_type_modifiers/`);
+  * Hadoop FS gives both for free, so modifiers only rewrite the path.
+  */
+trait Connector {
+  def schemes: Seq[String]
+  def read(spark: SparkSession, url: EngineUrl): DataFrame
+  def write(df: DataFrame, url: EngineUrl): Unit =
+    throw new UnsupportedOperationException(s"${schemes.head} is read-only")
+}
+
+/** csv:// and tsv:// — header row as schema by default; options mirror the
+  * reference's CsvConnector surface: `sep`, `encoding`, `header`,
+  * plus schema assertions applied via [[SchemaRules]].
+  */
+final class CsvConnector(sep: String, override val schemes: Seq[String]) extends Connector {
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    val reader = spark.read
+      .option("header", url.option("header").getOrElse("true"))
+      .option("sep", url.option("sep").getOrElse(sep))
+      .option("encoding", url.option("encoding").getOrElse("UTF-8"))
+      .option("inferSchema", url.option("inferSchema").getOrElse("false"))
+    val withSchema = url.option("schema") match {
+      case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
+      case None      => reader
+    }
+    SchemaRules.apply(withSchema.csv(url.sparkPath), url)
+  }
+  override def write(df: DataFrame, url: EngineUrl): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("sep", sep)
+      .csv(url.sparkPath)
+}
+
+/** ndjson:// — newline-delimited JSON, Spark's native json format. */
+final class NdjsonConnector extends Connector {
+  val schemes = Seq("ndjson", "jsonl")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    val reader = spark.read
+    val withSchema = url.option("schema") match {
+      case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
+      case None      => reader
+    }
+    SchemaRules.apply(withSchema.json(url.sparkPath), url)
+  }
+  override def write(df: DataFrame, url: EngineUrl): Unit =
+    df.write.mode(SaveMode.Overwrite).json(url.sparkPath)
+}
+
+/** json:// — whole-document JSON (the reference holds it in memory as one
+  * mutable doc, `json_connector.py:67-115`); multiLine read.
+  */
+final class JsonDocConnector extends Connector {
+  val schemes = Seq("json")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    spark.read.option("multiLine", "true").json(url.sparkPath)
+  /** Whole-doc semantics: one JSON array document. Collected on the driver
+    * by design — this connector is for small lookup/config documents (the
+    * reference holds the entire doc in memory as well); large data belongs
+    * in ndjson:// or parquet://.
+    */
+  override def write(df: DataFrame, url: EngineUrl): Unit = {
+    val doc = df.toJSON.collect().mkString("[\n", ",\n", "\n]")
+    val path = java.nio.file.Paths.get(url.sparkPath)
+    if (java.nio.file.Files.isDirectory(path)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, doc)
+  }
+}
+
+/** parquet:// — native columnar scan (the reference is read-only here and
+  * explodes Arrow batches into Python dicts, `parquet_connector.py:84-103`;
+  * we keep it columnar and add write + partitioned dirs).
+  */
+final class ParquetConnector extends Connector {
+  val schemes = Seq("parquet")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    spark.read.parquet(url.sparkPath)
+  override def write(df: DataFrame, url: EngineUrl): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    url.option("partitionBy") match {
+      case Some(cols) => w.partitionBy(cols.split(','): _*).parquet(url.sparkPath)
+      case None       => w.parquet(url.sparkPath)
+    }
+  }
+}
+
+/** file:// — raw text ("uncooked"): one row per line, or whole-file with
+  * ;wholetext=true. Binary via ;format=binary (binaryFile source).
+  */
+final class TextFileConnector extends Connector {
+  val schemes = Seq("file", "text")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    url.option("format") match {
+      case Some("binary") => spark.read.format("binaryFile").load(url.sparkPath)
+      case _ =>
+        spark.read
+          .option("wholetext", url.option("wholetext").getOrElse("false"))
+          .text(url.sparkPath)
+    }
+  override def write(df: DataFrame, url: EngineUrl): Unit =
+    df.write.mode(SaveMode.Overwrite).text(url.sparkPath)
+}
+
+/** jdbc-style scheme family — maps to Spark's JDBC source. Zero-egress test
+  * env has no database server; routing + option translation are unit-tested
+  * against the error path only (interface slot, like the reference's
+  * fake-backed connector tests).
+  */
+final class JdbcConnector extends Connector {
+  val schemes = Seq("sqlite", "mysql", "postgresql", "jdbc")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", s"jdbc:${url.scheme}://${url.path}")
+    val withQuery = (url.option("query"), url.option("dbtable")) match {
+      case (Some(q), _) => reader.option("query", q)
+      case (_, Some(t)) => reader.option("dbtable", t)
+      case _ => throw new IllegalArgumentException("jdbc needs ;query= or ;dbtable=")
+    }
+    url.option("partitionColumn").foldLeft(withQuery) { (r, c) =>
+      r.option("partitionColumn", c)
+        .option("lowerBound", url.option("lowerBound").getOrElse("0"))
+        .option("upperBound", url.option("upperBound").getOrElse("1000000"))
+        .option("numPartitions", url.option("numPartitions").getOrElse("8"))
+    }.load()
+  }
+}
+
+/** kafka:// — batch or streaming Kafka read slot (no broker in the test
+  * env). Translates the reference's `;start=@(ts);end=@(ts)` time-range
+  * grammar (`kafka_connector.py:147-165`) to
+  * startingTimestamp/endingTimestamp options.
+  */
+final class KafkaConnector extends Connector {
+  val schemes = Seq("kafka")
+  private val TsPattern = "@\\((.*)\\)".r
+  private def toMillis(v: String): String = v match {
+    case TsPattern(ts) =>
+      java.time.LocalDateTime.parse(ts.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toString
+    case other => other
+  }
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    val topic = url.option("topic").getOrElse(
+      throw new IllegalArgumentException("kafka needs ;topic="))
+    val reader = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", url.path)
+      .option("subscribe", topic)
+    val withStart = url.option("start").map(toMillis)
+      .foldLeft(reader)((r, t) => r.option("startingTimestamp", t))
+    url.option("end").map(toMillis)
+      .foldLeft(withStart)((r, t) => r.option("endingTimestamp", t))
+      .load()
+  }
+}
+
+/** In-memory test connector (the reference's FakeDataConnector). */
+final class InMemoryConnector extends Connector {
+  val schemes = Seq("fake")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    import spark.implicits._
+    Seq(("hello", 0), ("world", 1)).toDF("fake", "id")
+  }
+}
+
+/** Scheme → connector routing with plugin registration, mirroring the
+  * reference's `connector_registry` (`connectors/__init__.py:21-83`).
+  */
+object ConnectorRegistry {
+  @volatile private var registry: Map[String, Connector] = builtins
+
+  private def builtins: Map[String, Connector] = {
+    val all = Seq(
+      new CsvConnector(",", Seq("csv")),
+      new CsvConnector("\t", Seq("tsv")),
+      new NdjsonConnector,
+      new JsonDocConnector,
+      new ParquetConnector,
+      new TextFileConnector,
+      new JdbcConnector,
+      new KafkaConnector,
+      new InMemoryConnector)
+    all.flatMap(c => c.schemes.map(_ -> c)).toMap
+  }
+
+  def register(connector: Connector): Unit = synchronized {
+    registry = registry ++ connector.schemes.map(_ -> connector)
+  }
+
+  def forScheme(scheme: String): Connector =
+    registry.getOrElse(scheme,
+      throw new IllegalArgumentException(
+        s"no connector for scheme '$scheme' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+
+  def read(spark: SparkSession, urlString: String): DataFrame = {
+    val url = EngineUrl.parse(urlString)
+    forScheme(url.scheme).read(spark, url)
+  }
+
+  def write(df: DataFrame, urlString: String): Unit = {
+    val url = EngineUrl.parse(urlString)
+    forScheme(url.scheme).write(df, url)
+  }
+}
+
+/** Schema assertion helpers standing in for the reference CsvConnector's
+  * `required_fields` / `expected_fields` / `alias_fields`
+  * (`csv_connector.py:41-54,132-168`), applied from url options:
+  * `;required=a,b` (subset), `;expected=a,b,c` (exact ordered match),
+  * `;alias=x,y,z` (positional rename).
+  */
+object SchemaRules {
+  final case class SchemaViolation(message: String) extends RuntimeException(message)
+
+  def apply(df: DataFrame, url: EngineUrl): DataFrame = {
+    url.option("required").foreach { req =>
+      val missing = req.split(',').filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw SchemaViolation(s"missing required fields: ${missing.mkString(",")}")
+    }
+    url.option("expected").foreach { exp =>
+      if (df.columns.toSeq != exp.split(',').toSeq)
+        throw SchemaViolation(
+          s"expected fields ${exp}, found ${df.columns.mkString(",")}")
+    }
+    url.option("alias") match {
+      case Some(alias) =>
+        val names = alias.split(',').toSeq
+        if (names.length != df.columns.length)
+          throw SchemaViolation(
+            s"alias count ${names.length} != column count ${df.columns.length}")
+        df.toDF(names: _*)
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import graft.core.{EngineUrl, RunContext}
+import graft.model._
+import graft.sources.{ConnectorRegistry, SchemaRules}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+class FrameworkSpec extends SparkSpec {
+
+  // ---- EngineUrl ----------------------------------------------------------
+
+  test("engine url parses scheme, modifiers, path, options") {
+    val u = EngineUrl.parse("gz+s3+csv://bucket/data.csv;encoding=utf-8;start=2")
+    assert(u.scheme == "csv")
+    assert(u.modifiers == Seq("gz", "s3"))
+    assert(u.path == "bucket/data.csv")
+    assert(u.options == Map("encoding" -> "utf-8", "start" -> "2"))
+    assert(u.sparkPath == "s3a://bucket/data.csv")
+  }
+
+  test("engine url round-trips through toString and rejects junk") {
+    val u = EngineUrl.parse("csv://a/b.csv;x=1")
+    assert(EngineUrl.parse(u.toString) == u)
+    intercept[EngineUrl.ParseError](EngineUrl.parse("no-scheme-here"))
+    intercept[EngineUrl.ParseError](EngineUrl.parse("://path"))
+    assert(EngineUrl.isWildcard(EngineUrl.parse("csv://dir/*.csv")))
+  }
+
+  // ---- RunContext ---------------------------------------------------------
+
+  test("run context resolves vars and secrets, lock doc excludes secrets") {
+    val ctx = RunContext()
+      .withVars("build_id" -> "b42", "root" -> "/data")
+      .withSecrets("token" -> "hunter2")
+    assert(ctx.resolve("csv://{root}/{build_id}/x.csv;auth={token}")
+      == "csv:///data/b42/x.csv;auth=hunter2")
+    assert(ctx.lockDoc == Map("build_id" -> "b42", "root" -> "/data"))
+    val err = intercept[RunContext#UnresolvedVar](ctx.resolve("{missing}"))
+    assert(err.getMessage.contains("missing"))
+  }
+
+  test("scoped context does not leak") {
+    val ctx = RunContext().withVars("a" -> "1")
+    val inner = ctx.scoped("a" -> "2")(c => c.resolve("{a}"))
+    assert(inner == "2")
+    assert(ctx.resolve("{a}") == "1")
+  }
+
+  // ---- Connector registry -------------------------------------------------
+
+  test("registry routes schemes and reports unknown ones") {
+    assert(ConnectorRegistry.forScheme("csv") != null)
+    assert(ConnectorRegistry.forScheme("tsv") != null)
+    assert(ConnectorRegistry.forScheme("parquet") != null)
+    val err = intercept[IllegalArgumentException](
+      ConnectorRegistry.forScheme("carrier-pigeon"))
+    assert(err.getMessage.contains("known:"))
+  }
+
+  test("fake connector serves in-memory rows; plugin registration works") {
+    val df = ConnectorRegistry.read(spark, "fake://anything")
+    assert(df.count() == 2)
+    object Plugin extends graft.sources.Connector {
+      val schemes = Seq("plugin-test")
+      def read(s: SparkSession, url: EngineUrl) = s.range(3).toDF("i")
+    }
+    ConnectorRegistry.register(Plugin)
+    assert(ConnectorRegistry.read(spark, "plugin-test://x").count() == 3)
+  }
+
+  test("schema rules: required, expected, alias") {
+    val df = spark.range(1).selectExpr("id AS a", "id AS b")
+    def url(opts: String) = EngineUrl.parse(s"csv://x$opts")
+    assert(SchemaRules.apply(df, url(";required=a")).columns.sameElements(Array("a", "b")))
+    intercept[SchemaRules.SchemaViolation](SchemaRules.apply(df, url(";required=z")))
+    assert(SchemaRules.apply(df, url(";expected=a,b")) != null)
+    intercept[SchemaRules.SchemaViolation](SchemaRules.apply(df, url(";expected=b,a")))
+    assert(SchemaRules.apply(df, url(";alias=x,y")).columns.sameElements(Array("x", "y")))
+    intercept[SchemaRules.SchemaViolation](SchemaRules.apply(df, url(";alias=only-one")))
+  }
+
+  // ---- Model lifecycle ----------------------------------------------------
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  class CopyModel(in: String, out: String) extends Model {
+    override def name = "CopyModel"
+    val connects = Map(
+      "src" -> Connect(in, AccessMode.Read),
+      "dst" -> Connect(out, AccessMode.Write))
+    var preRan = false
+    var postRan = false
+    override def preBuildCheck(s: SparkSession, io: ModelIo) = {
+      preRan = true; Checks.nonEmpty(io.read("src"))
+    }
+    def build(s: SparkSession, io: ModelIo): Unit = {
+      val df = io.read("src")
+      stat(s, "rows_in").add(df.count())
+      io.write("dst", df.filter(org.apache.spark.sql.functions.col("r_regionkey") >= 0))
+    }
+    override def postBuildCheck(s: SparkSession, io: ModelIo) = {
+      postRan = true; Checks.rowCountBetween(io.readBack("dst"), 1, 1000)
+    }
+  }
+
+  test("model lifecycle: pre-check, build, post-check, stats, lock") {
+    val out = tmpDir()
+    val m = new CopyModel(s"parquet://$sf0001/region.parquet", s"parquet://$out/region")
+    val ctx = RunContext().withVars("build" -> "r1").withSecrets("pw" -> "x")
+    assert(m.go(spark, ctx))
+    assert(m.preRan && m.postRan)
+    assert(m.stats("rows_in").value == 5)
+    val lock = m.lock(ctx)
+    assert(lock("build") == "r1")
+    assert(lock("dataset.src").endsWith("region.parquet"))
+    assert(!lock.values.exists(_.contains("x") && lock.keys.exists(_.contains("pw"))))
+  }
+
+  test("model io enforces access modes and templating") {
+    val m = new CopyModel("parquet://{root}/region.parquet", "parquet:///tmp/never")
+    val io = new ModelIo(spark, m, RunContext().withVars("root" -> sf0001))
+    assert(io.read("src").count() == 5)
+    assert(io.resolvedUrl("src") == s"parquet://$sf0001/region.parquet")
+    intercept[IllegalArgumentException](io.read("nope"))
+    intercept[IllegalArgumentException](io.write("src", spark.range(1).toDF()))
+  }
+
+  // ---- ModelGraph ---------------------------------------------------------
+
+  class Stub(val modelName: String, reads: Seq[String], writes: Seq[String],
+      log: scala.collection.mutable.Buffer[String] = null) extends Model {
+    override def name = modelName
+    val connects: Map[String, Connect] =
+      reads.zipWithIndex.map { case (u, i) => s"r$i" -> Connect(u, AccessMode.Read) }.toMap ++
+      writes.zipWithIndex.map { case (u, i) => s"w$i" -> Connect(u, AccessMode.Write) }.toMap
+    def build(s: SparkSession, io: ModelIo): Unit =
+      if (log != null) log.synchronized { log += modelName }
+  }
+
+  test("run order stages by dataset dependencies") {
+    val a = new Stub("A", Seq("x://raw"), Seq("x://mid1"))
+    val b = new Stub("B", Seq("x://raw"), Seq("x://mid2"))
+    val c = new Stub("C", Seq("x://mid1", "x://mid2"), Seq("x://out"))
+    val order = new ModelGraph(Seq(c, b, a)).runOrder()
+    assert(order.map(_.map(_.name).toSet) == Seq(Set("A", "B"), Set("C")))
+  }
+
+  test("cycles are rejected") {
+    val a = new Stub("A", Seq("x://fromB"), Seq("x://fromA"))
+    val b = new Stub("B", Seq("x://fromA"), Seq("x://fromB"))
+    val g = new ModelGraph(Seq(a, b))
+    intercept[g.CycleError](g.runOrder())
+  }
+
+  test("provenance edges and mermaid") {
+    val a = new Stub("A", Seq(), Seq("x://d1"))
+    val b = new Stub("B", Seq("x://d1"), Seq())
+    val g = new ModelGraph(Seq(a, b))
+    assert(g.provenance() == Seq(("A", "B", "x://d1")))
+    assert(g.mermaid().startsWith("graph TD"))
+    assert(g.mermaid().contains("A -->"))
+  }
+
+  test("graph run executes stages in dependency order") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val a = new Stub("A", Seq(), Seq("x://d1"), log)
+    val c = new Stub("C", Seq("x://d1"), Seq("x://d2"), log)
+    val d = new Stub("D", Seq("x://d2"), Seq(), log)
+    new ModelGraph(Seq(d, c, a)).run(spark)
+    assert(log.toSeq == Seq("A", "C", "D"))
+  }
+
+  // ---- Manifest -----------------------------------------------------------
+
+  test("manifest: engine urls, mapper, lock file") {
+    val dir = tmpDir()
+    val mf = s"$dir/manifest.json"
+    Files.writeString(java.nio.file.Paths.get(mf),
+      """{"build": "b7", "engine_urls": ["csv://a.csv", "parquet://b"]}""")
+    assert(Manifest.engineUrls(mf) == Seq("csv://a.csv", "parquet://b"))
+
+    val mapper = Manifest.Mapper(Seq("jan", "feb"),
+      "csv://in/{item}.csv", "parquet://out/{item}")
+    val units = mapper.workUnits(RunContext())
+    assert(units == Seq(
+      ("csv://in/jan.csv", "parquet://out/jan"),
+      ("csv://in/feb.csv", "parquet://out/feb")))
+
+    val m = new Stub("A", Seq("x://in"), Seq("x://out"))
+    Manifest.writeLock(s"$dir/lock.json", m, RunContext().withVars("v" -> "1"))
+    val lock = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/lock.json")))
+    assert(lock.contains("\"v\": \"1\"") && lock.contains("x://in"))
+  }
+
+  // ---- Checks -------------------------------------------------------------
+
+  test("check helpers pass and fail correctly") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5).toDF("id")
+    assert(Checks.nonEmpty(df))
+    intercept[Checks.CheckFailure](Checks.nonEmpty(df.filter(col("id") < 0)))
+    assert(Checks.unique(df, Seq("id")))
+    intercept[Checks.CheckFailure](
+      Checks.unique(df.union(df), Seq("id")))
+    assert(Checks.noNulls(df, Seq("id")))
+    assert(Checks.rowCountBetween(df, 1, 10))
+    intercept[Checks.CheckFailure](Checks.rowCountBetween(df, 10, 20))
+    assert(Checks.conserved(df, df, sum("id"), sum("id")))
+    assert(Checks.noViolations(df, col("id") > 100, "range"))
+  }
+}
