@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Structured Streaming over event streams. The reference's only streaming
+  * surface is a bounded Kafka offset-range reader
+  * (`kafka_connector.py:19-263`); here streams are first-class: the same
+  * declarative transforms used in batch (operators.Events) run under
+  * `readStream` with watermarks, plus stateful sessionization via
+  * `flatMapGroupsWithState` for semantics window operators can't express.
+  *
+  * Scale notes: windowed aggregations shuffle on (window, key) with
+  * watermark-bounded state; stateful sessionization keys state by user so
+  * state size is O(active users), not O(events). Both survive a 1000-node
+  * cluster because state lives in the state store per shuffle partition.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files (streaming
+    * needs an explicit schema; new files become new micro-batches).
+    */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts per event type, watermarked: state for windows
+    * older than the watermark is dropped, bounding memory on an unbounded
+    * stream. Works identically on batch frames (watermark is a no-op).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (1 hour every 15 minutes). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows with a 30-minute inactivity gap (native operator). */
+  def sessionCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionState(start: Long, last: Long, n: Long, totalValue: Double)
+
+  final case class SessionSummary(
+      user_id: Long, startMs: Long, endMs: Long, n_events: Long,
+      total_value: Double, closed_by_timeout: Boolean)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * summary when a session closes (30 min gap seen in-stream, or event-time
+    * timeout fires). Strictly more expressive than session_window — the
+    * summary carries arbitrary accumulated state.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30 * 60 * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.start, s.last, s.n, s.totalValue,
+              closed_by_timeout = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.last >= gapMs =>
+                  closed += SessionSummary(userId, s.start, s.last, s.n,
+                    s.totalValue, closed_by_timeout = false)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  current = Some(s.copy(last = t, n = s.n + 1,
+                    totalValue = s.totalValue + e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a bounded stream to completion (AvailableNow) into an in-memory
+    * table and return the session-queryable table name.
+    */
+  def runAvailableNow(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
+    * fan-out path; batchId enables idempotent writes).
+    */
+  def runForeachBatch(df: DataFrame, onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch(onBatch)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-feb").toString)
+      .start()
+    q.awaitTermination()
+  }
+}

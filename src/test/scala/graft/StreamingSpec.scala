@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics: bounded streams must agree with the (DuckDB-oracle
+  * verified) batch plans; watermarks must drop late data; stateful
+  * sessionization must match session_window counts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def copyEventsTo(dirName: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(dirName).toString
+    Tables.load(spark, sf0001, "events").write.mode("overwrite").parquet(out)
+    out
+  }
+
+  test("file-source stream of hourly counts equals the batch result") {
+    val dir = copyEventsTo("graft-ev")
+    val stream = Streams.hourlyCounts(Streams.eventFileStream(spark, dir))
+    // complete mode: append would hold back windows newer than the final
+    // watermark, which on a bounded stream means the tail never emits
+    Streams.runAvailableNow(stream, "hourly_stream", outputMode = "complete")
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour", "event_type").collect()
+    val batch = Streams.hourlyCounts(spark.read.parquet(dir))
+      .orderBy("hour", "event_type").collect()
+    assert(streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("sliding windows cover each event 4 times") {
+    val dir = copyEventsTo("graft-ev-slide")
+    val stream = Streams.slidingCounts(Streams.eventFileStream(spark, dir))
+    Streams.runAvailableNow(stream, "sliding_stream", outputMode = "complete")
+    val total = spark.table("sliding_stream").agg(sum("n")).collect()(0).getLong(0)
+    val events = spark.read.parquet(dir).count()
+    assert(total == events * 4, s"each event should fall in 4 sliding windows")
+  }
+
+  test("watermark drops late data in windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = Streams.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type")
+        .withColumn("value", lit(1.0)), watermark = "30 minutes")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val q = counts.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // batch 1: events at 10:00 and 13:00 → watermark advances to 12:30
+    mem.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: late event at 10:30 — before the 12:30 watermark, dropped
+    mem.addData((ts("2024-01-01 10:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 3: 15:00 closes the 13:00 window
+    mem.addData((ts("2024-01-01 15:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test").collect()
+      .map(r => r.getAs[Timestamp]("hour").toString -> r.getAs[Long]("n")).toMap
+    assert(rows("2024-01-01 10:00:00.0") == 1, "late 10:30 event must NOT count")
+  }
+
+  test("stateful sessionization matches session_window on bounded data") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+    // Batch path for session_window:
+    val expected = Streams.sessionCounts(Tables.load(spark, sf0001, "events"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // Streaming stateful path over a memory stream of the same events:
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionizeStateful(mem.toDS())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    mem.addData(events.collect().toSeq)
+    q.processAllAvailable()
+    // push watermark far forward so every open session times out and flushes
+    mem.addData(Streams.Event(-1, ts("2030-01-01 00:00:00"), -1, "x", 0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_test")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(expected))
+  }
+
+  test("foreachBatch sink receives every row exactly once") {
+    val dir = copyEventsTo("graft-ev-feb")
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    Streams.runForeachBatch(
+      Streams.eventFileStream(spark, dir),
+      (batch, _) => { seen.addAndGet(batch.count()) })
+    assert(seen.get() == spark.read.parquet(dir).count())
+  }
+}
