@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Imperative registration of graft's native expressions for sessions not
+  * built with `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (e.g. a session handed to us by an external driver). Idempotent.
+  */
+object GraftFunctions {
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_similarity(arrayA, arrayB)")
+        CosineSimilarity(children.head, children(1))
+      })
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+final case class ScoredId(score: Double, id: Long)
+
+/** Top-k (score, id) aggregator: keeps the k best rows as aggregation
+  * state, so top-k runs as a partial+final aggregate — the shuffle carries
+  * at most k pairs per partition instead of every row, and no global sort
+  * ever materializes. This is the Spark-native replacement for the
+  * reference's partial+merge argmax pattern
+  * (`tests/test_model_partitioned.py:59-75`) and the scale path for
+  * "argmax row" queries on very large tables.
+  *
+  * State is a sorted Vector bounded at k (k is small by construction).
+  * Ordering: score descending, id ascending for deterministic ties.
+  */
+final class TopKAggregator(k: Int)
+  extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private val ord: Ordering[ScoredId] =
+    Ordering.by((s: ScoredId) => (-s.score, s.id))
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredId], row: ScoredId): Seq[ScoredId] =
+    if (buf.length >= k && ord.gteq(row, buf.last)) buf
+    else ((buf :+ row).sorted(ord)).take(k)
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+}
+
+object TopK {
+  /** Aggregate: top-k rows by (score: double, id: long).
+    * Usage: `df.agg(TopK.topK(10)($"score", $"id").as("top"))` then explode.
+    */
+  def topK(k: Int): (Column, Column) => Column = {
+    val agg = udaf(new TopKAggregator(k))
+    (score: Column, id: Column) => agg(score, id)
+  }
+}

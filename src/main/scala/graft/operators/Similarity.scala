@@ -137,5 +137,28 @@ object Similarity {
       stats.withColumn("recall_at_10_q0", lit(recall))
     })
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53)
+  // -- q54: same search as q50 but through the NATIVE codegen'd
+  //   cosine_similarity Expression (graft.functions.CosineSimilarity) and
+  //   the TopKAggregator (partial+final agg, no global sort). Bit-identical
+  //   accumulation order means it shares q50's oracle semantics.
+  val q54 = Query.sql(
+    "q54_knn_native",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("cos_sim"))
+        .agg(graft.functions.TopK.topK(10)(col("cos_sim"), col("vec_id")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id").as("vec_id"), col("t.score").as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+    },
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ${cosSql("embedding", "qv")} AS cos_sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54)
 }

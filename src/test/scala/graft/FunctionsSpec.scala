@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{GraftFunctions, ScoredId, TopK, TopKAggregator}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine_similarity is bit-identical to the HOF formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.load(spark, sf0001, "embeddings").limit(100)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val hof =
+      """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+        |/ (sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+        | * sqrt(aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        expr("cosine_similarity(embedding, qv)").as("native"),
+        expr(hof).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine_similarity handles double arrays and nulls") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.sql(
+      """SELECT cosine_similarity(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                         CAST(array(2.0, 4.0) AS ARRAY<DOUBLE>)) AS c,
+        |       cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>),
+        |                         CAST(array(1.0) AS ARRAY<DOUBLE>)) AS n""".stripMargin)
+    val row = df.collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.isNullAt(1))
+  }
+
+  test("TopKAggregator semantics match sort-and-take") {
+    val agg = new TopKAggregator(3)
+    val rows = Seq(5.0 -> 1L, 1.0 -> 2L, 9.0 -> 3L, 9.0 -> 0L, 3.0 -> 4L)
+      .map { case (s, i) => ScoredId(s, i) }
+    val viaReduce = rows.foldLeft(agg.zero)(agg.reduce)
+    val expected = rows.sortBy(s => (-s.score, s.id)).take(3)
+    assert(agg.finish(viaReduce) == expected)
+    // merge of split halves gives the same answer
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == expected)
+  }
+
+  test("q54 native knn returns the same neighbors as q50") {
+    val native = Similarity.q54.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val hof = Similarity.q50.run(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(native.sameElements(hof))
+  }
+
+  test("topK aggregate never exceeds k and is sorted") {
+    val df = Tables.load(spark, sf0001, "orders")
+      .agg(TopK.topK(5)(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.score"), col("t.id"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.length == 5)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted(Ordering[Double].reverse)))
+  }
+}

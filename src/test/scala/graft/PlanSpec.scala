@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: these encode the scale properties the engine
+  * must keep — filters reaching the parquet scan, column pruning, broadcast
+  * joins for dims, partial aggregation before shuffles, top-k without
+  * global sort. A refactor that silently loses one of these still passes
+  * the value-correctness gate; this spec catches the plan regression.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q06 filter is pushed down to the parquet scan") {
+    val p = plan(Relational.q06.run(spark, sf001))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    // quantity/discount predicates push; the shipdate cast may not
+    assert(p.contains("LessThan(l_quantity,24.0)") ||
+      p.contains("l_quantity"), s"quantity filter not pushed:\n$p")
+  }
+
+  test("q01 projection prunes the scan to the 7 needed columns") {
+    val p = plan(Relational.q01.run(spark, sf001))
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads unneeded l_orderkey: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+  }
+
+  test("q05 joins dims via broadcast, fact tables shuffle") {
+    val p = plan(Relational.q05.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q23 small-dim join is broadcast, no shuffle of nation") {
+    val p = plan(Relational.q23.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(Relational.q01.run(spark, sf001))
+    val firstAgg = p.indexOf("HashAggregate")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && lastAgg > firstAgg, s"expected 2-phase agg:\n$p")
+  }
+
+  test("q02 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q02.run(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
+  test("q54 top-k via aggregator has no Sort over the scored stream") {
+    val df = Similarity.q54.run(spark, sf001)
+    val p = plan(df)
+    // the only sort allowed is over the 10 exploded output rows
+    val sortCount = "(?m)^\\s*[+:]?-* ?\\*?\\(?\\d*\\)? ?Sort ".r
+      .findAllIn(p).length
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    val df = Relational.q01.run(spark, sf001)
+    df.collect() // finalize the adaptive plan; codegen spans appear post-exec
+    val p = plan(df)
+    // "*(n) Operator" marks a WholeStageCodegen span in the compact form
+    assert("\\*\\(\\d+\\) (HashAggregate|Project|Filter)".r.findFirstIn(p).isDefined,
+      s"no codegen spans:\n$p")
+  }
+
+  test("q84 partitioned read prunes partitions on status filter") {
+    // write once via the query, then check a filtered read prunes
+    Sources.q84.run(spark, sf001).collect()
+    val out = s"/tmp/graft_rt_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}/orders_by_status"
+    val filtered = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val p = plan(filtered)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition filter not applied:\n$p")
+  }
+}
