@@ -10,7 +10,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Events.all ++ operators.Multimodal.all ++
-      operators.Sources.all
+      operators.Sources.all ++ operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

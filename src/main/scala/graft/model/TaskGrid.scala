@@ -1,0 +1,55 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+import scala.reflect.ClassTag
+
+/** Task-list parallelism: the Spark-native replacement for the reference's
+  * PartitionedModel + LocalProcessPool (`model.py:283-613`,
+  * `runtime/multiprocess.py:64-267`). Sub-tasks become elements of a
+  * parallelized RDD, Spark's scheduler replaces the worker-process pool,
+  * task retry replaces the TaskFailed protocol, and collation happens on
+  * the driver. Tasks must be serializable and idempotent (the same
+  * requirement the reference documents, since either engine may re-run a
+  * failed subtask).
+  */
+object TaskGrid {
+
+  /** The reference's partition_plea: a model states how many workers it
+    * could use; the runtime clamps to what exists
+    * (`model.py:406-429,505-514`).
+    */
+  final case class PartitionOption(minimum: Int, maximum: Int, optimal: Int) {
+    def clamp(available: Int): Int =
+      math.max(minimum, math.min(math.min(optimal, maximum), available))
+  }
+  val defaultPlea: PartitionOption = PartitionOption(1, 128, 16)
+
+  final case class SubTaskFailed(task: String, cause: Throwable)
+    extends RuntimeException(s"subtask failed: $task", cause)
+
+  /** Run `fn` over each task across the cluster; collate results on the
+    * driver in task order. A failing subtask surfaces as SubTaskFailed
+    * after Spark's own retries are exhausted.
+    */
+  def run[T: ClassTag, R: ClassTag](
+      spark: SparkSession,
+      tasks: Seq[T],
+      fn: T => R,
+      plea: PartitionOption = defaultPlea): Seq[R] = {
+    if (tasks.isEmpty) return Seq.empty
+    val workers = plea.clamp(
+      math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val attempted = spark.sparkContext
+      .parallelize(tasks.zipWithIndex, workers)
+      .map { case (t, i) =>
+        try (i, Right(fn(t)): Either[String, R])
+        catch { case e: Throwable => (i, Left(s"$t: ${e.getMessage}")) }
+      }
+      .collect()
+      .sortBy(_._1)
+    attempted.collectFirst { case (_, Left(msg)) =>
+      throw SubTaskFailed(msg, null)
+    }
+    attempted.map(_._2.toOption.get).toSeq
+  }
+}

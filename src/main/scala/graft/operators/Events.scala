@@ -120,5 +120,33 @@ object Events {
       |      FROM events GROUP BY 1, 2)
       |ORDER BY day, event_type""".stripMargin)
 
-  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64)
+  // -- q65: as-of join (latest error at-or-before each purchase, per user) --
+  //   Uses the reusable AsOfJoin operator (union + ordered window sweep);
+  //   oracle is DuckDB's native ASOF JOIN. Timestamps surface as epoch
+  //   micros so both engines compare integers.
+  val q65 = Query.sql(
+    "q65_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+          Map("ts" -> "err_ts", "value" -> "err_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS err_ts_us, r.value AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65)
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates. stddev/corr are computed from exact
+  * DECIMAL-accumulated raw moments with the final formula evaluated in
+  * double using the *same expression text* on both engines — deterministic
+  * across partition orders and bit-identical to the DuckDB oracle (plain
+  * stddev_samp/corr would drift in the last ulp between engines).
+  */
+object Stats {
+
+  private val D = DecimalType(18, 6)
+
+  // -- q27: raw-moment stats: mean/stddev/corr per group --------------------
+  val q27 = Query.sql(
+    "q27_moments",
+    (s, dir) => {
+      val sums = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(D)).cast("double").as("sxx"),
+          sum(col("l_discount").cast(D)).cast("double").as("sd"),
+          sum((col("l_discount") * col("l_discount")).cast(D)).cast("double").as("sdd"),
+          sum((col("l_quantity") * col("l_discount")).cast(D)).cast("double").as("sxd"))
+      sums.select(
+        col("l_returnflag"), col("n"),
+        expr("sx / n").as("mean_qty"),
+        expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("stddev_qty"),
+        expr("""(sxd - sx * sd / n)
+               | / (sqrt(sxx - sx * sx / n) * sqrt(sdd - sd * sd / n))"""
+          .stripMargin).as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+    """WITH sums AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxd
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sx / n AS mean_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_qty,
+      |  (sxd - sx * sd / n)
+      |    / (sqrt(sxx - sx * sx / n) * sqrt(sdd - sd * sd / n)) AS corr_qty_disc
+      |FROM sums ORDER BY l_returnflag""".stripMargin)
+
+  // -- q28: exact interpolated percentiles ----------------------------------
+  val q28 = Query.sql(
+    "q28_percentiles",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("p0"),
+          max(col("l_quantity")).as("p100"))
+        .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  MIN(l_quantity) AS p0, MAX(l_quantity) AS p100
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // -- q29: HLL approximate distinct vs exact (rows-only: sketch estimates
+  //   are implementation-specific) ------------------------------------------
+  val q29 = Query.rowsOnly(
+    "q29_approx_distinct",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
+
+  val all: Seq[Query] = Seq(q27, q28, q29)
+}

@@ -195,6 +195,9 @@ object ConnectorRegistry {
       new TextFileConnector,
       new JdbcConnector,
       new KafkaConnector,
+      new RestConnector,
+      new ElasticsearchConnector,
+      new BigQueryConnector,
       new InMemoryConnector)
     all.flatMap(c => c.schemes.map(_ -> c)).toMap
   }

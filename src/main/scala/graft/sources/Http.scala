@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.core.EngineUrl
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** REST/HTTP surface, two halves mirroring the reference's
+  * RestfulConnector (`restful_connector.py:19-467`):
+  *
+  *  - [[RestConnector]]: driver-side GET of a JSON document/array →
+  *    DataFrame. APIs are lookup-sized; this is not a relational scan.
+  *  - [[HttpEnrich]]: executor-side per-partition enrichment — one HTTP
+  *    client per partition (connection reuse), one call per row, retry
+  *    with backoff on 5xx like the reference. This is the scale path: at
+  *    100 TB the calls run distributed, throttled by partition count.
+  */
+object Http {
+  private[sources] def get(client: HttpClient, url: String, retries: Int = 3): String = {
+    var attempt = 0
+    var backoffMs = 100L
+    while (true) {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url)).GET()
+          .timeout(Duration.ofSeconds(30)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) return resp.body()
+      if (resp.statusCode() / 100 == 5 && attempt < retries) {
+        Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
+      } else throw new RuntimeException(
+        s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+final class RestConnector extends Connector {
+  val schemes = Seq("http", "https")
+
+  /** GET the url, parse the JSON body (object or array) into a DataFrame.
+    * Driver-side by design — this reads an API document, not a dataset.
+    */
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    import spark.implicits._
+    val body = Http.get(
+      HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build(),
+      s"${url.scheme}://${url.path}")
+    spark.read.json(Seq(body).toDS())
+  }
+}
+
+object HttpEnrich {
+  /** Add a string column with the HTTP response of `urlFor(keyColumn)` per
+    * row, executed on executors with one pooled client per partition.
+    */
+  def enrich(
+      df: DataFrame,
+      keyColumn: String,
+      urlTemplate: String, // "{key}" substituted per row
+      outputColumn: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withColumn("__key", col(keyColumn).cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+
+        org.apache.spark.sql.types.StructField(outputColumn,
+          org.apache.spark.sql.types.StringType))
+    val enriched = keyed.mapPartitions { rows =>
+      lazy val client = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofSeconds(10)).build()
+      rows.map { row =>
+        val key = row.getAs[String]("__key")
+        val body = Http.get(client, urlTemplate.replace("{key}", key))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ body)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    enriched.drop("__key")
+  }
+}
+
+/** Registry slots for connectors that need external clusters the zero-
+  * egress test environment lacks. Routing and option translation are real;
+  * the read fails with a clear description of what it would do (the
+  * reference unit-tests these against fakes the same way).
+  */
+final class ElasticsearchConnector extends Connector {
+  val schemes = Seq("elasticsearch", "es")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    throw new UnsupportedOperationException(
+      s"elasticsearch connector: would read index '${url.option("index").getOrElse(url.path)}' " +
+        "via org.elasticsearch.spark.sql; requires a live cluster")
+}
+
+final class BigQueryConnector extends Connector {
+  val schemes = Seq("bigquery")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    throw new UnsupportedOperationException(
+      s"bigquery connector: would read ${url.option("projectId").getOrElse("?")}." +
+        s"${url.option("datasetId").getOrElse("?")}.${url.option("tableId").getOrElse("?")} " +
+        "via the spark-bigquery connector; requires GCP access")
+}

@@ -1,0 +1,99 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.model.TaskGrid
+import graft.sources.{ConnectorRegistry, HttpEnrich}
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+
+/** REST connector + HTTP enrichment against an in-process server (the
+  * reference unit-tests its RestfulConnector against fakes the same way),
+  * plus the TaskGrid partitioned-execution surface.
+  */
+class HttpTaskSpec extends SparkSpec {
+
+  private var server: HttpServer = _
+  private var port: Int = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    port = server.getAddress.getPort
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/animals", (ex: HttpExchange) =>
+      reply(ex, 200,
+        """[{"name": "frill necked lizard", "where": "Australia"},
+          |{"name": "adder", "where": "UK"}]""".stripMargin))
+    server.createContext("/score", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getQuery.stripPrefix("id=")
+      reply(ex, 200, s"""{"id": $id, "score": ${id.toLong * 10}}""")
+    })
+    val flaky = new java.util.concurrent.atomic.AtomicInteger()
+    server.createContext("/flaky", (ex: HttpExchange) =>
+      if (flaky.getAndIncrement() == 0) reply(ex, 503, "try again")
+      else reply(ex, 200, """{"ok": true}"""))
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  test("http connector reads a JSON API into a DataFrame") {
+    val df = ConnectorRegistry.read(spark, s"http://127.0.0.1:$port/animals")
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("where") == "UK" ||
+      rows.head.getAs[String]("name") == "adder")
+  }
+
+  test("http enrichment adds one response column per row, on executors") {
+    val base = spark.range(1, 6).toDF("id")
+    val enriched = HttpEnrich.enrich(base, "id",
+      s"http://127.0.0.1:$port/score?id={key}", "resp")
+    val scores = enriched
+      .withColumn("score", get_json_object(col("resp"), "$.score").cast("long"))
+      .orderBy("id").collect()
+    assert(scores.map(_.getAs[Long]("score")).sameElements(Array(10L, 20, 30, 40, 50)))
+  }
+
+  test("5xx responses retry with backoff") {
+    val df = ConnectorRegistry.read(spark, s"http://127.0.0.1:$port/flaky")
+    assert(df.collect().head.getAs[Boolean]("ok"))
+  }
+
+  test("elasticsearch/bigquery slots route and explain themselves") {
+    val es = intercept[UnsupportedOperationException](
+      ConnectorRegistry.read(spark, "elasticsearch://localhost:9200/idx;index=docs"))
+    assert(es.getMessage.contains("docs"))
+    val bq = intercept[UnsupportedOperationException](
+      ConnectorRegistry.read(spark, "bigquery://x;projectId=p;datasetId=d;tableId=t"))
+    assert(bq.getMessage.contains("p.d.t"))
+  }
+
+  test("task grid runs tasks across the cluster and collates in order") {
+    val results = TaskGrid.run(spark, (1 to 20).toSeq, (i: Int) => i * i)
+    assert(results == (1 to 20).map(i => i * i))
+  }
+
+  test("task grid surfaces subtask failure") {
+    val err = intercept[TaskGrid.SubTaskFailed](
+      TaskGrid.run(spark, Seq(1, 2, 3), (i: Int) =>
+        if (i == 2) throw new RuntimeException("boom") else i))
+    assert(err.getMessage.contains("boom") || err.getMessage.contains("2"))
+  }
+
+  test("partition plea clamps like the reference") {
+    val plea = TaskGrid.PartitionOption(minimum = 2, maximum = 8, optimal = 4)
+    assert(plea.clamp(available = 16) == 4)
+    assert(plea.clamp(available = 3) == 3)
+    assert(plea.clamp(available = 1) == 2) // minimum wins
+    assert(TaskGrid.PartitionOption(1, 128, 200).clamp(64) == 64)
+  }
+}
