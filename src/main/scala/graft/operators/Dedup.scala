@@ -64,8 +64,12 @@ object Dedup {
   val q42 = Query.sql(
     "q42_ngram_jaccard",
     (s, dir) => {
+      // shingles are hashed to int64 map-side: the quadratic intersect then
+      // compares longs, not ~20-byte strings (Jaccard values are unchanged
+      // unless xxhash64 collides within a doc pair, i.e. never at 2^-64)
       val d = docs(s, dir).filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("lang"), expr(shinglesExpr).as("shingles"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"transform($shinglesExpr, sh -> xxhash64(sh))").as("shingles"))
       val a = d.as("a")
       val b = d.as("b")
       val inter = size(array_intersect(col("a.shingles"), col("b.shingles")))

@@ -61,29 +61,21 @@ object Similarity {
   val q51 = Query.sql(
     "q51_sim_threshold",
     (s, dir) => {
-      val u = emb(s, dir).filter(col("vec_id") < 1000)
-        .withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("uv"))
-      val a = u.select(col("vec_id").as("id_a"), col("uv").as("ua"))
-      val b = u.select(col("vec_id").as("id_b"), col("uv").as("ub"))
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, dir).filter(col("vec_id") < 1000)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          expr("""aggregate(zip_with(ua, ub, (x, y) -> x * y),
-                 |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-            .as("cos_sim"))
+          expr("cosine_similarity(ea, eb)").as("cos_sim"))
         .filter(col("cos_sim") > 0.35)
         .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
     },
-    s"""WITH u AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) AS uv
-       |  FROM embeddings WHERE vec_id < 1000)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  list_sum(list_transform(list_zip(a.uv, b.uv), s -> s[1] * s[2])) AS cos_sim
-       |FROM u a JOIN u b ON a.vec_id < b.vec_id
-       |WHERE list_sum(list_transform(list_zip(a.uv, b.uv), s -> s[1] * s[2])) > 0.35
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+       |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.35
        |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin)
 
   // -- q52: per-label vector stats (exact decimal-accumulated averages) -----
