@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.EngineUrl
+import graft.functions.{ScoredId, TopKAggregator}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalacheck.{Gen, Prop}
+
+/** Algebraic laws the engine depends on, checked over random inputs. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("EngineUrl: parse is inverse of toString") {
+    check(Prop.forAll(
+      genName, Gen.listOf(genName), genName,
+      Gen.mapOf(Gen.zip(genName, genName))) {
+      (scheme, mods, path, opts) =>
+        val u = EngineUrl(scheme, mods, path, opts)
+        EngineUrl.parse(u.toString) == u
+    })
+  }
+
+  test("decimal aggregation is invariant under repartitioning") {
+    import spark.implicits._
+    val values = Gen.listOfN(500,
+      Gen.chooseNum(-1e6, 1e6)).sample.get
+    val df = values.toDF("v")
+    def total(parts: Int): Double =
+      df.repartition(parts)
+        .agg(sum(col("v").cast(DecimalType(18, 6))).cast("double")).collect()(0).getDouble(0)
+    val expected = total(1)
+    Seq(2, 3, 7, 32).foreach(p => assert(total(p) == expected, s"parts=$p"))
+  }
+
+  test("TopKAggregator: any split/merge order equals sort-and-take") {
+    val agg = new TopKAggregator(5)
+    val genRows = Gen.listOf(Gen.zip(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0L, 100L)))
+      .map(_.map { case (s, i) => ScoredId(s, i) })
+    check(Prop.forAll(genRows, Gen.chooseNum(0, 100)) { (rows, splitPct) =>
+      val expected = rows.sortBy(s => (-s.score, s.id)).take(5)
+      val at = rows.length * splitPct / 100
+      val (l, r) = rows.splitAt(at)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged) == expected
+    })
+  }
+
+  test("AsOfJoin equals the naive latest-at-or-before lookup") {
+    import spark.implicits._
+    val gen = for {
+      lefts <- Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L)))
+      rights <- Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L)))
+    } yield (lefts, rights)
+    val (lefts, rights) = gen.sample.get
+    val left = lefts.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+    val right = rights.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong * 7) }.toDF("k", "t", "payload")
+
+    val got = AsOfJoin.asof(left, right, "k", "t", "t", Map("payload" -> "p"))
+      .select("lid", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val rightSeq = rights.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong * 7) }
+    lefts.zipWithIndex.foreach { case ((k, t), i) =>
+      val expected = rightSeq.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(i.toLong) == expected, s"left $i key=$k t=$t")
+    }
+  }
+
+  test("filter partition law: p and !p split every non-null row") {
+    val df = Tables.load(spark, sf0001, "orders")
+    val preds = Seq(
+      col("o_totalprice") > 100000,
+      col("o_orderstatus") === "F",
+      year(col("o_orderdate")) % 2 === 0)
+    preds.foreach { p =>
+      val n = df.count()
+      assert(df.filter(p).count() + df.filter(!p).count() == n)
+    }
+  }
+}
