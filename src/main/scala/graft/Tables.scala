@@ -17,6 +17,19 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load with scan parallelism at least the cluster's. The testdata ships
+    * one row-group per file, so the raw scan is a single task and every
+    * map-heavy stage before the first shuffle would run on one core; a
+    * production table has many files/row-groups and this repartition is
+    * skipped entirely. Only worth it when per-row compute dominates the
+    * one extra shuffle (shingling, hashing, vector math).
+    */
+  def loadBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to
     * microseconds — the same conversion DuckDB applies — keeping the session

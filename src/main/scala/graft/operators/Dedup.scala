@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) = Tables.loadBalanced(s, dir, "documents")
 
   /** Word-level 3-gram shingles, deduped, as a codegen'd expression. */
   private val shinglesExpr =

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String) = Tables.loadBalanced(s, dir, "embeddings")
 
   /** dot(a, b) as a deterministic left-fold in double precision. */
   private def dotExpr(a: String, b: String): String =

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
+    Tables.loadBalanced(s, dir, "documents")
 
   // -- q30: token counting --------------------------------------------------
   val q30 = Query.sql(
