@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Events.all ++ operators.Multimodal.all ++
-      operators.Sources.all ++ operators.Stats.all
+      operators.Sources.all ++ operators.Stats.all ++
+      operators.Subqueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

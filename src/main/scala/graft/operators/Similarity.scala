@@ -152,5 +152,55 @@ object Similarity {
        |FROM embeddings, q WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54)
+  // -- q55: IVF-style ANN (rows-only) ---------------------------------------
+  //   Inverted-file variant: vectors are assigned to their nearest of
+  //   nCells seed centroids (deterministic seeds = first nCells vectors; a
+  //   production build would k-means them, the partition/probe mechanics
+  //   are identical). A query probes only the nProbe nearest cells, so the
+  //   scan is corpus/nCells*nProbe instead of the full corpus. The stats
+  //   row carries cell-shape and measured recall@10 vs the brute-force
+  //   result for query vec 0.
+  val q55 = Query.rowsOnly(
+    "q55_ann_ivf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val nCells = 16
+      val nProbe = 4
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      // assign: argmax cosine over cells (small broadcast, one pass)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          expr("cosine_similarity(embedding, cv)").as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cell"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+        .cache()
+      val probeCells = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("cell"), expr("cosine_similarity(qv, cv)").as("sim"))
+        .orderBy(desc("sim")).limit(nProbe)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val candidates = assigned
+        .join(broadcast(probeCells.select("cell")), "cell")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      val brute = q50.run(s, dir).select("vec_id")
+      val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
+      val searched = assigned.join(broadcast(probeCells.select("cell")), "cell").count()
+      val total = assigned.count()
+      assigned.unpersist()
+      val out = s.range(1).select(
+        lit(nCells).as("n_cells"), lit(nProbe).as("n_probe"),
+        lit(searched).as("vectors_searched"), lit(total).as("corpus_size"),
+        lit(recall).as("recall_at_10_q0"))
+      out
+    })
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55)
 }

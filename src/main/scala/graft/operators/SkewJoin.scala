@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys: the left (skewed) side spreads each key
+  * over `salts` sub-keys derived from a per-row hash; the right side is
+  * replicated `salts` times. The hot key's rows then land on `salts`
+  * different reducers instead of one. Result is exactly an inner
+  * equi-join.
+  *
+  * AQE's skew-join splitting handles most skew automatically (enabled in
+  * our sessions); explicit salting remains the tool for aggregation skew
+  * and for engines/plans AQE can't split (e.g. a skewed key driving a
+  * windowed computation).
+  */
+object SkewJoin {
+
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int): DataFrame = {
+    // deterministic per-row salt: hash of the whole left row, not the key
+    // (hashing the key would put every hot-key row back on one reducer)
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
+    * then final on key. Spark's own partial aggregation already does this
+    * for algebraic aggregates; this explicit form is for aggregates whose
+    * partials are expensive to merge or when the partial shuffle itself
+    * skews (e.g. collect-heavy states).
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Subquery shapes — scalar subqueries, correlated EXISTS/IN, and
+  * aggregate-filtered semi-joins (the TPC-H Q2/Q18/Q22 patterns). Written
+  * against temp views through `spark.sql` so Catalyst's subquery decorrelation
+  * does the planning; DuckDB runs the identical text (minus casts).
+  */
+object Subqueries {
+
+  private def sql(s: SparkSession, dir: String, text: String) = {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  // -- q90: scalar subquery (global average) --------------------------------
+  private val q90Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+  val q90 = Query.sql("q90_scalar_subquery",
+    (s, dir) => sql(s, dir, q90Sql), q90Sql)
+
+  // -- q91: correlated scalar subquery (per-customer average) ---------------
+  private val q91Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  val q91 = Query.sql("q91_correlated_scalar",
+    (s, dir) => sql(s, dir, q91Sql), q91Sql)
+
+  // -- q92: IN subquery with aggregate HAVING (TPC-H Q18 shape) -------------
+  private def q92Sql =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |  o_totalprice, ${dsumSql("l_quantity")} AS total_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  val q92 = Query.sql("q92_in_subquery_agg",
+    (s, dir) => sql(s, dir, q92Sql), q92Sql)
+
+  // -- q93: NOT IN with filter (anti-join decorrelation) --------------------
+  private val q93Sql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+  val q93 = Query.sql("q93_not_in_subquery",
+    (s, dir) => sql(s, dir, q93Sql), q93Sql)
+
+  // -- q94: correlated EXISTS against two tables (TPC-H Q22 flavor) ---------
+  private val q94Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  val q94 = Query.sql("q94_exists_combo",
+    (s, dir) => sql(s, dir, q94Sql), q94Sql)
+
+  // -- q95: min-per-group join (TPC-H Q2 shape) -----------------------------
+  private val q95Sql =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM lineitem l
+      |WHERE l.l_extendedprice = (
+      |  SELECT MIN(i.l_extendedprice) FROM lineitem i
+      |  WHERE i.l_orderkey = l.l_orderkey)
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+  val q95 = Query.sql("q95_min_per_group",
+    (s, dir) => sql(s, dir, q95Sql), q95Sql)
+
+  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95)
+}

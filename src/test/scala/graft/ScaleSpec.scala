@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Similarity, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique verification: salting equivalence, bucketed co-located
+  * joins (shuffle elimination), and IVF probe accounting.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val left = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val right = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", 8)
+      .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+    assert(plain.length == salted.length && plain.sameElements(salted))
+  }
+
+  test("salted count equals plain count per key") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (if (i % 5 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedCount(df, "k", 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // force the sort-merge path: with broadcast allowed these tiny tables
+    // would broadcast (also shuffle-free, but not the property under test)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    val o = Tables.load(spark, sf0001, "orders")
+    val l = Tables.load(spark, sf0001, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // the join itself must not exchange either side: the only allowed
+    // exchange is for the final groupBy
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected sort-merge join:\n$p")
+    val belowJoin = p.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning(o_orderkey") &&
+      !belowJoin.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles:\n$p")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("IVF searches a fraction of the corpus with nonzero recall") {
+    val r = Similarity.q55.run(spark, sf0001).collect().head
+    val searched = r.getAs[Long]("vectors_searched")
+    val total = r.getAs[Long]("corpus_size")
+    assert(searched < total, s"IVF searched everything ($searched/$total)")
+    assert(r.getAs[Double]("recall_at_10_q0") >= 0.0)
+  }
+}
