@@ -1,0 +1,114 @@
+package graft.examples
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ports of the reference's example models onto the graft framework —
+  * the "switching user" demonstration: same model shape (declarative
+  * dataset bindings + lifecycle checks + build), with the hand-written
+  * row loops replaced by declarative plans.
+  */
+
+/** Group animals by country (reference `examples/poisonous_animals.py`:
+  * reads a JSON doc of {name, where} records, groups names per country).
+  * The Python version iterates rows into a defaultdict; here it's a
+  * groupBy + collect_list, and the output is a dataset, not log lines.
+  */
+class PoisonousAnimals(inUrl: String, outUrl: String) extends Model {
+  override def name = "PoisonousAnimals"
+  val connects = Map(
+    "animals" -> Connect(inUrl, AccessMode.Read),
+    "by_country" -> Connect(outUrl, AccessMode.ReadWrite))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("animals"), "animals")
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    val animals = io.read("animals")
+    stat(s, "animals_in").add(animals.count())
+    io.write("by_country",
+      animals.groupBy("where")
+        .agg(sort_array(collect_list(col("name"))).as("animals"))
+        .orderBy("where"))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.readBack("by_country"), "by_country") &&
+      Checks.unique(io.readBack("by_country"), Seq("where"))
+}
+
+/** Days-per-colour-per-month (reference `examples/favourite_colours.py`:
+  * CSV of {person, colour, start, end} date ranges, hand-looped into
+  * per-month day counts, with a pre-check that all dates fall in one year
+  * and a post-check that total days are conserved). Here the month loop is
+  * `explode(sequence(start, end, 1 day))` and the checks are declarative.
+  */
+class FavouriteColours(inUrl: String, outUrl: String) extends Model {
+  override def name = "FavouriteColours"
+  val connects = Map(
+    "ranges" -> Connect(inUrl, AccessMode.Read),
+    "days_per_month" -> Connect(outUrl, AccessMode.ReadWrite))
+
+  private def parsed(io: ModelIo): DataFrame =
+    io.read("ranges").select(
+      col("person"), col("colour"),
+      to_date(col("start"), "yyyy-MM-dd").as("start"),
+      to_date(col("end"), "yyyy-MM-dd").as("end"))
+
+  /** All ranges inside a single year (reference pre_build_check). */
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val years = parsed(io)
+      .select(year(col("start")).as("y")).union(parsed(io).select(year(col("end"))))
+      .distinct().count()
+    years == 1 || { throw Checks.CheckFailure(s"expected one year, got $years") }
+  }
+
+  def build(s: SparkSession, io: ModelIo): Unit =
+    io.write("days_per_month",
+      parsed(io)
+        .select(col("colour"),
+          explode(sequence(col("start"), col("end"), expr("interval 1 day"))).as("day"))
+        .groupBy(col("colour"), trunc(col("day"), "month").as("month"))
+        .agg(count(lit(1)).as("days"))
+        .orderBy("colour", "month"))
+
+  /** Conservation: output day counts must sum to total days in the input
+    * ranges (reference post_build_check).
+    */
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.conserved(
+      parsed(io), io.readBack("days_per_month"),
+      sum(datediff(col("end"), col("start")) + 1).cast("long"),
+      sum(col("days")).cast("long"))
+}
+
+/** Two-stage pipeline: clean documents, then aggregate per language —
+  * exercises ModelGraph staging over real datasets (stage 2 reads what
+  * stage 1 writes).
+  */
+class CleanDocuments(inUrl: String, outUrl: String) extends Model {
+  override def name = "CleanDocuments"
+  val connects = Map(
+    "raw" -> Connect(inUrl, AccessMode.Read),
+    "clean" -> Connect(outUrl, AccessMode.Write))
+  def build(s: SparkSession, io: ModelIo): Unit =
+    io.write("clean",
+      io.read("raw")
+        .filter(col("n_chars") >= 100)
+        .withColumn("n_tokens", size(split(col("text"), " "))))
+}
+
+class LangSummary(inUrl: String, outUrl: String) extends Model {
+  override def name = "LangSummary"
+  val connects = Map(
+    "clean" -> Connect(inUrl, AccessMode.Read),
+    "summary" -> Connect(outUrl, AccessMode.ReadWrite))
+  def build(s: SparkSession, io: ModelIo): Unit =
+    io.write("summary",
+      io.read("clean").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang"))
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.noNulls(io.readBack("summary"), Seq("lang", "n_docs"))
+}

@@ -48,8 +48,13 @@ abstract class Model {
   protected def stat(spark: SparkSession, key: String): LongAccumulator =
     stats.getOrElseUpdate(key, spark.sparkContext.longAccumulator(s"$name.$key"))
 
+  /** READ bindings only: a ReadWrite dataset is an output with read-back
+    * validation, not a dependency — counting it as a source would make the
+    * model depend on itself in the DAG (reference classifies sources as
+    * READ, `model_collection.py:59-121`).
+    */
   def sources: Set[String] = connects.collect {
-    case (_, Connect(u, AccessMode.Read | AccessMode.ReadWrite)) => u
+    case (_, Connect(u, AccessMode.Read)) => u
   }.toSet
   def targets: Set[String] = connects.collect {
     case (_, Connect(u, AccessMode.Write | AccessMode.ReadWrite)) => u

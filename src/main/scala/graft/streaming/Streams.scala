@@ -134,6 +134,16 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup: keep the first occurrence per key, with state
+    * bounded by the watermark (duplicates arriving later than the
+    * watermark delay are assumed impossible upstream). The streaming half
+    * of the training-data dedup pipeline — batch half is operators.Dedup.
+    */
+  def dedupStream(events: DataFrame, keyCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

@@ -1,0 +1,74 @@
+package graft
+
+import graft.core.RunContext
+import graft.examples._
+import graft.model.ModelGraph
+import java.nio.file.Files
+
+/** End-to-end runs of the reference-example model ports through the full
+  * framework stack: engine urls → connectors → lifecycle checks → build →
+  * read-back validation, plus a two-model DAG over real testdata.
+  */
+class ExamplesSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-ex").toString
+
+  test("PoisonousAnimals groups names per country") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/animals.json"),
+      """[{"name": "taipan", "where": "Australia"},
+        |{"name": "box jellyfish", "where": "Australia"},
+        |{"name": "adder", "where": "UK"}]""".stripMargin)
+    val m = new PoisonousAnimals(s"json://$dir/animals.json", s"ndjson://$dir/out")
+    assert(m.go(spark))
+    assert(m.stats("animals_in").value == 3)
+    val out = spark.read.json(s"$dir/out").orderBy("where").collect()
+    assert(out.length == 2)
+    assert(out.head.getSeq[String](out.head.fieldIndex("animals"))
+      == Seq("box jellyfish", "taipan"))
+    assert(out(1).getSeq[String](out(1).fieldIndex("animals")) == Seq("adder"))
+  }
+
+  test("FavouriteColours counts days per colour per month, conserved") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ranges.csv"),
+      """person,colour,start,end
+        |alice,red,2020-01-30,2020-02-02
+        |bob,red,2020-02-10,2020-02-12
+        |cara,blue,2020-03-01,2020-03-01""".stripMargin)
+    val m = new FavouriteColours(s"csv://$dir/ranges.csv", s"parquet://$dir/out")
+    assert(m.go(spark))
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[String]("colour"),
+        r.getAs[java.sql.Date]("month").toString, r.getAs[Long]("days"))).toSet
+    // alice: 2 days in Jan (30, 31), 2 in Feb (1, 2); bob: 3 in Feb
+    assert(out == Set(
+      ("red", "2020-01-01", 2L), ("red", "2020-02-01", 5L),
+      ("blue", "2020-03-01", 1L)))
+  }
+
+  test("FavouriteColours pre-check rejects multi-year input") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      """person,colour,start,end
+        |alice,red,2020-12-30,2021-01-02""".stripMargin)
+    val m = new FavouriteColours(s"csv://$dir/bad.csv", s"parquet://$dir/never")
+    intercept[graft.model.Checks.CheckFailure](m.go(spark))
+  }
+
+  test("two-model DAG pipeline runs staged over real testdata") {
+    val dir = tmp()
+    val ctx = RunContext().withVars("root" -> dir, "sf" -> sf0001)
+    val clean = new CleanDocuments(
+      "parquet://{sf}/documents.parquet", "parquet://{root}/clean")
+    val summary = new LangSummary(
+      "parquet://{root}/clean", "parquet://{root}/summary")
+    val g = new ModelGraph(Seq(summary, clean)) // declared out of order
+    assert(g.runOrder().map(_.map(_.name)) == Seq(Seq("CleanDocuments"), Seq("LangSummary")))
+    g.run(spark, ctx)
+    val out = spark.read.parquet(s"$dir/summary")
+    assert(out.count() == 5) // en/es/de/fr/zh
+    assert(g.provenance().map(_._1) == Seq("CleanDocuments"))
+    assert(g.mermaid().contains("CleanDocuments -->"))
+  }
+}

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("streaming dedup keeps one row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val deduped = Streams.dedupStream(mem.toDS().toDF(), "user_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, ts(t), u, "view", 1.0, "{}")
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 1),
+      ev(3, "2024-01-01 10:02:00", 2))
+    q.processAllAvailable()
+    mem.addData(ev(4, "2024-01-01 10:03:00", 2), ev(5, "2024-01-01 10:04:00", 3))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("dedup_test").collect().map(_.getAs[Long]("user_id"))
+    assert(users.sorted.sameElements(Array(1L, 2L, 3L)), users.mkString(","))
+  }
+
   test("foreachBatch sink receives every row exactly once") {
     val dir = copyEventsTo("graft-ev-feb")
     val seen = new java.util.concurrent.atomic.AtomicLong()
