@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_similarity(arrayA, arrayB)")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{IsNotNull, If, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: `cosine_similarity(x, x)` is 1.0 for any non-null x
+  * (up to the same fp rounding both engines share, the dot/norm² ratio of
+  * a vector with itself is exactly 1 only when computed as such — so we
+  * fold it, which is both faster and MORE exact than evaluating the
+  * expression). Null propagates.
+  *
+  * Deliberately small: the point is the `injectOptimizerRule` extension
+  * seam (SURVEY.md §4 said v1 needs no custom rules — this one exists to
+  * keep the seam exercised and tested, and it is a genuine win for
+  * self-join similarity matrices where the diagonal appears).
+  */
+object SelfCosineRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNotNull(a), Literal(1.0, DoubleType), Literal(null, DoubleType))
+    }
+}

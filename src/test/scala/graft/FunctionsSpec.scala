@@ -62,6 +62,19 @@ class FunctionsSpec extends SparkSpec {
     assert(native.sameElements(hof))
   }
 
+  test("SelfCosineRule folds cosine_similarity(x, x) to 1.0") {
+    import graft.functions.SelfCosineRule
+    val df = Tables.load(spark, sf0001, "embeddings").limit(5)
+      .selectExpr("cosine_similarity(embedding, embedding) AS c")
+    val optimized = SelfCosineRule(df.queryExecution.analyzed)
+    assert(!optimized.toString.contains("cosine_similarity"),
+      s"rule did not fold:\n$optimized")
+    // and the fold is semantically right: non-null vectors give exactly 1.0
+    val folded = spark.sessionState.executePlan(optimized)
+      .executedPlan.executeCollect().map(_.getDouble(0))
+    assert(folded.forall(_ == 1.0))
+  }
+
   test("topK aggregate never exceeds k and is sorted") {
     val df = Tables.load(spark, sf0001, "orders")
       .agg(TopK.topK(5)(col("o_totalprice"), col("o_orderkey")).as("top"))
