@@ -31,6 +31,9 @@ object Relational {
   private def sqlDsum(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  // Fact tables stay on the raw scan: at sf0.1 an up-front repartition
+  // shuffle costs more than the single-file scan saves (measured), and on
+  // production multi-file tables the scan parallelizes by itself.
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
