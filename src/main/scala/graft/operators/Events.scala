@@ -148,5 +148,31 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65)
+  // -- q66: range (interval) join via time-bucketed equi-join ---------------
+  //   Every 97th event opens a 2-hour window; all events falling inside any
+  //   window are matched. The operator turns the inequality join into an
+  //   equi-join on 1-hour bins (see RangeJoin); the oracle is the plain
+  //   inequality join.
+  val q66 = Query.sql(
+    "q66_range_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val intervals = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("interval 2 hours")).as("w_end"))
+      val points = e.select(col("event_id"), col("ts"))
+      RangeJoin.intervalJoin(points, "ts", intervals, "w_start", "w_end", 3600)
+        .select(col("window_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("window_id", "event_id")
+    },
+    """SELECT i.window_id, p.event_id, epoch_us(p.ts) AS ts_us
+      |FROM (SELECT event_id, ts FROM events) p
+      |JOIN (SELECT event_id AS window_id, ts AS w_start,
+      |        ts + INTERVAL 2 HOUR AS w_end
+      |      FROM events WHERE event_id % 97 = 0) i
+      |  ON p.ts >= i.w_start AND p.ts <= i.w_end
+      |ORDER BY window_id, event_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }

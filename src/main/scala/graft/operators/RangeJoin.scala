@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: points joined to the intervals containing them.
+  * Spark's native plan for `p.ts BETWEEN i.start AND i.end` is a broadcast
+  * nested-loop — quadratic. This operator buckets time into fixed bins:
+  * each point lands in one bin, each interval explodes to the bins it
+  * covers, the join becomes an equi-join on bin followed by the exact
+  * range filter. A (point, interval) pair meets in exactly one bin (the
+  * point's), so no dedup is needed.
+  *
+  * At scale this is the standard interval-join strategy: shuffle is on the
+  * bin key (pick binWidth ≈ median interval length so intervals explode to
+  * O(1) bins), and the quadratic comparison only happens within a bin.
+  */
+object RangeJoin {
+
+  /** @param points    dataframe with a timestamp column `pointTs`
+    * @param intervals dataframe with `startCol`/`endCol` timestamps
+    * @param binSeconds bucket width in seconds
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointTs: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binSeconds: Long): DataFrame = {
+    val p = points.withColumn("__bin",
+      (unix_timestamp(col(pointTs)) / binSeconds).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        (unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+        (unix_timestamp(col(endCol)) / binSeconds).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bin")
+  }
+}
