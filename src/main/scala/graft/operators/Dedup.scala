@@ -20,15 +20,28 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Tables.loadBalanced(s, dir, "documents")
 
-  /** Word-level 3-gram shingles, deduped, as a codegen'd expression. */
+  /** Word-level 3-gram shingles, deduped, as a codegen'd expression.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (`transform(array(...))`
+    * with a single-element array) so `split` runs once per document:
+    * naming it as a projected column instead would let Catalyst's
+    * projection collapse inline the split into every per-shingle lambda
+    * (~2 full tokenizations per shingle — measured 2× slower).
+    */
   private val shinglesExpr =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> array_join(slice(split(text, ' '), i, 3), ' ')))""".stripMargin
+    """array_distinct(flatten(transform(array(split(text, ' ')), toks ->
+      |  transform(
+      |    sequence(1, greatest(size(toks) - 2, 1)),
+      |    i -> concat_ws(' ', element_at(toks, i),
+      |      element_at(toks, least(i + 1, size(toks))),
+      |      element_at(toks, least(i + 2, size(toks))))))))""".stripMargin
   private val shinglesSql =
-    """list_distinct(list_transform(
-      |  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-      |  i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))""".stripMargin
+    """list_distinct(flatten(list_transform([string_split(text, ' ')], toks ->
+      |  list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> concat_ws(' ', toks[i],
+      |      toks[least(i + 1, len(toks))],
+      |      toks[least(i + 2, len(toks))])))))""".stripMargin
 
   // -- q40: exact-dedup stats ----------------------------------------------
   val q40 = Query.sql(
@@ -106,15 +119,19 @@ object Dedup {
       val bands = 8
       val rowsPerBand = 2 // k = 16
       val k = bands * rowsPerBand
-      // Single fold over the shingle array carrying all k running minima:
-      // Catalyst's projection collapse would otherwise inline the shingle
-      // computation into a per-seed lambda and recompute it k times.
+      // Signature via explode + grouped min per seed: shingles materialize
+      // once through the Generate node, the k hashes are flat codegen'd
+      // aggregates (no nested lambdas), and partial aggregation means the
+      // shuffle carries k longs per (partition, doc) — same network cost
+      // as the fold formulation but with map-side combine and full codegen.
+      val minCols = (0 until k).map(j =>
+        min(xxhash64(col("sh"), lit(j))).as(s"m$j"))
       val banded = docs(s, dir)
-        .select(col("doc_id"), expr(
-          s"""aggregate($shinglesExpr,
-             |  array_repeat(CAST(9223372036854775807 AS BIGINT), $k),
-             |  (acc, sh) -> zip_with(acc, sequence(0, ${k - 1}),
-             |    (m, j) -> least(m, xxhash64(sh, j))))""".stripMargin).as("sig"))
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
         .select(
           col("doc_id"),
           explode(expr(
