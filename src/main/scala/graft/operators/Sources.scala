@@ -113,5 +113,22 @@ object Sources {
     },
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
 
-  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85)
+  // -- q86: gzip-compressed CSV round-trip ----------------------------------
+  //   The reference's `gz+csv://` engine-type modifier; Hadoop FS handles
+  //   the codec transparently on read, so the modifier is purely a path
+  //   concern (SURVEY §2.1).
+  val q86 = Query.sql(
+    "q86_gz_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "supplier_gz")
+      Tables.load(s, dir, "supplier").write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(out)
+      ConnectorRegistry.read(s,
+          s"gz+csv://$out;schema=s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .orderBy("s_suppkey")
+    },
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin)
+
+  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86)
 }
