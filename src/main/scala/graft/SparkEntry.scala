@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Events.all ++ operators.Multimodal.all ++
       operators.Sources.all ++ operators.Stats.all ++
-      operators.Subqueries.all ++ operators.Windows.all
+      operators.Subqueries.all ++ operators.Windows.all ++
+      operators.TpchExtra.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Additional TPC-H-shaped queries over the reduced schema — volume
+  * shipping, returned-item revenue, promo share, and supplier/customer
+  * nation flows. Same decimal-exact numeric policy as Relational.
+  */
+object TpchExtra {
+
+  private val D = DecimalType(18, 6)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+  private val discPrice = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+
+  // -- t07: volume shipping between nation pairs (TPC-H Q7 shape) -----------
+  //   Supplier nation → customer nation revenue flows.
+  val t07 = Query.sql(
+    "t07_nation_flows",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(dsum(expr(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |  ${sqlDsum(discPrice)} AS revenue, COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // -- t10: returned-item revenue per customer (TPC-H Q10 shape) ------------
+  val t10 = Query.sql(
+    "t10_returned_items",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum(expr(discPrice)).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+    s"""SELECT c_custkey, c_name, c_mktsegment, ${sqlDsum(discPrice)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_mktsegment
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
+  // -- t14: promo revenue share (TPC-H Q14 shape; conditional aggregation) --
+  val t14 = Query.sql(
+    "t14_promo_share",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", expr(discPrice)).otherwise(0.0))
+            .as("promo_revenue"),
+          dsum(expr(discPrice)).as("total_revenue"))
+        .select(
+          col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+    },
+    s"""SELECT promo_revenue, total_revenue,
+       |  CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+       |FROM (SELECT
+       |  ${sqlDsum(s"CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DOUBLE) END")}
+       |    AS promo_revenue,
+       |  ${sqlDsum(discPrice)} AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin)
+
+  // -- t16: supplier count per part attribute (TPC-H Q16 shape) -------------
+  val t16 = Query.sql(
+    "t16_part_suppliers",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") >= 20)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    },
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size >= 20
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  // -- t19: multi-predicate discounted revenue (TPC-H Q19 shape; OR of
+  //   conjunctive brand/quantity/size conditions) ----------------------------
+  val t19 = Query.sql(
+    "t19_discount_bands",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(dsum(expr(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
+    },
+    s"""SELECT ${sqlDsum(discPrice)} AS revenue, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+       |       AND p_size BETWEEN 1 AND 5)
+       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+       |       AND p_size BETWEEN 1 AND 10)
+       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       |       AND p_size BETWEEN 1 AND 15)""".stripMargin)
+
+  val all: Seq[Query] = Seq(t07, t10, t14, t16, t19)
+}

@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
       s"no codegen spans:\n$p")
   }
 
+  test("q72 metadata-only scan prunes the text payload column") {
+    val p = plan(Multimodal.q72.run(spark, sf001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"),
+      s"payload column not pruned from scan: $readSchema")
+  }
+
   test("q84 partitioned read prunes partitions on status filter") {
     // write once via the query, then check a filtered read prunes
     Sources.q84.run(spark, sf001).collect()
