@@ -134,6 +134,24 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: purchases joined to errors by the same
+    * user within [-30 min, 0] of the purchase. Both sides are watermarked
+    * so the join state is bounded: a buffered error row can be dropped
+    * once the watermark passes its ts + 30 minutes.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("value").as("e_value"))
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("e_ts") <= col("p_ts"))
+      .select("p_id", "user_id", "p_ts", "e_id", "e_ts", "e_value")
+  }
+
   /** Streaming exact dedup: keep the first occurrence per key, with state
     * bounded by the watermark (duplicates arriving later than the
     * watermark delay are assumed impossible upstream). The streaming half

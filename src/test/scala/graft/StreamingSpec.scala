@@ -122,6 +122,37 @@ class StreamingSpec extends SparkSpec {
     assert(users.sorted.sameElements(Array(1L, 2L, 3L)), users.mkString(","))
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = Streams.purchaseErrorJoin(
+        events.filter(col("event_type") === "purchase"),
+        events.filter(col("event_type") === "error"))
+      .orderBy("p_id", "e_id").collect()
+
+    val memP = MemoryStream[Streams.Event]
+    val memE = MemoryStream[Streams.Event]
+    val joined = Streams.purchaseErrorJoin(memP.toDF(), memE.toDF())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val all = events.as[Streams.Event].collect().toSeq
+    memP.addData(all.filter(_.event_type == "purchase"))
+    memE.addData(all.filter(_.event_type == "error"))
+    q.processAllAvailable()
+    // advance both watermarks far enough to flush all joinable state
+    val flush = Streams.Event(-1, ts("2030-01-01 00:00:00"), -1, "x", 0, "{}")
+    memP.addData(flush); memE.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_test").filter(col("p_id") >= 0)
+      .orderBy("p_id", "e_id").collect()
+    assert(streamed.length == batch.length,
+      s"stream ${streamed.length} rows != batch ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("foreachBatch sink receives every row exactly once") {
     val dir = copyEventsTo("graft-ev-feb")
     val seen = new java.util.concurrent.atomic.AtomicLong()
