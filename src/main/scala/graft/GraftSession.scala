@@ -1,0 +1,42 @@
+package graft
+
+import graft.core.RunContext
+import graft.sources.ConnectorRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Library front door: a SparkSession pre-configured for the engine
+  * (extensions, AQE + skew handling, UTC, sane local shuffle partitions)
+  * plus url-based read/write with run-context templating — the surface a
+  * user of the reference framework lands on after switching.
+  *
+  * {{{
+  * val spark = GraftSession.local(cpus = 8)
+  * val ctx   = RunContext().withVars("build" -> "b42")
+  * val df    = GraftSession.read(spark, "csv://data/{build}/in.csv", ctx)
+  * GraftSession.write(df, "parquet://out/{build};partitionBy=day", ctx)
+  * }}}
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cpus]", cpus).config("spark.ui.enabled", "false").getOrCreate()
+
+  def read(spark: SparkSession, urlTemplate: String,
+      ctx: RunContext = RunContext()): DataFrame =
+    ConnectorRegistry.read(spark, ctx.resolve(urlTemplate))
+
+  def write(df: DataFrame, urlTemplate: String,
+      ctx: RunContext = RunContext()): Unit =
+    ConnectorRegistry.write(df, ctx.resolve(urlTemplate))
+}

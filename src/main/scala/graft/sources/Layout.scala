@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Output-layout control — the part of a 100 TB pipeline that decides how
+  * the NEXT reader performs: partition directories for pruning, in-file
+  * clustering for row-group skipping, bounded file sizes for scan
+  * parallelism, and partition-level upsert for incremental builds.
+  */
+object Layout {
+
+  /** Write partitioned + clustered parquet: `partitionBy` gives directory
+    * pruning on the partition keys; `sortWithinPartitions` clusters rows
+    * inside each file so parquet row-group min/max statistics prune on the
+    * sort keys too; `maxRecordsPerFile` bounds file size so downstream
+    * scans parallelize regardless of upstream partition count.
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val clustered =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    val writer = clustered.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+  }
+
+  /** Partition-level upsert: with partitionOverwriteMode=dynamic (set by
+    * GraftSession), SaveMode.Overwrite replaces ONLY the partition
+    * directories present in `updates`, leaving the rest of the table
+    * untouched — the incremental-build primitive when no transactional
+    * table format is available.
+    */
+  def upsertPartitions(
+      updates: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    updates.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

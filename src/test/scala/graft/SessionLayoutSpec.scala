@@ -1,0 +1,61 @@
+package graft
+
+import graft.api.Typed
+import graft.core.RunContext
+import graft.sources.Layout
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SessionLayoutSpec extends SparkSpec {
+
+  test("GraftSession read/write with context templating") {
+    val dir = Files.createTempDirectory("graft-gs").toString
+    val ctx = RunContext().withVars("sf" -> sf0001, "out" -> dir)
+    val df = GraftSession.read(spark, "parquet://{sf}/region.parquet", ctx)
+    assert(df.count() == 5)
+    GraftSession.write(df, "parquet://{out}/region_copy", ctx)
+    assert(spark.read.parquet(s"$dir/region_copy").count() == 5)
+  }
+
+  test("clustered write bounds file sizes and sorts within files") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+    Layout.writeClustered(orders, s"$dir/orders",
+      partitionCols = Seq("o_orderstatus"), sortCols = Seq("o_orderdate"),
+      maxRecordsPerFile = 200)
+    val back = spark.read.parquet(s"$dir/orders")
+    assert(back.count() == orders.count())
+    // maxRecordsPerFile honored: every file has <= 200 rows
+    val perFile = back.groupBy(input_file_name()).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 200))
+    assert(perFile.length > orders.count() / 200 - 1)
+  }
+
+  test("partition upsert replaces only touched partitions") {
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val orders = Tables.load(spark, sf0001, "orders")
+    Layout.upsertPartitions(orders, dir, Seq("o_orderstatus"))
+    val before = spark.read.parquet(dir)
+    val statuses = before.select("o_orderstatus").distinct().count()
+    assert(statuses >= 2)
+    // upsert: replace partition 'F' with a single marker row
+    val replacement = orders.filter(col("o_orderstatus") === "F").limit(1)
+    Layout.upsertPartitions(replacement, dir, Seq("o_orderstatus"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("o_orderstatus") === "F").count() == 1)
+    // untouched partitions keep their rows
+    val untouchedBefore = before.filter(col("o_orderstatus") =!= "F").count()
+    assert(after.filter(col("o_orderstatus") =!= "F").count() == untouchedBefore)
+  }
+
+  test("typed datasets expose compile-time row types") {
+    val bigOrders = Typed.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 300000)
+    val rows: Array[Typed.Order] = bigOrders.collect()
+    assert(rows.forall(_.o_totalprice > 300000))
+    val docs = Typed.documents(spark, sf0001).head(3)
+    assert(docs.forall(d => d.text.nonEmpty && d.n_chars > 0))
+    val emb = Typed.embeddings(spark, sf0001).head()
+    assert(emb.embedding.length == 64)
+  }
+}

@@ -20,5 +20,7 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
