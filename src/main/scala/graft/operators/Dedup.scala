@@ -180,5 +180,35 @@ object Dedup {
             .as("simhash"))
         .orderBy("doc_id"))
 
-  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44)
+  // -- q45: embedding-cosine near-dup ---------------------------------------
+  //   Semantic dedup: a vector is a duplicate if any SMALLER-id vector is
+  //   within the cosine threshold (greedy keep-first, the standard
+  //   embedding-dedup policy). Bounded all-pairs as the oracle; at scale
+  //   the candidate pairs come from LSH (q53) / IVF (q55) bucketing first.
+  val q45 = Query.sql(
+    "q45_dedup_embedding",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = graft.Tables.loadBalanced(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+      val a = e.select(col("vec_id").as("id_keep"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_dup"), col("embedding").as("eb"))
+      a.join(b, col("id_keep") < col("id_dup") &&
+          expr("cosine_similarity(ea, eb)") > 0.4, "inner")
+        .groupBy("id_dup")
+        .agg(min(col("id_keep")).as("kept_as"))
+        .orderBy("id_dup")
+    },
+    """SELECT b.vec_id AS id_dup, MIN(a.vec_id) AS kept_as
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) > 0.4
+      |GROUP BY b.vec_id ORDER BY id_dup""".stripMargin)
+
+  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45)
 }

@@ -202,5 +202,36 @@ object Similarity {
       out
     })
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55)
+  // -- q56: batched KNN — top-5 neighbors for EACH of the first 20 query
+  //   vectors in one plan (broadcast the query block, window-rank per
+  //   query). The realistic serving shape: one pass over the corpus
+  //   answers the whole query batch.
+  val q56 = Query.sql(
+    "q56_knn_batch",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          expr("cosine_similarity(embedding, qv)").as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("q_id", "rk")
+    },
+    s"""SELECT q_id, vec_id, cos_sim, rk FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    ${cosSql("e.embedding", "q.embedding")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id)
+       |      AS rk
+       |  FROM embeddings e JOIN embeddings q
+       |    ON q.vec_id < 20 AND e.vec_id >= 20)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }

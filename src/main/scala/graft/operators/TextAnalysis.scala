@@ -156,5 +156,24 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""".stripMargin)
 
-  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37)
+  // -- q38: text normalization (the cleaning pass before dedup) -------------
+  val q38 = Query.sql(
+    "q38_normalize",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("norm_text"))
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_fp"),
+          length(col("norm_text")).cast("long").as("norm_len"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, md5(norm_text) AS norm_fp, LENGTH(norm_text) AS norm_len
+      |FROM (SELECT doc_id,
+      |        regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |          ' +', ' ', 'g') AS norm_text
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37, q38)
 }
