@@ -34,9 +34,13 @@ object AsOfJoin {
       payload: Map[String, String]): DataFrame = {
 
     val leftCols = left.columns
+    // SQL equality never matches NULL keys: a null-key right row must not
+    // be visible to anything (without this filter it would land in the
+    // null window partition and "match" null-key left rows)
+    val rightNonNull = right.filter(col(key).isNotNull)
     // tag: right rows sort before left rows at equal timestamps so a
     // same-instant right row is visible to the left row (<= semantics)
-    val taggedRight = right.select(
+    val taggedRight = rightNonNull.select(
       (Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
         payload.toSeq.sortBy(_._1).map { case (src, dst) => col(src).as(dst) }): _*)
     val taggedLeft = left.select(

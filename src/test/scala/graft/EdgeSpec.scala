@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{ScoredId, TopKAggregator}
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Edge cases: empty inputs, null keys, degenerate documents. */
+class EdgeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("aggregation over an empty filter yields zero rows, no crash") {
+    val out = operators.Relational.q01.run(spark, sf0001)
+      .filter(lit(false))
+    assert(out.count() == 0)
+    val agg = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") < -1)
+      .groupBy("l_returnflag").agg(count(lit(1)))
+    assert(agg.count() == 0)
+  }
+
+  test("as-of join with empty right keeps every left row with null payload") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "t", Map("v" -> "rv")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("rv")))
+  }
+
+  test("as-of join never matches through null keys") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00")),
+      (None: Option[Long], ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (Some(1L), ts("2024-01-01 09:00:00"), 10.0),
+      (None: Option[Long], ts("2024-01-01 09:00:00"), 99.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "t", Map("v" -> "rv"))
+      .orderBy(asc_nulls_last("k")).collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(out(0).fieldIndex("rv")) == 10.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("rv")), "null key must not match")
+  }
+
+  test("range join with empty intervals yields no matches") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "ts")
+    val intervals = Seq.empty[(Long, Timestamp, Timestamp)]
+      .toDF("window_id", "w_start", "w_end")
+    assert(RangeJoin.intervalJoin(points, "ts", intervals,
+      "w_start", "w_end", 3600).count() == 0)
+  }
+
+  test("top-k aggregator over empty input finishes empty") {
+    val agg = new TopKAggregator(5)
+    assert(agg.finish(agg.zero).isEmpty)
+    assert(agg.finish(agg.merge(agg.zero, agg.zero)).isEmpty)
+    // and through Spark on an empty frame
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Long)].toDF("score", "id")
+    val rows = empty.agg(graft.functions.TopK.topK(3)(col("score"), col("id")))
+      .collect()
+    assert(rows.head.getSeq[Any](0).isEmpty)
+  }
+
+  test("shingle/simhash expressions survive degenerate documents") {
+    import spark.implicits._
+    val weird = Seq((1L, "x", "en", "s", 1L), (2L, "a b", "en", "s", 3L),
+      (3L, "one two three four", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-weird").toString
+    weird.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.Dedup.q44.run(spark, dir).count() == 3)
+    assert(operators.TextAnalysis.q30.run(spark, dir).count() == 3)
+    val jac = operators.Dedup.q42.run(spark, dir).collect()
+    assert(jac.forall(r => !r.isNullAt(r.fieldIndex("jaccard"))))
+  }
+
+  test("empty events stream through sessionization") {
+    val empty = Tables.load(spark, sf0001, "events").filter(lit(false))
+    val sessions = empty
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)))
+    assert(sessions.count() == 0)
+  }
+}
