@@ -126,7 +126,10 @@ object Similarity {
       val stats = bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
           (sum(col("sz")).cast("double") / count(lit(1))).as("avg_bucket"))
-      stats.withColumn("recall_at_10_q0", lit(recall))
+      val out = stats.withColumn("recall_at_10_q0", lit(recall))
+      out.collect() // materialize while the bucket cache is warm
+      bucketed.unpersist()
+      out
     })
 
   // -- q54: same search as q50 but through the NATIVE codegen'd

@@ -163,6 +163,20 @@ class FrameworkSpec extends SparkSpec {
     assert(g.mermaid().contains("A -->"))
   }
 
+  test("models within a stage run concurrently") {
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger()
+    val running = new java.util.concurrent.atomic.AtomicInteger()
+    class Slow(n: String) extends Stub(n, Seq(), Seq(s"x://$n")) {
+      override def build(s: SparkSession, io: ModelIo): Unit = {
+        if (running.incrementAndGet() > 1) overlaps.incrementAndGet()
+        Thread.sleep(300)
+        running.decrementAndGet()
+      }
+    }
+    new ModelGraph(Seq(new Slow("S1"), new Slow("S2"), new Slow("S3"))).run(spark)
+    assert(overlaps.get() > 0, "stage models never overlapped in time")
+  }
+
   test("graph run executes stages in dependency order") {
     val log = scala.collection.mutable.Buffer[String]()
     val a = new Stub("A", Seq(), Seq("x://d1"), log)

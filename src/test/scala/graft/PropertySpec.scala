@@ -79,6 +79,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin equals the naive containment join") {
+    import spark.implicits._
+    def t(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    val gen = for {
+      pts <- Gen.listOfN(80, Gen.chooseNum(0L, 600L))
+      ivs <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 600L), Gen.chooseNum(0L, 180L)))
+    } yield (pts, ivs)
+    val (pts, ivs) = gen.sample.get
+    val points = pts.zipWithIndex.map { case (m, i) => (i.toLong, t(m)) }
+      .toDF("event_id", "ts")
+    val intervals = ivs.zipWithIndex
+      .map { case ((s0, len), i) => (i.toLong, t(s0), t(s0 + len)) }
+      .toDF("window_id", "w_start", "w_end")
+    val got = graft.operators.RangeJoin
+      .intervalJoin(points, "ts", intervals, "w_start", "w_end", 3600)
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pm, pi) <- pts.zipWithIndex
+      ((s0, len), ii) <- ivs.zipWithIndex
+      if pm >= s0 && pm <= s0 + len
+    } yield (pi.toLong, ii.toLong)).toSet
+    assert(got == expected)
+  }
+
   test("filter partition law: p and !p split every non-null row") {
     val df = Tables.load(spark, sf0001, "orders")
     val preds = Seq(
