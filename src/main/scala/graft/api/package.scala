@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+package object api {
+
+  /** Extension methods putting graft's operators on DataFrame itself —
+    * the Scala answer to the reference's `method_overlay` dynamic
+    * connector patching (`base.py:110-151`): static, discoverable, and
+    * Catalyst-visible.
+    *
+    * {{{
+    * import graft.api._
+    * events.asofJoin(quotes, "sym", "ts", "q_ts", Map("px" -> "last_px"))
+    * docs.dedupExactBy("text")
+    * corpus.topK(10, $"score", $"id")
+    * }}}
+    */
+  implicit final class GraftOps(private val df: DataFrame) {
+
+    /** Latest right row at-or-before each left row's time, per key. */
+    def asofJoin(right: DataFrame, key: String, leftTime: String,
+        rightTime: String, payload: Map[String, String]): DataFrame =
+      AsOfJoin.asof(df, right, key, leftTime, rightTime, payload)
+
+    /** Rows joined to the intervals containing them (time-bucketed). */
+    def intervalJoin(intervals: DataFrame, pointTs: String, startCol: String,
+        endCol: String, binSeconds: Long = 3600): DataFrame =
+      RangeJoin.intervalJoin(df, pointTs, intervals, startCol, endCol, binSeconds)
+
+    /** Skew-safe inner equi-join via salting. */
+    def saltedJoin(right: DataFrame, key: String, salts: Int = 16): DataFrame =
+      SkewJoin.saltedInnerJoin(df, right, key, salts)
+
+    /** Keep the first row (smallest tie-break) per exact content key,
+      * grouping on a 128-bit digest so the shuffle never carries the
+      * content itself.
+      */
+    def dedupExactBy(contentCol: String, tieBreak: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col(contentCol).cast("string")))
+        .orderBy(col(tieBreak))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    /** Top-k rows by score via bounded-state aggregation (no global sort);
+      * returns (score, id) pairs exploded back to rows.
+      */
+    def topK(k: Int, score: Column, id: Column): DataFrame =
+      df.agg(graft.functions.TopK.topK(k)(score, id).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.score").as("score"), col("t.id").as("id"))
+
+    /** The k rows whose `vecCol` is most cosine-similar to `queryVec`. */
+    def cosineTopK(k: Int, vecCol: String, queryVec: Seq[Float]): DataFrame = {
+      graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+      df.withColumn("__qv", typedLit(queryVec))
+        .withColumn("cos_sim", expr(s"cosine_similarity($vecCol, __qv)"))
+        .drop("__qv")
+        .orderBy(desc("cos_sim"))
+        .limit(k)
+    }
+  }
+}

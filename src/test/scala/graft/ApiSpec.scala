@@ -1,0 +1,55 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+class ApiSpec extends SparkSpec {
+
+  test("asofJoin extension matches the operator") {
+    val e = Tables.load(spark, sf0001, "events")
+    val viaExt = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+      .asofJoin(
+        e.filter(col("event_type") === "error").select("user_id", "ts", "value"),
+        "user_id", "ts", "ts", Map("value" -> "err_value"))
+    assert(viaExt.count() ==
+      e.filter(col("event_type") === "purchase").count())
+  }
+
+  test("dedupExactBy keeps one row per content with smallest tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"))
+      .toDF("id", "content")
+    val kept = df.dedupExactBy("content", "id").orderBy("id").collect()
+    assert(kept.map(_.getLong(0)).sameElements(Array(1L, 3L)))
+  }
+
+  test("topK extension returns the k best rows without a sort of all rows") {
+    val top = Tables.load(spark, sf0001, "orders")
+      .topK(5, col("o_totalprice"), col("o_orderkey"))
+      .collect().map(_.getDouble(0))
+    val expected = Tables.load(spark, sf0001, "orders")
+      .orderBy(desc("o_totalprice")).limit(5)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(top.sameElements(expected))
+  }
+
+  test("cosineTopK finds the query vector's neighbors") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .collect().head.getSeq[Float](1)
+    val top = e.filter(col("vec_id") =!= 0)
+      .cosineTopK(10, "embedding", qv)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val expected = operators.Similarity.q50.run(spark, sf0001)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(top.toSet == expected.toSet)
+  }
+
+  test("saltedJoin extension equals plain join") {
+    import spark.implicits._
+    val l = (1 to 500).map(i => (i.toLong % 3, i)).toDF("k", "v")
+    val r = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "w")
+    assert(l.saltedJoin(r, "k").count() == l.join(r, Seq("k")).count())
+  }
+}
