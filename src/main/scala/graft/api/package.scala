@@ -54,6 +54,16 @@ package object api {
         .select(explode(col("top")).as("t"))
         .select(col("t.score").as("score"), col("t.id").as("id"))
 
+    /** Deterministic train/eval split: a row's side depends only on the
+      * hash of its key, so the split is stable across runs, partitionings
+      * and cluster sizes — reproducible dataset versioning without
+      * storing membership lists.
+      */
+    def deterministicSplit(keyCol: String, trainPct: Int): (DataFrame, DataFrame) = {
+      val bucket = pmod(xxhash64(col(keyCol)), lit(100))
+      (df.filter(bucket < trainPct), df.filter(bucket >= trainPct))
+    }
+
     /** The k rows whose `vecCol` is most cosine-similar to `queryVec`. */
     def cosineTopK(k: Int, vecCol: String, queryVec: Seq[Float]): DataFrame = {
       graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)

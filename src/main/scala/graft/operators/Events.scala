@@ -174,5 +174,27 @@ object Events {
       |  ON p.ts >= i.w_start AND p.ts <= i.w_end
       |ORDER BY window_id, event_id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  // -- q67: semi-structured → MapType → explode ------------------------------
+  //   props JSON parsed as MAP<STRING,BIGINT>, exploded to (key, value)
+  //   rows, aggregated per key — the dynamic-schema escape hatch for
+  //   ragged payloads (SURVEY §7.4).
+  val q67 = Query.sql(
+    "q67_map_explode",
+    (s, dir) =>
+      ev(s, dir)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, BIGINT>"))))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy("key"),
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS key, props FROM events)
+      |SELECT key, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, key) AS BIGINT)) AS total,
+      |  MIN(CAST(json_extract_string(props, key) AS BIGINT)) AS vmin,
+      |  MAX(CAST(json_extract_string(props, key) AS BIGINT)) AS vmax
+      |FROM kv GROUP BY key ORDER BY key""".stripMargin)
+
+  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -175,5 +175,41 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37, q38)
+  // -- q39: sequence packing (concat-and-chunk into token budgets) ----------
+  //   The pretraining data-prep op: documents are laid end-to-end per
+  //   language (deterministic doc_id order) and chunked into 2048-token
+  //   context windows; a document's window is its exclusive prefix-sum of
+  //   tokens divided by the budget. One window computation, all integer
+  //   arithmetic — identical on both engines.
+  val q39 = Query.sql(
+    "q39_pack_sequences",
+    (s, dir) => {
+      val budget = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("prefix_tokens",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("window_id", (col("prefix_tokens") / budget).cast("long"))
+        .groupBy("lang", "window_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "window_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 2048 AS window_id,
+      |    n_tokens
+      |  FROM toks)
+      |SELECT lang, window_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      |FROM packed GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39)
 }

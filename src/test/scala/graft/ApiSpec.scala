@@ -46,6 +46,19 @@ class ApiSpec extends SparkSpec {
     assert(top.toSet == expected.toSet)
   }
 
+  test("deterministicSplit is stable, disjoint and complete") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val (train1, eval1) = docs.deterministicSplit("doc_id", 80)
+    val (train2, _) = docs.deterministicSplit("doc_id", 80)
+    val t1 = train1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val t2 = train2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = eval1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(t1 == t2, "split not stable across runs")
+    assert(t1.intersect(e1).isEmpty)
+    assert(t1.size + e1.size == docs.count())
+    assert(t1.size > e1.size, "80/20 should favor train")
+  }
+
   test("saltedJoin extension equals plain join") {
     import spark.implicits._
     val l = (1 to 500).map(i => (i.toLong % 3, i)).toDF("k", "v")
