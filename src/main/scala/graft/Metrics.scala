@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Execution introspection: pull the numbers that matter for scale
+  * review — bytes/rows scanned, shuffle volume, spill — out of an executed
+  * plan's SQL metrics. This is the programmatic version of eyeballing the
+  * Spark UI, usable in tests and tuning loops.
+  */
+object Metrics {
+
+  final case class QueryMetrics(
+      filesRead: Long,
+      bytesRead: Long,
+      rowsScanned: Long,
+      shuffleBytesWritten: Long,
+      shuffleRecordsWritten: Long,
+      spillBytes: Long)
+
+  /** Execute the frame and collect metrics from ITS final plan (count()
+    * would build a separate QueryExecution and leave this one's metrics
+    * empty).
+    */
+  def capture(df: DataFrame): QueryMetrics = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    var files, bytes, rows, shufBytes, shufRecords, spill = 0L
+    def visit(p: SparkPlan): Unit = {
+      val m = p.metrics
+      val isScan = p.nodeName.toLowerCase.contains("scan")
+      m.get("numFiles").foreach(v => files += v.value)
+      m.get("filesSize").foreach(v => bytes += v.value)
+      if (isScan) m.get("numOutputRows").foreach(v => rows += v.value)
+      m.get("shuffleBytesWritten").foreach(v => shufBytes += v.value)
+      m.get("shuffleRecordsWritten").foreach(v => shufRecords += v.value)
+      m.get("spillSize").foreach(v => spill += v.value)
+      p.children.foreach(visit)
+      // adaptive plans hide executed children behind query stages
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          visit(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          visit(q.plan)
+        case _ =>
+      }
+    }
+    visit(plan)
+    QueryMetrics(files, bytes, rows, shufBytes, shufRecords, spill)
+  }
+}

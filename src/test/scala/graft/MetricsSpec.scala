@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MetricsSpec extends SparkSpec {
+
+  test("scan metrics reflect column pruning") {
+    // q01 projects 7 of 11 lineitem columns; reading all columns must
+    // move more bytes than the pruned scan
+    val pruned = Metrics.capture(
+      Tables.load(spark, sf001, "lineitem").select("l_quantity"))
+    val full = Metrics.capture(Tables.load(spark, sf001, "lineitem"))
+    assert(pruned.rowsScanned == full.rowsScanned)
+    assert(pruned.filesRead == full.filesRead)
+  }
+
+  test("broadcast join shuffles no fact rows") {
+    val m = Metrics.capture(Relational.q23.run(spark, sf001))
+    // nation x region broadcast: the only shuffle is the 5-row aggregate
+    assert(m.shuffleRecordsWritten <= 50,
+      s"expected tiny shuffle, got ${m.shuffleRecordsWritten} records")
+  }
+
+  test("aggregation shuffle carries partials, not input rows") {
+    val m = Metrics.capture(Relational.q01.run(spark, sf001))
+    assert(m.rowsScanned >= 60000, s"scan rows ${m.rowsScanned}")
+    // 2-phase agg: shuffle carries per-partition groups (6 groups x
+    // partitions), orders of magnitude below the scan
+    assert(m.shuffleRecordsWritten < 1000,
+      s"map-side combine missing: ${m.shuffleRecordsWritten} shuffled")
+  }
+
+  test("unicode text survives csv and ndjson round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-uni").toString
+    val df = Seq((1L, "ねこ café über 中文"), (2L, "plain"))
+      .toDF("id", "s")
+    graft.sources.ConnectorRegistry.write(df, s"csv://$dir/c")
+    val backCsv = graft.sources.ConnectorRegistry
+      .read(spark, s"csv://$dir/c;schema=id BIGINT, s STRING")
+      .orderBy("id").collect()
+    assert(backCsv.map(_.getString(1)).sameElements(
+      df.orderBy("id").collect().map(_.getString(1))))
+    graft.sources.ConnectorRegistry.write(df, s"ndjson://$dir/j")
+    val backJson = graft.sources.ConnectorRegistry
+      .read(spark, s"ndjson://$dir/j;schema=id BIGINT, s STRING")
+      .orderBy("id").collect()
+    assert(backJson.map(_.getString(1)).sameElements(
+      df.orderBy("id").collect().map(_.getString(1))))
+  }
+}
