@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the cluster
+  * step of a dedup pipeline: near-dup PAIRS (from LSH/Jaccard/cosine
+  * candidates) become CLUSTERS, and each cluster keeps one representative.
+  *
+  * Each iteration joins current labels across edges and takes the min
+  * neighbor label; convergence when no label changes. Iterations are
+  * O(graph diameter); near-dup graphs are overwhelmingly tiny cliques, so
+  * 2-4 rounds in practice. Each round is one shuffle on the node id —
+  * the standard large-graph CC formulation (no driver-side graph).
+  */
+object ConnectedComponents {
+
+  /** @param nodes single-column DataFrame of node ids (`id`)
+    * @param edges  two-column DataFrame (`a`, `b`), undirected pairs
+    * @return (id, component) where component = min node id reachable
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): each iteration must TRUNCATE lineage,
+    // or the logical plan doubles every round and the driver OOMs just
+    // printing it after ~15 iterations — the standard iterative-algorithm
+    // failure mode on Spark.
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = sym
+        .join(labels, sym("b") === labels("id"))
+        .select(col("a").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy("id")
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+}

@@ -220,5 +220,41 @@ object Dedup {
       |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) > 0.4
       |GROUP BY b.vec_id ORDER BY id_dup""".stripMargin)
 
-  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45)
+  // -- q46: dedup clustering via connected components -----------------------
+  //   Near-dup pairs become clusters: nodes are documents, edges connect
+  //   same-source/same-lang docs within 20 chars of each other (a cheap
+  //   deterministic candidate relation), components come from iterative
+  //   min-label propagation. Oracle: DuckDB recursive CTE computing the
+  //   min reachable label — same unique fixpoint.
+  val q46 = Query.sql(
+    "q46_dedup_clusters",
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val a = d.as("a")
+      val b = d.as("b")
+      val edges = a.join(b,
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 20 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val nodes = d.select(col("doc_id").as("id"))
+      ConnectedComponents.run(nodes, edges).orderBy("id")
+    },
+    """WITH RECURSIVE
+      |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 2000),
+      |edges AS (
+      |  SELECT a.doc_id AS ea, b.doc_id AS eb
+      |  FROM documents a JOIN documents b
+      |    ON a.source = b.source AND a.lang = b.lang
+      |   AND abs(a.n_chars - b.n_chars) <= 20 AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id < 2000 AND b.doc_id < 2000),
+      |sym AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.ea, reach.r FROM sym s JOIN reach ON s.eb = reach.id)
+      |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }
