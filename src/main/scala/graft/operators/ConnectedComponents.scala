@@ -19,35 +19,41 @@ object ConnectedComponents {
     * @param edges  two-column DataFrame (`a`, `b`), undirected pairs
     * @return (id, component) where component = min node id reachable
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache): each iteration must TRUNCATE lineage,
-    // or the logical plan doubles every round and the driver OOMs just
-    // printing it after ~15 iterations — the standard iterative-algorithm
-    // failure mode on Spark.
+  def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20,
+      hopsPerRound: Int = 3): DataFrame = {
+    // localCheckpoint (not cache): each round must TRUNCATE lineage, or
+    // the logical plan doubles every round and the driver OOMs just
+    // printing it after ~15 rounds — the standard iterative-algorithm
+    // failure mode on Spark. Several propagation hops run per checkpoint
+    // round to amortize the materialization.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // labels only ever decrease: the sum is a cheap convergence witness
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = sym
-        .join(labels, sym("b") === labels("id"))
-        .select(col("a").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(viaNeighbors)
-        .groupBy("id")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") =!= col("p.component"))
-        .limit(1).count() > 0
-      labels = next
-      converged = !changed
-      iter += 1
+    var round = 0
+    while (!converged && round < maxRounds) {
+      var hopped = labels
+      for (_ <- 0 until hopsPerRound) {
+        val viaNeighbors = sym
+          .join(hopped, sym("b") === hopped("id"))
+          .select(col("a").as("id"), col("component"))
+        hopped = hopped.select(col("id"), col("component"))
+          .union(viaNeighbors)
+          .groupBy("id")
+          .agg(min(col("component")).as("component"))
+      }
+      labels = hopped.localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      round += 1
     }
     labels
   }

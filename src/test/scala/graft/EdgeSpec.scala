@@ -78,6 +78,25 @@ class EdgeSpec extends SparkSpec {
     assert(jac.forall(r => !r.isNullAt(r.fieldIndex("jaccard"))))
   }
 
+  test("connected components labels a known graph correctly") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {4,5}, {6} isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val got = operators.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("connected components on an edgeless graph is the identity") {
+    import spark.implicits._
+    val nodes = Seq(7L, 8L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = operators.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("empty events stream through sessionization") {
     val empty = Tables.load(spark, sf0001, "events").filter(lit(false))
     val sessions = empty
