@@ -210,6 +210,21 @@ class FrameworkSpec extends SparkSpec {
 
   // ---- Checks -------------------------------------------------------------
 
+  test("observed metrics are collected during the action, no extra pass") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, sf0001, "orders")
+    val (df, obs) = Checks.observed(base, "order_stats",
+      "rows" -> count(lit(1)),
+      "null_keys" -> sum(when(col("o_orderkey").isNull, 1).otherwise(0)),
+      "max_price" -> max(col("o_totalprice")))
+    val written = df.filter(col("o_totalprice") > 0).count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == base.count())
+    assert(m("null_keys").asInstanceOf[Long] == 0L)
+    assert(m("max_price").asInstanceOf[Double] > 0)
+    assert(written > 0)
+  }
+
   test("check helpers pass and fail correctly") {
     import org.apache.spark.sql.functions._
     val df = spark.range(5).toDF("id")
