@@ -256,5 +256,35 @@ object Dedup {
       |  SELECT s.ea, reach.r FROM sym s JOIN reach ON s.eb = reach.id)
       |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  // -- q47: benchmark decontamination ---------------------------------------
+  //   Flag corpus documents sharing word n-grams with a held-out probe set
+  //   (docs 0-9 stand in for an eval benchmark; production uses 8-13-gram
+  //   matching, 3-grams here because the synthetic vocabulary is tiny).
+  //   Shape: explode n-grams on both sides, distinct, equi-join on the
+  //   n-gram, count matches per corpus doc — at scale the probe side is a
+  //   broadcast set, so this is a map-side filter over the corpus.
+  val q47 = Query.sql(
+    "q47_decontaminate",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("gram"))
+      val probe = grams.filter(col("doc_id") < 10)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+        .orderBy(desc("n_contaminated_grams"), asc("doc_id"))
+        .limit(100)
+    },
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS gram FROM documents),
+       |probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+       |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+       |FROM grams g JOIN probe p ON g.gram = p.gram
+       |WHERE g.doc_id >= 10
+       |GROUP BY g.doc_id
+       |ORDER BY n_contaminated_grams DESC, doc_id LIMIT 100""".stripMargin)
+
+  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
 }
