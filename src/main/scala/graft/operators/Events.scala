@@ -61,7 +61,8 @@ object Events {
       |per_session AS (
       |  SELECT user_id, sid, COUNT(*) AS n_events
       |  FROM sessions GROUP BY user_id, sid)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
       |  MAX(n_events) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
 
@@ -191,7 +192,7 @@ object Events {
     """WITH kv AS (
       |  SELECT unnest(json_keys(props)) AS key, props FROM events)
       |SELECT key, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, key) AS BIGINT)) AS total,
+      |  CAST(SUM(CAST(json_extract_string(props, key) AS BIGINT)) AS BIGINT) AS total,
       |  MIN(CAST(json_extract_string(props, key) AS BIGINT)) AS vmin,
       |  MAX(CAST(json_extract_string(props, key) AS BIGINT)) AS vmax
       |FROM kv GROUP BY key ORDER BY key""".stripMargin)

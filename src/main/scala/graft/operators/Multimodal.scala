@@ -97,7 +97,7 @@ object Multimodal {
           sum(col("meta.n_bytes_claimed")).as("total_bytes"))
         .orderBy("codec"),
     """SELECT substring(source, LENGTH(source), 1) AS codec, COUNT(*) AS n,
-      |  SUM(n_chars) AS total_bytes
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1 ORDER BY codec""".stripMargin)
 
   val all: Seq[Query] = Seq(q70, q71, q72)

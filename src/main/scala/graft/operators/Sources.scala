@@ -78,7 +78,7 @@ object Sources {
         .agg(count(lit(1)).as("n_lines"),
           sum(length(col("value"))).as("total_chars"))
     },
-    """SELECT COUNT(*) AS n_lines, SUM(LENGTH(text)) AS total_chars
+    """SELECT COUNT(*) AS n_lines, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin)
 
   // -- q84: partitioned parquet fan-out → partition-discovering read --------

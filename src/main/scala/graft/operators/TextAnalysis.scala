@@ -203,12 +203,13 @@ object TextAnalysis {
       |  FROM documents),
       |packed AS (
       |  SELECT lang,
-      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |      // 2048 AS window_id,
+      |      // 2048 AS BIGINT) AS window_id,
       |    n_tokens
       |  FROM toks)
-      |SELECT lang, window_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      |SELECT lang, window_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       |FROM packed GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin)
 
   val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39)

@@ -66,10 +66,13 @@ object Windows {
     (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id"),
-    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+    // `types` is joined to one string: the driver's compare sorts rows via
+    // pandas, which cannot hash a list-typed cell.
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
       |  COUNT(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Driver-mimicking correctness gate (stricter than check.py).
+
+Usage: python3 tools/check_pandas.py <verify_out_dir> <sf_dir> [query ...]
+
+Round-1 lesson: the driver compares via Arrow -> pandas -> sort_values ->
+dtype-sensitive hash. Value equality is NOT enough; arrow TYPES must match:
+  * DuckDB SUM(BIGINT) yields HUGEINT -> decimal128 -> object dtype, which
+    hash-mismatches Spark's int64 even for equal values. CAST(... AS BIGINT).
+  * List-typed output columns crash pandas sort_values (unhashable ndarray).
+    Join arrays to strings on both sides.
+This script reproduces that pipeline so a query that passes here passes the
+driver's hash gate.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def load_spark_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_t = load_spark_result(os.path.join(out_dir, name))
+        if spark_t is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracle:
+            print(f"ROWS {name}: rows={spark_t.num_rows} (no oracle)"); continue
+        try:
+            duck_t = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        s = spark_t.to_pandas(); d = duck_t.to_pandas()
+        s = s[sorted(s.columns)]; d = d[sorted(d.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: schema {list(s.columns)} != {list(d.columns)}")
+            n_fail += 1; continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} != {len(d)}"); n_fail += 1; continue
+        try:
+            s2 = s.sort_values(list(s.columns)).reset_index(drop=True)
+            d2 = d.sort_values(list(d.columns)).reset_index(drop=True)
+        except Exception as e:
+            print(f"FAIL {name}: sort crash: {e}"); n_fail += 1; continue
+        dt = [(c, str(s2[c].dtype), str(d2[c].dtype))
+              for c in s2.columns if str(s2[c].dtype) != str(d2[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}"); n_fail += 1; continue
+        try:
+            hs = pd.util.hash_pandas_object(s2).sum()
+            hd = pd.util.hash_pandas_object(d2).sum()
+        except Exception as e:
+            print(f"FAIL {name}: hash crash: {e}"); n_fail += 1; continue
+        if hs != hd:
+            neq = (s2 != d2) & ~(s2.isna() & d2.isna())
+            badcols = [c for c in s2.columns if neq[c].any()]
+            print(f"FAIL {name}: hash mismatch, differing cols={badcols}")
+            n_fail += 1; continue
+        print(f"PASS {name}: {len(s2)} rows hash-exact"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
