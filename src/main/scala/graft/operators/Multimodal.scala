@@ -55,10 +55,13 @@ object Multimodal {
       |  240 + (LENGTH(text) % 7) * 32 AS height
       |FROM documents ORDER BY media_id""".stripMargin)
 
-  // -- q71: frame sampling via mapPartitions (batch-shaped; rows-only) ------
+  // -- q71: frame sampling via mapPartitions (batch-shaped) -----------------
   //   Real plumbing: iterate partition rows, emit one row per sampled
-  //   "frame" (byte slice). A codec-backed version swaps sliceFrames only.
-  val q71 = Query.rowsOnly(
+  //   "frame" (fixed-stride byte slice standing in for video frame decode).
+  //   A codec-backed version swaps only the slice step. Oracle-able because
+  //   the payload is ASCII text: DuckDB reproduces the slices with
+  //   substring() and the digests with md5().
+  val q71 = Query.sql(
     "q71_frame_sample",
     (s, dir) => {
       import s.implicits._
@@ -67,6 +70,7 @@ object Multimodal {
         .select(col("media_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
           rows.flatMap { case (id, payload) =>
             // FAKE FRAME EXTRACT: fixed-stride byte slices stand in for
             // video frame decode; batch shape (iterator→iterator) is real.
@@ -74,18 +78,31 @@ object Multimodal {
             (0 until math.min(nFrames, payload.length)).map { f =>
               val from = f * stride
               val slice = payload.slice(from, math.min(from + stride, payload.length))
-              (id, f, slice.length.toLong,
-                java.util.Arrays.hashCode(slice).toLong)
+              val digest = md.digest(slice).map("%02x".format(_)).mkString
+              md.reset()
+              (id, f.toLong, slice.length.toLong, digest)
             }
           }
         }
-        .toDF("media_id", "frame_no", "frame_bytes", "frame_hash")
+        .toDF("media_id", "frame_no", "frame_bytes", "frame_digest")
       frames.groupBy("frame_no")
         .agg(count(lit(1)).as("n_frames"),
           sum(col("frame_bytes")).as("total_bytes"),
-          countDistinct(col("frame_hash")).as("n_distinct"))
+          countDistinct(col("frame_digest")).as("n_distinct"))
         .orderBy("frame_no")
-    })
+    },
+    """WITH d AS (
+      |  SELECT doc_id, text, greatest(LENGTH(text) // 4, 1) AS stride
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+      |    substring(text, frame_no * stride + 1, stride) AS slice
+      |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS frame_no) f
+      |  WHERE f.frame_no < least(4, LENGTH(text)))
+      |SELECT frame_no, COUNT(*) AS n_frames,
+      |  CAST(SUM(LENGTH(slice)) AS BIGINT) AS total_bytes,
+      |  COUNT(DISTINCT md5(slice)) AS n_distinct
+      |FROM frames GROUP BY frame_no ORDER BY frame_no""".stripMargin)
 
   // -- q72: metadata-only scan (binary column must be pruned) ---------------
   val q72 = Query.sql(

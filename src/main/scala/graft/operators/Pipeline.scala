@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * sampling and splits, global shuffle, shard assignment, boilerplate
+  * detection, PII redaction, rarity-weighted term scoring, embedding-norm
+  * hygiene stats, and bloom-filter semi-join pre-filtering.
+  *
+  * Scale design notes (100 TB):
+  *   - All sampling/sharding is HASH-derived (md5 of a salted key), never
+  *     RNG: results are reproducible across runs, cluster sizes and
+  *     partitionings, the filter is map-side (no shuffle), and sampled
+  *     fractions hold per-partition so no coordinator is needed.
+  *     (Reference leaves sampling to user Python; cf. ayeaye model.py
+  *     build() free-form transforms.)
+  *   - The global shuffle (q57) is the one total-order op: Spark range
+  *     partitions the hash key, so output shards are sorted and
+  *     non-overlapping — a downstream trainer streams them in order.
+  *   - Boilerplate/TF scoring shuffle only (token, lang) pairs after a
+  *     map-side explode+combine, never documents.
+  *   - The bloom semi-join ships an O(bits) filter to every executor and
+  *     drops non-matching rows at the scan, then verifies candidates with
+  *     an exact join — the standard big-side pre-filter when the small
+  *     side is too large to broadcast as a hash map but its keys fit a
+  *     few-MB bloom filter.
+  */
+object Pipeline {
+
+  private val D = DecimalType(18, 6)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(s, dir, "documents")
+
+  /** Salted deterministic hash in [0, 256) from a long key, identical in
+    * Spark and DuckDB: first two hex chars of md5("s42:" + key).
+    */
+  private def hashBucket(key: Column): Column =
+    substring(md5(concat(lit("s42:"), key.cast("string"))), 1, 2)
+  private def sqlHashBucket(key: String): String =
+    s"substring(md5('s42:' || CAST($key AS VARCHAR)), 1, 2)"
+
+  // -- q48: deterministic hash sampling (train/eval split at scale) ---------
+  //   ~25% sample: md5 prefix < '40' (64/256). No RNG, no shuffle for the
+  //   filter itself; only the tiny per-lang rollup shuffles.
+  val q48 = Query.sql(
+    "q48_hash_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(hashBucket(col("doc_id")) < "40")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sampled_chars"))
+        .orderBy("lang"),
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+       |FROM documents
+       |WHERE ${sqlHashBucket("doc_id")} < '40'
+       |GROUP BY lang ORDER BY lang""".stripMargin)
+
+  // -- q49: stratified sampling (per-stratum rates, still hash-exact) -------
+  //   Downsample the dominant language, keep the rest: en at 64/256 = 25%,
+  //   other langs at 192/256 = 75% — the rebalancing move of corpus curation.
+  val q49 = Query.sql(
+    "q49_stratified_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(hashBucket(col("doc_id")) <
+          when(col("lang") === "en", "40").otherwise("c0"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+    s"""SELECT lang, COUNT(*) AS n_sampled
+       |FROM documents
+       |WHERE ${sqlHashBucket("doc_id")} <
+       |  CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+       |GROUP BY lang ORDER BY lang""".stripMargin)
+
+  // -- q57: deterministic global shuffle (training order) -------------------
+  //   Total order by a salted hash = reproducible shuffle of the corpus.
+  //   Spark range-partitions the sort key (sampled boundaries), so each
+  //   output shard is internally sorted and shards are disjoint ranges —
+  //   exactly what a sharded training-data export needs. Top-100 kept here
+  //   to keep the verification output small.
+  val q57 = Query.sql(
+    "q57_global_shuffle",
+    (s, dir) => {
+      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      docs(s, dir)
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .withColumn("shuffle_rank",
+          row_number().over(Window.orderBy(col("shuffle_key"))).cast("long"))
+        .filter(col("shuffle_rank") <= 100)
+        .orderBy("shuffle_rank")
+    },
+    """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  CAST(row_number() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))
+      |    AS BIGINT) AS shuffle_rank
+      |FROM documents
+      |QUALIFY shuffle_rank <= 100 ORDER BY shuffle_rank""".stripMargin)
+
+  // -- q58: shard assignment (hash-bucketed output shards) ------------------
+  //   Shard = first md5 nibble (16 shards). The per-shard rollup shows
+  //   balance; at scale the same expression feeds write.partitionBy or
+  //   repartition(shard) so each shard lands as one output stream.
+  val q58 = Query.sql(
+    "q58_shard_assign",
+    (s, dir) => {
+      val shard = (instr(lit("0123456789abcdef"),
+        substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 1)) - 1)
+        .cast("long")
+      docs(s, dir)
+        .groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("shard_chars"))
+        .orderBy("shard")
+    },
+    """SELECT CAST(strpos('0123456789abcdef',
+      |    substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      |    AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
+
+  // -- q68: boilerplate detection (repeated 5-gram shingles) ----------------
+  //   A 5-gram shared by many documents is boilerplate (headers, footers,
+  //   license text). Map-side: explode shingles; shuffle carries (shingle,
+  //   doc_id) pairs already combined per partition — documents never move.
+  val q68 = Query.sql(
+    "q68_boilerplate",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 4),
+            i => concat_ws(" ", slice(col("t"), i, lit(5))))).as("shingle"))
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("shingle"))
+        .limit(50)
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+      |  FROM toks WHERE len(t) >= 5),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM idx)
+      |SELECT shingle, COUNT(*) AS n_docs
+      |FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+      |ORDER BY n_docs DESC, shingle LIMIT 50""".stripMargin)
+
+  // -- q69: PII redaction ---------------------------------------------------
+  //   The corpus has no real PII, so a contact line is synthesized per doc
+  //   and then redacted — the regexes and the replace-all semantics are the
+  //   real operator. Pure map-side; identical RE syntax in both engines.
+  val q69 = Query.sql(
+    "q69_pii_redact",
+    (s, dir) => {
+      val contact = concat(col("source"), lit("+user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" "), col("text"))
+      val red = regexp_replace(
+        regexp_replace(contact, "[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "555-[0-9]{4}", "<PHONE>")
+      docs(s, dir).select(
+        col("doc_id"),
+        red.as("redacted"),
+        (length(contact) - length(red)).cast("long").as("chars_removed"))
+        .orderBy("doc_id")
+    },
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    source || '+user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+      |      AS contact
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, contact,
+      |    regexp_replace(regexp_replace(contact,
+      |      '[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM c)
+      |SELECT doc_id, redacted,
+      |  LENGTH(contact) - LENGTH(redacted) AS chars_removed
+      |FROM r ORDER BY doc_id""".stripMargin)
+
+  // -- q73: rarity-weighted term scoring (integer tf-idf) -------------------
+  //   score = tf(lang, term) * (n_langs - df(term)): the tf-idf shape with
+  //   an integer idf so both engines agree bit-for-bit (floating ln is not
+  //   guaranteed identical across libm implementations). Two shuffles of
+  //   token-level pairs; map-side combine keeps them small.
+  val q73 = Query.sql(
+    "q73_term_rarity",
+    (s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("lang")).as("df"))
+      val nLangs = lit(5L)
+      tf.join(df, "term")
+        .withColumn("rarity_score", col("tf") * (nLangs - col("df")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("rarity_score").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("lang", "term", "tf", "df", "rarity_score", "rank")
+        .orderBy("lang", "rank")
+    },
+    """WITH terms AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT lang, term, COUNT(*) AS tf FROM terms GROUP BY lang, term),
+      |df AS (
+      |  SELECT term, COUNT(DISTINCT lang) AS df FROM tf GROUP BY term)
+      |SELECT lang, tf.term AS term, tf, df,
+      |  CAST(tf * (5 - df) AS BIGINT) AS rarity_score,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY tf * (5 - df) DESC, tf.term) AS BIGINT) AS rank
+      |FROM tf JOIN df USING (term)
+      |QUALIFY rank <= 10 ORDER BY lang, rank""".stripMargin)
+
+  // -- q74: embedding-norm hygiene stats ------------------------------------
+  //   Per-label L2-norm distribution — the standard sanity pass before
+  //   similarity search (uncentered/zero vectors show up here). The norm is
+  //   a sequential double fold (bit-identical to DuckDB's list_sum); the
+  //   per-label mean goes through exact DECIMAL accumulation.
+  val q74 = Query.sql(
+    "q74_embedding_norms",
+    (s, dir) => {
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      Tables.loadBalanced(s, dir, "embeddings")
+        .select(col("label"), norm.as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          (sum(col("norm").cast(D)).cast("double") / count(lit(1))).as("avg_norm"))
+        .orderBy("label")
+    },
+    """WITH n AS (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+      |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin)
+
+  // -- q96: bloom-filter semi-join pre-filter -------------------------------
+  //   Big-side pre-filter: build a bloom filter over the keys of high-value
+  //   orders (small side), ship it to every scan task, drop non-candidate
+  //   lineitems before the shuffle, then run the EXACT semi-join on the
+  //   survivors. False positives cost only wasted candidates — the final
+  //   join restores exactness, so the result equals the plain semi-join
+  //   (which is the oracle). At 100 TB this is the pattern when the small
+  //   side's hash map is too big to broadcast but its key bloom (a few MB)
+  //   is not; Spark's own runtime row-group filters follow the same idea.
+  val q96 = Query.sql(
+    "q96_bloom_semi_join",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"))
+      val bf = orders.stat.bloomFilter("o_orderkey", 20000, 0.01)
+      val bbf = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bbf.value.mightContain(k))
+      Tables.load(s, dir, "lineitem")
+        .filter(mightContain(col("l_orderkey")))       // bloom pre-filter
+        .join(orders.hint("broadcast"), col("l_orderkey") === col("o_orderkey"),
+          "left_semi")                                 // exact verification
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  val all: Seq[Query] = Seq(q48, q49, q57, q58, q68, q69, q73, q74, q96)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the training-data pipeline operators (the oracle
+  * gate proves value-exactness; these prove the *semantic* properties a
+  * pipeline relies on: determinism, partition-invariance, disjointness).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("hash sampling is deterministic and partitioning-invariant") {
+    val a = Pipeline.q48.run(spark, sf0001).collect()
+    val b = Pipeline.q48.run(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    // same filter over a differently-partitioned input selects the same docs
+    val docs = Tables.load(spark, sf0001, "documents")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.filter(substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2) < "40")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(7)))
+  }
+
+  test("stratified sampling downsamples only the targeted stratum") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rates = Pipeline.q49.run(spark, sf001)
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n_total")), "lang")
+      .select(col("lang"), col("n_sampled").cast("double") / col("n_total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("en") < 0.4, s"en should be ~25%, got ${rates("en")}")
+    rates.filterNot(_._1 == "en").foreach { case (l, r) =>
+      assert(r > 0.55, s"$l should be ~75%, got $r")
+    }
+  }
+
+  test("shard assignment is a partition of the corpus") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val shards = Pipeline.q58.run(spark, sf001).collect()
+    assert(shards.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    assert(shards.map(_.getLong(1)).sum == docs.count()) // complete + disjoint
+  }
+
+  test("global shuffle rank is a stable total order") {
+    val a = Pipeline.q57.run(spark, sf0001).collect()
+    val b = Pipeline.q57.run(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    assert(a.map(_.getLong(2)).toSeq == (1L to a.length).toSeq)
+  }
+
+  test("bloom pre-filtered semi-join equals the plain semi-join") {
+    val dir = sf001
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000.0).select("o_orderkey")
+    val plain = Tables.load(spark, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bloom = Pipeline.q96.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bloom == plain)
+  }
+
+  test("PII redaction removes every synthetic email and phone") {
+    val out = Pipeline.q69.run(spark, sf0001).cache()
+    assert(out.filter(col("redacted").rlike("@")).count() == 0)
+    assert(out.filter(col("redacted").rlike("555-[0-9]{4}")).count() == 0)
+    assert(out.filter(col("redacted").contains("<EMAIL>")).count() == out.count())
+    out.unpersist()
+  }
+}
