@@ -106,89 +106,111 @@ object Dedup {
        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)
 
-  // -- q43: MinHash + LSH banding (rows-only: hash impl is Spark-specific) --
-  //   Pipeline: shingles (one map-side pass) → k-slot signature (min of
-  //   xxhash64 per seed, computed over the PRECOMPUTED shingle column so
-  //   shingling runs once, not k times) → explode bands → shuffle on
-  //   (band, bandHash) → bucket pairs. The shuffle carries bands×8 bytes
-  //   per doc, never the text. Output is a stats row so the result is
-  //   stable and non-empty even with zero near-dups in the corpus.
-  val q43 = Query.rowsOnly(
-    "q43_minhash_lsh",
-    (s, dir) => {
-      val bands = 8
-      val rowsPerBand = 2 // k = 16
-      val k = bands * rowsPerBand
-      // Signature via explode + grouped min per seed: shingles materialize
-      // once through the Generate node, the k hashes are flat codegen'd
-      // aggregates (no nested lambdas), and partial aggregation means the
-      // shuffle carries k longs per (partition, doc) — same network cost
-      // as the fold formulation but with map-side combine and full codegen.
-      // Shingles here are HASHES of the token triple (xxhash64 of the
-      // three tokens), never concatenated strings — LSH only needs hash
-      // identity, and skipping the string build is ~2× on this stage.
-      val hashedShingles =
-        """array_distinct(flatten(transform(array(split(text, ' ')), toks ->
-          |  transform(
-          |    sequence(1, greatest(size(toks) - 2, 1)),
-          |    i -> xxhash64(element_at(toks, i),
-          |      element_at(toks, least(i + 1, size(toks))),
-          |      element_at(toks, least(i + 2, size(toks))))))))""".stripMargin
-      val minCols = (0 until k).map(j =>
-        min(xxhash64(col("sh"), lit(j))).as(s"m$j"))
-      val banded = docs(s, dir)
-        .select(col("doc_id"), explode(expr(hashedShingles)).as("sh"))
-        .groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-        .select(
-          col("doc_id"),
-          explode(expr(
-            s"""transform(sequence(0, ${bands - 1}),
-               |  b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), ',')) AS bh))"""
-              .stripMargin)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-        .cache()
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      val out = cand.agg(
-        count(lit(1)).as("n_candidate_pairs"),
-        countDistinct(col("id_a")).as("n_docs_with_candidates"))
-      out.collect() // materialize before unpersist
-      banded.unpersist()
-      out
-    })
+  // -- q43: MinHash + LSH banding (oracle-exact) ----------------------------
+  //   Pipeline: shingles (one map-side pass) → ONE content hash per shingle
+  //   (md5 prefix → 28-bit int; production swaps in xxhash64, the structure
+  //   is identical) → k-slot signature via k cheap affine mixes
+  //   (aᵢ·base + bᵢ mod p — a universal hash family, so one digest feeds
+  //   all k slots) as flat codegen'd grouped mins with map-side combine →
+  //   band keys → shuffle on (band, key) → bucket pairs. The shuffle
+  //   carries bands × ~16 bytes per doc, never the text. md5 keeps the
+  //   whole thing reproducible in the DuckDB oracle bit-for-bit.
+  val q43 = {
+    val bands = 8
+    val rowsPerBand = 2 // k = 16
+    val k = bands * rowsPerBand
+    val P = 1000000007L
+    def aj(j: Int): Long = 1000003L * j + 12345L
+    def bj(j: Int): Long = 7919L * j + 271L
+    Query.sql(
+      "q43_minhash_lsh",
+      (s, dir) => {
+        // base < 2^28, aj < 2^25 → products < 2^53: no int64 overflow under
+        // ANSI mode, same arithmetic in DuckDB.
+        val base = expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)")
+        val minCols = (0 until k).map(j =>
+          min((lit(aj(j)) * base + lit(bj(j))) % P).as(s"m$j"))
+        val banded = docs(s, dir)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+          .groupBy("doc_id")
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"), explode(array((0 until bands).map(b =>
+            struct(lit(b).cast("long").as("band"),
+              concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        cand.agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          countDistinct(col("id_a")).as("n_docs_with_candidates"))
+      },
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+         |hb AS (
+         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS base
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, j,
+         |    MIN(((1000003 * j + 12345) * base + 7919 * j + 271) % 1000000007) AS m
+         |  FROM hb, (SELECT unnest(generate_series(0, ${k - 1})) AS j) jj
+         |  GROUP BY doc_id, j),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+         |    array_to_string(list(m ORDER BY j), ',') AS bh
+         |  FROM sig GROUP BY doc_id, j // 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT COUNT(*) AS n_candidate_pairs,
+         |  COUNT(DISTINCT id_a) AS n_docs_with_candidates
+         |FROM cand""".stripMargin)
+  }
 
-  // -- q44: SimHash (64-bit, bit-vote over token hashes; rows-only) ---------
-  //   simhash bit b = majority vote of bit b across xxhash64(token).
-  //   Computed as ONE fold over the token-hash array accumulating 64 bit
-  //   counters (projection collapse would re-inline the hash array into a
-  //   per-bit lambda, making it O(64·tokens) hash computations), then one
-  //   fold over the counters to assemble the 64-bit word.
-  val q44 = Query.rowsOnly(
+  // -- q44: SimHash (32-bit, bit-vote over token digests; oracle-exact) -----
+  //   simhash bit b = majority vote of "hex digit b of md5(token) >= '8'"
+  //   (the top bit of each md5 nibble; production widens to 64 bits of
+  //   xxhash64 — structure identical). Computed as ONE fold over the
+  //   token-digest array accumulating 32 bit counters (projection collapse
+  //   would re-inline the digest array into a per-bit lambda, making it
+  //   O(32·tokens) hash computations), then one fold assembles the word.
+  val q44 = Query.sql(
     "q44_simhash",
     (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           expr("""aggregate(
-            |  transform(array_distinct(split(text, ' ')), tk -> xxhash64(tk)),
-            |  named_struct('n', CAST(0 AS BIGINT), 'cnt', array_repeat(CAST(0 AS BIGINT), 64)),
+            |  transform(array_distinct(split(text, ' ')), tk -> md5(tk)),
+            |  named_struct('n', CAST(0 AS BIGINT), 'cnt', array_repeat(CAST(0 AS BIGINT), 32)),
             |  (acc, h) -> named_struct('n', acc.n + 1,
-            |    'cnt', zip_with(acc.cnt, sequence(0, 63),
-            |      (c, b) -> c + IF((h >> b) % 2 != 0, 1, 0))))""".stripMargin)
+            |    'cnt', zip_with(acc.cnt, sequence(1, 32),
+            |      (c, j) -> c + IF(substring(h, j, 1) >= '8', 1, 0))))""".stripMargin)
             .as("votes"))
         .select(
           col("doc_id"),
           expr("""aggregate(
-            |  zip_with(votes.cnt, sequence(0, 63),
+            |  zip_with(votes.cnt, sequence(0, 31),
             |    (c, b) -> IF(c * 2 > votes.n, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
             |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
             .as("simhash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id"),
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE 0 END) AS c,
+      |    COUNT(*) AS n
+      |  FROM t, (SELECT unnest(generate_series(1, 32)) AS j) jj
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS BIGINT) << (j - 1))
+      |           ELSE 0 END) AS BIGINT) AS simhash
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   // -- q45: embedding-cosine near-dup ---------------------------------------
   //   Semantic dedup: a vector is a duplicate if any SMALLER-id vector is
