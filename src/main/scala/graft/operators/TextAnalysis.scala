@@ -212,5 +212,60 @@ object TextAnalysis {
       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       |FROM packed GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39)
+  // -- q75: BPE-ish regex tokenizer -----------------------------------------
+  //   GPT-2-style pre-tokenization shape: letter runs | digit runs | single
+  //   punctuation, via regexp_extract_all (codegen'd, no UDF). Runs over
+  //   events.props (JSON strings) because that column actually mixes all
+  //   three classes. Identical regex semantics in DuckDB's RE2 for this
+  //   class-only pattern.
+  val q75 = Query.sql(
+    "q75_regex_tokens",
+    (s, dir) => {
+      val pieces = expr("""regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)""")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), pieces.as("pieces"))
+        .select(col("event_type"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(filter(col("pieces"), p => p.rlike("^[0-9]+$"))).cast("long").as("n_digit"),
+          size(filter(col("pieces"), p => p.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+        .groupBy("event_type")
+        .agg(sum(col("n_pieces")).cast("long").as("total_pieces"),
+          sum(col("n_digit")).cast("long").as("digit_pieces"),
+          sum(col("n_alpha")).cast("long").as("alpha_pieces"))
+        .orderBy("event_type")
+    },
+    """WITH p AS (
+      |  SELECT event_type,
+      |    regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(len(pieces)) AS BIGINT) AS total_pieces,
+      |  CAST(SUM(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))))
+      |    AS BIGINT) AS digit_pieces,
+      |  CAST(SUM(len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))))
+      |    AS BIGINT) AS alpha_pieces
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  // -- q76: rolling-hash document fingerprint -------------------------------
+  //   Polynomial rolling hash over the character stream (base 31 mod 1e9+7)
+  //   — the incremental-update fingerprint family (Rabin-Karp) used for
+  //   chunk-level dedup; doc-level here. One sequential fold per document,
+  //   map-side only. acc*31 + code stays < 2^35: no overflow under ANSI.
+  val q76 = Query.sql(
+    "q76_rolling_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
+            |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+      |    c -> CAST(ascii(c) AS BIGINT)),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39, q75, q76)
 }
