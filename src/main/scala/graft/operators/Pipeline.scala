@@ -81,19 +81,24 @@ object Pipeline {
 
   // -- q57: deterministic global shuffle (training order) -------------------
   //   Total order by a salted hash = reproducible shuffle of the corpus.
-  //   Spark range-partitions the sort key (sampled boundaries), so each
-  //   output shard is internally sorted and shards are disjoint ranges —
-  //   exactly what a sharded training-data export needs. Top-100 kept here
-  //   to keep the verification output small.
+  //   For a full export the scalable construct is
+  //   `repartitionByRange(key).sortWithinPartitions(key)`: sorted,
+  //   disjoint output shards with no global window. The top-100 head
+  //   emitted for verification goes through orderBy+limit
+  //   (TakeOrderedAndProject: per-partition heaps, no full sort, no
+  //   single-partition exchange) and only the 100 survivors are ranked —
+  //   a bare `row_number() OVER (ORDER BY …)` would funnel every row
+  //   through one partition.
   val q57 = Query.sql(
     "q57_global_shuffle",
     (s, dir) => {
       val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
       docs(s, dir)
         .select(col("doc_id"), key.as("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
         .withColumn("shuffle_rank",
           row_number().over(Window.orderBy(col("shuffle_key"))).cast("long"))
-        .filter(col("shuffle_rank") <= 100)
         .orderBy("shuffle_rank")
     },
     """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

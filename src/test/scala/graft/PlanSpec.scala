@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
+  test("q57 global-shuffle head takes top-k before the rank window") {
+    // the single-partition window must only ever see the 100 survivors
+    val p = plan(Pipeline.q57.run(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      s"window should run over the TakeOrdered output, not the full scan:\n$p")
+  }
+
   test("q54 top-k via aggregator has no Sort over the scored stream") {
     val df = Similarity.q54.run(spark, sf001)
     val p = plan(df)
