@@ -260,6 +260,31 @@ object Pipeline {
       |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin)
 
+  // -- q77: weighted (importance) sampling ----------------------------------
+  //   Keep probability ∝ document length: keep iff u < n_chars/600 where
+  //   u = md5-derived uniform in [0,1). Compared as integer cross-products
+  //   (base·600 < n_chars·2^24) so both engines decide identically with no
+  //   floating point. The curation move for quality- or length-weighted
+  //   corpus mixing; map-side, RNG-free, reproducible like q48.
+  val q77 = Query.sql(
+    "q77_weighted_sample",
+    (s, dir) => {
+      val base = expr(
+        "CAST(conv(substring(md5(concat('w:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)")
+      docs(s, dir)
+        .filter(base * 600L < col("n_chars") * 16777216L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+    """SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE ('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+      |        * 600 < n_chars * 16777216
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   // -- q96: bloom-filter semi-join pre-filter -------------------------------
   //   Big-side pre-filter: build a bloom filter over the keys of high-value
   //   orders (small side), ship it to every scan task, drop non-candidate
@@ -294,5 +319,6 @@ object Pipeline {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
-  val all: Seq[Query] = Seq(q48, q49, q57, q58, q68, q69, q73, q74, q96)
+  val all: Seq[Query] =
+    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q96)
 }

@@ -199,4 +199,30 @@ class StreamingSpec extends SparkSpec {
       (batch, _) => { seen.addAndGet(batch.count()) })
     assert(seen.get() == spark.read.parquet(dir).count())
   }
+
+  test("deterministic hash sampling selects identical rows on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The q48 sampling predicate is stateless/map-side, so it applies to a
+    // stream unchanged and must pick exactly the rows the batch filter picks
+    // regardless of how the stream is batched.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").as[Long].collect().toSeq
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      df.filter(substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2) < "40")
+    val mem = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sample").toString
+    val q = sampled(mem.toDF().toDF("doc_id"))
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = docs.splitAt(docs.length / 3) // uneven batches on purpose
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val streamIds = spark.table("sample_stream")
+      .select("doc_id").as[Long].collect().toSet
+    val batchIds = sampled(Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamIds == batchIds)
+  }
 }
