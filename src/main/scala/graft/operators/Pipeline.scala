@@ -141,10 +141,13 @@ object Pipeline {
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 5)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 4),
-            i => concat_ws(" ", slice(col("t"), i, lit(5))))).as("shingle"))
+          // array_distinct: one vote per (shingle, doc) — which also lets
+          // the aggregate below be a plain count (one shuffle, map-side
+          // combined) instead of a count-distinct expand.
+          explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 4),
+            i => concat_ws(" ", slice(col("t"), i, lit(5)))))).as("shingle"))
         .groupBy("shingle")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("shingle"))
         .limit(50)
@@ -285,6 +288,31 @@ object Pipeline {
       |        * 600 < n_chars * 16777216
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  // -- q78: behavior-sequence construction (logs → training sequences) -----
+  //   Turn an event log into one ordered interaction sequence per user —
+  //   the packing step for behavioral/sequence models. One shuffle on
+  //   user_id; the in-group ordering is done by sorting the collected
+  //   array per group (no window, no secondary shuffle), with event_id as
+  //   the tie-break so equal timestamps order deterministically.
+  val q78 = Query.sql(
+    "q78_event_paths",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("evs"))
+        .select(
+          col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          array_join(transform(array_sort(col("evs")), e => e("event_type")), ">")
+            .as("path"))
+        .orderBy("user_id"),
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |FROM events WHERE user_id < 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   // -- q96: bloom-filter semi-join pre-filter -------------------------------
   //   Big-side pre-filter: build a bloom filter over the keys of high-value
   //   orders (small side), ship it to every scan task, drop non-candidate
@@ -320,5 +348,5 @@ object Pipeline {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   val all: Seq[Query] =
-    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q96)
+    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96)
 }
