@@ -84,4 +84,27 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.map(_._1).sameElements(rows.map(_._1).sorted(Ordering[Double].reverse)))
   }
+
+  test("HLL sketches re-aggregate: per-shard union stays within sketch error") {
+    // The distributed-reaggregation property: sketch each shard, union the
+    // shard sketches — what lets a 1000-executor job pre-aggregate
+    // distinct counts per partition and combine them without a second scan.
+    // The union estimate is NOT bit-identical to a single global sketch
+    // (the union promotes the HLL target type), but both must sit within
+    // the sketch's error bounds of the exact count.
+    Tables.load(spark, sf001, "lineitem").createOrReplaceTempView("li_hll")
+    val direct = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(l_partkey)) FROM li_hll")
+      .collect()(0).getLong(0)
+    val merged = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM (
+        |  SELECT hll_sketch_agg(l_partkey) AS sk
+        |  FROM li_hll GROUP BY l_orderkey % 16)""".stripMargin)
+      .collect()(0).getLong(0)
+    val exact = Tables.load(spark, sf001, "lineitem")
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    for ((label, est) <- Seq("direct" -> direct, "merged" -> merged))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$label estimate $est vs exact $exact drifted > 5%")
+  }
 }
