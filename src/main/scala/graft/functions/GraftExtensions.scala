@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
+    ext.injectPlannerStrategy(_ => graft.plans.NativeAsOfJoin.AsOfJoinStrategy)
   }
 }

@@ -197,5 +197,35 @@ object Events {
       |  MAX(CAST(json_extract_string(props, key) AS BIGINT)) AS vmax
       |FROM kv GROUP BY key ORDER BY key""".stripMargin)
 
-  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
+  // -- q97: as-of join through the native physical operator -----------------
+  //   Same semantics and oracle as q65, planned through
+  //   `graft.plans.NativeAsOfJoin` (custom LogicalPlan → Strategy →
+  //   BinaryExecNode with declared clustering/ordering requirements) —
+  //   the SURVEY §2.4(c) extension path, proven against the same DuckDB
+  //   ASOF JOIN oracle as the composed operator.
+  val q97 = Query.sql(
+    "q97_asof_native",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.plans.NativeAsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+          Map("ts" -> "err_ts", "value" -> "err_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS err_ts_us, r.value AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q97)
 }

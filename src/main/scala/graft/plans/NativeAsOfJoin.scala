@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native as-of join: the full custom-operator extension path (logical
+  * node → planner strategy → physical exec), SURVEY.md §2.4(c).
+  *
+  * Spark has no ASOF JOIN; `operators.AsOfJoin` composes one from
+  * union + window (preference (a) — compose built-ins). This is the
+  * dedicated physical operator a hot path would use instead: the exec
+  * DECLARES its needs — children clustered on the key and sorted by
+  * (key, time) — and `EnsureRequirements` inserts the exchanges/sorts,
+  * so AQE, reuse, and co-partitioning reasoning all still apply. Each
+  * partition pair then merges in one linear sweep: no union of the two
+  * sides, no window state, no per-row search. At 100 TB both sides
+  * shuffle once on the key (same cost as the composed form) but the
+  * sweep keeps exactly ONE buffered right row, where the window sweep
+  * materializes the merged stream through the window operator.
+  *
+  * Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t` and the composed operator): for each left row, the
+  * latest right row with equal non-null key and right.time <= left.time;
+  * unmatched left rows keep null payload.
+  */
+object NativeAsOfJoin {
+
+  // ---------------------------------------------------------------- logical
+  case class AsOfJoinNode(
+      left: LogicalPlan, right: LogicalPlan,
+      leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute,
+      payload: Seq[Attribute]) extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // --------------------------------------------------------------- strategy
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+      case _ => Nil
+    }
+  }
+
+  // --------------------------------------------------------------- physical
+  case class AsOfJoinExec(
+      left: SparkPlan, right: SparkPlan,
+      leftKey: Expression, rightKey: Expression,
+      leftTime: Expression, rightTime: Expression,
+      payload: Seq[Attribute]) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+
+    // Declare, don't implement, the data movement: EnsureRequirements
+    // co-partitions both children on the key and sorts each partition by
+    // (key, time). AQE still owns partition counts and reuse.
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+      Seq(
+        SortOrder(leftKey, Ascending) :: SortOrder(leftTime, Ascending) :: Nil,
+        SortOrder(rightKey, Ascending) :: SortOrder(rightTime, Ascending) :: Nil)
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val lOut = left.output
+      val rOut = right.output
+      val lk = BindReferences.bindReference(leftKey, lOut)
+      val lt = BindReferences.bindReference(leftTime, lOut)
+      val rk = BindReferences.bindReference(rightKey, rOut)
+      val rt = BindReferences.bindReference(rightTime, rOut)
+      // widen to Expression: bindReference's A <: Expression would try to
+      // cast the BoundReference back to Attribute at runtime
+      val payloadExprs = payload.map(p => BindReferences.bindReference(p: Expression, rOut))
+      val outAttrs = output
+      val nPayload = payload.length
+
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val payloadProj = UnsafeProjection.create(payloadExprs)
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val nullPayload: InternalRow = new GenericInternalRow(nPayload)
+        val joined = new JoinedRow
+
+        // one-row lookahead over the sorted right side
+        var rHead: InternalRow = null
+        var rHeadKey: Any = null
+        var rHeadTime: Any = null
+        def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rk.eval(r)
+            if (k != null) { // null keys never match anything — drop early
+              rHead = r; rHeadKey = k; rHeadTime = rt.eval(r)
+            }
+          }
+        }
+        advanceRight()
+
+        // latest matching right payload for the CURRENT left key
+        var matchKey: Any = null
+        var matchRow: InternalRow = null
+
+        lIter.map { lRow =>
+          val k = lk.eval(lRow)
+          val t = lt.eval(lRow)
+          if (k == null) {
+            joined(lRow, nullPayload)
+          } else {
+            if (matchRow != null && keyOrd.compare(matchKey, k) != 0) {
+              matchRow = null // buffered match belongs to an earlier key
+            }
+            // consume rights up to (key, time): rights on earlier keys are
+            // dead (left is sorted); rights on this key at time <= t become
+            // the candidate match, later ones overwrite earlier ones.
+            var advancing = rHead != null
+            while (advancing) {
+              val c = keyOrd.compare(rHeadKey, k)
+              if (c < 0) advanceRight()
+              else if (c == 0 && timeOrd.compare(rHeadTime, t) <= 0) {
+                matchKey = rHeadKey
+                matchRow = payloadProj(rHead).copy()
+                advanceRight()
+              } else advancing = false
+              if (rHead == null) advancing = false
+            }
+            joined(lRow, if (matchRow != null) matchRow else nullPayload)
+          }
+          resultProj(joined)
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------- API
+  /** Same contract as [[graft.operators.AsOfJoin.asof]], planned through
+    * the native exec. `payload` maps right-side source column → output name.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String]): DataFrame = {
+    val spark = left.sparkSession
+    // Usable on sessions built without GraftExtensions too:
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // Pre-project the right side: fresh attributes (safe under self-join)
+    // and only the columns the sweep needs cross the shuffle.
+    val rsel = right.select(
+      (Seq(col(key).as("__asof_k"), col(rightTime).as("__asof_t")) ++
+        payload.toSeq.sortBy(_._2).map { case (src, dst) => col(src).as(dst) }): _*)
+    val l = left.queryExecution.analyzed
+    val r = rsel.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    Bridge.ofRows(spark,
+      AsOfJoinNode(l, r,
+        attr(l, key), attr(r, "__asof_k"),
+        attr(l, leftTime), attr(r, "__asof_t"),
+        payload.values.toSeq.sorted.map(attr(r, _))))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.NativeAsOfJoin
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** The custom physical operator must agree with the composed
+  * (union+window) operator everywhere, including the edges: null keys,
+  * unmatched left rows, same-instant ties, and any input partitioning.
+  */
+class NativeAsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    // key, time, px
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:05:00"), 2.0),
+    ("B", ts("2024-01-01 10:03:00"), 30.0),
+    (null.asInstanceOf[String], ts("2024-01-01 10:01:00"), 99.0)
+  ).toDF("k", "t", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:05:00"), 1L), // tie with quote @10:05 → matches it
+    ("A", ts("2024-01-01 10:04:59"), 2L), // just before → 10:00 quote
+    ("B", ts("2024-01-01 10:00:00"), 3L), // before any B quote → null
+    ("C", ts("2024-01-01 12:00:00"), 4L), // key with no quotes → null
+    (null.asInstanceOf[String], ts("2024-01-01 12:00:00"), 5L) // null key → null
+  ).toDF("k", "t", "id")
+
+  test("native as-of matches hand-computed results on the edge cases") {
+    val out = NativeAsOfJoin.asof(trades, quotes, "k", "t", "t",
+        Map("px" -> "px", "t" -> "q_t"))
+      .select(col("id"), col("px"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(2.0), 2L -> Some(1.0), 3L -> None,
+      4L -> None, 5L -> None))
+  }
+
+  test("native as-of equals the composed union+window operator") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("px"), col("q_t")).collect()
+        .map(_.toString).sorted.toSeq
+    val composed = AsOfJoin.asof(trades, quotes, "k", "t", "t",
+      Map("px" -> "px", "t" -> "q_t"))
+    val native = NativeAsOfJoin.asof(trades, quotes, "k", "t", "t",
+      Map("px" -> "px", "t" -> "q_t"))
+    assert(canon(native) == canon(composed))
+    // and under adversarial input partitioning
+    val nativeRepart = NativeAsOfJoin.asof(
+      trades.repartition(7), quotes.repartition(3), "k", "t", "t",
+      Map("px" -> "px", "t" -> "q_t"))
+    assert(canon(nativeRepart) == canon(composed))
+  }
+
+  test("the plan is the custom exec: no window, no union") {
+    val df = NativeAsOfJoin.asof(trades, quotes, "k", "t", "t", Map("px" -> "px"))
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"window should not appear:\n$p")
+    assert(!p.contains("Union"), s"union should not appear:\n$p")
+  }
+
+  test("native as-of is exact on the events table at sf0.001") {
+    val e = Tables.load(spark, sf0001, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = e.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val native = NativeAsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+      Map("value" -> "err_value"))
+    val composed = AsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+      Map("value" -> "err_value"))
+    assert(canon(native) == canon(composed))
+  }
+}
