@@ -179,6 +179,21 @@ final class InMemoryConnector extends Connector {
   }
 }
 
+/** Synthetic-corpus connector over the DataSource V2 provider
+  * (`graft.sources.v2.SynthDocsProvider`):
+  * `synth://documents;rows=N;partitions=P;seed=S`.
+  */
+final class SynthConnector extends Connector {
+  val schemes = Seq("synth")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    val r = spark.read.format("graft-synth")
+    Seq("rows", "partitions", "seed")
+      .flatMap(k => url.option(k).map(k -> _))
+      .foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+      .load()
+  }
+}
+
 /** Scheme → connector routing with plugin registration, mirroring the
   * reference's `connector_registry` (`connectors/__init__.py:21-83`).
   */
@@ -198,7 +213,8 @@ object ConnectorRegistry {
       new RestConnector,
       new ElasticsearchConnector,
       new BigQueryConnector,
-      new InMemoryConnector)
+      new InMemoryConnector,
+      new SynthConnector)
     all.flatMap(c => c.schemes.map(_ -> c)).toMap
   }
 

@@ -1,0 +1,121 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 plugin connector (SURVEY §2.4 "plugin connectors", the
+  * Spark-idiomatic registry the reference's `connector_registry` maps to):
+  * a zero-I/O generator of synthetic `documents`-shaped rows.
+  *
+  *   spark.read.format("graft-synth")
+  *     .option("rows", 1000000).option("partitions", 64).option("seed", 7)
+  *     .load()
+  *
+  * Scale story: generation is SPLIT, not streamed — `planInputPartitions`
+  * hands each task a disjoint id range and every row derives from a
+  * splitmix64 hash of its id, so a 10-billion-row corpus generates fully
+  * parallel, deterministic, and identical regardless of partition count —
+  * the load generator for soak-testing pipeline operators without storage.
+  */
+object SynthDocs {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  private val vocab: Array[String] = Array(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "join",
+    "shard", "token", "vector", "stream", "state", "plan", "graph", "byte")
+  private val langs = Array("en", "de", "fr", "es", "zh")
+
+  private def mix(z0: Long): Long = { // splitmix64
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic row for an id: same output for any partitioning. */
+  def row(id: Long, seed: Long): InternalRow = {
+    val h = mix(id ^ mix(seed))
+    val nTokens = 30 + (Math.floorMod(h, 51L)).toInt // 30..80 tokens
+    val sb = new java.lang.StringBuilder(nTokens * 6)
+    var s = h
+    var i = 0
+    while (i < nTokens) {
+      s = mix(s)
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(Math.floorMod(s, vocab.length.toLong).toInt))
+      i += 1
+    }
+    val text = sb.toString
+    new GenericInternalRow(Array[Any](
+      id,
+      UTF8String.fromString(text),
+      UTF8String.fromString(langs(Math.floorMod(h >>> 8, langs.length.toLong).toInt)),
+      UTF8String.fromString("synth" + Math.floorMod(h >>> 16, 10L)),
+      text.length.toLong))
+  }
+}
+
+class SynthDocsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = new SynthTable
+}
+
+class SynthTable extends Table with SupportsRead {
+  override def name(): String = "synth_docs"
+  override def schema(): StructType = SynthDocs.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(
+      options.getLong("rows", 1000L),
+      options.getInt("partitions", 4),
+      options.getLong("seed", 42L))
+}
+
+class SynthScanBuilder(rows: Long, partitions: Int, seed: Long) extends ScanBuilder {
+  override def build(): Scan = new SynthScan(rows, partitions, seed)
+}
+
+case class SynthRange(start: Long, end: Long, seed: Long) extends InputPartition
+
+class SynthScan(rows: Long, partitions: Int, seed: Long) extends Scan with Batch {
+  override def readSchema(): StructType = SynthDocs.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per)
+      .map(s => SynthRange(s, math.min(s + per, rows), seed): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory
+}
+
+class SynthReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SynthRange(start, end, seed) = partition.asInstanceOf[SynthRange]
+    new PartitionReader[InternalRow] {
+      private var id = start - 1
+      override def next(): Boolean = { id += 1; id < end }
+      override def get(): InternalRow = SynthDocs.row(id, seed)
+      override def close(): Unit = ()
+    }
+  }
+}

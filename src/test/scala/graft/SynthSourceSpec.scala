@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.ConnectorRegistry
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 plugin connector: the generator must be deterministic,
+  * partition-invariant, and splittable (each task gets a disjoint range).
+  */
+class SynthSourceSpec extends SparkSpec {
+
+  test("graft-synth reads via format name with requested size and splits") {
+    val df = spark.read.format("graft-synth")
+      .option("rows", 1000).option("partitions", 8).load()
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(df.select(countDistinct(col("doc_id"))).collect()(0).getLong(0) == 1000)
+  }
+
+  test("generation is deterministic and independent of partition count") {
+    def digest(parts: Int): String =
+      spark.read.format("graft-synth")
+        .option("rows", 500).option("partitions", parts).option("seed", 7).load()
+        .agg(sum(crc32(concat_ws("|", col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))))
+        .collect()(0).get(0).toString
+    assert(digest(2) == digest(16))
+  }
+
+  test("different seeds give different corpora") {
+    def firstText(seed: Long): String =
+      spark.read.format("graft-synth")
+        .option("rows", 1).option("seed", seed).load()
+        .select("text").collect()(0).getString(0)
+    assert(firstText(1) != firstText(2))
+  }
+
+  test("synth:// engine-url routes through the registry") {
+    val df = ConnectorRegistry.read(spark, "synth://docs;rows=100;partitions=2;seed=9")
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 2)
+    // n_chars is consistent with the generated text
+    assert(df.filter(length(col("text")).cast("long") =!= col("n_chars")).count() == 0)
+  }
+
+  test("pipeline operators run unchanged over the synthetic corpus") {
+    val df = spark.read.format("graft-synth").option("rows", 2000).load()
+    val sampled = df.filter(
+      substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2) < "40")
+      .count()
+    assert(sampled > 300 && sampled < 700, s"~25% expected, got $sampled")
+  }
+}
