@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
+  test("q96 bloom pre-filter sits on the scan side, below the join") {
+    val p = plan(Pipeline.q96.run(spark, sf001))
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("UDF(") // the mightContain udf in plan strings
+    assert(joinAt >= 0 && filterAt >= 0, s"missing join or bloom filter:\n$p")
+    // plan trees print parents first: the bloom filter must be DEEPER
+    // (later in the string) than the join it feeds — i.e. applied at the
+    // scan before rows reach the join, not after it
+    assert(filterAt > joinAt,
+      s"bloom filter should be below the join (scan side):\n$p")
+  }
+
   test("q57 global-shuffle head takes top-k before the rank window") {
     // the single-partition window must only ever see the 100 survivors
     val p = plan(Pipeline.q57.run(spark, sf001))

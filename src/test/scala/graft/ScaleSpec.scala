@@ -72,4 +72,27 @@ class ScaleSpec extends SparkSpec {
     assert(searched < total, s"IVF searched everything ($searched/$total)")
     assert(r.getAs[Double]("recall_at_10_q0") >= 0.0)
   }
+
+  test("soak: sampling + digest dedup + token stats over 1M synthetic docs") {
+    // The synth DSv2 source generates 1M documents across 16 splits with
+    // no storage — curation ops must stream through without collecting
+    // or materializing documents on the driver.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("partitions", 16).load()
+    val sampled = docs.filter(
+      substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2) < "40")
+    val stats = sampled
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n_copies")).as("n_docs"),
+        max(col("n_copies")).as("max_copies"))
+      .collect().head
+    val nDocs = stats.getAs[Long]("n_docs")
+    assert(nDocs > 230000 && nDocs < 270000, s"~25% of 1M expected, got $nDocs")
+    // 30-80 tokens from a 25-word vocab: full-text collisions are possible
+    // but must be rare
+    assert(stats.getAs[Long]("n_distinct") > nDocs * 95 / 100)
+  }
 }
