@@ -266,6 +266,35 @@ object TextAnalysis {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  // -- q79: overlapping token chunks ----------------------------------------
+  //   Fixed-size token windows with stride < size (64-token chunks, stride
+  //   48 → 16-token overlap) — the chunker for retrieval corpora and
+  //   long-document pretraining. Pure map-side explode; each chunk carries
+  //   a digest so downstream chunk-level dedup needs no text.
+  val q79 = Query.sql(
+    "q79_chunk_overlap",
+    (s, dir) => {
+      val t = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")), lit(48)),
+            st => struct(
+              ((st - 1) / 48).cast("long").as("chunk_no"),
+              size(slice(col("t"), st, lit(64))).cast("long").as("n_tokens"),
+              md5(concat_ws(" ", slice(col("t"), st, lit(64)))).as("digest"))))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_no"), col("c.n_tokens"), col("c.digest"))
+        .orderBy("doc_id", "chunk_no")
+    },
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS s
+      |       FROM d)
+      |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_no,
+      |  CAST(len(t[s:s+63]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(t[s:s+63], ' ')) AS digest
+      |FROM st ORDER BY doc_id, chunk_no""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39, q75, q76)
+    Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39, q75, q76, q79)
 }
