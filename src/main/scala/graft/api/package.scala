@@ -73,5 +73,63 @@ package object api {
         .orderBy(desc("cos_sim"))
         .limit(k)
     }
+
+    /** As-of join planned through the custom physical operator
+      * (`plans.NativeAsOfJoin`): same contract as [[asofJoin]], one
+      * buffered row of state per partition instead of a window sweep.
+      */
+    def asofJoinNative(right: DataFrame, key: String, leftTime: String,
+        rightTime: String, payload: Map[String, String]): DataFrame =
+      graft.plans.NativeAsOfJoin.asof(df, right, key, leftTime, rightTime, payload)
+
+    /** Deterministic hash sample keeping ~`pct`% of rows: RNG-free,
+      * partition-invariant, reproducible across runs and cluster sizes
+      * (salted md5 bucket of the key, cf. q48).
+      */
+    def hashSample(keyCol: String, pct: Int, salt: String = "s42"): DataFrame = {
+      val bucket = pmod(
+        conv(substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 6), 16, 10)
+          .cast("long"), lit(100L))
+      df.filter(bucket < pct)
+    }
+
+    /** Add a deterministic shard id in [0, shards) for balanced output
+      * fan-out (`write.partitionBy("shard")` / `repartition($"shard")`).
+      */
+    def shardBy(keyCol: String, shards: Int, outCol: String = "shard"): DataFrame =
+      df.withColumn(outCol, pmod(
+        conv(substring(md5(concat(lit("s42:"), col(keyCol).cast("string"))), 1, 6), 16, 10)
+          .cast("long"), lit(shards.toLong)))
+
+    /** Deterministic global shuffle for training-data export: total order
+      * by a salted hash of the key, realized as range partitioning + a
+      * per-partition sort — sorted, disjoint output shards and NO
+      * single-partition stage (cf. q57's scale note).
+      */
+    def globalShuffle(keyCol: String, partitions: Int): DataFrame = {
+      val keyed = df.withColumn("__shuffle_key",
+        md5(concat(lit("shuf:"), col(keyCol).cast("string"))))
+      keyed.repartitionByRange(partitions, col("__shuffle_key"))
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    }
+
+    /** Explode `textCol` into overlapping token chunks (cf. q79): one row
+      * per chunk with `chunk_no`, `chunk_text`, `n_tokens`.
+      */
+    def chunkTokens(textCol: String, size: Int = 64, stride: Int = 48): DataFrame = {
+      require(stride > 0 && size >= stride, "need 0 < stride <= size")
+      val t = split(col(textCol), " ")
+      df.withColumn("__c", explode(transform(
+          sequence(lit(1), org.apache.spark.sql.functions.size(t), lit(stride)),
+          st => struct(
+            ((st - 1) / stride).cast("long").as("chunk_no"),
+            concat_ws(" ", slice(t, st, lit(size))).as("chunk_text")))))
+        .withColumn("chunk_no", col("__c.chunk_no"))
+        .withColumn("chunk_text", col("__c.chunk_text"))
+        .withColumn("n_tokens",
+          org.apache.spark.sql.functions.size(split(col("chunk_text"), " ")).cast("long"))
+        .drop("__c")
+    }
   }
 }

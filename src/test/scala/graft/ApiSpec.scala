@@ -65,4 +65,49 @@ class ApiSpec extends SparkSpec {
     val r = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "w")
     assert(l.saltedJoin(r, "k").count() == l.join(r, Seq("k")).count())
   }
+
+  test("asofJoinNative extension matches the composed asofJoin") {
+    val docs = Tables.load(spark, sf0001, "events")
+    val l = docs.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val r = docs.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      canon(l.asofJoinNative(r, "user_id", "ts", "ts", Map("value" -> "v"))) ==
+      canon(l.asofJoin(r, "user_id", "ts", "ts", Map("value" -> "v"))))
+  }
+
+  test("hashSample keeps a stable fraction; shardBy partitions completely") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val s1 = docs.hashSample("doc_id", 25)
+    assert(s1.count() > 75 && s1.count() < 175) // ~125 of 500
+    assert(s1.count() == docs.hashSample("doc_id", 25).count())
+    val sharded = docs.shardBy("doc_id", 8)
+    assert(sharded.groupBy("shard").count().count() <= 8)
+    assert(sharded.count() == docs.count())
+  }
+
+  test("globalShuffle yields sorted disjoint range partitions") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val shuffled = docs.globalShuffle("doc_id", 4)
+    // deterministic: same order every run
+    val a = shuffled.select("doc_id").as[Long].collect().toSeq
+    val b = docs.globalShuffle("doc_id", 4).select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.sorted != a, "shuffle should not be identity order")
+    assert(a.toSet.size == docs.count())
+  }
+
+  test("chunkTokens covers every token with the configured overlap") {
+    import spark.implicits._
+    val one = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = one.chunkTokens("text", size = 64, stride = 48)
+      .select("chunk_no", "n_tokens").as[(Long, Long)].collect().toMap
+    // starts at 1, 49, 97 → sizes 64, 52, 4
+    assert(chunks == Map(0L -> 64L, 1L -> 52L, 2L -> 4L))
+  }
 }
