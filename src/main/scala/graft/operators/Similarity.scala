@@ -99,38 +99,78 @@ object Similarity {
        |  MAX(sqrt(${dotSql("embedding", "embedding")})) AS max_norm
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
 
-  // -- q53: random-hyperplane LSH bucketing + recall check (rows-only) ------
+  // -- q53: random-hyperplane LSH bucketing + recall check (oracle-exact) ---
   //   Bucket id = 8 sign bits of dots with deterministic pseudo-random
-  //   hyperplanes (components ±1 from xxhash64 of (plane, dim)). The stats
-  //   row reports bucket-shape and the recall of bucket-restricted search
-  //   vs the brute-force top-10 for query vec 0.
-  val q53 = Query.rowsOnly(
-    "q53_ann_lsh",
-    (s, dir) => {
-      val planes = 8
-      val bucketExpr =
-        s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
-           |  IF(aggregate(zip_with(embedding, sequence(0, 63),
-           |        (x, i) -> CAST(x AS DOUBLE) *
-           |          IF(xxhash64(p * 64 + i) % 2 = 0, 1.0D, -1.0D)),
-           |      CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) > 0,
-           |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
-      val bucketed = emb(s, dir).select(col("vec_id"), col("embedding"),
-        expr(bucketExpr).as("bucket"))
-      bucketed.cache()
-      val q0Bucket = bucketed.filter(col("vec_id") === 0).select("bucket")
-      val candidates = bucketed.join(broadcast(q0Bucket), "bucket")
-        .filter(col("vec_id") =!= 0)
-      val brute = q50.run(s, dir).select("vec_id")
-      val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
-      val stats = bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
-          (sum(col("sz")).cast("double") / count(lit(1))).as("avg_bucket"))
-      val out = stats.withColumn("recall_at_10_q0", lit(recall))
-      out.collect() // materialize while the bucket cache is warm
-      bucketed.unpersist()
-      out
-    })
+  //   hyperplanes. Components are ±1 derived by PURE INTEGER ARITHMETIC
+  //   from the (plane, dim) index — a Knuth multiplicative mix, no hash
+  //   call at all — so the same expression runs in DuckDB and the whole
+  //   pipeline (bucketing, candidate probe, recall vs brute-force top-10)
+  //   is verified hash-exact. The stats row reports bucket shape and the
+  //   recall of bucket-restricted search for query vec 0.
+  val q53 = {
+    val planes = 8
+    Query.sql(
+      "q53_ann_lsh",
+      (s, dir) => {
+        // sign(p,i) = ±1 from bit 7 of (p·64+i)·2654435761 (products < 2^53:
+        // exact in int64 and in DuckDB's BIGINT arithmetic)
+        val bucketExpr =
+          s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
+             |  IF(aggregate(zip_with(embedding, sequence(0, 63),
+             |        (x, i) -> CAST(x AS DOUBLE) *
+             |          IF(shiftright((p * 64 + i) * CAST(2654435761 AS BIGINT), 7) % 2 = 0,
+             |             1.0D, -1.0D)),
+             |      CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) > 0,
+             |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+        val bucketed = emb(s, dir).select(col("vec_id"), col("embedding"),
+          expr(bucketExpr).as("bucket"))
+        bucketed.cache()
+        val q0Bucket = bucketed.filter(col("vec_id") === 0).select("bucket")
+        val candidates = bucketed.join(broadcast(q0Bucket), "bucket")
+          .filter(col("vec_id") =!= 0)
+        val brute = q50.run(s, dir).select("vec_id")
+        val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
+        val stats = bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+            (sum(col("sz")).cast("double") / count(lit(1))).as("avg_bucket"))
+        val out = stats.withColumn("recall_at_10_q0", lit(recall))
+        out.collect() // materialize while the bucket cache is warm
+        bucketed.unpersist()
+        out
+      },
+      s"""WITH planes AS (SELECT unnest(generate_series(0, ${planes - 1})) AS p),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    list_sum(list_transform(list_zip(e.embedding, generate_series(0, 63)),
+         |      s -> CAST(s[1] AS DOUBLE) *
+         |        (CASE WHEN ((pl.p * 64 + s[2]) * 2654435761 >> 7) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END))) AS dot
+         |  FROM embeddings e, planes pl),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         |      AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |q0 AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT b.vec_id FROM buckets b, q0
+         |  WHERE b.bucket = q0.bucket AND b.vec_id <> 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_sim
+         |    FROM embeddings e,
+         |      (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |    WHERE e.vec_id <> 0
+         |    ORDER BY cos_sim DESC, e.vec_id LIMIT 10)),
+         |hit AS (SELECT COUNT(*) AS h FROM cand JOIN brute USING (vec_id)),
+         |shape AS (
+         |  SELECT COUNT(*) AS n_buckets, MAX(sz) AS max_bucket,
+         |    CAST(SUM(sz) AS DOUBLE) / COUNT(*) AS avg_bucket
+         |  FROM (SELECT bucket, COUNT(*) AS sz FROM buckets GROUP BY bucket))
+         |SELECT n_buckets, max_bucket, avg_bucket,
+         |  CAST(h AS DOUBLE) / 10.0 AS recall_at_10_q0
+         |FROM shape, hit""".stripMargin)
+  }
 
   // -- q54: same search as q50 but through the NATIVE codegen'd
   //   cosine_similarity Expression (graft.functions.CosineSimilarity) and
@@ -155,55 +195,97 @@ object Similarity {
        |FROM embeddings, q WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
 
-  // -- q55: IVF-style ANN (rows-only) ---------------------------------------
+  // -- q55: IVF-style ANN (oracle-exact) ------------------------------------
   //   Inverted-file variant: vectors are assigned to their nearest of
   //   nCells seed centroids (deterministic seeds = first nCells vectors; a
   //   production build would k-means them, the partition/probe mechanics
   //   are identical). A query probes only the nProbe nearest cells, so the
   //   scan is corpus/nCells*nProbe instead of the full corpus. The stats
   //   row carries cell-shape and measured recall@10 vs the brute-force
-  //   result for query vec 0.
-  val q55 = Query.rowsOnly(
-    "q55_ann_ivf",
-    (s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val nCells = 16
-      val nProbe = 4
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-      // assign: argmax cosine over cells (small broadcast, one pass)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          expr("cosine_similarity(embedding, cv)").as("sim"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("sim"), col("cell"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-        .cache()
-      val probeCells = assigned.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-        .crossJoin(broadcast(cents))
-        .select(col("cell"), expr("cosine_similarity(qv, cv)").as("sim"))
-        .orderBy(desc("sim")).limit(nProbe)
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val candidates = assigned
-        .join(broadcast(probeCells.select("cell")), "cell")
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("sim"))
-        .orderBy(desc("sim"), asc("vec_id")).limit(10)
-      val brute = q50.run(s, dir).select("vec_id")
-      val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
-      val searched = assigned.join(broadcast(probeCells.select("cell")), "cell").count()
-      val total = assigned.count()
-      assigned.unpersist()
-      val out = s.range(1).select(
-        lit(nCells).as("n_cells"), lit(nProbe).as("n_probe"),
-        lit(searched).as("vectors_searched"), lit(total).as("corpus_size"),
-        lit(recall).as("recall_at_10_q0"))
-      out
-    })
+  //   result for query vec 0 — all reproduced in the DuckDB oracle (the
+  //   native cosine Expression folds bit-identically to list_sum).
+  val q55 = {
+    val nCells = 16
+    val nProbe = 4
+    Query.sql(
+      "q55_ann_ivf",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        // assign: argmax cosine over cells (small broadcast, one pass);
+        // lexicographic struct max = deterministic on (impossible) sim ties
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            expr("cosine_similarity(embedding, cv)").as("sim"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim"), col("cell"))).as("best"),
+            first(col("embedding")).as("embedding"))
+          .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+          .cache()
+        val probeCells = assigned.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("cell"), expr("cosine_similarity(qv, cv)").as("sim"))
+          .orderBy(desc("sim"), desc("cell")).limit(nProbe)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val candidates = assigned
+          .join(broadcast(probeCells.select("cell")), "cell")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+        val brute = q50.run(s, dir).select("vec_id")
+        val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
+        val searched = assigned.join(broadcast(probeCells.select("cell")), "cell").count()
+        val total = assigned.count()
+        assigned.unpersist()
+        s.range(1).select(
+          lit(nCells).as("n_cells"), lit(nProbe).as("n_probe"),
+          lit(searched).as("vectors_searched"), lit(total).as("corpus_size"),
+          lit(recall).as("recall_at_10_q0"))
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         |  WHERE vec_id < $nCells),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    ${cosSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cell DESC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |probe AS (
+         |  SELECT cell FROM sims WHERE vec_id = 0
+         |  ORDER BY sim DESC, cell DESC LIMIT $nProbe),
+         |cand AS (
+         |  SELECT a.vec_id,
+         |    ${cosSql("a.embedding", "q.qv")} AS sim
+         |  FROM assigned a JOIN probe USING (cell),
+         |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY sim DESC, a.vec_id LIMIT 10),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_sim
+         |    FROM embeddings e,
+         |      (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |    WHERE e.vec_id <> 0
+         |    ORDER BY cos_sim DESC, e.vec_id LIMIT 10)),
+         |hit AS (SELECT COUNT(*) AS h FROM cand JOIN brute USING (vec_id)),
+         |sr AS (SELECT COUNT(*) AS searched
+         |       FROM assigned JOIN probe USING (cell)),
+         |tot AS (SELECT COUNT(*) AS total FROM assigned)
+         |SELECT CAST($nCells AS INTEGER) AS n_cells,
+         |  CAST($nProbe AS INTEGER) AS n_probe,
+         |  searched AS vectors_searched, total AS corpus_size,
+         |  CAST(h AS DOUBLE) / 10.0 AS recall_at_10_q0
+         |FROM sr, tot, hit""".stripMargin)
+  }
 
   // -- q56: batched KNN — top-5 neighbors for EACH of the first 20 query
   //   vectors in one plan (broadcast the query block, window-rank per
