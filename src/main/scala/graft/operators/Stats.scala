@@ -71,9 +71,15 @@ object Stats {
       |  MIN(l_quantity) AS p0, MAX(l_quantity) AS p100
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
-  // -- q29: HLL approximate distinct vs exact (rows-only: sketch estimates
-  //   are implementation-specific) ------------------------------------------
-  val q29 = Query.rowsOnly(
+  // -- q29: HLL approximate distinct vs exact -------------------------------
+  //   The HLL estimate itself is implementation-specific (Spark's sketch
+  //   ≠ DuckDB's), so the raw estimates cannot be oracle columns. What CAN
+  //   be verified cross-engine is the exact counts plus the accuracy
+  //   CONTRACT: the estimate must sit within the configured relative error
+  //   (0.02 rsd → asserted at 5%). The oracle states the property as
+  //   literals; if Spark's estimate ever drifted, the booleans flip and
+  //   the hash compare fails.
+  val q29 = Query.sql(
     "q29_approx_distinct",
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -81,7 +87,17 @@ object Stats {
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .select(
+          col("exact_parts"), col("exact_orders"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= col("exact_parts").cast("double") * 0.05).as("parts_within_5pct"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double")
+            <= col("exact_orders").cast("double") * 0.05).as("orders_within_5pct")),
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      |FROM lineitem""".stripMargin)
 
   val all: Seq[Query] = Seq(q27, q28, q29)
 }
