@@ -3,22 +3,30 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the cluster
-  * step of a dedup pipeline: near-dup PAIRS (from LSH/Jaccard/cosine
-  * candidates) become CLUSTERS, and each cluster keeps one representative.
+/** Connected components — the cluster step of a dedup pipeline: near-dup
+  * PAIRS (from LSH/Jaccard/cosine candidates) become CLUSTERS, and each
+  * cluster keeps one representative.
   *
-  * Each iteration joins current labels across edges and takes the min
-  * neighbor label; convergence when no label changes. Iterations are
-  * O(graph diameter); near-dup graphs are overwhelmingly tiny cliques, so
-  * 2-4 rounds in practice. Each round is one shuffle on the node id —
-  * the standard large-graph CC formulation (no driver-side graph).
+  * ADAPTIVE, like AQE: the edge count (one cheap action) picks the
+  * algorithm.
+  *
+  *   - Small edge sets (the overwhelmingly common near-dup case — most
+  *     documents have no duplicate, so candidate edges ≪ corpus) run
+  *     single-task union-find over the EDGES ONLY, then broadcast-join
+  *     the labels back onto the node set; untouched nodes are trivially
+  *     their own component. One narrow pass instead of ~10 shuffle
+  *     rounds; the node set itself never funnels through one task, so
+  *     this holds at 100 TB as long as the *edges* are bounded.
+  *   - Large edge sets run iterative min-label propagation: each hop
+  *     joins labels across edges and takes the min neighbor label,
+  *     O(diameter) hops, one shuffle per hop — the standard large-graph
+  *     formulation (no driver-side graph).
   *
   * Measured (sf0.1, local[32]): pointer jumping (an extra L(L(id)) join
-  * per round for O(log diameter) convergence) is ~60% SLOWER here — the
-  * label self-join concentrates on hot component ids and the skewed
-  * shuffle costs more than the rounds it saves. Multi-hop propagation
-  * per checkpoint round wins at this scale; revisit jumping only for
-  * graphs with diameters in the hundreds.
+  * per round for O(log diameter) convergence) is ~60% SLOWER than
+  * multi-hop propagation here — the label self-join concentrates on hot
+  * component ids and the skewed shuffle costs more than the rounds it
+  * saves. hopsPerRound=3 measured best (2 and 5 both worse).
   */
 object ConnectedComponents {
 
@@ -27,7 +35,55 @@ object ConnectedComponents {
     * @return (id, component) where component = min node id reachable
     */
   def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20,
-      hopsPerRound: Int = 3): DataFrame = {
+      hopsPerRound: Int = 3, unionFindMaxEdges: Long = 2000000L): DataFrame = {
+    val edgeCount = edges.count()
+    if (edgeCount <= unionFindMaxEdges) runUnionFind(nodes, edges)
+    else runIterative(nodes, edges, maxRounds, hopsPerRound)
+  }
+
+  /** Small-graph fast path: union-find over the edges in one task (still
+    * executor-side), labels broadcast back onto the full node set.
+    */
+  private def runUnionFind(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labeled = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // union-find with path compression; the smaller root always wins,
+        // so find() yields the MIN reachable id — the same fixpoint the
+        // iterative path and the recursive-CTE oracle compute.
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { x = p; p = parent.getOrElse(x, x) }
+          var y = x0 // path compression
+          while (y != x) { val n = parent(y); parent(y) = x; y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(a, find(a))
+          parent.getOrElseUpdate(b, find(b))
+        }
+        // snapshot keys first: find() path-compresses (mutates) the map
+        val ks = parent.keys.toArray
+        ks.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "component")
+    nodes.select(col("id"))
+      .join(broadcast(labeled), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Large-graph path: iterative min-label propagation. */
+  private def runIterative(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int, hopsPerRound: Int): DataFrame = {
     // localCheckpoint (not cache): each round must TRUNCATE lineage, or
     // the logical plan doubles every round and the driver OOMs just
     // printing it after ~15 rounds — the standard iterative-algorithm

@@ -97,6 +97,22 @@ class EdgeSpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("union-find and iterative CC paths compute the same components") {
+    import spark.implicits._
+    // random-ish graph with chains, a cycle, and isolated nodes
+    val nodes = (1L to 60L).toDF("id")
+    val edges = ((1L to 29L).map(i => (i, i + 1)) ++ // long chain 1..30
+      Seq((40L, 41L), (41L, 42L), (42L, 40L), (50L, 51L))).toDF("a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUf = canon(operators.ConnectedComponents.run(nodes, edges))
+    val viaIter = canon(operators.ConnectedComponents.run(nodes, edges,
+      unionFindMaxEdges = 0L)) // force the iterative path
+    assert(viaUf == viaIter)
+    assert(viaUf(30L) == 1L && viaUf(42L) == 40L && viaUf(51L) == 50L
+      && viaUf(35L) == 35L)
+  }
+
   test("empty events stream through sessionization") {
     val empty = Tables.load(spark, sf0001, "events").filter(lit(false))
     val sessions = empty
