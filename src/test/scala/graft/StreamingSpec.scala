@@ -200,6 +200,50 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == spark.read.parquet(dir).count())
   }
 
+  test("windowed aggregation runs on the RocksDB state store") {
+    // The production state backend at scale: the default in-memory
+    // provider holds every window key on-heap, which caps state at
+    // executor memory; RocksDB spills to local disk. Same query, same
+    // results — only the provider config changes.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = Streams.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type").withColumn("value", lit(1.0)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+    // the provider is a session conf read at query start (then pinned in
+    // the checkpoint) — writer options do NOT set SQL confs
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = counts.writeStream.format("memory").queryName("rocks_test")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 10:10:00"), "a"), (ts("2024-01-01 10:20:00"), "a"),
+        (ts("2024-01-01 11:10:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("rocks_test")
+        .select(col("event_type"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L))
+      // prove the provider actually engaged: rocksdb custom metrics are
+      // only reported by the RocksDB state store
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got ${metrics.mkString(", ")}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("deterministic hash sampling selects identical rows on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
