@@ -104,6 +104,79 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("NativeAsOfJoin equals the naive latest-at-or-before lookup") {
+    import spark.implicits._
+    val gen = for {
+      lefts <- Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L)))
+      rights <- Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 500L)))
+    } yield (lefts, rights)
+    val (lefts, rights) = gen.sample.get
+    val left = lefts.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+    // distinct (k, t) pairs on the right so the latest match is unique
+    // (equal-time duplicates are tie-broken arbitrarily by ALL asof
+    // implementations, including DuckDB's)
+    val rightSeq = rights.distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong * 7) }
+    val right = rightSeq.toDF("k", "t", "payload")
+
+    val got = graft.plans.NativeAsOfJoin
+      .asof(left, right, "k", "t", "t", Map("payload" -> "p"))
+      .select("lid", "p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    lefts.zipWithIndex.foreach { case ((k, t), i) =>
+      val expected = rightSeq.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(i.toLong) == expected, s"left $i key=$k t=$t")
+    }
+  }
+
+  test("connected components equals brute-force transitive closure") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 40)
+      edges <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n.toLong, edges.filter { case (a, b) => a != b })
+    (1 to 5).foreach { _ =>
+      val (n, edges) = gen.sample.get
+      val nodes = (0L until n).toDF("id")
+      val got = graft.operators.ConnectedComponents
+        .run(nodes, edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: grow reachability sets to fixpoint
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(start: Long): Long = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      (0L until n).foreach { id =>
+        assert(got(id) == component(id), s"node $id of $n, edges=$edges")
+      }
+    }
+  }
+
+  test("chunkTokens tiles every token: sizes sum to n + overlap-counted") {
+    import graft.api._
+    import spark.implicits._
+    check(Prop.forAll(Gen.chooseNum(1, 300), Gen.chooseNum(1, 64)) { (n, stride) =>
+      val size = stride + 16 // overlap 16
+      val df = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+      val chunks = df.chunkTokens("text", size, stride)
+        .select("chunk_no", "n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+      val starts = (1 to n by stride).toSeq
+      chunks.length == starts.length &&
+        chunks.zip(starts).forall { case ((_, got), st) =>
+          got == math.min(size, n - st + 1)
+        }
+    })
+  }
+
   test("filter partition law: p and !p split every non-null row") {
     val df = Tables.load(spark, sf0001, "orders")
     val preds = Seq(
