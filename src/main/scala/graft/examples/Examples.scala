@@ -112,3 +112,66 @@ class LangSummary(inUrl: String, outUrl: String) extends Model {
   override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
     Checks.noNulls(io.readBack("summary"), Seq("lang", "n_docs"))
 }
+
+/** Hottest/coldest measurement extrema (reference
+  * `examples/noaa_climatology.py`: headerless CSV with field names forced
+  * from a data dictionary, keep only TMAX/TMIN elements, count the
+  * readings in `stats`, track the running hottest and coldest rows). The
+  * Python version carries two mutable extrema through a row loop; here
+  * each extreme is a lexicographic struct-min/max (value, then station id
+  * as the deterministic tie-break) and the reading count is an
+  * accumulator-backed stat, exactly like the reference's
+  * `self.stats["temperature_readings"]`.
+  */
+class NoaaClimatology(inUrl: String, outUrl: String) extends Model {
+  override def name = "NoaaClimatology"
+  val connects = Map(
+    "measurements" -> Connect(inUrl, AccessMode.Read),
+    "extremes" -> Connect(outUrl, AccessMode.ReadWrite))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    val temps = io.read("measurements")
+      .filter(col("ELEMENT").isin("TMAX", "TMIN"))
+      .withColumn("VALUE", col("VALUE").cast("double"))
+    stat(s, "temperature_readings").add(temps.count())
+    val ex = temps.agg(
+      max(struct(col("VALUE"), col("ID"), col("DATE"))).as("hot"),
+      min(struct(col("VALUE"), col("ID"), col("DATE"))).as("cold"))
+    io.write("extremes", ex.selectExpr(
+      "stack(2, 'hottest', hot.VALUE, hot.ID, hot.DATE," +
+        "        'coldest', cold.VALUE, cold.ID, cold.DATE)" +
+        " AS (extreme, value, station, date)"))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.rowCountBetween(io.readBack("extremes"), 2, 2)
+}
+
+/** Manifest-driven 1→N file mapping (reference
+  * `examples/manifest_mapper.py`: a JSON manifest lists input files; for
+  * each, emit a corresponding output holding only the Australian
+  * animals). The FileMapper becomes `Manifest.Mapper` work units with
+  * `{item}` templates resolved against the run context; each unit is a
+  * declarative read→filter→write.
+  */
+class AustralianAnimals(manifestUrl: String, itemsKey: String,
+    inputTemplate: String, outputTemplate: String) extends Model {
+  override def name = "AustralianAnimals"
+  val connects = Map(
+    "manifest" -> Connect(manifestUrl, AccessMode.Read))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    val manifestPath = graft.core.EngineUrl.parse(io.resolvedUrl("manifest")).path
+    val mapper = Manifest.Mapper(
+      Manifest.items(manifestPath, itemsKey), inputTemplate, outputTemplate)
+    mapper.workUnits(io.context).foreach { case (in, out) =>
+      val animals = graft.sources.ConnectorRegistry.read(s, in)
+        .select(explode(col("animals")).as("a"))
+        .select(col("a.name").as("name"), col("a.where").as("where"),
+          col("a.scientific_classification_class").as("cls"))
+        .filter(col("where") === "Australia")
+      graft.sources.ConnectorRegistry.write(animals, out)
+      stat(s, "files_written").add(1L)
+    }
+  }
+}

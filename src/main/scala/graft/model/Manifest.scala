@@ -16,12 +16,18 @@ object Manifest {
     * EngineFromManifest. Driver-side on purpose: manifests are tiny and
     * parameterize plan construction, they are not data.
     */
-  def engineUrls(manifestPath: String): Seq[String] = {
+  def engineUrls(manifestPath: String): Seq[String] =
+    items(manifestPath, "engine_urls")
+
+  /** A named string-array entry from a JSON manifest (e.g. the reference's
+    * `animals_manifest.json` keyed by "animal_files").
+    */
+  def items(manifestPath: String, key: String): Seq[String] = {
     val text = new String(Files.readAllBytes(Paths.get(manifestPath)), "UTF-8")
-    // minimal extraction: "engine_urls": ["a", "b", ...]
-    val m = "\"engine_urls\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(text)
       .getOrElse(throw new IllegalArgumentException(
-        s"no engine_urls array in $manifestPath"))
+        s"no $key array in $manifestPath"))
     "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
   }
 

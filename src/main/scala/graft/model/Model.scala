@@ -86,6 +86,11 @@ abstract class Model {
 /** Resolved dataset access for one model run. */
 final class ModelIo(spark: SparkSession, model: Model, ctx: RunContext) {
 
+  /** The run context this model was invoked with (for manifest mappers
+    * and other template-driven work-unit expansion inside build()).
+    */
+  def context: RunContext = ctx
+
   private def bound(datasetName: String): (EngineUrl, Connect) = {
     val c = model.connects.getOrElse(datasetName,
       throw new IllegalArgumentException(

@@ -71,4 +71,56 @@ class ExamplesSpec extends SparkSpec {
     assert(g.provenance().map(_._1) == Seq("CleanDocuments"))
     assert(g.mermaid().contains("CleanDocuments -->"))
   }
+
+  test("NoaaClimatology finds hottest and coldest measurements") {
+    val dir = tmp()
+    // headerless CSV, field names forced from the data dictionary — the
+    // reference fixture shape (station, date, element, value, flags)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/1763.csv"),
+      """ITE00100554,17630101,TMAX,-36,,,E,
+        |ITE00100554,17630101,TMIN,-50,,,E,
+        |ITE00100554,17630102,TMAX,-26,,,E,
+        |ITE00100554,17630102,PRCP,3,,,E,
+        |ITE00100554,17630103,TMIN,-106,,,E,""".stripMargin)
+    val schema = "ID STRING, DATE STRING, ELEMENT STRING, VALUE STRING," +
+      " MFLAG STRING, QFLAG STRING, SFLAG STRING, OBSTIME STRING"
+    val m = new NoaaClimatology(
+      s"csv://$dir/1763.csv;header=false;schema=$schema",
+      s"ndjson://$dir/extremes")
+    assert(m.go(spark))
+    assert(m.stats("temperature_readings").value == 4) // PRCP excluded
+    val out = spark.read.json(s"$dir/extremes").collect()
+      .map(r => r.getAs[String]("extreme") ->
+        (r.getAs[Double]("value"), r.getAs[String]("date"))).toMap
+    assert(out("hottest") == (-26.0, "17630102"))
+    assert(out("coldest") == (-106.0, "17630103"))
+  }
+
+  test("AustralianAnimals maps manifest items to filtered outputs") {
+    val dir = tmp()
+    val outDir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/animals_manifest.json"),
+      """{"animal_files": ["aquatic_animals.json", "poisonous_animals.json"]}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/aquatic_animals.json"),
+      """{"animals": [
+        |{"name": "Snapping turtle", "where": "United States of America", "scientific_classification_class": "Reptilia"},
+        |{"name": "Giant cuttlefish", "where": "Australia", "scientific_classification_class": "Cephalopoda"}]}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/poisonous_animals.json"),
+      """{"animals": [
+        |{"name": "Blue ringed octopus", "where": "Australia", "scientific_classification_class": "Cephalopoda"},
+        |{"name": "Adder", "where": "United Kingdom", "scientific_classification_class": "Reptilia"}]}""".stripMargin)
+    val m = new AustralianAnimals(
+      "json://{input_path}/animals_manifest.json", "animal_files",
+      "json://{input_path}/{item}", "ndjson://{output_path}/australian_{item}")
+    val ctx = RunContext().withVars("input_path" -> dir, "output_path" -> outDir)
+    assert(m.go(spark, ctx))
+    assert(m.stats("files_written").value == 2)
+    val aquatic = spark.read.json(s"$outDir/australian_aquatic_animals.json")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(aquatic == Seq("Giant cuttlefish"))
+    val poisonous = spark.read.json(s"$outDir/australian_poisonous_animals.json")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(poisonous == Seq("Blue ringed octopus"))
+  }
+
 }
