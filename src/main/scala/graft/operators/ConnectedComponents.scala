@@ -36,26 +36,40 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20,
       hopsPerRound: Int = 3, unionFindMaxEdges: Long = 2000000L): DataFrame = {
-    val edgeCount = edges.count()
-    if (edgeCount <= unionFindMaxEdges) runUnionFind(nodes, edges)
-    else runIterative(nodes, edges, maxRounds, hopsPerRound)
+    // In dedup pipelines the edge set is a non-trivial self-join
+    // (LSH/shingle candidate generation) — checkpoint it ONCE so the
+    // adaptive count probe and the chosen algorithm don't each
+    // re-evaluate that plan. The blocks are freed when the checkpointed
+    // RDD is garbage-collected with the returned plan.
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val edgeCount = e.count()
+    if (edgeCount <= unionFindMaxEdges) runUnionFind(nodes, e)
+    else runIterative(nodes, e, maxRounds, hopsPerRound)
   }
 
   /** Small-graph fast path: union-find over the edges in one task (still
     * executor-side), labels broadcast back onto the full node set.
+    * Generic over the node id type: ids are kept as their external JVM
+    * values (Long, String, …), which for every Spark scalar type
+    * implement Comparable — the same ordering min() uses on the
+    * iterative path, so both paths compute the same fixpoint.
     */
   private def runUnionFind(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    val labeled = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)]
+    val idType = nodes.schema("id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    val labeled = edges
+      .select(col("a").cast(idType).as("a"), col("b").cast(idType).as("b"))
       .repartition(1)
       .mapPartitions { it =>
         // union-find with path compression; the smaller root always wins,
         // so find() yields the MIN reachable id — the same fixpoint the
         // iterative path and the recursive-CTE oracle compute.
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x0: Long): Long = {
+        def less(x: Any, y: Any): Boolean =
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x0: Any): Any = {
           var x = x0
           var p = parent.getOrElse(x, x)
           while (p != x) { x = p; p = parent.getOrElse(x, x) }
@@ -63,19 +77,21 @@ object ConnectedComponents {
           while (y != x) { val n = parent(y); parent(y) = x; y = n }
           x
         }
-        it.foreach { case (a, b) =>
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        it.foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          if (a != null && b != null) {
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb
+            }
+            parent.getOrElseUpdate(a, find(a))
+            parent.getOrElseUpdate(b, find(b))
           }
-          parent.getOrElseUpdate(a, find(a))
-          parent.getOrElseUpdate(b, find(b))
         }
         // snapshot keys first: find() path-compresses (mutates) the map
         val ks = parent.keys.toArray
-        ks.iterator.map(id => (id, find(id)))
-      }
-      .toDF("id", "component")
+        ks.iterator.map(id => org.apache.spark.sql.Row(id, find(id)))
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     nodes.select(col("id"))
       .join(broadcast(labeled), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
@@ -95,10 +111,16 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
-    // labels only ever decrease: the sum is a cheap convergence witness
+    // labels only ever decrease, so convergence = "no label changed this
+    // round". For numeric ids the component sum is a one-number witness
+    // (strictly decreases until the fixpoint); for other id types (both
+    // paths are generic) compare the checkpointed rounds exactly —
+    // ANY change short-circuits via limit(1).
+    val numericIds = nodes.schema("id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
+      df.agg(sum(col("component").cast("long"))).collect()(0).getLong(0)
+    var prevSum = if (numericIds) labelSum(labels) else 0L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -112,10 +134,18 @@ object ConnectedComponents {
           .groupBy("id")
           .agg(min(col("component")).as("component"))
       }
-      labels = hopped.localCheckpoint(true)
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
+      val next = hopped.localCheckpoint(true)
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+      } else {
+        converged = next.alias("n")
+          .join(labels.alias("o"), col("n.id") === col("o.id"))
+          .filter(col("n.component") =!= col("o.component"))
+          .limit(1).count() == 0
+      }
+      labels = next
       round += 1
     }
     labels

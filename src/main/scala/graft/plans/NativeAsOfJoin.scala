@@ -112,8 +112,12 @@ object NativeAsOfJoin {
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
             val k = rk.eval(r)
-            if (k != null) { // null keys never match anything — drop early
-              rHead = r; rHeadKey = k; rHeadTime = rt.eval(r)
+            // null keys/times never match anything — drop early (same
+            // semantics as DuckDB ASOF and the composed operator, whose
+            // >= comparison is null-rejecting)
+            if (k != null) {
+              val tv = rt.eval(r)
+              if (tv != null) { rHead = r; rHeadKey = k; rHeadTime = tv }
             }
           }
         }
@@ -126,7 +130,10 @@ object NativeAsOfJoin {
         lIter.map { lRow =>
           val k = lk.eval(lRow)
           val t = lt.eval(lRow)
-          if (k == null) {
+          if (k == null || t == null) {
+            // null key or null time: no right row can satisfy r.t <= l.t,
+            // keep the left row with a null payload and leave the sweep
+            // state untouched (the next non-null row re-checks matchKey).
             joined(lRow, nullPayload)
           } else {
             if (matchRow != null && keyOrd.compare(matchKey, k) != 0) {
@@ -140,7 +147,12 @@ object NativeAsOfJoin {
               val c = keyOrd.compare(rHeadKey, k)
               if (c < 0) advanceRight()
               else if (c == 0 && timeOrd.compare(rHeadTime, t) <= 0) {
-                matchKey = rHeadKey
+                // COPY the key: rHeadKey may point into the right
+                // iterator's reused row buffer (UTF8String from an
+                // UnsafeRow; sort-spill readers and ColumnarToRow reuse
+                // one buffer), and it must survive advanceRight(). Same
+                // reason SortMergeJoin copies its buffered keys.
+                matchKey = InternalRow.copyValue(rHeadKey)
                 matchRow = payloadProj(rHead).copy()
                 advanceRight()
               } else advancing = false

@@ -113,6 +113,32 @@ class EdgeSpec extends SparkSpec {
       && viaUf(35L) == 35L)
   }
 
+  test("connected components handles non-numeric (string) node ids on both paths") {
+    import spark.implicits._
+    // components: {alpha,beta,gamma}, {delta,eps}, {zeta} isolated —
+    // min label is lexicographic, matching min() on a string column
+    val nodes = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta").toDF("id")
+    val edges = Seq(("beta", "gamma"), ("alpha", "beta"), ("eps", "delta"))
+      .toDF("a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = Map("alpha" -> "alpha", "beta" -> "alpha", "gamma" -> "alpha",
+      "delta" -> "delta", "eps" -> "delta", "zeta" -> "zeta")
+    assert(canon(operators.ConnectedComponents.run(nodes, edges)) == expected)
+    assert(canon(operators.ConnectedComponents.run(nodes, edges,
+      unionFindMaxEdges = 0L)) == expected) // force the iterative path
+  }
+
+  test("connected components ignores null edge endpoints") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(2L)))
+      .toDF("a", "b")
+    val got = operators.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("empty events stream through sessionization") {
     val empty = Tables.load(spark, sf0001, "events").filter(lit(false))
     val sessions = empty

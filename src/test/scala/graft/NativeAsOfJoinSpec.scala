@@ -56,6 +56,44 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(canon(nativeRepart) == canon(composed))
   }
 
+  test("null times never match and never crash the sweep") {
+    val nullTs = null.asInstanceOf[Timestamp]
+    val q = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", nullTs, 666.0), // null right time: skipped, must not NPE
+      ("B", nullTs, 777.0)  // B's only quote has a null time
+    ).toDF("k", "t", "px")
+    val tr = Seq(
+      ("A", ts("2024-01-01 11:00:00"), 1L), // matches the 10:00 quote
+      ("A", nullTs, 2L),                    // null left time → no match
+      ("B", ts("2024-01-01 11:00:00"), 3L)  // only null-time quotes → no match
+    ).toDF("k", "t", "id")
+    val out = NativeAsOfJoin.asof(tr, q, "k", "t", "t", Map("px" -> "px"))
+      .select(col("id"), col("px"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
+  test("string keys survive many rows per partition (buffered key must be copied)") {
+    import spark.implicits._
+    // Interleave many string keys so the sweep repeatedly buffers a match
+    // for one key while advancing through rows of other keys: a stale
+    // (uncopied) matchKey would bleed a previous key's payload across.
+    val n = 5000
+    val right = (0 until n).map { i =>
+      (f"k${i % 50}%03d", ts(f"2024-01-01 00:00:00").getTime + (i / 50) * 1000L, i.toDouble)
+    }.map { case (k, ms, v) => (k, new Timestamp(ms), v) }.toDF("k", "t", "px")
+    val left = (0 until n).map { i =>
+      (f"k${i % 50}%03d", ts(f"2024-01-01 00:00:00").getTime + (i / 50) * 1000L + 500L, i.toLong)
+    }.map { case (k, ms, id) => (k, new Timestamp(ms), id) }.toDF("k", "t", "id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "px").collect().map(_.toString).sorted.toSeq
+    val native = NativeAsOfJoin.asof(left, right, "k", "t", "t", Map("px" -> "px"))
+    val composed = AsOfJoin.asof(left, right, "k", "t", "t", Map("px" -> "px"))
+    assert(canon(native) == canon(composed))
+  }
+
   test("the plan is the custom exec: no window, no union") {
     val df = NativeAsOfJoin.asof(trades, quotes, "k", "t", "t", Map("px" -> "px"))
     val p = df.queryExecution.executedPlan.toString
