@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Focused timing for one query: `runMain graft.BenchOne <name> [sfDir]`.
-  * Same session config as Bench; prints best/median/worst of 3 runs.
+/** Focused timing for one or more queries (comma-separated):
+  * `runMain graft.BenchOne <name>[,<name>…] [sfDir]`.
+  * Same session config as Bench; prints best/median/worst of 3 runs each.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -20,14 +21,16 @@ object BenchOne {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val times = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    println(f"BENCHONE $name best=${times.head}%.3f median=${times(1)}%.3f worst=${times(2)}%.3f")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"BENCHONE $name best=${times.head}%.3f median=${times(1)}%.3f worst=${times(2)}%.3f")
+    }
     spark.stop()
   }
 }

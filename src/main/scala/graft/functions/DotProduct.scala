@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: dot product between two float/double array
+  * columns, with whole-stage codegen.
+  *
+  * Same promotion as [[CosineSimilarity]] (SURVEY.md §4): a sequential
+  * left-to-right double accumulation, bit-identical to the
+  * `aggregate(zip_with(...))` higher-order-function formulation and to
+  * DuckDB's `list_sum(list_transform(list_zip(...)))`, but one fused
+  * codegen loop instead of per-element lambda dispatch. The building block
+  * for LSH hyperplane projections and pre-normalized cosine search.
+  * Registered as SQL function `dot_product` by [[GraftExtensions]].
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_product needs array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGet: (String, String) => String =
+      if (elemIsFloat(left)) (v, i) => s"(double) $v.getFloat($i)"
+      else (v, i) => s"$v.getDouble($i)"
+    val rightGet: (String, String) => String =
+      if (elemIsFloat(right)) (v, i) => s"(double) $v.getFloat($i)"
+      else (v, i) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${leftGet(a, i)} * ${rightGet(b, i)};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}

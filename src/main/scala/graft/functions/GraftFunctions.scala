@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (e.g. a session handed to us by an external driver). Idempotent.
   */
 object GraftFunctions {
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
@@ -17,4 +17,12 @@ object GraftFunctions {
         require(children.length == 2, "cosine_similarity(arrayA, arrayB)")
         CosineSimilarity(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      })
+  }
 }

@@ -211,9 +211,12 @@ object Pipeline {
       val terms = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
       val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(countDistinct(col("lang")).as("df"))
+      // tf rows are unique per (lang, term), so df(term) = COUNT(*) over a
+      // term-partitioned window — one shuffle of the (already tiny) tf
+      // table instead of a second aggregate plus a join of two shuffled
+      // copies of it.
       val nLangs = lit(5L)
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .withColumn("rarity_score", col("tf") * (nLangs - col("df")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("lang")

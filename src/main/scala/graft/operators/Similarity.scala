@@ -20,7 +20,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String) = Tables.loadBalanced(s, dir, "embeddings")
+  /** Linear-compute queries read the table as-is: scan parallelism at
+    * production scale comes from file splits, and at bench scale a
+    * repartition of a 2k-row table costs more in task scheduling than the
+    * cosines cost in compute. Only the quadratic all-pairs step (q51)
+    * balances first.
+    */
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def embBalanced(s: SparkSession, dir: String) =
+    Tables.loadBalanced(s, dir, "embeddings")
 
   /** dot(a, b) as a deterministic left-fold in double precision. */
   private def dotExpr(a: String, b: String): String =
@@ -62,7 +70,7 @@ object Similarity {
     "q51_sim_threshold",
     (s, dir) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val e = emb(s, dir).filter(col("vec_id") < 1000)
+      val e = embBalanced(s, dir).filter(col("vec_id") < 1000)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -112,31 +120,51 @@ object Similarity {
     Query.sql(
       "q53_ann_lsh",
       (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        import s.implicits._
         // sign(p,i) = ±1 from bit 7 of (p·64+i)·2654435761 (products < 2^53:
-        // exact in int64 and in DuckDB's BIGINT arithmetic)
-        val bucketExpr =
-          s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
-             |  IF(aggregate(zip_with(embedding, sequence(0, 63),
-             |        (x, i) -> CAST(x AS DOUBLE) *
-             |          IF(shiftright((p * 64 + i) * CAST(2654435761 AS BIGINT), 7) % 2 = 0,
-             |             1.0D, -1.0D)),
-             |      CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) > 0,
-             |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+        // exact in int64 and in DuckDB's BIGINT arithmetic). The hyperplane
+        // components are a pure function of (p, i), so they are materialized
+        // ONCE as a literal 8×64 array and each projection is a single
+        // fused-loop native dot_product — the equivalent HOF formulation
+        // (what the oracle runs) costs planes×dims lambda dispatches per
+        // row.
+        val planesLit = typedLit(Seq.tabulate(planes, 64) { (p, i) =>
+          if ((((p * 64 + i) * 2654435761L) >> 7) % 2 == 0) 1.0 else -1.0
+        }.map(_.toSeq))
+        val bucket = aggregate(
+          transform(sequence(lit(0), lit(planes - 1)), p =>
+            when(call_function("dot_product", col("embedding"),
+              element_at(planesLit, p + 1)) > 0.0,
+              call_function("shiftleft", lit(1L), p.cast("int")))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v)
         val bucketed = emb(s, dir).select(col("vec_id"), col("embedding"),
-          expr(bucketExpr).as("bucket"))
+          bucket.as("bucket"))
         bucketed.cache()
-        val q0Bucket = bucketed.filter(col("vec_id") === 0).select("bucket")
-        val candidates = bucketed.join(broadcast(q0Bucket), "bucket")
-          .filter(col("vec_id") =!= 0)
-        val brute = q50.run(s, dir).select("vec_id")
-        val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
-        val stats = bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
-            (sum(col("sz")).cast("double") / count(lit(1))).as("avg_bucket"))
-        val out = stats.withColumn("recall_at_10_q0", lit(recall))
-        out.collect() // materialize while the bucket cache is warm
+        // Bucket lookup, candidate probe and recall are driver-side set
+        // math over collected ids (≤ bucket size rows) — the previous
+        // intersect() spawned a full-width shuffle to compare two 10-row
+        // frames.
+        val q0Bucket = bucketed.filter(col("vec_id") === 0)
+          .select("bucket").as[Long].head()
+        val candIds = bucketed
+          .filter(col("bucket") === q0Bucket && col("vec_id") =!= 0)
+          .select("vec_id").as[Long].collect().toSet
+        val bruteIds = q54.run(s, dir).select("vec_id").as[Long].collect().toSet
+        val recall = candIds.intersect(bruteIds).size / 10.0
+        val Array((nBuckets, maxBucket, avgBucket)) =
+          bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)), max(col("sz")),
+              sum(col("sz")).cast("double") / count(lit(1)))
+            .as[(Long, Long, Double)].collect()
         bucketed.unpersist()
-        out
+        // Literal result row: re-evaluating the returned frame (the caller
+        // counts it, Verify writes it) must not re-run the whole pipeline
+        // against the now-unpersisted bucket table.
+        s.range(1).select(
+          lit(nBuckets).as("n_buckets"), lit(maxBucket).as("max_bucket"),
+          lit(avgBucket).as("avg_bucket"), lit(recall).as("recall_at_10_q0"))
       },
       s"""WITH planes AS (SELECT unnest(generate_series(0, ${planes - 1})) AS p),
          |dots AS (
@@ -211,35 +239,53 @@ object Similarity {
       "q55_ann_ivf",
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
+        import s.implicits._
         val e = emb(s, dir)
-        val cents = e.filter(col("vec_id") < nCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-        // assign: argmax cosine over cells (small broadcast, one pass);
-        // lexicographic struct max = deterministic on (impossible) sim ties
-        val assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cell"),
-            expr("cosine_similarity(embedding, cv)").as("sim"))
-          .groupBy("vec_id")
-          .agg(max(struct(col("sim"), col("cell"))).as("best"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-          .cache()
-        val probeCells = assigned.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"))
-          .crossJoin(broadcast(cents))
-          .select(col("cell"), expr("cosine_similarity(qv, cv)").as("sim"))
-          .orderBy(desc("sim"), desc("cell")).limit(nProbe)
-        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val candidates = assigned
-          .join(broadcast(probeCells.select("cell")), "cell")
-          .filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("sim"))
+        // Centroids are nCells rows: collect once and ship as a LITERAL
+        // array, so cell assignment is a map-only argmax fold (array_max
+        // over struct(sim, cell) == max(struct(sim, cell)): deterministic
+        // on impossible sim ties). The previous crossJoin+groupBy form
+        // shuffled every (vector × cell) row WITH its embedding payload —
+        // 16× the corpus through the wire; this form shuffles nothing.
+        val centLocal = e.filter(col("vec_id") < nCells)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().sortBy(_._1)
+        val centsLit = typedLit(centLocal.map(_._2).toSeq)
+        val bestCell = array_max(transform(
+          sequence(lit(0), lit(nCells - 1)),
+          c => struct(
+            call_function("cosine_similarity", col("embedding"),
+              element_at(centsLit, c + 1)).as("sim"),
+            c.cast("long").as("cell")))).getField("cell")
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          bestCell.as("cell")).cache()
+        // Probe selection runs on the driver over the collected centroids
+        // with the same sequential double fold as the native Expression —
+        // bit-identical sims, zero Spark jobs.
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val qv = centLocal.find(_._1 == 0L).get._2
+        val probeSet = centLocal.map { case (cell, cv) => (cos(qv, cv), cell) }
+          .sortBy { case (sim, cell) => (-sim, -cell) }.take(nProbe).map(_._2)
+        val candIds = assigned
+          .filter(col("cell").isin(probeSet: _*) && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            call_function("cosine_similarity", col("embedding"),
+              typedLit(qv)).as("sim"))
           .orderBy(desc("sim"), asc("vec_id")).limit(10)
-        val brute = q50.run(s, dir).select("vec_id")
-        val recall = candidates.select("vec_id").intersect(brute).count() / 10.0
-        val searched = assigned.join(broadcast(probeCells.select("cell")), "cell").count()
-        val total = assigned.count()
+          .select("vec_id").as[Long].collect().toSet
+        val bruteIds = q54.run(s, dir).select("vec_id").as[Long].collect().toSet
+        val recall = candIds.intersect(bruteIds).size / 10.0
+        val Array((searched, total)) = assigned.agg(
+          sum(when(col("cell").isin(probeSet: _*), 1L).otherwise(0L)),
+          count(lit(1))).as[(Long, Long)].collect()
         assigned.unpersist()
         s.range(1).select(
           lit(nCells).as("n_cells"), lit(nProbe).as("n_probe"),

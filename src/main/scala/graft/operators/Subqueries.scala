@@ -39,6 +39,13 @@ object Subqueries {
     (s, dir) => sql(s, dir, q91Sql), q91Sql)
 
   // -- q92: IN subquery with aggregate HAVING (TPC-H Q18 shape) -------------
+  //   The oracle keeps the textbook IN-subquery text; the Spark side plans
+  //   the algebraic form directly: ONE per-order aggregate of lineitem
+  //   (map-side combine), filter on the sum, then join the few surviving
+  //   orders. The naive decorrelation aggregates lineitem twice (once for
+  //   the IN set, once for total_qty) and shuffles the full join — at 100 TB
+  //   the single-aggregate form shuffles lineitem once and the join's left
+  //   side is only the qualifying orders (AQE broadcasts it).
   private def q92Sql =
     s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
        |  o_totalprice, ${dsumSql("l_quantity")} AS total_qty
@@ -49,7 +56,21 @@ object Subqueries {
        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   val q92 = Query.sql("q92_in_subquery_agg",
-    (s, dir) => sql(s, dir, q92Sql), q92Sql)
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val qualified = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty_dec"),
+          sum(col("l_quantity")).as("qty_raw"))
+        .filter(col("qty_raw") > 150)
+      qualified.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"),
+          col("qty_dec").cast("double").as("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }, q92Sql)
 
   // -- q93: NOT IN with filter (anti-join decorrelation) --------------------
   private val q93Sql =
@@ -74,6 +95,11 @@ object Subqueries {
     (s, dir) => sql(s, dir, q94Sql), q94Sql)
 
   // -- q95: min-per-group join (TPC-H Q2 shape) -----------------------------
+  //   Oracle keeps the correlated-scalar text. The Spark side uses the
+  //   window form: min(...) OVER (PARTITION BY l_orderkey) then filter —
+  //   one shuffle of lineitem instead of the decorrelated aggregate +
+  //   self-join (two shuffles and a join of two full projections of the
+  //   same 100 TB table).
   private val q95Sql =
     """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
       |FROM lineitem l
@@ -82,7 +108,15 @@ object Subqueries {
       |  WHERE i.l_orderkey = l.l_orderkey)
       |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
   val q95 = Query.sql("q95_min_per_group",
-    (s, dir) => sql(s, dir, q95Sql), q95Sql)
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("grp_min", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("grp_min"))
+        .drop("grp_min")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, q95Sql)
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95)
 }
