@@ -308,5 +308,56 @@ object Dedup {
        |GROUP BY g.doc_id
        |ORDER BY n_contaminated_grams DESC, doc_id LIMIT 100""".stripMargin)
 
-  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+  // -- q88: cross-corpus passage dedup (CCNet-style, adapted to token
+  //   streams) --------------------------------------------------------------
+  //   Documents are cut into non-overlapping 32-token passages; a passage
+  //   digest seen in ≥2 documents is "shared" (boilerplate / syndicated
+  //   content). Per doc: passage count, shared-passage count, and tokens
+  //   surviving if shared passages were dropped. The corpus-wide state is
+  //   ONE shuffle keyed on the 16-byte digest (never the text); the
+  //   passage→count join re-shuffles the same key, so at 100 TB both sides
+  //   arrive hash-partitioned the same way and AQE handles digest skew
+  //   (identical viral passages) with the skew-join split.
+  val q88 = {
+    val span = 32
+    Query.sql(
+      "q88_passage_dedup",
+      (s, dir) => {
+        val passages = docs(s, dir).select(col("doc_id"),
+            split(col("text"), " ").as("t"))
+          .select(col("doc_id"),
+            explode(expr(s"transform(sequence(1, size(t), $span), " +
+              s"st -> slice(t, st, $span))")).as("p"))
+          .select(col("doc_id"), size(col("p")).cast("long").as("p_tokens"),
+            md5(concat_ws(" ", col("p"))).as("digest"))
+        val counts = passages.groupBy("digest")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        passages.join(counts, "digest")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+            sum(when(col("nd") === 1, col("p_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .orderBy("doc_id")
+      },
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |p AS (
+         |  SELECT doc_id, t[st:st + ${span - 1}] AS p
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), $span)) AS st
+         |        FROM d)),
+         |pd AS (
+         |  SELECT doc_id, CAST(len(p) AS BIGINT) AS p_tokens,
+         |    md5(array_to_string(p, ' ')) AS digest
+         |  FROM p),
+         |counts AS (
+         |  SELECT digest, COUNT(DISTINCT doc_id) AS nd FROM pd GROUP BY digest)
+         |SELECT doc_id, COUNT(*) AS n_passages,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN nd = 1 THEN p_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM pd JOIN counts USING (digest)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88)
 }

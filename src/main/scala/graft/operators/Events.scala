@@ -227,5 +227,55 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
-  val all: Seq[Query] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q97)
+  // -- q59: ordered conversion funnel (view → click → purchase) -------------
+  //   The step-N timestamp is the earliest qualifying event strictly AFTER
+  //   the step-N−1 timestamp, so out-of-order histories don't count. Three
+  //   chained min-over-user windows share ONE user_id exchange (Spark keeps
+  //   the partitioning across same-key Window operators); the final rollup
+  //   is a single distinct-count row. At 100 TB this is one shuffle of the
+  //   events table keyed by user.
+  val q59 = {
+    def stepMin(cond: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      min(when(cond, col("ts"))).over(w)
+    }
+    Query.sql(
+      "q59_event_funnel",
+      (s, dir) =>
+        ev(s, dir)
+          .withColumn("t1", stepMin(col("event_type") === "view"))
+          .withColumn("t2", stepMin(col("event_type") === "click" && col("ts") > col("t1")))
+          .withColumn("t3", stepMin(col("event_type") === "purchase" && col("ts") > col("t2")))
+          .agg(
+            countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+            countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+            countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"),
+            (countDistinct(when(col("t3").isNotNull, col("user_id"))).cast("double")
+              / countDistinct(when(col("t1").isNotNull, col("user_id"))))
+              .as("conversion")),
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT user_id, event_type, ts, t1,
+        |    MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT user_id, t1, t2,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM w2)
+        |SELECT
+        |  COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+        |  COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+        |  COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel,
+        |  CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS DOUBLE)
+        |    / COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS conversion
+        |FROM w3""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97)
 }

@@ -130,5 +130,25 @@ object Sources {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
       |ORDER BY s_suppkey""".stripMargin)
 
-  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86)
+  // -- q89: ORC write → read → aggregate ------------------------------------
+  //   Timestamps survive ORC round-trips bit-exactly, so o_orderdate is
+  //   carried through and surfaced as DATE like every other query.
+  val q89 = Query.sql(
+    "q89_orc_roundtrip",
+    (s, dir) => {
+      val out = tmp(dir, "orders_orc")
+      ConnectorRegistry.write(Tables.load(s, dir, "orders"), s"orc://$out")
+      ConnectorRegistry.read(s, s"orc://$out")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total_price"),
+          max(col("o_orderdate").cast("date")).as("last_date"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89)
 }

@@ -295,6 +295,136 @@ object TextAnalysis {
       |  md5(array_to_string(t[s:s+63], ' ')) AS digest
       |FROM st ORDER BY doc_id, chunk_no""".stripMargin)
 
+  // -- q26: sequence-length histogram (power-of-two buckets) ----------------
+  //   Batch planning for training: how many docs land in each context-size
+  //   bucket, per language. The bucket is the highest power of two ≤
+  //   n_tokens, computed as bit-length (length of the binary string) — pure
+  //   integer arithmetic, identical in DuckDB, no float log2.
+  val q26 = Query.sql(
+    "q26_length_histogram",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket_lo",
+          call_function("shiftleft", lit(1L),
+            (length(call_function("bin", col("n_tokens"))) - 1).cast("int")))
+        .groupBy("lang", "bucket_lo")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang", "bucket_lo"),
+    """WITH t AS (
+      |  SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |SELECT lang,
+      |  CAST(1 << (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_lo,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM t GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""".stripMargin)
+
+  /** Adjacent-token bigrams of a token-array column; empty for one-token
+    * docs (Spark's `sequence(1, 0)` counts DOWN, so the guard is load-
+    * bearing — DuckDB's `generate_series(1, 0)` is already empty).
+    */
+  private def bigramsExpr(t: String): String =
+    s"""IF(size($t) < 2, array(),
+       |  transform(sequence(1, size($t) - 1),
+       |    i -> concat(element_at($t, i), ' ', element_at($t, i + 1))))""".stripMargin
+
+  // -- q35: collocation mining (top bigrams with integer-exact lift) --------
+  //   lift = count(ab) * total_tokens / (count(a) * count(b)): one
+  //   correctly-rounded double division over exact int64 products, so both
+  //   engines agree bit-for-bit — no log/PMI float chains.
+  val q35 = Query.sql(
+    "q35_collocations",
+    (s, dir) => {
+      val toks = docs(s, dir).select(split(col("text"), " ").as("t"))
+      // The unigram table is the aggregated vocabulary (small); cache it
+      // and derive the corpus token total from it instead of a third
+      // tokenization pass over the documents.
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw")).cache()
+      val total = uni.agg(sum(col("cw")).cast("long")).first().getLong(0)
+      val bi = toks.select(explode(expr(bigramsExpr("t"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cab"))
+        .orderBy(desc("cab"), asc("bigram")).limit(30)
+      // The 30 surviving bigrams are the broadcast side; the unigram table
+      // (the whole vocabulary at production scale) streams past them, and
+      // AQE broadcasts the tiny intermediate for the second lookup.
+      val top = bi.withColumn("wa", split(col("bigram"), " ").getItem(0))
+        .withColumn("wb", split(col("bigram"), " ").getItem(1))
+      uni.withColumnRenamed("w", "wa").withColumnRenamed("cw", "ca")
+        .join(broadcast(top), "wa")
+        .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("cw", "cb"), "wb")
+        .select(col("bigram"), col("cab"),
+          ((col("cab") * lit(total)).cast("double") / (col("ca") * col("cb")))
+            .as("lift"))
+        .orderBy(desc("cab"), asc("bigram"))
+    },
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |total AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM toks),
+      |uni AS (
+      |  SELECT unnest(t) AS w FROM toks),
+      |cw AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |bi AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM toks),
+      |top AS (
+      |  SELECT bigram, COUNT(*) AS cab FROM bi GROUP BY bigram
+      |  ORDER BY cab DESC, bigram LIMIT 30)
+      |SELECT bigram, cab,
+      |  CAST(cab * total.n AS DOUBLE) / (a.c * b.c) AS lift
+      |FROM top CROSS JOIN total
+      |JOIN cw a ON a.w = string_split(bigram, ' ')[1]
+      |JOIN cw b ON b.w = string_split(bigram, ' ')[2]
+      |ORDER BY cab DESC, bigram""".stripMargin)
+
+  // -- q87: repetition quality signals (Gopher-style) -----------------------
+  //   Two of the standard web-corpus repetition filters: the duplicate-
+  //   token fraction (1 − distinct/total) and the fraction of bigram slots
+  //   taken by the single most frequent bigram. Per-doc token stats are
+  //   map-side; only (doc_id, bigram) pairs shuffle, with map-side combine.
+  val q87 = Query.sql(
+    "q87_repetition_signals",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        split(col("text"), " ").as("t"))
+      val stats = base.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      val topBigram = base
+        .select(col("doc_id"), explode(expr(bigramsExpr("t"))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"))
+      stats.join(topBigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+            .as("dup_token_frac"),
+          when(col("n_tokens") > 1,
+            coalesce(col("top_bigram_cnt"), lit(0L)).cast("double")
+              / (col("n_tokens") - 1)).otherwise(lit(0.0))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |stats AS (
+      |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+      |  FROM d),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM d),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+      |    SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram)
+      |  GROUP BY doc_id)
+      |SELECT s.doc_id, n_tokens,
+      |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |  CASE WHEN n_tokens > 1
+      |    THEN CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) / (n_tokens - 1)
+      |    ELSE 0.0 END AS top_bigram_frac
+      |FROM stats s LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q30, q31, q32, q33, q34, q36, q37, q38, q39, q75, q76, q79)
+    Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
+      q87)
 }

@@ -101,6 +101,24 @@ final class ParquetConnector extends Connector {
   }
 }
 
+/** orc:// — ORC columnar format (Spark-native reader/writer, predicate
+  * pushdown and column pruning like parquet). The reference has no
+  * columnar write path at all; this is part of the superset a Spark
+  * engine gets for free.
+  */
+final class OrcConnector extends Connector {
+  val schemes = Seq("orc")
+  def read(spark: SparkSession, url: EngineUrl): DataFrame =
+    spark.read.orc(url.sparkPath)
+  override def write(df: DataFrame, url: EngineUrl): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    url.option("partitionBy") match {
+      case Some(cols) => w.partitionBy(cols.split(','): _*).orc(url.sparkPath)
+      case None       => w.orc(url.sparkPath)
+    }
+  }
+}
+
 /** file:// — raw text ("uncooked"): one row per line, or whole-file with
   * ;wholetext=true. Binary via ;format=binary (binaryFile source).
   */
@@ -207,6 +225,7 @@ object ConnectorRegistry {
       new NdjsonConnector,
       new JsonDocConnector,
       new ParquetConnector,
+      new OrcConnector,
       new TextFileConnector,
       new JdbcConnector,
       new KafkaConnector,

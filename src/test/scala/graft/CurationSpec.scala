@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, Events, Sources, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the round-3 curation operators (repetition
+  * signals, passage dedup, collocations, length histogram, funnel, ORC).
+  * The oracle gate proves value-exactness against DuckDB; these specs pin
+  * the SEMANTIC invariants a refactor could silently break.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q87 repetition signals: a fully-repeated doc maxes both fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),   // one token repeated
+      (2L, "a b c d"),               // all distinct
+      (3L, "x")                      // single token: bigram frac 0 by guard
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("q87").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.q87.run(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == (0.75, 1.0))   // 4 tokens 1 distinct; 3/3 bigram slots
+    assert(out(2L) == (0.0, 1.0 / 3)) // distinct tokens; best bigram count 1
+    assert(out(3L) == (0.0, 0.0))    // guard: no bigram slots
+  }
+
+  test("q88 passage dedup: shared passages found across docs, not within") {
+    import spark.implicits._
+    val shared = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 32).map(i => s"only$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared $unique"), // 2 passages: one shared, one unique
+      (2L, shared),             // 1 passage: shared with doc 1
+      (3L, s"$unique?")         // different tail token => different digest
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("q88").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.q88.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 1L, 32L)) // shared dropped, unique kept
+    assert(out(2L) == (1L, 1L, 0L))  // its only passage is shared
+    assert(out(3L) == (1L, 0L, 32L)) // near-miss digest stays unique
+  }
+
+  test("q35 collocations: lift of an always-paired bigram exceeds a chance pair") {
+    val out = TextAnalysis.q35.run(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 30)
+    assert(out.forall(_._3 > 0.0))
+    // top-30 ordering: counts non-increasing, ties broken by bigram asc
+    val counts = out.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q26 length histogram: buckets are powers of two covering every doc") {
+    val rows = TextAnalysis.q26.run(spark, sf001).collect()
+    val nDocs = rows.map(_.getLong(2)).sum
+    assert(nDocs == Tables.load(spark, sf001, "documents").count())
+    assert(rows.forall { r =>
+      val b = r.getLong(1); b > 0 && (b & (b - 1)) == 0
+    })
+  }
+
+  test("q59 funnel: stage counts are monotonically non-increasing") {
+    val r = Events.q59.run(spark, sf001).collect().head
+    val (v, vc, f) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= f)
+    assert(r.getDouble(3) == f.toDouble / v)
+  }
+
+  test("orc:// connector round-trips orders exactly") {
+    import graft.sources.ConnectorRegistry
+    val orders = Tables.load(spark, sf0001, "orders")
+    val out = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    ConnectorRegistry.write(orders, s"orc://$out/o")
+    val back = ConnectorRegistry.read(spark, s"orc://$out/o")
+    assert(back.schema == orders.schema)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+}
