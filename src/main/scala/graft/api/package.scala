@@ -131,5 +131,57 @@ package object api {
           org.apache.spark.sql.functions.size(split(col("chunk_text"), " ")).cast("long"))
         .drop("__c")
     }
+
+    /** Gopher-style repetition signals per row (cf. q87): appends
+      * `dup_token_frac` (1 − distinct/total tokens) and `top_bigram_frac`
+      * (share of bigram slots taken by the most frequent bigram). Token
+      * stats are map-side; only (id, bigram) pairs shuffle.
+      */
+    def repetitionSignals(idCol: String, textCol: String): DataFrame = {
+      val sz = org.apache.spark.sql.functions.size _
+      val t = split(col(textCol), " ")
+      val bigrams = expr(
+        s"""IF(size(split($textCol, ' ')) < 2, array(),
+           |  transform(sequence(1, size(split($textCol, ' ')) - 1),
+           |    i -> concat(element_at(split($textCol, ' '), i), ' ',
+           |                element_at(split($textCol, ' '), i + 1))))""".stripMargin)
+      val top = df.select(col(idCol), explode(bigrams).as("__bg"))
+        .groupBy(idCol, "__bg").agg(count(lit(1)).as("__c"))
+        .groupBy(idCol).agg(max(col("__c")).as("__top"))
+      df.withColumn("__n", sz(t).cast("long"))
+        .withColumn("__d", sz(array_distinct(t)).cast("long"))
+        .join(top, Seq(idCol), "left")
+        .withColumn("dup_token_frac",
+          (col("__n") - col("__d")).cast("double") / col("__n"))
+        .withColumn("top_bigram_frac",
+          when(col("__n") > 1,
+            coalesce(col("__top"), lit(0L)).cast("double") / (col("__n") - 1))
+            .otherwise(lit(0.0)))
+        .drop("__n", "__d", "__top")
+    }
+
+    /** Cross-corpus passage dedup stats per row (cf. q88): cuts `textCol`
+      * into non-overlapping `span`-token passages and appends
+      * `n_passages`, `n_shared` (passages whose digest occurs in ≥2 rows)
+      * and `tokens_kept` (tokens in globally-unique passages). The corpus
+      * state is one shuffle keyed on a 16-byte digest.
+      */
+    def passageDedupStats(idCol: String, textCol: String, span: Int = 32): DataFrame = {
+      val passages = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(1, size(__t), $span), st -> slice(__t, st, $span))"))
+          .as("__p"))
+        .select(col(idCol),
+          org.apache.spark.sql.functions.size(col("__p")).cast("long").as("__pt"),
+          md5(concat_ws(" ", col("__p"))).as("__dg"))
+      val counts = passages.groupBy("__dg")
+        .agg(countDistinct(col(idCol)).as("__nd"))
+      val stats = passages.join(counts, "__dg")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("__nd") === 1, col("__pt")).otherwise(0L)).as("tokens_kept"))
+      df.join(stats, Seq(idCol), "left")
+    }
   }
 }

@@ -119,6 +119,55 @@ object Streams {
       }
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelUpdate(user_id: Long, stage: Int)
+
+  /** Streaming ordered funnel (view → click → purchase), the stateful twin
+    * of the batch q59: per-user state is three epoch-millis timestamps
+    * (step N only ever set from an event strictly after step N−1), emitted
+    * as an update whenever the user's furthest stage advances. State is
+    * O(users) × 24 bytes.
+    *
+    * Ordering contract: exact (== q59) when each user's events arrive in
+    * event-time order ACROSS micro-batches — the guarantee a Kafka source
+    * keyed by user gives; disorder WITHIN a micro-batch is always handled
+    * by the per-batch sort. Under cross-batch disorder the funnel is
+    * conservative (a discarded early click is not revisited when a still-
+    * earlier view arrives later) — it can undercount, never overcount.
+    */
+  def funnelStateful(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val UNSET = Long.MaxValue
+    def stage(s: FunnelState): Int =
+      if (s.t3 != UNSET) 3 else if (s.t2 != UNSET) 2 else if (s.t1 != UNSET) 1 else 0
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(UNSET, UNSET, UNSET))
+          val before = stage(s)
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if t < s.t1 =>
+                // an earlier view can only relax later constraints' floor;
+                // already-satisfied steps stay satisfied
+                s = s.copy(t1 = t)
+              case "click" if s.t1 != UNSET && t > s.t1 && t < s.t2 =>
+                s = s.copy(t2 = t)
+              case "purchase" if s.t2 != UNSET && t > s.t2 && t < s.t3 =>
+                s = s.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          if (stage(s) != before) Iterator(FunnelUpdate(userId, stage(s)))
+          else Iterator.empty
+      }
+  }
+
   /** Run a bounded stream to completion (AvailableNow) into an in-memory
     * table and return the session-queryable table name.
     */

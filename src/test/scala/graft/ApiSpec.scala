@@ -110,4 +110,25 @@ class ApiSpec extends SparkSpec {
     // starts at 1, 49, 97 → sizes 64, 52, 4
     assert(chunks == Map(0L -> 64L, 1L -> 52L, 2L -> 4L))
   }
+
+  test("repetitionSignals extension flags the repetitive row") {
+    import spark.implicits._
+    val df = Seq((1L, "ha ha ha ha"), (2L, "all words differ here"))
+      .toDF("id", "text")
+    val out = df.repetitionSignals("id", "text")
+      .select("id", "dup_token_frac", "top_bigram_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0.75, 1.0))
+    assert(out(2L) == (0.0, 1.0 / 3))
+  }
+
+  test("passageDedupStats extension matches q88 on the documents table") {
+    import spark.implicits._
+    val viaExt = Tables.load(spark, sf0001, "documents")
+      .passageDedupStats("doc_id", "text")
+      .select("doc_id", "n_passages", "n_shared", "tokens_kept")
+      .orderBy("doc_id")
+    val viaQuery = graft.operators.Dedup.q88.run(spark, sf0001)
+    assert(viaExt.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaExt).isEmpty)
+  }
 }

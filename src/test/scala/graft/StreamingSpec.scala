@@ -269,4 +269,31 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(streamIds == batchIds)
   }
+
+  test("stateful funnel matches batch q59 when per-user order holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Global ts order implies per-user ts order — the funnel's exactness
+    // contract — while still crossing a micro-batch boundary mid-stream.
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .orderBy("ts").collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val q = Streams.funnelStateful(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val finalStage = spark.table("funnel_test")
+      .groupBy("user_id").agg(max(col("stage")).as("stage"))
+      .select("stage").as[Int].collect()
+    val got = (
+      finalStage.count(_ >= 1).toLong,
+      finalStage.count(_ >= 2).toLong,
+      finalStage.count(_ >= 3).toLong)
+    val r = graft.operators.Events.q59.run(spark, sf0001).collect().head
+    assert(got == ((r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
 }
