@@ -29,6 +29,10 @@ object Subqueries {
     (s, dir) => sql(s, dir, q90Sql), q90Sql)
 
   // -- q91: correlated scalar subquery (per-customer average) ---------------
+  //   Oracle keeps the correlated text; the Spark side plans the window
+  //   form — avg OVER (PARTITION BY o_custkey) then filter — one shuffle
+  //   of orders instead of the decorrelated aggregate + join of two full
+  //   projections of the same table. (Same transformation as q95.)
   private val q91Sql =
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
@@ -36,7 +40,15 @@ object Subqueries {
       |  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
   val q91 = Query.sql("q91_correlated_scalar",
-    (s, dir) => sql(s, dir, q91Sql), q91Sql)
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+        .drop("cust_avg")
+        .orderBy("o_custkey", "o_orderkey")
+    }, q91Sql)
 
   // -- q92: IN subquery with aggregate HAVING (TPC-H Q18 shape) -------------
   //   The oracle keeps the textbook IN-subquery text; the Spark side plans
