@@ -11,20 +11,25 @@ package graft.core
   */
 final case class RunContext(
     vars: Map[String, String] = Map.empty,
-    secrets: Map[String, String] = Map.empty) {
+    secrets: Map[String, String] = Map.empty,
+    lazyVars: Map[String, () => String] = Map.empty) {
 
   final case class UnresolvedVar(name: String, template: String)
     extends RuntimeException(s"unresolved {$name} in: $template")
 
   private val Placeholder = "\\{([A-Za-z0-9_]+)\\}".r
 
-  /** Substitute every `{name}` placeholder; secrets resolve last so a var
-    * can never shadow a secret accidentally being exported.
+  /** Substitute every `{name}` placeholder. Lazy vars (the reference's
+    * callable context values, `connect_resolve.py:102-108`) evaluate at
+    * resolution time — a build date or a freshly-minted run id binds when
+    * the URL is used, not when the context is constructed. Secrets resolve
+    * last so a var can never shadow a secret accidentally being exported.
     */
   def resolve(template: String): String =
     Placeholder.replaceAllIn(template, m => {
       val name = m.group(1)
-      vars.get(name).orElse(secrets.get(name)) match {
+      vars.get(name).orElse(lazyVars.get(name).map(_.apply()))
+        .orElse(secrets.get(name)) match {
         case Some(v) => java.util.regex.Matcher.quoteReplacement(v)
         case None    => throw UnresolvedVar(name, template)
       }
@@ -32,9 +37,15 @@ final case class RunContext(
 
   def withVars(kv: (String, String)*): RunContext = copy(vars = vars ++ kv)
   def withSecrets(kv: (String, String)*): RunContext = copy(secrets = secrets ++ kv)
+  def withLazyVars(kv: (String, () => String)*): RunContext =
+    copy(lazyVars = lazyVars ++ kv)
 
-  /** Repeatability document: everything needed to re-run, minus secrets. */
-  def lockDoc: Map[String, String] = vars
+  /** Repeatability document: everything needed to re-run, minus secrets.
+    * Lazy vars are pinned to the value they resolve to NOW — the lock doc
+    * freezes the run.
+    */
+  def lockDoc: Map[String, String] =
+    vars ++ lazyVars.map { case (k, f) => k -> f() }
 
   /** Scoped context: run `f` with extra vars without mutating this one. */
   def scoped[T](kv: (String, String)*)(f: RunContext => T): T = f(withVars(kv: _*))

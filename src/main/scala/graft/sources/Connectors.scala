@@ -258,10 +258,12 @@ object ConnectorRegistry {
 }
 
 /** Schema assertion helpers standing in for the reference CsvConnector's
-  * `required_fields` / `expected_fields` / `alias_fields`
-  * (`csv_connector.py:41-54,132-168`), applied from url options:
+  * `required_fields` / `expected_fields` / `alias_fields` / `transform_map`
+  * (`csv_connector.py:41-62,132-168,216-220`), applied from url options:
   * `;required=a,b` (subset), `;expected=a,b,c` (exact ordered match),
-  * `;alias=x,y,z` (positional rename).
+  * `;alias=x,y,z` (positional rename), `;cast=a:int,b:double` (per-field
+  * read transforms — the reference's transform_map callables become
+  * Catalyst casts so they stay codegen'd and pushdown-friendly).
   */
 object SchemaRules {
   final case class SchemaViolation(message: String) extends RuntimeException(message)
@@ -277,7 +279,7 @@ object SchemaRules {
         throw SchemaViolation(
           s"expected fields ${exp}, found ${df.columns.mkString(",")}")
     }
-    url.option("alias") match {
+    val aliased = url.option("alias") match {
       case Some(alias) =>
         val names = alias.split(',').toSeq
         if (names.length != df.columns.length)
@@ -285,6 +287,19 @@ object SchemaRules {
             s"alias count ${names.length} != column count ${df.columns.length}")
         df.toDF(names: _*)
       case None => df
+    }
+    url.option("cast") match {
+      case Some(casts) =>
+        casts.split(',').foldLeft(aliased) { (acc, spec) =>
+          spec.split(':') match {
+            case Array(name, tpe) =>
+              if (!acc.columns.contains(name))
+                throw SchemaViolation(s"cast target '$name' not in schema")
+              acc.withColumn(name, org.apache.spark.sql.functions.col(name).cast(tpe))
+            case _ => throw SchemaViolation(s"bad cast spec '$spec' (want col:type)")
+          }
+        }
+      case None => aliased
     }
   }
 }

@@ -239,4 +239,42 @@ class FrameworkSpec extends SparkSpec {
     assert(Checks.conserved(df, df, sum("id"), sum("id")))
     assert(Checks.noViolations(df, col("id") > 100, "range"))
   }
+
+  test("lazy context vars bind at resolution; lock doc pins the value") {
+    var calls = 0
+    val ctx = graft.core.RunContext()
+      .withVars("fixed" -> "a")
+      .withLazyVars("runid" -> (() => { calls += 1; s"r$calls" }))
+    assert(ctx.resolve("out/{fixed}/{runid}") == "out/a/r1")
+    assert(ctx.resolve("out/{fixed}/{runid}") == "out/a/r2") // re-evaluates
+    val lock = ctx.lockDoc
+    assert(lock("fixed") == "a" && lock("runid").startsWith("r"))
+  }
+
+  test("schema rules: cast option applies per-field read transforms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cast_rule").toString
+    Seq(("1", "2.5"), ("2", "3.5")).toDF("id", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val df = graft.sources.ConnectorRegistry.read(spark,
+      s"csv://$dir;cast=id:bigint,v:double")
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.agg(sum("v")).first().getDouble(0) == 6.0)
+    intercept[graft.sources.SchemaRules.SchemaViolation] {
+      graft.sources.ConnectorRegistry.read(spark, s"csv://$dir;cast=nope:int")
+    }
+  }
+
+  test("sql passthrough supports named parameters") {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, sf0001)
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :lo",
+      Map("lo" -> 100000.0)).first().getLong(0)
+    val expected = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 100000.0).count()
+    assert(n == expected)
+  }
 }
