@@ -95,4 +95,31 @@ class ScaleSpec extends SparkSpec {
     // but must be rare
     assert(stats.getAs[Long]("n_distinct") > nDocs * 95 / 100)
   }
+
+  test("soak: repetition signals + passage dedup over 200k synthetic docs") {
+    // Same contract as the sampling soak: the per-row signals must stream
+    // (no driver materialization), and the cross-corpus passage state must
+    // stay on the digest key. With a 25-word vocabulary every 32-token
+    // passage collides heavily — the worst-case skew shape for q88's
+    // digest shuffle — so this doubles as a skew soak.
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 200000).option("partitions", 16).load()
+    val rep = docs.repetitionSignals("doc_id", "text")
+      .agg(count(lit(1)).as("n"),
+        min(col("dup_token_frac")), max(col("dup_token_frac")),
+        min(col("top_bigram_frac")), max(col("top_bigram_frac")))
+      .collect().head
+    assert(rep.getLong(0) == 200000)
+    assert(rep.getDouble(1) >= 0.0 && rep.getDouble(2) <= 1.0)
+    assert(rep.getDouble(3) >= 0.0 && rep.getDouble(4) <= 1.0)
+    val pd = docs.passageDedupStats("doc_id", "text")
+      .agg(count(lit(1)).as("n"), sum(col("n_passages")).as("total_p"),
+        sum(col("n_shared")).as("total_shared"))
+      .collect().head
+    assert(pd.getLong(0) == 200000)
+    assert(pd.getLong(1) >= 200000)           // ≥1 passage per doc
+    assert(pd.getLong(2) <= pd.getLong(1))    // shared ⊆ all
+  }
 }
