@@ -28,6 +28,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native dot_product is bit-identical to the HOF fold and null-safe") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.load(spark, sf0001, "embeddings").limit(100)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val hof =
+      """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    e.crossJoin(broadcast(q))
+      .select(expr("dot_product(embedding, qv)").as("native"), expr(hof).as("hof"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    val n = spark.sql(
+      "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("q53's literal-hyperplane bucket equals the HOF formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    // The HOF expression is what the DuckDB oracle mirrors; the shipped
+    // query uses literal planes + native dot_product. Both must agree on
+    // every bucket bit.
+    val hofBucket =
+      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) -> acc +
+        |  IF(aggregate(zip_with(embedding, sequence(0, 63),
+        |        (x, i) -> CAST(x AS DOUBLE) *
+        |          IF(shiftright((p * 64 + i) * CAST(2654435761 AS BIGINT), 7) % 2 = 0,
+        |             1.0D, -1.0D)),
+        |      CAST(0 AS DOUBLE), (acc2, v) -> acc2 + v) > 0,
+        |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
+    val planesLit = typedLit(Seq.tabulate(8, 64) { (p, i) =>
+      if ((((p * 64 + i) * 2654435761L) >> 7) % 2 == 0) 1.0 else -1.0
+    }.map(_.toSeq))
+    val fast = aggregate(
+      transform(sequence(lit(0), lit(7)), p =>
+        when(call_function("dot_product", col("embedding"),
+          element_at(planesLit, p + 1)) > 0.0,
+          call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    val diff = Tables.load(spark, sf0001, "embeddings")
+      .select(expr(hofBucket).as("hof"), fast.as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(diff == 0)
+  }
+
   test("cosine_similarity handles double arrays and nulls") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.sql(
