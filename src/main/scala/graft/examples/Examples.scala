@@ -175,3 +175,73 @@ class AustralianAnimals(manifestUrl: String, itemsKey: String,
     }
   }
 }
+
+/** End-to-end training-data curation pipeline: the composition a corpus
+  * team actually runs, expressed as three framework models over the
+  * library's own operators (sample → clean/normalize → dedup →
+  * quality-filter, then shard, then audit). Every stage is a declarative
+  * plan; the only driver-side values are the audit counters.
+  *
+  * Scale shape: the sample/quality filters are map-side; exact dedup
+  * shuffles a 16-byte digest; repetition signals shuffle (id, bigram)
+  * pairs with map-side combine; the shard write is a hash-partitioned
+  * fan-out. Nothing collects documents on the driver.
+  */
+class CurateCorpus(inUrl: String, outUrl: String,
+    samplePct: Int = 100, maxTopBigramFrac: Double = 0.2) extends Model {
+  override def name = "CurateCorpus"
+  val connects = Map(
+    "raw" -> Connect(inUrl, AccessMode.Read),
+    "curated" -> Connect(outUrl, AccessMode.Write))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("raw"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val raw = io.read("raw")
+    stat(s, "docs_in").add(raw.count())
+    val sampled = raw.hashSample("doc_id", samplePct)
+    val normalized = sampled.withColumn("norm_text",
+      regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val deduped = normalized.dedupExactBy("norm_text", "doc_id")
+    val kept = deduped
+      .repetitionSignals("doc_id", "norm_text")
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac)
+      .drop("dup_token_frac", "top_bigram_frac")
+    stat(s, "docs_kept").add(kept.count())
+    io.write("curated", kept)
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val out = io.readBack("curated")
+    Checks.unique(out, Seq("norm_text")) && Checks.noNulls(out, Seq("doc_id"))
+  }
+}
+
+/** Shard the curated corpus for training: deterministic 8-way hash shard
+  * plus a per-shard manifest row (doc/token counts) the trainer reads.
+  */
+class ShardCorpus(inUrl: String, outUrl: String, manifestUrl: String,
+    shards: Int = 8) extends Model {
+  override def name = "ShardCorpus"
+  val connects = Map(
+    "curated" -> Connect(inUrl, AccessMode.Read),
+    "sharded" -> Connect(outUrl, AccessMode.Write),
+    "manifest" -> Connect(manifestUrl, AccessMode.Write))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val sharded = io.read("curated").shardBy("doc_id", shards)
+    io.write("sharded", sharded)
+    io.write("manifest",
+      sharded.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("norm_text"), " "))).cast("long").as("n_tokens"))
+        .orderBy("shard"))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.conserved(io.readBack("sharded"), io.readBack("manifest"),
+      count(lit(1)), sum(col("n_docs")))
+}

@@ -123,4 +123,35 @@ class ExamplesSpec extends SparkSpec {
     assert(poisonous == Seq("Blue ringed octopus"))
   }
 
+  test("curation pipeline: sample → dedup → filter → shard, conserved and deterministic") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("curate").toString
+    def runOnce(tag: String): Array[org.apache.spark.sql.Row] = {
+      val curate = new CurateCorpus(
+        s"parquet://$sf0001/documents.parquet",
+        s"parquet://$work/$tag/curated", samplePct = 80)
+      val shard = new ShardCorpus(
+        s"parquet://$work/$tag/curated",
+        s"parquet://$work/$tag/sharded;partitionBy=shard",
+        s"parquet://$work/$tag/manifest")
+      val graph = new graft.model.ModelGraph(Seq(shard, curate))
+      assert(graph.runOrder().map(_.map(_.name)) ==
+        Seq(Seq("CurateCorpus"), Seq("ShardCorpus")))
+      graph.run(spark)
+      assert(curate.stats("docs_in").value == 500)
+      assert(curate.stats("docs_kept").value > 0 &&
+        curate.stats("docs_kept").value <= 500 * 80 / 100 + 50)
+      spark.read.parquet(s"$work/$tag/manifest").orderBy("shard").collect()
+    }
+    val a = runOnce("a")
+    val b = runOnce("b")
+    // hash-derived sampling + sharding: bit-identical manifests across runs
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getAs[Long]("n_docs")).sum ==
+      spark.read.parquet(s"$work/a/curated").count())
+    // partitioned output directories exist per shard
+    val shardDirs = new java.io.File(s"$work/a/sharded").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.nonEmpty && shardDirs.length <= 8)
+  }
 }
