@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer induction, split the way production
+  * trainers split it: Spark does the corpus-scale pass (one shuffle
+  * aggregating the word-frequency vocabulary out of N documents), the
+  * merge loop runs on the aggregated vocab — which is orders of magnitude
+  * smaller than the corpus (a 100 TB crawl has a vocab in the tens of
+  * millions, weighted counting is the part that needs a cluster).
+  *
+  * The merge rule matches q98's oracle-verified pair statistics: highest
+  * summed frequency of an adjacent symbol pair, ties to the
+  * lexicographically smaller pair. Deterministic — same corpus, same
+  * merges, any partitioning.
+  */
+object BpeTrainer {
+
+  final case class Merge(left: String, right: String, weight: Long)
+
+  /** Corpus-scale half: the word-frequency vocabulary. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn `nMerges` merges from an aggregated vocabulary.
+    *
+    * Driver-side by design (see class doc); `maxVocab` guards against
+    * accidentally collecting an unaggregated corpus.
+    */
+  def learnMerges(vocab: DataFrame, nMerges: Int, maxVocab: Int = 2000000): Seq[Merge] = {
+    val n = vocab.count()
+    require(n <= maxVocab,
+      s"vocabulary has $n entries (> $maxVocab): aggregate before training")
+    var words: Seq[(Array[String], Long)] = vocab
+      .select(col("word").cast("string"), col("n").cast("long"))
+      .collect().toSeq
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = Seq.newBuilder[Merge]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, w) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + w
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), w) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += Merge(a, b, w)
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply learned merges to a text column: per-word greedy merge
+    * replay in order — executor-side via a transform over the split
+    * words is possible, but merges are inherently sequential per word,
+    * so this ships as a deterministic Scala function usable in
+    * `Dataset.map` pipelines and tests.
+    */
+  def tokenize(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.foreach { m =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == m.left && syms(i + 1) == m.right) {
+          out += (m.left + m.right); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  /** Convenience: full induction from documents. */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[Merge] =
+    learnMerges(vocabulary(docs, textCol), nMerges)
+}

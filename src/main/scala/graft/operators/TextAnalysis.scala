@@ -424,7 +424,40 @@ object TextAnalysis {
       |FROM stats s LEFT JOIN top USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  // -- q98: BPE pair statistics (the inner step of tokenizer training) ------
+  //   The merge a BPE trainer would pick next: adjacent character pairs
+  //   weighted by corpus word frequency. The corpus-scale half of tokenizer
+  //   induction — the merge LOOP runs on the aggregated vocabulary
+  //   (operators.BpeTrainer); this query is its first iteration, verified
+  //   value-exact. Pure integer counting, top-10 by weight with a
+  //   lexicographic tie-break.
+  val q98 = Query.sql(
+    "q98_bpe_pairs",
+    (s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .filter(length(col("w")) >= 2)
+      vocab
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(10)
+    },
+    """WITH vocab AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w HAVING LENGTH(w) >= 2),
+      |pairs AS (
+      |  SELECT n, unnest(list_transform(generate_series(1, LENGTH(w) - 1),
+      |    i -> substring(w, i, 2))) AS pair
+      |  FROM vocab)
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87)
+      q87, q98)
 }

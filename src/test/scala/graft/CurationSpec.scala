@@ -73,6 +73,29 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(3) == f.toDouble / v)
   }
 
+  test("BPE trainer: textbook merges on the classic vocab, ties lexicographic") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+    val merges = BpeTrainer.learnMerges(vocab, 2)
+    // "es" and "st" tie at weight 9 -> lexicographically smaller "e"+"s" wins;
+    // after merging, "es"+"t" is the unique 9-weight pair.
+    assert(merges == Seq(
+      BpeTrainer.Merge("e", "s", 9L), BpeTrainer.Merge("es", "t", 9L)))
+    assert(BpeTrainer.tokenize("newest", merges) == Seq("n", "e", "w", "est"))
+    assert(BpeTrainer.tokenize("low", merges) == Seq("l", "o", "w"))
+  }
+
+  test("q98 top pair equals the trainer's first merge on real documents") {
+    import graft.operators.{BpeTrainer, TextAnalysis}
+    val top = TextAnalysis.q98.run(spark, sf0001).collect().head
+    val firstMerge = BpeTrainer.train(spark,
+      Tables.load(spark, sf0001, "documents"), "text", 1).head
+    assert(top.getString(0) == firstMerge.left + firstMerge.right)
+    assert(top.getLong(1) == firstMerge.weight)
+  }
+
   test("orc:// connector round-trips orders exactly") {
     import graft.sources.ConnectorRegistry
     val orders = Tables.load(spark, sf0001, "orders")
