@@ -141,6 +141,9 @@ object Streams {
     def stage(s: FunnelState): Int =
       if (s.t3 != UNSET) 3 else if (s.t2 != UNSET) 2 else if (s.t1 != UNSET) 1 else 0
     events
+      .filter((e: Event) => e.ts != null) // null event times never match a
+                                          // step, same as the batch q59's
+                                          // min(CASE …) ignoring nulls
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](

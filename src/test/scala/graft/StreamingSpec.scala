@@ -284,6 +284,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val (h1, h2) = events.splitAt(events.length / 2)
     mem.addData(h1: _*); q.processAllAvailable()
+    // null event times must be ignored (batch min(CASE…) drops them), not NPE
+    mem.addData(Streams.Event(-99, null, h2.head.user_id, "purchase", 0, "{}"))
     mem.addData(h2: _*); q.processAllAvailable()
     q.stop()
     val finalStage = spark.table("funnel_test")
