@@ -183,5 +183,26 @@ package object api {
           sum(when(col("__nd") === 1, col("__pt")).otherwise(0L)).as("tokens_kept"))
       df.join(stats, Seq(idCol), "left")
     }
+
+    /** Profile NUMERIC columns (cf. q99): one row per named column with
+      * count, nulls, distinct count, min and max. Values go long-format
+      * (col_name, value) before the aggregate so there is ONE distinct
+      * path however many columns are profiled — k countDistincts in one
+      * wide aggregate would plan an Expand duplicating every input row
+      * k× (measured 4× slower at bench scale).
+      */
+    def profile(columns: String*): DataFrame = {
+      require(columns.nonEmpty, "profile needs at least one column")
+      val pairs = columns.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v")))
+      df.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy("col_name")
+    }
   }
 }

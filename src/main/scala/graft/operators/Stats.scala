@@ -99,5 +99,42 @@ object Stats {
       |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
       |FROM lineitem""".stripMargin)
 
-  val all: Seq[Query] = Seq(q27, q28, q29)
+  // -- q99: column profiling (the data-quality pass an ETL framework runs
+  //   before shipping a dataset) ---------------------------------------------
+  //   One aggregate pass computes count/nulls/distinct/min/max for each
+  //   profiled column; `stack` unpivots the single wide row into one row
+  //   per column. Numeric mins/maxes stay double (bit-exact both engines);
+  //   every count is BIGINT on both sides. At 100 TB this is one map-side
+  //   combined aggregation — no per-column scans.
+  val q99 = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    Query.sql(
+      "q99_profile",
+      (s, dir) => {
+        // Long format FIRST, then one grouped aggregate: k distinct-counts
+        // over different columns in a single agg would plan an Expand (k×
+        // row duplication through the whole aggregation); exploding to
+        // (col_name, value) keeps one distinct path whatever k is.
+        val pairs = cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("double").as("v")))
+        Tables.load(s, dir, "lineitem")
+          .select(explode(array(pairs: _*)).as("p"))
+          .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy("col_name")
+      },
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c) AS min_v, MAX($c) AS max_v
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+  }
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q99)
 }

@@ -122,6 +122,19 @@ class ApiSpec extends SparkSpec {
     assert(out(2L) == (0.0, 1.0 / 3))
   }
 
+  test("profile reports nulls, distincts and extrema in one pass") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, null), (3L, 8.0), (3L, 2.0))
+      .toDF("k", "v")
+    val rows = df.profile("k", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows("k") == (4L, 0L, 3L, 1.0, 3.0))
+    assert(rows("v") == (4L, 1L, 2L, 2.0, 8.0))
+  }
+
   test("passageDedupStats extension matches q88 on the documents table") {
     import spark.implicits._
     val viaExt = Tables.load(spark, sf0001, "documents")
