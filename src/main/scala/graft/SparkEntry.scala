@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Events.all ++ operators.Multimodal.all ++
       operators.Sources.all ++ operators.Stats.all ++
       operators.Subqueries.all ++ operators.Windows.all ++
-      operators.TpchExtra.all ++ operators.Pipeline.all
+      operators.TpchExtra.all ++ operators.Pipeline.all ++
+      operators.Warehouse.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -350,6 +350,53 @@ object Pipeline {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  // -- q102: quantile quality gate (per-language median filter) -------------
+  //   The corpus-curation cut: score every document (same formula as q32),
+  //   compute each language's EXACT median score, keep documents at or
+  //   above their language's median. The per-language medians are a
+  //   languages-sized table — broadcast back, so the gate itself is
+  //   map-side; the only data-sized shuffle is the score aggregation.
+  //   Exact interpolated percentile ≡ DuckDB quantile_cont (q28 pins it).
+  val q102 = {
+    val qualityExpr =
+      """CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |  / size(split(text, ' ')) * 0.5d
+        |+ CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |  / size(split(text, ' ')) * 0.5d""".stripMargin
+    Query.sql(
+      "q102_quality_gate",
+      (s, dir) => {
+        val scored = docs(s, dir)
+          .select(col("doc_id"), col("lang"), expr(qualityExpr).as("quality"))
+        val med = scored.groupBy("lang")
+          .agg(expr("percentile(quality, 0.5)").as("med"))
+        scored.join(broadcast(med), "lang")
+          .filter(col("quality") >= col("med"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("quality")).as("min_kept"),
+            (sum(col("quality").cast(D)).cast("double") / count(lit(1)))
+              .as("mean_kept"))
+          .orderBy("lang")
+      },
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |      AS DOUBLE) / len(string_split(text, ' ')) * CAST(0.5 AS DOUBLE)
+        |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * CAST(0.5 AS DOUBLE) AS quality
+        |  FROM documents),
+        |med AS (
+        |  SELECT lang, quantile_cont(quality, 0.5) AS med
+        |  FROM scored GROUP BY lang)
+        |SELECT s.lang, COUNT(*) AS n_kept, MIN(quality) AS min_kept,
+        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    AS mean_kept
+        |FROM scored s JOIN med m ON s.lang = m.lang
+        |WHERE s.quality >= m.med
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin)
+  }
+
   val all: Seq[Query] =
-    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96)
+    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102)
 }

@@ -334,24 +334,38 @@ object TextAnalysis {
   val q35 = Query.sql(
     "q35_collocations",
     (s, dir) => {
-      val toks = docs(s, dir).select(split(col("text"), " ").as("t"))
-      // The unigram table is the aggregated vocabulary (small); cache it
-      // and derive the corpus token total from it instead of a third
-      // tokenization pass over the documents.
-      val uni = toks.select(explode(col("t")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw")).cache()
-      val total = uni.agg(sum(col("cw")).cast("long")).first().getLong(0)
-      val bi = toks.select(explode(expr(bigramsExpr("t"))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cab"))
-        .orderBy(desc("cab"), asc("bigram")).limit(30)
+      // ONE tokenization pass produces unigrams and bigrams together as
+      // (kind, gram) pairs — the corpus scan + explode shuffle happen once
+      // instead of twice. The split array is bound as a lambda variable
+      // (`transform(array(split(..)), t -> ...)`) so projection collapse
+      // cannot re-inline the split per element. The aggregated gram table
+      // is vocabulary-sized (tiny vs corpus at any scale) — cache it; the
+      // token total, top-30 bigrams and unigram lookups all derive from it
+      // without touching the documents again.
+      val grams = docs(s, dir).select(explode(expr(
+        """flatten(transform(array(split(text, ' ')), t ->
+          |  concat(
+          |    transform(t, w -> named_struct('k', 0, 'g', w)),
+          |    IF(size(t) < 2, array(),
+          |      transform(sequence(1, size(t) - 1), i -> named_struct(
+          |        'k', 1,
+          |        'g', concat(element_at(t, i), ' ', element_at(t, i + 1))))))))
+          |""".stripMargin)).as("p"))
+        .select(col("p.k").as("k"), col("p.g").as("g"))
+      val counts = grams.groupBy("k", "g").agg(count(lit(1)).as("c")).cache()
+      val uni = counts.filter(col("k") === 0).select(col("g"), col("c"))
+      val total = uni.agg(sum(col("c")).cast("long")).first().getLong(0)
+      val top = counts.filter(col("k") === 1)
+        .orderBy(desc("c"), asc("g")).limit(30)
+        .select(col("g").as("bigram"), col("c").as("cab"))
+        .withColumn("wa", split(col("bigram"), " ").getItem(0))
+        .withColumn("wb", split(col("bigram"), " ").getItem(1))
       // The 30 surviving bigrams are the broadcast side; the unigram table
       // (the whole vocabulary at production scale) streams past them, and
       // AQE broadcasts the tiny intermediate for the second lookup.
-      val top = bi.withColumn("wa", split(col("bigram"), " ").getItem(0))
-        .withColumn("wb", split(col("bigram"), " ").getItem(1))
-      uni.withColumnRenamed("w", "wa").withColumnRenamed("cw", "ca")
+      uni.withColumnRenamed("g", "wa").withColumnRenamed("c", "ca")
         .join(broadcast(top), "wa")
-        .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("cw", "cb"), "wb")
+        .join(uni.withColumnRenamed("g", "wb").withColumnRenamed("c", "cb"), "wb")
         .select(col("bigram"), col("cab"),
           ((col("cab") * lit(total)).cast("double") / (col("ca") * col("cb")))
             .as("lift"))

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the change-capture and merge steps an
+  * ETL framework runs around its transforms. The reference leaves both to
+  * hand-written model code over row iterators (its connectors expose only
+  * read/write access modes, cf. `lib/ayeaye/connect.py` access handling and
+  * the add/overwrite semantics in `lib/ayeaye/connectors/parquet_connector
+  * .py`); here each is one declarative plan whose single shuffle is on the
+  * natural key, so it scales with the cluster instead of the driver.
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // -- q100: SCD2 history build (change log -> validity intervals) ----------
+  //   The classic slowly-changing-dimension type-2 step: per user, ordered
+  //   by event time, collapse consecutive runs of the same event_type into
+  //   one row with [valid_from, valid_to) micros and an is_current flag.
+  //   Everything — both windows and the run aggregation — partitions on
+  //   user_id, so the whole history build is ONE shuffle however large the
+  //   log; no driver-side iteration, no self-join.
+  val q100 = Query.sql(
+    "q100_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val runs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "run_id")
+        .agg(first(col("event_type")).as("event_type"),
+          min(col("ts_us")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wr = Window.partitionBy("user_id").orderBy("valid_from")
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "n_events", "is_current")
+        .orderBy("user_id", "valid_from")
+    },
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |runs AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flagged),
+      |grp AS (
+      |  SELECT user_id, run_id, MIN(event_type) AS event_type,
+      |    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, run_id)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    AS valid_to,
+      |  n_events,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    IS NULL AS is_current
+      |FROM grp ORDER BY user_id, valid_from""".stripMargin)
+
+  // -- q101: merge / upsert (MERGE INTO semantics via full outer join) ------
+  //   The incremental-load step: a deterministic change set (updates to
+  //   every 97th order, plus brand-new rows under shifted keys) merged into
+  //   the base table — update wins, inserts appended, untouched rows pass
+  //   through. Planned as ONE full outer join on the merge key (exactly how
+  //   Delta/Iceberg execute MERGE): both sides shuffle on o_orderkey once;
+  //   a small change set broadcasts under AQE. Output restricted to touched
+  //   keys so the result stays inspectable at any scale.
+  val q101 = Query.sql(
+    "q101_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val touched = base.filter(col("o_orderkey") % 97 === 0)
+      val updates = touched
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
+      val inserts = updates
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val changes = updates.union(inserts)
+      base.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("c.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
+            .as("o_orderstatus"),
+          coalesce(col("c.o_totalprice"), col("b.o_totalprice"))
+            .as("o_totalprice"))
+        .filter(col("o_orderkey") % 97 === 0 ||
+          col("o_orderkey") >= 100000000L)
+        .orderBy("o_orderkey")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |updates AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+      |  FROM base WHERE o_orderkey % 97 = 0),
+      |changes AS (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+      |  FROM updates)
+      |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+      |  COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |  COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+      |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      |WHERE COALESCE(c.o_orderkey, b.o_orderkey) % 97 = 0
+      |   OR COALESCE(c.o_orderkey, b.o_orderkey) >= 100000000
+      |ORDER BY o_orderkey""".stripMargin)
+
+  // -- q103: key-skew profiler (the pre-flight check before a big join) -----
+  //   Distribution diagnostics for a join/aggregation key: per-key counts,
+  //   the share of the heaviest keys, and the global max/mean skew factor.
+  //   This is what decides between a plain shuffle join, AQE skew handling
+  //   and explicit salting at 100 TB. One map-side-combined count shuffle;
+  //   the single-row total broadcasts back, so the probe never funnels
+  //   data through the driver.
+  val q103 = Query.sql(
+    "q103_skew_profile",
+    (s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val stats = counts.agg(
+        sum(col("c")).as("total"),
+        max(col("c")).as("cmax"),
+        count(lit(1)).as("n_keys"))
+      counts.orderBy(desc("c"), asc("user_id")).limit(10)
+        .crossJoin(broadcast(stats))
+        .select(col("user_id"), col("c"),
+          (col("c").cast("double") / col("total")).as("share"),
+          ((col("cmax") * col("n_keys")).cast("double") / col("total"))
+            .as("skew_factor"))
+        .orderBy(desc("c"), asc("user_id"))
+    },
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |stats AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS cmax,
+      |    COUNT(*) AS n_keys
+      |  FROM counts)
+      |SELECT user_id, c,
+      |  CAST(c AS DOUBLE) / total AS share,
+      |  CAST(cmax * n_keys AS DOUBLE) / total AS skew_factor
+      |FROM counts CROSS JOIN stats
+      |ORDER BY c DESC, user_id LIMIT 10""".stripMargin)
+
+  // -- q104: snapshot diff (audit an incremental load) ----------------------
+  //   Row-level reconciliation of two table versions: classify every key as
+  //   added / removed / changed / unchanged and aggregate per class with
+  //   the exact total price delta. The second snapshot is derived
+  //   deterministically (deletes every 89th key, reprices every 97th,
+  //   appends shifted keys) so the expected classes are known. ONE full
+  //   outer join on the key — the same plan as q101's merge, which is why
+  //   a diff of 100 TB against yesterday costs one co-partitioned shuffle.
+  val q104 = Query.sql(
+    "q104_snapshot_diff",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val snap = base
+        .filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0,
+            col("o_totalprice") * lit(1.05))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
+            col("o_totalprice")))
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      base.as("a").join(snap.as("b"), Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_totalprice").isNull, "added")
+            .when(col("b.o_totalprice").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(col("b.o_totalprice"), lit(0d))
+            .minus(coalesce(col("a.o_totalprice"), lit(0d))).as("delta"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("delta").cast(D)).cast("double").as("price_delta"))
+        .orderBy("change_type")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders),
+      |snap AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0
+      |      THEN o_totalprice * CAST(1.05 AS DOUBLE)
+      |      ELSE o_totalprice END AS o_totalprice
+      |  FROM base WHERE o_orderkey % 89 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, o_totalprice
+      |  FROM base WHERE o_orderkey % 101 = 0)
+      |SELECT CASE WHEN a.o_totalprice IS NULL THEN 'added'
+      |    WHEN b.o_totalprice IS NULL THEN 'removed'
+      |    WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+      |    ELSE 'unchanged' END AS change_type,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(COALESCE(b.o_totalprice, 0) - COALESCE(a.o_totalprice, 0)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS price_delta
+      |FROM base a FULL OUTER JOIN snap b ON a.o_orderkey = b.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val all: Seq[Query] = Seq(q100, q101, q103, q104)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the warehouse-maintenance operators (the oracle
+  * gate proves value-exactness vs DuckDB; these prove the invariants an
+  * incremental load relies on: interval contiguity, merge completeness).
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("scd2 intervals are contiguous, collapsed and cover every event") {
+    val rows = Warehouse.q100.run(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (user, hist) =>
+      // already ordered by valid_from within user (query orders globally)
+      val h = hist.sortBy(_.getLong(2))
+      // exactly one open (current) interval per user, and it is the last
+      assert(h.count(_.getBoolean(5)) == 1, s"user $user current-row count")
+      assert(h.last.getBoolean(5) && h.last.isNullAt(3))
+      // each interval ends where the next begins; none are empty
+      h.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) == b.getLong(2), s"user $user gap/overlap")
+        assert(a.getLong(2) < a.getLong(3), s"user $user empty interval")
+        // consecutive runs were collapsed: the type must actually change
+        assert(a.getString(1) != b.getString(1), s"user $user uncollapsed run")
+      }
+    }
+    // run-length counts add back up to the full event log
+    val events = Tables.load(spark, sf0001, "events")
+    assert(rows.map(_.getLong(4)).sum == events.count())
+  }
+
+  test("merge upsert applies updates, appends inserts, leaves the rest") {
+    val out = Warehouse.q101.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    val base = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(base.nonEmpty && out.size == 2 * base.size)
+    base.foreach { case (k, (_, price)) =>
+      assert(out(k) == (("U", price * 1.1)), s"update row $k")
+      assert(out(k + 100000000L) == (("N", price * 1.1)), s"insert row $k")
+    }
+    // untouched keys stay untouched (they are filtered from the probe
+    // output, but the merge itself passes them through: check via count
+    // of the unfiltered plan shape — the full result is base ∪ inserts)
+    val full = Warehouse.q101.run(spark, sf0001)
+    assert(full.filter(col("o_orderstatus") === "U").count() == base.size)
+  }
+
+  test("skew profile shares sum below one and skew factor is >= 1") {
+    val rows = Warehouse.q103.run(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.sum <= 1.0 + 1e-9 && shares.forall(_ > 0))
+    // counts are ranked descending
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
+    // max/mean skew factor is >= 1 by construction and identical on all rows
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+    assert(rows.head.getDouble(3) >= 1.0)
+  }
+
+  test("snapshot diff classes reconcile with the derived snapshot") {
+    val out = Warehouse.q104.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = Tables.load(spark, sf0001, "orders")
+    val n = base.count()
+    val removed = base.filter(col("o_orderkey") % 89 === 0).count()
+    val added = base.filter(col("o_orderkey") % 101 === 0).count()
+    val changed = base.filter(col("o_orderkey") % 97 === 0 &&
+      col("o_orderkey") % 89 =!= 0).count()
+    assert(out("removed")._1 == removed)
+    assert(out("added")._1 == added)
+    assert(out("changed")._1 == changed)
+    assert(out("unchanged")._1 == n - removed - changed)
+    // unchanged rows contribute zero delta; changed rows a positive one
+    assert(out("unchanged")._2 == 0.0)
+    assert(out("changed")._2 > 0.0)
+  }
+
+  test("quality gate keeps at least half of every language at its median") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val total = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val kept = operators.Pipeline.q102.run(spark, sf0001)
+    val fracs = kept.join(total, "lang")
+      .select(col("lang"), col("n_kept").cast("double") / col("n_total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs.nonEmpty)
+    fracs.foreach { case (l, f) =>
+      assert(f >= 0.5 && f <= 1.0, s"$l kept fraction $f")
+    }
+  }
+}
