@@ -204,5 +204,94 @@ package object api {
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy("col_name")
     }
+
+    /** SCD2 history build (cf. q100): per `keyCol`, ordered by `tsCol`,
+      * collapse consecutive runs of equal `attrCol` into one row with
+      * `valid_from` / `valid_to` (the next run's start, null while open),
+      * `n_events` and `is_current`. Both windows and the run aggregation
+      * partition on the key, so the whole build is ONE shuffle.
+      */
+    def scd2(keyCol: String, attrCol: String, tsCol: String): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window
+      val w = win.partitionBy(keyCol).orderBy(tsCol)
+      val runs = df.select(col(keyCol), col(tsCol), col(attrCol))
+        .withColumn("__chg",
+          when(lag(col(attrCol), 1).over(w).isNull ||
+            lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+        .withColumn("__run",
+          sum(col("__chg")).over(w.rowsBetween(win.unboundedPreceding, 0)))
+        .groupBy(keyCol, "__run")
+        .agg(first(col(attrCol)).as(attrCol),
+          min(col(tsCol)).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wr = win.partitionBy(keyCol).orderBy("valid_from")
+      runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+        .withColumn("is_current", col("valid_to").isNull)
+        .drop("__run")
+    }
+
+    /** MERGE INTO semantics (cf. q101): rows of `changes` (same schema)
+      * replace same-key rows of this frame; unmatched change rows are
+      * appended; everything else passes through. ONE full outer join on
+      * the merge key — the plan shape Delta/Iceberg use for MERGE.
+      */
+    def mergeUpsert(changes: DataFrame, keyCol: String): DataFrame = {
+      val others = df.columns.filterNot(_ == keyCol)
+      require(changes.columns.sorted.sameElements(df.columns.sorted),
+        "mergeUpsert needs identical schemas")
+      df.as("__b").join(changes.as("__c"), Seq(keyCol), "full_outer")
+        .select(col(keyCol) +: others.map(c =>
+          coalesce(col(s"__c.$c"), col(s"__b.$c")).as(c)): _*)
+    }
+
+    /** Snapshot reconciliation (cf. q104): classify every key as added /
+      * removed / changed / unchanged against `other` (same schema),
+      * comparing all non-key columns. One co-partitioned full outer join;
+      * null-safe struct equality so null attribute values compare stably.
+      */
+    def snapshotDiff(other: DataFrame, keyCol: String): DataFrame = {
+      val others = df.columns.filterNot(_ == keyCol)
+      val pack: String => Column = side =>
+        struct(others.map(c => col(s"$side.$c")): _*)
+      val aTag = col(s"__a.$keyCol").isNotNull
+      val bTag = col(s"__b.$keyCol").isNotNull
+      df.as("__a").join(other.as("__b"),
+          col(s"__a.$keyCol") === col(s"__b.$keyCol"), "full_outer")
+        .select(coalesce(col(s"__a.$keyCol"), col(s"__b.$keyCol")).as(keyCol),
+          when(!aTag, "added").when(!bTag, "removed")
+            .when(pack("__a") <=> pack("__b"), "unchanged")
+            .otherwise("changed").as("change_type"))
+    }
+
+    /** Key-distribution diagnostics (cf. q103): the `topN` heaviest keys
+      * with count, corpus share, and the global max/mean skew factor —
+      * the pre-flight check before picking broadcast vs shuffle vs salted
+      * join. Map-side-combined count shuffle; totals broadcast back.
+      */
+    def skewProfile(keyCol: String, topN: Int = 10): DataFrame = {
+      val counts = df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+      val stats = counts.agg(sum(col("c")).as("__total"),
+        max(col("c")).as("__cmax"), count(lit(1)).as("__nkeys"))
+      counts.orderBy(desc("c"), asc(keyCol)).limit(topN)
+        .crossJoin(broadcast(stats))
+        .select(col(keyCol), col("c"),
+          (col("c").cast("double") / col("__total")).as("share"),
+          ((col("__cmax") * col("__nkeys")).cast("double") / col("__total"))
+            .as("skew_factor"))
+        .orderBy(desc("c"), asc(keyCol))
+    }
+
+    /** Per-group quantile gate (cf. q102): keep rows whose `scoreCol` is
+      * at or above their group's exact interpolated `q`-quantile. The
+      * per-group cutoffs are a groups-sized table broadcast back, so the
+      * gate itself is map-side.
+      */
+    def quantileGate(groupCol: String, scoreCol: String, q: Double = 0.5): DataFrame = {
+      require(q >= 0 && q <= 1, "quantile must be in [0, 1]")
+      val cuts = df.groupBy(groupCol)
+        .agg(expr(s"percentile($scoreCol, $q)").as("__cut"))
+      df.join(broadcast(cuts), groupCol)
+        .filter(col(scoreCol) >= col("__cut")).drop("__cut")
+    }
   }
 }

@@ -135,6 +135,62 @@ class ApiSpec extends SparkSpec {
     assert(rows("v") == (4L, 1L, 2L, 2.0, 8.0))
   }
 
+  test("scd2 extension matches the q100 history on events") {
+    val viaExt = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .scd2("user_id", "event_type", "ts_us")
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .orderBy("user_id", "valid_from")
+    val viaQuery = operators.Warehouse.q100.run(spark, sf0001)
+    // identical up to the query's event_id tie-break: same interval count
+    // per user and the same run-length totals
+    assert(viaExt.count() == viaQuery.count())
+    assert(viaExt.agg(sum("n_events")).first().getLong(0) ==
+      viaQuery.agg(sum("n_events")).first().getLong(0))
+  }
+
+  test("mergeUpsert applies updates and appends new keys") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq((2L, "B", 22.0), (9L, "z", 90.0)).toDF("k", "s", "v")
+    val out = base.mergeUpsert(changes, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B", 22.0),
+      (3L, "c", 30.0), (9L, "z", 90.0)))
+  }
+
+  test("snapshotDiff classifies keys, null-safely") {
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (3L, null))
+      .toDF("k", "s")
+    val b = Seq[(java.lang.Long, String)]((1L, "x2"), (3L, null), (4L, "w"))
+      .toDF("k", "s")
+    val out = a.snapshotDiff(b, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "removed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("skewProfile extension matches q103 on events") {
+    val viaExt = Tables.load(spark, sf0001, "events")
+      .skewProfile("user_id").collect()
+    val viaQuery = operators.Warehouse.q103.run(spark, sf0001).collect()
+    assert(viaExt.map(_.toSeq).toSeq == viaQuery.map(_.toSeq).toSeq)
+  }
+
+  test("quantileGate keeps only rows at or above the group quantile") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 10.0), ("g2", 20.0)).toDF("g", "score")
+    val kept = df.quantileGate("g", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // g1's median is 2; g2's interpolated median is 15 -> only 20 survives
+    assert(kept == Set(("g1", 2.0), ("g1", 3.0), ("g2", 20.0)))
+  }
+
   test("passageDedupStats extension matches q88 on the documents table") {
     import spark.implicits._
     val viaExt = Tables.load(spark, sf0001, "documents")
