@@ -99,6 +99,30 @@ class PlanSpec extends SparkSpec {
       s"payload column not pruned from scan: $readSchema")
   }
 
+  test("q100 scd2 builds the whole history in one key shuffle") {
+    // both windows and the run aggregation partition on user_id: exactly
+    // one hash exchange of the event data (plus AQE reads), no self-join
+    val p = plan(Warehouse.q100.run(spark, sf001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"scd2 should not join:\n$p")
+  }
+
+  test("q101 merge is a single join on the merge key") {
+    val p = plan(Warehouse.q101.run(spark, sf001))
+    val joins = "MergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
+  }
+
+  test("q104 snapshot diff is a single co-partitioned join") {
+    val p = plan(Warehouse.q104.run(spark, sf001))
+    val joins = "MergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
+  }
+
   test("q84 partitioned read prunes partitions on status filter") {
     // write once via the query, then check a filtered read prunes
     Sources.q84.run(spark, sf001).collect()
