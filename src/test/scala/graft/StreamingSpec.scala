@@ -200,6 +200,32 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == spark.read.parquet(dir).count())
   }
 
+  test("foreachBatch + mergeUpsert maintains a keyed table incrementally") {
+    // The standard streaming-MERGE pattern: each micro-batch's latest row
+    // per key is merged into a materialized table via the same full-outer
+    // join plan as q101 — the streaming twin of the warehouse upsert.
+    import graft.api._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    mem.addData((2L, "b2", 2.2), (3L, "c", 3.0))
+    var table = Seq.empty[(Long, String, Double)].toDF("k", "s", "v")
+    Streams.runForeachBatch(
+      mem.toDF.toDF("k", "s", "v"),
+      (batch, _) => {
+        // latest row per key within the batch, then MERGE into the table
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(desc("v"))
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        table = table.mergeUpsert(latest, "k").localCheckpoint()
+      })
+    val out = table.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 1.0), (2L, "b2", 2.2), (3L, "c", 3.0)))
+  }
+
   test("windowed aggregation runs on the RocksDB state store") {
     // The production state backend at scale: the default in-memory
     // provider holds every window key on-heap, which caps state at
