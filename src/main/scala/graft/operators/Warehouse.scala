@@ -220,5 +220,44 @@ object Warehouse {
       |FROM base a FULL OUTER JOIN snap b ON a.o_orderkey = b.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  val all: Seq[Query] = Seq(q100, q101, q103, q104)
+  // -- q105: incremental rollup maintenance ---------------------------------
+  //   The never-recompute-history pattern: a stored monthly rollup of the
+  //   closed past (orders before the cutoff) is merged with a fresh
+  //   aggregation of only the new slice, and the result must equal a full
+  //   re-aggregation — which is exactly what the oracle computes. The
+  //   load-bearing detail for exactness at any scale: partial sums stay
+  //   DECIMAL until the final merge (double partials would round before
+  //   merging and drift from the full re-agg); the merge shuffles only
+  //   pre-aggregated month rows, never the fact table.
+  val q105 = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).as("rev_d"))
+    Query.sql(
+      "q105_incremental_rollup",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val cutoff = to_date(lit("1997-06-01"))
+        val history = partial(orders
+          .filter(col("o_orderdate").cast("date") < cutoff))
+        val delta = partial(orders
+          .filter(col("o_orderdate").cast("date") >= cutoff))
+        history.union(delta)
+          .groupBy("yr", "mo")
+          .agg(sum(col("n")).as("n"),
+            sum(col("rev_d")).cast("double").as("total"))
+          .orderBy("yr", "mo")
+      },
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105)
 }

@@ -80,6 +80,19 @@ class WarehouseSpec extends SparkSpec {
     assert(out("changed")._2 > 0.0)
   }
 
+  test("incremental rollup equals the full re-aggregation bit-for-bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val incr = Warehouse.q105.run(spark, sf0001).collect()
+    val full = Tables.load(spark, sf0001, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("total"))
+      .orderBy("yr", "mo").collect()
+    assert(incr.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("quality gate keeps at least half of every language at its median") {
     val docs = Tables.load(spark, sf0001, "documents")
     val total = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
