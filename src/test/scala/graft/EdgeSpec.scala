@@ -146,4 +146,50 @@ class EdgeSpec extends SparkSpec {
       .agg(count(lit(1)))
     assert(sessions.count() == 0)
   }
+
+  test("scd2 on a single-event key yields one open current interval") {
+    import graft.api._
+    import spark.implicits._
+    val one = Seq((7L, 100L, "x")).toDF("k", "t", "attr")
+      .scd2("k", "attr", "t").collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getAs[Boolean]("is_current") && r.isNullAt(r.fieldIndex("valid_to")))
+    assert(r.getAs[Long]("n_events") == 1L)
+    // and an empty frame stays empty without crashing
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "t", "attr")
+      .scd2("k", "attr", "t")
+    assert(empty.count() == 0)
+  }
+
+  test("mergeUpsert rejects mismatched schemas, accepts reordered columns") {
+    import graft.api._
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      base.mergeUpsert(Seq((1L, "a", 2.0)).toDF("k", "s", "v"), "k")
+    }
+    // same columns in a different order are fine
+    val out = base.mergeUpsert(Seq(("b", 2L)).toDF("s", "k"), "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("snapshotDiff of identical frames is all-unchanged") {
+    import graft.api._
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val classes = orders.snapshotDiff(orders, "o_orderkey")
+      .select("change_type").distinct().collect().map(_.getString(0))
+    assert(classes.sameElements(Array("unchanged")))
+  }
+
+  test("quantileGate at q=0 keeps everything, q=1 keeps only the max") {
+    import graft.api._
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "score")
+    assert(df.quantileGate("g", "score", 0.0).count() == 3)
+    val top = df.quantileGate("g", "score", 1.0).collect()
+    assert(top.length == 1 && top.head.getDouble(1) == 3.0)
+  }
 }
