@@ -122,4 +122,29 @@ class ScaleSpec extends SparkSpec {
     assert(pd.getLong(1) >= 200000)           // ≥1 passage per doc
     assert(pd.getLong(2) <= pd.getLong(1))    // shared ⊆ all
   }
+
+  test("soak: merge upsert + snapshot diff over 1M synthetic keys") {
+    // The warehouse path at scale: a 1M-row base, a 100k-row change set
+    // (half updates, half inserts) — merge and reconcile without any
+    // driver materialization; one co-partitioned join each.
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1000000).select(col("id").as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+    val changes = spark.range(50000).select((col("id") * 20).as("k"),
+      lit(-1.0).as("v"))                           // updates: every 20th key
+      .union(spark.range(50000).select((col("id") + 2000000).as("k"),
+        lit(-2.0).as("v")))                        // inserts: fresh keys
+    val merged = base.mergeUpsert(changes, "k").localCheckpoint()
+    assert(merged.count() == 1050000L)
+    assert(merged.filter(col("v") === -1.0).count() == 50000L)
+    assert(merged.filter(col("v") === -2.0).count() == 50000L)
+    val classes = base.snapshotDiff(merged, "k")
+      .groupBy("change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes("added") == 50000L)     // the inserted keys
+    assert(classes("changed") == 50000L)   // the updated keys
+    assert(classes("unchanged") == 950000L)
+    assert(!classes.contains("removed"))
+  }
 }
