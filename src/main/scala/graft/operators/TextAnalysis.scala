@@ -471,7 +471,57 @@ object TextAnalysis {
       |SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
       |FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin)
 
+  // -- q106: vocabulary coverage / OOV rate ---------------------------------
+  //   The tokenizer-prep metric: build the corpus top-K vocabulary
+  //   (count-desc, token-asc — deterministic ties), then measure each
+  //   document's out-of-vocabulary token fraction and aggregate per
+  //   language. The vocabulary is K rows however big the corpus, so it
+  //   BROADCASTS back to the token stream; the only data-sized shuffles
+  //   are the map-side-combined token count and the per-doc regroup.
+  val q106 = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    Query.sql(
+      "q106_vocab_coverage",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("w")).limit(20)
+          .select(col("w"), lit(1).as("in_vocab"))
+        val perDoc = toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("lang"),
+            (col("n_oov").cast("double") / col("n")).as("oov_frac"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("oov_frac").cast(D)).cast("double") / count(lit(1)))
+              .as("mean_oov_frac"),
+            max(col("oov_frac")).as("max_oov_frac"))
+          .orderBy("lang")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM toks GROUP BY w
+        |  ORDER BY COUNT(*) DESC, w LIMIT 20),
+        |perdoc AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n,
+        |    SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY doc_id, lang),
+        |fracs AS (
+        |  SELECT lang, CAST(n_oov AS DOUBLE) / n AS oov_frac FROM perdoc)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(oov_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    AS mean_oov_frac,
+        |  MAX(oov_frac) AS max_oov_frac
+        |FROM fracs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98)
+      q87, q98, q106)
 }
