@@ -177,6 +177,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("mergeUpsert equals the naive map-based upsert on random tables") {
+    import graft.api._
+    import spark.implicits._
+    val genRow = Gen.zip(Gen.chooseNum(0L, 30L), Gen.alphaStr.map(_.take(4)),
+      Gen.chooseNum(-100.0, 100.0))
+    check(Prop.forAll(Gen.listOf(genRow), Gen.listOf(genRow)) { (b, c) =>
+      // one row per key on each side (mergeUpsert's contract)
+      val base = b.groupBy(_._1).map(_._2.head).toList
+      val changes = c.groupBy(_._1).map(_._2.head).toList
+      val expected = (base.map(r => r._1 -> r) ++ changes.map(r => r._1 -> r))
+        .toMap.values.toSet                      // change wins per key
+      val got = base.toDF("k", "s", "v")
+        .mergeUpsert(changes.toDF("k", "s", "v"), "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      got == expected
+    })
+  }
+
+  test("scd2 reconstructs the per-key run-length encoding of any log") {
+    import graft.api._
+    import spark.implicits._
+    val genEvt = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L),
+      Gen.oneOf("a", "b", "c"))
+    check(Prop.forAll(Gen.nonEmptyListOf(genEvt)) { evts0 =>
+      // unique (key, ts) so the window order is total (scd2's contract)
+      val evts = evts0.groupBy(e => (e._1, e._2)).map(_._2.head).toList
+      val out = evts.toDF("k", "t", "attr").scd2("k", "attr", "t")
+        .select("k", "attr", "valid_from", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(x => (x._2, x._4)).toList)
+        .toMap
+      val expected = evts.groupBy(_._1).view.mapValues { es =>
+        val sorted = es.sortBy(_._2).map(_._3)
+        // run-length encode
+        sorted.foldLeft(List.empty[(String, Long)]) {
+          case ((a, n) :: rest, x) if a == x => (a, n + 1) :: rest
+          case (acc, x)                      => (x, 1L) :: acc
+        }.reverse
+      }.toMap
+      out == expected
+    })
+  }
+
   test("filter partition law: p and !p split every non-null row") {
     val df = Tables.load(spark, sf0001, "orders")
     val preds = Seq(
