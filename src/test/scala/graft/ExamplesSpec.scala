@@ -154,4 +154,25 @@ class ExamplesSpec extends SparkSpec {
       .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
     assert(shardDirs.nonEmpty && shardDirs.length <= 8)
   }
+
+  test("dimension maintenance: merge + audit with lifecycle checks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("dim").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v").write.parquet(s"$work/base")
+    Seq((2L, "B", 22.0), (9L, "z", 90.0))
+      .toDF("k", "s", "v").write.parquet(s"$work/changes")
+    val m = new MaintainDimension(
+      s"parquet://$work/base", s"parquet://$work/changes",
+      s"parquet://$work/merged", s"parquet://$work/audit", "k")
+    assert(m.go(spark))
+    assert(m.stats("changes_in").value == 2)
+    val merged = spark.read.parquet(s"$work/merged").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s")))
+    assert(merged.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+    val audit = spark.read.parquet(s"$work/audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit == Map("added" -> 1L, "changed" -> 1L, "unchanged" -> 2L))
+  }
 }
