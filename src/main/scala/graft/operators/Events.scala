@@ -277,5 +277,74 @@ object Events {
         |FROM w3""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97)
+  // -- q107: last-touch attribution with a validity window ------------------
+  //   Marketing attribution: each purchase is credited to the user's most
+  //   recent view at-or-before it, but only if that view happened within
+  //   the last 24 hours — the as-of join composed with a window-validity
+  //   predicate. Same single-shuffle as-of plan as q65; the validity check
+  //   is a map-side integer comparison on epoch micros.
+  val q107 = Query.sql(
+    "q107_attribution",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOfJoin.asof(purchases, views, "user_id", "ts", "ts",
+          Map("ts" -> "view_ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          (col("view_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("view_ts"))
+              <= lit(86400000000L)).as("attributed"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS view_ts_us,
+      |  (r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000)
+      |    AS attributed
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |      WHERE event_type = 'view') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
+  // -- q108: retention cohorts ----------------------------------------------
+  //   The product-analytics staple: cohort users by their first-seen week,
+  //   then count distinct active users at each whole-week offset. Two
+  //   shuffles on user_id (first-seen aggregate, then the activity join is
+  //   co-partitioned with it) plus the final small cohort aggregate; the
+  //   week arithmetic is integer day-diff div 7 — exact on both engines.
+  val q108 = Query.sql(
+    "q108_retention_cohorts",
+    (s, dir) => {
+      val acts = ev(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+      val firsts = acts.groupBy("user_id").agg(min(col("d")).as("first_d"))
+      acts.join(firsts, "user_id")
+        .select(
+          date_format(date_trunc("week", col("first_d")), "yyyy-MM-dd")
+            .as("cohort_week"),
+          expr("datediff(d, first_d) div 7").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    """WITH acts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |firsts AS (
+      |  SELECT user_id, MIN(d) AS first_d FROM acts GROUP BY user_id)
+      |SELECT strftime(date_trunc('week', first_d), '%Y-%m-%d') AS cohort_week,
+      |  date_diff('day', first_d, d) // 7 AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM acts a JOIN firsts f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108)
 }
