@@ -204,6 +204,27 @@ object Streams {
       .select("p_id", "user_id", "p_ts", "e_id", "e_ts", "e_value")
   }
 
+  /** Left-outer flavor of [[purchaseErrorJoin]]: purchases with no error
+    * in the preceding 30 minutes are still emitted (null error columns) —
+    * but only once the watermark passes the end of their join window, when
+    * the engine can prove no match will arrive. Both time bounds are
+    * declared, so each side's state is evicted at the watermark; unbounded
+    * state is the failure mode this operator exists to avoid at scale.
+    */
+  def purchaseErrorLeftJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("value").as("e_value"))
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("e_ts") <= col("p_ts"),
+      "left_outer")
+      .select("p_id", "user_id", "p_ts", "e_id", "e_ts", "e_value")
+  }
+
   /** Streaming exact dedup: keep the first occurrence per key, with state
     * bounded by the watermark (duplicates arriving later than the
     * watermark delay are assumed impossible upstream). The streaming half

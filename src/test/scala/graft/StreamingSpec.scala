@@ -153,6 +153,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = Streams.purchaseErrorLeftJoin(
+        events.filter(col("event_type") === "purchase"),
+        events.filter(col("event_type") === "error"))
+      .orderBy("p_id", "e_id").collect()
+    // the outer side must actually add null-error rows over the inner join
+    val inner = Streams.purchaseErrorJoin(
+        events.filter(col("event_type") === "purchase"),
+        events.filter(col("event_type") === "error")).count()
+    assert(batch.length > inner, "fixture has no unmatched purchases")
+
+    val memP = MemoryStream[Streams.Event]
+    val memE = MemoryStream[Streams.Event]
+    val joined = Streams.purchaseErrorLeftJoin(memP.toDF(), memE.toDF())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
+    val q = joined.writeStream.format("memory").queryName("ssoj_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val all = events.as[Streams.Event].collect().toSeq
+    memP.addData(all.filter(_.event_type == "purchase"))
+    memE.addData(all.filter(_.event_type == "error"))
+    q.processAllAvailable()
+    // null rows only flush when the watermark proves no match can arrive
+    val flush = Streams.Event(-1, ts("2030-01-01 00:00:00"), -1, "x", 0, "{}")
+    memP.addData(flush); memE.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssoj_test").filter(col("p_id") >= 0)
+      .orderBy("p_id", "e_id").collect()
+    assert(streamed.length == batch.length,
+      s"stream ${streamed.length} rows != batch ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("stream restart from checkpoint resumes exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     // 4 separate files so maxFilesPerTrigger=1 gives 4 micro-batches
