@@ -281,6 +281,25 @@ package object api {
         .orderBy(desc("c"), asc(keyCol))
     }
 
+    /** Retention-cohort matrix (cf. q108): cohort rows by the key's
+      * first-seen week of `dateCol`, count distinct keys active at each
+      * whole-week offset. Two co-partitioned shuffles on the key, then a
+      * cohorts-sized aggregate.
+      */
+    def retentionCohorts(keyCol: String, dateCol: String): DataFrame = {
+      val acts = df.select(col(keyCol), col(dateCol).cast("date").as("__d"))
+      val firsts = acts.groupBy(keyCol).agg(min(col("__d")).as("__first"))
+      acts.join(firsts, keyCol)
+        .select(
+          date_format(date_trunc("week", col("__first")), "yyyy-MM-dd")
+            .as("cohort_week"),
+          expr(s"datediff(__d, __first) div 7").as("week_offset"),
+          col(keyCol))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col(keyCol)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }
+
     /** Per-group quantile gate (cf. q102): keep rows whose `scoreCol` is
       * at or above their group's exact interpolated `q`-quantile. The
       * per-group cutoffs are a groups-sized table broadcast back, so the

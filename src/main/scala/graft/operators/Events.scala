@@ -345,6 +345,43 @@ object Events {
       |FROM acts a JOIN firsts f ON a.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
 
+  // -- q109: time-series gap filling (resample to a dense hourly grid) ------
+  //   The resampling step before any rolling metric: purchase counts per
+  //   hour with MISSING HOURS present as zero rows. The spine is generated
+  //   from the one-row min/max aggregate (`sequence` explode — no driver
+  //   loop, no table of hours to maintain), and both join sides are
+  //   span-sized after aggregation, so the only data-sized shuffle is the
+  //   hourly count itself.
+  val q109 = Query.sql(
+    "q109_gap_fill",
+    (s, dir) => {
+      val purchases = ev(s, dir).filter(col("event_type") === "purchase")
+      val counts = purchases
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = purchases
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      spine.join(counts, Seq("h"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour")
+    },
+    """WITH purchases AS (
+      |  SELECT * FROM events WHERE event_type = 'purchase'),
+      |counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM purchases GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series(date_trunc('hour', MIN(ts)),
+      |    date_trunc('hour', MAX(ts)), INTERVAL 1 HOUR)) AS h
+      |  FROM purchases)
+      |SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(c.n, 0) AS n
+      |FROM spine s LEFT JOIN counts c ON s.h = c.h
+      |ORDER BY hour""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108)
+    Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109)
 }

@@ -181,6 +181,13 @@ class ApiSpec extends SparkSpec {
     assert(viaExt.map(_.toSeq).toSeq == viaQuery.map(_.toSeq).toSeq)
   }
 
+  test("retentionCohorts extension matches q108 on events") {
+    val viaExt = Tables.load(spark, sf0001, "events")
+      .retentionCohorts("user_id", "ts").collect()
+    val viaQuery = operators.Events.q108.run(spark, sf0001).collect()
+    assert(viaExt.map(_.toSeq).toSeq == viaQuery.map(_.toSeq).toSeq)
+  }
+
   test("quantileGate keeps only rows at or above the group quantile") {
     import spark.implicits._
     val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
