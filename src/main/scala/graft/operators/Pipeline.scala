@@ -397,6 +397,32 @@ object Pipeline {
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin)
   }
 
+  // -- q111: fixed-size per-group eval sample -------------------------------
+  //   "Exactly N docs per language, stable forever": rank each group by a
+  //   salted md5 of the doc id (RNG-free, so membership is reproducible
+  //   across runs, partitionings and cluster sizes — and adding new docs
+  //   can only displace items at the rank boundary, not reshuffle the
+  //   sample) and keep the first N. One shuffle on the group key; the
+  //   rank window never sees more than a group's rows.
+  val q111 = Query.sql(
+    "q111_eval_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("s42:"),
+          col("doc_id").cast("string"))), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("lang", "rk")
+    },
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102)
+    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111)
 }
