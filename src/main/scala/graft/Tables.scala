@@ -27,7 +27,11 @@ object Tables {
   def loadBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles (a listing, no job) instead of df.rdd.getNumPartitions: the
+    // RDD probe forced a plan-to-RDD conversion per call. One row-group per
+    // file means files ≈ scan tasks for this layout; a production table with
+    // many files skips the repartition, as intended.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's reader

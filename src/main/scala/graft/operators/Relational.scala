@@ -148,7 +148,11 @@ object Relational {
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        // No broadcast hint on supplier: it grows with SF, so a forced hint
+        // OOMs at cluster scale. AQE/size stats still broadcast it whenever
+        // it actually fits; only the fixed-size dims (nation/region) get
+        // the explicit hint.
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -150,5 +150,35 @@ object Sources {
       |  MAX(CAST(o_orderdate AS DATE)) AS last_date
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
-  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89)
+  // -- q112: JDBC round-trip against embedded Derby --------------------------
+  //   The reference's SqlAlchemyDatabaseConnector path run LIVE
+  //   (`sqlalchemy_database.py:181-276`: create table, add rows, commit):
+  //   df.write.jdbc creates the table and batch-inserts one batch per Spark
+  //   partition; the read back is a partitionColumn parallel scan — 4
+  //   concurrent connections splitting on c_custkey, exactly how a
+  //   production warehouse extract fans out. `;createTypes=` overrides
+  //   Derby's default STRING→CLOB mapping (CLOB forbids `=`/GROUP BY in
+  //   pushed-down SQL).
+  val q112 = Query.sql(
+    "q112_jdbc_roundtrip",
+    (s, dir) => {
+      val db = tmp(dir, "derby_customer")
+      ConnectorRegistry.write(Tables.load(s, dir, "customer"),
+        s"derby://$db;create=true;dbtable=customer_rt;" +
+          "createTypes=c_name VARCHAR(64)|c_mktsegment VARCHAR(32)")
+      ConnectorRegistry.read(s,
+          s"derby://$db;dbtable=customer_rt;partitionColumn=c_custkey;" +
+            "lowerBound=0;upperBound=200000;numPartitions=4")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("total_bal"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("c_mktsegment")
+    },
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+      |  MAX(c_custkey) AS max_key
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112)
 }

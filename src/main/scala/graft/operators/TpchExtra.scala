@@ -34,7 +34,9 @@ object TpchExtra {
         col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        // supplier grows with SF — no forced broadcast hint (see q05);
+        // AQE broadcasts it at any size where that is still correct.
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") =!= col("cust_nation"))

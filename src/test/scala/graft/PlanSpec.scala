@@ -36,6 +36,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("q05/t07 supplier broadcasts from size stats, not a forced hint (sf0.1)") {
+    // supplier grows with SF, so the hint was removed (a forced broadcast
+    // OOMs at cluster scale). At sf0.1 it is still far under the 10 MB
+    // threshold: the optimizer must pick broadcast on its own for every
+    // join in these plans (supplier + both nation views + region).
+    val sf01 = "/root/testdata/sf0.1"
+    for ((name, df) <- Seq("q05" -> Relational.q05.run(spark, sf01),
+                           "t07" -> TpchExtra.t07.run(spark, sf01))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: supplier join fell back to a shuffle join at sf0.1:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name: no broadcast join:\n$p")
+    }
+  }
+
   test("q23 small-dim join is broadcast, no shuffle of nation") {
     val p = plan(Relational.q23.run(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), p)
