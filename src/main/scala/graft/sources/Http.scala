@@ -18,21 +18,166 @@ import java.time.Duration
   *    100 TB the calls run distributed, throttled by partition count.
   */
 object Http {
-  private[sources] def get(client: HttpClient, url: String, retries: Int = 3): String = {
+  /** Send with exponential backoff on 5xx; returns the final response
+    * without judging its status (callers own the status policy).
+    */
+  private[sources] def sendWithRetry(
+      client: HttpClient,
+      request: () => HttpRequest,
+      retries: Int): HttpResponse[String] = {
     var attempt = 0
     var backoffMs = 100L
-    while (true) {
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url)).GET()
-          .timeout(Duration.ofSeconds(30)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 == 2) return resp.body()
-      if (resp.statusCode() / 100 == 5 && attempt < retries) {
-        Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
-      } else throw new RuntimeException(
-        s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
+    var resp = client.send(request(), HttpResponse.BodyHandlers.ofString())
+    while (resp.statusCode() / 100 == 5 && attempt < retries) {
+      Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
+      resp = client.send(request(), HttpResponse.BodyHandlers.ofString())
     }
-    throw new IllegalStateException("unreachable")
+    resp
+  }
+
+  private[sources] def get(client: HttpClient, url: String, retries: Int = 3): String = {
+    val resp = sendWithRetry(client,
+      () => HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(Duration.ofSeconds(30)).build(),
+      retries)
+    if (resp.statusCode() / 100 == 2) resp.body()
+    else throw new RuntimeException(
+      s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
+  }
+}
+
+/** Per-client call profile, mirroring the reference's ProfileRequest
+  * statistics (`restful_connector.py:410-453`): request count, total wall
+  * time and the slowest single call with its url.
+  */
+final case class RestStats(
+    requestsCount: Long,
+    requestsTotalMillis: Long,
+    requestsSlowestMillis: Long,
+    requestsSlowestUrl: String)
+
+class RestError(message: String, val statusCode: Int, val details: String)
+  extends RuntimeException(
+    if (details != null && details.nonEmpty) s"$message [$details]" else message)
+
+/** Driver-side REST client with the reference's full verb surface —
+  * GET/POST/PATCH/DELETE with JSON bodies (`restful_connector.py:186-372`),
+  * base-url qualification (`restful_connector.py:166-184`), post-request
+  * status flags (`restful_connector.py:389-419`) and call profiling.
+  * Entity-level API access is inherently driver-side; the distributed
+  * path for bulk enrichment is [[HttpEnrich]].
+  *
+  * Verb methods return the response body (empty string for bodyless
+  * replies — the reference returns None for non-JSON bodies).
+  */
+final class RestClient(
+    baseUrl: String,
+    headers: Map[String, String] = Map.empty,
+    retries: Int = 3,
+    raiseOn404: Boolean = false,
+    raiseOn500: Boolean = true,
+    raiseOn400s: Boolean = true) {
+
+  private val client =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  @volatile var lastStatus: Int = -1
+  @volatile var lastHeaders: Map[String, List[String]] = Map.empty
+
+  private var nCalls = 0L
+  private var totalMs = 0L
+  private var slowestMs = -1L
+  private var slowestUrl = ""
+
+  /** True when the last request hit a missing entity (reference
+    * `not_found`, `restful_connector.py:149-156`).
+    */
+  def notFound: Boolean = lastStatus == 404
+
+  def stats: RestStats = synchronized {
+    RestStats(nCalls, totalMs, math.max(slowestMs, 0), slowestUrl)
+  }
+
+  /** Relative urls get the base prefixed; absolute urls must share the
+    * base (`restful_connector.py:166-184`).
+    */
+  def qualifyUrl(url: String): String =
+    if (url.startsWith("http://") || url.startsWith("https://")) {
+      require(url.startsWith(baseUrl),
+        s"RestClient needs all requests on the same base. Base is $baseUrl, url is $url")
+      url
+    } else baseUrl + url
+
+  def get(url: String, params: Map[String, String] = Map.empty): String = {
+    val query =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) =>
+        s"${java.net.URLEncoder.encode(k, "UTF-8")}=${java.net.URLEncoder.encode(v, "UTF-8")}"
+      }.mkString("?", "&", "")
+    request("GET", qualifyUrl(url) + query, None)
+  }
+
+  def post(url: String, jsonBody: String): String =
+    request("POST", qualifyUrl(url), Some(jsonBody))
+
+  def patch(url: String, jsonBody: String): String =
+    request("PATCH", qualifyUrl(url), Some(jsonBody))
+
+  def delete(url: String): String =
+    request("DELETE", qualifyUrl(url), None)
+
+  /** GET and parse the JSON reply into a single-document DataFrame. */
+  def getDataFrame(spark: SparkSession, url: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(get(url, params)).toDS())
+  }
+
+  private def request(verb: String, url: String, body: Option[String]): String = {
+    val builder = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(30))
+    val withBody = body match {
+      case Some(b) => builder
+        .header("Content-Type", "application/json")
+        .method(verb, HttpRequest.BodyPublishers.ofString(b))
+      case None => builder.method(verb, HttpRequest.BodyPublishers.noBody())
+    }
+    headers.foreach { case (k, v) => withBody.header(k, v) }
+    val req = withBody.build()
+
+    val start = System.nanoTime()
+    val resp =
+      try Http.sendWithRetry(client, () => req, retries)
+      catch {
+        case e: java.io.IOException =>
+          throw new RestError(s"Failed to $verb $url", -1, e.getMessage)
+      }
+    val elapsedMs = (System.nanoTime() - start) / 1000000L
+    synchronized {
+      nCalls += 1
+      totalMs += elapsedMs
+      if (elapsedMs > slowestMs) { slowestMs = elapsedMs; slowestUrl = url }
+    }
+
+    postRequestChecks(resp, url)
+    resp.body()
+  }
+
+  /** Status flag updates + configurable raising, mirroring
+    * `_post_request_checks` (`restful_connector.py:389-419`).
+    */
+  private def postRequestChecks(resp: HttpResponse[String], url: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    lastStatus = resp.statusCode()
+    lastHeaders = resp.headers().map().asScala.view
+      .mapValues(_.asScala.toList).toMap
+    val code = resp.statusCode()
+    def fail(): Nothing =
+      throw new RestError(s"Received http status: $code from $url", code,
+        resp.body().take(200))
+    if (code >= 500 && raiseOn500) fail()
+    if (code == 404 && raiseOn404) fail()
+    if (code != 404 && code >= 400 && code < 500 && raiseOn400s) fail()
   }
 }
 

@@ -37,6 +37,30 @@ class HttpTaskSpec extends SparkSpec {
     server.createContext("/flaky", (ex: HttpExchange) =>
       if (flaky.getAndIncrement() == 0) reply(ex, 503, "try again")
       else reply(ex, 200, """{"ok": true}"""))
+    // Tiny mutable entity store: POST creates, PATCH mutates, DELETE
+    // removes, GET reads — enough to prove the full verb surface.
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    server.createContext("/entities", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/entities").stripPrefix("/")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      ex.getRequestMethod match {
+        case "POST" =>
+          store.put(id, body); reply(ex, 201, s"""{"id": "$id", "created": true}""")
+        case "PATCH" =>
+          if (store.containsKey(id)) { store.put(id, body); reply(ex, 200, body) }
+          else reply(ex, 404, """{"message": "no such entity"}""")
+        case "DELETE" =>
+          if (store.remove(id) != null) reply(ex, 204, "")
+          else reply(ex, 404, """{"message": "no such entity"}""")
+        case "GET" =>
+          val doc = store.get(id)
+          if (doc != null) reply(ex, 200, doc)
+          else reply(ex, 404, """{"message": "no such entity"}""")
+        case _ => reply(ex, 405, "")
+      }
+    })
+    server.createContext("/badrequest", (ex: HttpExchange) =>
+      reply(ex, 400, """{"message": "bad request"}"""))
     server.start()
   }
 
@@ -66,6 +90,46 @@ class HttpTaskSpec extends SparkSpec {
   test("5xx responses retry with backoff") {
     val df = ConnectorRegistry.read(spark, s"http://127.0.0.1:$port/flaky")
     assert(df.collect().head.getAs[Boolean]("ok"))
+  }
+
+  test("rest client: POST/PATCH/GET/DELETE round-trip with status flags") {
+    val api = new graft.sources.RestClient(s"http://127.0.0.1:$port")
+    val created = api.post("/entities/42", """{"name": "adder", "venom": 3}""")
+    assert(api.lastStatus == 201 && created.contains("\"created\": true"))
+
+    api.patch("/entities/42", """{"name": "adder", "venom": 4}""")
+    assert(api.lastStatus == 200)
+    assert(api.get("/entities/42").contains("\"venom\": 4"))
+
+    assert(api.delete("/entities/42") == "")
+    assert(api.lastStatus == 204)
+
+    // 404 sets the notFound flag without raising (reference default).
+    api.get("/entities/42")
+    assert(api.notFound)
+  }
+
+  test("rest client: profiling stats count every call and track the slowest") {
+    val api = new graft.sources.RestClient(s"http://127.0.0.1:$port")
+    api.get("/animals")
+    api.post("/entities/7", """{"x": 1}""")
+    api.delete("/entities/7")
+    val s = api.stats
+    assert(s.requestsCount == 3)
+    assert(s.requestsTotalMillis >= s.requestsSlowestMillis)
+    assert(s.requestsSlowestUrl.startsWith(s"http://127.0.0.1:$port/"))
+  }
+
+  test("rest client: url qualification and error raising") {
+    val api = new graft.sources.RestClient(s"http://127.0.0.1:$port")
+    assert(api.qualifyUrl("/animals") == s"http://127.0.0.1:$port/animals")
+    intercept[IllegalArgumentException](api.qualifyUrl("http://other.host/animals"))
+    // 4xx other than 404 raises by default, mirroring raise_exception_on_400s.
+    val err = intercept[graft.sources.RestError](api.get("/badrequest"))
+    assert(err.statusCode == 400)
+    // GET with params builds an encoded query string.
+    val doc = api.get("/score", Map("id" -> "6"))
+    assert(doc.contains("60"))
   }
 
   test("elasticsearch/bigquery slots route and explain themselves") {
