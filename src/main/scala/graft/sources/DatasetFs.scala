@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.core.EngineUrl
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.time.Instant
+
+/** Dataset-level utility surface the reference exposes on every connector:
+  * `datasource_exists` (`connectors/base.py:341-347`), `last_modified`
+  * (`base.py:504-515`) and `progress` — the 0→1 read fraction
+  * (`base.py:325-339`). File-backed schemes answer through Hadoop FS (so
+  * s3/gs/hdfs work unchanged on a real cluster); progress is a
+  * SparkListener over input bytes because a distributed scan has no single
+  * iterator cursor to measure.
+  */
+object DatasetFs {
+
+  private def fsFor(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hasGlob(s: String): Boolean = s.exists("*?[{".contains(_))
+
+  /** Does the dataset behind the engine url exist? Glob urls exist when
+    * they match at least one path.
+    */
+  def exists(spark: SparkSession, engineUrl: String): Boolean = {
+    val p = new Path(EngineUrl.parse(engineUrl).sparkPath)
+    val fs = fsFor(spark, p)
+    if (hasGlob(p.toString)) {
+      val matches = fs.globStatus(p)
+      matches != null && matches.nonEmpty
+    } else fs.exists(p)
+  }
+
+  /** Most recent modification instant across the dataset's files (a
+    * directory dataset is as fresh as its newest part file). None when the
+    * dataset does not exist.
+    */
+  def lastModified(spark: SparkSession, engineUrl: String): Option[Instant] = {
+    val p = new Path(EngineUrl.parse(engineUrl).sparkPath)
+    val fs = fsFor(spark, p)
+    val roots =
+      if (hasGlob(p.toString)) Option(fs.globStatus(p)).getOrElse(Array.empty).toSeq
+      else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Seq.empty
+    val times = roots.flatMap { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = Seq.newBuilder[Long]
+        while (it.hasNext) buf += it.next().getModificationTime
+        buf.result()
+      } else Seq(st.getModificationTime)
+    }
+    if (times.isEmpty) None else Some(Instant.ofEpochMilli(times.max))
+  }
+
+  /** Total on-disk bytes of the dataset (denominator for [[ReadProgress]]). */
+  private[sources] def totalBytes(spark: SparkSession, engineUrl: String): Long = {
+    val p = new Path(EngineUrl.parse(engineUrl).sparkPath)
+    val fs = fsFor(spark, p)
+    val roots =
+      if (hasGlob(p.toString)) Option(fs.globStatus(p)).getOrElse(Array.empty).toSeq
+      else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Seq.empty
+    roots.map { st =>
+      if (st.isDirectory) fs.getContentSummary(st.getPath).getLength else st.getLen
+    }.sum
+  }
+}
+
+/** The reference's `progress` property is the fraction of the dataset read
+  * so far (`base.py:325-339` — file-position / file-size during
+  * iteration). The Spark analog aggregates task input bytes via a
+  * listener against the dataset's on-disk size. Attach, run the action,
+  * poll `progress`; close to detach the listener.
+  *
+  * The fraction is approximate by nature (column pruning reads fewer bytes
+  * than the file holds; other concurrent jobs add input bytes) — the
+  * reference's own caveat ("approx. notion of progress") applies verbatim.
+  */
+final class ReadProgress(spark: SparkSession, engineUrl: String)
+  extends AutoCloseable {
+
+  private val total = math.max(1L, DatasetFs.totalBytes(spark, engineUrl))
+  private val read = new java.util.concurrent.atomic.AtomicLong()
+
+  private val listener = new SparkListener {
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) read.addAndGet(m.inputMetrics.bytesRead)
+    }
+  }
+  spark.sparkContext.addSparkListener(listener)
+
+  /** 0.0 → 1.0 read fraction (clamped; see class doc for approximation). */
+  def progress: Double = math.min(1.0, read.get().toDouble / total)
+
+  def bytesRead: Long = read.get()
+
+  override def close(): Unit = spark.sparkContext.removeSparkListener(listener)
+}

@@ -267,6 +267,74 @@ class FrameworkSpec extends SparkSpec {
     }
   }
 
+  // ---- Connector utility surface ------------------------------------------
+  // datasource_exists (base.py:341-347), last_modified (base.py:504-515),
+  // progress read-fraction (base.py:325-339).
+
+  test("datasource exists: plain paths, globs, absent datasets") {
+    import graft.sources.DatasetFs
+    val dir = Files.createTempDirectory("exists_check").toString
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(s"$dir/t")
+    assert(DatasetFs.exists(spark, s"parquet://$dir/t"))
+    assert(DatasetFs.exists(spark, s"parquet://$dir/*"))
+    assert(!DatasetFs.exists(spark, s"parquet://$dir/nope"))
+    assert(!DatasetFs.exists(spark, s"parquet://$dir/no*match"))
+  }
+
+  test("last modified tracks the newest file in the dataset") {
+    import graft.sources.DatasetFs
+    val dir = Files.createTempDirectory("mtime_check").toString
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(s"$dir/t")
+    val first = DatasetFs.lastModified(spark, s"parquet://$dir/t")
+    assert(first.isDefined)
+    Thread.sleep(1100) // FS mtime granularity can be a full second
+    spark.range(5).toDF("id").write.mode("append").parquet(s"$dir/t")
+    val second = DatasetFs.lastModified(spark, s"parquet://$dir/t")
+    assert(second.get.isAfter(first.get))
+    assert(DatasetFs.lastModified(spark, s"parquet://$dir/nope").isEmpty)
+  }
+
+  test("read progress reports a 0-to-1 fraction over input bytes") {
+    val dir = Files.createTempDirectory("progress_check").toString
+    spark.range(100000).toDF("id").write.mode("overwrite").parquet(s"$dir/t")
+    val url = s"parquet://$dir/t"
+    val tracker = new graft.sources.ReadProgress(spark, url)
+    try {
+      assert(tracker.progress == 0.0)
+      ConnectorRegistry.read(spark, url).agg(Map("id" -> "sum")).collect()
+      assert(tracker.progress > 0.0 && tracker.progress <= 1.0)
+      assert(tracker.bytesRead > 0)
+    } finally tracker.close()
+  }
+
+  // ---- Ragged-record parity (SURVEY §7.4) ---------------------------------
+
+  test("ragged csv rows: missing trailing fields read as null (PERMISSIVE)") {
+    // The reference fixture tests/data/venomous_creatures.csv has a row with
+    // the trailing toxic_scale field omitted entirely; DictReader yields
+    // None for it (csv_connector.py:212-214). Spark's PERMISSIVE mode must
+    // land the same row with a null, not drop or fail the record.
+    val dir = Files.createTempDirectory("ragged_csv")
+    val file = dir.resolve("venomous_creatures.csv")
+    Files.writeString(file,
+      """common_name,native_to,toxic_scale
+        |Crown of thorns starfish,Indo-Pacific,4
+        |Golden dart frog,Colombia,7
+        |Geo textile cone shell,
+        |Stonefish,All over,6
+        |""".stripMargin)
+    val df = ConnectorRegistry.read(spark,
+      s"csv://$file;schema=common_name STRING, native_to STRING, toxic_scale INT")
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("common_name"), r.getAs[String]("native_to"),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(rows.length == 4, "ragged row must survive, not be dropped")
+    val ragged = rows.find(_._1 == "Geo textile cone shell").get
+    assert(ragged._3.isEmpty, "omitted trailing field reads as null")
+    assert(rows.find(_._1 == "Stonefish").get == (("Stonefish", "All over", Some(6))))
+    assert(rows.find(_._1 == "Golden dart frog").get._3.contains(7))
+  }
+
   test("sql passthrough supports named parameters") {
     import org.apache.spark.sql.functions._
     Tables.registerAll(spark, sf0001)
