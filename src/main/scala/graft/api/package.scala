@@ -210,11 +210,18 @@ package object api {
       * `valid_from` / `valid_to` (the next run's start, null while open),
       * `n_events` and `is_current`. Both windows and the run aggregation
       * partition on the key, so the whole build is ONE shuffle.
+      *
+      * Rows must be uniquely ordered within a key: either `(keyCol, tsCol)`
+      * is unique, or `tiebreak` columns complete the order. With ties and
+      * no tiebreak, run segmentation is nondeterministic across runs.
       */
-    def scd2(keyCol: String, attrCol: String, tsCol: String): DataFrame = {
+    def scd2(keyCol: String, attrCol: String, tsCol: String,
+        tiebreak: String*): DataFrame = {
       val win = org.apache.spark.sql.expressions.Window
-      val w = win.partitionBy(keyCol).orderBy(tsCol)
-      val runs = df.select(col(keyCol), col(tsCol), col(attrCol))
+      val order = (tsCol +: tiebreak).map(col)
+      val w = win.partitionBy(keyCol).orderBy(order: _*)
+      val runs = df.select(
+          (Seq(keyCol, tsCol, attrCol) ++ tiebreak).distinct.map(col): _*)
         .withColumn("__chg",
           when(lag(col(attrCol), 1).over(w).isNull ||
             lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
@@ -239,9 +246,14 @@ package object api {
       val others = df.columns.filterNot(_ == keyCol)
       require(changes.columns.sorted.sameElements(df.columns.sorted),
         "mergeUpsert needs identical schemas")
-      df.as("__b").join(changes.as("__c"), Seq(keyCol), "full_outer")
+      // A presence marker (not per-column coalesce) so a matched change row
+      // replaces the base row wholesale, NULL columns included — the MERGE
+      // INTO UPDATE SET * semantics Delta/Iceberg implement.
+      val marked = changes.withColumn("__present", lit(true))
+      df.as("__b").join(marked.as("__c"), Seq(keyCol), "full_outer")
         .select(col(keyCol) +: others.map(c =>
-          coalesce(col(s"__c.$c"), col(s"__b.$c")).as(c)): _*)
+          when(col("__present").isNotNull, col(s"__c.$c"))
+            .otherwise(col(s"__b.$c")).as(c)): _*)
     }
 
     /** Snapshot reconciliation (cf. q104): classify every key as added /

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types._
+
+/** Shared input contract for the vector expressions ([[DotProduct]],
+  * [[CosineSimilarity]]): both children must be `array<float|double>`,
+  * enforced at analysis time — not as a runtime cast error mid-job.
+  */
+trait VectorBinaryChecks { self: BinaryExpression =>
+
+  def prettyNameForCheck: String
+
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private def vectorish(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vectorish(left.dataType) && vectorish(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyNameForCheck requires array<float|double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+}

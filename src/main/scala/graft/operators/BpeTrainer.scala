@@ -19,6 +19,13 @@ object BpeTrainer {
 
   final case class Merge(left: String, right: String, weight: Long)
 
+  /** Split into code points, not UTF-16 code units — supplementary
+    * characters (emoji, rare CJK) must stay whole symbols, never unpaired
+    * surrogate halves. Matches q98's code-point pair statistics.
+    */
+  private def codePointSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** Corpus-scale half: the word-frequency vocabulary. */
   def vocabulary(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("word"))
@@ -36,7 +43,7 @@ object BpeTrainer {
     var words: Seq[(Array[String], Long)] = vocab
       .select(col("word").cast("string"), col("n").cast("long"))
       .collect().toSeq
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (codePointSymbols(r.getString(0)), r.getLong(1)))
     val merges = Seq.newBuilder[Merge]
     var done = false
     for (_ <- 0 until nMerges if !done) {
@@ -75,7 +82,7 @@ object BpeTrainer {
     * `Dataset.map` pipelines and tests.
     */
   def tokenize(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = codePointSymbols(word).toSeq
     merges.foreach { m =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0

@@ -352,24 +352,33 @@ object TextAnalysis {
           |        'g', concat(element_at(t, i), ' ', element_at(t, i + 1))))))))
           |""".stripMargin)).as("p"))
         .select(col("p.k").as("k"), col("p.g").as("g"))
+      // Cache the vocabulary-sized gram table only for the duration of the
+      // three bounded collects below (total, top-30, ≤60 word counts), then
+      // unpersist — q53/q55 pattern; a cache that outlives its query pins
+      // executor memory for the whole session. Everything collected is
+      // constant-size at any corpus scale, so the driver sets stay bounded.
       val counts = grams.groupBy("k", "g").agg(count(lit(1)).as("c")).cache()
-      val uni = counts.filter(col("k") === 0).select(col("g"), col("c"))
-      val total = uni.agg(sum(col("c")).cast("long")).first().getLong(0)
-      val top = counts.filter(col("k") === 1)
-        .orderBy(desc("c"), asc("g")).limit(30)
-        .select(col("g").as("bigram"), col("c").as("cab"))
-        .withColumn("wa", split(col("bigram"), " ").getItem(0))
-        .withColumn("wb", split(col("bigram"), " ").getItem(1))
-      // The 30 surviving bigrams are the broadcast side; the unigram table
-      // (the whole vocabulary at production scale) streams past them, and
-      // AQE broadcasts the tiny intermediate for the second lookup.
-      uni.withColumnRenamed("g", "wa").withColumnRenamed("c", "ca")
-        .join(broadcast(top), "wa")
-        .join(uni.withColumnRenamed("g", "wb").withColumnRenamed("c", "cb"), "wb")
-        .select(col("bigram"), col("cab"),
-          ((col("cab") * lit(total)).cast("double") / (col("ca") * col("cb")))
-            .as("lift"))
-        .orderBy(desc("cab"), asc("bigram"))
+      try {
+        val total = counts.filter(col("k") === 0)
+          .agg(sum(col("c")).cast("long")).first().getLong(0)
+        val top = counts.filter(col("k") === 1)
+          .orderBy(desc("c"), asc("g")).limit(30)
+          .select(col("g"), col("c")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val words = top.flatMap(_._1.split(" ", 2)).distinct.toSeq
+        val wordCount = counts
+          .filter(col("k") === 0 && col("g").isin(words: _*))
+          .select(col("g"), col("c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        import s.implicits._
+        top.toSeq.map { case (bigram, cab) =>
+          val Array(wa, wb) = bigram.split(" ", 2)
+          // long product cast to double, divided by a long product — the
+          // same single correctly-rounded division both engines perform.
+          (bigram, cab, (cab * total).toDouble / (wordCount(wa) * wordCount(wb)))
+        }.toDF("bigram", "cab", "lift")
+          .orderBy(desc("cab"), asc("bigram"))
+      } finally counts.unpersist()
     },
     """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
       |total AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM toks),

@@ -162,6 +162,33 @@ class ApiSpec extends SparkSpec {
       (3L, "c", 30.0), (9L, "z", 90.0)))
   }
 
+  test("mergeUpsert: a matched change row can NULL a column (MERGE UPDATE SET *)") {
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "s", "v")
+    val changes = Seq[(Long, String, String)]((2L, null, "y2")).toDF("k", "s", "v")
+    val out = base.mergeUpsert(changes, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the change row replaces the base row wholesale: s becomes NULL, it
+    // does not silently keep "b"
+    assert(out.toSeq == Seq((1L, "a", "x"), (2L, null, "y2")))
+  }
+
+  test("scd2 tiebreak makes equal-timestamp segmentation deterministic") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", 100L, 1L), (1L, "B", 100L, 2L), (1L, "B", 200L, 3L))
+    // same result regardless of input row order, because event_id completes
+    // the within-key order
+    for (input <- Seq(rows, rows.reverse)) {
+      val out = input.toDF("k", "attr", "ts", "event_id")
+        .scd2("k", "attr", "ts", "event_id")
+        .orderBy("valid_from", "attr").collect()
+        .map(r => (r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+          r.getAs[Long]("n_events")))
+      assert(out.toSeq == Seq(("A", 100L, 1L), ("B", 100L, 2L)))
+    }
+  }
+
   test("snapshotDiff classifies keys, null-safely") {
     import spark.implicits._
     val a = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (3L, null))

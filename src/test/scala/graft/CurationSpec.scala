@@ -87,6 +87,19 @@ class CurationSpec extends SparkSpec {
     assert(BpeTrainer.tokenize("low", merges) == Seq("l", "o", "w"))
   }
 
+  test("BPE trainer: supplementary characters stay whole symbols") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    // U+1F600 is outside the BMP: UTF-16 code-unit splitting would shear it
+    // into surrogate halves and merge garbage.
+    val face = new String(Character.toChars(0x1F600))
+    val vocab = Seq((s"$face$face", 3L), (s"${face}a", 2L)).toDF("word", "n")
+    val merges = BpeTrainer.learnMerges(vocab, 1)
+    assert(merges == Seq(BpeTrainer.Merge(face, face, 3L)))
+    assert(BpeTrainer.tokenize(s"$face${face}a", merges) ==
+      Seq(face + face, "a"))
+  }
+
   test("q98 top pair equals the trainer's first merge on real documents") {
     import graft.operators.{BpeTrainer, TextAnalysis}
     val top = TextAnalysis.q98.run(spark, sf0001).collect().head

@@ -45,6 +45,27 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("vector expressions: null elements and length mismatch yield null") {
+    GraftFunctions.ensureRegistered(spark)
+    for (f <- Seq("dot_product", "cosine_similarity")) {
+      // null element inside either array → null result, not garbage
+      val nullElem = spark.sql(
+        s"SELECT $f(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS r")
+        .collect().head
+      assert(nullElem.isNullAt(0), s"$f must propagate element nulls")
+      // mismatched lengths → null (the zip_with-with-padding semantics),
+      // not a silent truncated result
+      val mismatch = spark.sql(
+        s"SELECT $f(array(1.0D, 2.0D, 3.0D), array(1.0D)) AS r")
+        .collect().head
+      assert(mismatch.isNullAt(0), s"$f must not truncate mismatched arrays")
+      // wrong input type fails at analysis, not mid-job
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $f('oops', array(1.0D))").collect()
+      }
+    }
+  }
+
   test("q53's literal-hyperplane bucket equals the HOF formulation") {
     GraftFunctions.ensureRegistered(spark)
     // The HOF expression is what the DuckDB oracle mirrors; the shipped
