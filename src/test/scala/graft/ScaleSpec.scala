@@ -123,6 +123,52 @@ class ScaleSpec extends SparkSpec {
     assert(pd.getLong(2) <= pd.getLong(1))    // shared ⊆ all
   }
 
+  test("native as-of: string keys stay exact through forced sort spill") {
+    // The spill-reader regime: UnsafeExternalSorter force-spills every
+    // 100k rows (SparkSpec conf), so the exec's right iterator reads from
+    // spill files whose UnsafeRow buffers are REUSED between next() calls.
+    // A matchKey held by reference (not copied) goes stale exactly here —
+    // the r2 corruption class — and only UTF8String keys expose it (longs
+    // are value-copied by eval). 512k rows/side over 64 string keys → ~128k
+    // rows per post-shuffle partition, comfortably past the threshold.
+    import org.apache.spark.sql.functions._
+    import graft.plans.NativeAsOfJoin
+    val keys = 64
+    val perKey = 8000
+    // right: (key_i, t = j*1000, px = i*100000 + j); left probes at +500,
+    // so every left row must match the same-j right row: px == id exactly.
+    val right = spark.range(keys.toLong * perKey).select(
+      concat(lit("key_"), format_string("%03d", (col("id") % keys).cast("int")))
+        .as("k"),
+      ((col("id") / keys) * 1000).as("t"),
+      ((col("id") % keys) * perKey + (col("id") / keys)).cast("double").as("px"))
+    val left = spark.range(keys.toLong * perKey).select(
+      concat(lit("key_"), format_string("%03d", (col("id") % keys).cast("int")))
+        .as("k"),
+      ((col("id") / keys) * 1000 + 500).as("t"),
+      ((col("id") % keys) * perKey + (col("id") / keys)).as("id"))
+
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = NativeAsOfJoin.asof(left, right, "k", "t", "t",
+        Map("px" -> "px"))
+      // distributed assertion — no driver collect of the 512k results
+      assert(out.filter(col("px").isNull || col("px") =!= col("id")).count() == 0)
+      assert(out.count() == keys.toLong * perKey)
+      // listener events are async — poll briefly for the spill metrics
+      val deadline = System.nanoTime() + 10000000000L
+      while (spilled.get() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(spilled.get() > 0, "inputs did not spill: the test lost its point")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("soak: merge upsert + snapshot diff over 1M synthetic keys") {
     // The warehouse path at scale: a 1M-row base, a 100k-row change set
     // (half updates, half inserts) — merge and reconcile without any

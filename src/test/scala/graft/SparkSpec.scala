@@ -22,5 +22,9 @@ object SparkSpec {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // Force external sorters to spill every 100k rows so specs can cover
+    // the spill-reader regime (reused row buffers) without huge inputs.
+    // Context-level conf: it cannot be flipped per-test.
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "100000")
     .getOrCreate()
 }
