@@ -412,5 +412,99 @@ object Dedup {
       |    AS n_close
       |FROM pairs GROUP BY blk ORDER BY blk""".stripMargin)
 
-  val all: Seq[Query] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110)
+  // -- q114: per-document contamination fraction ----------------------------
+  //   q47 flags contaminated documents; this scores them — the fraction of
+  //   a document's distinct n-grams that appear in the held-out probe set,
+  //   the number a decontamination threshold actually cuts on. Same scale
+  //   shape as q47: the probe gram set broadcasts (eval benchmarks are
+  //   tiny), so the corpus side is a map-side left join + one group-by on
+  //   doc_id. The division is one double op over two exact longs.
+  val q114 = Query.sql(
+    "q114_contamination_score",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("gram"))
+      val probe = grams.filter(col("doc_id") < 10)
+        .select(col("gram")).distinct().withColumn("__hit", lit(1L))
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(probe), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
+        .orderBy("doc_id")
+    },
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS gram FROM documents),
+       |probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+       |scored AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN p.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM grams g LEFT JOIN probe p ON g.gram = p.gram
+       |  WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_grams AS contamination
+       |FROM scored ORDER BY doc_id""".stripMargin)
+
+  // -- q115: cluster representative selection -------------------------------
+  //   The step after near-dup clustering (q46): keep ONE document per
+  //   cluster — the longest, ties to the smallest doc_id — and report what
+  //   the cluster held. Window over the component key, so ranking,
+  //   cluster size and char totals ride the SAME single shuffle the
+  //   cluster assignment already produces; nothing re-keys.
+  val q115 = Query.sql(
+    "q115_cluster_representatives",
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val a = d.as("a")
+      val b = d.as("b")
+      val edges = a.join(b,
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 20 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val nodes = d.select(col("doc_id").as("id"))
+      val comp = ConnectedComponents.run(nodes, edges)
+      val byComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      val ranked = comp.join(d, col("id") === col("doc_id"))
+        .withColumn("rn", row_number().over(
+          byComp.orderBy(desc("n_chars"), asc("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(byComp))
+        .withColumn("cluster_chars",
+          sum(col("n_chars")).over(byComp).cast("long"))
+      ranked.filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("rep_doc_id"),
+          col("cluster_size"), col("cluster_chars"))
+        .orderBy("component")
+    },
+    """WITH RECURSIVE
+      |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 2000),
+      |edges AS (
+      |  SELECT a.doc_id AS ea, b.doc_id AS eb
+      |  FROM documents a JOIN documents b
+      |    ON a.source = b.source AND a.lang = b.lang
+      |   AND abs(a.n_chars - b.n_chars) <= 20 AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id < 2000 AND b.doc_id < 2000),
+      |sym AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.ea, reach.r FROM sym s JOIN reach ON s.eb = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |ranked AS (
+      |  SELECT comp.component, d.doc_id,
+      |    row_number() OVER (PARTITION BY comp.component
+      |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY comp.component) AS cluster_size,
+      |    CAST(SUM(d.n_chars) OVER (PARTITION BY comp.component) AS BIGINT)
+      |      AS cluster_chars
+      |  FROM comp JOIN documents d ON comp.id = d.doc_id)
+      |SELECT component, doc_id AS rep_doc_id, cluster_size, cluster_chars
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115)
 }

@@ -423,6 +423,41 @@ object Pipeline {
        |  FROM documents)
        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)
 
+  // -- q113: domain-mix weights (source re-weighting for a target mix) ------
+  //   The standard pretraining-mix computation: given per-source corpus
+  //   sizes, the up/down-sampling weight that would equalize source shares
+  //   of the token budget (uniform target here; a non-uniform target is a
+  //   broadcast join away). Two tiny aggregations — the per-source rollup
+  //   shuffles map-side-combined (source, count, chars) triples only, and
+  //   the one-row total broadcasts back. Nothing scales with corpus size
+  //   except the first scan.
+  val q113 = Query.sql(
+    "q113_domain_mix",
+    (s, dir) => {
+      val src = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("src_chars"))
+      val tot = src.agg(sum(col("src_chars")).cast("long").as("__total"),
+        count(lit(1)).as("__k"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("src_chars"),
+          // one correctly-rounded double division of two exact longs —
+          // bit-identical on both engines
+          (col("__total").cast("double") / (col("__k") * col("src_chars")))
+            .as("mix_weight"))
+        .orderBy("source")
+    },
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS total,
+      |        COUNT(*) AS k FROM s)
+      |SELECT source, n_docs, src_chars,
+      |  CAST(total AS DOUBLE) / (k * src_chars) AS mix_weight
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111)
+    Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
+      q113)
 }

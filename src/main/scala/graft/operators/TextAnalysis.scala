@@ -530,7 +530,44 @@ object TextAnalysis {
         |FROM fracs GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  // -- q116: inverted index build (term → df + posting-list head) -----------
+  //   The retrieval-side corpus structure: document frequency per term and
+  //   the first 5 postings. Bounded state by construction: ranking inside
+  //   the term partition (row_number ≤ 5) feeds a conditional collect_list,
+  //   so at most 5 doc ids are ever buffered per term — a viral term with
+  //   a billion postings costs the same aggregation state as a rare one.
+  //   The window sort and the aggregation share ONE shuffle on the term.
+  val q116 = Query.sql(
+    "q116_inverted_index",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("term"))
+      val ranked = toks.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy("doc_id")))
+      ranked.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
+              d => d.cast("string")),
+            ",").as("postings_head"))
+        .orderBy(desc("df"), asc("term")).limit(30)
+    },
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT term, doc_id,
+      |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM toks)
+      |SELECT term, COUNT(*) AS df,
+      |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 5)), ',')
+      |    AS postings_head
+      |FROM ranked GROUP BY term
+      |ORDER BY df DESC, term LIMIT 30""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106)
+      q87, q98, q106, q116)
 }

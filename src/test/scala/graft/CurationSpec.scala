@@ -109,6 +109,67 @@ class CurationSpec extends SparkSpec {
     assert(top.getLong(1) == firstMerge.weight)
   }
 
+  test("q113 domain mix: weights rebalance sources to a uniform budget") {
+    val out = graft.operators.Pipeline.q113.run(spark, sf0001).collect()
+    val k = out.length
+    // sum over sources of weight * src_chars re-spends exactly the total
+    // budget: every source lands on total/k
+    val total = out.map(_.getAs[Long]("src_chars")).sum.toDouble
+    out.foreach { r =>
+      val spent = r.getAs[Double]("mix_weight") * r.getAs[Long]("src_chars")
+      assert(math.abs(spent - total / k) < 1e-6 * total)
+    }
+    // a small source is up-weighted, a large one down-weighted
+    val byChars = out.sortBy(_.getAs[Long]("src_chars"))
+    assert(byChars.head.getAs[Double]("mix_weight") >=
+      byChars.last.getAs[Double]("mix_weight"))
+  }
+
+  test("q114 contamination: fraction well-formed, hit counts agree with q47") {
+    val out = Dedup.q114.run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hit, frac) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("contamination"))
+      assert(hit <= n && frac >= 0.0 && frac <= 1.0)
+      assert(frac == hit.toDouble / n)
+    }
+    // the score must order consistently with q47's flag counts
+    val flagged = Dedup.q47.run(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated_grams"))
+      .toMap
+    val scores = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    flagged.foreach { case (id, nHit) =>
+      assert(scores.get(id).contains(nHit),
+        s"doc $id: q47 counts $nHit, q114 counts ${scores.get(id)}")
+    }
+  }
+
+  test("q115 representatives: one per cluster, the longest member, sizes add up") {
+    val reps = Dedup.q115.run(spark, sf0001).collect()
+    val clusters = Dedup.q46.run(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("component")).view.mapValues(_.length).toMap
+    assert(reps.length == clusters.size, "exactly one representative per cluster")
+    reps.foreach { r =>
+      assert(clusters(r.getAs[Long]("component")) ==
+        r.getAs[Long]("cluster_size"))
+    }
+    assert(reps.map(_.getAs[Long]("cluster_size")).sum == clusters.values.sum)
+  }
+
+  test("q116 inverted index: df sorted, postings are the smallest doc ids") {
+    val out = TextAnalysis.q116.run(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 30)
+    val dfs = out.map(_.getAs[Long]("df"))
+    assert(dfs.sameElements(dfs.sorted.reverse), "df must be descending")
+    out.foreach { r =>
+      val postings = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(postings.length == math.min(5L, r.getAs[Long]("df")))
+      assert(postings.sameElements(postings.sorted), "postings sorted ascending")
+    }
+  }
+
   test("orc:// connector round-trips orders exactly") {
     import graft.sources.ConnectorRegistry
     val orders = Tables.load(spark, sf0001, "orders")
