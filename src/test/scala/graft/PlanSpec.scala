@@ -138,6 +138,30 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
   }
 
+  test("t21 decorrelates to one lineitem scan, no Expand, no self-join") {
+    // The single-pass form: (order, supplier) collapse + window over the
+    // order key. A regression to EXISTS/NOT-EXISTS would scan lineitem
+    // twice; a regression to 2× countDistinct would plan an Expand that
+    // doubles every shuffled row.
+    val p = plan(TpchExtra.t21.run(spark, sf001))
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times:\n$p")
+    assert(!p.contains("Expand"), s"Expand doubles the shuffle volume:\n$p")
+    val joins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins == 0, s"self-join crept back in ($joins shuffle joins):\n$p")
+  }
+
+  test("t22 pushes the recent-order date filter to the orders scan") {
+    val p = plan(TpchExtra.t22.run(spark, sf001))
+    val scanLine = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .find(_.contains("orders"))
+    assert(scanLine.isDefined, p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)") ||
+      scanLine.get.contains("o_orderdate"),
+      s"orders scan shows no pushdown:\n${scanLine.get}")
+  }
+
   test("q84 partitioned read prunes partitions on status filter") {
     // write once via the query, then check a filtered read prunes
     Sources.q84.run(spark, sf001).collect()

@@ -123,6 +123,44 @@ class ScaleSpec extends SparkSpec {
     assert(pd.getLong(2) <= pd.getLong(1))    // shared ⊆ all
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    // The production answer to q103-style skew when salting is not wired
+    // in: AQE detects the oversized partition post-shuffle and splits it.
+    // Thresholds are runtime SQL confs, so the tiny test dataset can
+    // trigger the same re-plan a 100 TB hot key would.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of left rows share one key → one shuffle partition dwarfs the
+      // rest; pad a payload column so it clears the byte threshold
+      val left = spark.range(200000).select(
+        when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        concat(lit("x"), lpad(col("id").cast("string"), 64, "0")).as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution, so the AdaptiveSparkPlan
+      // below is the final re-planned one (count() would plan separately).
+      // 190000 hot-key matches + the multiples of 20 under 1000 (50 keys).
+      assert(joined.collect().length == 190000 + 50)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("native as-of: string keys stay exact through forced sort spill") {
     // The spill-reader regime: UnsafeExternalSorter force-spills every
     // 100k rows (SparkSpec conf), so the exec's right iterator reads from
