@@ -101,6 +101,15 @@ package object api {
         conv(substring(md5(concat(lit("s42:"), col(keyCol).cast("string"))), 1, 6), 16, 10)
           .cast("long"), lit(shards.toLong)))
 
+    /** PageRank treating this frame as a directed edge list (symmetrize
+      * first for undirected graphs); returns (node, deg, rank). Result is
+      * bit-identical under any partitioning — see
+      * [[graft.operators.Graph.pageRank]] for the determinism contract.
+      */
+    def pageRank(srcCol: String, dstCol: String, iters: Int = 3,
+        damping: Double = 0.85): DataFrame =
+      graft.operators.Graph.pageRank(df, srcCol, dstCol, iters, damping)
+
     /** Deterministic global shuffle for training-data export: total order
       * by a salted hash of the key, realized as range partitioning + a
       * per-partition sort — sorted, disjoint output shards and NO

@@ -178,27 +178,30 @@ object Dedup {
   //   token-digest array accumulating 32 bit counters (projection collapse
   //   would re-inline the digest array into a per-bit lambda, making it
   //   O(32·tokens) hash computations), then one fold assembles the word.
-  val q44 = Query.sql(
-    "q44_simhash",
-    (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          expr("""aggregate(
-            |  transform(array_distinct(split(text, ' ')), tk -> md5(tk)),
-            |  named_struct('n', CAST(0 AS BIGINT), 'cnt', array_repeat(CAST(0 AS BIGINT), 32)),
-            |  (acc, h) -> named_struct('n', acc.n + 1,
-            |    'cnt', zip_with(acc.cnt, sequence(1, 32),
-            |      (c, j) -> c + IF(substring(h, j, 1) >= '8', 1, 0))))""".stripMargin)
-            .as("votes"))
-        .select(
-          col("doc_id"),
-          expr("""aggregate(
-            |  zip_with(votes.cnt, sequence(0, 31),
-            |    (c, b) -> IF(c * 2 > votes.n, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
-            .as("simhash"))
-        .orderBy("doc_id"),
-    """WITH t AS (
+
+  /** (doc_id, simhash) for every document — shared by q44 and q117. */
+  private def simhash32(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+          |  transform(array_distinct(split(text, ' ')), tk -> md5(tk)),
+          |  named_struct('n', CAST(0 AS BIGINT), 'cnt', array_repeat(CAST(0 AS BIGINT), 32)),
+          |  (acc, h) -> named_struct('n', acc.n + 1,
+          |    'cnt', zip_with(acc.cnt, sequence(1, 32),
+          |      (c, j) -> c + IF(substring(h, j, 1) >= '8', 1, 0))))""".stripMargin)
+          .as("votes"))
+      .select(
+        col("doc_id"),
+        expr("""aggregate(
+          |  zip_with(votes.cnt, sequence(0, 31),
+          |    (c, b) -> IF(c * 2 > votes.n, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .as("simhash"))
+
+  /** DuckDB CTEs producing `h(doc_id, simhash)` — the oracle twin of
+    * [[simhash32]], shared by q44 and q117. */
+  private val simhashSqlCte =
+    """t AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
       |  FROM documents),
       |v AS (
@@ -206,11 +209,78 @@ object Dedup {
       |    SUM(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE 0 END) AS c,
       |    COUNT(*) AS n
       |  FROM t, (SELECT unnest(generate_series(1, 32)) AS j) jj
-      |  GROUP BY doc_id, j)
-      |SELECT doc_id,
-      |  CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS BIGINT) << (j - 1))
-      |           ELSE 0 END) AS BIGINT) AS simhash
-      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      |  GROUP BY doc_id, j),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN c * 2 > n THEN (CAST(1 AS BIGINT) << (j - 1))
+      |             ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id)""".stripMargin
+
+  val q44 = Query.sql(
+    "q44_simhash",
+    (s, dir) => simhash32(s, dir).orderBy("doc_id"),
+    s"""WITH $simhashSqlCte
+       |SELECT doc_id, simhash FROM h ORDER BY doc_id""".stripMargin)
+
+  // -- q117: SimHash near-dup join via Hamming-ball banding -----------------
+  //   Manku/Jain/Sarma (WWW'07): to find all pairs within Hamming distance
+  //   k, split the hash into k+1 bands — a pair differing in ≤ k bits must
+  //   agree EXACTLY on at least one band (pigeonhole), so an equi-join per
+  //   band finds every such pair with zero false negatives; a cheap
+  //   bit_count(xor) verify inside the bucket removes false positives.
+  //   Scale design: no all-pairs anywhere — the shuffle carries
+  //   (band, 8-bit value) keys, candidates are per-bucket, and the verify
+  //   is integer xor/popcount. The DuckDB oracle IS the all-pairs form,
+  //   so the test proves the banded plan loses nothing. Output is the
+  //   pair count per distance (bounded at any SF); the pair LIST is what
+  //   a production caller would feed into q46's connected components.
+  val q117 = Query.sql(
+    "q117_simhash_neardup",
+    (s, dir) => {
+      // Collapse to DISTINCT simhash values first (q110's distinct-name
+      // trick): near-duplicate corpora saturate the hash space, so doc
+      // groups sharing one hash are large — banding the group table keeps
+      // the self-join quadratic in DISTINCT hashes, not docs, and the
+      // doc-pair counts come back from the multiplicities. The group
+      // table is tiny (one 16-byte row per distinct hash) — checkpoint it
+      // so the self-join below reads it twice without recomputing the
+      // simhash fold over the corpus.
+      val g = simhash32(s, dir)
+        .groupBy("simhash").agg(count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      // identical-hash pairs (Hamming 0) are within-group arithmetic
+      val ham0 = g.filter(col("m") > 1)
+        .agg(sum(expr("m * (m - 1) DIV 2")).as("n_pairs"))
+        .select(lit(0).as("ham"), col("n_pairs"))
+        .filter(col("n_pairs") > 0)
+      // 4 bands × 8 bits: exact for k ≤ 3 (pigeonhole)
+      val banded = g.select(col("simhash"), col("m"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, " +
+            "CAST(shiftrightunsigned(simhash, b * 8) & 255 AS INT) AS bv))"))
+          .as("bb"))
+        .select(col("simhash"), col("m"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val a = banded.select(col("simhash").as("h_a"), col("m").as("m_a"),
+        col("band"), col("bv"))
+      val b = banded.select(col("simhash").as("h_b"), col("m").as("m_b"),
+        col("band"), col("bv"))
+      val hamK = a.join(b, Seq("band", "bv"))
+        .filter(col("h_a") < col("h_b"))
+        .select("h_a", "h_b", "m_a", "m_b")
+        .distinct() // a pair can agree on several bands
+        .select(expr("CAST(bit_count(h_a ^ h_b) AS INT)").as("ham"),
+          (col("m_a") * col("m_b")).as("np"))
+        .filter(col("ham") <= 3)
+        .groupBy("ham").agg(sum(col("np")).as("n_pairs"))
+      ham0.union(hamK).orderBy("ham")
+    },
+    s"""WITH $simhashSqlCte,
+       |pairs AS (
+       |  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT ham, COUNT(*) AS n_pairs FROM pairs
+       |WHERE ham <= 3 GROUP BY ham ORDER BY ham""".stripMargin)
 
   // -- q45: embedding-cosine near-dup ---------------------------------------
   //   Semantic dedup: a vector is a duplicate if any SMALLER-id vector is
@@ -506,5 +576,5 @@ object Dedup {
       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)
 
   val all: Seq[Query] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117)
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationally-derived graphs. Complements the
+  * connected-components operator (Dedup q46 / ConnectedComponents.scala)
+  * with rank propagation.
+  *
+  * Scale design (100 TB): the graph never materializes adjacency lists —
+  * each power iteration is one edge-keyed join + one destination-keyed
+  * aggregation, the classic Pregel-as-joins shape. Edges and ranks are
+  * both hash-partitioned on the node key, so AQE reuses the exchange
+  * across iterations; iteration count is a fixed small constant (rank
+  * deltas decay geometrically, and curation pipelines use the ranking,
+  * not the fixed point). Per-edge state is 8 bytes of scaled contribution.
+  *
+  * Determinism contract (oracle-exact across engines): floating-point
+  * addition is order-dependent, so per-node contribution sums floor-scale
+  * each term to a BIGINT (`FLOOR(rank / deg * 1e15)`) and sum exact
+  * integers — the same trick q118 uses. Every remaining float op
+  * (division, ×0.85, +teleport) is a single IEEE-exact step evaluated in
+  * the same order on both engines.
+  */
+object Graph {
+
+  /** PageRank over an edge list, as plan-level joins (no RDD/graph
+    * runtime). `edges` must contain every node as a source at least once —
+    * symmetrize first for undirected graphs (dangling nodes would
+    * otherwise leak rank mass).
+    *
+    * Determinism: per-node contribution sums are floor-scaled BIGINTs, so
+    * the result is bit-identical under any partitioning or reduce order —
+    * see the object scaladoc. `teleport` defaults to `1 - damping` but can
+    * be pinned explicitly when an external oracle computes `1 - d` in
+    * decimal (0.85 gives 0.15000000000000002 in binary).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85,
+      teleport: Option[Double] = None): DataFrame = {
+    val tele = teleport.getOrElse(1.0 - damping)
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      // Materialize the edge list once: every iteration re-reads it; on a
+      // real cluster this is `checkpoint` to durable storage instead of
+      // executor blocks.
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // Node count as a driver scalar (bounded collect, like q55's centroid
+    // literal): baking the teleport term into a literal saves a broadcast
+    // exchange per iteration. tele/n is the identical IEEE division an
+    // oracle's CAST(.. AS DOUBLE)/CAST(n AS DOUBLE) performs.
+    val n = deg.count().toDouble
+    // Pre-attach the source degree to the edge so iterations never re-join
+    // the degree table: each power step is exactly one edge⋈rank join +
+    // one destination-keyed aggregation.
+    val undD = und.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    var r: DataFrame = deg.select(col("node"), (lit(1.0 / n)).as("rank"))
+    for (_ <- 1 to iters) {
+      r = undD.join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(FLOOR(rank / deg * 1e15) AS BIGINT)")).as("sm"))
+        .select(col("dst").as("node"),
+          (lit(tele / n) +
+            lit(damping) * (col("sm").cast("double") / lit(1e15))).as("rank"))
+    }
+    r.join(deg.select(col("node").as("dn"), col("deg")),
+        col("node") === col("dn"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
+
+  // -- q119: PageRank over the supplier–part bipartite graph ----------------
+  //   Nodes 's<suppkey>' and 'p<partkey>', an undirected edge per distinct
+  //   (supplier, part) pair that ever shipped together in lineitem.
+  //   3 power iterations, damping 0.85, uniform teleport — the "which
+  //   suppliers/parts are structurally central" ranking.
+  val q119 = Query.sql(
+    "q119_pagerank",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = e.select(concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("pk").cast("string")).as("dst"))
+        .union(e.select(concat(lit("p"), col("pk").cast("string")).as("src"),
+          concat(lit("s"), col("sk").cast("string")).as("dst")))
+      // teleport pinned to decimal 0.15: the oracle computes it as
+      // CAST(0.15 AS DOUBLE), and 1.0 - 0.85 is 0.15000000000000002
+      pageRank(und, "src", "dst", iters = 3, damping = 0.85,
+          teleport = Some(0.15))
+        .orderBy(desc("rank"), asc("node")).limit(20)
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |und AS (
+      |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+      |         'p' || CAST(pk AS VARCHAR) AS dst FROM e
+      |  UNION ALL
+      |  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR) FROM e),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+      |ns AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (
+      |  SELECT node, deg, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+      |  FROM deg CROSS JOIN ns),
+      |c1 AS (
+      |  SELECT u.dst AS node,
+      |    SUM(CAST(FLOOR(r.rank / r.deg * 1e15) AS BIGINT)) AS sm
+      |  FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
+      |r1 AS (
+      |  SELECT d.node, d.deg,
+      |    CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) +
+      |      CAST(0.85 AS DOUBLE) * (CAST(sm AS DOUBLE) / 1e15) AS rank
+      |  FROM deg d JOIN c1 ON d.node = c1.node CROSS JOIN ns),
+      |c2 AS (
+      |  SELECT u.dst AS node,
+      |    SUM(CAST(FLOOR(r.rank / r.deg * 1e15) AS BIGINT)) AS sm
+      |  FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
+      |r2 AS (
+      |  SELECT d.node, d.deg,
+      |    CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) +
+      |      CAST(0.85 AS DOUBLE) * (CAST(sm AS DOUBLE) / 1e15) AS rank
+      |  FROM deg d JOIN c2 ON d.node = c2.node CROSS JOIN ns),
+      |c3 AS (
+      |  SELECT u.dst AS node,
+      |    SUM(CAST(FLOOR(r.rank / r.deg * 1e15) AS BIGINT)) AS sm
+      |  FROM und u JOIN r2 r ON u.src = r.node GROUP BY u.dst),
+      |r3 AS (
+      |  SELECT d.node, d.deg,
+      |    CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) +
+      |      CAST(0.85 AS DOUBLE) * (CAST(sm AS DOUBLE) / 1e15) AS rank
+      |  FROM deg d JOIN c3 ON d.node = c3.node CROSS JOIN ns)
+      |SELECT node, deg, rank FROM r3
+      |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+
+  val all: Seq[Query] = Seq(q119)
+}

@@ -567,7 +567,58 @@ object TextAnalysis {
       |FROM ranked GROUP BY term
       |ORDER BY df DESC, term LIMIT 30""".stripMargin)
 
+  // -- q118: bigram-LM quality score (CCNet-style perplexity proxy) ---------
+  //   Train a corpus-level bigram MLE model, then score each document by
+  //   the mean probability of its bigrams under that model — the classic
+  //   "train a small LM on the corpus, drop documents the model finds
+  //   surprising" curation filter (CCNet / Wenzek et al. 2019 use KenLM
+  //   perplexity; the mean-probability form keeps the math log-free and
+  //   oracle-exact). Scale design: the model is two aggregations — c2 by
+  //   (w1,w2), and c1(w1) derived FROM c2 by a second tiny agg, never a
+  //   second corpus scan; scoring re-joins bigram occurrences to the model
+  //   co-partitioned on the bigram key. Determinism: each probability is
+  //   one IEEE division of exact integers, then floor-scaled to a BIGINT
+  //   (floor truncates identically in both engines — no decimal rounding
+  //   mode in play), so the per-doc sum is order-independent integer math.
+  val q118 = Query.sql(
+    "q118_lm_score",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"),
+          expr("CAST(FLOOR(c2 / c1 * 1e15) AS BIGINT)").as("sp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sp")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e15")
+            .as("avg_p"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |biu AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg
+      |  FROM toks),
+      |bi AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM biu),
+      |c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+      |c1t AS (SELECT w1, SUM(c2) AS c1 FROM c2t GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id, CAST(FLOOR(c2 / c1 * 1e15) AS BIGINT) AS sp
+      |  FROM bi JOIN c2t USING (w1, w2) JOIN c1t USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e15 AS avg_p
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116)
+      q87, q98, q106, q116, q118)
 }

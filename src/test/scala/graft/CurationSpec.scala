@@ -186,6 +186,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q117 banded near-dup counts equal the brute-force all-pairs") {
+    // The banding is supposed to be EXACT for Hamming <= 3 (pigeonhole
+    // over 4 bands); prove it against an in-Spark all-pairs on sf0.001.
+    val banded = Dedup.q117.run(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val h = Dedup.q44.run(spark, sf0001).select("doc_id", "simhash")
+    val a = h.select(col("doc_id").as("ia"), col("simhash").as("ha"))
+    val b = h.select(col("doc_id").as("ib"), col("simhash").as("hb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .select(expr("CAST(bit_count(ha ^ hb) AS INT)").as("ham"))
+      .filter(col("ham") <= 3)
+      .groupBy("ham").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("q118 LM score: probabilities bounded, bigram counts consistent") {
+    val out = TextAnalysis.q118.run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, p) = (r.getLong(1), r.getDouble(2))
+      assert(n > 0)
+      assert(p > 0.0 && p <= 1.0, s"avg_p out of range: $p")
+    }
+    // a doc made of one repeated bigram would score ~1; sanity-check the
+    // scale: corpus-average must be well below certainty
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean < 0.5, s"suspicious corpus mean $mean")
+  }
+
   test("orc:// connector round-trips orders exactly") {
     import graft.sources.ConnectorRegistry
     val orders = Tables.load(spark, sf0001, "orders")

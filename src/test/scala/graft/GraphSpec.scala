@@ -1,0 +1,62 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** PageRank (operators.Graph): structural sanity on hand-built graphs and
+  * the determinism contract (bit-identical under repartitioning) that the
+  * floor-scaled contribution sums are supposed to guarantee.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Undirected star: center "c" joined to k leaves. */
+  private def star(k: Int) = {
+    val e = (1 to k).map(i => ("c", s"l$i")) ++ (1 to k).map(i => (s"l$i", "c"))
+    e.toDF("src", "dst")
+  }
+
+  test("star graph: center outranks leaves, leaves are exactly equal") {
+    val r = star(8).pageRank("src", "dst").collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    val leaves = (1 to 8).map(i => r(s"l$i"))
+    assert(leaves.distinct.size == 1, s"leaf ranks diverged: $leaves")
+    assert(r("c") > leaves.head * 2, s"center not dominant: $r")
+  }
+
+  test("cycle: all nodes get exactly the same rank, mass stays ~1") {
+    val n = 10
+    val e = (0 until n).map(i => (s"v$i", s"v${(i + 1) % n}")) ++
+      (0 until n).map(i => (s"v${(i + 1) % n}", s"v$i"))
+    val out = e.toDF("src", "dst").pageRank("src", "dst", iters = 5).collect()
+    val ranks = out.map(_.getDouble(2))
+    assert(ranks.distinct.length == 1, s"cycle ranks diverged: ${ranks.toSeq}")
+    val mass = ranks.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass drifted: $mass")
+  }
+
+  test("ranks are bit-identical under repartitioning (floor-scaled sums)") {
+    // A messier graph: bipartite doc/term edges derived from documents.
+    val docs = Tables.load(spark, sf0001, "documents").limit(120)
+    val e = docs.select(col("doc_id").cast("string").as("src"),
+        explode(slice(split(col("text"), " "), 1, 12)).as("dst"))
+      .distinct()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.pageRank("src", "dst").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).sortBy(_._1)
+    val a = run(und.repartition(1))
+    val b = run(und.repartition(7, col("dst")))
+    assert(a.sameElements(b), "pageRank not partition-invariant")
+  }
+
+  test("q119 supplier/part ranking is consistent with degree dominance") {
+    val out = operators.Graph.q119.run(spark, sf001).collect()
+    assert(out.length == 20)
+    // ranks strictly positive and sorted descending (with node tiebreak)
+    val ranks = out.map(_.getDouble(2))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+  }
+}
