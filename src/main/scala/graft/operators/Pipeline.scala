@@ -457,7 +457,82 @@ object Pipeline {
       |  CAST(total AS DOUBLE) / (k * src_chars) AS mix_weight
       |FROM s CROSS JOIN t ORDER BY source""".stripMargin)
 
+  // -- q120: order-independent table checksum (anti-entropy) ----------------
+  //   Content digest for "did the export/replica arrive intact?" checks:
+  //   per-row md5 over a canonical projection, folded to a 60-bit integer,
+  //   then XOR-aggregated. XOR is commutative/associative, so the checksum
+  //   is identical under any partitioning, task order or row order — the
+  //   Cassandra/Scylla anti-entropy digest shape. Scale: fully map-side
+  //   except one 8-byte-per-partition final combine; nothing shuffles.
+  val q120 = Query.sql(
+    "q120_table_checksum",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(expr("substring(md5(concat_ws('|', " +
+          "CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), " +
+          "o_orderstatus, o_orderpriority)), 1, 15)").as("dig"))
+        .select(expr("""aggregate(sequence(1, 15), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + shiftleft(
+          |    CAST(instr('0123456789abcdef', substring(dig, j, 1)) - 1 AS BIGINT),
+          |    (15 - j) * 4))""".stripMargin).as("rd"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(rd)").as("checksum")),
+    """WITH r AS (
+      |  SELECT o_orderkey, substring(md5(concat_ws('|',
+      |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |    o_orderstatus, o_orderpriority)), 1, 15) AS dig
+      |  FROM orders),
+      |d AS (
+      |  SELECT o_orderkey, CAST(SUM(
+      |    CAST(strpos('0123456789abcdef', substring(dig, j, 1)) - 1 AS BIGINT)
+      |      << ((15 - j) * 4)) AS BIGINT) AS rd
+      |  FROM r, (SELECT unnest(generate_series(1, 15)) AS j) jj
+      |  GROUP BY o_orderkey)
+      |SELECT COUNT(*) AS n_rows, bit_xor(rd) AS checksum FROM d""".stripMargin)
+
+  // -- q121: exact equi-depth binning via distinct-value histogram ----------
+  //   Feature binning / batch-size planning without a global sort: build
+  //   the exact value histogram (one shuffle over DISTINCT values), run
+  //   the cumulative sum over that tiny frame, and assign each value the
+  //   bin floor(cum_before·k/n) — ties stay together, boundaries are
+  //   integer-exact. At 100 TB the window runs over the distinct-value
+  //   histogram (bounded: quantities, lengths, price cents), never rows —
+  //   this is the scale-correct replacement for a global NTILE, whose
+  //   unpartitioned window would funnel every row through one task.
+  val q121 = Query.sql(
+    "q121_equidepth_bins",
+    (s, dir) => {
+      val hist = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+      val n = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(n))
+        .select(col("q"), col("cnt"),
+          least(lit(7L), expr("cum_before * 8 DIV total")).as("bin"))
+        .groupBy("bin")
+        .agg(sum(col("cnt")).as("n_rows"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy("bin")
+    },
+    """WITH hist AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT q, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    SUM(cnt) OVER () AS total
+      |  FROM hist)
+      |SELECT LEAST(7, CAST(cum_before * 8 // total AS BIGINT)) AS bin,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  MIN(q) AS min_q, MAX(q) AS max_q
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113)
+      q113, q120, q121)
 }

@@ -67,4 +67,40 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("redacted").contains("<EMAIL>")).count() == out.count())
     out.unpersist()
   }
+
+  test("q120 checksum: partition-invariant, corruption-sensitive") {
+    import spark.implicits._
+    val base = Pipeline.q120.run(spark, sf0001).collect().head
+    // re-running over a scrambled layout of the same rows → same checksum
+    val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+    orders.repartition(13).write.mode("overwrite")
+      .parquet(s"$tmp/orders.parquet")
+    val scrambled = Pipeline.q120.run(spark, tmp).collect().head
+    assert(base == scrambled, "checksum changed under repartitioning")
+    // flipping one row's status must flip the checksum
+    val tmp2 = java.nio.file.Files.createTempDirectory("cksum2").toString
+    orders.withColumn("o_orderstatus",
+        when(col("o_orderkey") === orders.select(min("o_orderkey")).as[Long].head,
+          lit("X")).otherwise(col("o_orderstatus")))
+      .write.mode("overwrite").parquet(s"$tmp2/orders.parquet")
+    val corrupted = Pipeline.q120.run(spark, tmp2).collect().head
+    assert(corrupted.getLong(0) == base.getLong(0))
+    assert(corrupted.getLong(1) != base.getLong(1),
+      "corruption not detected by checksum")
+  }
+
+  test("q121 equi-depth bins: partition rows, near-uniform, ordered") {
+    val bins = Pipeline.q121.run(spark, sf0001).collect()
+    val total = bins.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sf0001, "lineitem").count())
+    // bins are value-contiguous and ordered: each min > previous max
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) > a.getLong(3))
+    }
+    // depth is near-uniform up to tie granularity: no bin more than 2× ideal
+    val ideal = total.toDouble / bins.length
+    assert(bins.map(_.getLong(1)).max < ideal * 2,
+      s"bin depth skew: ${bins.map(_.getLong(1)).toSeq} vs ideal $ideal")
+  }
 }
