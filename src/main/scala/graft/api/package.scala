@@ -101,6 +101,27 @@ package object api {
         conv(substring(md5(concat(lit("s42:"), col(keyCol).cast("string"))), 1, 6), 16, 10)
           .cast("long"), lit(shards.toLong)))
 
+    /** Z-order the physical layout on two numeric columns: rank-normalize
+      * each to an 8-bit equi-depth code (distinct-value histogram — cf.
+      * q121/q122), bit-interleave, then range-partition + sort by the
+      * z-value. Every output file's zone map then bounds BOTH columns, so
+      * scans filtering on either dimension prune files — the
+      * Delta/Iceberg `OPTIMIZE ZORDER BY` shape as a plain DataFrame op.
+      */
+    def zorderBy(xCol: String, yCol: String, partitions: Int): DataFrame = {
+      val cx = graft.operators.Warehouse.depthCode(df, xCol)
+      val cy = graft.operators.Warehouse.depthCode(df, yCol)
+      df.join(cx, xCol).join(cy, yCol)
+        .withColumn("__z", expr(
+          s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+             |  acc + shiftleft(shiftright(${xCol}_code, j) & 1, 2 * j)
+             |      + shiftleft(shiftright(${yCol}_code, j) & 1, 2 * j + 1))"""
+            .stripMargin))
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", s"${xCol}_code", s"${yCol}_code")
+    }
+
     /** PageRank treating this frame as a directed edge list (symmetrize
       * first for undirected graphs); returns (node, deg, rank). Result is
       * bit-identical under any partitioning — see

@@ -259,5 +259,77 @@ object Warehouse {
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105)
+  // -- q122: Z-order clustering stats (multi-dimensional layout) ------------
+  //   The data-layout step behind Delta/Iceberg OPTIMIZE ZORDER BY: bit-
+  //   interleave two join/filter keys into one z-value, range-partition
+  //   files by it, and point/range predicates on EITHER dimension prune
+  //   files via zone maps. The query computes the per-z-bucket zone map
+  //   (count + min/max of both dimensions) so the oracle verifies the
+  //   interleave math exactly and the spec asserts the skipping win (both
+  //   dims range-bounded per bucket). Scale: the z-value is a map-side
+  //   integer fold; the only movement is the final 64-row aggregation —
+  //   the production write path is `api.zorderBy` (repartitionByRange on
+  //   the same value) which this query's math underlies.
+  /** Rank-normalize a column to an 8-bit equi-depth code (q121's
+    * distinct-value-histogram trick: the window runs over DISTINCT values,
+    * never rows — scale-safe for binning-grade columns). */
+  private[graft] def depthCode(dfIn: DataFrame, c: String): DataFrame = {
+    val wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dfIn.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .withColumn("tot", sum(col("cnt")).over(wt))
+      .select(col("v").as(c), least(lit(255L), expr("cb * 256 DIV tot"))
+        .as(s"${c}_code"))
+  }
+
+  val q122 = Query.sql(
+    "q122_zorder_stats",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      // Raw-value interleave degenerates when the dims span different
+      // ranges, so (like Delta's OPTIMIZE ZORDER) each dim is first
+      // rank-normalized to an 8-bit code; the code maps are tiny
+      // (distinct values) and broadcast back onto the fact rows.
+      val cx = depthCode(li, "l_partkey")
+      val cy = depthCode(li, "l_suppkey")
+      li.join(cx, "l_partkey").join(cy, "l_suppkey")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"), expr(
+          """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc + shiftleft(shiftright(l_partkey_code, j) & 1, 2 * j)
+            |      + shiftleft(shiftright(l_suppkey_code, j) & 1, 2 * j + 1))"""
+            .stripMargin).as("zval"))
+        .groupBy(expr("shiftright(zval, 10)").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_part"), max(col("x")).as("max_part"),
+          min(col("y")).as("min_supp"), max(col("y")).as("max_supp"))
+        .orderBy("z_bucket")
+    },
+    """WITH cx AS (
+      |  SELECT v AS l_partkey, LEAST(255, cb * 256 // tot) AS xc FROM (
+      |    SELECT l_partkey AS v, COUNT(*) AS cnt,
+      |      COALESCE(SUM(COUNT(*)) OVER (ORDER BY l_partkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |      SUM(COUNT(*)) OVER () AS tot
+      |    FROM lineitem GROUP BY l_partkey)),
+      |cy AS (
+      |  SELECT v AS l_suppkey, LEAST(255, cb * 256 // tot) AS yc FROM (
+      |    SELECT l_suppkey AS v, COUNT(*) AS cnt,
+      |      COALESCE(SUM(COUNT(*)) OVER (ORDER BY l_suppkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |      SUM(COUNT(*)) OVER () AS tot
+      |    FROM lineitem GROUP BY l_suppkey)),
+      |z AS (
+      |  SELECT l.l_partkey AS x, l.l_suppkey AS y,
+      |    CAST(list_sum(list_transform(generate_series(0, 7), j ->
+      |      (((xc >> j) & 1) << (2 * j)) +
+      |      (((yc >> j) & 1) << (2 * j + 1)))) AS BIGINT) AS zval
+      |  FROM lineitem l JOIN cx USING (l_partkey) JOIN cy USING (l_suppkey))
+      |SELECT zval >> 10 AS z_bucket, COUNT(*) AS n_rows,
+      |  MIN(x) AS min_part, MAX(x) AS max_part,
+      |  MIN(y) AS min_supp, MAX(y) AS max_supp
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122)
 }

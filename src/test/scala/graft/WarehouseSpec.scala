@@ -105,4 +105,31 @@ class WarehouseSpec extends SparkSpec {
       assert(f >= 0.5 && f <= 1.0, s"$l kept fraction $f")
     }
   }
+
+  test("zorderBy bounds BOTH dimensions per partition; single-sort does not") {
+    import graft.api._
+    import org.apache.spark.sql.DataFrame
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    // average per-partition span fraction of a column under a layout
+    def spans(df: DataFrame, c: String): Double = {
+      val g = df.agg(min(col(c)).cast("double"),
+        max(col(c)).cast("double")).collect().head
+      val full = g.getDouble(1) - g.getDouble(0)
+      val per = df.withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg(((max(col(c)) - min(col(c))).cast("double") / full).as("f"))
+        .collect().map(_.getDouble(1))
+      per.sum / per.length
+    }
+    val z = li.zorderBy("l_partkey", "l_suppkey", 16)
+    // z-order: both dims bounded well below their global span
+    assert(spans(z, "l_partkey") < 0.6, "zorder partkey span too wide")
+    assert(spans(z, "l_suppkey") < 0.6, "zorder suppkey span too wide")
+    // naive single-column sort: the second dim stays unbounded (~full span)
+    val naive = li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+    assert(spans(naive, "l_suppkey") > 0.9,
+      "expected naive layout to leave suppkey unbounded")
+  }
 }
