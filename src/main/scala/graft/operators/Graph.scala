@@ -134,5 +134,102 @@ object Graph {
       |SELECT node, deg, rank FROM r3
       |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
 
-  val all: Seq[Query] = Seq(q119)
+  // -- q123: triangle census of the part co-purchase graph ------------------
+  //   Edges: part pairs appearing together in ≥ 2 orders (the frequent-
+  //   itemset support threshold keeps random one-off co-occurrence out of
+  //   the graph). Triangle counting via DEGREE ORIENTATION: orient every
+  //   edge from the (degree, id)-smaller endpoint to the larger, then each
+  //   triangle appears as exactly ONE oriented wedge (two out-edges of its
+  //   smallest vertex) closed by one oriented edge. Wedge work is bounded
+  //   by Σ outdeg² ≤ O(m^1.5) instead of Σ deg² — the standard skew-proof
+  //   trick (hub vertices have near-zero OUT-degree). No global rank is
+  //   materialized: the orientation compares (degree, id) tuples directly,
+  //   so there is no window over the node set, only key-partitioned joins.
+  //   The edge build is a self-join co-partitioned on the order key with
+  //   per-order quadratic bounded by lines-per-order (q08's pattern).
+  val q123 = Query.sql(
+    "q123_triangle_count",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // Pair build: collect each order's (sorted) part list and explode
+      // index pairs map-side — one shuffle on the order key instead of a
+      // sorted self-join (per-order quadratic bounded by lines/order; the
+      // strict < keeps multiplicity semantics identical to the oracle's
+      // line-pair self-join). The support-filtered edge set is tiny, so
+      // checkpoint it: everything downstream re-reads it several times.
+      val e0 = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.p1") < col("pr.p2"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(true)
+      val deg = e0.select(col("p1").as("p"))
+        .union(e0.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+      val ej = e0
+        .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+        .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
+      val fwd = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val ed = ej.select(
+          when(fwd, col("p1")).otherwise(col("p2")).as("u_p"),
+          when(fwd, col("p2")).otherwise(col("p1")).as("v_p"),
+          when(fwd, col("d2")).otherwise(col("d1")).as("v_d"))
+        .localCheckpoint(true) // read 3× below (wedge self-join + closure)
+      val w = ed.as("x").join(ed.as("y"),
+          col("x.u_p") === col("y.u_p") &&
+            (col("x.v_d") < col("y.v_d") ||
+              (col("x.v_d") === col("y.v_d") && col("x.v_p") < col("y.v_p"))))
+        .select(col("x.v_p").as("a"), col("y.v_p").as("b"))
+      // One pass over the wedges: LEFT-join the closing edge as a marker,
+      // then count wedges and closed wedges in a single aggregation
+      // (separate count() branches would re-run the wedge join per count).
+      val closed = w.join(
+        ed.select(col("u_p").as("a"), col("v_p").as("b"), lit(1).as("hit")),
+        Seq("a", "b"), "left")
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_wedges"),
+          count(col("hit")).as("n_triangles")))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+            .as("closure_rate"))
+    },
+    """WITH e0 AS (
+      |  SELECT a.l_partkey p1, b.l_partkey p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT p, COUNT(*) AS d FROM (
+      |    SELECT p1 AS p FROM e0 UNION ALL SELECT p2 AS p FROM e0) GROUP BY p),
+      |ej AS (
+      |  SELECT p1, p2, d1.d AS d1, d2.d AS d2
+      |  FROM e0 JOIN deg d1 ON p1 = d1.p JOIN deg d2 ON p2 = d2.p),
+      |ed AS (
+      |  SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN p1 ELSE p2 END AS u_p,
+      |         CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN p2 ELSE p1 END AS v_p,
+      |         CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN d2 ELSE d1 END AS v_d
+      |  FROM ej),
+      |w AS (
+      |  SELECT x.v_p AS a, y.v_p AS b FROM ed x JOIN ed y
+      |  ON x.u_p = y.u_p AND (x.v_d < y.v_d OR (x.v_d = y.v_d AND x.v_p < y.v_p))),
+      |tri AS (
+      |  SELECT COUNT(*) AS t FROM w JOIN ed ON w.a = ed.u_p AND w.b = ed.v_p)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM ed) AS n_edges,
+      |  (SELECT COUNT(*) FROM w) AS n_wedges,
+      |  t AS n_triangles,
+      |  CAST(t AS DOUBLE) / CAST((SELECT COUNT(*) FROM w) AS DOUBLE)
+      |    AS closure_rate
+      |FROM tri""".stripMargin)
+
+  val all: Seq[Query] = Seq(q119, q123)
 }

@@ -51,6 +51,27 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b), "pageRank not partition-invariant")
   }
 
+  test("q123 triangle census on a hand-built co-purchase graph") {
+    // orders o1,o2 each carry parts {1,2,3} (all three pairs reach
+    // support 2 → a triangle); o3,o4 carry {3,4} (edge 3-4, support 2);
+    // o5 carries {4,5} once (below support → excluded, node 5 drops out)
+    val lines = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L),
+      (4L, 3L), (4L, 4L),
+      (5L, 4L), (5L, 5L))
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    lines.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = operators.Graph.q123.run(spark, tmp).collect().head
+    assert(r.getLong(0) == 4, s"n_nodes: $r")      // {1,2,3,4}
+    assert(r.getLong(1) == 4, s"n_edges: $r")      // 12,13,23,34
+    assert(r.getLong(2) == 1, s"n_wedges: $r")     // (2,3) from vertex 1
+    assert(r.getLong(3) == 1, s"n_triangles: $r")  // 1-2-3
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("q119 supplier/part ranking is consistent with degree dominance") {
     val out = operators.Graph.q119.run(spark, sf001).collect()
     assert(out.length == 20)
