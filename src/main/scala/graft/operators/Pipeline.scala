@@ -532,7 +532,76 @@ object Pipeline {
       |  MIN(q) AS min_q, MAX(q) AS max_q
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  // -- q124: deterministic class rebalancing (labeled-data downsampling) ----
+  //   Balance a labeled training set by downsampling every class to the
+  //   minority class size: q111's salted-hash rank per class keeps the
+  //   FIRST n_min rows of each — RNG-free (stable membership across runs
+  //   and partitionings), one shuffle on the label key, and the class-size
+  //   floor is a one-row broadcast. The output class histogram proves the
+  //   balance; the kept ids are pinned by the rank rule, not sampling luck.
+  val q124 = Query.sql(
+    "q124_class_balance",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select("vec_id", "label")
+      val floor = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      val w = Window.partitionBy("label")
+        .orderBy(md5(concat(lit("bal:"),
+          col("vec_id").cast("string"))), col("vec_id"))
+      e.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(floor))
+        .filter(col("rk") <= col("n_min"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy("label")
+    },
+    """WITH f AS (
+      |  SELECT MIN(n) AS n_min FROM (
+      |    SELECT COUNT(*) AS n FROM embeddings GROUP BY label)),
+      |r AS (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_kept,
+      |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+      |FROM r CROSS JOIN f WHERE rk <= n_min
+      |GROUP BY label ORDER BY label""".stripMargin)
+
+  // -- q125: per-key rate limiting (≤ N events per user-hour) ---------------
+  //   The spam/abuse throttle a log pipeline applies before modeling: keep
+  //   at most N events per (user, hour), chosen deterministically (salted
+  //   hash, earliest-hash-first) so reruns keep the same events. One
+  //   shuffle on the (user, hour) key; the window never sees more than one
+  //   key group. Output: per-hour kept/dropped rollup (bounded rows).
+  val q125 = Query.sql(
+    "q125_rate_limit",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val w = Window.partitionBy("user_id", "hr")
+        .orderBy(md5(concat(lit("rl:"),
+          col("event_id").cast("string"))), col("event_id"))
+      ev.withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rk") <= 3, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") > 3, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("hour")
+    },
+    """WITH r AS (
+      |  SELECT event_id, user_id, date_trunc('hour', ts) AS hr,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY md5('rl:' || CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events)
+      |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM r GROUP BY hr ORDER BY hour""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121)
+      q113, q120, q121, q124, q125)
 }

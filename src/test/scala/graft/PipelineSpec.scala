@@ -90,6 +90,33 @@ class PipelineSpec extends SparkSpec {
       "corruption not detected by checksum")
   }
 
+  test("q124 class balance: every class downsampled to the minority size") {
+    val out = Pipeline.q124.run(spark, sf001).collect()
+    val kept = out.map(_.getLong(1))
+    assert(kept.distinct.length == 1, s"unbalanced: ${kept.toSeq}")
+    val minClass = Tables.load(spark, sf001, "embeddings")
+      .groupBy("label").count().agg(min("count")).collect().head.getLong(0)
+    assert(kept.head == minClass)
+  }
+
+  test("q125 rate limit: kept <= 3 per user-hour, totals reconcile") {
+    val out = Pipeline.q125.run(spark, sf001).collect()
+    val (events, kept, dropped) = (out.map(_.getLong(1)).sum,
+      out.map(_.getLong(2)).sum, out.map(_.getLong(3)).sum)
+    assert(kept + dropped == events)
+    assert(events == Tables.load(spark, sf001, "events").count())
+    // no user-hour exceeds the cap after the limit
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(md5(concat(lit("rl:"), col("event_id").cast("string"))),
+        col("event_id"))
+    val capped = Tables.load(spark, sf001, "events")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")))
+      .count().agg(max("count")).collect().head.getLong(0)
+    assert(capped <= 3)
+  }
+
   test("q121 equi-depth bins: partition rows, near-uniform, ordered") {
     val bins = Pipeline.q121.run(spark, sf0001).collect()
     val total = bins.map(_.getLong(1)).sum
