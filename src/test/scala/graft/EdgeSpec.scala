@@ -192,4 +192,45 @@ class EdgeSpec extends SparkSpec {
     val top = df.quantileGate("g", "score", 1.0).collect()
     assert(top.length == 1 && top.head.getDouble(1) == 3.0)
   }
+
+  test("pageRank on a two-node symmetric graph splits mass evenly") {
+    import graft.api._
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = e.pageRank("src", "dst").collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r.size == 2 && r("a") == r("b"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("zorderBy on a constant column degrades to single-dim layout, no crash") {
+    import graft.api._
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, 7L)).toDF("x", "y")
+    val z = df.zorderBy("x", "y", 4)
+    assert(z.count() == 1000)
+    assert(z.columns.toSeq == Seq("y", "x")) // helper columns dropped
+  }
+
+  test("BPE tokenizeColumn passes null text through as null") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    val docs = Seq((1L, "ab ab"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val merges = BpeTrainer.Merge("a", "b", 1L) :: Nil
+    val out = BpeTrainer.tokenizeColumn(docs, "text", "toks", merges)
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](2) == Seq("ab", "ab"))
+    assert(out(1).isNullAt(2))
+  }
+
+  test("equi-depth binning on a single distinct value yields one full bin") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("onebin").toString
+    (1 to 100).map(_ => (1L, 5.0)).toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val bins = operators.Pipeline.q121.run(spark, tmp).collect()
+    assert(bins.length == 1)
+    assert(bins.head.getLong(1) == 100)
+  }
 }
