@@ -20,10 +20,12 @@ package object api {
     */
   implicit final class GraftOps(private val df: DataFrame) {
 
-    /** Latest right row at-or-before each left row's time, per key. */
+    /** Latest right row at-or-before each left row's time, per key
+      * (`direction = "forward"` flips to earliest at-or-after). */
     def asofJoin(right: DataFrame, key: String, leftTime: String,
-        rightTime: String, payload: Map[String, String]): DataFrame =
-      AsOfJoin.asof(df, right, key, leftTime, rightTime, payload)
+        rightTime: String, payload: Map[String, String],
+        direction: String = "backward"): DataFrame =
+      AsOfJoin.asof(df, right, key, leftTime, rightTime, payload, direction)
 
     /** Rows joined to the intervals containing them (time-bucketed). */
     def intervalJoin(intervals: DataFrame, pointTs: String, startCol: String,

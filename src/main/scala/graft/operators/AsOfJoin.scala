@@ -24,6 +24,11 @@ object AsOfJoin {
     * @param leftTime  event-time column on the left
     * @param rightTime event-time column on the right
     * @param payload   right-side columns to carry (renamed as given)
+    * @param direction "backward" (latest right.ts <= left.ts, the default)
+    *                  or "forward" (earliest right.ts >= left.ts — pandas
+    *                  merge_asof's other direction). Both are the same
+    *                  single-shuffle sweep; forward just orders the
+    *                  partition scan by descending time.
     */
   def asof(
       left: DataFrame,
@@ -31,7 +36,10 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
 
     val leftCols = left.columns
     // SQL equality never matches NULL keys: a null-key right row must not
@@ -52,8 +60,12 @@ object AsOfJoin {
       taggedRight.columns.map(col) ++ leftCols.map(c => lit(null).as(s"__l_$c")): _*)
 
     val merged = rightAligned.unionByName(taggedLeft)
+    // Equal timestamps: __side=0 (right) sorts first in BOTH directions,
+    // so a same-instant right row is visible to the left row (<= / >=).
+    val timeOrder =
+      if (direction == "forward") col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = payload.values.toSeq.sorted.foldLeft(merged) { (df, dst) =>
       df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))

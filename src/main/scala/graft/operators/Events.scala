@@ -149,6 +149,35 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
+  // -- q126: forward as-of join (earliest error at-or-after each purchase) --
+  //   The other merge_asof direction ("what happened NEXT"): same
+  //   single-shuffle sweep as q65, partition scan ordered by descending
+  //   time. Oracle: DuckDB ASOF with the <= comparator.
+  val q126 = Query.sql(
+    "q126_asof_forward",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+          Map("ts" -> "err_ts", "value" -> "err_value"),
+          direction = "forward")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS err_ts_us, r.value AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
   // -- q66: range (interval) join via time-bucketed equi-join ---------------
   //   Every 97th event opens a 2-hour window; all events falling inside any
   //   window are matched. The operator turns the inequality join into an
@@ -383,5 +412,6 @@ object Events {
       |ORDER BY hour""".stripMargin)
 
   val all: Seq[Query] =
-    Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109)
+    Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
+      q126)
 }
