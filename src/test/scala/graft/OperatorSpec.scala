@@ -84,4 +84,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length == 4)
     assert(rows.map(_.getAs[Long]("n_frames")).distinct.length == 1)
   }
+
+  test("forward as-of equals backward as-of under time reflection") {
+    // asof(L, R, forward) on time t must equal asof(L', R', backward) on
+    // time -t — the mirror-image property that pins both directions to one
+    // semantics. Long keys/times keep the reflection exact.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L), (1L, 25L), (2L, 5L), (3L, 40L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 1L, "c"))
+      .toDF("k", "t", "v")
+    val fwd = AsOfJoin.asof(left, right, "k", "t", "t",
+        Map("v" -> "rv"), direction = "forward")
+      .select("k", "t", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val bwd = AsOfJoin.asof(
+        left.withColumn("t", -col("t")),
+        right.withColumn("t", -col("t")),
+        "k", "t", "t", Map("v" -> "rv"))
+      .select("k", "t", "rv").collect()
+      .map(r => (r.getLong(0), -r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(fwd == bwd, s"fwd=$fwd bwd=$bwd")
+    // spot values: same-instant right matches forward; no future → null
+    val m = fwd.map(x => (x._1, x._2) -> x._3).toMap
+    assert(m((1L, 10L)) == "a")   // tie matches
+    assert(m((1L, 25L)) == "b")   // next future row
+    assert(m((2L, 5L)) == null)   // only past rows exist
+    assert(m((3L, 40L)) == null)  // key absent on right
+  }
 }

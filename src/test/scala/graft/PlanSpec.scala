@@ -162,6 +162,22 @@ class PlanSpec extends SparkSpec {
       s"orders scan shows no pushdown:\n${scanLine.get}")
   }
 
+  test("q120 checksum is map-side: single exchange for the final 1-row agg") {
+    val p = plan(Pipeline.q120.run(spark, sf001))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"checksum should not shuffle rows:\n$p")
+  }
+
+  test("q124 class balance shuffles once on the label key") {
+    // one Exchange for the label window+agg path, one 1-row broadcast for
+    // the class floor; no join shuffle of the data itself
+    val p = plan(Pipeline.q124.run(spark, sf001))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"class floor should broadcast:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"too many hash exchanges ($shuffles):\n$p")
+  }
+
   test("q84 partitioned read prunes partitions on status filter") {
     // write once via the query, then check a filtered read prunes
     Sources.q84.run(spark, sf001).collect()
