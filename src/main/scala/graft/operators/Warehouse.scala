@@ -331,5 +331,43 @@ object Warehouse {
       |  MIN(y) AS min_supp, MAX(y) AS max_supp
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122)
+  // -- q127: backfill batch planning (cumulative bin packing) ---------------
+  //   Slice a historical reload into contiguous date batches of bounded
+  //   row volume — the work-unit planner behind a manifest-driven backfill
+  //   (cf. Manifest.Mapper): daily counts, running total, batch id =
+  //   cum_before DIV budget. Contiguity is by construction (batches are
+  //   date-ordered prefixes), each batch stays under budget + one day's
+  //   rows, and the plan is deterministic for a frozen table. The window
+  //   runs over the DAILY rollup (bounded rows), never the fact table —
+  //   same scale posture as q121's histogram ranks.
+  val q127 = Query.sql(
+    "q127_backfill_batches",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("batch_id", expr("cb DIV 2000"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_days"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+          sum(col("n")).as("n_rows"))
+        .orderBy("batch_id")
+    },
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT day, n,
+      |    COALESCE(SUM(n) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM daily)
+      |SELECT CAST(cb // 2000 AS BIGINT) AS batch_id,
+      |  COUNT(*) AS n_days, MIN(day) AS first_day, MAX(day) AS last_day,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122, q127)
 }

@@ -106,6 +106,24 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q127 backfill batches: contiguous, bounded, complete") {
+    val b = Warehouse.q127.run(spark, sf001).collect()
+    // complete: batch rows sum to the table row count
+    assert(b.map(_.getLong(4)).sum ==
+      Tables.load(spark, sf001, "orders").count())
+    // contiguous, ordered date ranges
+    b.sliding(2).filter(_.length == 2).foreach { case Array(x, y) =>
+      assert(x.getDate(3).before(y.getDate(2)), s"overlap: $x / $y")
+    }
+    // bounded: every batch except possibly the last stays under
+    // budget + one day's spill
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_orderdate").cast("date")).count()
+      .agg(max("count")).collect().head.getLong(0)
+    b.init.foreach(r =>
+      assert(r.getLong(4) <= 2000 + daily, s"oversized batch: $r"))
+  }
+
   test("zorderBy bounds BOTH dimensions per partition; single-sort does not") {
     import graft.api._
     import org.apache.spark.sql.DataFrame
