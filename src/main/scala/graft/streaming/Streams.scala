@@ -235,6 +235,41 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  final case class Kept(event_id: Long, user_id: Long, ts: Timestamp)
+
+  /** Streaming per-key rate limit: at most `maxPerHour` events pass per
+    * (user, hour) — the abuse/spam throttle, streaming twin of batch
+    * q125. State is ONE counter per active (user, hour), evicted by
+    * event-time timeout after the hour closes under the watermark.
+    * Semantics note: the batch op picks the kept rows by deterministic
+    * hash rank over the complete hour; a stream must decide per event, so
+    * it keeps the FIRST N in arrival order — kept COUNTS per key agree
+    * with batch (min(N, total)), membership may differ (documented, same
+    * trade as any online-vs-offline throttle).
+    */
+  def rateLimitStream(events: Dataset[Event], maxPerHour: Int = 3,
+      watermark: String = "2 hours"): Dataset[Kept] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600 * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.ts.getTime / hourMs))
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((_, _), batch, state) if batch.isEmpty && state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((user, hour), batch, state) =>
+          val soFar = state.getOption.getOrElse(0L)
+          val room = math.max(0, maxPerHour - soFar.toInt)
+          val take = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .take(room)
+          state.update(soFar + take.size)
+          // evict once the NEXT hour is past the watermark
+          state.setTimeoutTimestamp((hour + 2) * hourMs)
+          take.map(e => Kept(e.event_id, user, e.ts)).iterator
+      }
+  }
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

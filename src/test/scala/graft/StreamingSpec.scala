@@ -122,6 +122,40 @@ class StreamingSpec extends SparkSpec {
     assert(users.sorted.sameElements(Array(1L, 2L, 3L)), users.mkString(","))
   }
 
+  test("streaming rate limit caps each user-hour; counts match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val kept = Streams.rateLimitStream(mem.toDS(), maxPerHour = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rl").toString
+    val q = kept.toDF().writeStream.format("memory").queryName("rl_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, ts(t), u, "view", 1.0, "{}")
+    // user 1: 4 events in hour 10 (2 kept), 1 in hour 11 (kept);
+    // user 2: 2 events in hour 10 (both kept) — split across batches to
+    // prove the counter persists in state between micro-batches
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:05:00", 1),
+      ev(3, "2024-01-01 10:10:00", 2))
+    q.processAllAvailable()
+    mem.addData(
+      ev(4, "2024-01-01 10:20:00", 1), ev(5, "2024-01-01 10:30:00", 1),
+      ev(6, "2024-01-01 11:00:00", 1), ev(7, "2024-01-01 10:40:00", 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rl_test").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts").getTime / 3600000L))
+    val perKey = got.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got.length == 5, s"kept ${got.length}: ${got.toSeq}")
+    assert(perKey.values.forall(_ <= 2), s"cap exceeded: $perKey")
+    // first-N semantics: events 1,2 kept for user 1 hour 10; 4,5 dropped
+    val ids = spark.table("rl_test").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 6L, 7L)), ids.mkString(","))
+  }
+
   test("stream-stream interval join matches the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
