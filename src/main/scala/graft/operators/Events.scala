@@ -256,6 +256,35 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
+  // -- q128: forward as-of through the native physical operator -------------
+  //   q126's semantics planned through `graft.plans.NativeAsOfJoin` with
+  //   direction="forward" (descending-time sort declared via
+  //   requiredChildOrdering; same single-buffered-row sweep mirrored).
+  val q128 = Query.sql(
+    "q128_asof_native_forward",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.plans.NativeAsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+          Map("ts" -> "err_ts", "value" -> "err_value"),
+          direction = "forward")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS err_ts_us, r.value AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
   // -- q59: ordered conversion funnel (view → click → purchase) -------------
   //   The step-N timestamp is the earliest qualifying event strictly AFTER
   //   the step-N−1 timestamp, so out-of-order histories don't count. Three
@@ -413,5 +442,5 @@ object Events {
 
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126)
+      q126, q128)
 }

@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  Ascending, Attribute, BindReferences, Descending, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -40,7 +40,7 @@ object NativeAsOfJoin {
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Attribute, rightKey: Attribute,
       leftTime: Attribute, rightTime: Attribute,
-      payload: Seq[Attribute]) extends BinaryNode {
+      payload: Seq[Attribute], forward: Boolean = false) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -51,8 +51,9 @@ object NativeAsOfJoin {
   // --------------------------------------------------------------- strategy
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, fwd) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
+          fwd) :: Nil
       case _ => Nil
     }
   }
@@ -62,7 +63,8 @@ object NativeAsOfJoin {
       left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      payload: Seq[Attribute]) extends BinaryExecNode {
+      payload: Seq[Attribute], forward: Boolean = false)
+      extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -72,10 +74,15 @@ object NativeAsOfJoin {
     // (key, time). AQE still owns partition counts and reuse.
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    // forward direction flips ONLY the time ordering: scanning times
+    // descending makes "the last right consumed while r.t >= l.t" the
+    // EARLIEST right at-or-after the probe — the mirror of the backward
+    // sweep, same single buffered row.
+    private def timeDir = if (forward) Descending else Ascending
     override def requiredChildOrdering: Seq[Seq[SortOrder]] =
       Seq(
-        SortOrder(leftKey, Ascending) :: SortOrder(leftTime, Ascending) :: Nil,
-        SortOrder(rightKey, Ascending) :: SortOrder(rightTime, Ascending) :: Nil)
+        SortOrder(leftKey, Ascending) :: SortOrder(leftTime, timeDir) :: Nil,
+        SortOrder(rightKey, Ascending) :: SortOrder(rightTime, timeDir) :: Nil)
     override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
     override protected def withNewChildrenInternal(
@@ -146,7 +153,9 @@ object NativeAsOfJoin {
             while (advancing) {
               val c = keyOrd.compare(rHeadKey, k)
               if (c < 0) advanceRight()
-              else if (c == 0 && timeOrd.compare(rHeadTime, t) <= 0) {
+              else if (c == 0 &&
+                  (if (forward) timeOrd.compare(rHeadTime, t) >= 0
+                   else timeOrd.compare(rHeadTime, t) <= 0)) {
                 // COPY the key: rHeadKey may point into the right
                 // iterator's reused row buffer (UTF8String from an
                 // UnsafeRow; sort-spill readers and ColumnarToRow reuse
@@ -176,7 +185,10 @@ object NativeAsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     // Usable on sessions built without GraftExtensions too:
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -196,6 +208,7 @@ object NativeAsOfJoin {
       AsOfJoinNode(l, r,
         attr(l, key), attr(r, "__asof_k"),
         attr(l, leftTime), attr(r, "__asof_t"),
-        payload.values.toSeq.sorted.map(attr(r, _))))
+        payload.values.toSeq.sorted.map(attr(r, _)),
+        forward = direction == "forward"))
   }
 }

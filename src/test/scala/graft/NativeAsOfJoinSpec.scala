@@ -117,4 +117,43 @@ class NativeAsOfJoinSpec extends SparkSpec {
       Map("value" -> "err_value"))
     assert(canon(native) == canon(composed))
   }
+
+  test("forward direction: native equals composed, ties match, no-future is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 30L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 1L, "c"))
+      .toDF("k", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val native = NativeAsOfJoin.asof(left, right, "k", "t", "t",
+      Map("v" -> "rv"), direction = "forward")
+    val composed = AsOfJoin.asof(left, right, "k", "t", "t",
+      Map("v" -> "rv"), direction = "forward")
+    assert(canon(native) == canon(composed))
+    val m = native.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(m((1L, 10L)) == "a")  // same-instant right matches (<=)
+    assert(m((1L, 25L)) == "b")  // earliest future
+    assert(m((1L, 30L)) == "b")  // tie at the probe time
+    assert(m((2L, 5L)) == null)  // only past rows on the key
+  }
+
+  test("forward direction on the events table equals the composed sweep") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sf0001, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = e.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val native = NativeAsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+      Map("value" -> "err_value"), direction = "forward")
+    val composed = AsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+      Map("value" -> "err_value"), direction = "forward")
+    assert(canon(native) == canon(composed))
+  }
 }
