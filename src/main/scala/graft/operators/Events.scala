@@ -285,6 +285,50 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
+  // -- q129: volume anomaly detection (2σ hourly outliers per type) ---------
+  //   Ops-monitoring over the event stream: hours whose per-type volume
+  //   deviates more than 2σ from that type's mean. The z-test runs in
+  //   PURE INTEGER arithmetic by clearing denominators —
+  //     |c − S1/n| > 2·sqrt((S2 − S1²/n)/(n−1))
+  //     ⇔ (c·n − S1)²·(n−1) > 4·n·(n·S2 − S1²)
+  //   so there is no float anywhere and the result is trivially exact on
+  //   any engine/partitioning. One shuffle for the hourly rollup; the
+  //   per-type (n, S1, S2) stats are a tiny aggregate broadcast back.
+  val q129 = Query.sql(
+    "q129_hourly_anomalies",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      hourly.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("dev", col("c") * col("n") - col("s1"))
+        .filter(col("dev") * col("dev") * (col("n") - 1) >
+          lit(4L) * col("n") * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("hour"), col("c").as("n_events"),
+          col("dev"))
+        .orderBy("event_type", "hour")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type AS et, COUNT(*) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1)
+      |SELECT event_type, hour, c AS n_events,
+      |  CAST(c * n - s1 AS BIGINT) AS dev
+      |FROM hourly JOIN stats ON event_type = et
+      |WHERE (c * n - s1) * (c * n - s1) * (n - 1) >
+      |      4 * n * (n * s2 - s1 * s1)
+      |ORDER BY event_type, hour""".stripMargin)
+
   // -- q59: ordered conversion funnel (view → click → purchase) -------------
   //   The step-N timestamp is the earliest qualifying event strictly AFTER
   //   the step-N−1 timestamp, so out-of-order histories don't count. Three
@@ -442,5 +486,5 @@ object Events {
 
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128)
+      q126, q128, q129)
 }

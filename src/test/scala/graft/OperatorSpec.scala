@@ -85,6 +85,29 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_frames")).distinct.length == 1)
   }
 
+  test("q129 integer z-test equals the floating-point 2-sigma rule") {
+    import org.apache.spark.sql.functions._
+    val flagged = Events.q129.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // recompute with plain double math and compare the flagged sets
+    val hourly = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2).toDouble))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val cs = rows.map(_._3)
+      val n = cs.length.toDouble
+      val mean = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / (n - 1))
+      rows.filter(r => math.abs(r._3 - mean) > 2 * sd)
+        .map(r => (r._1, r._2)).toSeq
+    }.toSet
+    assert(flagged == expected,
+      s"only-int=${flagged -- expected} only-float=${expected -- flagged}")
+  }
+
   test("forward as-of equals backward as-of under time reflection") {
     // asof(L, R, forward) on time t must equal asof(L', R', backward) on
     // time -t — the mirror-image property that pins both directions to one
