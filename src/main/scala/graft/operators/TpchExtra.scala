@@ -239,5 +239,64 @@ object TpchExtra {
        |WHERE c_acctbal * n > total
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
-  val all: Seq[Query] = Seq(t07, t10, t14, t16, t19, t21, t22)
+  // -- t13: customer order-count distribution (TPC-H Q13 shape) -------------
+  //   The classic double-aggregation over an outer join: LEFT join keeps
+  //   zero-order customers (count of a right column is 0 for them), then a
+  //   histogram of the counts. Both aggregations hash-partition on keys
+  //   that shrink monotonically (customer → count value) — no window, no
+  //   Expand; the o_comment-style filter maps to a priority exclusion.
+  val t13 = Query.sql(
+    "t13_custdist",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // -- t18: large-volume customers (TPC-H Q18 shape) ------------------------
+  //   Orders whose total quantity exceeds a threshold, with customer
+  //   context. The planned form aggregates lineitem ONCE and semi-joins
+  //   instead of the textbook IN (GROUP BY ... HAVING) re-scan: the
+  //   qualifying key set is the aggregation's own output, filtered — so
+  //   the oracle's IN-subquery semantics cost one lineitem pass, not two.
+  val t18 = Query.sql(
+    "t18_large_orders",
+    (s, dir) => {
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
+    },
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+
+  val all: Seq[Query] = Seq(t07, t10, t13, t14, t16, t18, t19, t21, t22)
 }

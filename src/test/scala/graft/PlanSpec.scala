@@ -152,6 +152,13 @@ class PlanSpec extends SparkSpec {
     assert(joins == 0, s"self-join crept back in ($joins shuffle joins):\n$p")
   }
 
+  test("t18 aggregates lineitem once, no IN-subquery re-scan") {
+    val p = plan(TpchExtra.t18.run(spark, sf001))
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times:\n$p")
+  }
+
   test("t22 pushes the recent-order date filter to the orders scan") {
     val p = plan(TpchExtra.t22.run(spark, sf001))
     val scanLine = p.linesIterator.filter(_.contains("FileScan parquet"))

@@ -231,4 +231,35 @@ class ScaleSpec extends SparkSpec {
     assert(classes("unchanged") == 950000L)
     assert(!classes.contains("removed"))
   }
+
+  test("soak: pageRank over a 1M-edge ring-of-hubs graph, mass conserved") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    // 500k nodes in a ring (degree 2 each) + 50 hubs each wired to 10k
+    // ring nodes: heavy skew on the hub keys, forced spill conf active
+    // (SparkSpec spills every 100k rows), exercising the checkpointed
+    // edge list + floor-scaled sums at real volume.
+    val n = 500000L
+    val ring = spark.range(n).select(
+      concat(lit("v"), col("id")).as("src"),
+      concat(lit("v"), (col("id") + 1) % n).as("dst"))
+    val hub = spark.range(500000).select(
+      concat(lit("h"), col("id") % 50).as("src"),
+      concat(lit("v"), (col("id") * 7) % n).as("dst"))
+    val und = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
+      .union(hub).union(hub.select(col("dst").as("src"), col("src").as("dst")))
+    val r = und.pageRank("src", "dst", iters = 2)
+    val agg = r.agg(count(lit(1)), sum("rank"), max("rank")).collect().head
+    assert(agg.getLong(0) == n + 50)
+    // teleport + conserved propagation: total mass stays 1 up to the
+    // floor-truncation loss (< 1e-9 per edge contribution)
+    assert(math.abs(agg.getDouble(1) - 1.0) < 1e-6,
+      s"rank mass drifted: ${agg.getDouble(1)}")
+    // hubs (degree ~10k) must outrank ring nodes (degree 2): compare the
+    // max overall (a hub) to the max over ring nodes only
+    val maxRing = r.filter(col("node").startsWith("v"))
+      .agg(max("rank")).collect().head.getDouble(0)
+    assert(agg.getDouble(2) > maxRing * 10,
+      s"hub rank ${agg.getDouble(2)} not dominant over ring $maxRing")
+  }
 }
