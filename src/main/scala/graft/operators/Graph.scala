@@ -59,12 +59,19 @@ object Graph {
       .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     var r: DataFrame = deg.select(col("node"), (lit(1.0 / n)).as("rank"))
     for (_ <- 1 to iters) {
-      r = undD.join(r, col("src") === col("node"))
+      val contrib = undD.join(r, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("CAST(FLOOR(rank / deg * 1e15) AS BIGINT)")).as("sm"))
-        .select(col("dst").as("node"),
-          (lit(tele / n) +
-            lit(damping) * (col("sm").cast("double") / lit(1e15))).as("rank"))
+      // LEFT join from the node table: on a directed graph a node with no
+      // in-edges still keeps its teleport mass instead of dropping out of
+      // the ranking (on symmetrized input every node has in-edges and
+      // this is identical to an inner join).
+      r = deg.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(tele / n) + lit(damping) *
+            (coalesce(col("sm"), lit(0L)).cast("double") / lit(1e15)))
+            .as("rank"))
     }
     r.join(deg.select(col("node").as("dn"), col("deg")),
         col("node") === col("dn"))

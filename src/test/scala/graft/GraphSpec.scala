@@ -51,6 +51,23 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b), "pageRank not partition-invariant")
   }
 
+  test("directed graph: a source-only node keeps its teleport mass") {
+    // "a" points at "b"/"c" but nothing points back: a must stay in the
+    // ranking at exactly teleport/n (it receives no contributions), not
+    // silently drop out. b and c also feed each other so they have deg.
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val r = e.pageRank("src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r.keySet == Set("a", "b", "c"), s"node dropped: $r")
+    // a receives no contributions, so every iteration resets it to
+    // exactly teleport/n (the default teleport is 1.0 - 0.85, which is
+    // NOT the double 0.15 — see the pageRank scaladoc)
+    assert(r("a") == (1.0 - 0.85) / 3,
+      s"source-only node lost teleport mass: ${r("a")}")
+    assert(r("b") > r("a") && r("c") > r("a"))
+  }
+
   test("q123 triangle census on a hand-built co-purchase graph") {
     // orders o1,o2 each carry parts {1,2,3} (all three pairs reach
     // support 2 → a triangle); o3,o4 carry {3,4} (edge 3-4, support 2);
