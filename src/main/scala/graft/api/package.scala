@@ -121,7 +121,8 @@ package object api {
             .stripMargin))
         .repartitionByRange(partitions, col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z", s"${xCol}_code", s"${yCol}_code")
+        // restore the caller's column order (joins float their keys left)
+        .select(df.columns.map(col).toIndexedSeq: _*)
     }
 
     /** PageRank treating this frame as a directed edge list (symmetrize

@@ -209,7 +209,7 @@ class EdgeSpec extends SparkSpec {
     val df = (1 to 1000).map(i => (i.toLong, 7L)).toDF("x", "y")
     val z = df.zorderBy("x", "y", 4)
     assert(z.count() == 1000)
-    assert(z.columns.toSeq == Seq("y", "x")) // helper columns dropped
+    assert(z.columns.toSeq == Seq("x", "y")) // original order, helpers gone
   }
 
   test("BPE tokenizeColumn passes null text through as null") {
