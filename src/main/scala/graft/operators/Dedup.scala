@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact (hash group-by), word
@@ -575,6 +576,43 @@ object Dedup {
       |SELECT component, doc_id AS rep_doc_id, cluster_size, cluster_chars
       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)
 
+  // -- q130: incremental dedup (new batch vs existing corpus) ---------------
+  //   The daily-ingest shape: dedup the DELTA against the already-curated
+  //   corpus without touching corpus-internal pairs. Exact layer: content-
+  //   digest LEFT ANTI join (16 bytes/row shuffled, corpus side prunable
+  //   to its digest column). Near-dup layer at scale: the delta's LSH
+  //   bands probe the corpus band table the same way (q43) — here the
+  //   oracle-checked exact layer plus within-batch keep-first, i.e. the
+  //   full "new docs that survive" count a nightly pipeline reports.
+  //   Batch split is doc_id-hash based so it is stable at any SF.
+  val q130 = Query.sql(
+    "q130_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("dig", md5(col("text")))
+      val corpus = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val vsCorpus = batch.join(corpus.select("dig"), Seq("dig"), "left_anti")
+      val w = Window.partitionBy("dig").orderBy("doc_id")
+      val kept = vsCorpus
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      batch.agg(count(lit(1)).as("batch_docs"))
+        .crossJoin(vsCorpus.agg(count(lit(1)).as("not_in_corpus")))
+        .crossJoin(kept.agg(count(lit(1)).as("kept_new")))
+    },
+    """WITH d AS (SELECT doc_id, md5(text) AS dig FROM documents),
+      |corpus AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      |vs AS (
+      |  SELECT * FROM batch WHERE dig NOT IN (SELECT dig FROM corpus)),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY dig ORDER BY doc_id) AS rk
+      |    FROM vs) WHERE rk = 1)
+      |SELECT (SELECT COUNT(*) FROM batch) AS batch_docs,
+      |  (SELECT COUNT(*) FROM vs) AS not_in_corpus,
+      |  (SELECT COUNT(*) FROM kept) AS kept_new""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
+      q130)
 }
