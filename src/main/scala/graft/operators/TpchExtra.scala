@@ -298,5 +298,342 @@ object TpchExtra {
       |GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 
-  val all: Seq[Query] = Seq(t07, t10, t13, t14, t16, t18, t19, t21, t22)
+  // -- t02: minimum-cost supplier per part (TPC-H Q2 shape) -----------------
+  //   The reduced schema has no partsupp, so the supply cost of a
+  //   (part, supplier) pair is derived from lineitem as the minimum unit
+  //   price ever charged. The textbook correlated MIN subquery (cost =
+  //   min cost for that part) decorrelates into: one agg to (part, supp,
+  //   cost), a second agg to per-part min — the second input IS the first
+  //   output, so it adds a key-shrinking exchange, not a rescan — and a
+  //   join back on (part, cost). Unit price is a single IEEE division of
+  //   the same doubles on both engines, so the equality join is exact.
+  val t02 = Query.sql(
+    "t02_min_cost_supplier",
+    (s, dir) => {
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val pp = t(s, dir, "part").filter(col("p_size") === 25).select("p_partkey")
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        // region-filtered suppliers stay a constant fraction of supplier:
+        // no forced hint, AQE broadcasts while that remains correct.
+        .join(eu.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val minPer = cost.groupBy(col("l_partkey").as("mp_part"))
+        .agg(min(col("cost")).as("min_cost"))
+      cost
+        .join(minPer, col("l_partkey") === col("mp_part") &&
+          col("cost") === col("min_cost"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost"))
+        .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_name"))
+        .limit(20)
+    },
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS cost
+      |  FROM lineitem
+      |  JOIN eu ON l_suppkey = s_suppkey
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+      |  GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey, c.cost
+      |FROM cost c
+      |JOIN eu ON c.l_suppkey = eu.s_suppkey
+      |WHERE c.cost = (SELECT MIN(c2.cost) FROM cost c2
+      |                WHERE c2.l_partkey = c.l_partkey)
+      |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 20""".stripMargin)
+
+  // -- t08: nation market share within a region (TPC-H Q8 shape) ------------
+  //   Share of ASIA-customer revenue supplied by NATION_5, per order year.
+  //   One big fact join, dims broadcast, a single conditional aggregation;
+  //   the share divides two decimal-exact sums, so both engines divide the
+  //   same doubles.
+  val t08 = Query.sql(
+    "t08_market_share",
+    (s, dir) => {
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val su = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_5", expr(discPrice))
+            .otherwise(0.0)).as("nation_revenue"),
+          dsum(expr(discPrice)).as("market_revenue"))
+        .select(col("o_year"),
+          (col("nation_revenue") / col("market_revenue")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    s"""SELECT o_year, nation_revenue / market_revenue AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |    ${sqlDsum(s"CASE WHEN n2.n_name = 'NATION_5' THEN $discPrice ELSE CAST(0 AS DOUBLE) END")}
+       |      AS nation_revenue,
+       |    ${sqlDsum(discPrice)} AS market_revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA'
+       |  GROUP BY 1)
+       |ORDER BY o_year""".stripMargin)
+
+  // -- t09: product-line profit by supplier nation and year (TPC-H Q9
+  //   shape) ------------------------------------------------------------------
+  //   No partsupp, so supply cost is modelled as 80% of the part's retail
+  //   price — the per-row profit expression keeps Q9's structure (revenue
+  //   minus cost·quantity). All-double arithmetic per row, decimal-exact
+  //   accumulation.
+  val t09 = Query.sql(
+    "t09_product_profit",
+    (s, dir) => {
+      val profit = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) " +
+        "- CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity"
+      val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val su = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(dsum(expr(profit)).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  ${sqlDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) - CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity")}
+       |    AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+
+  // -- t11: important parts by regional supplier value (TPC-H Q11 shape) ----
+  //   Per-part shipped value from AFRICA-region suppliers, kept where the
+  //   part exceeds a fraction of the total. The textbook scans partsupp
+  //   twice (group + global scalar); here the global total aggregates the
+  //   per-part output — a one-row second agg over ~|part| rows, broadcast
+  //   back. ONE fact scan. The fraction threshold multiplies a decimal-
+  //   exact total, so the predicate compares identical doubles.
+  val t11 = Query.sql(
+    "t11_important_parts",
+    (s, dir) => {
+      val afr = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AFRICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val perPart = t(s, dir, "lineitem")
+        .join(afr, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("part_value"))
+      // threshold = 2× the mean per-part value: SF-invariant (a fixed
+      // fraction of the global total selects nothing once |part| grows),
+      // and both engines divide the same decimal-exact sum by the same
+      // count before the compare.
+      val total = perPart.agg(
+        sum(col("part_value").cast(D)).cast("double").as("__total"),
+        count(lit(1)).as("__cnt"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > lit(2.0) * col("__total") / col("__cnt"))
+        .select("p_partkey", "part_value")
+        .orderBy(desc("part_value"), asc("p_partkey"))
+    },
+    """WITH pv AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'AFRICA'
+      |  GROUP BY 1)
+      |SELECT p_partkey, part_value FROM pv
+      |WHERE part_value > 2.0 * (
+      |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) FROM pv)
+      |  / (SELECT COUNT(*) FROM pv)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin)
+
+  // -- t12: late-shipment priority counts (TPC-H Q12 shape) -----------------
+  //   No ship mode in the reduced schema: the return flag stands in as the
+  //   grouping class, "late" means shipped more than 90 days after the
+  //   order date, and the high/low split is the order priority — the same
+  //   join + conditional-count plan as Q12.
+  val t12 = Query.sql(
+    "t12_late_priority",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 90))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("ship_class")
+    },
+    """SELECT l_returnflag AS ship_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY ship_class""".stripMargin)
+
+  // -- t15: top supplier by windowed revenue (TPC-H Q15 shape) --------------
+  //   Revenue per supplier over Q1-1998; keep the supplier(s) achieving
+  //   the maximum. The textbook view is referenced twice (group + scalar
+  //   max); here the one-row max aggregates the per-supplier output and
+  //   broadcasts back — the fact table is scanned once, and the date
+  //   filter reaches the parquet scan.
+  val t15 = Query.sql(
+    "t15_top_supplier",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1998-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(expr(discPrice)).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("__max"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("__max"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, ${sqlDsum(discPrice)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+       |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin)
+
+  // -- t17: small-quantity-order revenue (TPC-H Q17 shape) ------------------
+  //   Average yearly revenue lost to small orders of Brand#5 small parts.
+  //   The textbook correlated 0.2·AVG subquery decorrelates into a
+  //   per-part aggregate over the SAME part-restricted slice used by the
+  //   outer filter; the per-part averages (≤|qualifying parts| rows)
+  //   broadcast back. The average is decimal-sum / count, so the 0.2×
+  //   threshold is the same double on both engines.
+  val t17 = Query.sql(
+    "t17_small_qty_revenue",
+    (s, dir) => {
+      val pp = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#5" && col("p_size") < 15)
+        .select("p_partkey")
+      val base = t(s, dir, "lineitem")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgs = base.groupBy(col("l_partkey").as("a_part"))
+        .agg((sum(col("l_quantity").cast(D)).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      base.join(broadcast(avgs), col("l_partkey") === col("a_part"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    s"""WITH base AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#5' AND p_size < 15),
+       |a AS (
+       |  SELECT l_partkey AS a_part,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+       |      AS avg_qty
+       |  FROM base GROUP BY 1)
+       |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM base JOIN a ON l_partkey = a_part
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)
+
+  // -- t20: suppliers with promotion-ready surplus (TPC-H Q20 shape) --------
+  //   Q20's nested semi-joins (supplier IN ... partsupp WHERE availqty >
+  //   half the year's shipments) adapt to: AMERICA-region suppliers for
+  //   whom some 'small*' part's year-2000 shipments exceed a quarter of
+  //   that pair's all-time shipments. Both conditional sums come out of
+  //   ONE (supplier, part) aggregation — no second fact scan — and the
+  //   qualifying supplier set semi-joins into the dimension side.
+  val t20 = Query.sql(
+    "t20_promo_suppliers",
+    (s, dir) => {
+      val pp = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val sp = t(s, dir, "lineitem")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+          sum(when(year(col("l_shipdate")) === 2000, col("l_quantity"))
+            .otherwise(0.0).cast(D)).cast("double").as("qty_2000"),
+          sum(col("l_quantity").cast(D)).cast("double").as("qty_all"))
+      val qualifying = sp
+        .filter(col("qty_2000") > lit(0.25) * col("qty_all") &&
+          col("qty_2000") > 0.0)
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    },
+    """WITH sp AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 2000 THEN l_quantity
+      |                       ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS qty_2000,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_all
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE 'small%')
+      |  GROUP BY 1, 2)
+      |SELECT s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM sp
+      |    WHERE qty_2000 > 0.25 * qty_all AND qty_2000 > 0)
+      |ORDER BY s_name""".stripMargin)
+
+  val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
+    t15, t16, t17, t18, t19, t20, t21, t22)
 }
