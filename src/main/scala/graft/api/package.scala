@@ -357,5 +357,68 @@ package object api {
       df.join(broadcast(cuts), groupCol)
         .filter(col(scoreCol) >= col("__cut")).drop("__cut")
     }
+
+    /** Distributed Lloyd's k-means over an `array<float>` column (cf.
+      * q135, which pins one step to the DuckDB oracle). Returns the input
+      * plus a `cluster` column from the final assignment.
+      *
+      * Per iteration: ONE map-side pass assigns each row to its nearest
+      * centroid (the k centroids travel as a broadcast literal, no row
+      * expansion, no shuffle), and ONE map-side-combined aggregation of
+      * floor-scaled integer component sums recomputes the means — the
+      * only driver-side data is the k×dims centroid matrix, which is how
+      * every distributed k-means (MLlib included) closes the loop.
+      * Determinism: distances are floor-scaled to BIGINT before the
+      * argmin (tie → lowest cluster id), and component sums are exact
+      * integers, so the fit is invariant to partitioning and run order.
+      * Seeds are the first k rows by `idCol` — deterministic, and at
+      * production scale the caller passes pre-sampled seed ids.
+      */
+    def kmeansFit(vecCol: String, idCol: String, k: Int = 8,
+        iters: Int = 3): DataFrame = {
+      require(k > 0 && iters > 0, "k and iters must be positive")
+      def dspExpr(c: String): String =
+        s"""CAST(FLOOR(1e9 * aggregate(zip_with($vecCol, $c,
+           |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+           |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+      def assign(centroids: Seq[Seq[Double]]): DataFrame = {
+        val lits = typedLit(centroids)
+        df.withColumn("__cents", lits)
+          .withColumn("cluster", expr(
+            s"""aggregate(sequence(0, ${k - 1}),
+               |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+               |               'cl', CAST(-1 AS BIGINT)),
+               |  (acc, j) -> CASE
+               |    WHEN ${dspExpr("element_at(__cents, j + 1)")} < acc.dsp
+               |    THEN named_struct('dsp', ${dspExpr("element_at(__cents, j + 1)")},
+               |                      'cl', CAST(j AS BIGINT))
+               |    ELSE acc END).cl""".stripMargin))
+          .drop("__cents")
+      }
+      var centroids: Seq[Seq[Double]] = df
+        .orderBy(idCol).limit(k)
+        .select(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      for (_ <- 1 to iters) {
+        val sums = assign(centroids)
+          .select(col("cluster"), posexplode(expr(
+            s"transform($vecCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"))
+            .as(Seq("__pos", "__vsp")))
+          .groupBy("cluster", "__pos")
+          .agg(sum(col("__vsp")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val byCl = sums.groupBy(_.getLong(0))
+        centroids = centroids.indices.map { j =>
+          byCl.get(j.toLong) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(r =>
+                r.getLong(2).toDouble / r.getLong(3) / 1e7).toSeq
+            case None => centroids(j) // empty cluster keeps its centroid
+          }
+        }
+      }
+      assign(centroids)
+    }
   }
 }

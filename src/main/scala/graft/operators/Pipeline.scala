@@ -601,7 +601,49 @@ object Pipeline {
       |  CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       |FROM r GROUP BY hr ORDER BY hour""".stripMargin)
 
+  // -- q134: temperature-weighted corpus mixing (T = 2) ---------------------
+  //   The multilingual-pretraining rebalancing rule (mC4 / XLM-R):
+  //   sampling weight ∝ share^(1/T), flattening the source distribution.
+  //   T = 2 makes the exponent 0.5 — IEEE sqrt is correctly rounded on
+  //   every platform, so the weights are bit-identical in both engines
+  //   with no transcendental anywhere. The weight normalization goes
+  //   through floor-scaled BIGINTs (order-independent integer sum); the
+  //   source rollup is one tiny map-side-combined aggregate.
+  val q134 = Query.sql(
+    "q134_temperature_mix",
+    (s, dir) => {
+      val counts = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("nn"))
+      val weighted = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("nn"),
+          expr("CAST(FLOOR(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e15) AS BIGINT)")
+            .as("wsp"))
+      val wtot = weighted.agg(sum(col("wsp")).as("wsum"))
+      weighted.crossJoin(broadcast(wtot))
+        .select(col("source"), col("n"),
+          expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)").as("share"),
+          expr("CAST(wsp AS DOUBLE) / CAST(wsum AS DOUBLE)").as("mix_weight"),
+          expr("CAST(FLOOR(CAST(wsp AS DOUBLE) / CAST(wsum AS DOUBLE) * CAST(nn AS DOUBLE)) AS BIGINT)")
+            .as("target_n"))
+        .orderBy("source")
+    },
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n) AS nn FROM counts),
+      |weighted AS (
+      |  SELECT source, n, nn,
+      |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e15) AS BIGINT)
+      |      AS wsp
+      |  FROM counts, tot),
+      |wtot AS (SELECT SUM(wsp) AS wsum FROM weighted)
+      |SELECT source, n,
+      |  CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+      |  CAST(wsp AS DOUBLE) / CAST(wsum AS DOUBLE) AS mix_weight,
+      |  CAST(FLOOR(CAST(wsp AS DOUBLE) / CAST(wsum AS DOUBLE) * CAST(nn AS DOUBLE)) AS BIGINT)
+      |    AS target_n
+      |FROM weighted, wtot ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125)
+      q113, q120, q121, q124, q125, q134)
 }

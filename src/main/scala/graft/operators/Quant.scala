@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding compression + quantized search over the `embeddings` table —
+  * the storage/serving side of a 100 TB vector corpus (int8 vectors are
+  * 4× smaller on disk and in shuffle, and integer dot products are exact,
+  * so quantized retrieval is also deterministic).
+  *
+  * Scale design: per-dimension scales are a 64-row aggregate (posexplode →
+  * map-side-combined max) broadcast back as one literal-sized row; the
+  * quantize + error pass is map-only; quantized search is the q54 pattern
+  * (broadcast query, fold per row, TakeOrdered top-k) with INTEGER
+  * arithmetic in the hot loop. The k-means step assigns map-side against
+  * a broadcast seed set (no row expansion) and recomputes centroids from
+  * floor-scaled integer component sums, so accumulation order never
+  * matters.
+  */
+object Quant {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // -- q132: symmetric per-dimension int8 quantization + error audit --------
+  //   scale_d = max|x_d| / 127 per dimension; q = floor(x/scale + 0.5)
+  //   clamped to [-127, 127] (floor(x+0.5) rounds identically in both
+  //   engines — no round-half-even ambiguity). Reported per label: count,
+  //   total squared reconstruction error (floor-scaled integer sum → exact)
+  //   and the worst per-vector error.
+  val q132 = Query.sql(
+    "q132_int8_quant",
+    (s, dir) => {
+      val scales = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg((max(abs(col("v").cast("double"))) / 127.0).as("scale"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, scale)))," +
+          " p -> p.scale)").as("scales"))
+      emb(s, dir).crossJoin(broadcast(scales))
+        .select(col("label"),
+          expr(
+            """aggregate(
+              |  transform(sequence(1, 64), i ->
+              |    CASE WHEN element_at(scales, i) = 0.0D THEN 0.0D ELSE
+              |      CAST(element_at(embedding, i) AS DOUBLE) -
+              |        LEAST(GREATEST(FLOOR(CAST(element_at(embedding, i) AS DOUBLE)
+              |          / element_at(scales, i) + 0.5), -127.0D), 127.0D)
+              |        * element_at(scales, i) END),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)""".stripMargin).as("err"))
+        .select(col("label"),
+          expr("CAST(FLOOR(err * 1e12) AS BIGINT)").as("esp"),
+          col("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(esp) AS DOUBLE) / 1e12").as("sum_sqerr"),
+          max(col("err")).as("max_sqerr"))
+        .orderBy("label")
+    },
+    """WITH sc AS (
+      |  SELECT pos, MAX(ABS(CAST(v AS DOUBLE))) / 127.0 AS scale
+      |  FROM (SELECT unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |  GROUP BY pos),
+      |scl AS (
+      |  SELECT list(scale ORDER BY pos) AS scales FROM sc),
+      |errs AS (
+      |  SELECT label,
+      |    list_sum(list_transform(
+      |      list_transform(generate_series(1, 64), i ->
+      |        CASE WHEN scales[i] = 0.0 THEN 0.0 ELSE
+      |          CAST(embedding[i] AS DOUBLE) -
+      |            LEAST(GREATEST(FLOOR(CAST(embedding[i] AS DOUBLE)
+      |              / scales[i] + 0.5), -127.0), 127.0)
+      |            * scales[i] END),
+      |      r -> r * r)) AS err
+      |  FROM embeddings, scl)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(err * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+      |    AS sum_sqerr,
+      |  MAX(err) AS max_sqerr
+      |FROM errs GROUP BY label ORDER BY label""".stripMargin)
+
+  /** Unit-normalize then quantize each component to an int in [-127, 127]:
+    * q_i = floor(x_i / ||x|| * 127 + 0.5). Shared between engines via
+    * identical formula text; integer dot products of the result are exact
+    * BIGINT arithmetic, so ranking is deterministic with no float compare
+    * anywhere in the search path.
+    */
+  private def quantExpr(v: String): String =
+    s"""transform($v, x ->
+       |  CAST(FLOOR(CAST(x AS DOUBLE) /
+       |    sqrt(aggregate(transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+       |      CAST(0 AS DOUBLE), (acc, w) -> acc + w)) * 127.0 + 0.5) AS BIGINT))""".stripMargin
+
+  private def quantSql(v: String): String =
+    s"""list_transform($v, x ->
+       |  CAST(FLOOR(CAST(x AS DOUBLE) /
+       |    sqrt(list_sum(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+       |    * 127.0 + 0.5) AS BIGINT))""".stripMargin
+
+  // -- q133: quantized (int8) nearest-neighbour search ----------------------
+  //   q54's broadcast-query scan with the float cosine replaced by an
+  //   exact BIGINT dot product over unit-normalized int8 codes (≈ cosine
+  //   × 127²). Top-10 is decided by (qdot, vec_id) — pure integer
+  //   ordering, bit-exact in any engine and under any parallelism.
+  val q133 = Query.sql(
+    "q133_ann_int8",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(expr(quantExpr("embedding")).as("qq"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr(s"""aggregate(zip_with(${quantExpr("embedding")}, qq,
+                  |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+            .stripMargin).as("qdot"))
+        .orderBy(desc("qdot"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH q AS (
+       |  SELECT ${quantSql("embedding")} AS qq FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  CAST(list_sum(list_transform(list_zip(${quantSql("embedding")}, qq),
+       |    s -> s[1] * s[2])) AS BIGINT) AS qdot
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin)
+
+  // -- q135: one Lloyd (k-means) step with deterministic seeds --------------
+  //   Seeds = the first k vectors (vec_id < 8). Assignment is a map-side
+  //   argmin against the broadcast seed set — the distance is floor-scaled
+  //   to a BIGINT FIRST, so the (dist, cluster) argmin is integer-ordered
+  //   and tie-stable. The centroid update aggregates floor-scaled integer
+  //   component sums (order-independent), and the drift of each centroid
+  //   from its seed comes out of the same per-dimension frame. The full
+  //   iterated operator is the `kmeansFit` facade; this pins one step to
+  //   the oracle.
+  val q135 = {
+    val k = 8
+    // L2² distance between a row vector and one seed, floor-scaled.
+    def dspExpr(e: String, c: String): String =
+      s"""CAST(FLOOR(1e9 * aggregate(zip_with($e, $c,
+         |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+         |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+    Query.sql(
+      "q135_kmeans_step",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val seeds = e.filter(col("vec_id") < k)
+          .agg(expr("array_sort(collect_list(named_struct('cl', vec_id, 'c', embedding)))")
+            .as("seeds"))
+        // map-side argmin: fold the k (dsp, cl) pairs, strict < keeps the
+        // lowest cluster id on ties — same order as the oracle's
+        // ORDER BY dsp, cl.
+        val assigned = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"),
+            expr(
+              s"""aggregate(seeds,
+                 |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+                 |               'cl', CAST(-1 AS BIGINT)),
+                 |  (acc, sd) -> CASE WHEN ${dspExpr("embedding", "sd.c")} < acc.dsp
+                 |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
+                 |                      'cl', sd.cl)
+                 |    ELSE acc END)""".stripMargin).as("best"))
+          .select(col("vec_id"), col("embedding"),
+            col("best.cl").as("cl"), col("best.dsp").as("dsp"))
+        val byCluster = assigned.groupBy("cl")
+          .agg(count(lit(1)).as("n_members"),
+            expr("CAST(SUM(dsp) AS DOUBLE) / 1e9").as("inertia"))
+        // centroid update: per-(cluster, dim) exact integer component sums.
+        val dims = assigned
+          .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cl", "pos")
+          .agg(sum(expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)")).as("vsp"),
+            count(lit(1)).as("nd"))
+        val seedDims = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cl"),
+            posexplode(col("embedding")).as(Seq("pos", "sv")))
+        val drift = dims.join(seedDims, Seq("cl", "pos"))
+          .select(col("cl"), expr(
+            """CAST(FLOOR(1e9 *
+              |  (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+              |     - CAST(sv AS DOUBLE))
+              |  * (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+              |     - CAST(sv AS DOUBLE))) AS BIGINT)""".stripMargin).as("dd"))
+          .groupBy("cl")
+          .agg(expr("CAST(SUM(dd) AS DOUBLE) / 1e9").as("drift"))
+        byCluster.join(drift, "cl")
+          .select(col("cl").as("cluster"), col("n_members"), col("inertia"),
+            col("drift"))
+          .orderBy("cluster")
+      },
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT e.vec_id, e.embedding, s.cl,
+         |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, s.c),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+         |      AS BIGINT) AS dsp
+         |  FROM embeddings e, seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cl, dsp FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsp, cl)
+         |      AS rn FROM dists)
+         |  WHERE rn = 1),
+         |by_cluster AS (
+         |  SELECT cl, COUNT(*) AS n_members,
+         |    CAST(SUM(dsp) AS DOUBLE) / 1e9 AS inertia
+         |  FROM assigned GROUP BY cl),
+         |dims AS (
+         |  SELECT cl, pos,
+         |    SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS vsp,
+         |    COUNT(*) AS nd
+         |  FROM (SELECT cl, unnest(embedding) AS v,
+         |          generate_subscripts(embedding, 1) AS pos
+         |        FROM assigned)
+         |  GROUP BY cl, pos),
+         |seed_dims AS (
+         |  SELECT cl, generate_subscripts(c, 1) AS pos, unnest(c) AS sv
+         |  FROM seeds),
+         |drift AS (
+         |  SELECT cl,
+         |    CAST(SUM(CAST(FLOOR(1e9 *
+         |      (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+         |         - CAST(sv AS DOUBLE))
+         |      * (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+         |         - CAST(sv AS DOUBLE))) AS BIGINT)) AS DOUBLE) / 1e9
+         |      AS drift
+         |  FROM dims JOIN seed_dims USING (cl, pos) GROUP BY cl)
+         |SELECT cl AS cluster, n_members, inertia, drift
+         |FROM by_cluster JOIN drift USING (cl) ORDER BY cluster""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q132, q133, q135)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance ranking over the `documents` table — the retrieval
+  * side of a training-data pipeline (mining demonstrations, building eval
+  * sets, near-duplicate query probes). Complements q116's inverted index
+  * with actual scoring.
+  *
+  * Scale design (100 TB): corpus statistics (N, avgdl, per-term df) are
+  * tiny aggregates — df is keyed by term with map-side combine, N/avgdl is
+  * a one-row agg — broadcast back to the per-document side, which is a
+  * single filtered explode co-keyed on doc_id. Nothing quadratic, no
+  * global sort (top-k goes through TakeOrderedAndProject).
+  *
+  * Determinism: BM25's log-idf is replaced by the rational Robertson idf
+  * `(N - df + 0.5) / (df + 0.5)` — transcendental-free, so every score is
+  * a fixed chain of IEEE double ops from exact integers, identical in
+  * Spark and DuckDB (the scalar formula is ONE shared SQL string used by
+  * both engines). Per-document sums go through floor-scaled BIGINTs
+  * (q118's trick), making accumulation order-independent.
+  */
+object Ranking {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(s, dir, "documents")
+
+  /** The fixed probe query; terms chosen from the synthetic vocabulary. */
+  private val queryTerms = Seq("hash", "join", "vector")
+  private def termsSqlList = queryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** BM25 per-(doc, term) partial score, floor-scaled to a BIGINT.
+    * k1 = 1.2, b = 0.75 (so 1 - b = 0.25). Shared verbatim between the
+    * Spark plan and the DuckDB oracle: identical text → identical IEEE
+    * evaluation order.
+    */
+  private val bm25Sp =
+    "CAST(FLOOR(((nn - df + 5e-1) / (df + 5e-1)) * (tf * 2.2e0) / " +
+      "(tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(dl AS DOUBLE) / avgdl))) * 1e12) AS BIGINT)"
+
+  // -- q131: BM25 ranking for a fixed term query ----------------------------
+  //   One corpus scan computes doc length AND term frequencies (the token
+  //   explode is filtered to the 3 query terms before any shuffle); df and
+  //   the corpus stats broadcast back; the final top-20 is decided by the
+  //   exact integer (ssum, doc_id) pair in both engines.
+  val q131 = Query.sql(
+    "q131_bm25",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      val tf = toks.filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs(s, dir)
+        .select(size(split(col("text"), " ")).as("dl0"))
+        .agg(count(lit(1)).as("nn"), sum(col("dl0")).as("sdl"))
+        .select(col("nn"),
+          expr("CAST(sdl AS DOUBLE) / CAST(nn AS DOUBLE)").as("avgdl"))
+      tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(bm25Sp).as("sp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("sp")).as("ssum"))
+        .orderBy(desc("ssum"), asc("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"),
+          expr("CAST(ssum AS DOUBLE) / 1e12").as("bm25"))
+    },
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN ($termsSqlList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS nn,
+       |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |      AS avgdl
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, $bm25Sp AS sp
+       |  FROM tf JOIN dft USING (term), stats),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms, SUM(sp) AS ssum
+       |  FROM scored GROUP BY 1
+       |  ORDER BY ssum DESC, doc_id LIMIT 20)
+       |SELECT doc_id, n_terms, CAST(ssum AS DOUBLE) / 1e12 AS bm25
+       |FROM agg""".stripMargin)
+
+  /** Smoothed rational tf-idf partial, floor-scaled; shared text. */
+  private val tfidfSp =
+    "CAST(FLOOR(tf * ((nn + 1e0) / (df + 1e0)) * 1e9) AS BIGINT)"
+
+  // -- q136: per-document top-terms by tf-idf -------------------------------
+  //   Corpus df comes from ALL documents (term-keyed agg, map-side
+  //   combined); term frequencies are computed only for the target slice
+  //   (doc_id < 100 — the "score a slice against corpus statistics"
+  //   pattern: at 100 TB the slice is whatever batch is being labelled,
+  //   the df/N model is the corpus-wide broadcast). Rank within doc by the
+  //   exact integer score, term as tiebreak.
+  val q136 = Query.sql(
+    "q136_tfidf_terms",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nn = docs(s, dir).agg(count(lit(1)).as("nn"))
+      val tf = toks.filter(col("doc_id") < 100)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(desc("sp"), asc("term"))
+      tf.join(df_, "term")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("term"), expr(tfidfSp).as("sp"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+          expr("CAST(sp AS DOUBLE) / 1e9").as("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dft AS (
+       |  SELECT term, COUNT(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+       |nnt AS (SELECT COUNT(*) AS nn FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE doc_id < 100 GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id, term, $tfidfSp AS sp
+       |  FROM tf JOIN dft USING (term), nnt),
+       |ranked AS (
+       |  SELECT doc_id, term, sp,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sp DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, CAST(sp AS DOUBLE) / 1e9 AS tfidf
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+
+  val all: Seq[Query] = Seq(q131, q136)
+}

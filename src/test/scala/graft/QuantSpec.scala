@@ -1,0 +1,75 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** Quantization + clustering operators: the kmeansFit facade's fit
+  * properties, int8 search recall against the float brute-force result,
+  * and quantization error bounds.
+  */
+class QuantSpec extends SparkSpec {
+
+  private def emb = Tables.load(spark, sf001, "embeddings")
+
+  test("kmeansFit: every row assigned, clusters in [0, k), deterministic") {
+    val k = 8
+    val out = emb.kmeansFit("embedding", "vec_id", k = k, iters = 2)
+    assert(out.count() == emb.count())
+    val cls = out.select("cluster").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cls.forall(c => c >= 0 && c < k))
+    assert(cls.length > 1, "degenerate fit: everything in one cluster")
+    // rerun → identical assignment (partitioning-invariant integer math)
+    val again = emb.repartition(7).kmeansFit("embedding", "vec_id", k = k, iters = 2)
+    val a = out.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = again.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("kmeansFit: more iterations never increase inertia") {
+    def inertia(iters: Int): Double = {
+      val fit = emb.kmeansFit("embedding", "vec_id", k = 8, iters = iters)
+      // recompute centroids of the final assignment, then the total L2²
+      val cents = fit
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg(col("v").cast("double")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      fit.select(col("cluster"), col("embedding")).collect().map { r =>
+        val cl = r.getLong(0)
+        r.getSeq[Float](1).zipWithIndex.map { case (x, i) =>
+          val d = x.toDouble - cents((cl, i)); d * d
+        }.sum
+      }.sum
+    }
+    val i1 = inertia(1)
+    val i3 = inertia(3)
+    assert(i3 <= i1 + 1e-9, s"inertia rose with iterations: $i1 -> $i3")
+  }
+
+  test("int8 ANN (q133) keeps high recall vs float brute force (q54)") {
+    val int8 = operators.Quant.q133.run(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = operators.Similarity.q54.run(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = int8.intersect(brute).size / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+  }
+
+  test("int8 quantization error is bounded by the step size") {
+    // per-dim scale = max|x|/127; worst-case per-component error is
+    // scale/2, so per-vector squared error ≤ 64 * (scale_max/2)²
+    val rows = operators.Quant.q132.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val scaleMax = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg((max(abs(col("v").cast("double"))) / 127.0).as("s"))
+      .agg(max(col("s"))).collect()(0).getDouble(0)
+    val bound = 64.0 * (scaleMax / 2) * (scaleMax / 2) + 1e-12
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= bound,
+        s"label ${r.get(0)}: max_sqerr ${r.getDouble(3)} > bound $bound")
+    }
+  }
+}
