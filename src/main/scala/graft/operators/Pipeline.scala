@@ -612,7 +612,13 @@ object Pipeline {
   val q134 = Query.sql(
     "q134_temperature_mix",
     (s, dir) => {
-      val counts = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      // The per-source rollup is referenced by four downstream branches
+      // (tot, weighted twice, wtot) — without materialization the plan
+      // inlines it per branch and scans the CORPUS four times. It is a
+      // sources-sized frame, so pin it once (one corpus scan total).
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = counts.agg(sum(col("n")).as("nn"))
       val weighted = counts.crossJoin(broadcast(tot))
         .select(col("source"), col("n"), col("nn"),

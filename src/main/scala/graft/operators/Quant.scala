@@ -150,8 +150,14 @@ object Quant {
       "q135_kmeans_step",
       (s, dir) => {
         val e = emb(s, dir)
-        val seeds = e.filter(col("vec_id") < k)
-          .agg(expr("array_sort(collect_list(named_struct('cl', vec_id, 'c', embedding)))")
+        // 8 rows — materialized once, reused by the assignment broadcast
+        // and the per-dimension drift join (pruned vec_id<k scan otherwise
+        // repeats per use).
+        val seedRows = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("scl"), col("embedding").as("c"))
+          .localCheckpoint(true)
+        val seeds = seedRows
+          .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
             .as("seeds"))
         // map-side argmin: fold the k (dsp, cl) pairs, strict < keeps the
         // lowest cluster id on ties — same order as the oracle's
@@ -168,28 +174,29 @@ object Quant {
                  |    ELSE acc END)""".stripMargin).as("best"))
           .select(col("vec_id"), col("embedding"),
             col("best.cl").as("cl"), col("best.dsp").as("dsp"))
-        val byCluster = assigned.groupBy("cl")
-          .agg(count(lit(1)).as("n_members"),
-            expr("CAST(SUM(dsp) AS DOUBLE) / 1e9").as("inertia"))
-        // centroid update: per-(cluster, dim) exact integer component sums.
+        // ONE pass over the assignment: the posexplode carries the row
+        // dsp, counted only at pos 0 so inertia, membership and the
+        // per-dimension component sums come out of a single (cl, pos)
+        // aggregation — no second scan, no cached corpus-sized frame.
         val dims = assigned
-          .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cl"), col("dsp"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cl", "pos")
           .agg(sum(expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)")).as("vsp"),
-            count(lit(1)).as("nd"))
-        val seedDims = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cl"),
-            posexplode(col("embedding")).as(Seq("pos", "sv")))
-        val drift = dims.join(seedDims, Seq("cl", "pos"))
-          .select(col("cl"), expr(
-            """CAST(FLOOR(1e9 *
-              |  (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
-              |     - CAST(sv AS DOUBLE))
-              |  * (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
-              |     - CAST(sv AS DOUBLE))) AS BIGINT)""".stripMargin).as("dd"))
+            count(lit(1)).as("nd"),
+            sum(when(col("pos") === 0, col("dsp")).otherwise(0L)).as("isp"))
+        val seedDims = seedRows
+          .select(col("scl").as("cl"), posexplode(col("c")).as(Seq("pos", "sv")))
+        dims.join(seedDims, Seq("cl", "pos"))
           .groupBy("cl")
-          .agg(expr("CAST(SUM(dd) AS DOUBLE) / 1e9").as("drift"))
-        byCluster.join(drift, "cl")
+          .agg(max(col("nd")).as("n_members"),
+            expr("CAST(SUM(isp) AS DOUBLE) / 1e9").as("inertia"),
+            expr(
+              """CAST(SUM(CAST(FLOOR(1e9 *
+                |  (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+                |     - CAST(sv AS DOUBLE))
+                |  * (CAST(vsp AS DOUBLE) / CAST(nd AS DOUBLE) / 1e7
+                |     - CAST(sv AS DOUBLE))) AS BIGINT)) AS DOUBLE) / 1e9"""
+                .stripMargin).as("drift"))
           .select(col("cl").as("cluster"), col("n_members"), col("inertia"),
             col("drift"))
           .orderBy("cluster")
@@ -236,5 +243,74 @@ object Quant {
          |FROM by_cluster JOIN drift USING (cl) ORDER BY cluster""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q132, q133, q135)
+  // -- q138: nearest-centroid classification + confusion matrix -------------
+  //   Per-label centroids from floor-scaled integer component sums (the
+  //   q135 update step, keyed by the true label instead of a cluster id),
+  //   then every vector classifies to its nearest centroid and the
+  //   label × prediction confusion matrix comes out of one count
+  //   aggregation — the standard embedding-quality eval on a labelled
+  //   corpus. Centroids travel to the assignment as ONE broadcast row
+  //   (map-side argmin, no row expansion); distances floor-scale to
+  //   BIGINT before the argmin so ties and ordering are integer-exact.
+  val q138 = {
+    def dspExpr(e: String, c: String): String =
+      s"""CAST(FLOOR(1e9 * aggregate(zip_with($e, $c,
+         |  (x, y) -> (CAST(x AS DOUBLE) - y)
+         |          * (CAST(x AS DOUBLE) - y)),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+    Query.sql(
+      "q138_centroid_classify",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(expr("CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)" +
+            " / COUNT(*) / 1e7").as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+            .as("c"))
+          .agg(expr("array_sort(collect_list(named_struct('cl', label, 'c', c)))")
+            .as("cents"))
+        e.crossJoin(broadcast(cents))
+          .select(col("label"),
+            expr(
+              s"""aggregate(cents,
+                 |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+                 |               'cl', CAST(-1 AS INT)),
+                 |  (acc, cd) -> CASE WHEN ${dspExpr("embedding", "cd.c")} < acc.dsp
+                 |    THEN named_struct('dsp', ${dspExpr("embedding", "cd.c")},
+                 |                      'cl', cd.cl)
+                 |    ELSE acc END).cl""".stripMargin).as("predicted"))
+          .groupBy("label", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "predicted")
+      },
+      """WITH dims AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 1e7 AS m
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |  GROUP BY label, pos),
+        |cents AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS c FROM dims GROUP BY label),
+        |dists AS (
+        |  SELECT e.vec_id, e.label, ct.cl,
+        |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, ct.c),
+        |      z -> (CAST(z[1] AS DOUBLE) - z[2])
+        |         * (CAST(z[1] AS DOUBLE) - z[2]))))
+        |      AS BIGINT) AS dsp
+        |  FROM embeddings e, cents ct),
+        |assigned AS (
+        |  SELECT label, cl AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsp, cl)
+        |      AS rn FROM dists)
+        |  WHERE rn = 1)
+        |SELECT label, predicted, COUNT(*) AS n
+        |FROM assigned GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138)
 }

@@ -51,9 +51,15 @@ object Ranking {
       val toks = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      // tf feeds both df (the broadcast side) and the scoring join —
+      // materialize it once so the corpus is tokenized in ONE pass (it is
+      // the query-term slice: 3 longs per matching document, orders of
+      // magnitude smaller than the corpus; a real cluster checkpoints it
+      // to durable storage).
       val tf = toks.filter(col("term").isin(queryTerms: _*))
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = docs(s, dir)
         .select(size(split(col("text"), " ")).as("dl0"))
@@ -145,5 +151,100 @@ object Ranking {
        |SELECT doc_id, rank, term, CAST(sp AS DOUBLE) / 1e9 AS tfidf
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 
-  val all: Seq[Query] = Seq(q131, q136)
+  // -- q137: hybrid retrieval via reciprocal-rank fusion --------------------
+  //   Fuse the BM25 keyword ranking (q131's integer scores) with a dense
+  //   ranking (cosine against query vector 0, vec_id ≡ doc_id in the
+  //   synthetic corpus): rrf = 1/(60 + r_bm25) + 1/(60 + r_dense), the
+  //   standard k=60 formulation. Both source rankings are top-50 lists —
+  //   bounded, so the rank windows run over ≤50 rows after a
+  //   TakeOrderedAndProject, never over the corpus. Each 1/(60+r) is one
+  //   IEEE division of exact integers and the two-term sum is written in
+  //   a fixed order, so the fused score is bit-identical across engines.
+  val q137 = Query.sql(
+    "q137_rrf_fusion",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      val tf = toks.filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // reused by df_ + scoring: one corpus pass
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs(s, dir)
+        .select(size(split(col("text"), " ")).as("dl0"))
+        .agg(count(lit(1)).as("nn"), sum(col("dl0")).as("sdl"))
+        .select(col("nn"),
+          expr("CAST(sdl AS DOUBLE) / CAST(nn AS DOUBLE)").as("avgdl"))
+      val bmTop = tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(bm25Sp).as("sp"))
+        .groupBy("doc_id").agg(sum(col("sp")).as("ssum"))
+        .orderBy(desc("ssum"), asc("doc_id")).limit(50)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("ssum"), asc("doc_id"))
+      val bmRank = bmTop.withColumn("r_bm25", row_number().over(wb).cast("long"))
+        .select("doc_id", "r_bm25")
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          expr(
+            """aggregate(zip_with(embedding, qv,
+              |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("dot"))
+        .orderBy(desc("dot"), asc("doc_id")).limit(50)
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("dot"), asc("doc_id"))
+      val dRank = dTop.withColumn("r_dense", row_number().over(wd).cast("long"))
+        .select("doc_id", "r_dense")
+      bmRank.join(dRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm25"), col("r_dense"),
+          expr("""CASE WHEN r_bm25 IS NULL THEN CAST(0 AS DOUBLE)
+                 |  ELSE 1e0 / (60 + r_bm25) END +
+                 |CASE WHEN r_dense IS NULL THEN CAST(0 AS DOUBLE)
+                 |  ELSE 1e0 / (60 + r_dense) END""".stripMargin).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+    },
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN ($termsSqlList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS nn,
+       |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |      AS avgdl
+       |  FROM documents),
+       |bm_top AS (
+       |  SELECT doc_id, SUM(sp) AS ssum FROM (
+       |    SELECT doc_id, $bm25Sp AS sp FROM tf JOIN dft USING (term), stats)
+       |  GROUP BY doc_id ORDER BY ssum DESC, doc_id LIMIT 50),
+       |bm_rank AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY ssum DESC, doc_id) AS r_bm25
+       |  FROM bm_top),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |d_top AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_sum(list_transform(list_zip(embedding, qv),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS dot
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY dot DESC, doc_id LIMIT 50),
+       |d_rank AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY dot DESC, doc_id) AS r_dense
+       |  FROM d_top)
+       |SELECT doc_id, r_bm25, r_dense,
+       |  CASE WHEN r_bm25 IS NULL THEN CAST(0 AS DOUBLE)
+       |    ELSE 1e0 / (60 + r_bm25) END +
+       |  CASE WHEN r_dense IS NULL THEN CAST(0 AS DOUBLE)
+       |    ELSE 1e0 / (60 + r_dense) END AS rrf
+       |FROM bm_rank FULL OUTER JOIN d_rank USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+
+  val all: Seq[Query] = Seq(q131, q136, q137)
 }

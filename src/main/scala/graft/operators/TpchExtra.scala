@@ -323,6 +323,9 @@ object TpchExtra {
         .join(eu.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        // referenced by minPer AND the final join — materialize the
+        // (part, supp)-sized aggregate so lineitem is scanned ONCE
+        .localCheckpoint(true)
       val minPer = cost.groupBy(col("l_partkey").as("mp_part"))
         .agg(min(col("cost")).as("min_cost"))
       cost
@@ -457,6 +460,8 @@ object TpchExtra {
         .join(afr, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey").as("p_partkey"))
         .agg(dsum(col("l_extendedprice")).as("part_value"))
+        // part-sized; reused by the total and the filter → one fact scan
+        .localCheckpoint(true)
       // threshold = 2× the mean per-part value: SF-invariant (a fixed
       // fraction of the global total selects nothing once |part| grows),
       // and both engines divide the same decimal-exact sum by the same
@@ -529,6 +534,8 @@ object TpchExtra {
           col("l_shipdate").cast("date") < lit("1998-04-01").cast("date"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(expr(discPrice)).as("total_revenue"))
+        // supplier-sized; reused by the max and the filter → one fact scan
+        .localCheckpoint(true)
       val maxRev = rev.agg(max(col("total_revenue")).as("__max"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("__max"))
@@ -563,6 +570,10 @@ object TpchExtra {
       val base = t(s, dir, "lineitem")
         .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
+        // the brand+size part filter keeps ~0.1% of lineitem; the slice is
+        // read twice (avgs + gate), so materialize it rather than scan the
+        // fact table twice (a real cluster checkpoints to durable storage)
+        .localCheckpoint(true)
       val avgs = base.groupBy(col("l_partkey").as("a_part"))
         .agg((sum(col("l_quantity").cast(D)).cast("double") /
           count(lit(1))).as("avg_qty"))
