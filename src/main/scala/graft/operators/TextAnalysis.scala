@@ -590,13 +590,21 @@ object TextAnalysis {
           "transform(sequence(0, size(toks) - 2), " +
             "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      // Collapse the bigram stream to per-(doc, bigram) counts FIRST and
+      // materialize: the model side (c2 → c1) and the scoring join both
+      // consume this frame, so the corpus is tokenized ONCE (previously
+      // the explode subtree was inlined into both branches = 3 corpus
+      // scans), and the scoring join carries one row per distinct bigram
+      // per doc instead of one per occurrence.
+      val bc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true)
+      val c2 = bc.groupBy("w1", "w2").agg(sum(col("bn")).as("c2"))
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .select(col("doc_id"),
-          expr("CAST(FLOOR(c2 / c1 * 1e15) AS BIGINT)").as("sp"))
+      bc.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"), col("bn"),
+          expr("bn * CAST(FLOOR(c2 / c1 * 1e15) AS BIGINT)").as("sp"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("sp")).as("ssum"))
+        .agg(sum(col("bn")).as("n_bigrams"), sum(col("sp")).as("ssum"))
         .select(col("doc_id"), col("n_bigrams"),
           expr("CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e15")
             .as("avg_p"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants of the retrieval operators (the oracle proves
+  * value equality; these pin the semantics a user relies on).
+  */
+class RankingSpec extends SparkSpec {
+
+  test("BM25 (q131): scores descend, term hits bounded by query size") {
+    val rows = operators.Ranking.q131.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-20 not in descending score order")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("BM25 is deterministic under repartitioning") {
+    val a = operators.Ranking.q131.run(spark, sf001).collect().toSeq
+    val again = operators.Ranking.q131.run(spark, sf001).collect().toSeq
+    assert(a == again)
+  }
+
+  test("RRF (q137): fused score bounded by 2/61, sources agree with fusion") {
+    val rows = operators.Ranking.q137.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getDouble(3)
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-12, s"rrf out of range: $rrf")
+      // every fused doc must come from at least one source list
+      assert(!r.isNullAt(1) || !r.isNullAt(2))
+    }
+    // a doc ranked #1 in both lists would dominate; verify monotonicity:
+    // better (lower) ranks never produce a lower fused score than strictly
+    // worse ranks on both axes
+    val scored = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((b1, d1, s1) <- scored; (b2, d2, s2) <- scored
+         if b1 < b2 && d1 < d2)
+      assert(s1 > s2, s"dominated pair out of order: ($b1,$d1)=$s1 vs ($b2,$d2)=$s2")
+  }
+
+  test("temperature mix (q134): weights normalize and flatten toward uniform") {
+    val rows = operators.Pipeline.q134.run(spark, sf001).collect()
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"mix weights sum to $wsum")
+    // sqrt-temperature flattens: the boost ratio mix/share strictly
+    // decreases as the raw share grows
+    val byShare = rows.map(r => (r.getDouble(2), r.getDouble(3) / r.getDouble(2)))
+      .sortBy(_._1)
+    byShare.zip(byShare.tail).foreach { case ((s1, r1), (s2, r2)) =>
+      if (s2 > s1 + 1e-12)
+        assert(r1 > r2, s"share $s1 boost $r1 !> share $s2 boost $r2")
+    }
+  }
+
+  test("tf-idf terms (q136): exactly the top-3 per doc, ranks contiguous") {
+    val rows = operators.Ranking.q136.run(spark, sf001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"doc $doc ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+    // scores within a doc descend with rank
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+}
