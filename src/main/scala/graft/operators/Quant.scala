@@ -312,5 +312,101 @@ object Quant {
         |FROM assigned GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q132, q133, q135, q138)
+  // -- q139: IVF + int8 ANN (the combined scale path) -----------------------
+  //   q55's inverted-file cells composed with q133's integer codes: vectors
+  //   assign map-side to their nearest of k seed centroids (floor-scaled
+  //   integer distances, broadcast seeds), the query probes the nProbe
+  //   nearest cells (driver math over the k-row seed set, the q55/q53
+  //   bounded-collect pattern), and candidates rank by exact BIGINT dot
+  //   product of unit-normalized int8 codes. At production scale the cell
+  //   id is the storage partition key, so the probe prunes partitions and
+  //   the scan touches corpus × nProbe/k bytes of 4×-compressed codes —
+  //   this is the query shape FAISS IVF-SQ serves; every arithmetic step
+  //   here is deterministic (integer compares only).
+  val q139 = {
+    val k = 8
+    val nProbe = 2
+    Query.sql(
+      "q139_ann_ivf_int8",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val seedRows = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("scl"), col("embedding").as("c"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        // driver-side probe selection: distances query→seed with the SAME
+        // op sequence the engines use (sequential double fold, floor-scale)
+        val qv = e.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        def dsp(a: Array[Float], b: Array[Float]): Long = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) {
+            val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+          }
+          math.floor(1e9 * acc).toLong
+        }
+        val probed = seedRows.map { case (cl, c) => (dsp(qv, c), cl) }
+          .sorted.take(nProbe).map(_._2)
+        val seeds = e.filter(col("vec_id") < k)
+          .agg(expr("array_sort(collect_list(named_struct('cl', vec_id, 'c', embedding)))")
+            .as("seeds"))
+        def cellDsp(c: String) =
+          s"""CAST(FLOOR(1e9 * aggregate(zip_with(embedding, $c,
+             |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+             |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+        val q = e.filter(col("vec_id") === 0)
+          .select(expr(quantExpr("embedding")).as("qq"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"),
+            expr(
+              s"""aggregate(seeds,
+                 |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+                 |               'cl', CAST(-1 AS BIGINT)),
+                 |  (acc, sd) -> CASE WHEN ${cellDsp("sd.c")} < acc.dsp
+                 |    THEN named_struct('dsp', ${cellDsp("sd.c")}, 'cl', sd.cl)
+                 |    ELSE acc END).cl""".stripMargin).as("cell"))
+          .filter(col("cell").isin(probed.toSeq: _*))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("cell"),
+            expr(s"""aggregate(zip_with(${quantExpr("embedding")}, qq,
+                    |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+              .stripMargin).as("qdot"))
+          .orderBy(desc("qdot"), asc("vec_id"))
+          .limit(10)
+      },
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $k),
+         |cells AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, s.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, s.c),
+         |          z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |             * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+         |          AS BIGINT), s.cl) AS rn
+         |    FROM embeddings e, seeds s)
+         |  WHERE rn = 1),
+         |qcell AS (
+         |  SELECT s.cl FROM seeds s,
+         |    (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  ORDER BY
+         |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(q.qe, s.c),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+         |      AS BIGINT), s.cl
+         |  LIMIT $nProbe),
+         |q AS (
+         |  SELECT ${quantSql("embedding")} AS qq FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id, c.cl AS cell,
+         |  CAST(list_sum(list_transform(list_zip(${quantSql("c.embedding")}, qq),
+         |    s -> s[1] * s[2])) AS BIGINT) AS qdot
+         |FROM cells c, q
+         |WHERE c.vec_id <> 0 AND c.cl IN (SELECT cl FROM qcell)
+         |ORDER BY qdot DESC, c.vec_id LIMIT 10""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139)
 }

@@ -262,4 +262,29 @@ class ScaleSpec extends SparkSpec {
     assert(agg.getDouble(2) > maxRing * 10,
       s"hub rank ${agg.getDouble(2)} not dominant over ring $maxRing")
   }
+
+  test("soak: kmeansFit over 200k synthetic 16-d vectors, planted clusters") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    // 200k vectors in 4 planted clusters: dim j of a cluster-g vector is
+    // g*10 + small md5-derived jitter. Driver state must stay k×dims
+    // (assignment is map-side against broadcast centroids); the fit must
+    // recover the plant exactly — every row lands with its cluster peers.
+    val vecs = spark.range(200000).select(
+      col("id"),
+      (col("id") % 4).as("plant"),
+      expr("""transform(sequence(1, 16), j ->
+             |  CAST((id % 4) * 10 AS FLOAT) + CAST(
+             |    conv(substring(md5(concat(CAST(id AS STRING), ':',
+             |      CAST(j AS STRING))), 1, 4), 16, 10) AS FLOAT) / 65536.0
+             |)""".stripMargin).as("emb"))
+    val fit = vecs.kmeansFit("emb", "id", k = 4, iters = 2)
+    // purity: each final cluster maps to exactly one plant and vice versa
+    val m = fit.groupBy("cluster", "plant").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(m.length == 4, s"expected a 1:1 cluster↔plant map, got ${m.length} cells")
+    assert(m.map(_.getLong(2)).sum == 200000L)
+    val perPlant = m.map(r => r.getLong(1)).distinct
+    assert(perPlant.length == 4)
+  }
 }
