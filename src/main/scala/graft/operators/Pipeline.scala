@@ -649,7 +649,47 @@ object Pipeline {
       |    AS target_n
       |FROM weighted, wtot ORDER BY source""".stripMargin)
 
+  // -- q140: nucleus (top-p) corpus filter ----------------------------------
+  //   Per language, keep the longest documents until half the group's
+  //   character mass is covered — the "keep the best until p of the mass"
+  //   curation gate (top-p over a quality score; length stands in for the
+  //   score here). The running total is an exact BIGINT window sum and
+  //   the p-threshold compare is cross-multiplied (cum·2 ≤ total), so
+  //   there is NO float anywhere — the kept set is identical under any
+  //   partitioning and in both engines. One shuffle on the group key; the
+  //   window and the rollup share it.
+  val q140 = Query.sql(
+    "q140_nucleus_filter",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total",
+          sum(col("n_chars")).over(Window.partitionBy("lang")))
+        .filter(col("cum") * 2 <= col("total"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          max(col("total")).as("chars_total"))
+        .orderBy("lang")
+    },
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_chars) OVER (PARTITION BY lang) AS total
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+      |  CAST(MAX(total) AS BIGINT) AS chars_total
+      |FROM ranked WHERE cum * 2 <= total
+      |GROUP BY lang ORDER BY lang""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125, q134)
+      q113, q120, q121, q124, q125, q134, q140)
 }

@@ -233,4 +233,24 @@ class PropertySpec extends SparkSpec {
       assert(df.filter(p).count() + df.filter(!p).count() == n)
     }
   }
+
+  test("percentile_approx honors the KLL rank-error bound vs exact percentile") {
+    // The approx-aggregate contract the scale path relies on (the exact
+    // `percentile` in quantileGate is the bench oracle; at 100 TB the
+    // sketch is the only option): with accuracy a, the returned value's
+    // RANK must be within n/a of the target rank — Spark documents the
+    // bound, this pins it against the exact sort.
+    val df = Tables.load(spark, sf001, "lineitem").select(col("l_extendedprice"))
+    val n = df.count()
+    val accuracy = 100
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val approx = df.agg(
+        expr(s"percentile_approx(l_extendedprice, $q, $accuracy)"))
+        .collect().head.getDouble(0)
+      val rank = df.filter(col("l_extendedprice") <= approx).count()
+      val target = q * n
+      assert(math.abs(rank - target) <= n.toDouble / accuracy + 1,
+        s"q=$q: rank $rank vs target $target exceeds n/a=${n / accuracy}")
+    }
+  }
 }
