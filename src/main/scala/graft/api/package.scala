@@ -420,5 +420,62 @@ package object api {
       }
       assign(centroids)
     }
+
+    /** Exact covariance matrix of an `Array[Float]` embedding column in ONE
+      * pass: per-row outer products floor-scaled to BIGINT (partition-order
+      * invariant, q146's math at full dimension), map-side-combined into
+      * d² sums — the only shuffle carries d² rows (64 KB at d=64) and the
+      * driver holds one d×d matrix, however many input rows exist.
+      */
+    def covarianceMatrix(vecCol: String): Array[Array[Double]] = {
+      val d = df.select(expr(s"size($vecCol)")).head().getInt(0)
+      // flattened upper-triangle-and-diagonal index k = i*d + j
+      val sums = df
+        .select(posexplode(expr(
+          s"""flatten(transform($vecCol, x ->
+             |  transform($vecCol, y ->
+             |    CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9)
+             |      AS BIGINT))))""".stripMargin)).as(Seq("k", "p")))
+        .groupBy("k").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+        .collect()
+      val means = df
+        .select(posexplode(expr(
+          s"transform($vecCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"))
+          .as(Seq("i", "v")))
+        .groupBy("i").agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1).toDouble / r.getLong(2) / 1e9))
+        .toMap
+      val n = sums.head.getLong(2).toDouble
+      val m = Array.ofDim[Double](d, d)
+      sums.foreach { r =>
+        val k = r.getInt(0); val i = k / d; val j = k % d
+        m(i)(j) = r.getLong(1).toDouble / n / 1e9 - means(i) * means(j)
+      }
+      m
+    }
+
+    /** Principal component via power iteration: the d×d covariance from
+      * [[covarianceMatrix]] stays on the driver (bounded state, like
+      * kmeansFit's centroids) and the O(d²·iters) eigen step runs locally —
+      * no further cluster passes. Deterministic: fixed all-ones init, fixed
+      * iteration count. Returns (eigenvector, eigenvalue).
+      */
+    def pcaTop(vecCol: String, iters: Int = 50): (Array[Double], Double) = {
+      val m = covarianceMatrix(vecCol)
+      val d = m.length
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val mv = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
+        val norm = math.sqrt(mv.map(x => x * x).sum)
+        if (norm > 0) {
+          v = mv.map(_ / norm)
+          lambda = norm
+        }
+      }
+      (v, lambda)
+    }
   }
 }

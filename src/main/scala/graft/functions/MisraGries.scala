@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra–Gries heavy-hitters sketch as a typed partial+final Aggregator.
+  *
+  * The 100 TB path for "which tokens exceed 1/k of the corpus": an exact
+  * group-by over tokens shuffles one row per DISTINCT token (fine when the
+  * vocabulary is bounded, q144's exact plan), while this sketch bounds the
+  * *aggregation state* at k−1 counters per partition regardless of
+  * vocabulary size — the shuffle carries at most k−1 (token, weight) pairs
+  * per map task, nothing else. Guarantees (standard MG bounds):
+  *
+  *   - every item with true count > N/k survives in the final sketch
+  *     (no false negatives);
+  *   - each reported weight w̃ satisfies w − N/k ≤ w̃ ≤ w.
+  *
+  * Merge is the Agarwal et al. mergeable-summaries rule: add counters,
+  * then subtract the (k)th largest weight and drop non-positives —
+  * associative and commutative, so Spark may combine partials in any
+  * order. A verification pass over the candidate set (a broadcast-able
+  * ≤ k−1 list) recovers exact counts when needed, which is exactly how
+  * q144 stays oracle-exact while the sketch covers the unbounded-vocab
+  * regime (MisraGriesSpec pins the guarantees).
+  */
+final class MisraGriesAggregator(k: Int)
+  extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  require(k >= 2, "Misra-Gries needs k >= 2")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(state: Map[String, Long], item: String): Map[String, Long] =
+    state.get(item) match {
+      case Some(c) => state.updated(item, c + 1L)
+      case None if state.size < k - 1 => state.updated(item, 1L)
+      case None =>
+        // decrement-all step; drop zeros
+        state.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val combined = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (combined.size < k) combined
+    else {
+      // subtract the k-th largest weight so at most k-1 counters survive
+      val kth = combined.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+      combined.flatMap { case (t, c) =>
+        if (c > kth) Some(t -> (c - kth)) else None
+      }
+    }
+  }
+
+  override def finish(state: Map[String, Long]): Map[String, Long] = state
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}
+
+object MisraGries {
+  /** Aggregate a string column into a ≤ k−1 entry map of heavy-hitter
+    * candidates. Usage: `df.agg(MisraGries.sketch(100)($"token"))`.
+    */
+  def sketch(k: Int): Column => Column = {
+    val agg = udaf(new MisraGriesAggregator(k))
+    (token: Column) => agg(token)
+  }
+}

@@ -484,7 +484,49 @@ object Events {
       |FROM spine s LEFT JOIN counts c ON s.h = c.h
       |ORDER BY hour""".stripMargin)
 
+  // -- q145: inter-arrival profiling (burst / abuse signal) -----------------
+  //   Per-user inter-event gap statistics with an integer-exact "bursty"
+  //   flag — the rate-abuse detector that runs before per-key rate limiting
+  //   (q125) picks its thresholds. One lag window and one aggregation, both
+  //   partitioned on user_id, so the whole profile is a single user-keyed
+  //   shuffle at any scale; gaps are integer microseconds end-to-end and
+  //   the mean goes through exact DECIMAL accumulation (no float drift).
+  //   Ties on ts break by event_id so both engines see the same ordering.
+  val q145 = Query.sql(
+    "q145_interarrival",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg((count(lit(1)) + 1).as("n_events"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          // BIGINT sum (gaps are integer µs; the total stays < 2^53 so the
+          // one double conversion is exact — a DECIMAL(·,6) sum this large
+          // converts to double with engine-dependent last-ulp rounding)
+          (sum(col("gap_us")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_gap_us"))
+        .withColumn("bursty", col("min_gap_us") < lit(120000000L))
+        .orderBy("user_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id, COUNT(*) + 1 AS n_events,
+      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+      |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS avg_gap_us,
+      |  MIN(gap_us) < 120000000 AS bursty
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129)
+      q126, q128, q129, q145)
 }

@@ -408,5 +408,67 @@ object Quant {
          |ORDER BY qdot DESC, c.vec_id LIMIT 10""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139)
+  // -- q146: embedding covariance pairs (the one-pass PCA input) ------------
+  //   Exact covariance of the first 8 embedding dimensions: one map-side-
+  //   combined aggregation collects n, Σx_i and Σx_i·x_j for the 36 upper-
+  //   triangle pairs, then cov_ij = (n·Σx_ij − Σx_i·Σx_j)/n² — the raw
+  //   sums accumulate through DECIMAL(18,6) (element products are computed
+  //   in double, identical bits on both engines, then rounded to 6 dp the
+  //   same way), so the numerator is exact and the one double division is
+  //   textually identical on both engines. The full-dimension (64×64)
+  //   matrix is `api.covarianceMatrix` — same single-pass shape with the
+  //   32 KB partial matrix merged per partition, driver does the O(d³)
+  //   eigen step (`api.pcaTop`); this query pins the math it relies on.
+  val q146 = {
+    val dims = 0 until 8
+    val pairs = for (i <- dims; j <- dims if j >= i) yield (i, j)
+    Query.sql(
+      "q146_cov_pairs",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(18, 6)
+        // element_at is 1-based
+        def x(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+        val aggs =
+          dims.map(i => sum(x(i).cast(D)).as(s"s_$i")) ++
+            pairs.map { case (i, j) =>
+              sum((x(i) * x(j)).cast(D)).as(s"p_${i}_$j")
+            }
+        val sums = emb(s, dir).agg(count(lit(1)).as("n"), aggs: _*)
+        // narrow the sums back to (18,6) and n to (10,0) so every decimal
+        // product stays inside 38 digits EXACTLY on both engines — wide
+        // sums would hit Spark's precision cap (rounds scale to 6) and
+        // DuckDB's different overflow rule, and silently diverge
+        val D10 = org.apache.spark.sql.types.DecimalType(10, 0)
+        val rows = pairs.map { case (i, j) =>
+          struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+            (((col("n").cast(D10) * col(s"p_${i}_$j").cast(D) -
+              col(s"s_$i").cast(D) * col(s"s_$j").cast(D)).cast("double")) /
+              (col("n") * col("n")).cast("double")).as("cov"))
+        }
+        sums.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.dim_i"), col("r.dim_j"), col("r.cov"))
+          .orderBy("dim_i", "dim_j")
+      },
+      {
+        val sumCols =
+          dims.map(i =>
+            s"SUM(CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(18,6))) AS s_$i") ++
+            pairs.map { case (i, j) =>
+              s"SUM(CAST(CAST(embedding[${i + 1}] AS DOUBLE) * CAST(embedding[${j + 1}] AS DOUBLE) AS DECIMAL(18,6))) AS p_${i}_$j"
+            }
+        val rows = pairs.map { case (i, j) =>
+          s"SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j, " +
+            s"CAST(CAST(n AS DECIMAL(10,0)) * CAST(p_${i}_$j AS DECIMAL(18,6)) - " +
+            s"CAST(s_$i AS DECIMAL(18,6)) * CAST(s_$j AS DECIMAL(18,6)) AS DOUBLE) / " +
+            s"CAST(n * n AS DOUBLE) AS cov FROM sums"
+        }
+        s"""WITH sums AS (
+           |  SELECT COUNT(*) AS n, ${sumCols.mkString(",\n    ")}
+           |  FROM embeddings)
+           |${rows.mkString("\nUNION ALL\n")}
+           |ORDER BY dim_i, dim_j""".stripMargin
+      })
+  }
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146)
 }

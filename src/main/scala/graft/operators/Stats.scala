@@ -136,5 +136,122 @@ object Stats {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
   }
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q99)
+  // -- q142: per-group OLS trend (exact rational slope) ---------------------
+  //   Group-wise linear regression of order value over time — the trend
+  //   detector a curation pipeline runs per domain/source. One map-side-
+  //   combined aggregation collects the five raw sums (n, Σx, Σy, Σxy, Σx²)
+  //   as exact BIGINTs (x = integer days from an epoch, y = integer cents),
+  //   so slope numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are
+  //   exact 128-bit integers — DECIMAL(38,0) on Spark, HUGEINT on the
+  //   oracle — and the one double division at the end uses the same
+  //   expression text on both engines (bit-identical; regr_slope would
+  //   drift in the last ulp and depend on accumulation order). Mixed
+  //   decimal-scale chains are deliberately avoided: both engines cap
+  //   decimal multiply at 38 digits with *different* scale-rounding rules,
+  //   while scale-0 arithmetic is exact on both whenever the value fits.
+  val q142 = {
+    val D38 = DecimalType(38, 0)
+    Query.sql(
+      "q142_trend_slope",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders").select(
+          col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), lit("2023-01-01").cast("date"))
+            .cast("long").as("x"),
+          round(col("o_totalprice") * lit(100), 0).cast("long").as("y"))
+        val sums = base.groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).cast(D38).as("n"),
+            sum(col("x")).cast(D38).as("sx"),
+            sum(col("y")).cast(D38).as("sy"),
+            sum(col("x") * col("y")).cast(D38).as("sxy"),
+            sum(col("x") * col("x")).cast(D38).as("sxx"))
+        sums.select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            lit(100.0)).as("slope_per_day"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '2023-01-01' AS BIGINT) AS x,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |sums AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM base GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day
+        |FROM sums ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // -- q143: winsorized robust mean (discrete p05/p95 clamp) ----------------
+  //   Outlier-robust per-group statistics without a per-group sort: the
+  //   discrete percentile cutoffs come from a distinct-VALUE histogram
+  //   (l_quantity has ~50 distinct values however many rows exist), so the
+  //   only data-sized shuffle is the map-side-combined (group, value) count;
+  //   the cumulative scan runs over the tiny histogram and the cutoffs
+  //   broadcast back for the clamp + exact-decimal mean. A naive
+  //   row_number-per-group plan would sort whole groups on 3 keys — this
+  //   shape stays balanced at any scale.
+  val q143 = {
+    val hist =
+      """SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2""".stripMargin
+    Query.sql(
+      "q143_winsorized_mean",
+      (s, dir) => {
+        val h = Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_quantity")
+        val cum = h
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+        // smallest value whose cumulative count reaches ceil(p*n):
+        // integer-exact via cum*20 >= n (p05) / cum*20 >= 19*n (p95)
+        val cuts = cum.groupBy("l_returnflag").agg(
+          min(when(col("cum") * 20 >= col("n"), col("l_quantity"))).as("lo"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("l_quantity"))).as("hi"))
+        Tables.load(s, dir, "lineitem")
+          .join(broadcast(cuts), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            greatest(col("lo"), least(col("hi"), col("l_quantity"))).as("q"),
+            col("lo"), col("hi"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+            (sum(col("q").cast(D)).cast("double") /
+              count(lit(1)).cast("double")).as("winsor_mean"))
+          .orderBy("l_returnflag")
+      },
+      s"""WITH hist AS ($hist),
+        |cum AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT l_returnflag,
+        |    MIN(CASE WHEN cum * 20 >= n THEN l_quantity END) AS lo,
+        |    MIN(CASE WHEN cum * 20 >= n * 19 THEN l_quantity END) AS hi
+        |  FROM cum GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  MIN(cuts.lo) AS lo, MIN(cuts.hi) AS hi,
+        |  CAST(SUM(CAST(GREATEST(cuts.lo, LEAST(cuts.hi, l.l_quantity))
+        |    AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS winsor_mean
+        |FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143)
 }

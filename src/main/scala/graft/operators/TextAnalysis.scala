@@ -626,7 +626,42 @@ object TextAnalysis {
       |  CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e15 AS avg_p
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // -- q144: heavy hitters (tokens above a global frequency share) ----------
+  //   The threshold variant of q36: every token whose count exceeds total/k,
+  //   with its corpus share — the vocabulary-pruning / stopword-discovery
+  //   primitive. Exact plan: one map-side-combined token count (shuffle is
+  //   one row per DISTINCT token) plus a one-row total that broadcasts back
+  //   for the integer threshold compare (cnt·k > total — no float in the
+  //   gate). When the vocabulary itself is too large to shuffle, the
+  //   bounded-state Misra–Gries sketch (functions.MisraGries, spec-pinned
+  //   guarantees) produces the ≤ k−1 candidate set first and this same
+  //   plan verifies exact counts for candidates only.
+  val q144 = Query.sql(
+    "q144_heavy_hitters",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 200 > col("total"))
+        .select(col("word"), col("cnt"),
+          (col("cnt").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy(desc("cnt"), asc("word"))
+    },
+    """WITH counts AS (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+      |SELECT word, cnt,
+      |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM counts CROSS JOIN tot
+      |WHERE cnt * 200 > total
+      |ORDER BY cnt DESC, word""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118)
+      q87, q98, q106, q116, q118, q144)
 }

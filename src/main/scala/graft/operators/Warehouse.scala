@@ -369,5 +369,81 @@ object Warehouse {
       |  CAST(SUM(n) AS BIGINT) AS n_rows
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122, q127)
+  // -- q141: CDC changelog apply (I/U/D, latest-wins) -----------------------
+  //   The step q101's upsert cannot express: a change stream that also
+  //   DELETES. A deterministic multi-op changelog (update-then-delete on one
+  //   key family, delete-then-reinsert on another, plus brand-new keys) is
+  //   collapsed to its latest op per key — one row_number window over the
+  //   change stream, which at scale is the small side — then applied to the
+  //   base with a single full-outer join on the key: D drops the row, U
+  //   replaces the payload, absent keys pass through. This is exactly how
+  //   Delta/Iceberg apply a CDC feed; nothing touches the driver, and the
+  //   change-stream shuffle carries only changed keys, not the base table.
+  //   Output restricted to touched keys so the surviving set is inspectable.
+  val q141 = Query.sql(
+    "q141_cdc_apply",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val fam1 = base.filter(col("o_orderkey") % 101 === 0) // update then delete
+      val fam2 = base.filter(col("o_orderkey") % 103 === 0 &&
+        col("o_orderkey") % 101 =!= 0) // delete then re-upsert
+      val changes = fam1.select(col("o_orderkey"), lit(1L).as("seq"),
+          lit("U").as("op"), (col("o_totalprice") * lit(1.2)).as("new_price"))
+        .union(fam1.select(col("o_orderkey"), lit(2L).as("seq"),
+          lit("D").as("op"), lit(null).cast("double").as("new_price")))
+        .union(fam2.select(col("o_orderkey"), lit(1L).as("seq"),
+          lit("D").as("op"), lit(null).cast("double").as("new_price")))
+        .union(fam2.select(col("o_orderkey"), lit(2L).as("seq"),
+          lit("U").as("op"), (col("o_totalprice") + lit(1000.0)).as("new_price")))
+        .union(fam2.select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          (col("o_totalprice") + lit(0.5)).as("new_price")))
+      val wSeq = Window.partitionBy("o_orderkey").orderBy(desc("seq"))
+      val latest = changes
+        .withColumn("rn", row_number().over(wSeq))
+        .filter(col("rn") === 1)
+        .select("o_orderkey", "op", "new_price")
+      base.as("b").join(latest.as("c"), Seq("o_orderkey"), "full_outer")
+        .filter(col("c.op").isNotNull) // touched keys only (inspectable)
+        .filter(col("c.op") =!= "D")   // deletes drop out of the final state
+        .select(col("o_orderkey"),
+          col("b.o_custkey").as("o_custkey"),
+          lit("C").as("o_orderstatus"),
+          coalesce(col("c.new_price"), col("b.o_totalprice"))
+            .as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |fam1 AS (SELECT * FROM base WHERE o_orderkey % 101 = 0),
+      |fam2 AS (SELECT * FROM base
+      |         WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0),
+      |changes AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+      |    o_totalprice * CAST(1.2 AS DOUBLE) AS new_price FROM fam1
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'D', CAST(NULL AS DOUBLE) FROM fam1
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'D', CAST(NULL AS DOUBLE) FROM fam2
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U',
+      |    o_totalprice + CAST(1000 AS DOUBLE) FROM fam2
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, 1, 'U',
+      |    o_totalprice + CAST(0.5 AS DOUBLE) FROM fam2),
+      |latest AS (
+      |  SELECT o_orderkey, op, new_price FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC) AS rn FROM changes) WHERE rn = 1)
+      |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  b.o_custkey AS o_custkey,
+      |  'C' AS o_orderstatus,
+      |  COALESCE(c.new_price, b.o_totalprice) AS o_totalprice
+      |FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+      |WHERE c.op IS NOT NULL AND c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122, q127, q141)
 }

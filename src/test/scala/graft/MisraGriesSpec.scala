@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{MisraGries, MisraGriesAggregator}
+import org.apache.spark.sql.functions._
+
+/** Pins the Misra–Gries sketch guarantees q144's unbounded-vocabulary path
+  * relies on: no false negatives above N/k, bounded underestimates, and a
+  * ≤ k−1 state bound that holds under any partitioning / merge order.
+  */
+class MisraGriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Skewed stream: token "t<i>" appears i*i times for i in 1..40 — a few
+  // clear heavy hitters over a long tail, N = sum(i^2) = 22140.
+  private val items: Seq[String] =
+    (1 to 40).flatMap(i => Seq.fill(i * i)(s"t$i"))
+  private val n = items.size
+  private val exact: Map[String, Long] =
+    items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+
+  private def sketchOf(k: Int, parts: Int): Map[String, Long] = {
+    // deterministic spread across partitions, arbitrary order per partition
+    val df = items.zipWithIndex
+      .map { case (t, i) => (t, i) }.toDF("token", "i")
+      .repartition(parts, col("i"))
+    df.agg(MisraGries.sketch(k)(col("token")).as("mg"))
+      .selectExpr("mg").as[Map[String, Long]].head()
+  }
+
+  test("every item above N/k survives (no false negatives), any partitioning") {
+    for (k <- Seq(5, 10, 20); parts <- Seq(1, 3, 8)) {
+      val mg = sketchOf(k, parts)
+      assert(mg.size <= k - 1, s"state bound broken: ${mg.size} >= $k")
+      val mustKeep = exact.filter { case (_, c) => c > n.toLong / k }.keySet
+      assert(mustKeep.subsetOf(mg.keySet),
+        s"k=$k parts=$parts lost ${mustKeep -- mg.keySet}")
+    }
+  }
+
+  test("reported weights are underestimates within N/k") {
+    for (k <- Seq(10, 20); parts <- Seq(1, 4)) {
+      val mg = sketchOf(k, parts)
+      mg.foreach { case (t, w) =>
+        val truth = exact(t)
+        assert(w <= truth, s"$t overestimated: $w > $truth")
+        assert(truth - w <= n.toLong / k,
+          s"$t underestimate too deep: $truth - $w > ${n / k}")
+      }
+    }
+  }
+
+  test("driver-side reduce agrees with the same guarantees") {
+    val agg = new MisraGriesAggregator(10)
+    val st = items.foldLeft(agg.zero)(agg.reduce)
+    assert(st.size <= 9)
+    val mustKeep = exact.filter { case (_, c) => c > n.toLong / 10 }.keySet
+    assert(mustKeep.subsetOf(st.keySet))
+  }
+
+  test("sketch candidates + exact verification recover the true heavy hitters") {
+    // the two-phase 100 TB plan: sketch -> candidate set -> exact counts
+    val mg = sketchOf(20, 8)
+    val candidates = mg.keySet
+    val verified = exact.filter { case (t, c) =>
+      candidates.contains(t) && c * 20 > n
+    }.keySet
+    val truth = exact.filter { case (_, c) => c * 20 > n }.keySet
+    assert(verified == truth)
+  }
+}

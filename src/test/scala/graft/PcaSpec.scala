@@ -1,0 +1,63 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** Pins `covarianceMatrix` / `pcaTop`: the one-pass distributed covariance
+  * matches a driver brute force, is partitioning-invariant (floor-scaled
+  * integer sums), and power iteration recovers a planted dominant
+  * direction.
+  */
+class PcaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val d = 6
+  // planted direction (normalized) + deterministic pseudo-noise
+  private val dir: Array[Double] = {
+    val raw = Array(3.0, 1.0, -2.0, 0.5, 0.0, 1.5)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+  private def noise(i: Int, j: Int): Double =
+    (((i * 2654435761L + j * 40503L) % 1000L) - 500L) / 5000.0 // [-0.1, 0.1)
+  private val rows: Seq[Array[Float]] = (0 until 400).map { i =>
+    val t = (i % 41).toDouble - 20.0 // spread along the planted direction
+    Array.tabulate(d)(j => (dir(j) * t + noise(i, j)).toFloat)
+  }
+
+  private def df = rows.map(Tuple1(_)).toDF("embedding")
+
+  private def brute: Array[Array[Double]] = {
+    val n = rows.size.toDouble
+    val xs = rows.map(_.map(_.toDouble))
+    val mean = Array.tabulate(d)(j => xs.map(_(j)).sum / n)
+    Array.tabulate(d, d)((i, j) =>
+      xs.map(r => r(i) * r(j)).sum / n - mean(i) * mean(j))
+  }
+
+  test("one-pass covariance matches driver brute force") {
+    val m = df.covarianceMatrix("embedding")
+    val b = brute
+    for (i <- 0 until d; j <- 0 until d) {
+      assert(math.abs(m(i)(j) - b(i)(j)) < 1e-6,
+        s"cov($i,$j): ${m(i)(j)} vs ${b(i)(j)}")
+      assert(math.abs(m(i)(j) - m(j)(i)) < 1e-12, "not symmetric")
+    }
+  }
+
+  test("covariance is invariant under repartitioning (integer sums)") {
+    val a = df.repartition(1).covarianceMatrix("embedding")
+    val b = df.repartition(7).covarianceMatrix("embedding")
+    for (i <- 0 until d; j <- 0 until d)
+      assert(a(i)(j) == b(i)(j), s"partition-dependent at ($i,$j)")
+  }
+
+  test("power iteration recovers the planted dominant direction") {
+    val (v, lambda) = df.pcaTop("embedding")
+    val cos = math.abs(v.zip(dir).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"principal direction off: |cos|=$cos")
+    // planted variance along dir: t in [-20, 20] uniform-ish ⇒ large; noise tiny
+    assert(lambda > 100.0, s"eigenvalue too small: $lambda")
+  }
+}
