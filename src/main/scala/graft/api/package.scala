@@ -147,6 +147,44 @@ package object api {
         .drop("__shuffle_key")
     }
 
+    /** Exact Jaccard ≥ num/den set-similarity self-join via prefix
+      * filtering (no false negatives) over (idCol, toksCol array with
+      * distinct elements) — the exact complement of MinHash LSH; see
+      * [[graft.operators.Dedup.prefixSimJoin]] and q147's scale notes.
+      */
+    def prefixSimJoin(idCol: String, toksCol: String,
+        num: Int = 3, den: Int = 5): DataFrame =
+      graft.operators.Dedup.prefixSimJoin(df, idCol, toksCol, num, den)
+
+    /** Pareto frontier on (maximize xCol, maximize yCol) — exact
+      * sort-sweep, one shuffle plus a distinct-value sweep; see
+      * [[graft.operators.Warehouse.skyline2D]] and q149's scale notes.
+      */
+    def skyline2D(xCol: String, yCol: String): DataFrame =
+      graft.operators.Warehouse.skyline2D(df, xCol, yCol)
+
+    /** Exact global row numbers 1..N in `(orderCols)` order WITHOUT the
+      * single-partition stage a bare `row_number() OVER (ORDER BY …)`
+      * costs: range-repartition + per-partition sort gives globally
+      * ordered disjoint partitions, then `zipWithIndex` assigns offsets
+      * with one lightweight count job (driver state = one long per
+      * partition, never the data). PRECONDITION: `orderCols` must be a
+      * total order (include a unique key) — with ties, rows that straddle
+      * a range boundary would be numbered nondeterministically, exactly
+      * the scd2 tiebreak contract. Cf. q148's oracle-checked use.
+      */
+    def globalRowNumber(out: String, orderCols: Column*): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      val sorted = df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+      val schema = sorted.schema.add(out, LongType, nullable = false)
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
+
     /** Explode `textCol` into overlapping token chunks (cf. q79): one row
       * per chunk with `chunk_no`, `chunk_text`, `n_tokens`.
       */

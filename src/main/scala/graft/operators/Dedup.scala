@@ -612,7 +612,111 @@ object Dedup {
       |  (SELECT COUNT(*) FROM vs) AS not_in_corpus,
       |  (SELECT COUNT(*) FROM kept) AS kept_new""".stripMargin)
 
+  // -- q147: EXACT set-similarity self-join via prefix filtering ------------
+  //   The exact-Jaccard scale path, complementing q43's approximate LSH:
+  //   prefix filtering guarantees no false negatives at threshold τ, so the
+  //   output is IDENTICAL to the all-pairs join while the candidate join
+  //   only ever touches each document's rarest tokens. Pipeline: distinct
+  //   tokens per doc (map-side) → document frequency (one token-keyed
+  //   shuffle with map-side combine) → global rarity order (df, token; a
+  //   strict total order since tokens are distinct within a doc) → per-doc
+  //   prefix of length |T| − ceil(τ|T|) + 1 → candidate pairs via equi-join
+  //   on prefix tokens — rare tokens by construction, so the frequent-token
+  //   skew never enters the join — → exact verify on the full token sets.
+  //   τ = 3/5 is gated in cross-multiplied integer form (5·|∩| ≥ 3·|∪|); no
+  //   float compare decides membership. The symmetric length filter
+  //   5·min(|A|,|B|) ≥ 3·max(|A|,|B|) is implied by J ≥ τ, so applying it
+  //   to candidates (and inside the oracle's join) prunes without changing
+  //   the result. Cf. Xiao et al., "Efficient Similarity Joins for Near
+  //   Duplicate Detection" (WWW 2008) — the PPJoin prefix principle.
+  //   Bounded to doc_id < 2000 only so the all-pairs DuckDB oracle stays
+  //   cheap; the Spark plan is the unbounded path (at 100 TB the tokenized
+  //   view would be persisted once instead of re-derived per verify side).
+  /** Exact Jaccard ≥ num/den self-join via prefix filtering over an
+    * (idCol: long, toksCol: array<string> with distinct elements) frame.
+    * Returns (id_a, id_b, jaccard) for every unordered pair meeting the
+    * threshold — IDENTICAL to the all-pairs join (no false negatives), the
+    * candidate join touching only each row's |T| − ceil(τ|T|) + 1 rarest
+    * tokens. See the q147 scale notes. */
+  def prefixSimJoin(d0: DataFrame, idCol: String, toksCol: String,
+      num: Int, den: Int): DataFrame = {
+    // Tokens are hashed to int64 map-side (q42's trick): every downstream
+    // compare — the df shuffle, the candidate equi-join, the verify
+    // intersection — runs on 8-byte longs instead of variable-length
+    // strings. Jaccard values are unchanged unless xxhash64 collides
+    // WITHIN a doc pair, i.e. never at 2^-64.
+    val d = d0.select(col(idCol).as("__id"),
+        expr(s"transform($toksCol, t -> xxhash64(t))").as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val posting = d.select(col("__id"), col("sz"),
+      explode(col("toks")).as("token"))
+    val dfreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
+    // (df, token) is a strict total order per doc: tokens are distinct.
+    val w = Window.partitionBy("__id").orderBy(col("df"), col("token"))
+    val prefix = posting.join(dfreq, "token")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        expr(s"sz - ($num * sz + ${den - 1}) DIV $den + 1"))
+      .select(col("__id"), col("sz"), col("pos"), col("token"))
+    // Candidate pruning, both exact (no false negatives):
+    //   - symmetric length filter: J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|);
+    //   - PPJoin positional filter: sets are ordered by the SAME global
+    //     rarity order, so a match at positions (pa, pb) bounds the
+    //     overlap by 1 + min(|A|−pa, |B|−pb); J ≥ τ needs overlap ≥
+    //     num·(|A|+|B|)/(num+den), and the first shared token of a true
+    //     pair always satisfies the bound, so the pair survives distinct.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.__id") < col("b.__id") &&
+          lit(den) * least(col("a.sz"), col("b.sz")) >=
+            lit(num) * greatest(col("a.sz"), col("b.sz")) &&
+          lit(num + den) *
+            (lit(1) + least(col("a.sz") - col("a.pos"),
+              col("b.sz") - col("b.pos"))) >=
+            lit(num) * (col("a.sz") + col("b.sz")))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("da.toks"), col("db.toks")))
+    cand
+      .join(d.as("da"), col("id_a") === col("da.__id"))
+      .join(d.as("db"), col("id_b") === col("db.__id"))
+      .withColumn("inter", inter)
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (col("da.sz") + col("db.sz") - col("inter")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("da.sz") + col("db.sz") - col("inter"))).as("jaccard"))
+  }
+
+  //   τ = 4/5 and the doc_id < 1000 slice keep the result a *near-dup*
+  //   set on this synthetic corpus — its docs are short template
+  //   perturbations, so at τ = 0.6 over half of ALL pairs qualify and any
+  //   algorithm's output is quadratic; the interesting regime for the
+  //   filter (and the one production dedup runs at) is high-τ.
+  val q147 = Query.sql(
+    "q147_prefix_simjoin",
+    (s, dir) =>
+      prefixSimJoin(
+        docs(s, dir).filter(col("doc_id") < 1000)
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("toks")),
+        "doc_id", "toks", 4, 5)
+        .orderBy("id_a", "id_b"),
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents WHERE doc_id < 1000),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        len(list_intersect(a.toks, b.toks)) AS inter,
+      |        len(a.toks) AS sza, len(b.toks) AS szb
+      |      FROM d a JOIN d b
+      |        ON a.doc_id < b.doc_id
+      |       AND 5 * least(len(a.toks), len(b.toks))
+      |           >= 4 * greatest(len(a.toks), len(b.toks)))
+      |SELECT id_a, id_b,
+      |  CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+      |FROM p WHERE 5 * inter >= 4 * (sza + szb - inter)
+      |ORDER BY id_a, id_b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130)
+      q130, q147)
 }

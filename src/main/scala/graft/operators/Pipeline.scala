@@ -689,7 +689,33 @@ object Pipeline {
       |FROM ranked WHERE cum * 2 <= total
       |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  // -- q148: exact global row numbering (no single-partition stage) ---------
+  //   The training-data-export primitive q57 stops short of: EVERY row gets
+  //   its exact global rank, not just a verified head. A bare
+  //   `row_number() OVER (ORDER BY …)` funnels the entire table through one
+  //   partition — the canonical anti-scale plan. The scale path
+  //   (api.globalRowNumber): repartitionByRange + sortWithinPartitions
+  //   yields globally ordered disjoint partitions, then zipWithIndex's
+  //   two-phase offset assignment (one count job; driver holds one long
+  //   per partition) numbers rows with zero data movement beyond the one
+  //   range shuffle. Order key (o_totalprice DESC, o_orderkey) is total,
+  //   so ranks are deterministic under any partition-boundary placement.
+  val q148 = Query.sql(
+    "q148_global_rownum",
+    (s, dir) => {
+      import graft.api._
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .globalRowNumber("global_rn", col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("global_rn"))
+        .orderBy("global_rn")
+    },
+    """SELECT o_orderkey,
+      |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+      |    AS BIGINT) AS global_rn
+      |FROM orders ORDER BY global_rn""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125, q134, q140)
+      q113, q120, q121, q124, q125, q134, q140, q148)
 }

@@ -445,5 +445,63 @@ object Warehouse {
       |WHERE c.op IS NOT NULL AND c.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin)
 
-  val all: Seq[Query] = Seq(q100, q101, q103, q104, q105, q122, q127, q141)
+  // -- q149: Pareto frontier (2-D skyline) ----------------------------------
+  //   "Orders no other order beats on BOTH price and recency" — the skyline
+  //   operator (Börzsönyi et al., ICDE 2001). The naive spec is an
+  //   all-pairs NOT EXISTS (the oracle below); the scale plan is the exact
+  //   sort-sweep decomposition:
+  //     1. one map-side-combined shuffle collapses rows to one (price,
+  //        max-date) row per DISTINCT price;
+  //     2. a running max over that collapsed set, ordered by price desc,
+  //        yields hmax = best date among all STRICTLY higher prices —
+  //        the only global window in the plan runs over distinct prices,
+  //        not rows (≪ data; a hierarchical coarse-bin pre-sweep covers
+  //        the case where even the distinct domain is huge);
+  //     3. survivors join back: date equals its price-group max (kills
+  //        same-price strict domination; exact-duplicate points both
+  //        survive, matching NOT EXISTS) and beats hmax strictly (kills
+  //        higher-price domination, where date ties lose to the strict
+  //        price). The join's build side is the collapsed price set —
+  //        AQE broadcasts it, unhinted.
+  //   Bounded to o_orderkey < 4000 only to keep the oracle's quadratic
+  //   NOT EXISTS cheap; the Spark plan is the unbounded path.
+  /** Rows not dominated on (maximize xCol, maximize yCol): the exact
+    * sort-sweep decomposition described at q149. Preserves the input
+    * columns; exact-duplicate points all survive (none dominates its
+    * twin), matching the all-pairs NOT EXISTS spec. */
+  def skyline2D(d: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val g = d.groupBy(xCol).agg(max(col(yCol)).as("__gmax"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = g.withColumn("__hmax", max(col("__gmax")).over(w))
+    d.join(g2, Seq(xCol))
+      .filter(col(yCol) === col("__gmax") &&
+        (col("__hmax").isNull || col(yCol) > col("__hmax")))
+      .select(d.columns.map(col).toIndexedSeq: _*)
+  }
+
+  val q149 = Query.sql(
+    "q149_pareto_frontier",
+    (s, dir) =>
+      skyline2D(
+        t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+        "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy("o_orderkey"),
+    """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate
+      |           FROM orders WHERE o_orderkey < 4000)
+      |SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+      |FROM o b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o a
+      |  WHERE a.o_totalprice >= b.o_totalprice
+      |    AND a.o_orderdate >= b.o_orderdate
+      |    AND (a.o_totalprice > b.o_totalprice
+      |         OR a.o_orderdate > b.o_orderdate))
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149)
 }

@@ -253,4 +253,65 @@ class PropertySpec extends SparkSpec {
         s"q=$q: rank $rank vs target $target exceeds n/a=${n / accuracy}")
     }
   }
+
+  test("prefixSimJoin equals brute-force all-pairs Jaccard (no false negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4711)
+    val vocab = (0 until 18).map(i => s"t$i")
+    // random token sets with planted near-dup structure: half the docs are
+    // perturbed copies of earlier docs, so pairs actually cross τ
+    val base = (0 until 30).map { id =>
+      id.toLong -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).sorted
+    }
+    val docs = base ++ base.take(15).map { case (id, toks) =>
+      (id + 100) ->
+        (toks.drop(if (toks.size > 4) 1 else 0) :+ vocab(rnd.nextInt(vocab.size)))
+          .distinct.sorted
+    }
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val brute = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        inter = ta.toSet.intersect(tb.toSet).size
+        union = ta.size + tb.size - inter
+        if den * inter >= num * union
+      } yield (ia, ib, inter.toDouble / union)).toSet
+      val got = operators.Dedup
+        .prefixSimJoin(docs.toDF("id", "toks"), "id", "toks", num, den)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"τ=$num/$den: ${got.size} vs ${brute.size} pairs")
+    }
+  }
+
+  test("globalRowNumber equals the window row_number under any input partitioning") {
+    import graft.api._
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // duplicate values force the tiebreak column to earn its keep
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(40)))
+    val expected = rows.sortBy { case (id, v) => (-v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("id", "v").repartition(parts)
+        .globalRowNumber("rn", col("v").desc, col("id"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("skyline2D equals brute-force NOT EXISTS domination, duplicates included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts0 = (0 until 200).map(i => (i.toLong, rnd.nextInt(50), rnd.nextInt(50)))
+    // planted exact duplicates: neither twin dominates the other, both live
+    val pts = pts0 ++ pts0.take(10).map { case (id, x, y) => (id + 1000, x, y) }
+    val brute = pts.filter { case (_, bx, by) =>
+      !pts.exists { case (_, ax, ay) =>
+        ax >= bx && ay >= by && (ax > bx || ay > by)
+      }
+    }.map(_._1).toSet
+    val got = operators.Warehouse
+      .skyline2D(pts.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == brute, s"${got.size} vs ${brute.size} frontier points")
+  }
 }
