@@ -270,6 +270,26 @@ object Streams {
       }
   }
 
+  /** Trending heavy hitters per tumbling hour — the streaming twin of
+    * q144's unbounded-vocabulary regime. The Misra–Gries typed aggregator
+    * IS the streaming aggregation, so per-window state is its ≤ k−1
+    * counters, never the vocabulary, and the watermark retires whole
+    * windows: total state is O(open windows × k) however many distinct
+    * items flow past. Emits one (hour, item, weight) row per surviving
+    * counter. MG guarantees hold under ANY micro-batch split and merge
+    * order (the spec pins them against exact batch counts): every item
+    * with true in-window count > N/k survives, and each reported weight
+    * undercounts by at most N/k.
+    */
+  def trendingTopK(events: DataFrame, k: Int = 10,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGries.sketch(k)(col("event_type")).as("sketch"))
+      .select(col("window.start").as("hour"), explode(col("sketch")))
+      .toDF("hour", "item", "weight")
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

@@ -394,4 +394,41 @@ class StreamingSpec extends SparkSpec {
     val r = graft.operators.Events.q59.run(spark, sf0001).collect().head
     assert(got == ((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("streaming trending top-k honors the Misra–Gries guarantees per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    // two micro-batches so the MG buffer round-trips the state store
+    // (serialize → merge with batch 2) rather than aggregating in one pass
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    val q = Streams.trendingTopK(mem.toDS().toDF(), k)
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trend_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Tables.load(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val totals = exact.groupMapReduce(_._1._1)(_._2)(_ + _)
+    assert(got.nonEmpty)
+    // no false negatives: anything above N/k must be in the sketch output
+    for (((w, item), cnt) <- exact if cnt * k > totals(w))
+      assert(got.contains((w, item)), s"missing heavy hitter $item in $w")
+    // weights are undercounts bounded by N/k
+    for (((w, item), wt) <- got) {
+      val truth = exact.getOrElse((w, item), 0L)
+      assert(wt <= truth, s"$item in $w: weight $wt above true count $truth")
+      assert(k * (truth - wt) <= totals(w),
+        s"$item in $w: deficit ${truth - wt} above N/k=${totals(w) / k}")
+    }
+  }
 }
