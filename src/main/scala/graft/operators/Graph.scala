@@ -238,5 +238,103 @@ object Graph {
       |    AS closure_rate
       |FROM tri""".stripMargin)
 
-  val all: Seq[Query] = Seq(q119, q123)
+  /** One k-core peel round: keep only edges whose BOTH endpoints currently
+    * have degree ≥ k. `s` is a symmetrized (u, v) edge frame. */
+  private def peelStep(s: DataFrame, k: Int): DataFrame = {
+    val good = s.groupBy("u").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= lit(k)).select(col("u").as("keep"))
+    s.join(good, col("u") === col("keep"), "left_semi")
+      .join(good.select(col("keep").as("keep2")),
+        col("v") === col("keep2"), "left_semi")
+  }
+
+  /** Peel exactly `rounds` times (deterministic work shape — the form the
+    * q150 oracle unrolls), returning surviving (node, core_deg). Once the
+    * fixpoint is reached further rounds are no-ops, so with enough rounds
+    * this IS the k-core. */
+  def peelRounds(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var s = sym.localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      s = peelStep(s, k).localCheckpoint(true)
+    s.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** k-core to FIXPOINT: peel until the edge set stops shrinking (the
+    * per-round count() doubles as the lineage-truncating materialization,
+    * the ConnectedComponents pattern). State per round is the shrinking
+    * edge set itself — degree recount and two semi-joins, all partitioned
+    * on the node key; nothing driver-side but one long per round. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    var s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var prev = s.count()
+    var iters = 0
+    var done = prev == 0
+    while (!done && iters < maxIters) {
+      s = peelStep(s, k).localCheckpoint(true)
+      val n = s.count()
+      done = n == prev || n == 0
+      prev = n
+      iters += 1
+    }
+    s.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  // -- q150: 3-core of the part co-purchase graph ---------------------------
+  //   "Parts that remain after repeatedly discarding weakly-connected
+  //   ones" — the density-peeling operator (Seidman 1983; Batagelj–Zaveršnik
+  //   peeling). The query form peels a FIXED 12 rounds so the DuckDB
+  //   oracle can unroll the identical recurrence; the sf0.01 graph reaches
+  //   its fixpoint at round 8 (GraphSpec pins fixpoint == 12-round peel),
+  //   so the result is the true 3-core with 4 rounds of margin. Scale: the
+  //   edge set only shrinks; every round is one map-side-combined degree
+  //   count plus two key-partitioned semi-joins, checkpointed so lineage
+  //   stays flat — the Pregel-as-joins shape shared with pageRank.
+  val q150 = {
+    val k = 3
+    val rounds = 12
+    val goodSub = (i: Int) =>
+      s"(SELECT u FROM s${i - 1} GROUP BY u HAVING COUNT(*) >= $k)"
+    // MATERIALIZED: each round references its predecessor 4×; inlined
+    // CTEs would expand 4^12 ways and exhaust file handles on the scan.
+    val roundsSql = (1 to rounds).map(i =>
+      s"""s$i AS MATERIALIZED (SELECT u, v FROM s${i - 1}
+         |  WHERE u IN ${goodSub(i)} AND v IN ${goodSub(i)})""".stripMargin)
+      .mkString(",\n")
+    Query.sql(
+      "q150_kcore",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        // q123's one-shuffle pair build (order-key group + map-side index
+        // pairs), proven equal to the oracle's line-pair self-join there.
+        val e0 = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+              |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+              |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+            .as("pr"))
+          .filter(col("pr.p1") < col("pr.p2"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+          .select("p1", "p2")
+        val sym = e0.select(col("p1").as("u"), col("p2").as("v"))
+          .union(e0.select(col("p2").as("u"), col("p1").as("v")))
+        peelRounds(sym, k, rounds).orderBy("node")
+      },
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey p1, b.l_partkey p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |s0 AS MATERIALIZED (
+         |  SELECT p1 u, p2 v FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+         |$roundsSql
+         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM s$rounds GROUP BY u ORDER BY node""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q119, q123, q150)
 }

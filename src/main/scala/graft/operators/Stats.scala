@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Query, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -253,5 +255,128 @@ object Stats {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143)
+  // -- q151: two-sample Kolmogorov–Smirnov distance, integer-exact ----------
+  //   "Did the purchase-value distribution drift from the click-value
+  //   distribution?" — the distribution-shift test a data pipeline runs
+  //   between snapshots. KS = sup_x |F1(x) − F2(x)|; the sup is attained at
+  //   a data point, so it reduces to a sweep over the DISTINCT pooled
+  //   values: one map-side-combined (value → per-group count) histogram,
+  //   cumulative counts, and max |c1·n2 − c2·n1| — all integers, the one
+  //   float op being the final division (identical IEEE both engines).
+  //   The cumulative window runs over distinct values only (the q143
+  //   histogram argument); totals broadcast back as a one-row cross join.
+  val q151 = Query.sql(
+    "q151_ks_test",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+      val h = v.groupBy("value").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h
+        .withColumn("f1", sum(col("c1")).over(w))
+        .withColumn("f2", sum(col("c2")).over(w))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+    },
+    """WITH h AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |  GROUP BY value),
+      |cum AS (
+      |  SELECT
+      |    SUM(c1) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    SUM(c2) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      |  FROM h),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |               CAST(SUM(c2) AS BIGINT) AS n2 FROM h)
+      |SELECT n1, n2,
+      |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+      |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+      |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin)
+
+  // -- q152: per-group median absolute deviation (robust dispersion) --------
+  //   MAD with LOWER-median semantics (rank ceil(n/2)) so every output is
+  //   an actual data value or an |difference| of two data values — no
+  //   interpolation, hence no engine-specific float midpoint arithmetic.
+  //   Same distinct-value-histogram shape as q143, applied twice: median
+  //   per group from the (group, value) histogram, deviations |v − med|
+  //   after a broadcast join of the per-group medians, then the deviation
+  //   histogram's lower median. No per-group sort anywhere; both passes
+  //   shuffle one row per distinct (group, value).
+  val q152 = {
+    def lowerMedian(h: DataFrame, grp: String, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(grp).orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(grp)))
+        .groupBy(grp)
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col(v))).as(out))
+    }
+    Query.sql(
+      "q152_mad",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+        val h1 = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+        val med = lowerMedian(h1, "event_type", "value", "median_val")
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"),
+            abs(col("value") - col("median_val")).as("d"))
+        val h2 = dev.groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+        val mad = lowerMedian(h2, "event_type", "d", "mad")
+        ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .join(med, Seq("event_type")).join(mad, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |h1 AS (SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT event_type, value, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h1),
+        |med AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS median_val
+        |  FROM c1 GROUP BY event_type),
+        |dev AS (
+        |  SELECT ev.event_type, ABS(ev.value - med.median_val) AS d
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |h2 AS (SELECT event_type, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, d, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h2),
+        |mad AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+        |  FROM c2 GROUP BY event_type)
+        |SELECT ev2.event_type, COUNT(*) AS n, MIN(med.median_val) AS median_val,
+        |  MIN(mad.mad) AS mad
+        |FROM ev ev2
+        |JOIN med ON ev2.event_type = med.event_type
+        |JOIN mad ON ev2.event_type = mad.event_type
+        |GROUP BY ev2.event_type ORDER BY ev2.event_type""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143, q151, q152)
 }

@@ -97,4 +97,34 @@ class GraphSpec extends SparkSpec {
     assert(ranks.forall(_ > 0))
     assert(ranks.sameElements(ranks.sortBy(-_)))
   }
+
+  test("kCore on a hand-built graph: triangle+tail leaves exactly the triangle") {
+    import spark.implicits._
+    // triangle 1-2-3 (the 2-core) with a pendant path 3-4-5 peeled away
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core = operators.Graph.kCore(edges, "a", "b", k = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k above the max core → empty
+    assert(operators.Graph.kCore(edges, "a", "b", k = 3).count() == 0)
+  }
+
+  test("q150's 12-round peel IS the fixpoint k-core on the real graph") {
+    import spark.implicits._
+    // the query's oracle-matched peel must equal the fixpoint operator:
+    // proves the 12-round unroll has converged (fixpoint at round ≤ 12)
+    val li = Tables.load(spark, sf001, "lineitem").select("l_orderkey", "l_partkey")
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select("p1", "p2")
+    val fix = operators.Graph.kCore(e0, "p1", "p2", k = 3)
+      .as[(Long, Long)].collect().toSet
+    val peeled = operators.Graph.q150.run(spark, sf001)
+      .as[(Long, Long)].collect().toSet
+    assert(fix == peeled && fix.nonEmpty)
+  }
 }
