@@ -715,7 +715,56 @@ object Pipeline {
       |    AS BIGINT) AS global_rn
       |FROM orders ORDER BY global_rn""".stripMargin)
 
+  // -- q153: deterministic negative sampling (contrastive training) ---------
+  //   For each anchor document, k pseudo-random negatives drawn WITHOUT an
+  //   RNG: index_i = md5(anchor ':' i) mod N over a globally numbered
+  //   corpus. Reproducible across runs/partitionings (the q48 salted-hash
+  //   contract), and the corpus numbering is the q148 scale path (range
+  //   shuffle + zipWithIndex — no single-partition window). The sampled
+  //   indices then equi-join the numbered corpus: k rows per anchor move,
+  //   never the corpus. Self-collisions are filtered (sampling with
+  //   replacement — a drawn index may also collide across i; both
+  //   semantics mirrored exactly in the oracle).
+  val q153 = Query.sql(
+    "q153_negative_sampling",
+    (s, dir) => {
+      import graft.api._
+      val d = docs(s, dir).select("doc_id")
+      val numbered = d.globalRowNumber("rn", col("doc_id"))
+        .select((col("rn") - 1).as("idx"), col("doc_id").as("neg_id"))
+      val nRow = d.agg(count(lit(1)).as("n"))
+      val anchors = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("i"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("idx",
+          expr("""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+                 |  ':', CAST(i AS STRING))), 1, 7), 16, 10) AS BIGINT)
+                 |  % n""".stripMargin))
+      anchors.join(numbered, Seq("idx"))
+        .filter(col("neg_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("neg_id"))
+        .orderBy("doc_id", "i")
+    },
+    """WITH d AS (SELECT doc_id FROM documents),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |numbered AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+      |    doc_id AS neg_id FROM d),
+      |anchors AS (
+      |  SELECT doc_id, i
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      |  WHERE doc_id % 7 = 0),
+      |samp AS (
+      |  SELECT a.doc_id, a.i,
+      |    ('0x' || substring(md5(CAST(a.doc_id AS VARCHAR) || ':'
+      |      || CAST(a.i AS VARCHAR)), 1, 7))::BIGINT % nn.n AS idx
+      |  FROM anchors a CROSS JOIN nn)
+      |SELECT s.doc_id, CAST(s.i AS BIGINT) AS i, nb.neg_id
+      |FROM samp s JOIN numbered nb ON s.idx = nb.idx
+      |WHERE nb.neg_id <> s.doc_id
+      |ORDER BY s.doc_id, s.i""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125, q134, q140, q148)
+      q113, q120, q121, q124, q125, q134, q140, q148, q153)
 }

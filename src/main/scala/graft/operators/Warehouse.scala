@@ -502,6 +502,54 @@ object Warehouse {
       |         OR a.o_orderdate > b.o_orderdate))
       |ORDER BY o_orderkey""".stripMargin)
 
+  // -- q154: incremental rollup maintenance via mergeable partial states ----
+  //   The nightly-agg shape: a stored per-customer rollup absorbs a delta
+  //   batch WITHOUT rescanning history. Works because every kept statistic
+  //   is a mergeable state — (n, decimal-sum, min, max) combine by
+  //   (+, +, least, greatest) — and the derived mean is computed only at
+  //   read time from the merged state. The oracle recomputes from the FULL
+  //   table: hash-equality proves merge(old, delta) == recompute(all)
+  //   exactly (decimal addition is associative; doubles would drift here).
+  //   At scale the merge is one co-partitioned outer join of two agg
+  //   tables — history rows never move again.
+  val q154 = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    Query.sql(
+      "q154_rollup_merge",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def part(p: org.apache.spark.sql.Column) =
+          o.filter(p).groupBy("o_custkey").agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(D)).as("total"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+        val hist = part(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        val delta = part(pmod(col("o_orderkey"), lit(5)) === 0)
+        hist.select(col("o_custkey"), col("n"), col("total"), col("mn"), col("mx"))
+          .unionAll(delta.select(col("o_custkey"), col("n"), col("total"),
+            col("mn"), col("mx")))
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("total")).as("t"),
+            min(col("mn")).as("min_price"),
+            max(col("mx")).as("max_price"))
+          .select(col("o_custkey"), col("n_orders"),
+            col("t").cast("double").as("total_price"),
+            col("min_price"), col("max_price"),
+            (col("t").cast("double") / col("n_orders").cast("double"))
+              .as("avg_price"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   val all: Seq[Query] =
-    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149)
+    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154)
 }
