@@ -378,5 +378,54 @@ object Stats {
         |GROUP BY ev2.event_type ORDER BY ev2.event_type""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143, q151, q152)
+  // -- q155: chi-square independence test (contingency-table drift) ---------
+  //   "Is event type independent of hour-of-day?" — the categorical drift
+  //   test between two discrete columns. One map-side-combined (type,
+  //   hour) count builds the contingency table; marginals reduce from the
+  //   CELLS (≤ types × 24 rows), never re-scanning events; expected counts
+  //   and per-cell terms are computed with the same expression text on
+  //   both engines (integer marginal products, two IEEE-exact divisions),
+  //   and the term sum goes through the DECIMAL(18,6) accumulator so the
+  //   float total is order-independent — the q27 moments policy.
+  val q155 = Query.sql(
+    "q155_chi_square",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val colT = cells.groupBy("hr").agg(sum(col("o")).as("c"))
+      val nRow = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("hr")).as("nc"))
+      val term = expr(
+        """CAST((CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          |  / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          |  AS DECIMAL(18,6))""".stripMargin)
+      cells.join(broadcast(rowT), Seq("event_type"))
+        .join(broadcast(colT), Seq("hr"))
+        .crossJoin(broadcast(nRow))
+        .agg(max(col("n")).as("n"),
+          ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
+          sum(term).cast("double").as("chi2"))
+    },
+    """WITH cells AS (
+      |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT hr, SUM(o) AS c FROM cells GROUP BY 1),
+      |nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+      |              COUNT(DISTINCT hr) AS nc FROM cells)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+      |  CAST(SUM(CAST(
+      |    (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      |FROM cells JOIN rt USING (event_type) JOIN ct USING (hr)
+      |CROSS JOIN nn""".stripMargin)
+
+  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155)
 }
