@@ -396,6 +396,57 @@ package object api {
         .filter(col(scoreCol) >= col("__cut")).drop("__cut")
     }
 
+    /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+      * distributions of rows matching `a` vs `b` (cf. q151): one row
+      * (n1, n2, d_num, ks_stat). Integer-exact sweep over the pooled
+      * distinct-value histogram; the only float op is the final division.
+      */
+    def ksTest(valueCol: String, a: Column, b: Column): DataFrame = {
+      val h = df.filter((a || b) && col(valueCol).isNotNull)
+        .groupBy(valueCol).agg(
+          sum(when(a, 1L).otherwise(0L)).as("__c1"),
+          sum(when(b, 1L).otherwise(0L)).as("__c2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(valueCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = h
+        .withColumn("__f1", sum(col("__c1")).over(w))
+        .withColumn("__f2", sum(col("__c2")).over(w))
+      val tot = h.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+          max(abs(col("__f1") * col("__n2") - col("__f2") * col("__n1")))
+            .as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+    }
+
+    /** Per-group median absolute deviation with LOWER-median semantics
+      * (cf. q152): (group, n, median_val, mad). Histogram-shaped — no
+      * per-group sort; every output is an actual data value.
+      */
+    def madBy(groupCol: String, valueCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy(groupCol).orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("__cum", sum(col("__c")).over(w))
+          .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+          .groupBy(groupCol)
+          .agg(min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col(v))).as(out))
+      }
+      val ev = df.filter(col(valueCol).isNotNull)
+      val h1 = ev.groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
+      val med = lowerMedian(h1, valueCol, "median_val")
+      val dev = ev.join(broadcast(med), Seq(groupCol))
+        .select(col(groupCol), abs(col(valueCol) - col("median_val")).as("__d"))
+      val h2 = dev.groupBy(groupCol, "__d").agg(count(lit(1)).as("__c"))
+      val mad = lowerMedian(h2, "__d", "mad")
+      ev.groupBy(groupCol).agg(count(lit(1)).as("n"))
+        .join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+    }
+
     /** Distributed Lloyd's k-means over an `array<float>` column (cf.
       * q135, which pins one step to the DuckDB oracle). Returns the input
       * plus a `cluster` column from the final assignment.

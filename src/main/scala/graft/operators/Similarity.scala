@@ -364,5 +364,83 @@ object Similarity {
        |    ON q.vec_id < 20 AND e.vec_id >= 20)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  // -- q156: MMR diverse top-k (maximal marginal relevance) -----------------
+  //   The diversity-aware selection step curation uses where plain top-k
+  //   returns near-duplicates: greedily pick argmax of
+  //   rel(d) − λ·max_{s∈selected} sim(d, s) (Carbonell & Goldstein,
+  //   SIGIR 1998), λ = 0.5, k = 5. Each round is one corpus map +
+  //   TakeOrderedAndProject(1) with the selected set shipped as LITERAL
+  //   vectors (q55's centroid pattern — driver state is k embeddings, the
+  //   corpus never shuffles); at 100 TB the standard pre-step is a top-M
+  //   relevance cut, then these same k passes over the M survivors. Both
+  //   engines compute sims with the identical sequential double fold, so
+  //   scores — and hence the greedy argmax at every round — match
+  //   bit-for-bit. Bounded to vec_id < 500 for the oracle's unrolled
+  //   correlated-MAX rounds.
+  val q156 = {
+    val k = 5
+    val lambda = 0.5
+    Query.sql(
+      "q156_mmr_select",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        import s.implicits._
+        val e = emb(s, dir)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head()
+        val cand = e.filter(col("vec_id") > 0 && col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding"),
+            call_function("cosine_similarity", col("embedding"),
+              typedLit(qv)).as("rel"))
+        var selected = List.empty[(Long, Seq[Float], Double)] // id, vec, score
+        for (_ <- 1 to k) {
+          val score =
+            if (selected.isEmpty) col("rel")
+            else {
+              val sims = selected.map { case (_, sv, _) =>
+                call_function("cosine_similarity", col("embedding"),
+                  typedLit(sv)) }
+              val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+              col("rel") - lit(lambda) * maxSim
+            }
+          val pick = cand
+            .filter(!col("vec_id").isin(selected.map(_._1): _*))
+            .select(col("vec_id"), col("embedding"), score.as("score"))
+            .orderBy(desc("score"), asc("vec_id"))
+            .as[(Long, Seq[Float], Double)].head()
+          selected = selected :+ pick
+        }
+        selected.zipWithIndex
+          .map { case ((id, _, sc), i) => (i + 1L, id, sc) }
+          .toDF("pick_no", "vec_id", "mmr_score")
+      }, {
+        val simTo = (v: String) => cosSql("r.embedding", v)
+        val rounds = (2 to k).map { i =>
+          val prev = (1 until i).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+          s"""s$i AS MATERIALIZED (
+             |  SELECT r.vec_id, r.embedding,
+             |    r.rel - $lambda * (SELECT MAX(${simTo("sel.embedding")})
+             |      FROM ($prev) sel) AS score
+             |  FROM rel r
+             |  WHERE r.vec_id NOT IN (SELECT vec_id FROM ($prev) p)
+             |  ORDER BY score DESC, r.vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to k)
+          .map(i => s"SELECT $i AS pick_no, vec_id, score FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |rel AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ${cosSql("embedding", "qv")} AS rel
+           |  FROM embeddings, q WHERE vec_id > 0 AND vec_id < 500),
+           |s1 AS MATERIALIZED (
+           |  SELECT vec_id, embedding, rel AS score FROM rel
+           |  ORDER BY rel DESC, vec_id LIMIT 1),
+           |$rounds
+           |SELECT CAST(pick_no AS BIGINT) AS pick_no, vec_id,
+           |  score AS mmr_score
+           |FROM ($out) ORDER BY pick_no""".stripMargin
+      })
+  }
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56, q156)
 }

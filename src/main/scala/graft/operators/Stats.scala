@@ -268,24 +268,9 @@ object Stats {
   val q151 = Query.sql(
     "q151_ks_test",
     (s, dir) => {
-      val v = Tables.load(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click") &&
-          col("value").isNotNull)
-      val h = v.groupBy("value").agg(
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = h
-        .withColumn("f1", sum(col("c1")).over(w))
-        .withColumn("f2", sum(col("c2")).over(w))
-      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      cum.crossJoin(broadcast(tot))
-        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
-        .select(col("n1"), col("n2"), col("d_num"),
-          (col("d_num").cast("double") /
-            (col("n1") * col("n2")).cast("double")).as("ks_stat"))
+      import graft.api._
+      Tables.load(s, dir, "events").ksTest("value",
+        col("event_type") === "purchase", col("event_type") === "click")
     },
     """WITH h AS (
       |  SELECT value,
@@ -321,27 +306,11 @@ object Stats {
   //   histogram's lower median. No per-group sort anywhere; both passes
   //   shuffle one row per distinct (group, value).
   val q152 = {
-    def lowerMedian(h: DataFrame, grp: String, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(grp).orderBy(v)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      h.withColumn("cum", sum(col("c")).over(w))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(grp)))
-        .groupBy(grp)
-        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col(v))).as(out))
-    }
     Query.sql(
       "q152_mad",
       (s, dir) => {
-        val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
-        val h1 = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-        val med = lowerMedian(h1, "event_type", "value", "median_val")
-        val dev = ev.join(broadcast(med), Seq("event_type"))
-          .select(col("event_type"),
-            abs(col("value") - col("median_val")).as("d"))
-        val h2 = dev.groupBy("event_type", "d").agg(count(lit(1)).as("c"))
-        val mad = lowerMedian(h2, "event_type", "d", "mad")
-        ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-          .join(med, Seq("event_type")).join(mad, Seq("event_type"))
+        import graft.api._
+        Tables.load(s, dir, "events").madBy("event_type", "value")
           .orderBy("event_type")
       },
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

@@ -550,6 +550,71 @@ object Warehouse {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  // -- q157: referential-integrity audit (FK orphan counts) -----------------
+  //   The post-build check a warehouse runs after every load, as one
+  //   operator: per FK relation, child cardinality and orphan count via a
+  //   key-projected LEFT ANTI join — only the key column moves, each
+  //   relation is an independent co-partitioned join (they run as parallel
+  //   stages), and the result is a constant-size report however large the
+  //   tables. Mirrors the reference's pre/post_build_check surface
+  //   (lib/ayeaye/common_pattern/checks.py) with the checks pushed into
+  //   the engine instead of driver iteration.
+  val q157 = Query.sql(
+    "q157_fk_audit",
+    (s, dir) => {
+      def check(rel: String, c: DataFrame, ck: String,
+          p: DataFrame, pk: String): DataFrame = {
+        val orphans = c.select(col(ck))
+          .join(p.select(col(pk).as(ck)), Seq(ck), "left_anti")
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cu = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val pa = t(s, dir, "part"); val na = t(s, dir, "nation")
+      val re = t(s, dir, "region")
+      Seq(
+        check("customer->nation", cu, "c_nationkey", na, "n_nationkey"),
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("lineitem->part", li, "l_partkey", pa, "p_partkey"),
+        check("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        check("nation->region", na, "n_regionkey", re, "r_regionkey"),
+        check("orders->customer", o, "o_custkey", cu, "c_custkey"),
+        check("supplier->nation", su, "s_nationkey", na, "n_nationkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("relation")
+    },
+    """SELECT 'customer->nation' AS relation,
+      |  (SELECT COUNT(*) FROM customer) AS n_child,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+      |UNION ALL SELECT 'lineitem->orders',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |UNION ALL SELECT 'lineitem->part',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |UNION ALL SELECT 'lineitem->supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL SELECT 'nation->region',
+      |  (SELECT COUNT(*) FROM nation),
+      |  (SELECT COUNT(*) FROM nation
+      |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+      |UNION ALL SELECT 'orders->customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL SELECT 'supplier->nation',
+      |  (SELECT COUNT(*) FROM supplier),
+      |  (SELECT COUNT(*) FROM supplier
+      |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |ORDER BY relation""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154)
+    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157)
 }

@@ -287,4 +287,32 @@ class ScaleSpec extends SparkSpec {
     val perPlant = m.map(r => r.getLong(1)).distinct
     assert(perPlant.length == 4)
   }
+
+  test("soak: prefixSimJoin recovers planted near-dup pairs in 30k docs") {
+    import org.apache.spark.sql.functions._
+    // 30k docs with md5-derived 16-token sets over a 4096-token vocabulary
+    // (random pairs share ~0 tokens); every doc_id % 300 == 0 gets a twin
+    // at id+1000000 with one token replaced: J = 15/17 ≥ 4/5. The join
+    // must recover every planted pair — the no-false-negative guarantee
+    // at a scale where all-pairs (450M) would be unthinkable.
+    val base = spark.range(30000).select(col("id"),
+      expr("""transform(sequence(0, 15), j ->
+             |  concat('t', CAST(CAST(conv(substring(md5(concat(
+             |    CAST(id AS STRING), ':', CAST(j AS STRING))), 1, 4), 16, 10)
+             |    AS BIGINT) % 4096 AS STRING), '_', CAST(j AS STRING)))
+             |""".stripMargin).as("toks"))
+    val twins = base.filter(col("id") % 300 === 0)
+      .select((col("id") + 1000000).as("id"),
+        concat(slice(col("toks"), 1, 15), array(lit("twin_tok"))).as("toks"))
+    val d = base.unionAll(twins)
+      .select(col("id"), array_distinct(col("toks")).as("toks"))
+    val got = operators.Dedup.prefixSimJoin(d, "id", "toks", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 30000 by 300).map(i => (i.toLong, i + 1000000L)).toSet
+    assert(planted.subsetOf(got),
+      s"missing ${(planted -- got).size} of ${planted.size} planted pairs")
+    // random 16-token sets from 4096 tokens essentially never reach J=0.8:
+    // anything beyond the planted pairs would indicate a filter bug
+    assert((got -- planted).isEmpty, s"unexpected pairs: ${(got -- planted).take(5)}")
+  }
 }
