@@ -526,7 +526,36 @@ object Events {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // -- q159: windowed distinct users, exact + sketch-bound ------------------
+  //   Hourly unique-user counts: the exact per-window distinct (shuffle on
+  //   (window, user) with partial dedup map-side) PLUS the q29 contract
+  //   check that the HLL estimate lands within 5% per window — at 100 TB
+  //   the sketch (mergeable, constant state per window) replaces the exact
+  //   count; pinning its error bound per window keeps that swap honest.
+  val q159 = Query.sql(
+    "q159_window_distinct",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        // rsd 0.005: per-window cardinalities are small (tens at sf0.01),
+        // and HLL++ at this precision stays in exact sparse mode until
+        // ~thousands — the bound check is tight at every SF
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.005).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_users"), col("n_events"),
+          (abs(col("approx_users") - col("n_users")).cast("double")
+            <= col("n_users").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("hour"),
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+      |    AS hour,
+      |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145)
+      q126, q128, q129, q145, q159)
 }

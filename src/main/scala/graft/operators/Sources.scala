@@ -180,5 +180,42 @@ object Sources {
       |  MAX(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
-  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112)
+  // -- q158: schema-evolution read (mergeSchema across batches) -------------
+  //   The ingest reality a long-lived dataset hits: yesterday's files have
+  //   (key, name), today's add (key, acctbal). One `mergeSchema` read
+  //   unifies the parts — columns absent in a file surface as NULL, no
+  //   rewrite of old data. The aggregate pins the merged shape (row
+  //   conservation + per-column presence + an exact decimal sum through
+  //   the evolved column); the oracle recomputes the expectation from the
+  //   ORIGINAL table, so the write→evolve→read cycle must be lossless.
+  //   Scale note: mergeSchema unions footers only (one pass over file
+  //   metadata, not data); at 100 TB pin the unified schema explicitly
+  //   and keep per-file pruning.
+  val q158 = Query.sql(
+    "q158_schema_merge",
+    (s, dir) => {
+      val out = tmp(dir, "cust_evolved")
+      val c = Tables.load(s, dir, "customer")
+      c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select("c_custkey", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .agg(count(lit(1)).as("n"),
+          count(col("c_name")).as("with_name"),
+          count(col("c_acctbal")).as("with_bal"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("bal_sum"))
+    },
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS with_name,
+      |  CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS with_bal,
+      |  CAST(SUM(CASE WHEN c_custkey % 2 = 1
+      |    THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE) AS bal_sum
+      |FROM customer""".stripMargin)
+
+  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112, q158)
 }
