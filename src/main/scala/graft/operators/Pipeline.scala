@@ -764,7 +764,119 @@ object Pipeline {
       |WHERE nb.neg_id <> s.doc_id
       |ORDER BY s.doc_id, s.i""".stripMargin)
 
+  // -- q160: exact proportional quota allocation (largest remainder) --------
+  //   "Give each language its fair share of a 1000-doc eval budget":
+  //   Hamilton's largest-remainder method, all in integers — base quota
+  //   floor(k·n_l/N), leftovers to the largest remainders (k·n_l mod N,
+  //   lang tiebreak). Σ quota == k by construction, no float rounding
+  //   drift ever. The windows run over one row per GROUP; the only
+  //   data-sized work is the map-side-combined language count.
+  val q160 = Query.sql(
+    "q160_quota_allocation",
+    (s, dir) => {
+      val k = 1000
+      val counts = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("nn"))
+      val base = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($k * n) DIV nn"))
+        .withColumn("rem", expr(s"($k * n) % nn"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRank = Window.orderBy(desc("rem"), asc("lang"))
+      base
+        .withColumn("leftover", lit(k) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .select(col("lang"), col("n").as("n_docs"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+        .orderBy("lang")
+    },
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |tot AS (SELECT SUM(n) AS nn FROM counts),
+      |base AS (
+      |  SELECT lang, n, (1000 * n) // nn AS base, (1000 * n) % nn AS rem
+      |  FROM counts CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT lang, n, base, rem,
+      |    1000 - SUM(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM base)
+      |SELECT lang, n AS n_docs,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS quota
+      |FROM ranked ORDER BY lang""".stripMargin)
+
+  // -- q162: partition-level sync planning (anti-entropy diff) --------------
+  //   q120 answers "does the replica match?"; this answers "WHICH
+  //   partitions must re-sync?" — per month, row count + the same
+  //   order-independent XOR digest on both snapshots, then one tiny
+  //   full-outer join of the per-partition summaries. The replica here is
+  //   simulated with deterministic drift (drop every 997th order, flip
+  //   status on every 499th) so the plan is verifiable; in production the
+  //   two digest tables come from the two stores. Only 16-byte digests
+  //   compare — data never crosses sites (the Merkle-lite shape of
+  //   Cassandra repair).
+  val q162 = {
+    val digestFold = (cols: String) =>
+      s"""aggregate(sequence(1, 15), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + shiftleft(
+         |    CAST(instr('0123456789abcdef',
+         |      substring(substring(md5(concat_ws('|', $cols)), 1, 15), j, 1))
+         |      - 1 AS BIGINT),
+         |    (15 - j) * 4))""".stripMargin
+    val digestSqlCte = (src: String, cols: String) =>
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS mth,
+         |  COUNT(*) AS n, bit_xor(rd) AS dig FROM (
+         |  SELECT o_orderdate, CAST(SUM(
+         |    CAST(strpos('0123456789abcdef',
+         |      substring(substring(md5(concat_ws('|', $cols)), 1, 15), j, 1))
+         |      - 1 AS BIGINT) << ((15 - j) * 4)) AS BIGINT) AS rd
+         |  FROM $src, (SELECT unnest(generate_series(1, 15)) AS j) jj
+         |  GROUP BY o_orderkey, o_orderdate, o_orderstatus)
+         |GROUP BY 1""".stripMargin
+    Query.sql(
+      "q162_sync_plan",
+      (s, dir) => {
+        val cols = "CAST(o_orderkey AS STRING), o_orderstatus"
+        def summarize(d: DataFrame) = d
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("mth"),
+            expr(digestFold(cols)).as("rd"))
+          .groupBy("mth")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(rd)").as("dig"))
+        val a = Tables.load(s, dir, "orders")
+        val b = a.filter(pmod(col("o_orderkey"), lit(997)) =!= 0)
+          .withColumn("o_orderstatus",
+            when(pmod(col("o_orderkey"), lit(499)) === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        summarize(a).as("sa").join(summarize(b).as("sb"), Seq("mth"), "full_outer")
+          .select(col("mth"),
+            coalesce(col("sa.n"), lit(0L)).as("n_a"),
+            coalesce(col("sb.n"), lit(0L)).as("n_b"),
+            (col("sa.dig") <=> col("sb.dig")).as("checksum_match"),
+            when(col("sa.dig") <=> col("sb.dig"), lit("ok"))
+              .otherwise(lit("resync")).as("action"))
+          .orderBy("mth")
+      }, {
+        val colsSql = "CAST(o_orderkey AS VARCHAR), o_orderstatus"
+        s"""WITH b0 AS (
+           |  SELECT o_orderkey, o_orderdate,
+           |    CASE WHEN o_orderkey % 499 = 0 THEN 'X' ELSE o_orderstatus END
+           |      AS o_orderstatus
+           |  FROM orders WHERE o_orderkey % 997 <> 0),
+           |sa AS (${digestSqlCte("orders", colsSql)}),
+           |sb AS (${digestSqlCte("b0", colsSql)})
+           |SELECT COALESCE(sa.mth, sb.mth) AS mth,
+           |  CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_a,
+           |  CAST(COALESCE(sb.n, 0) AS BIGINT) AS n_b,
+           |  COALESCE(sa.dig = sb.dig, FALSE) AS checksum_match,
+           |  CASE WHEN COALESCE(sa.dig = sb.dig, FALSE)
+           |    THEN 'ok' ELSE 'resync' END AS action
+           |FROM sa FULL OUTER JOIN sb ON sa.mth = sb.mth
+           |ORDER BY mth""".stripMargin
+      })
+  }
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125, q134, q140, q148, q153)
+      q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162)
 }

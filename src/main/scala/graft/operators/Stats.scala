@@ -396,5 +396,54 @@ object Stats {
       |FROM cells JOIN rt USING (event_type) JOIN ct USING (hr)
       |CROSS JOIN nn""".stripMargin)
 
-  val all: Seq[Query] = Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155)
+  // -- q161: Benford first-digit audit (fabrication / corruption signal) ----
+  //   Leading-digit distribution of order totals vs Benford's law. The
+  //   digit is extracted ARITHMETICALLY, never from float formatting
+  //   (engine-dependent): cents = round(price·100) as BIGINT, first digit
+  //   = first char of the INTEGER's string — integer-to-string is
+  //   identical everywhere, and ×100 preserves the leading significant
+  //   digit. Expected shares log10(1+1/d) are Scala-computed constants
+  //   embedded as the same shortest-round-trip literals in BOTH texts, so
+  //   no runtime log anywhere. Map-side digit + one 9-row histogram.
+  val q161 = {
+    val expectedLit = (1 to 9)
+      .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    // string→double casts: a bare decimal literal would parse as DECIMAL
+    // in Spark SQL and round-trip through base-10, losing the exact bits
+    val sparkCase = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN CAST('${expectedLit(d)}' AS DOUBLE)")
+      .mkString("CASE ", " ", " END")
+    val duckCase = sparkCase
+    Query.sql(
+      "q161_benford_audit",
+      (s, dir) => {
+        val digits = Tables.load(s, dir, "orders")
+          .select(expr(
+            """CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+              |  AS STRING), 1, 1) AS BIGINT)""".stripMargin).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("nn"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("nn").cast("double")).as("share"),
+            expr(sparkCase).as("benford_share"))
+          .withColumn("abs_dev", abs(col("share") - col("benford_share")))
+          .orderBy("digit")
+      },
+      s"""WITH digits AS (
+         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM digits)
+         |SELECT digit, n,
+         |  CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+         |  $duckCase AS benford_share,
+         |  ABS(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) - ($duckCase))
+         |    AS abs_dev
+         |FROM digits CROSS JOIN tot ORDER BY digit""".stripMargin)
+  }
+
+  val all: Seq[Query] =
+    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161)
 }
