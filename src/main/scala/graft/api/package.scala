@@ -400,6 +400,9 @@ package object api {
       * distributions of rows matching `a` vs `b` (cf. q151): one row
       * (n1, n2, d_num, ks_stat). Integer-exact sweep over the pooled
       * distinct-value histogram; the only float op is the final division.
+      * `a` and `b` should be disjoint predicates (a row matching both
+      * counts in both samples); if either sample is empty, ks_stat is
+      * NaN (0/0) — treat as "no comparison possible".
       */
     def ksTest(valueCol: String, a: Column, b: Column): DataFrame = {
       val h = df.filter((a || b) && col(valueCol).isNotNull)

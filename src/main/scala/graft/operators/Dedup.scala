@@ -637,7 +637,12 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) for every unordered pair meeting the
     * threshold — IDENTICAL to the all-pairs join (no false negatives), the
     * candidate join touching only each row's |T| − ceil(τ|T|) + 1 rarest
-    * tokens. See the q147 scale notes. */
+    * tokens. See the q147 scale notes.
+    *
+    * Preconditions: token arrays must be DISTINCT-element (duplicates
+    * would skew the rarity order and can cause false negatives — apply
+    * `array_distinct` first); rows with null or empty arrays never pair
+    * (explode emits nothing for them) and are silently excluded. */
   def prefixSimJoin(d0: DataFrame, idCol: String, toksCol: String,
       num: Int, den: Int): DataFrame = {
     // Tokens are hashed to int64 map-side (q42's trick): every downstream

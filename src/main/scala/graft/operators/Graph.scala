@@ -266,7 +266,13 @@ object Graph {
     * on the node key; nothing driver-side but one long per round. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 50): DataFrame = {
+    // Self-loops would inflate their node's degree by 2 and never peel;
+    // null endpoints can't join. Both are dropped up front. Parallel
+    // (duplicate) edges are honored as multigraph degrees — dedup first
+    // if simple-graph semantics are wanted.
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
     var s = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var prev = s.count()

@@ -468,7 +468,10 @@ object Warehouse {
   /** Rows not dominated on (maximize xCol, maximize yCol): the exact
     * sort-sweep decomposition described at q149. Preserves the input
     * columns; exact-duplicate points all survive (none dominates its
-    * twin), matching the all-pairs NOT EXISTS spec. */
+    * twin), matching the all-pairs NOT EXISTS spec. Rows with a null x
+    * are excluded (the survivor join's null key never matches); a null y
+    * never survives its group (`max` ignores nulls, `===` rejects them) —
+    * i.e. null coordinates mean "not on the frontier". */
   def skyline2D(d: DataFrame, xCol: String, yCol: String): DataFrame = {
     val g = d.groupBy(xCol).agg(max(col(yCol)).as("__gmax"))
     val w = Window.orderBy(col(xCol).desc)
