@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -555,7 +556,93 @@ object Events {
       |  TRUE AS within_5pct
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)
 
+  // -- q163: time-series imputation by linear interpolation -----------------
+  //   q109 zero-fills gaps; this computes the interpolated value a
+  //   forecasting/feature pipeline wants: per event type, hourly value
+  //   sums on a dense epoch-hour spine, missing hours linearly
+  //   interpolated between the nearest present neighbors (IGNORE NULLS
+  //   window walks, no self-join), boundary gaps flagged 'edge' and left
+  //   null. Exactness: hourly actuals go through the DECIMAL accumulator;
+  //   the interpolation is prev + (next − prev)·(Δ/span) evaluated with
+  //   the same expression text both engines — integer hour deltas, one
+  //   double division. Scale: the spine is hours × types (tiny); the only
+  //   data-sized shuffle is the (type, hour) pre-aggregation, and the
+  //   windows partition per type over the spine, never over events.
+  val q163 = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    Query.sql(
+      "q163_interpolate",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val base = ev
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 3600000000").as("hr"))
+          .agg(sum(col("value").cast(D)).cast("double").as("v"))
+        val bounds = ev.agg(
+          expr("min(unix_micros(ts) DIV 3600000000)").as("h0"),
+          expr("max(unix_micros(ts) DIV 3600000000)").as("h1"))
+        val spine = bounds
+          .select(explode(expr("sequence(h0, h1)")).as("hr"))
+          .crossJoin(ev.select("event_type").distinct())
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        val wn = w.rowsBetween(1, Window.unboundedFollowing)
+        val markedHr = when(col("v").isNotNull, col("hr"))
+        spine.join(base, Seq("event_type", "hr"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("ph", last(markedHr, ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+          .withColumn("nh", first(markedHr, ignoreNulls = true).over(wn))
+          .select(col("event_type"), col("hr"),
+            when(col("v").isNotNull, col("v"))
+              .otherwise(expr(
+                """pv + (nv - pv) *
+                  |  (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))"""
+                  .stripMargin)).as("val"),
+            when(col("v").isNotNull, lit("actual"))
+              .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+              .otherwise(lit("edge")).as("kind"))
+          .orderBy("event_type", "hr")
+      },
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT MIN(epoch_us(ts) // 3600000000) AS h0,
+        |    MAX(epoch_us(ts) // 3600000000) AS h1 FROM events),
+        |spine AS (
+        |  SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT h0 FROM bounds), (SELECT h1 FROM bounds))) AS hr) g),
+        |j AS (
+        |  SELECT s.event_type, s.hr, b.v,
+        |    last_value(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.hr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pv,
+        |    last_value(CASE WHEN b.v IS NOT NULL THEN s.hr END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |    first_value(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.hr ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    first_value(CASE WHEN b.v IS NOT NULL THEN s.hr END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.hr
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM spine s LEFT JOIN base b
+        |    ON s.event_type = b.event_type AND s.hr = b.hr)
+        |SELECT event_type, hr,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END AS val,
+        |  CASE WHEN v IS NOT NULL THEN 'actual'
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |    ELSE 'edge' END AS kind
+        |FROM j ORDER BY event_type, hr""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159)
+      q126, q128, q129, q145, q159, q163)
 }

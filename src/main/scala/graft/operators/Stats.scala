@@ -444,6 +444,55 @@ object Stats {
          |FROM digits CROSS JOIN tot ORDER BY digit""".stripMargin)
   }
 
+  // -- q164: per-group z-score standardization + outlier extremes -----------
+  //   Feature scaling as the engine op: per return flag, mean/std from the
+  //   q27 decimal-exact raw moments (same expression text both engines),
+  //   broadcast back for the map-side z = (x − μ)/σ, and the top-5 |z|
+  //   rows per group surfaced through a rank window (per-group heaps at
+  //   scale, not a global sort). Standardizes l_quantity: its decimal sums
+  //   stay under 2^53 (Σq² ≤ rows·2500), so the DECIMAL→DOUBLE conversion
+  //   is exact on both engines — the same sums over l_extendedprice carry
+  //   ~20 significant digits and the engines' conversions differ in the
+  //   last ulp (measured), which would poison every downstream z.
+  val q164 = Query.sql(
+    "q164_standardize",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val st = l.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(D))
+            .cast("double").as("sxx"))
+        .select(col("l_returnflag"), expr("sx / n").as("mu"),
+          expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("sd"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+      l.join(broadcast(st), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          expr("(l_quantity - mu) / sd").as("z"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("l_returnflag", "rk")
+    },
+    """WITH st AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS sxx
+      |  FROM lineitem GROUP BY 1),
+      |z AS (
+      |  SELECT l.l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      |    (l_quantity - sx / n) /
+      |      sqrt((sxx - sx * sx / n) / (n - 1.0)) AS z
+      |  FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, z,
+      |  rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY ABS(z) DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM z)
+      |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161)
+    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164)
 }
