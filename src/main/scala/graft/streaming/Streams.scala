@@ -290,6 +290,25 @@ object Streams {
       .select(col("window.start").as("hour"), explode(col("sketch")))
       .toDF("hour", "item", "weight")
 
+  /** Per-window value-distribution monitor: p50/p90 via the KLL-style
+    * percentile_approx sketch AS the streaming aggregation (mergeable
+    * state, constant size per open window — the same swap q159 documents
+    * for distinct counts). Emits (hour, n, p50, p90); the spec pins the
+    * documented rank-error contract (|rank(p) − q·n| ≤ n/accuracy) per
+    * window against exact batch ranks, which holds under any micro-batch
+    * split because the sketch merge preserves the bound.
+    */
+  def windowQuantiles(events: DataFrame, accuracy: Int = 1000,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"percentile_approx(value, array(0.5, 0.9), $accuracy)")
+        .as("qs"), count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("n"),
+        col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p90"))
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

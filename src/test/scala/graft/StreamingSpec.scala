@@ -395,6 +395,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == ((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("streaming window quantiles honor the rank-error bound per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val accuracy = 1000
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wq").toString
+    val q = Streams.windowQuantiles(mem.toDS().toDF(), accuracy)
+      .writeStream.format("memory").queryName("wq_test")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wq_test").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val byWindow = Tables.load(spark, sf0001, "events")
+      .filter(col("value").isNotNull)
+      .select(window(col("ts"), "1 hour")("start").as("w"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((w, (n, p50, p90)) <- got) {
+      val vals = byWindow(w)
+      assert(n == vals.length)
+      for ((p, frac) <- Seq(p50 -> 0.5, p90 -> 0.9)) {
+        val rank = vals.count(_ <= p)
+        assert(math.abs(rank - frac * n) <= n.toDouble / accuracy + 1,
+          s"window $w: rank $rank vs ${frac * n} beyond n/accuracy")
+      }
+    }
+  }
+
   test("streaming trending top-k honors the Misra–Gries guarantees per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
