@@ -342,5 +342,56 @@ object Graph {
          |FROM s$rounds GROUP BY u ORDER BY node""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q119, q123, q150)
+  // -- q166: association rules from co-purchase pairs -----------------------
+  //   Market-basket rules over q123's frequent-pair machinery: per-order
+  //   DISTINCT part sets → pair supports (one order-key shuffle, map-side
+  //   index pairs) and single-item supports, then confidence
+  //   supp(a∪b)/supp(a) for both rule directions. Ranking ties break on
+  //   integer ids; confidence is one integer division to double (exact
+  //   both engines). Top-20 via TakeOrdered — no global sort.
+  val q166 = Query.sql(
+    "q166_assoc_rules",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val item = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("supp_p"))
+      val pairs = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.p1") < col("pr.p2"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("supp_pair")).filter(col("supp_pair") >= 3)
+      val rules = pairs
+        .select(col("p1").as("ante"), col("p2").as("cons"), col("supp_pair"))
+        .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+          col("supp_pair")))
+      rules.join(item.withColumnRenamed("p", "ante"), Seq("ante"))
+        .select(col("ante"), col("cons"), col("supp_pair"),
+          col("supp_p").as("supp_ante"),
+          (col("supp_pair").cast("double") / col("supp_p").cast("double"))
+            .as("confidence"))
+        .orderBy(desc("confidence"), desc("supp_pair"), asc("ante"), asc("cons"))
+        .limit(20)
+    },
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item AS (SELECT l_partkey AS p, COUNT(*) AS supp_p FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey p1, b.l_partkey p2, COUNT(*) AS supp_pair
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |rules AS (
+      |  SELECT p1 AS ante, p2 AS cons, supp_pair FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS ante, p1 AS cons, supp_pair FROM pairs)
+      |SELECT ante, cons, supp_pair, supp_p AS supp_ante,
+      |  CAST(supp_pair AS DOUBLE) / CAST(supp_p AS DOUBLE) AS confidence
+      |FROM rules JOIN item ON rules.ante = item.p
+      |ORDER BY confidence DESC, supp_pair DESC, ante, cons LIMIT 20""".stripMargin)
+
+  val all: Seq[Query] = Seq(q119, q123, q150, q166)
 }

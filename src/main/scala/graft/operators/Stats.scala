@@ -493,6 +493,40 @@ object Stats {
       |  FROM z)
       |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin)
 
+  // -- q165: equi-width histogram with integer-exact bucket edges -----------
+  //   The complement of q121's equi-depth bins: fixed-width buckets over
+  //   order totals, computed entirely in BIGINT cents — width
+  //   (range DIV k) + 1 guarantees bucket ∈ [0, k) with no float edge
+  //   ever (floor((x−min)/width) on doubles is exactly the boundary-drift
+  //   bug this avoids). One global min/max broadcast + a map-side bucket
+  //   id + a k-row count: the optimizer-statistics histogram shape.
+  val q165 = Query.sql(
+    "q165_equiwidth_hist",
+    (s, dir) => {
+      val k = 20
+      val c = Tables.load(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val bounds = c.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .select(col("mn"), expr(s"(mx - mn) DIV $k + 1").as("width"))
+      c.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(cents - mn) DIV width"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("mn") + col("bucket") * col("width")).as("lo_cents"),
+          min(col("mn") + (col("bucket") + 1) * col("width") - 1).as("hi_cents"))
+        .orderBy("bucket")
+    },
+    s"""WITH c AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |b AS (SELECT MIN(cents) AS mn, (MAX(cents) - MIN(cents)) // 20 + 1
+       |        AS width FROM c)
+       |SELECT (cents - mn) // width AS bucket,
+       |  COUNT(*) AS n,
+       |  MIN(mn + ((cents - mn) // width) * width) AS lo_cents,
+       |  MIN(mn + ((cents - mn) // width + 1) * width - 1) AS hi_cents
+       |FROM c CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164)
+    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165)
 }
