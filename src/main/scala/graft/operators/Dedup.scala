@@ -702,9 +702,14 @@ object Dedup {
     "q147_prefix_simjoin",
     (s, dir) =>
       prefixSimJoin(
+        // the bounded tokenized slice feeds the posting build + both
+        // verify sides: materialize it once (6 parquet scans → 1; this is
+        // the "persist the tokenized view" production step, safe here
+        // because the slice is constant-size)
         docs(s, dir).filter(col("doc_id") < 1000)
           .select(col("doc_id"),
-            array_distinct(split(col("text"), " ")).as("toks")),
+            array_distinct(split(col("text"), " ")).as("toks"))
+          .localCheckpoint(true),
         "doc_id", "toks", 4, 5)
         .orderBy("id_a", "id_b"),
     """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

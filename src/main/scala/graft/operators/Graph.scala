@@ -254,8 +254,19 @@ object Graph {
     * this IS the k-core. */
   def peelRounds(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     var s = sym.localCheckpoint(true)
-    for (_ <- 1 to rounds)
+    var prev = s.count()
+    var i = 0
+    var fixed = prev == 0
+    while (i < rounds && !fixed) {
       s = peelStep(s, k).localCheckpoint(true)
+      val n = s.count()
+      // a round that removes nothing makes every later round a no-op, so
+      // stopping early returns EXACTLY the R-round result (the count is
+      // free: the checkpoint materializes the round anyway)
+      fixed = n == prev
+      prev = n
+      i += 1
+    }
     s.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 

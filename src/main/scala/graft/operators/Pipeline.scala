@@ -775,7 +775,10 @@ object Pipeline {
     "q160_quota_allocation",
     (s, dir) => {
       val k = 1000
+      // one row per language, consumed by both the total and the base
+      // quotas: materialize so documents is scanned once
       val counts = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = counts.agg(sum(col("n")).as("nn"))
       val base = counts.crossJoin(broadcast(tot))
         .withColumn("base", expr(s"($k * n) DIV nn"))

@@ -359,9 +359,12 @@ object Stats {
   val q155 = Query.sql(
     "q155_chi_square",
     (s, dir) => {
+      // ≤ types × 24 rows feeding three marginal reductions and the term
+      // join: materialize once so events is scanned once, not four times
       val cells = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
       val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
       val colT = cells.groupBy("hr").agg(sum(col("o")).as("c"))
       val nRow = cells.agg(sum(col("o")).as("n"),
