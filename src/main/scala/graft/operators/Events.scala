@@ -642,7 +642,118 @@ object Events {
         |FROM j ORDER BY event_type, hr""".stripMargin)
   }
 
+  // -- q167: top user journeys (session path mining) ------------------------
+  //   "What are the most common first-five-step paths through the
+  //   product?" — gaps-and-islands sessionization (q61's 30-min rule),
+  //   then each session's ordered event-type prefix as a path string,
+  //   counted globally. Ordering inside a session comes from
+  //   sort_array over (ts, event_id, type) structs — collect_list alone
+  //   is partition-order-dependent, the sort makes it deterministic
+  //   (q123's pattern). Everything partitions on user_id until the final
+  //   tiny path rollup; top-20 via TakeOrdered.
+  val q167 = Query.sql(
+    "q167_user_journeys",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = ev
+        .withColumn("new_s",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(w))
+      sess.groupBy("user_id", "sid")
+        .agg(array_join(
+          slice(expr("""transform(
+            |  sort_array(collect_list(struct(ts_us, event_id, event_type))),
+            |  x -> x.event_type)""".stripMargin), 1, 5), "->").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path")).limit(20)
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY ts_us, event_id), 1, 5), '->') AS path
+      |  FROM s2 GROUP BY user_id, sid)
+      |SELECT path, COUNT(*) AS n FROM p
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin)
+
+  // -- q168: clamped running balance (token bucket / stock depletion) -------
+  //   Balance that accumulates signed deltas but floors at zero:
+  //   b_i = max(0, b_{i−1} + x_i). Naively a sequential scan, but the
+  //   floor-at-zero recurrence has the closed form
+  //   b_i = prefix_i − min(0, min_{j≤i} prefix_j), so TWO stacked windows
+  //   on the same (user, time) sort — one shuffle, no stateful loop —
+  //   compute it exactly. All arithmetic in BIGINT cents (deltas from
+  //   round(value·100)); purchases/errors debit, everything else credits.
+  val q168 = Query.sql(
+    "q168_clamped_balance",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          expr("""CASE WHEN event_type IN ('purchase', 'error')
+                 |  THEN -CAST(round(value * 100) AS BIGINT)
+                 |  ELSE CAST(round(value * 100) AS BIGINT) END"""
+            .stripMargin).as("delta"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bal = ev
+        .withColumn("prefix", sum(col("delta")).over(w))
+        .withColumn("runmin", min(col("prefix")).over(w))
+        .withColumn("bal", col("prefix") - least(lit(0L), col("runmin")))
+      bal.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          min(col("prefix")).as("min_prefix_cents"),
+          sum(when(col("bal") === 0L, 1L).otherwise(0L)).as("floor_hits"),
+          max(struct(col("ts_us"), col("event_id"), col("bal")))
+            .getField("bal").as("final_balance_cents"))
+        .orderBy("user_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN event_type IN ('purchase', 'error')
+      |      THEN -CAST(round(value * 100) AS BIGINT)
+      |      ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS prefix
+      |  FROM ev),
+      |b AS (
+      |  SELECT user_id, ts_us, event_id, prefix,
+      |    MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+      |  FROM p),
+      |c AS (
+      |  SELECT user_id, ts_us, event_id, prefix,
+      |    prefix - LEAST(0, runmin) AS bal
+      |  FROM b)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(prefix) AS min_prefix_cents,
+      |  CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS floor_hits,
+      |  (MAX({'ts_us': ts_us, 'event_id': event_id, 'bal': bal})).bal
+      |    AS final_balance_cents
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159, q163)
+      q126, q128, q129, q145, q159, q163, q167, q168)
 }
