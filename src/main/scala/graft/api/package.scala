@@ -450,6 +450,43 @@ package object api {
         .join(med, Seq(groupCol)).join(mad, Seq(groupCol))
     }
 
+    /** Floor-at-zero running balance per key (cf. q168): adds `out` =
+      * max(0, prev + delta) per row via the closed form
+      * prefix − min(0, running-min prefix) — two stacked windows on one
+      * (key, order) sort, no sequential scan. `orderCols` must totally
+      * order rows within a key. Works on any numeric `deltaCol`; use
+      * integer units (cents) for cross-engine exactness.
+      */
+    def clampedBalance(keyCol: String, deltaCol: String, out: String,
+        orderCols: Column*): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__prefix", sum(col(deltaCol)).over(w))
+        .withColumn("__runmin", min(col("__prefix")).over(w))
+        .withColumn(out,
+          col("__prefix") - least(lit(0L).cast(df.schema(deltaCol).dataType),
+            col("__runmin")))
+        .drop("__prefix", "__runmin")
+    }
+
+    /** Equi-width histogram of an integral column (cf. q165): k buckets
+      * with integer-exact edges — width = range DIV k + 1 guarantees
+      * bucket ∈ [0, k) with no float boundary drift. Returns
+      * (bucket, n, lo, hi).
+      */
+    def equiWidthHist(valueCol: String, k: Int): DataFrame = {
+      val c = df.select(col(valueCol).cast("long").as("__v"))
+      val bounds = c.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+        .select(col("__mn"), expr(s"(__mx - __mn) DIV $k + 1").as("__w"))
+      c.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(__v - __mn) DIV __w"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("__mn") + col("bucket") * col("__w")).as("lo"),
+          min(col("__mn") + (col("bucket") + 1) * col("__w") - 1).as("hi"))
+    }
+
     /** Distributed Lloyd's k-means over an `array<float>` column (cf.
       * q135, which pins one step to the DuckDB oracle). Returns the input
       * plus a `cluster` column from the final assignment.

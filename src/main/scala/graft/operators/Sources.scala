@@ -217,5 +217,46 @@ object Sources {
       |    THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE) AS bal_sum
       |FROM customer""".stripMargin)
 
-  val all: Seq[Query] = Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112, q158)
+  // -- q169: malformed-record quarantine (dead-letter isolation) ------------
+  //   The ingest-hardening op: an NDJSON feed with deterministically
+  //   corrupted lines (every 13th record truncated — always invalid,
+  //   since an object losing its closing brace can't parse) is read with
+  //   from_json; parse failures surface as null structs and are counted
+  //   into the quarantine while valid rows flow on, with an id checksum
+  //   proving no valid record was lost or duplicated. The oracle
+  //   recomputes the expectation from the ORIGINAL table — the write→
+  //   corrupt→read→triage cycle must account for every line. Map-side
+  //   end to end (one text scan, no shuffle before the 1-row aggregate).
+  val q169 = Query.sql(
+    "q169_quarantine",
+    (s, dir) => {
+      val out = tmp(dir, "docs_ndjson_corrupt")
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 4000)
+      d.select(
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            expr("substring(to_json(struct(doc_id, lang, n_chars)), 1, " +
+              "length(to_json(struct(doc_id, lang, n_chars))) - 5)"))
+            .otherwise(expr("to_json(struct(doc_id, lang, n_chars))"))
+            .as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, lang STRING, n_chars BIGINT")).as("r"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("r.doc_id").isNotNull, 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("r.doc_id").isNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(coalesce(col("r.doc_id"), lit(0L))).as("sum_valid_ids"))
+    },
+    """SELECT COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_valid,
+      |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quarantined,
+      |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN doc_id ELSE 0 END)
+      |    AS BIGINT) AS sum_valid_ids
+      |FROM documents WHERE doc_id < 4000""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112, q158, q169)
 }

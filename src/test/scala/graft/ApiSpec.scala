@@ -234,4 +234,37 @@ class ApiSpec extends SparkSpec {
     val viaQuery = graft.operators.Dedup.q88.run(spark, sf0001)
     assert(viaExt.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaExt).isEmpty)
   }
+
+  test("clampedBalance equals the sequential max(0, prev + delta) scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 0 until 5; i <- 0 until 40)
+      yield (s"k$k", i.toLong, (rnd.nextInt(21) - 10).toLong)
+    val got = rows.toDF("k", "i", "d").repartition(7)
+      .clampedBalance("k", "d", "bal", col("i"))
+      .select("k", "i", "bal")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((k, seq) <- rows.groupBy(_._1)) {
+      var b = 0L
+      for ((_, i, d) <- seq.sortBy(_._2)) {
+        b = math.max(0L, b + d)
+        assert(got((k, i)) == b, s"$k@$i: ${got((k, i))} != $b")
+      }
+    }
+  }
+
+  test("equiWidthHist: buckets cover the range, counts conserve, edges integer") {
+    import spark.implicits._
+    val vals = Seq(3L, 7L, 7L, 15L, 22L, 22L, 22L, 40L, 41L, 99L)
+    val h = vals.toDF("v").equiWidthHist("v", 4)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getLong(1)).sum == vals.length)
+    h.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(b >= 0 && b < 4 && lo <= hi)
+      // every value in this bucket falls inside [lo, hi]
+      assert(vals.filter(v => (v - 3) / ((99 - 3) / 4 + 1) == b)
+        .forall(v => v >= lo && v <= hi))
+    }
+  }
 }
