@@ -238,6 +238,45 @@ object Graph {
       |    AS closure_rate
       |FROM tri""".stripMargin)
 
+  /** Personalized PageRank: teleport mass returns to the SEED set only, so
+    * ranks measure proximity to the seeds ("related items") instead of
+    * global centrality. Same Pregel-as-joins iteration and floor-scaled
+    * deterministic sums as [[pageRank]]; r₀ is the restart distribution
+    * (1/|S| on seeds, 0 elsewhere), each step adds teleport/|S| on seeds.
+    * Unreached nodes stay at rank 0 (kept by the LEFT join).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], iters: Int = 3, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val undD = und.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val nS = seeds.size
+    def teleCol = when(col("node").isin(seeds: _*),
+      lit(teleport) / lit(nS.toDouble)).otherwise(lit(0.0))
+    var r: DataFrame = deg.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(1.0) / lit(nS.toDouble))
+        .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = undD.join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(FLOOR(rank / deg * 1e15) AS BIGINT)")).as("sm"))
+      r = deg.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (teleCol + lit(damping) *
+            (coalesce(col("sm"), lit(0L)).cast("double") / lit(1e15)))
+            .as("rank"))
+    }
+    r.join(deg.select(col("node").as("dn"), col("deg")),
+        col("node") === col("dn"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
+
   /** One k-core peel round: keep only edges whose BOTH endpoints currently
     * have degree ≥ k. `s` is a symmetrized (u, v) edge frame. */
   private def peelStep(s: DataFrame, k: Int): DataFrame = {
@@ -404,5 +443,61 @@ object Graph {
       |FROM rules JOIN item ON rules.ante = item.p
       |ORDER BY confidence DESC, supp_pair DESC, ante, cons LIMIT 20""".stripMargin)
 
-  val all: Seq[Query] = Seq(q119, q123, q150, q166)
+  // -- q170: personalized PageRank from a supplier seed set -----------------
+  //   "Parts and suppliers most related to suppliers 1–5" — q119's graph
+  //   with the teleport mass pinned to the seeds. The oracle unrolls the
+  //   identical floor-scaled recurrence; contribution sums stay < 1e15
+  //   (total rank mass ≤ 1), so every HUGEINT→DOUBLE conversion is exact.
+  val q170 = {
+    val seeds = (1 to 5).map(i => s"s$i")
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val teleSql = s"""CASE WHEN d.node IN ($seedList)
+                     |    THEN CAST(0.15 AS DOUBLE) / CAST(5 AS DOUBLE)
+                     |    ELSE CAST(0 AS DOUBLE) END""".stripMargin
+    val rounds = (1 to 3).map(i =>
+      s"""c$i AS (
+         |  SELECT u.dst AS node,
+         |    SUM(CAST(FLOOR(r.rank / r.deg * 1e15) AS BIGINT)) AS sm
+         |  FROM und u JOIN r${i - 1} r ON u.src = r.node GROUP BY u.dst),
+         |r$i AS (
+         |  SELECT d.node, d.deg,
+         |    $teleSql
+         |      + CAST(0.85 AS DOUBLE) *
+         |        (CAST(COALESCE(c$i.sm, 0) AS DOUBLE) / 1e15) AS rank
+         |  FROM deg d LEFT JOIN c$i ON d.node = c$i.node)""".stripMargin)
+      .mkString(",\n")
+    Query.sql(
+      "q170_personalized_pagerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val und = e.select(concat(lit("s"), col("sk").cast("string")).as("src"),
+            concat(lit("p"), col("pk").cast("string")).as("dst"))
+          .union(e.select(concat(lit("p"), col("pk").cast("string")).as("src"),
+            concat(lit("s"), col("sk").cast("string")).as("dst")))
+        personalizedPageRank(und, "src", "dst", seeds, iters = 3,
+            damping = 0.85, teleport = 0.15)
+          .orderBy(desc("rank"), asc("node")).limit(20)
+      },
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |und AS (
+         |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+         |         'p' || CAST(pk AS VARCHAR) AS dst FROM e
+         |  UNION ALL
+         |  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR) FROM e),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+         |r0 AS (
+         |  SELECT d.node, d.deg,
+         |    CASE WHEN d.node IN ($seedList)
+         |      THEN CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS rank
+         |  FROM deg d),
+         |$rounds
+         |SELECT node, deg, rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170)
 }

@@ -661,7 +661,61 @@ object TextAnalysis {
       |WHERE cnt * 200 > total
       |ORDER BY cnt DESC, word""".stripMargin)
 
+  // -- q171: token-overlap F1 scoring (eval-harness primitive) --------------
+  //   The SQuAD-style set-F1 between candidate and reference texts, run
+  //   table-scale: each doc scored against the next doc of its language
+  //   (a deterministic pairing that needs no second table). With distinct
+  //   token sets, F1 = 2·PR/(P+R) collapses to 2·|∩| / (|cand| + |ref|) —
+  //   one integer division to double per pair. Per-language mean F1 goes
+  //   through the DECIMAL accumulator (a raw double sum would be
+  //   partition-order-dependent). One shuffle on lang for the lead
+  //   window, one for the rollup.
+  val q171 = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    Query.sql(
+      "q171_token_f1",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        val pairs = d
+          .withColumn("ref_toks", lead(col("toks"), 1).over(w))
+          .filter(col("ref_toks").isNotNull)
+          .withColumn("inter",
+            size(array_intersect(col("toks"), col("ref_toks"))))
+          .withColumn("f1",
+            lit(2.0) * col("inter").cast("double") /
+              (size(col("toks")) + size(col("ref_toks"))).cast("double"))
+        pairs.groupBy("lang")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(col("f1").cast(D)).cast("double") /
+              count(lit(1)).cast("double")).as("mean_f1"),
+            max(col("f1")).as("max_f1"))
+          .orderBy("lang")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, toks,
+        |    lead(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS ref_toks
+        |  FROM d),
+        |f AS (
+        |  SELECT lang,
+        |    CAST(2 AS DOUBLE)
+        |      * CAST(len(list_intersect(toks, ref_toks)) AS DOUBLE)
+        |      / CAST(len(toks) + len(ref_toks) AS DOUBLE) AS f1
+        |  FROM p WHERE ref_toks IS NOT NULL)
+        |SELECT lang, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_f1,
+        |  MAX(f1) AS max_f1
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118, q144)
+      q87, q98, q106, q116, q118, q144, q171)
 }
