@@ -715,7 +715,63 @@ object TextAnalysis {
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  // -- q172: collocation detection by lift (log-free PMI ranking) -----------
+  //   "Which word pairs co-occur far more than chance?" — bigram lift
+  //   n·c(xy) / (c(x)·c(y)), which orders pairs EXACTLY like PMI
+  //   (log is monotone) without a single runtime log, so the ranking is
+  //   oracle-exact. One explode pass feeds both the bigram and unigram
+  //   counts; the unigram join is a broadcast against the bigram table's
+  //   modest survivor set (support ≥ 5 prunes first). All integers until
+  //   one exact division.
+  val q172 = Query.sql(
+    "q172_collocations",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum(col("cw")).as("n"))
+      val bi = toks
+        .select(explode(expr(
+          """transform(sequence(1, greatest(size(ts) - 1, 1)),
+            |  i -> struct(element_at(ts, i) AS w1,
+            |    element_at(ts, least(i + 1, size(ts))) AS w2))""".stripMargin))
+          .as("b"))
+        .filter(col("b.w1") =!= col("b.w2"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5)
+      bi.join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cxy"),
+          ((col("n") * col("cxy")).cast("double") /
+            (col("cx") * col("cy")).cast("double")).as("lift"))
+        .orderBy(desc("lift"), desc("cxy"), asc("w1"), asc("w2"))
+        .limit(20)
+    },
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw FROM (
+      |    SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+      |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+      |bi AS (
+      |  SELECT b.w1, b.w2, COUNT(*) AS cxy FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(ts) - 1, 1)),
+      |      i -> {'w1': ts[i], 'w2': ts[least(i + 1, len(ts))]})) AS b
+      |    FROM toks) t
+      |  WHERE b.w1 <> b.w2
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, cxy,
+      |  CAST(n * cxy AS DOUBLE) / CAST(cx * cy AS DOUBLE) AS lift
+      |FROM bi
+      |JOIN (SELECT w AS w1, cw AS cx FROM uni) u1 USING (w1)
+      |JOIN (SELECT w AS w2, cw AS cy FROM uni) u2 USING (w2)
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, cxy DESC, w1, w2 LIMIT 20""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118, q144, q171)
+      q87, q98, q106, q116, q118, q144, q171, q172)
 }

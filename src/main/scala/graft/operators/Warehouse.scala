@@ -618,6 +618,43 @@ object Warehouse {
       |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
       |ORDER BY relation""".stripMargin)
 
+  // -- q173: primary-key uniqueness audit (q157's sibling) ------------------
+  //   Per table: cardinality, distinct key count, duplicate surplus, null
+  //   keys — the uniqueness half of constraint checking (q157 covers the
+  //   referential half). Each table is one map-side-combined aggregate;
+  //   the report is constant-size.
+  val q173 = Query.sql(
+    "q173_pk_audit",
+    (s, dir) => {
+      def audit(tbl: String, pk: String): DataFrame =
+        t(s, dir, tbl).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(pk)).as("n_distinct"),
+          (count(col(pk)) - countDistinct(col(pk))).as("n_dup_surplus"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+          .select(lit(s"$tbl.$pk").as("pk"), col("n_rows"),
+            col("n_distinct"), col("n_dup_surplus"), col("n_null_keys"))
+      Seq(
+        audit("customer", "c_custkey"), audit("nation", "n_nationkey"),
+        audit("orders", "o_orderkey"), audit("part", "p_partkey"),
+        audit("region", "r_regionkey"), audit("supplier", "s_suppkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("pk")
+    },
+    Seq(("customer", "c_custkey"), ("nation", "n_nationkey"),
+      ("orders", "o_orderkey"), ("part", "p_partkey"),
+      ("region", "r_regionkey"), ("supplier", "s_suppkey"))
+      .map { case (tbl, pk) =>
+        s"""SELECT '$tbl.$pk' AS pk, COUNT(*) AS n_rows,
+           |  COUNT(DISTINCT $pk) AS n_distinct,
+           |  CAST(COUNT($pk) - COUNT(DISTINCT $pk) AS BIGINT)
+           |    AS n_dup_surplus,
+           |  CAST(SUM(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_keys
+           |FROM $tbl""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pk"))
+
   val all: Seq[Query] =
-    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157)
+    Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
+      q173)
 }

@@ -270,6 +270,16 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: every micro-batch LEFT-joins the (small)
+    * static dimension, broadcast so no stream-side shuffle or state is
+    * created; the dimension is re-resolved per batch, so a reloaded dim
+    * table is picked up without restarting the query. The streaming twin
+    * of the q23/q05 lookup-join family.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Trending heavy hitters per tumbling hour — the streaming twin of
     * q144's unbounded-vocabulary regime. The Misra–Gries typed aggregator
     * IS the streaming aggregation, so per-window state is its ≤ k−1

@@ -395,6 +395,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == ((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("stream-static enrichment equals the batch lookup join") {
+    import spark.implicits._
+    val dir = copyEventsTo("graft-ev-enrich")
+    val dim = Seq(("purchase", "rev"), ("click", "engage"), ("error", "ops"))
+      .toDF("event_type", "team")
+    val enriched = Streams.enrichStream(
+      Streams.eventFileStream(spark, dir), dim, "event_type")
+      .groupBy("team").count()
+    Streams.runAvailableNow(enriched, "enrich_test", outputMode = "complete")
+    val streamed = spark.table("enrich_test")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(dir).join(dim, Seq("event_type"), "left")
+      .groupBy("team").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // unmatched types survive the LEFT join under the null team
+    assert(streamed.contains(None))
+  }
+
   test("streaming window quantiles honor the rank-error bound per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
