@@ -288,6 +288,52 @@ class ScaleSpec extends SparkSpec {
     assert(perPlant.length == 4)
   }
 
+  test("soak: globalRowNumber over 1M rows is a contiguous exact ranking") {
+    import org.apache.spark.sql.functions._
+    import graft.api._
+    import spark.implicits._
+    val n = 1000000L
+    val df = spark.range(n).select(col("id"),
+      // md5-derived sort key: value order is unrelated to id order
+      md5(concat(lit("rn:"), col("id").cast("string"))).as("k"))
+    val rn = df.globalRowNumber("rn", col("k"), col("id"))
+    val stats = rn.agg(count(lit(1)), min(col("rn")), max(col("rn")),
+      sum(col("rn"))).as[(Long, Long, Long, Long)].collect().head
+    // contiguity: exactly 1..n with no gaps or duplicates
+    assert(stats == ((n, 1L, n, n * (n + 1) / 2)))
+    // order correctness on a sample: rank increases with the sort key
+    val sample = rn.filter(pmod(col("id"), lit(9973)) === 0)
+      .select("k", "rn").as[(String, Long)].collect().sortBy(_._1)
+    assert(sample.map(_._2).sameElements(sample.map(_._2).sorted))
+  }
+
+  test("soak: skyline2D over 1M points — mutual non-domination + coverage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = spark.range(1000000).select(col("id"),
+      expr("CAST(conv(substring(md5(concat('x:', CAST(id AS STRING))), 1, 6), 16, 10) AS BIGINT)").as("x"),
+      expr("CAST(conv(substring(md5(concat('y:', CAST(id AS STRING))), 1, 6), 16, 10) AS BIGINT)").as("y"))
+    val frontier = operators.Warehouse.skyline2D(pts, "x", "y")
+      .as[(Long, Long, Long)].collect()
+    assert(frontier.nonEmpty && frontier.length < 1000,
+      s"random-point frontier should be small, got ${frontier.length}")
+    // no survivor dominates another survivor
+    for ((_, ax, ay) <- frontier; (_, bx, by) <- frontier)
+      assert(!(ax >= bx && ay >= by && (ax > bx || ay > by)),
+        s"frontier point ($bx,$by) dominated by ($ax,$ay)")
+    // every non-survivor is dominated by some frontier point (ship the
+    // small frontier back as a literal over the full set)
+    val fLit = typedLit(frontier.map { case (_, x, y) => (x, y) }.toSeq)
+    val bad = pts.withColumn("__f", fLit)
+      .join(operators.Warehouse.skyline2D(pts, "x", "y")
+        .select(col("id").as("fid")), col("id") === col("fid"), "left_anti")
+      .filter(!expr(
+        """exists(__f, p -> (p._1 >= x AND p._2 >= y)
+          |  AND (p._1 > x OR p._2 > y))""".stripMargin))
+      .count()
+    assert(bad == 0, s"$bad non-frontier points not dominated by any survivor")
+  }
+
   test("soak: prefixSimJoin recovers planted near-dup pairs in 30k docs") {
     import org.apache.spark.sql.functions._
     // 30k docs with md5-derived 16-token sets over a 4096-token vocabulary
