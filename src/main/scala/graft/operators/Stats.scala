@@ -530,6 +530,60 @@ object Stats {
        |  MIN(mn + ((cents - mn) // width + 1) * width - 1) AS hi_cents
        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  // -- q174: calibration curve (score deciles vs outcome rate) --------------
+  //   The classifier-eval table: exact equi-depth score deciles (q121's
+  //   distinct-value-histogram bins — no global row sort) against the
+  //   observed positive rate per decile. Outcome = "the event was a
+  //   purchase". Mean scores go through the DECIMAL accumulator weighted
+  //   by histogram counts; rates are one integer division. Shuffle
+  //   budget: one (value)-keyed histogram build + a 10-row rollup.
+  val q174 = Query.sql(
+    "q174_calibration",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val hist = ev.groupBy("value")
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum0", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("nn", sum(col("cnt")).over(nW))
+        .withColumn("decile", expr("(cum0 * 10) DIV nn"))
+        .groupBy("decile")
+        .agg(sum(col("cnt")).as("n"),
+          (sum(col("value").cast(D) * col("cnt")).cast("double") /
+            sum(col("cnt")).cast("double")).as("mean_score"),
+          sum(col("pos")).as("positives"),
+          (sum(col("pos")).cast("double") / sum(col("cnt")).cast("double"))
+            .as("positive_rate"))
+        .orderBy("decile")
+    },
+    """WITH ev AS (
+      |  SELECT value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |hist AS (
+      |  SELECT value, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM ev GROUP BY value),
+      |c AS (
+      |  SELECT value, cnt, pos,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0,
+      |    SUM(cnt) OVER () AS nn
+      |  FROM hist)
+      |SELECT CAST((cum0 * 10) // nn AS BIGINT) AS decile,
+      |  CAST(SUM(cnt) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * cnt) AS DOUBLE)
+      |    / CAST(SUM(cnt) AS DOUBLE) AS mean_score,
+      |  CAST(SUM(pos) AS BIGINT) AS positives,
+      |  CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS positive_rate
+      |FROM c GROUP BY 1 ORDER BY decile""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165)
+    Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
+      q174)
 }
