@@ -753,7 +753,65 @@ object Events {
       |    AS final_balance_cents
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // -- q175: peak concurrency (interval sweep) ------------------------------
+  //   "How many user sessions were open at once, at peak?" — the
+  //   capacity-planning sweep: sessions (q167's gaps-and-islands) become
+  //   [start, end] intervals, each contributing +1/−1 boundary events; a
+  //   running sum over the boundary timeline, with ends sorting BEFORE
+  //   coincident starts (back-to-back sessions don't overlap), peaks at
+  //   the answer. The boundary table is 2 rows per session — the sweep's
+  //   global window runs over sessions, not events; at larger scale the
+  //   same sweep shards by day with per-shard carry-in.
+  val q175 = Query.sql(
+    "q175_max_concurrency",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = ev
+        .withColumn("new_s",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val bounds = sess.select(col("t0").as("t"), lit(1L).as("d"))
+        .unionAll(sess.select(col("t1").as("t"), lit(-1L).as("d")))
+      val ws = Window.orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("open", sum(col("d")).over(ws))
+        .agg(max(col("open")).as("peak_concurrency"),
+          expr("count(1) DIV 2").as("n_sessions"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+      |  FROM s2 GROUP BY user_id, sid),
+      |b AS (
+      |  SELECT t0 AS t, 1 AS d FROM sess
+      |  UNION ALL SELECT t1 AS t, -1 AS d FROM sess),
+      |o AS (
+      |  SELECT CAST(SUM(d) OVER (ORDER BY t, d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open
+      |  FROM b)
+      |SELECT MAX(open) AS peak_concurrency,
+      |  CAST((SELECT COUNT(*) / 2 FROM b) AS BIGINT) AS n_sessions
+      |FROM o""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159, q163, q167, q168)
+      q126, q128, q129, q145, q159, q163, q167, q168, q175)
 }

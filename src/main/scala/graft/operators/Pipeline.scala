@@ -879,7 +879,40 @@ object Pipeline {
       })
   }
 
+  // -- q176: mixture concentration (Herfindahl index) -----------------------
+  //   "How concentrated is the corpus across (lang, source) cells?" — the
+  //   diversity metric mixture tuning watches: HHI = Σ shareᵢ², effective
+  //   cell count = 1/HHI. Rational throughout: HHI = Σcᵢ² / n² with both
+  //   sums in BIGINT (cells ≤ thousands, counts ≤ corpus size), two exact
+  //   divisions at the end. One map-side-combined cell count + a 1-row
+  //   reduce over cells.
+  val q176 = Query.sql(
+    "q176_mixture_hhi",
+    (s, dir) => {
+      val cells = docs(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      cells.agg(count(lit(1)).as("n_cells"),
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("n_cells"), col("n_docs"),
+          (col("ss").cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+          ((col("n_docs") * col("n_docs")).cast("double") /
+            col("ss").cast("double")).as("effective_cells"))
+    },
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_cells,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c * c) AS DOUBLE)
+      |    / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi,
+      |  CAST(SUM(c) * SUM(c) AS DOUBLE)
+      |    / CAST(SUM(c * c) AS DOUBLE) AS effective_cells
+      |FROM cells""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
-      q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162)
+      q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
+      q176)
 }
