@@ -583,7 +583,99 @@ object Stats {
       |  CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS positive_rate
       |FROM c GROUP BY 1 ORDER BY decile""".stripMargin)
 
+  // -- q177: exact ROC AUC (Mann–Whitney with tie correction) ---------------
+  //   q174's companion: AUC = P(score⁺ > score⁻) + ½P(tie), computed as
+  //   the Mann–Whitney statistic over the distinct-score histogram with
+  //   NO float until the final division: doubling clears the tie half —
+  //   2U = Σ_values pos_v · (2·(negatives below v) + neg_v) — so
+  //   AUC = 2U / (2·n⁺·n⁻) is one exact division of BIGINTs. No global
+  //   row sort: the cumulative runs over distinct scores.
+  val q177 = Query.sql(
+    "q177_auc",
+    (s, dir) => {
+      val hist = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy("value").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pos"),
+          sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("neg"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+        .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos") * (lit(2) * col("neg_below") + col("neg")))
+            .as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("u2").cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+    },
+    """WITH hist AS (
+      |  SELECT value,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neg
+      |  FROM events WHERE value IS NOT NULL GROUP BY value),
+      |c AS (
+      |  SELECT pos, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS neg_below
+      |  FROM hist)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+      |    / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE) AS auc
+      |FROM c""".stripMargin)
+
+  // -- q178: Gini coefficient of order totals (inequality audit) ------------
+  //   Concentration of spend across orders, exactly: with sorted x,
+  //   G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx). A value v with count c starting
+  //   after r predecessors contributes v·c·(2r + c − n) in closed form,
+  //   so the numerator reduces over the distinct-value histogram — no
+  //   global row sort. Values are WHOLE DOLLARS (Gini is scale-invariant)
+  //   so every BIGINT intermediate stays under 2^53 and the two final
+  //   double conversions are exact on both engines (the q164 bound).
+  val q178 = Query.sql(
+    "q178_gini",
+    (s, dir) => {
+      val hist = Tables.load(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("r", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("n", sum(col("c")).over(nW))
+        .agg(max(col("n")).as("n_orders"),
+          sum(col("v") * col("c")).as("sum_dollars"),
+          sum(col("v") * col("c") *
+            (lit(2) * col("r") + col("c") - col("n"))).as("gnum"))
+        .select(col("n_orders"), col("sum_dollars"),
+          (col("gnum").cast("double") /
+            (col("n_orders") * col("sum_dollars")).cast("double")).as("gini"))
+    },
+    """WITH hist AS (
+      |  SELECT CAST(round(o_totalprice) AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |c2 AS (
+      |  SELECT v, c,
+      |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS r,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS n
+      |  FROM hist)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(v * c) AS BIGINT) AS sum_dollars,
+      |  CAST(SUM(v * c * (2 * r + c - n)) AS DOUBLE)
+      |    / CAST(MAX(n) * SUM(v * c) AS DOUBLE) AS gini
+      |FROM c2""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174)
+      q174, q177, q178)
 }
