@@ -811,7 +811,51 @@ object Events {
       |  CAST((SELECT COUNT(*) / 2 FROM b) AS BIGINT) AS n_sessions
       |FROM o""".stripMargin)
 
+  // -- q181: time-weighted average value per user (TWAP) --------------------
+  //   The metrics/finance aggregate where a value "holds" until the next
+  //   observation: TWAP = Σ vᵢ·durᵢ / Σ durᵢ with durations from a lead
+  //   window (the last observation has no duration and drops out).
+  //   Integer-exact: value in cents × µs duration accumulates in
+  //   DECIMAL(38,0) — scale-0, so both engines' final double conversions
+  //   are correctly rounded at any magnitude — and the result is two
+  //   divisions in pinned order. One user-keyed shuffle.
+  val q181 = {
+    val D38 = DecimalType(38, 0)
+    Query.sql(
+      "q181_twap",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("dur_us", lead("ts_us", 1).over(w) - col("ts_us"))
+          .filter(col("dur_us").isNotNull)
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_holds"),
+            sum(col("dur_us")).as("total_us"),
+            sum((col("cents") * col("dur_us")).cast(D38)).as("wsum"))
+          .select(col("user_id"), col("n_holds"), col("total_us"),
+            (col("wsum").cast("double") / col("total_us").cast("double") /
+              lit(100.0)).as("twap"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur_us
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_holds,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+        |  CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+        |    / CAST(SUM(dur_us) AS DOUBLE) / CAST(100 AS DOUBLE) AS twap
+        |FROM ev WHERE dur_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159, q163, q167, q168, q175)
+      q126, q128, q129, q145, q159, q163, q167, q168, q175, q181)
 }

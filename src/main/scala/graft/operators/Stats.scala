@@ -675,7 +675,134 @@ object Stats {
       |    / CAST(MAX(n) * SUM(v * c) AS DOUBLE) AS gini
       |FROM c2""".stripMargin)
 
+  // -- q179: exact Spearman rank correlation --------------------------------
+  //   Monotone-association test between quantity and discount: Pearson on
+  //   AVERAGE ranks, with the fractional tie-rank cleared by doubling
+  //   (avg rank of a value with c ties after r predecessors is
+  //   r + (c+1)/2 → doubled: 2r + c + 1, an integer; ρ is scale-invariant
+  //   so doubling changes nothing). Ranks come from the two distinct-value
+  //   histograms (≤ ~60 rows) broadcast back; the moment sums are BIGINT,
+  //   widened to DECIMAL(38,0) for the 128-bit numerator/denominator
+  //   (q142's pattern — scale-0 → double is correctly rounded on both
+  //   engines at any magnitude), sqrt/division once at the end.
+  val q179 = {
+    val D38 = DecimalType(38, 0)
+    Query.sql(
+      "q179_spearman",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        def ranks(vcol: String) = {
+          val w = Window.orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          l.groupBy(vcol).agg(count(lit(1)).as("c"))
+            .withColumn("r", coalesce(sum(col("c")).over(w), lit(0L)))
+            .select(col(vcol), (lit(2) * col("r") + col("c") + 1).as("rk"))
+        }
+        val sums = l
+          .join(broadcast(ranks("l_quantity")
+            .withColumnRenamed("rk", "u")), Seq("l_quantity"))
+          .join(broadcast(ranks("l_discount")
+            .withColumnRenamed("rk", "v")), Seq("l_discount"))
+          .agg(count(lit(1)).cast(D38).as("n"),
+            sum(col("u")).cast(D38).as("su"),
+            sum(col("v")).cast(D38).as("sv"),
+            sum(col("u") * col("v")).cast(D38).as("suv"),
+            sum(col("u") * col("u")).cast(D38).as("suu"),
+            sum(col("v") * col("v")).cast(D38).as("svv"))
+        sums.select(col("n").cast("long").as("n"),
+          expr("""CAST(n * suv - su * sv AS DOUBLE)
+                 | / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                 |    * sqrt(CAST(n * svv - sv * sv AS DOUBLE)))"""
+            .stripMargin).as("spearman_rho"))
+      },
+      """WITH rq AS (
+        |  SELECT l_quantity,
+        |    2 * COALESCE(SUM(c) OVER (ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS u
+        |  FROM (SELECT l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1)),
+        |rd AS (
+        |  SELECT l_discount,
+        |    2 * COALESCE(SUM(c) OVER (ORDER BY l_discount
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS v
+        |  FROM (SELECT l_discount, COUNT(*) AS c FROM lineitem GROUP BY 1)),
+        |j AS (
+        |  SELECT CAST(u AS HUGEINT) AS u, CAST(v AS HUGEINT) AS v
+        |  FROM lineitem l JOIN rq USING (l_quantity) JOIN rd USING (l_discount)),
+        |sums AS (
+        |  SELECT COUNT(*) AS n, SUM(u) AS su, SUM(v) AS sv,
+        |    SUM(u * v) AS suv, SUM(u * u) AS suu, SUM(v * v) AS svv
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * suv - su * sv AS DOUBLE)
+        |    / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+        |       * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS spearman_rho
+        |FROM sums""".stripMargin)
+  }
+
+  // -- q180: Kendall τ-b (concordance with tie correction) ------------------
+  //   The pair-counting cousin of q179, reduced to the JOINT histogram of
+  //   (quantity, discount): ~550 cells, so concordant/discordant pair
+  //   counts are one tiny cell×cell self-join of integer products — the
+  //   n² row pairs never materialize. τ-b = (C − D) / √(n0−n1)·√(n0−n2)
+  //   with every count a 128-bit integer and one final sqrt/division.
+  val q180 = {
+    val D38 = DecimalType(38, 0)
+    Query.sql(
+      "q180_kendall_tau",
+      (s, dir) => {
+        val cells = Tables.load(s, dir, "lineitem")
+          .groupBy("l_quantity", "l_discount").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val cd = cells.as("a").join(cells.as("b"),
+            col("a.l_quantity") < col("b.l_quantity"))
+          .agg(
+            sum(when(col("a.l_discount") < col("b.l_discount"),
+              col("a.c") * col("b.c")).otherwise(0L)).cast(D38).as("cc"),
+            sum(when(col("a.l_discount") > col("b.l_discount"),
+              col("a.c") * col("b.c")).otherwise(0L)).cast(D38).as("dd"))
+        val tq = cells.groupBy("l_quantity").agg(sum(col("c")).as("t"))
+          .agg(sum(expr("t * (t - 1) DIV 2")).cast(D38).as("n1"))
+        val td = cells.groupBy("l_discount").agg(sum(col("c")).as("t"))
+          .agg(sum(expr("t * (t - 1) DIV 2")).cast(D38).as("n2"))
+        val nn = cells.agg(sum(col("c")).as("n"))
+          .select(col("n"), expr("n * (n - 1) DIV 2").cast(D38).as("n0"))
+        cd.crossJoin(broadcast(tq)).crossJoin(broadcast(td))
+          .crossJoin(broadcast(nn))
+          .select(col("n").cast("long").as("n"),
+            col("cc").cast("long").as("concordant"),
+            col("dd").cast("long").as("discordant"),
+            expr("""CAST(cc - dd AS DOUBLE) /
+                   | (sqrt(CAST(n0 - n1 AS DOUBLE))
+                   |  * sqrt(CAST(n0 - n2 AS DOUBLE)))""".stripMargin)
+              .as("kendall_tau_b"))
+      },
+      """WITH cells AS (
+        |  SELECT l_quantity q, l_discount d, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a.d < b.d THEN a.c * b.c ELSE 0 END)
+        |      AS HUGEINT) AS cc,
+        |    CAST(SUM(CASE WHEN a.d > b.d THEN a.c * b.c ELSE 0 END)
+        |      AS HUGEINT) AS dd
+        |  FROM cells a JOIN cells b ON a.q < b.q),
+        |t1 AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1 FROM (
+        |  SELECT SUM(c) AS t FROM cells GROUP BY q)),
+        |t2 AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2 FROM (
+        |  SELECT SUM(c) AS t FROM cells GROUP BY d)),
+        |nn AS (SELECT SUM(c) AS n,
+        |  CAST(SUM(c) * (SUM(c) - 1) // 2 AS HUGEINT) AS n0 FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
+        |  CAST(cc - dd AS DOUBLE) /
+        |    (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)))
+        |    AS kendall_tau_b
+        |FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178)
+      q174, q177, q178, q179, q180)
 }
