@@ -802,7 +802,66 @@ object Stats {
         |FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn""".stripMargin)
   }
 
+  // -- q182: rate estimates with Wilson confidence bounds -------------------
+  //   Per event type, the purchase-following rate ("did this user also
+  //   purchase that hour"-style conversions reduce to x successes of n)
+  //   with the Wilson score interval — the A/B-dashboard bound that stays
+  //   sane at small n where the normal approximation fails. Here the rate
+  //   is "events above the global median value" per type (deterministic
+  //   from data). Formula evaluated with identical expression text: one
+  //   rational p̂ = x/n, z = 1.96 as a string→double literal, sqrt is
+  //   IEEE-correctly-rounded on both engines.
+  val q182 = Query.sql(
+    "q182_wilson_bounds",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+      val med = ev.groupBy("value").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("value")))
+          .as("med"))
+      val wilson =
+        """CAST((p + z * z / (2 * n) - z * sqrt(
+          |  (p * (1 - p) + z * z / (4 * n)) / n))
+          |  / (1 + z * z / n) AS DOUBLE)""".stripMargin
+      ev.crossJoin(broadcast(med))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > col("med"), 1L).otherwise(0L)).as("x"))
+        .withColumn("z", expr("CAST('1.96' AS DOUBLE)"))
+        .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+        .select(col("event_type"), col("n"), col("x"), col("p").as("rate"),
+          expr(wilson).as("wilson_lower"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (SELECT event_type, value FROM events
+      |            WHERE value IS NOT NULL),
+      |h AS (SELECT value, COUNT(*) AS c FROM ev GROUP BY value),
+      |c2 AS (
+      |  SELECT value,
+      |    SUM(c) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER () AS n
+      |  FROM h),
+      |med AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END)
+      |          AS med FROM c2),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN value > med THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM ev CROSS JOIN med GROUP BY event_type),
+      |wz AS (
+      |  SELECT event_type, n, x, CAST('1.96' AS DOUBLE) AS z,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      |  FROM agg)
+      |SELECT event_type, n, x, p AS rate,
+      |  CAST((p + z * z / (2 * n) - z * sqrt(
+      |    (p * (1 - p) + z * z / (4 * n)) / n))
+      |    / (1 + z * z / n) AS DOUBLE) AS wilson_lower
+      |FROM wz ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180)
+      q174, q177, q178, q179, q180, q182)
 }

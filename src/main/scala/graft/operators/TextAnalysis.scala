@@ -771,7 +771,48 @@ object TextAnalysis {
       |CROSS JOIN tot
       |ORDER BY lift DESC, cxy DESC, w1, w2 LIMIT 20""".stripMargin)
 
+  // -- q183: skip-gram pair counts (word2vec data prep) ---------------------
+  //   (center, context) co-occurrence counts for window size 2 — the
+  //   table embedding training reads. Pairs are built map-side per doc
+  //   with an EXPLICIT validity flag per offset (the `least` index clamp
+  //   alone would alias edge pairs into the wrong offset and double-count
+  //   them); one pair-keyed shuffle with map-side combine does the rest.
+  //   Positive offsets only — symmetrizing doubles every count and
+  //   changes no ranking.
+  val q183 = {
+    def off(o: Int, spark: Boolean): String =
+      if (spark)
+        s"""transform(sequence(1, greatest(size(ts) - $o, 1)), i ->
+           |  struct(element_at(ts, i) AS w1,
+           |    element_at(ts, least(i + $o, size(ts))) AS w2,
+           |    i + $o <= size(ts) AS ok))""".stripMargin
+      else
+        s"""list_transform(generate_series(1, greatest(len(ts) - $o, 1)), i ->
+           |  {'w1': ts[i], 'w2': ts[least(i + $o, len(ts))],
+           |   'ok': i + $o <= len(ts)})""".stripMargin
+    Query.sql(
+      "q183_skipgrams",
+      (s, dir) =>
+        docs(s, dir)
+          .select(split(col("text"), " ").as("ts"))
+          .select(explode(expr(
+            s"filter(concat(${off(1, true)}, ${off(2, true)}), x -> x.ok)"))
+            .as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+          .limit(20),
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_filter(
+         |    flatten([${off(1, false)}, ${off(2, false)}]), x -> x.ok)) AS p
+         |  FROM toks)
+         |SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cnt
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118, q144, q171, q172)
+      q87, q98, q106, q116, q118, q144, q171, q172, q183)
 }
