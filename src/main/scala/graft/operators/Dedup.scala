@@ -726,7 +726,46 @@ object Dedup {
       |FROM p WHERE 5 * inter >= 4 * (sza + szb - inter)
       |ORDER BY id_a, id_b""".stripMargin)
 
+  // -- q184: n-gram novelty score (duplication-spectrum curation) -----------
+  //   Per document: the share of its distinct 3-gram shingles that occur
+  //   NOWHERE else in the corpus — high novelty ⇒ unique content worth
+  //   keeping, low ⇒ boilerplate/near-dup territory. One shingle explode
+  //   with map-side combine builds the document-frequency table (shuffle
+  //   carries int64 shingle hashes, never text); novelty is an integer
+  //   ratio per doc. The same machinery q68 uses for boilerplate, turned
+  //   around to score uniqueness.
+  val q184 = Query.sql(
+    "q184_novelty",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"transform($shinglesExpr, x -> xxhash64(x))"))
+            .as("sh"))
+      val dfreq = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_transform($shinglesSql,
+       |    x -> hash(x))) AS sh
+       |  FROM documents),
+       |dfreq AS (
+       |  SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM sh s JOIN dfreq USING (sh)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147)
+      q130, q147, q184)
 }

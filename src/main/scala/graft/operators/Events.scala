@@ -855,7 +855,41 @@ object Events {
         |GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  // -- q185: per-source freshness lag (pipeline-health report) --------------
+  //   "Which feeds have gone quiet?" — per event type: last event time,
+  //   lag behind the global high-water mark in integer µs, event count in
+  //   the trailing day before that mark, and a staleness flag. One
+  //   map-side-combined aggregate + a one-row global max broadcast; the
+  //   report is constant-size. All comparisons in integer µs.
+  val q185 = Query.sql(
+    "q185_freshness",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val hwm = ev.agg(max(col("ts_us")).as("hwm"))
+      ev.crossJoin(broadcast(hwm))
+        .groupBy("event_type")
+        .agg(max(col("ts_us")).as("last_us"),
+          max(col("hwm")).as("hwm"),
+          sum(when(col("ts_us") >= col("hwm") - lit(86400000000L), 1L)
+            .otherwise(0L)).as("events_last_day"))
+        .select(col("event_type"), col("last_us"),
+          (col("hwm") - col("last_us")).as("lag_us"),
+          col("events_last_day"),
+          ((col("hwm") - col("last_us")) > lit(3600000000L)).as("stale_1h"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+      |hwm AS (SELECT MAX(ts_us) AS hwm FROM ev)
+      |SELECT event_type, MAX(ts_us) AS last_us,
+      |  CAST(MAX(hwm) - MAX(ts_us) AS BIGINT) AS lag_us,
+      |  CAST(SUM(CASE WHEN ts_us >= hwm - 86400000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS events_last_day,
+      |  MAX(hwm) - MAX(ts_us) > 3600000000 AS stale_1h
+      |FROM ev CROSS JOIN hwm
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159, q163, q167, q168, q175, q181)
+      q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185)
 }
