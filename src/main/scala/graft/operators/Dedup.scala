@@ -765,7 +765,51 @@ object Dedup {
        |FROM sh s JOIN dfreq USING (sh)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
 
+  // -- q190: golden-record survivorship --------------------------------------
+  //   Canonical-record selection over normalization-equivalent duplicates:
+  //   documents whose case/whitespace-folded text matches form a cluster;
+  //   the survivor is the longest raw text (ties → lowest doc_id) — the
+  //   "most complete record wins" rule of MDM survivorship. The cluster
+  //   key is a 16-byte digest of the NORMALIZED text, so the single
+  //   shuffle carries digests + (n_chars, doc_id) votes, never documents;
+  //   the argmax is one max(struct) — no second pass, no window sort.
+  val q190 = Query.sql(
+    "q190_golden_record",
+    (s, dir) => {
+      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), md5(norm).as("ck"))
+        .groupBy("ck")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("cluster_id"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("neg_id")))
+            .as("best"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (col("cluster_size") > 1).as("is_dup"),
+          (-col("best.neg_id")).as("survivor_id"),
+          col("best.nc").as("survivor_chars"),
+          col("total_chars"))
+        .orderBy("cluster_id")
+    },
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ck,
+      |    row_number() OVER (
+      |      PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM documents),
+      |cl AS (
+      |  SELECT ck, COUNT(*) AS cluster_size, MIN(doc_id) AS cluster_id,
+      |    MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+      |    MAX(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM k GROUP BY ck)
+      |SELECT cluster_id, cluster_size, cluster_size > 1 AS is_dup,
+      |  survivor_id, survivor_chars, total_chars
+      |FROM cl ORDER BY cluster_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184)
+      q130, q147, q184, q190)
 }

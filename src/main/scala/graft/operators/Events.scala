@@ -889,7 +889,95 @@ object Events {
       |FROM ev CROSS JOIN hwm
       |GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  // -- q186: Markov transition matrix of event types ------------------------
+  //   P(next type | current type) from per-user ordered event streams —
+  //   the behavioral model behind next-action prediction and anomaly
+  //   scoring (q187). One user-keyed window (lag pattern of q145) feeds a
+  //   constant-size (|types|²) aggregate: the shuffle carries (user, ts,
+  //   type), the output is a handful of rows at any scale. Probability is
+  //   a single BIGINT÷BIGINT division — IEEE-exact on both engines.
+  val q186 = Query.sql(
+    "q186_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("cur_type")))
+        .select(col("cur_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("row_total").cast("double"))
+            .as("p"))
+        .orderBy("cur_type", "next_type")
+    },
+    """WITH t AS (
+      |  SELECT event_type AS cur_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT cur_type, next_type, COUNT(*) AS n FROM t
+      |  WHERE next_type IS NOT NULL GROUP BY cur_type, next_type)
+      |SELECT cur_type, next_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS p
+      |FROM c ORDER BY cur_type, next_type""".stripMargin)
+
+  // -- q187: rare-transition anomaly scoring per user ------------------------
+  //   Users whose behavior walks improbable edges of the q186 matrix:
+  //   count transitions whose corpus-wide probability is < 5%, flag users
+  //   where they exceed 10% of their own transitions. The transition
+  //   matrix is |types|² rows → broadcast back onto the per-user stream,
+  //   so the only data-sized shuffle is the same user-keyed window; the
+  //   rare test is integer cross-multiplication (20·n < total), no float
+  //   threshold ambiguity.
+  val q187 = Query.sql(
+    "q187_rare_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val trans = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("user_id"), col("event_type").as("cur_type"),
+          col("next_type"))
+      val matrix = trans.groupBy("cur_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("cur_type")))
+        .select(col("cur_type"), col("next_type"),
+          (col("n") * 20 < col("row_total")).as("rare"))
+      trans.join(broadcast(matrix), Seq("cur_type", "next_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("anomalous",
+          col("n_rare") * 10 > col("n_transitions"))
+        .orderBy("user_id")
+    },
+    """WITH t AS (
+      |  SELECT user_id, event_type AS cur_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |tr AS (SELECT * FROM t WHERE next_type IS NOT NULL),
+      |m AS (
+      |  SELECT cur_type, next_type,
+      |    COUNT(*) * 20 < SUM(COUNT(*)) OVER (PARTITION BY cur_type) AS rare
+      |  FROM tr GROUP BY cur_type, next_type)
+      |SELECT user_id, COUNT(*) AS n_transitions,
+      |  CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  SUM(CASE WHEN rare THEN 1 ELSE 0 END) * 10 > COUNT(*) AS anomalous
+      |FROM tr JOIN m USING (cur_type, next_type)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
-      q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185)
+      q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
+      q186, q187)
 }

@@ -812,7 +812,92 @@ object TextAnalysis {
          |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin)
   }
 
+  // -- q188: encoding / mojibake audit --------------------------------------
+  //   Per-document character-class census: ASCII, control, replacement
+  //   (U+FFFD — the fingerprint of a bad decode), digit and whitespace
+  //   counts, plus an ascii_ratio and a mojibake flag. Pure map-side
+  //   expression work (regexp_replace length deltas — codegen'd, no UDF);
+  //   the per-class patterns are explicit byte-range classes that mean the
+  //   same thing to Java regex and RE2. The first gate a 100 TB crawl
+  //   passes through before any tokenization.
+  val q188 = Query.sql(
+    "q188_encoding_audit",
+    (s, dir) => {
+      def stripped(pat: String) =
+        length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+      docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          stripped("[^\\x00-\\x7F]").cast("long").as("n_non_ascii"),
+          stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("long")
+            .as("n_control"),
+          stripped("�").cast("long").as("n_replacement"),
+          stripped("[0-9]").cast("long").as("n_digit"))
+        .withColumn("ascii_ratio",
+          (col("n_chars") - col("n_non_ascii")).cast("double") /
+            col("n_chars").cast("double"))
+        .withColumn("mojibake",
+          col("n_replacement") > 0 || col("n_control") > 0 ||
+            col("n_non_ascii") * 2 > col("n_chars"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, LENGTH(text) AS n_chars,
+      |  LENGTH(text) - LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+      |    AS n_non_ascii,
+      |  LENGTH(text) - LENGTH(regexp_replace(text,
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+      |  LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g'))
+      |    AS n_replacement,
+      |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+      |    AS n_digit,
+      |  CAST(LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE)
+      |    / CAST(LENGTH(text) AS DOUBLE) AS ascii_ratio,
+      |  LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g')) > 0
+      |    OR LENGTH(text) - LENGTH(regexp_replace(text,
+      |         '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) > 0
+      |    OR (LENGTH(text) - LENGTH(regexp_replace(text, '[^\x00-\x7F]', '',
+      |         'g'))) * 2 > LENGTH(text) AS mojibake
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -- q189: Simpson lexical diversity (log-free entropy proxy) -------------
+  //   Per document over its token distribution: repeat probability
+  //   Σc²/N² (Simpson index), diversity 1−Σc², and the effective
+  //   vocabulary size N²/Σc² (the Rényi-2 analogue of perplexity —
+  //   exp(H₂) without ever taking a log, so the numbers stay exact
+  //   BIGINT rationals until one IEEE division). The token explode is
+  //   the only shuffle and it is keyed on doc_id — embarrassingly
+  //   parallel at any corpus size.
+  val q189 = Query.sql(
+    "q189_lexical_diversity",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("sum_sq").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+            .as("simpson"),
+          ((col("n_tokens") * col("n_tokens")).cast("double") /
+            col("sum_sq").cast("double")).as("effective_vocab"))
+        .orderBy("doc_id")
+    },
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cc AS (SELECT doc_id, tok, COUNT(*) AS c FROM c GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE)
+      |    AS simpson,
+      |  CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS effective_vocab
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118, q144, q171, q172, q183)
+      q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189)
 }
