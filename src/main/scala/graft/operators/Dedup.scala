@@ -809,7 +809,52 @@ object Dedup {
       |  survivor_id, survivor_chars, total_chars
       |FROM cl ORDER BY cluster_id""".stripMargin)
 
+  // -- q192: directional containment near-dup -------------------------------
+  //   Asymmetric overlap |A∩B|/|A| — catches a short document swallowed
+  //   whole by a longer one, which symmetric Jaccard (q42) misses when the
+  //   sizes differ (inter/union is small even at full containment). Like
+  //   q42 this all-pairs form is the bounded SEMANTIC ORACLE (doc_id <
+  //   2000, the whole sf0.01 corpus); at scale candidates come from q43's
+  //   LSH buckets and this ratio replaces Jaccard in the final filter.
+  //   Top containment pairs ranked by an exact integer rational
+  //   (100·inter / |A|) before the one double division.
+  val q192 = Query.sql(
+    "q192_containment",
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"),
+          expr(s"transform($shinglesExpr, sh -> xxhash64(sh))").as("shingles"))
+      val inter = size(array_intersect(col("a.shingles"), col("b.shingles")))
+      d.as("a")
+        .join(d.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_src"), col("b.doc_id").as("id_dst"),
+          size(col("a.shingles")).cast("long").as("src_shingles"),
+          inter.cast("long").as("n_inter"))
+        .filter(col("n_inter") * 2 >= col("src_shingles"))
+        .select(col("id_src"), col("id_dst"), col("src_shingles"),
+          col("n_inter"),
+          (col("n_inter").cast("double") /
+            col("src_shingles").cast("double")).as("containment"))
+        .orderBy(desc("containment"), asc("id_src"), asc("id_dst"))
+        .limit(50)
+    },
+    s"""WITH d AS (SELECT doc_id, lang, $shinglesSql AS shingles
+       |           FROM documents WHERE doc_id < 2000),
+       |p AS (
+       |  SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+       |    len(a.shingles) AS src_shingles,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_inter
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+       |SELECT id_src, id_dst, CAST(src_shingles AS BIGINT) AS src_shingles,
+       |  CAST(n_inter AS BIGINT) AS n_inter,
+       |  CAST(n_inter AS DOUBLE) / CAST(src_shingles AS DOUBLE)
+       |    AS containment
+       |FROM p WHERE n_inter * 2 >= src_shingles
+       |ORDER BY containment DESC, id_src, id_dst LIMIT 50""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190)
+      q130, q147, q184, q190, q192)
 }

@@ -976,8 +976,121 @@ object Events {
       |FROM tr JOIN m USING (cur_type, next_type)
       |GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // -- q191: event-type co-engagement (bipartite projection Jaccard) --------
+  //   Project the user×event-type bipartite graph onto types: for every
+  //   type pair, the Jaccard overlap of their user sets — "users who do X
+  //   also do Y", the feature-affinity matrix behind cross-sell and
+  //   surface-bundling decisions. The (type,user) edge list is distinct'd
+  //   first (one map-side-combined shuffle); the self-join is then
+  //   co-partitioned on user_id and per-user quadratic in |types| (a
+  //   constant ≤5 here), so the projection never blows up however many
+  //   users exist. Output is C(|types|,2) rows at any scale.
+  val q191 = Query.sql(
+    "q191_type_coengagement",
+    (s, dir) => {
+      val du = ev(s, dir).select(col("event_type"), col("user_id")).distinct()
+      val sizes = du.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+      val inter = du.as("a")
+        .join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes).withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("n_users", "users_a"), "type_a")
+        .join(broadcast(sizes).withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("n_users", "users_b"), "type_b")
+        .select(col("type_a"), col("type_b"), col("users_a"),
+          col("users_b"), col("n_both"),
+          (col("n_both").cast("double") /
+            (col("users_a") + col("users_b") - col("n_both")).cast("double"))
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, COUNT(*) AS n_users FROM du
+      |       GROUP BY event_type),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM du a JOIN du b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n_users AS users_a, sb.n_users AS users_b,
+      |  n_both,
+      |  CAST(n_both AS DOUBLE) /
+      |    CAST(sa.n_users + sb.n_users - n_both AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.event_type = type_a
+      |JOIN sz sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin)
+
+  // -- q195: session entry/exit matrix --------------------------------------
+  //   Where do sessions start and end? The landing/exit-page report over
+  //   30-minute-gap sessions: per (entry_type, exit_type) pair, session
+  //   count and single-event "bounce" count. Sessionization is the q61
+  //   gaps-and-islands pattern written identically on both engines
+  //   (ts_us + event_id ordering makes run segmentation deterministic);
+  //   everything is two stacked windows over ONE user-keyed shuffle, and
+  //   the output matrix is |types|² rows at any scale.
+  val q195 = Query.sql(
+    "q195_session_entry_exit",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val marked = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_s",
+          when(lag(col("ts_us"), 1).over(wOrd).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(wOrd) >= 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      val wSess = Window.partitionBy("user_id", "sid")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      marked
+        .select(col("user_id"), col("sid"),
+          first(col("event_type")).over(wSess).as("entry_type"),
+          last(col("event_type")).over(wSess).as("exit_type"),
+          count(lit(1)).over(
+            Window.partitionBy("user_id", "sid")).as("sz"))
+        .distinct()
+        .groupBy("entry_type", "exit_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .orderBy("entry_type", "exit_type")
+    },
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |typed AS (
+      |  SELECT DISTINCT user_id, sid,
+      |    first_value(event_type) OVER ws AS entry_type,
+      |    last_value(event_type) OVER ws AS exit_type,
+      |    COUNT(*) OVER (PARTITION BY user_id, sid) AS sz
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+      |FROM typed GROUP BY entry_type, exit_type
+      |ORDER BY entry_type, exit_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187)
+      q186, q187, q191, q195)
 }

@@ -897,7 +897,117 @@ object TextAnalysis {
       |    CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS effective_vocab
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // -- q193: Flesch reading-ease scoring -------------------------------------
+  //   The classic readability formula from exact integer counts: words
+  //   (whitespace tokens), sentences (terminal-punctuation runs, min 1)
+  //   and syllables (vowel-group runs — the standard heuristic). All three
+  //   are map-side regexp counts (codegen'd, no UDF); the two divisions
+  //   are BIGINT÷BIGINT (IEEE-exact) and the final affine combination is
+  //   written with identical literals on both engines, so the doubles are
+  //   bit-identical. Grade bands via thresholds on that exact value.
+  val q193 = Query.sql(
+    "q193_readability",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+            .cast("long").as("n_sentences"),
+          expr("regexp_count(lower(text), '[aeiouy]+')").cast("long")
+            .as("n_syllables"))
+        .withColumn("flesch",
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")))
+        .withColumn("grade",
+          when(col("flesch") >= 70, "easy")
+            .when(col("flesch") >= 50, "standard")
+            .when(col("flesch") >= 30, "difficult")
+            .otherwise("very_difficult"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |    AS n_syllables,
+      |  206.835
+      |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+      |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |          AS DOUBLE))
+      |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |          AS DOUBLE) /
+      |        CAST(len(string_split(text, ' ')) AS DOUBLE)) AS flesch,
+      |  CASE
+      |    WHEN 206.835
+      |      - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+      |          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |            AS DOUBLE))
+      |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |            AS DOUBLE) /
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 70
+      |      THEN 'easy'
+      |    WHEN 206.835
+      |      - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+      |          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |            AS DOUBLE))
+      |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |            AS DOUBLE) /
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 50
+      |      THEN 'standard'
+      |    WHEN 206.835
+      |      - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+      |          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |            AS DOUBLE))
+      |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |            AS DOUBLE) /
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 30
+      |      THEN 'difficult'
+      |    ELSE 'very_difficult' END AS grade
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -- q194: tokenizer fertility by language ---------------------------------
+  //   Subword pieces per whitespace word (the "fertility" a tokenizer
+  //   team tracks per language — high fertility means the vocab under-
+  //   serves that language and its documents cost more context budget).
+  //   Uses the q75 GPT-2-style pre-tokenizer as the subword proxy. Both
+  //   counts are map-side; one constant-size per-language aggregate; the
+  //   ratio is an exact BIGINT division.
+  val q194 = Query.sql(
+    "q194_tokenizer_fertility",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          size(expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_pieces")).as("total_pieces"))
+        .withColumn("fertility",
+          col("total_pieces").cast("double") /
+            col("total_words").cast("double"))
+        .orderBy("lang")
+    },
+    """WITH d AS (
+      |  SELECT lang, len(string_split(text, ' ')) AS n_words,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      |      AS n_pieces
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+      |  CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+      |  CAST(CAST(SUM(n_pieces) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
-      q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189)
+      q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
+      q193, q194)
 }
