@@ -854,7 +854,40 @@ object Dedup {
        |FROM p WHERE n_inter * 2 >= src_shingles
        |ORDER BY containment DESC, id_src, id_dst LIMIT 50""".stripMargin)
 
+  // -- q197: cross-language contamination pairs ------------------------------
+  //   Document pairs in DIFFERENT languages sharing ≥3 word shingles —
+  //   the templated-boilerplate / copied-snippet signal that within-
+  //   language dedup (q42/q43) never looks at, and a real leakage channel
+  //   for multilingual eval sets. Bounded all-pairs oracle like q42
+  //   (doc_id < 2000); the scale path is the same LSH banding with the
+  //   lang-equality predicate dropped.
+  val q197 = Query.sql(
+    "q197_crosslang_contamination",
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"),
+          expr(s"transform($shinglesExpr, sh -> xxhash64(sh))").as("shingles"))
+      d.as("a")
+        .join(d.as("b"), col("a.lang") < col("b.lang"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          size(array_intersect(col("a.shingles"), col("b.shingles")))
+            .cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(desc("n_shared"), asc("id_a"), asc("id_b"))
+        .limit(50)
+    },
+    s"""WITH d AS (SELECT doc_id, lang, $shinglesSql AS shingles
+       |           FROM documents WHERE doc_id < 2000)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.lang AS lang_a, b.lang AS lang_b,
+       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+       |    AS n_shared
+       |FROM d a JOIN d b ON a.lang < b.lang
+       |WHERE len(list_intersect(a.shingles, b.shingles)) >= 3
+       |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192)
+      q130, q147, q184, q190, q192, q197)
 }

@@ -1089,8 +1089,97 @@ object Events {
       |FROM typed GROUP BY entry_type, exit_type
       |ORDER BY entry_type, exit_type""".stripMargin)
 
+  // -- q199: longest same-type streak (run-length encoding) ------------------
+  //   Per user: the longest run of consecutive identical event types, and
+  //   which type it was — the repetition/compulsion signal (rage-clicks,
+  //   retry storms) that per-type counts can't see because they ignore
+  //   adjacency. Classic RLE-by-window: run id = row_number difference
+  //   between the global and per-type orderings, constant per run. Both
+  //   windows share the ONE user-keyed shuffle; ties break on event_id so
+  //   run segmentation is deterministic on both engines.
+  val q199 = Query.sql(
+    "q199_longest_streak",
+    (s, dir) => {
+      val wAll = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wTyp = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("run",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy("user_id", "event_type", "run")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len").as("l"),
+            col("event_type").as("t"))).as("best"),
+          count(lit(1)).as("n_runs"))
+        .select(col("user_id"), col("best.l").as("streak_len"),
+          col("best.t").as("streak_type"), col("n_runs"))
+        .orderBy("user_id")
+    },
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) -
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS run
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, run, COUNT(*) AS len
+      |  FROM r GROUP BY user_id, event_type, run),
+      |best AS (
+      |  SELECT user_id, len, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, event_type DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_runs
+      |  FROM runs)
+      |SELECT user_id, len AS streak_len, event_type AS streak_type, n_runs
+      |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin)
+
+  // -- q200: transition dwell-time matrix ------------------------------------
+  //   The time dimension q186 drops: for every (current → next) event-type
+  //   transition, how long users dwell before making it — count, mean and
+  //   max gap in integer µs. Same single user-keyed window shuffle; gaps
+  //   are BIGINTs end-to-end (Σ < 2^53, so the one mean division is
+  //   IEEE-exact on both engines), and the output is |types|² rows at any
+  //   scale.
+  val q200 = Query.sql(
+    "q200_transition_dwell",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("dwell_us",
+          lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dwell_us")).as("total_dwell_us"),
+          max(col("dwell_us")).as("max_dwell_us"))
+        .select(col("cur_type"), col("next_type"), col("n"),
+          (col("total_dwell_us").cast("double") / col("n").cast("double"))
+            .as("avg_dwell_us"),
+          col("max_dwell_us"))
+        .orderBy("cur_type", "next_type")
+    },
+    """WITH t AS (
+      |  SELECT event_type AS cur_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT cur_type, next_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(dwell_us) AS BIGINT) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS avg_dwell_us,
+      |  MAX(dwell_us) AS max_dwell_us
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY cur_type, next_type ORDER BY cur_type, next_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187, q191, q195)
+      q186, q187, q191, q195, q199, q200)
 }

@@ -911,8 +911,135 @@ object Pipeline {
       |    / CAST(SUM(c * c) AS DOUBLE) AS effective_cells
       |FROM cells""".stripMargin)
 
+  // -- q196: water-filling token-budget allocation ---------------------------
+  //   Cap-aware fair division: spend a corpus budget (here half the total
+  //   chars) across sources so no source exceeds what it has, and what's
+  //   left splits evenly among the bigger ones — the classic water-filling
+  //   level, computed CLOSED-FORM with one ascending window pass instead
+  //   of iterating: a source is fully taken iff its size × (sources
+  //   remaining at-or-after it) fits in the budget left before it (integer
+  //   cross-multiplication, no float level). The floor division's
+  //   remainder goes to the first uncapped sources in sort order, so the
+  //   allocations sum to the budget EXACTLY. Windows over the per-source
+  //   aggregate (constant-size), never over documents.
+  val q196 = Query.sql(
+    "q196_waterfill_budget",
+    (s, dir) => {
+      val bySrc = docs(s, dir).groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"))
+      val wAll = Window.partitionBy(lit(1))
+      val wAsc = Window.partitionBy(lit(1)).orderBy("avail", "source")
+      val ranked = bySrc
+        // total >> 1 ≡ total div 2 on non-negative longs — Spark's `/` on
+        // integers is TRUE division through double (breaks past 2^53)
+        .withColumn("budget", shiftright(sum(col("avail")).over(wAll), 1))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .withColumn("k", row_number().over(wAsc))
+        .withColumn("pfx_before",
+          coalesce(sum(col("avail"))
+            .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capped",
+          col("avail") * (col("n_src") - col("k") + 1) <=
+            col("budget") - col("pfx_before"))
+      val leveled = ranked
+        .withColumn("s_capped",
+          sum(when(col("capped"), col("avail")).otherwise(0L)).over(wAll))
+        .withColumn("n_level",
+          sum(when(col("capped"), 0L).otherwise(1L)).over(wAll))
+        .withColumn("level_rank",
+          col("k") - sum(when(col("capped"), 1L).otherwise(0L))
+            .over(wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rem", col("budget") - col("s_capped"))
+        .withColumn("allocation",
+          when(col("capped"), col("avail"))
+            .otherwise(expr("rem div n_level") +
+              when(col("level_rank") <= col("rem") % col("n_level"), 1L)
+                .otherwise(0L)))
+      leveled.select(col("source"), col("avail"), col("capped"),
+          col("allocation"),
+          (col("allocation").cast("double") / col("avail").cast("double"))
+            .as("keep_frac"))
+        .orderBy("source")
+    },
+    """WITH bysrc AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+      |  FROM documents GROUP BY source),
+      |ranked AS (
+      |  SELECT source, avail,
+      |    CAST(SUM(avail) OVER () // 2 AS BIGINT) AS budget,
+      |    COUNT(*) OVER () AS n_src,
+      |    row_number() OVER (ORDER BY avail, source) AS k,
+      |    CAST(COALESCE(SUM(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pfx_before
+      |  FROM bysrc),
+      |capped AS (
+      |  SELECT *, avail * (n_src - k + 1) <= budget - pfx_before AS capped
+      |  FROM ranked),
+      |leveled AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN capped THEN avail ELSE 0 END) OVER ()
+      |      AS BIGINT) AS s_capped,
+      |    CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER ()
+      |      AS BIGINT) AS n_level,
+      |    k - CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER (
+      |      ORDER BY avail, source ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS level_rank
+      |  FROM capped)
+      |SELECT source, avail, capped,
+      |  CAST(CASE WHEN capped THEN avail
+      |    ELSE (budget - s_capped) // n_level +
+      |      CASE WHEN level_rank <= (budget - s_capped) % n_level
+      |        THEN 1 ELSE 0 END END AS BIGINT) AS allocation,
+      |  CAST(CASE WHEN capped THEN avail
+      |    ELSE (budget - s_capped) // n_level +
+      |      CASE WHEN level_rank <= (budget - s_capped) % n_level
+      |        THEN 1 ELSE 0 END END AS DOUBLE) / CAST(avail AS DOUBLE)
+      |    AS keep_frac
+      |FROM leveled ORDER BY source""".stripMargin)
+
+  // -- q198: curation funnel (first-failing-gate census) ---------------------
+  //   How many documents survive each cleaning gate, and which gate kills
+  //   the rest — the per-source yield report a curation run publishes.
+  //   Gates in fixed order: length ≥ 200 chars → ASCII ratio ≥ 90% →
+  //   token uniqueness ≥ 50% → language known. Every test is an integer
+  //   cross-multiplication on map-side counts (no float thresholds), so
+  //   the whole funnel is one projection + one constant-size aggregate.
+  val q198 = Query.sql(
+    "q198_curation_funnel",
+    (s, dir) => {
+      val nonAscii =
+        length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+      val toks = split(col("text"), " ")
+      val stage = when(col("n_chars") < 200, "1_too_short")
+        .when(nonAscii * 10 > length(col("text")), "2_non_ascii")
+        .when(size(array_distinct(toks)) * 2 < size(toks), "3_repetitive")
+        .when(!col("lang").isin("en", "de", "es", "fr", "zh"), "4_bad_lang")
+        .otherwise("pass")
+      docs(s, dir)
+        .groupBy(col("source"), stage.as("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "stage")
+    },
+    """WITH g AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN n_chars < 200 THEN '1_too_short'
+      |      WHEN (LENGTH(text) - LENGTH(regexp_replace(text,
+      |          '[^\x00-\x7F]', '', 'g'))) * 10 > LENGTH(text)
+      |        THEN '2_non_ascii'
+      |      WHEN len(list_distinct(string_split(text, ' '))) * 2 <
+      |          len(string_split(text, ' ')) THEN '3_repetitive'
+      |      WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+      |        THEN '4_bad_lang'
+      |      ELSE 'pass' END AS stage
+      |  FROM documents)
+      |SELECT source, stage, COUNT(*) AS n_docs
+      |FROM g GROUP BY source, stage ORDER BY source, stage""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176)
+      q176, q196, q198)
 }
