@@ -1178,8 +1178,42 @@ object Events {
       |FROM t WHERE next_type IS NOT NULL
       |GROUP BY cur_type, next_type ORDER BY cur_type, next_type""".stripMargin)
 
+  // -- q201: maximum drawdown (peak-to-trough) per user ----------------------
+  //   The risk metric for any monotone-hope series (portfolio value, score,
+  //   quota balance): largest drop from a running peak, treating each
+  //   user's `value` stream as a price path. Two stacked expressions over
+  //   ONE user-keyed window shuffle — a running max and a subtraction —
+  //   then a plain aggregate. No arithmetic beyond IEEE max/subtract on
+  //   values read straight from parquet, so both engines are bit-identical
+  //   with no decimal detour.
+  val q201 = Query.sql(
+    "q201_max_drawdown",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("peak", max(col("value")).over(w))
+        .withColumn("dd", col("peak") - col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          max(col("peak")).as("peak_value"),
+          max(col("dd")).as("max_drawdown"))
+        .orderBy("user_id")
+    },
+    """WITH p AS (
+      |  SELECT user_id, value,
+      |    MAX(value) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id
+      |      ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_obs, MAX(peak) AS peak_value,
+      |  MAX(peak - value) AS max_drawdown
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187, q191, q195, q199, q200)
+      q186, q187, q191, q195, q199, q200, q201)
 }

@@ -499,5 +499,94 @@ object Graph {
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170)
+  // -- q203: local clustering coefficient ------------------------------------
+  //   Per-node closure: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the q123
+  //   co-purchase graph — the "are my neighbours neighbours" score that
+  //   separates hub-like parts from clique-like ones. Same degree-oriented
+  //   wedge enumeration as q123 (each triangle materializes exactly once,
+  //   Σ outdeg² work bound), then the found triangle's THREE corners
+  //   explode to per-node counts — 3 rows per triangle, not per wedge.
+  //   cc is a BIGINT rational; nodes with degree < 2 report 0.
+  val q203 = Query.sql(
+    "q203_clustering_coeff",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e0 = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.p1") < col("pr.p2"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(true)
+      val deg = e0.select(col("p1").as("p"))
+        .union(e0.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+      val ej = e0
+        .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+        .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
+      val fwd = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val ed = ej.select(
+          when(fwd, col("p1")).otherwise(col("p2")).as("u_p"),
+          when(fwd, col("p2")).otherwise(col("p1")).as("v_p"),
+          when(fwd, col("d2")).otherwise(col("d1")).as("v_d"))
+        .localCheckpoint(true)
+      val tri = ed.as("x").join(ed.as("y"),
+          col("x.u_p") === col("y.u_p") &&
+            (col("x.v_d") < col("y.v_d") ||
+              (col("x.v_d") === col("y.v_d") && col("x.v_p") < col("y.v_p"))))
+        .select(col("x.u_p").as("u"), col("x.v_p").as("a"),
+          col("y.v_p").as("b"))
+        .join(ed.select(col("u_p").as("a"), col("v_p").as("b")), Seq("a", "b"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("a"), col("b"))).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("t"))
+      deg.join(perNode, Seq("p"), "left")
+        .select(col("p").as("node"), col("d").as("degree"),
+          coalesce(col("t"), lit(0L)).as("n_triangles"),
+          when(col("d") < 2, lit(0.0))
+            .otherwise((coalesce(col("t"), lit(0L)) * 2).cast("double") /
+              (col("d") * (col("d") - 1)).cast("double")).as("cc"))
+        .filter(col("n_triangles") > 0)
+        .orderBy("node")
+    },
+    """WITH e0 AS (
+      |  SELECT a.l_partkey p1, b.l_partkey p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT p, COUNT(*) AS d FROM (
+      |    SELECT p1 AS p FROM e0 UNION ALL SELECT p2 AS p FROM e0) GROUP BY p),
+      |ej AS (
+      |  SELECT p1, p2, d1.d AS d1, d2.d AS d2
+      |  FROM e0 JOIN deg d1 ON p1 = d1.p JOIN deg d2 ON p2 = d2.p),
+      |ed AS (
+      |  SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN p1 ELSE p2 END AS u_p,
+      |         CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN p2 ELSE p1 END AS v_p,
+      |         CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2) THEN d2 ELSE d1 END AS v_d
+      |  FROM ej),
+      |tri AS (
+      |  SELECT x.u_p AS u, x.v_p AS a, y.v_p AS b FROM ed x JOIN ed y
+      |    ON x.u_p = y.u_p AND (x.v_d < y.v_d OR
+      |      (x.v_d = y.v_d AND x.v_p < y.v_p))
+      |  WHERE EXISTS (SELECT 1 FROM ed
+      |    WHERE ed.u_p = x.v_p AND ed.v_p = y.v_p)),
+      |corners AS (
+      |  SELECT u AS p FROM tri UNION ALL SELECT a FROM tri
+      |  UNION ALL SELECT b FROM tri),
+      |pn AS (SELECT p, COUNT(*) AS t FROM corners GROUP BY p)
+      |SELECT deg.p AS node, deg.d AS degree, pn.t AS n_triangles,
+      |  CASE WHEN deg.d < 2 THEN 0.0
+      |    ELSE CAST(pn.t * 2 AS DOUBLE) /
+      |      CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS cc
+      |FROM deg JOIN pn ON deg.p = pn.p
+      |WHERE pn.t > 0 ORDER BY node""".stripMargin)
+
+  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170, q203)
 }

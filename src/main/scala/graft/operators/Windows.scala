@@ -132,5 +132,39 @@ object Windows {
       |  CAST(1 AS BIGINT) AS n_files
       |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
 
-  val all: Seq[Query] = Seq(w01, w02, w03, w04, w05)
+  // -- q202: full rank-function family parity --------------------------------
+  //   rank / dense_rank / percent_rank / cume_dist / ntile in one plan —
+  //   the remaining window functions the earlier window queries (q11, q12,
+  //   w01) didn't pin against the oracle. percent_rank and cume_dist are
+  //   exact small-integer rationals ((r−1)/(n−1), rows≤/n) so the doubles
+  //   are IEEE-identical; ties are broken by o_orderkey to keep ntile's
+  //   bucket boundaries deterministic. The post-rank modulo filter keeps
+  //   the pinned surface small without changing any rank value.
+  val q202 = Query.sql(
+    "q202_rank_family",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .orderBy("o_orderpriority", "rnk")
+    },
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |QUALIFY o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, rnk""".stripMargin)
+
+  val all: Seq[Query] = Seq(w01, w02, w03, w04, w05, q202)
 }

@@ -171,6 +171,42 @@ object Streams {
       }
   }
 
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class Transition(user_id: Long, cur_type: String, next_type: String)
+
+  /** Streaming event-type transitions, the stateful twin of the batch q186
+    * Markov matrix: per-user state is only the LAST event seen (type +
+    * timestamp + id tiebreak — O(users) × ~32 bytes however long the
+    * stream runs); each arriving event emits one (cur → next) transition
+    * row, which a downstream `groupBy(cur_type, next_type).count()` (or a
+    * foreachBatch upsert) turns into the live matrix.
+    *
+    * Ordering contract (same as [[funnelStateful]]): exact when each
+    * user's events arrive in event-time order across micro-batches;
+    * disorder within a batch is absorbed by the per-batch (ts, event_id)
+    * sort. Null event times are dropped, matching the batch window's
+    * behavior of never pairing them.
+    */
+  def transitionsStateful(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Event) => e.ts != null)
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (s != null) out += Transition(userId, s.lastType, e.event_type)
+            s = TransState(e.ts.getTime, e.event_id, e.event_type)
+          }
+          if (s != null) state.update(s)
+          out.iterator
+      }
+  }
+
   /** Run a bounded stream to completion (AvailableNow) into an in-memory
     * table and return the session-queryable table name.
     */

@@ -395,6 +395,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == ((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("stateful transition counts match batch q186 when per-user order holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .orderBy("ts", "event_id").collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    val q = Streams.transitionsStateful(mem.toDS())
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    // null event times are dropped, not paired (and must not NPE the sort)
+    mem.addData(Streams.Event(-99, null, h2.head.user_id, "view", 0, "{}"))
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_test")
+      .groupBy("cur_type", "next_type").agg(count(lit(1)).as("n"))
+      .orderBy("cur_type", "next_type")
+      .as[(String, String, Long)].collect().toSeq
+    val want = graft.operators.Events.q186.run(spark, sf0001)
+      .select("cur_type", "next_type", "n")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("stream-static enrichment equals the batch lookup join") {
     import spark.implicits._
     val dir = copyEventsTo("graft-ev-enrich")
