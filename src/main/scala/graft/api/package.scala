@@ -606,5 +606,87 @@ package object api {
       }
       (v, lambda)
     }
+
+    /** Markov transition matrix of `typeCol` sequences (cf. q186): one row
+      * per (cur_type, next_type) with count `n` and conditional
+      * probability `p`. Sequences are per `keyCol`, ordered by `orderCols`
+      * (pass a unique tiebreak — segmentation is nondeterministic under
+      * ties, same contract as [[scd2]]). One key-partitioned window; the
+      * output is |types|² rows at any scale.
+      */
+    def transitionMatrix(keyCol: String, typeCol: String,
+        orderCols: String*): DataFrame = {
+      require(orderCols.nonEmpty, "transitionMatrix needs ordering columns")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      df.withColumn("__next", lead(col(typeCol), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col(typeCol).as("cur_type"), col("__next").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cur_type")).cast("double"))
+    }
+
+    /** Maximum peak-to-trough drawdown of `valueCol` per `keyCol` (cf.
+      * q201): running max then a plain aggregate over ONE key-partitioned
+      * window shuffle. Returns (keyCol, n_obs, peak_value, max_drawdown).
+      */
+    def maxDrawdown(keyCol: String, valueCol: String,
+        orderCols: String*): DataFrame = {
+      require(orderCols.nonEmpty, "maxDrawdown needs ordering columns")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.withColumn("__peak", max(col(valueCol)).over(w))
+        .withColumn("__dd", col("__peak") - col(valueCol))
+        .groupBy(keyCol)
+        .agg(count(lit(1)).as("n_obs"),
+          max(col("__peak")).as("peak_value"),
+          max(col("__dd")).as("max_drawdown"))
+    }
+
+    /** Water-filling allocation of an integer `budget` across the groups
+      * of `keyCol` weighted by Σ`weightCol` (cf. q196): every group is
+      * capped at its own weight, the rest of the budget splits evenly
+      * among the uncapped, and the floor-division remainder goes to the
+      * first uncapped groups in ascending (weight, key) order — so the
+      * returned `allocation` column sums to `min(budget, Σweights)`
+      * EXACTLY. Closed-form single window pass (integer cross-
+      * multiplication decides the cap — no float level, no iteration);
+      * windows run over the per-group aggregate, never the input rows.
+      */
+    def waterfillAllocation(keyCol: String, weightCol: String,
+        budget: Long): DataFrame = {
+      require(budget >= 0, "waterfillAllocation needs a non-negative budget")
+      val W = org.apache.spark.sql.expressions.Window
+      val wAll = W.partitionBy(lit(1))
+      val wAsc = W.partitionBy(lit(1)).orderBy("avail", keyCol)
+      val ranked = df.groupBy(keyCol)
+        .agg(sum(col(weightCol)).cast("long").as("avail"))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .withColumn("k", row_number().over(wAsc))
+        .withColumn("pfx_before",
+          coalesce(sum(col("avail"))
+            .over(wAsc.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capped",
+          col("avail") * (col("n_src") - col("k") + 1) <=
+            lit(budget) - col("pfx_before"))
+      ranked
+        .withColumn("s_capped",
+          sum(when(col("capped"), col("avail")).otherwise(0L)).over(wAll))
+        .withColumn("n_level",
+          sum(when(col("capped"), 0L).otherwise(1L)).over(wAll))
+        .withColumn("level_rank",
+          col("k") - sum(when(col("capped"), 1L).otherwise(0L))
+            .over(wAsc.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("rem", lit(budget) - col("s_capped"))
+        .withColumn("allocation",
+          when(col("capped"), col("avail"))
+            .otherwise(expr("rem div n_level") +
+              when(col("level_rank") <= col("rem") % col("n_level"), 1L)
+                .otherwise(0L)))
+        .select(col(keyCol), col("avail"), col("capped"), col("allocation"))
+    }
   }
 }

@@ -1212,8 +1212,57 @@ object Events {
       |  MAX(peak - value) AS max_drawdown
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // -- q205: Fano-factor burstiness per event type ---------------------------
+  //   Variance-to-mean ratio of hourly event counts — 1 means Poisson
+  //   ("random" traffic), ≫1 means bursty, ≪1 means rate-limited/paced.
+  //   Complements q145 (per-user gaps) with a per-TYPE dispersion view
+  //   over observed hours. Hourly counts are integers, so Σc and Σc²
+  //   stay BIGINT-exact, the variance numerator n·Σc²−(Σc)² is an exact
+  //   integer, and both reported ratios are single IEEE divisions —
+  //   identical on both engines with no decimal detour. Two cheap
+  //   shuffles: (type, hour) then type.
+  val q205 = Query.sql(
+    "q205_fano_burstiness",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .filter(col("n_hours") > 1)
+        .select(col("event_type"), col("n_hours"), col("total"),
+          (col("total").cast("double") / col("n_hours").cast("double"))
+            .as("mean_per_hour"),
+          ((col("n_hours") * col("sum_sq") - col("total") * col("total"))
+            .cast("double") /
+            (col("n_hours") * (col("n_hours") - 1)).cast("double"))
+            .as("variance"),
+          ((col("n_hours") * col("sum_sq") - col("total") * col("total"))
+            .cast("double") /
+            (col("total") * (col("n_hours") - 1)).cast("double"))
+            .as("fano"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      |  FROM hourly GROUP BY event_type)
+      |SELECT event_type, n_hours, total,
+      |  CAST(total AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_per_hour,
+      |  CAST(n_hours * sum_sq - total * total AS DOUBLE) /
+      |    CAST(n_hours * (n_hours - 1) AS DOUBLE) AS variance,
+      |  CAST(n_hours * sum_sq - total * total AS DOUBLE) /
+      |    CAST(total * (n_hours - 1) AS DOUBLE) AS fano
+      |FROM st WHERE n_hours > 1 ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187, q191, q195, q199, q200, q201)
+      q186, q187, q191, q195, q199, q200, q201, q205)
 }

@@ -1006,8 +1006,69 @@ object TextAnalysis {
       |    CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
 
+  // -- q204: corpus datasheet (one-row dataset card) -------------------------
+  //   The summary block a dataset card publishes, computed in one pass
+  //   plus constant-size side aggregates: doc/token/char totals, exact
+  //   duplicate rate, the language distribution flattened to a canonical
+  //   string (sorted "lang:count|…" — list outputs would break the
+  //   column-hash compare, and a pipe-joined string is what a card
+  //   template interpolates anyway), and the dominant source with its
+  //   share. Every piece is a tiny aggregate crossed onto one row; the
+  //   only data-sized work is the corpus scan itself.
+  val q204 = Query.sql(
+    "q204_corpus_datasheet",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+      val langDist = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(concat_ws("|",
+          sort_array(collect_list(concat(col("lang"), lit(":"), col("c")))))
+          .as("lang_dist"))
+      val topSrc = d.groupBy("source").agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c").as("c"), col("source").as("s"))).as("b"))
+        .select(col("b.s").as("top_source"), col("b.c").as("top_source_docs"))
+      base.crossJoin(langDist).crossJoin(topSrc)
+        .select(col("n_docs"), col("n_tokens"), col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("avg_chars"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+          col("n_langs"), col("lang_dist"),
+          col("top_source"),
+          (col("top_source_docs").cast("double") /
+            col("n_docs").cast("double")).as("top_source_share"))
+    },
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    COUNT(DISTINCT text) AS n_distinct_texts,
+      |    COUNT(DISTINCT lang) AS n_langs
+      |  FROM documents),
+      |ld AS (
+      |  SELECT string_agg(lang || ':' || c, '|' ORDER BY lang || ':' || c)
+      |    AS lang_dist
+      |  FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang)),
+      |ts AS (
+      |  SELECT source AS top_source, c AS top_source_docs
+      |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+      |  ORDER BY c DESC, source DESC LIMIT 1)
+      |SELECT n_docs, n_tokens, total_chars,
+      |  CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
+      |  CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS dup_rate,
+      |  n_langs, lang_dist, top_source,
+      |  CAST(top_source_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS top_source_share
+      |FROM base CROSS JOIN ld CROSS JOIN ts""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194)
+      q193, q194, q204)
 }

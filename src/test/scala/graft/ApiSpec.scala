@@ -253,6 +253,50 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix rows match q186 and probabilities sum to 1 per type") {
+    import spark.implicits._
+    val viaExt = Tables.load(spark, sf0001, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .transitionMatrix("user_id", "event_type", "ts_us", "event_id")
+    val want = graft.operators.Events.q186.run(spark, sf0001)
+      .select("cur_type", "next_type", "n", "p")
+    assert(viaExt.select("cur_type", "next_type", "n", "p")
+      .except(want).count() == 0 && viaExt.count() == want.count())
+    val rowSums = viaExt.groupBy("cur_type").agg(sum(col("p")).as("s"))
+      .select("s").as[Double].collect()
+    rowSums.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("maxDrawdown equals a sequential peak-trough scan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 14.0), (1L, 3L, 9.0), (1L, 4L, 12.0),
+      (1L, 5L, 3.0), (2L, 1L, 5.0), (2L, 2L, 7.0)).toDF("k", "t", "v")
+    val got = df.maxDrawdown("k", "v", "t").orderBy("k")
+      .select("k", "max_drawdown").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 11.0), (2L, 0.0)))
+  }
+
+  test("waterfillAllocation: caps respected, sum exact, remainder ordered") {
+    import spark.implicits._
+    // weights 10, 40, 100, 1000; budget 200 → 10 capped, rest level-split
+    val df = Seq(("a", 10L), ("b", 40L), ("c", 100L), ("d", 1000L))
+      .toDF("src", "w")
+    val got = df.waterfillAllocation("src", "w", 200L)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    // after capping a=10, 190 splits over {b,c,d}: 63 each, +1 to the
+    // first uncapped in ascending (weight, key) order (b) → b=40 capped
+    // too? 40 < 63 → b is ALSO capped by the closed form; re-level:
+    // (200-50)/2 = 75 each over {c,d}
+    assert(got == Seq(("a", 10L), ("b", 40L), ("c", 75L), ("d", 75L)))
+    assert(got.map(_._2).sum == 200L)
+    // budget exceeding total takes everything
+    val all = df.waterfillAllocation("src", "w", 5000L)
+      .agg(sum("allocation")).collect().head.getLong(0)
+    assert(all == 1150L)
+  }
+
   test("equiWidthHist: buckets cover the range, counts conserve, edges integer") {
     import spark.implicits._
     val vals = Seq(3L, 7L, 7L, 15L, 22L, 22L, 22L, 40L, 41L, 99L)
