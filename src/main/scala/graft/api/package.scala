@@ -659,34 +659,37 @@ package object api {
     def waterfillAllocation(keyCol: String, weightCol: String,
         budget: Long): DataFrame = {
       require(budget >= 0, "waterfillAllocation needs a non-negative budget")
+      // internal columns are __-prefixed: the input's key column may have
+      // any name (including "k"/"avail") and must survive untouched
       val W = org.apache.spark.sql.expressions.Window
       val wAll = W.partitionBy(lit(1))
-      val wAsc = W.partitionBy(lit(1)).orderBy("avail", keyCol)
+      val wAsc = W.partitionBy(lit(1)).orderBy("__avail", keyCol)
       val ranked = df.groupBy(keyCol)
-        .agg(sum(col(weightCol)).cast("long").as("avail"))
-        .withColumn("n_src", count(lit(1)).over(wAll))
-        .withColumn("k", row_number().over(wAsc))
-        .withColumn("pfx_before",
-          coalesce(sum(col("avail"))
+        .agg(sum(col(weightCol)).cast("long").as("__avail"))
+        .withColumn("__n_src", count(lit(1)).over(wAll))
+        .withColumn("__k", row_number().over(wAsc))
+        .withColumn("__pfx",
+          coalesce(sum(col("__avail"))
             .over(wAsc.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("capped",
-          col("avail") * (col("n_src") - col("k") + 1) <=
-            lit(budget) - col("pfx_before"))
+        .withColumn("__capped",
+          col("__avail") * (col("__n_src") - col("__k") + 1) <=
+            lit(budget) - col("__pfx"))
       ranked
-        .withColumn("s_capped",
-          sum(when(col("capped"), col("avail")).otherwise(0L)).over(wAll))
-        .withColumn("n_level",
-          sum(when(col("capped"), 0L).otherwise(1L)).over(wAll))
-        .withColumn("level_rank",
-          col("k") - sum(when(col("capped"), 1L).otherwise(0L))
+        .withColumn("__s_capped",
+          sum(when(col("__capped"), col("__avail")).otherwise(0L)).over(wAll))
+        .withColumn("__n_level",
+          sum(when(col("__capped"), 0L).otherwise(1L)).over(wAll))
+        .withColumn("__level_rank",
+          col("__k") - sum(when(col("__capped"), 1L).otherwise(0L))
             .over(wAsc.rowsBetween(W.unboundedPreceding, 0)))
-        .withColumn("rem", lit(budget) - col("s_capped"))
-        .withColumn("allocation",
-          when(col("capped"), col("avail"))
-            .otherwise(expr("rem div n_level") +
-              when(col("level_rank") <= col("rem") % col("n_level"), 1L)
+        .withColumn("__rem", lit(budget) - col("__s_capped"))
+        .withColumn("__alloc",
+          when(col("__capped"), col("__avail"))
+            .otherwise(expr("__rem div __n_level") +
+              when(col("__level_rank") <= col("__rem") % col("__n_level"), 1L)
                 .otherwise(0L)))
-        .select(col(keyCol), col("avail"), col("capped"), col("allocation"))
+        .select(col(keyCol), col("__avail").as("avail"),
+          col("__capped").as("capped"), col("__alloc").as("allocation"))
     }
   }
 }

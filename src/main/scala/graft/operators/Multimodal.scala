@@ -117,5 +117,54 @@ object Multimodal {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1 ORDER BY codec""".stripMargin)
 
-  val all: Seq[Query] = Seq(q70, q71, q72)
+  // -- q206: chunk-level binary dedup (CAS storage planning) -----------------
+  //   Split every payload into fixed 64-byte chunks, digest each, and
+  //   report what a content-addressable store would hold: total vs
+  //   distinct chunks, bytes before/after dedup, and the saving ratio.
+  //   Chunking + digesting is map-side on BINARY slices (Spark's
+  //   `substring` on BinaryType is byte-addressed); the only shuffle
+  //   carries 16-byte digests + a length. The oracle slices the text
+  //   column with character offsets — identical bytes because the corpus
+  //   is ASCII (verified: LENGTH == octet_length corpus-wide); a non-ASCII
+  //   corpus would need a blob-literal oracle instead.
+  val q206 = Query.sql(
+    "q206_chunk_dedup",
+    (s, dir) => {
+      val chunks = mediaTable(s, dir)
+        .select(explode(expr(
+          """transform(
+            |  sequence(1, greatest(cast((length(payload) - 1) div 64 as int) + 1, 1)),
+            |  i -> substring(payload, (i - 1) * 64 + 1, 64))""".stripMargin))
+          .as("chunk"))
+        .select(md5(col("chunk")).as("dg"),
+          length(col("chunk")).cast("long").as("len"))
+      chunks.groupBy("dg").agg(count(lit(1)).as("refs"),
+          max(col("len")).as("len"))
+        .agg(sum(col("refs")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("refs") * col("len")).as("bytes_total"),
+          sum(col("len")).as("bytes_after_dedup"))
+        .select(col("n_chunks"), col("n_distinct_chunks"),
+          col("bytes_total"), col("bytes_after_dedup"),
+          (lit(1.0) - col("bytes_after_dedup").cast("double") /
+            col("bytes_total").cast("double")).as("savings"))
+    },
+    """WITH chunks AS (
+      |  SELECT md5(substring(text, (i - 1) * 64 + 1, 64)) AS dg,
+      |    LENGTH(substring(text, (i - 1) * 64 + 1, 64)) AS len
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(1,
+      |      greatest((LENGTH(text) - 1) // 64 + 1, 1))) AS t(i)),
+      |per AS (
+      |  SELECT dg, COUNT(*) AS refs, MAX(len) AS len
+      |  FROM chunks GROUP BY dg)
+      |SELECT CAST(SUM(refs) AS BIGINT) AS n_chunks,
+      |  COUNT(*) AS n_distinct_chunks,
+      |  CAST(SUM(refs * len) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(len) AS BIGINT) AS bytes_after_dedup,
+      |  1.0 - CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(SUM(refs * len) AS BIGINT) AS DOUBLE) AS savings
+      |FROM per""".stripMargin)
+
+  val all: Seq[Query] = Seq(q70, q71, q72, q206)
 }

@@ -530,7 +530,40 @@ object Relational {
       |  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  // -- q207: unpivot / melt (the inverse of q63's pivot) ---------------------
+  //   Wide measure columns → long (measure, value) format — the reshape
+  //   every metrics exporter and chart pipeline runs. Uses Spark's native
+  //   `unpivot` (Expand under the hood: one pass, k output rows per input
+  //   row, no join/shuffle beyond the final constant-size aggregate).
+  //   Stats per measure go through exact DECIMAL accumulation (dsum).
+  val q207 = Query.sql(
+    "q207_unpivot_measures",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+        .orderBy("measure")
+    },
+    s"""WITH long AS (
+       |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+       |SELECT measure, COUNT(*) AS n, ${sqlDsum("value")} AS total,
+       |  MIN(value) AS vmin, MAX(value) AS vmax
+       |FROM long GROUP BY measure ORDER BY measure""".stripMargin)
+
   val all: Seq[Query] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q207)
 }

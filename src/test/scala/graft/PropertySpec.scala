@@ -314,4 +314,36 @@ class PropertySpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == brute, s"${got.size} vs ${brute.size} frontier points")
   }
+
+  test("waterfillAllocation: exact budget, caps, near-equal level split") {
+    import spark.implicits._
+    import graft.api._
+    // Few random shapes (not 50 — each case is a Spark job): weights
+    // spanning tiny→huge, budgets from starvation to surplus.
+    val cases = Seq(
+      (Seq(1L, 1L, 1L), 2L),
+      (Seq(10L, 40L, 100L, 1000L), 200L),
+      (Seq(5L), 100L),
+      (Seq(7L, 7L, 7L, 7L), 13L),
+      (Gen.listOfN(12, Gen.chooseNum(0L, 10000L)).sample.get, 31337L))
+    cases.foreach { case (ws, budget) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }.toDF("k", "w")
+      val res = df.waterfillAllocation("k", "w", budget)
+      val out = res
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("avail"),
+          r.getAs[Long]("allocation")))
+      val total = ws.sum
+      assert(out.map(_._3).sum == math.min(budget, total),
+        s"budget not exactly spent for $ws / $budget")
+      out.foreach { case (k, avail, alloc) =>
+        assert(alloc >= 0 && alloc <= avail, s"cap violated at $k") }
+      // uncapped groups split the remainder near-equally (±1)
+      val uncapped = out.filter { case (_, avail, alloc) => alloc < avail }
+      if (uncapped.nonEmpty) {
+        val allocs = uncapped.map(_._3)
+        assert(allocs.max - allocs.min <= 1,
+          s"level split uneven: ${allocs.toSeq} for $ws / $budget")
+      }
+    }
+  }
 }
