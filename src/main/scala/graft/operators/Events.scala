@@ -939,23 +939,29 @@ object Events {
     "q187_rare_transitions",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val trans = ev(s, dir)
+      // ONE window pass over events: collapse to per-(user, cur, next)
+      // counts first (≤ users×|types|² rows), then derive the global
+      // matrix from that — without this the expensive user-keyed window
+      // would execute twice (once under the matrix, once under the join).
+      val perUser = ev(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
-        .select(col("user_id"), col("event_type").as("cur_type"),
+        .groupBy(col("user_id"), col("event_type").as("cur_type"),
           col("next_type"))
-      val matrix = trans.groupBy("cur_type", "next_type")
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // small; read twice below
+      val matrix = perUser.groupBy("cur_type", "next_type")
+        .agg(sum(col("c")).as("n"))
         .withColumn("row_total",
           sum(col("n")).over(Window.partitionBy("cur_type")))
         .select(col("cur_type"), col("next_type"),
           (col("n") * 20 < col("row_total")).as("rare"))
-      trans.join(broadcast(matrix), Seq("cur_type", "next_type"))
+      perUser.join(broadcast(matrix), Seq("cur_type", "next_type"))
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n_transitions"),
-          sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare"))
+        .agg(sum(col("c")).as("n_transitions"),
+          sum(when(col("rare"), col("c")).otherwise(0L)).as("n_rare"))
         .withColumn("anomalous",
           col("n_rare") * 10 > col("n_transitions"))
         .orderBy("user_id")
@@ -988,7 +994,10 @@ object Events {
   val q191 = Query.sql(
     "q191_type_coengagement",
     (s, dir) => {
+      // distinct'd edge list is ≤ users×|types| rows — materialize it once
+      // instead of re-deriving it from the corpus on all three uses
       val du = ev(s, dir).select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true)
       val sizes = du.groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
       val inter = du.as("a")
@@ -1049,17 +1058,17 @@ object Events {
             1L).otherwise(0L))
         .withColumn("sid",
           sum(col("new_s")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      val wSess = Window.partitionBy("user_id", "sid")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // per-session first/last via ONE struct-argmin/argmax aggregate —
+      // (ts_us, event_id) is a unique tuple so min/max pick the boundary
+      // events deterministically; no second window, no distinct shuffle
       marked
-        .select(col("user_id"), col("sid"),
-          first(col("event_type")).over(wSess).as("entry_type"),
-          last(col("event_type")).over(wSess).as("exit_type"),
-          count(lit(1)).over(
-            Window.partitionBy("user_id", "sid")).as("sz"))
-        .distinct()
-        .groupBy("entry_type", "exit_type")
+        .groupBy("user_id", "sid")
+        .agg(min(struct(col("ts_us"), col("event_id"),
+            col("event_type").as("t"))).as("f"),
+          max(struct(col("ts_us"), col("event_id"),
+            col("event_type").as("t"))).as("l"),
+          count(lit(1)).as("sz"))
+        .groupBy(col("f.t").as("entry_type"), col("l.t").as("exit_type"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_bounce"))
         .orderBy("entry_type", "exit_type")
@@ -1261,8 +1270,107 @@ object Events {
       |    CAST(total * (n_hours - 1) AS DOUBLE) AS fano
       |FROM st WHERE n_hours > 1 ORDER BY event_type""".stripMargin)
 
+  // -- q208: lag-1 autocorrelation of hourly volume --------------------------
+  //   Does this hour's traffic predict the next hour's? Pearson r between
+  //   consecutive hourly counts per event type — the seasonality/
+  //   self-similarity screen run before anomaly thresholds are tuned
+  //   (white noise → r≈0, strong dailiness → r near 1). Hourly counts are
+  //   integers, so every raw sum (Σx, Σy, Σxy, Σx², Σy²) is BIGINT-exact
+  //   and each covariance factor stays < 2^53 → its double conversion is
+  //   exact, and the final (num / sqrt(d1·d2)) is evaluated with identical
+  //   expression text on both engines. One (type,hour) aggregate + one
+  //   type-keyed lag window over the tiny hourly table.
+  val q208 = Query.sql(
+    "q208_volume_autocorr",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val pairs = hourly
+        .withColumn("x", lag(col("c"), 1).over(w))
+        .filter(col("x").isNotNull)
+        .select(col("event_type"), col("x"), col("c").as("y"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("autocorr"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT event_type,
+      |    lag(c) OVER (PARTITION BY event_type ORDER BY h) AS x,
+      |    c AS y
+      |  FROM hourly),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs WHERE x IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+      |FROM st ORDER BY event_type""".stripMargin)
+
+  // -- q209: growth accounting (new vs returning users per day) --------------
+  //   The DAU decomposition every product report opens with: per day,
+  //   events, active users, NEW users (first ever seen that day),
+  //   returning = active − new, and the cumulative user count. First-seen
+  //   days come from one user-keyed min; the daily rollup and the running
+  //   cumulative sum both run over the constant-size day table. Exact
+  //   integers end-to-end.
+  val q209 = Query.sql(
+    "q209_growth_accounting",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("day"))
+      val daily = e.groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("active_users"))
+      val firstSeen = e.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(lit(1)).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.join(firstSeen, Seq("day"), "left")
+        .select(col("day"), col("n_events"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("returning_users",
+          col("active_users") - col("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS active_users
+      |  FROM e GROUP BY day),
+      |fs AS (
+      |  SELECT day, COUNT(*) AS new_users FROM (
+      |    SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT day, n_events, active_users,
+      |  COALESCE(new_users, 0) AS new_users,
+      |  active_users - COALESCE(new_users, 0) AS returning_users,
+      |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM daily LEFT JOIN fs USING (day) ORDER BY day""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187, q191, q195, q199, q200, q201, q205)
+      q186, q187, q191, q195, q199, q200, q201, q205, q208, q209)
 }

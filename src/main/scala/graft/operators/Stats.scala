@@ -861,7 +861,45 @@ object Stats {
       |    / (1 + z * z / n) AS DOUBLE) AS wilson_lower
       |FROM wz ORDER BY event_type""".stripMargin)
 
+  // -- q210: deterministic group mode (most frequent value) ------------------
+  //   Mode of l_quantity per return flag with an explicit tiebreak
+  //   (smallest value wins — engines' native mode() leaves ties
+  //   unspecified, which would be flaky across partitionings, so neither
+  //   side uses it). Two-level aggregate: value histogram, then one
+  //   max(struct(count, −value)) argmax — no window over the group's rows,
+  //   so the heavy group never sorts. Also reports how dominant the mode
+  //   is (exact share).
+  val q210 = Query.sql(
+    "q210_group_mode",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("c")).as("n_rows"),
+          max(struct(col("c").as("c"), (-col("l_quantity")).as("nv")))
+            .as("b"))
+        .select(col("l_returnflag"),
+          (-col("b.nv")).as("mode_quantity"),
+          col("b.c").as("mode_count"), col("n_rows"),
+          (col("b.c").cast("double") / col("n_rows").cast("double"))
+            .as("mode_share"))
+        .orderBy("l_returnflag")
+    },
+    """WITH h AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_quantity, c,
+      |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY c DESC, l_quantity ASC) AS rn
+      |  FROM h)
+      |SELECT l_returnflag, l_quantity AS mode_quantity, c AS mode_count,
+      |  n_rows, CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mode_share
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180, q182)
+      q174, q177, q178, q179, q180, q182, q210)
 }

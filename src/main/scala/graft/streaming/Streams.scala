@@ -207,6 +207,34 @@ object Streams {
       }
   }
 
+  final case class FirstSeen(user_id: Long, ts: Timestamp)
+
+  /** New-user detection — the streaming half of the batch q209 growth
+    * accounting: emits exactly ONE row per user, at the first event ever
+    * seen for them. State is one boolean per user (mapGroupsWithState with
+    * no timeout — growth accounting is a forever-dedup by definition, so
+    * the state is O(total users), ~9 bytes each; a retention-bounded
+    * variant would add a timeout and re-admit lapsed users as "new").
+    * Downstream `groupBy(window/day).count()` turns the emissions into the
+    * new-users series.
+    */
+  def firstSeenStream(events: Dataset[Event]): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Event) => e.ts != null)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = batch.minBy(e => (e.ts.getTime, e.event_id))
+            Iterator(FirstSeen(userId, first.ts))
+          }
+      }
+  }
+
   /** Run a bounded stream to completion (AvailableNow) into an in-memory
     * table and return the session-queryable table name.
     */

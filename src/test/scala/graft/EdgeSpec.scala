@@ -233,4 +233,24 @@ class EdgeSpec extends SparkSpec {
     assert(bins.length == 1)
     assert(bins.head.getLong(1) == 100)
   }
+
+  test("transitionMatrix is deterministic under timestamp ties and repartitioning") {
+    import spark.implicits._
+    import graft.api._
+    // Three events share one timestamp — the event_id tiebreak must fix
+    // the order regardless of input partitioning.
+    val rows = Seq(
+      (1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 100L, 3L, "c"),
+      (2L, 50L, 4L, "a"), (2L, 60L, 5L, "a"))
+    def run(parts: Int) =
+      rows.toDF("user_id", "ts_us", "event_id", "t")
+        .repartition(parts)
+        .transitionMatrix("user_id", "t", "ts_us", "event_id")
+        .orderBy("cur_type", "next_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    val expected = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "c", 1L))
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+  }
 }

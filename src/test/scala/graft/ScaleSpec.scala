@@ -361,4 +361,30 @@ class ScaleSpec extends SparkSpec {
     // anything beyond the planted pairs would indicate a filter bug
     assert((got -- planted).isEmpty, s"unexpected pairs: ${(got -- planted).take(5)}")
   }
+
+  test("waterfillAllocation stays exact over 200k keys (windowed sort path)") {
+    import spark.implicits._
+    import graft.api._
+    // Deterministic long-tail weights: most keys tiny, a few huge — the
+    // regime where the closed-form level matters. 200k keys exercises the
+    // range-partitioned window sort (not a driver loop); the invariant
+    // (Σallocation == budget exactly) must survive partitioned execution.
+    val n = 200000
+    val df = spark.range(n.toLong)
+      .select(col("id").cast("string").as("k"),
+        (pmod(col("id") * 2654435761L, lit(1000L)) + 1 +
+          when(pmod(col("id"), lit(997L)) === 0, 1000000L).otherwise(0L))
+          .as("w"))
+    val total = df.agg(sum("w")).collect().head.getLong(0)
+    val budget = total / 3
+    val out = df.waterfillAllocation("k", "w", budget)
+    val spent = out.agg(sum("allocation")).collect().head.getLong(0)
+    assert(spent == budget, s"spent $spent != budget $budget")
+    val viol = out.filter(col("allocation") > col("avail")).count()
+    assert(viol == 0)
+    // uncapped allocations within ±1 of each other
+    val lv = out.filter(col("allocation") < col("avail"))
+      .agg(min("allocation"), max("allocation")).collect().head
+    assert(lv.getLong(1) - lv.getLong(0) <= 1)
+  }
 }

@@ -421,6 +421,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("firstSeenStream emits one row per user at their first event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .orderBy("ts", "event_id").collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    val q = Streams.firstSeenStream(mem.toDS())
+      .writeStream.format("memory").queryName("firstseen_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("firstseen_test")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    val want = graft.operators.Events.q209.run(spark, sf0001)
+      .filter(col("new_users") > 0)
+      .select(col("day"), col("new_users"))
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got == want)
+    // exactly one emission per distinct user
+    assert(spark.table("firstseen_test").count() ==
+      Tables.load(spark, sf0001, "events").select("user_id").distinct().count())
+  }
+
   test("stream-static enrichment equals the batch lookup join") {
     import spark.implicits._
     val dir = copyEventsTo("graft-ev-enrich")
