@@ -442,5 +442,68 @@ object Similarity {
       })
   }
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56, q156)
+  // -- q213: retrieval eval — hit-rate@10 and MRR@10 by label ----------------
+  //   The eval harness for any ANN index: treat each of the first 50
+  //   vectors as a query, rank the rest by cosine, and score whether a
+  //   SAME-LABEL vector appears in the top 10 (hit) and at which first
+  //   rank (MRR). Reciprocal ranks are kept EXACT by scaling to the
+  //   common denominator lcm(1..10)=2520 — each hit contributes the
+  //   integer 2520/rank, so the MRR is one BIGINT sum and one final
+  //   division instead of an order-dependent float accumulation. Bounded
+  //   query batch (q56's pattern): one corpus pass answers all 50 queries;
+  //   per-query ranking is a window over the 50-partition keyspace.
+  val q213 = Query.sql(
+    "q213_retrieval_eval",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+      val ranked = e.filter(col("vec_id") >= 50)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          expr(cosExpr("embedding", "qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+      ranked.groupBy("qid")
+        .agg(min(when(col("label") === col("qlabel"), col("rn")))
+          .as("first_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("first_hit").isNotNull, 1L).otherwise(0L))
+            .as("n_hits"),
+          sum(when(col("first_hit").isNotNull,
+            expr("2520 div first_hit")).otherwise(0L)).as("rr_scaled"))
+        .select(col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_queries").cast("double"))
+            .as("hit_rate"),
+          (col("rr_scaled").cast("double") /
+            (col("n_queries") * 2520).cast("double")).as("mrr"))
+    },
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 50),
+       |ranked AS (
+       |  SELECT qid, qlabel, e.vec_id, e.label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${cosSql("e.embedding", "qv")} DESC, e.vec_id)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 50
+       |  QUALIFY rn <= 10),
+       |per AS (
+       |  SELECT qid,
+       |    MIN(CASE WHEN label = qlabel THEN rn END) AS first_hit
+       |  FROM ranked GROUP BY qid)
+       |SELECT COUNT(*) AS n_queries,
+       |  CAST(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_rate,
+       |  CAST(CAST(SUM(CASE WHEN first_hit IS NOT NULL
+       |      THEN 2520 // first_hit ELSE 0 END) AS BIGINT) AS DOUBLE) /
+       |    CAST(COUNT(*) * 2520 AS DOUBLE) AS mrr
+       |FROM per""".stripMargin)
+
+  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213)
 }

@@ -1067,8 +1067,54 @@ object TextAnalysis {
       |    AS top_source_share
       |FROM base CROSS JOIN ld CROSS JOIN ts""".stripMargin)
 
+  // -- q212: cross-lingual vocabulary overlap matrix -------------------------
+  //   Pairwise shared-type counts and Jaccard between language
+  //   vocabularies — the loanword/script-sharing signal that predicts how
+  //   much a shared tokenizer vocabulary can be compacted across
+  //   languages. The distinct (lang, token) list is bounded by
+  //   Σ|vocab_lang| and materialized once; the self-join is co-partitioned
+  //   on the token and per-token quadratic in |langs| (a constant). Output
+  //   is C(|langs|,2) rows at any corpus size.
+  val q212 = Query.sql(
+    "q212_vocab_overlap",
+    (s, dir) => {
+      val dl = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .localCheckpoint(true) // bounded (Σ per-lang vocab); read 3×
+      val sizes = dl.groupBy("lang").agg(count(lit(1)).as("v"))
+      dl.as("a").join(dl.as("b"),
+          col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes).withColumnRenamed("lang", "lang_a")
+          .withColumnRenamed("v", "vocab_a"), "lang_a")
+        .join(broadcast(sizes).withColumnRenamed("lang", "lang_b")
+          .withColumnRenamed("v", "vocab_b"), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("vocab_a"), col("vocab_b"),
+          col("shared"),
+          (col("shared").cast("double") /
+            (col("vocab_a") + col("vocab_b") - col("shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy("lang_a", "lang_b")
+    },
+    """WITH raw AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT DISTINCT lang, tok FROM raw),
+      |sz AS (SELECT lang, COUNT(*) AS v FROM dl GROUP BY lang),
+      |ov AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS shared
+      |  FROM dl a JOIN dl b ON a.tok = b.tok AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, sa.v AS vocab_a, sb.v AS vocab_b, shared,
+      |  CAST(shared AS DOUBLE) / CAST(sa.v + sb.v - shared AS DOUBLE)
+      |    AS jaccard
+      |FROM ov JOIN sz sa ON sa.lang = lang_a JOIN sz sb ON sb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204)
+      q193, q194, q204, q212)
 }

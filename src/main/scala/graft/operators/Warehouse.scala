@@ -654,7 +654,49 @@ object Warehouse {
            |FROM $tbl""".stripMargin }
       .mkString("", "\nUNION ALL\n", "\nORDER BY pk"))
 
+  // -- q211: incremental JOIN-view maintenance (delta algebra) ---------------
+  //   q154 maintains a GROUPED view incrementally; this maintains a JOIN
+  //   view: with orders = O_b∪O_d and lineitem = L_b∪L_d (simulating a
+  //   batch of new arrivals on BOTH sides), the view over the full join
+  //   is rebuilt from FOUR partial aggregates — O_b⋈L_b (the standing
+  //   view) plus the delta terms O_b⋈L_d, O_d⋈L_b, O_d⋈L_d — merged by a
+  //   group-wise sum. Partial revenue sums stay in DECIMAL(18,6) until
+  //   AFTER the merge (merging doubles would re-introduce order-dependent
+  //   rounding), so the maintained view is bit-identical to the oracle's
+  //   direct full-join aggregate: the PASS proves the delta algebra, not
+  //   just approximate agreement. At scale only the delta joins touch new
+  //   data — the standing view is a constant-size merge input.
+  val q211 = Query.sql(
+    "q211_incremental_join",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val oB = o.filter(col("o_orderkey") % 7 =!= 0)
+      val oD = o.filter(col("o_orderkey") % 7 === 0)
+      val lB = l.filter(col("l_orderkey") % 3 =!= 0)
+      val lD = l.filter(col("l_orderkey") % 3 === 0)
+      def partial(os: DataFrame, ls: DataFrame): DataFrame =
+        os.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("pc"), sum(col("rev").cast(D)).as("pr"))
+      partial(oB, lB).unionAll(partial(oB, lD))
+        .unionAll(partial(oD, lB)).unionAll(partial(oD, lD))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pc")).as("n_items"),
+          sum(col("pr")).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173)
+      q173, q211)
 }
