@@ -1369,8 +1369,122 @@ object Events {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily LEFT JOIN fs USING (day) ORDER BY day""".stripMargin)
 
+  // -- q214: time-bounded conversion funnel ----------------------------------
+  //   q59 with deadlines: a click only counts within 1 hour of the first
+  //   view, a purchase within 24 hours of that click — the realistic
+  //   attribution-window semantics (unbounded funnels overcount by
+  //   crediting conversions weeks later). Same single user-keyed shuffle
+  //   as q59: per user, the first view, then the earliest qualifying
+  //   next step inside its window via conditional min aggregates; all
+  //   deadline math in integer µs. Also reports median-free latency sums
+  //   (BIGINT) so the report stays exact.
+  val q214 = Query.sql(
+    "q214_timed_funnel",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click").as("c")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + lit(3600000000L))
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+      val t3 = e.filter(col("event_type") === "purchase").as("p")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t2") + lit(86400000000L))
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("t3"), min(col("t2")).as("t2"),
+          min(col("t1")).as("t1"))
+      t1.select(count(lit(1)).as("n_viewed"))
+        .crossJoin(t2.select(count(lit(1)).as("n_clicked_1h")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_converted_24h"),
+          coalesce(sum(col("t3") - col("t1")), lit(0L))
+            .as("total_latency_us")))
+    },
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(ts)) AS t2, MIN(t1) AS t1
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND epoch_us(ts) > t1
+      |    AND epoch_us(ts) <= t1 + 3600000000
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(ts)) AS t3, MIN(t2) AS t2,
+      |    MIN(t1) AS t1
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+      |    AND epoch_us(ts) <= t2 + 86400000000
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM t1) AS n_viewed,
+      |  (SELECT COUNT(*) FROM t2) AS n_clicked_1h,
+      |  COUNT(*) AS n_converted_24h,
+      |  CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_latency_us
+      |FROM t3""".stripMargin)
+
+  // -- q215: trending delta (today's top types vs yesterday's ranks) ---------
+  //   The "movers" report: per event type, yesterday→today count change
+  //   and rank movement on the last two days in the data (high-water day
+  //   derived from the data itself so the query is reproducible on any
+  //   snapshot). Constant-size once the daily (type, day) rollup exists;
+  //   ranks use dense ordering with the type name as tiebreak.
+  val q215 = Query.sql(
+    "q215_trending_delta",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val last2 = daily.agg(max(col("day")).as("d0"))
+        .select(col("d0"), date_sub(col("d0"), 1).as("d1"))
+      val w = Window.partitionBy("day").orderBy(desc("c"), asc("event_type"))
+      val ranked = daily.join(broadcast(last2),
+          col("day") === col("d0") || col("day") === col("d1"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+      val today = ranked.filter(col("day") === col("d0"))
+        .select(col("event_type"), col("c").as("n_today"),
+          col("rnk").as("rank_today"))
+      val yday = ranked.filter(col("day") === col("d1"))
+        .select(col("event_type"), col("c").as("n_yday"),
+          col("rnk").as("rank_yday"))
+      today.join(yday, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_today"), lit(0L)).as("n_today"),
+          coalesce(col("n_yday"), lit(0L)).as("n_yday"),
+          (coalesce(col("n_today"), lit(0L)) -
+            coalesce(col("n_yday"), lit(0L))).as("delta"),
+          col("rank_today"), col("rank_yday"))
+        .orderBy("event_type")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |last2 AS (
+      |  SELECT MAX(day) AS d0, MAX(day) - 1 AS d1 FROM daily),
+      |ranked AS (
+      |  SELECT event_type, day, c,
+      |    rank() OVER (PARTITION BY day ORDER BY c DESC, event_type)
+      |      AS rnk
+      |  FROM daily JOIN last2 ON day = d0 OR day = d1),
+      |today AS (
+      |  SELECT event_type, c AS n_today, rnk AS rank_today
+      |  FROM ranked, last2 WHERE day = d0),
+      |yday AS (
+      |  SELECT event_type, c AS n_yday, rnk AS rank_yday
+      |  FROM ranked, last2 WHERE day = d1)
+      |SELECT event_type,
+      |  COALESCE(n_today, 0) AS n_today, COALESCE(n_yday, 0) AS n_yday,
+      |  COALESCE(n_today, 0) - COALESCE(n_yday, 0) AS delta,
+      |  rank_today, rank_yday
+      |FROM today FULL OUTER JOIN yday USING (event_type)
+      |ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
-      q186, q187, q191, q195, q199, q200, q201, q205, q208, q209)
+      q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
+      q214, q215)
 }
