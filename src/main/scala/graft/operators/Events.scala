@@ -1482,9 +1482,79 @@ object Events {
       |FROM today FULL OUTER JOIN yday USING (event_type)
       |ORDER BY event_type""".stripMargin)
 
+  // -- q217: interval union coverage (uptime accounting) ---------------------
+  //   Give every event a 30-minute activity interval and measure the
+  //   UNION of those intervals per user — covered time, segment count,
+  //   and the longest dark gap. Intervals overlap freely, so this is
+  //   genuine interval algebra (not q61's disjoint session windows): the
+  //   classic sweep — running max of interval ends; a new segment opens
+  //   where the next start clears everything seen. One user-keyed window
+  //   shuffle; all arithmetic in integer µs.
+  val q217 = Query.sql(
+    "q217_interval_coverage",
+    (s, dir) => {
+      val HOLD = 1800000000L // 30 min in µs
+      val w = Window.partitionBy("user_id").orderBy("st", "event_id")
+      val iv = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + HOLD).as("en"))
+        .withColumn("max_en_before",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("gap",
+          when(col("max_en_before").isNotNull &&
+            col("st") > col("max_en_before"),
+            col("st") - col("max_en_before")))
+        .withColumn("new_seg",
+          when(col("max_en_before").isNull ||
+            col("st") > col("max_en_before"), 1L).otherwise(0L))
+      // covered = Σ(max_en − min_st) per segment; segment id = running
+      // count of new_seg markers (same single exchange, stacked windows)
+      val seg = iv.withColumn("sid",
+          sum(col("new_seg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e0"),
+          max(col("gap")).as("gap"))
+      seg.groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("e0") - col("s0")).as("covered_us"),
+          max(col("gap")).as("longest_gap_us"))
+        .orderBy("user_id")
+    },
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS st,
+      |    epoch_us(ts) + 1800000000 AS en
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, st, en,
+      |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS max_en_before
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, event_id, st, en,
+      |    CASE WHEN max_en_before IS NOT NULL AND st > max_en_before
+      |      THEN st - max_en_before END AS gap,
+      |    CASE WHEN max_en_before IS NULL OR st > max_en_before
+      |      THEN 1 ELSE 0 END AS new_seg
+      |  FROM m),
+      |sg AS (
+      |  SELECT user_id, st, en, gap,
+      |    SUM(new_seg) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |seg AS (
+      |  SELECT user_id, sid, MIN(st) AS s0, MAX(en) AS e0,
+      |    MAX(gap) AS gap
+      |  FROM sg GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_segments,
+      |  CAST(SUM(e0 - s0) AS BIGINT) AS covered_us,
+      |  MAX(gap) AS longest_gap_us
+      |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215)
+      q214, q215, q217)
 }

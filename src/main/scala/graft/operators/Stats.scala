@@ -899,7 +899,50 @@ object Stats {
       |  n_rows, CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mode_share
       |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
 
+  // -- q218: weighted median (lower) per group -------------------------------
+  //   Median of l_extendedprice with each row voting l_quantity times —
+  //   the robust "typical price per unit sold" a plain median distorts.
+  //   Values collapse to a distinct-value histogram first (q143's trick:
+  //   the window walks distinct prices, never rows), the cumulative weight
+  //   runs over the value-ordered histogram, and the pick is the first
+  //   value whose doubled cumulative weight reaches the total (lower
+  //   weighted median — an actual data value, no interpolation; 2·cumw ≥
+  //   totw is an exact integer-valued comparison).
+  val q218 = Query.sql(
+    "q218_weighted_median",
+    (s, dir) => {
+      val h = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity")).as("wt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      h.withColumn("cumw", sum(col("wt")).over(w))
+        .withColumn("totw", sum(col("wt")).over(wAll))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("weighted_median"),
+          max(col("totw")).as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    """WITH h AS (
+      |  SELECT l_returnflag, l_extendedprice, SUM(l_quantity) AS wt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(wt) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM h)
+      |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+      |  MAX(totw) AS total_weight
+      |FROM c WHERE cumw * 2 >= totw
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180, q182, q210)
+      q174, q177, q178, q179, q180, q182, q210, q218)
 }

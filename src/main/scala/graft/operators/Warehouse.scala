@@ -696,7 +696,52 @@ object Warehouse {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  // -- q216: fact reconciliation (header vs line-item totals) ----------------
+  //   The numeric sibling of the q157 FK audit: does each order header's
+  //   total agree with the recomputed sum of its lines within 1%? All
+  //   comparisons run in DECIMAL (the 1% band via ×100 integer scaling —
+  //   no float threshold), line sums accumulate in DECIMAL(18,6), and the
+  //   corpus-level billing ratio is one division of two exactly-summed
+  //   totals. One co-partitioned join + one constant-size rollup. On this
+  //   synthetic corpus the audit correctly reports the generator does NOT
+  //   enforce the invariant — that discovery is the op's purpose.
+  val q216 = Query.sql(
+    "q216_fact_reconciliation",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val ls = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(D)).as("computed"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast(D).as("billed"))
+        .join(ls, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(abs(col("billed") - col("computed")) * 100 <=
+            col("billed"), 1L).otherwise(0L)).as("n_within_1pct"),
+          sum(col("billed")).cast("double").as("total_billed"),
+          sum(col("computed")).cast("double").as("total_computed"))
+        .withColumn("billing_ratio",
+          col("total_billed") / col("total_computed"))
+    },
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |      AS DECIMAL(18,6))) AS computed
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS billed, computed
+      |  FROM orders JOIN ls ON o_orderkey = l_orderkey)
+      |SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN abs(billed - computed) * 100 <= billed
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(SUM(billed) AS DOUBLE) AS total_billed,
+      |  CAST(SUM(computed) AS DOUBLE) AS total_computed,
+      |  CAST(SUM(billed) AS DOUBLE) / CAST(SUM(computed) AS DOUBLE)
+      |    AS billing_ratio
+      |FROM j""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211)
+      q173, q211, q216)
 }
