@@ -1552,9 +1552,40 @@ object Events {
       |  MAX(gap) AS longest_gap_us
       |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // -- q220: hour-of-day seasonality profile ---------------------------------
+  //   The diurnal fingerprint per event type: share of traffic per
+  //   hour-of-day and its lift against a uniform 24-hour spread (lift =
+  //   24·c/total — an exact BIGINT rational; >1 means that hour is hot).
+  //   Constant-size output (|types|×24) from one map-side-combined
+  //   aggregate; the UTC hour extraction is identical on both engines.
+  val q220 = Query.sql(
+    "q220_hourofday_profile",
+    (s, dir) => {
+      val wT = Window.partitionBy("event_type")
+      ev(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("total", sum(col("c")).over(wT))
+        .select(col("event_type"), col("hod"), col("c"),
+          (col("c").cast("double") / col("total").cast("double"))
+            .as("share"),
+          ((col("c") * 24).cast("double") / col("total").cast("double"))
+            .as("lift"))
+        .orderBy("event_type", "hod")
+    },
+    """WITH h AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hod, c,
+      |  CAST(c AS DOUBLE) /
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS share,
+      |  CAST(c * 24 AS DOUBLE) /
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS lift
+      |FROM h ORDER BY event_type, hod""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217)
+      q214, q215, q217, q220)
 }

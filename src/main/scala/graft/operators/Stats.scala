@@ -942,7 +942,128 @@ object Stats {
       |FROM c WHERE cumw * 2 >= totw
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  // -- q219: Theil–Sen robust trend (median of pairwise slopes) --------------
+  //   The outlier-proof alternative to q142's OLS slope: per event type,
+  //   the lower median of all pairwise slopes of the hourly-count series.
+  //   The pair explosion is quadratic in HOURS (a series that grows with
+  //   wall-clock, not data volume — ~n² ≈ 30k pairs per type at any SF),
+  //   never in events. Each slope is one exact IEEE division of BIGINTs;
+  //   the median comes from the q218 distinct-value histogram walk, so no
+  //   float accumulation anywhere.
+  val q219 = Query.sql(
+    "q219_theilsen_trend",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // tiny (types × hours); self-joined below
+      val slopes = hourly.as("a").join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.h") < col("b.h"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.c") - col("a.c")).cast("double") /
+            ((col("b.h") - col("a.h")) / lit(3600000000L)).cast("double"))
+            .as("slope"))
+      val h2 = slopes.groupBy("event_type", "slope")
+        .agg(count(lit(1)).as("wt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slope")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      h2.withColumn("cumw", sum(col("wt")).over(w))
+        .withColumn("totw", sum(col("wt")).over(wAll))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("event_type")
+        .agg(min(col("slope")).as("theil_sen_slope"),
+          max(col("totw")).as("n_pairs"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.c - a.c AS DOUBLE) /
+      |      CAST((b.h - a.h) // 3600000000 AS DOUBLE) AS slope
+      |  FROM hourly a JOIN hourly b
+      |    ON a.event_type = b.event_type AND a.h < b.h),
+      |h2 AS (
+      |  SELECT event_type, slope, COUNT(*) AS wt
+      |  FROM slopes GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, slope,
+      |    SUM(wt) OVER (PARTITION BY event_type ORDER BY slope
+      |      ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    SUM(wt) OVER (PARTITION BY event_type) AS totw
+      |  FROM h2)
+      |SELECT event_type, MIN(slope) AS theil_sen_slope,
+      |  CAST(MAX(totw) AS BIGINT) AS n_pairs
+      |FROM c WHERE cumw * 2 >= totw
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  // -- q221: CUSUM changepoint detection (exact integers) --------------------
+  //   Where did the level of the hourly series shift? The scaled CUSUM
+  //   statistic S_k = n·Σ_{i≤k}x_i − k·Σx — ordinary CUSUM against the
+  //   mean multiplied through by n, which keeps every term a BIGINT (the
+  //   mean itself never materializes as a float). The changepoint is the
+  //   argmax of |S_k| (earliest hour on ties); magnitude is reported as
+  //   |S|/n back in count units. One constant-size window pass per type
+  //   over the hourly rollup.
+  val q221 = Query.sql(
+    "q221_cusum_changepoint",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val cu = hourly
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("pfx", sum(col("c")).over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("s_k", col("n") * col("pfx") - col("k") * col("tot"))
+      cu.groupBy("event_type")
+        .agg(max(struct(abs(col("s_k")).as("a"), (-col("h")).as("nh")))
+          .as("b"), max(col("n")).as("n_hours"))
+        .select(col("event_type"), col("n_hours"),
+          (-col("b.nh")).as("changepoint_h_us"),
+          (col("b.a").cast("double") / col("n_hours").cast("double"))
+            .as("shift_magnitude"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cu AS (
+      |  SELECT event_type, h,
+      |    COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS UNBOUNDED PRECEDING) AS k,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS UNBOUNDED PRECEDING) AS pfx,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(c) OVER (PARTITION BY event_type) AS tot
+      |  FROM hourly),
+      |sk AS (
+      |  SELECT event_type, h, n, CAST(n * pfx - k * tot AS BIGINT) AS s_k,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(n * pfx - k * tot) DESC, h ASC) AS rn
+      |  FROM cu)
+      |SELECT event_type, n AS n_hours, h AS changepoint_h_us,
+      |  CAST(abs(s_k) AS DOUBLE) / CAST(n AS DOUBLE) AS shift_magnitude
+      |FROM sk WHERE rn = 1 ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180, q182, q210, q218)
+      q174, q177, q178, q179, q180, q182, q210, q218, q219, q221)
 }
