@@ -505,5 +505,51 @@ object Similarity {
        |    CAST(COUNT(*) * 2520 AS DOUBLE) AS mrr
        |FROM per""".stripMargin)
 
-  val all: Seq[Query] = Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213)
+  // -- q223: mutual nearest neighbors (reciprocal best match) ----------------
+  //   Pairs where each vector is the OTHER's single nearest neighbor —
+  //   the high-precision matching rule used for bitext alignment and
+  //   near-dup confirmation (one-directional NN is noisy; mutuality
+  //   filters hubs). Bounded all-pairs oracle (vec_id < 400, q51's
+  //   pattern); at scale the NN step comes from the LSH/IVF path and only
+  //   the mutuality join below survives. Each direction's argmax is a
+  //   max(struct) over the candidate list — no per-vector sort; the
+  //   canonical (lo, hi) self-join then keeps reciprocal pairs once.
+  val q223 = Query.sql(
+    "q223_mutual_nn",
+    (s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val best = e.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          expr(cosExpr("a.embedding", "b.embedding")).as("cs"))
+        .groupBy("src")
+        .agg(max(struct(col("cs").as("cs"), (-col("dst")).as("nd")))
+          .as("b"))
+        .select(col("src"), (-col("b.nd")).as("nn"), col("b.cs").as("cs"))
+      best.as("x").join(best.as("y"),
+          col("x.src") === col("y.nn") && col("x.nn") === col("y.src") &&
+            col("x.src") < col("y.src"))
+        .select(col("x.src").as("id_a"), col("y.src").as("id_b"),
+          col("x.cs").as("cos_ab"))
+        .orderBy("id_a")
+    },
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id < 400),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cs,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+       |        b.vec_id ASC) AS rn
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |best AS (SELECT src, dst AS nn, cs FROM scored WHERE rn = 1)
+       |SELECT x.src AS id_a, y.src AS id_b, x.cs AS cos_ab
+       |FROM best x JOIN best y
+       |  ON x.src = y.nn AND x.nn = y.src AND x.src < y.src
+       |ORDER BY id_a""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223)
 }

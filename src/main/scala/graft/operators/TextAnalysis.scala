@@ -1113,8 +1113,59 @@ object TextAnalysis {
       |FROM ov JOIN sz sa ON sa.lang = lang_a JOIN sz sb ON sb.lang = lang_b
       |ORDER BY lang_a, lang_b""".stripMargin)
 
+  // -- q222: language-profile cosine (frequency-weighted similarity) ---------
+  //   q212 asks "which words do two languages SHARE"; this asks "how
+  //   similarly do they USE them": cosine between per-language token-count
+  //   vectors. Dot products and norms are BIGINT sums over the token-
+  //   co-partitioned join (each factor < 2^53 → exact double conversion);
+  //   sqrt and the final division are single IEEE steps with identical
+  //   expression text. Output C(|langs|,2) rows at any corpus size.
+  val q222 = Query.sql(
+    "q222_lang_profile_cosine",
+    (s, dir) => {
+      val tc = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // bounded (Σ per-lang vocab); read 3×
+      val norms = tc.groupBy("lang")
+        .agg(sum(col("c") * col("c")).as("n2"))
+      tc.as("a").join(tc.as("b"),
+          col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        .join(broadcast(norms).withColumnRenamed("lang", "lang_a")
+          .withColumnRenamed("n2", "n2a"), "lang_a")
+        .join(broadcast(norms).withColumnRenamed("lang", "lang_b")
+          .withColumnRenamed("n2", "n2b"), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) *
+              sqrt(col("n2b").cast("double")))).as("cosine"))
+        .orderBy("lang_a", "lang_b")
+    },
+    """WITH raw AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT lang, tok, COUNT(*) AS c FROM raw GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT lang, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tc
+      |  GROUP BY lang),
+      |dots AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, dot,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |    AS cosine
+      |FROM dots
+      |JOIN norms na ON na.lang = lang_a
+      |JOIN norms nb ON nb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212)
+      q193, q194, q204, q212, q222)
 }
