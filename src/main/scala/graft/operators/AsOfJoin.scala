@@ -29,6 +29,14 @@ object AsOfJoin {
     *                  merge_asof's other direction). Both are the same
     *                  single-shuffle sweep; forward just orders the
     *                  partition scan by descending time.
+    * @param tolerance optional max allowed gap between the left time and
+    *                  the matched right time (inclusive) — pandas
+    *                  merge_asof's `tolerance`. A match farther away
+    *                  surfaces as NULL payload, exactly like no match.
+    *                  For timestamp columns pass an interval (e.g.
+    *                  `expr("INTERVAL 1 HOUR")`); for numeric time
+    *                  columns a numeric literal. Evaluated after the
+    *                  sweep — no extra shuffle.
     */
   def asof(
       left: DataFrame,
@@ -37,7 +45,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Map[String, String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
 
@@ -48,11 +57,15 @@ object AsOfJoin {
     val rightNonNull = right.filter(col(key).isNotNull)
     // tag: right rows sort before left rows at equal timestamps so a
     // same-instant right row is visible to the left row (<= semantics)
+    // __mt: the matched right row's own time, swept alongside the payload
+    // so a tolerance bound can be applied after the sweep
     val taggedRight = rightNonNull.select(
-      (Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
+      (Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTime).as("__mt")) ++
         payload.toSeq.sortBy(_._1).map { case (src, dst) => col(src).as(dst) }): _*)
     val taggedLeft = left.select(
-      (Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
+      (Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).as("__mt")) ++
         payload.toSeq.sortBy(_._1).map { case (_, dst) => lit(null).as(dst) } ++
         leftCols.map(c => col(c).as(s"__l_$c"))): _*)
     // right rows lack the left columns:
@@ -67,10 +80,24 @@ object AsOfJoin {
     val w = Window.partitionBy("__k")
       .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = payload.values.toSeq.sorted.foldLeft(merged) { (df, dst) =>
+    val sweptCols =
+      payload.values.toSeq.sorted ++ (if (tolerance.isDefined) Seq("__mt") else Nil)
+    val swept = sweptCols.foldLeft(merged) { (df, dst) =>
       df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))
     }
-    swept.filter(col("__side") === 1)
+    // tolerance: a match farther than the bound is no match — NULL payload.
+    // gap is NULL when nothing matched at all, so the `when` stays NULL.
+    val gated = tolerance match {
+      case None => swept
+      case Some(tol) =>
+        val gap =
+          if (direction == "forward") col("__mt") - col("__t")
+          else col("__t") - col("__mt")
+        payload.values.toSeq.sorted.foldLeft(swept) { (df, dst) =>
+          df.withColumn(dst, when(gap <= tol, col(dst)))
+        }
+    }
+    gated.filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         payload.values.toSeq.sorted.map(col): _*)
   }

@@ -179,6 +179,41 @@ object Events {
       |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin)
 
+  // -- q226: as-of join with a tolerance bound ------------------------------
+  //   merge_asof(tolerance=1h): the latest error before each purchase
+  //   counts only if it happened within the hour — the freshness horizon
+  //   every feature-store lookup needs (a day-old sensor reading must
+  //   surface as NULL, not as a stale match). Same single-shuffle sweep
+  //   as q65; the bound is a post-sweep projection, no extra shuffle.
+  //   Oracle: DuckDB ASOF, then null the match outside the bound.
+  val q226 = Query.sql(
+    "q226_asof_tolerance",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asof(purchases, errors, "user_id", "ts", "ts",
+          Map("ts" -> "err_ts", "value" -> "err_value"),
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    },
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN epoch_us(r.ts) END AS err_ts_us,
+      |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN r.value END AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin)
+
   // -- q66: range (interval) join via time-bucketed equi-join ---------------
   //   Every 97th event opens a 2-hour window; all events falling inside any
   //   window are matched. The operator turns the inequality join into an
@@ -1587,5 +1622,5 @@ object Events {
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220)
+      q214, q215, q217, q220, q226)
 }

@@ -523,11 +523,15 @@ object Similarity {
       val best = e.as("a").join(e.as("b"),
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          expr(cosExpr("a.embedding", "b.embedding")).as("cs"))
+          call_function("cosine_similarity",
+            col("a.embedding"), col("b.embedding")).as("cs"))
         .groupBy("src")
         .agg(max(struct(col("cs").as("cs"), (-col("dst")).as("nd")))
           .as("b"))
         .select(col("src"), (-col("b.nd")).as("nn"), col("b.cs").as("cs"))
+        // one row per vector — materialize so the x/y self-join below does
+        // not recompute the all-pairs scoring twice
+        .localCheckpoint(true)
       best.as("x").join(best.as("y"),
           col("x.src") === col("y.nn") && col("x.nn") === col("y.src") &&
             col("x.src") < col("y.src"))

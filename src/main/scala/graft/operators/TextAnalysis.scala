@@ -1164,8 +1164,68 @@ object TextAnalysis {
       |JOIN norms nb ON nb.lang = lang_b
       |ORDER BY lang_a, lang_b""".stripMargin)
 
+  // -- q224: corpus drift via total-variation distance ----------------------
+  //   TV(p, q) = ½ Σ_tok |p(tok) − q(tok)| between per-source token
+  //   distributions — the drift monitor that decides "did source X's
+  //   language shift away from source Y's" before a training mix is
+  //   refreshed. Fully exact until one final division: with p = c_a/N_a
+  //   the numerator is Σ|c_a·N_b − c_b·N_a| over the union vocab, split
+  //   as inner-join terms plus the disjoint mass (N_a − Σ_inter c_a)·N_b
+  //   (and symmetrically), so only token pairs present in BOTH corpora
+  //   ever join — no full-outer over the union vocab. Every product and
+  //   sum stays under 2·N_a·N_b (< 2^53 up to ~3·10^7 tokens/source), so
+  //   BIGINT→DOUBLE conversion is exact and the single IEEE division
+  //   matches the oracle bit-for-bit. One token-keyed shuffle; totals are
+  //   a broadcast. Output is C(|sources|, 2) rows at any corpus size.
+  val q224 = Query.sql(
+    "q224_tv_drift",
+    (s, dir) => {
+      val tc = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // bounded (Σ per-source vocab); read 2×
+      val totals = tc.groupBy("source").agg(sum("c").as("n"))
+      val ta = tc.join(broadcast(totals), "source")
+      ta.as("a").join(ta.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(
+          sum(abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")))
+            .as("s_inter"),
+          sum(col("a.c")).as("ia"), sum(col("b.c")).as("ib"))
+        .join(broadcast(totals).toDF("src_a", "na"), "src_a")
+        .join(broadcast(totals).toDF("src_b", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"),
+          (col("s_inter") + (col("na") - col("ia")) * col("nb") +
+            (col("nb") - col("ib")) * col("na")).as("tv_num"),
+          ((col("s_inter") + (col("na") - col("ia")) * col("nb") +
+            (col("nb") - col("ib")) * col("na")).cast("double") /
+            (lit(2L) * col("na") * col("nb")).cast("double")).as("tv"))
+        .orderBy("src_a", "src_b")
+    },
+    """WITH raw AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, COUNT(*) AS c FROM raw GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+      |ta AS (SELECT tc.source, tok, c, n FROM tc JOIN tot USING (source)),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(SUM(ABS(a.c * b.n - b.c * a.n)) AS BIGINT) AS s_inter,
+      |    CAST(SUM(a.c) AS BIGINT) AS ia, CAST(SUM(b.c) AS BIGINT) AS ib
+      |  FROM ta a JOIN ta b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b,
+      |  CAST(s_inter + (na.n - ia) * nb.n + (nb.n - ib) * na.n AS BIGINT)
+      |    AS tv_num,
+      |  CAST(s_inter + (na.n - ia) * nb.n + (nb.n - ib) * na.n AS DOUBLE) /
+      |    CAST(2 * na.n * nb.n AS DOUBLE) AS tv
+      |FROM pr JOIN tot na ON na.source = src_a
+      |        JOIN tot nb ON nb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222)
+      q193, q194, q204, q212, q222, q224)
 }

@@ -139,4 +139,34 @@ class OperatorSpec extends SparkSpec {
     assert(m((2L, 5L)) == null)   // only past rows exist
     assert(m((3L, 40L)) == null)  // key absent on right
   }
+
+  test("as-of tolerance nulls stale matches, boundary inclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 100L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
+    def run(tol: Long) =
+      AsOfJoin.asof(left, right, "k", "t", "t", Map("v" -> "rv"),
+          tolerance = Some(lit(tol)))
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+          r.getAs[String]("rv")).toMap
+    val m5 = run(5L)
+    assert(m5((1L, 10L)) == "a")    // gap 0 within any bound
+    assert(m5((1L, 25L)) == "b")    // gap 5 == tolerance: inclusive
+    assert(m5((1L, 100L)) == null)  // gap 80: stale → null
+    assert(m5((2L, 5L)) == null)    // no match at all stays null
+    val m4 = run(4L)
+    assert(m4((1L, 25L)) == null)   // gap 5 > 4: excluded
+    // forward direction measures the gap the other way
+    val fwd = AsOfJoin.asof(left, right, "k", "t", "t", Map("v" -> "rv"),
+        direction = "forward", tolerance = Some(lit(9L)))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        r.getAs[String]("rv")).toMap
+    assert(fwd((1L, 10L)) == "a")   // tie matches forward too
+    assert(fwd((1L, 25L)) == null)  // no right row within +9
+  }
 }
