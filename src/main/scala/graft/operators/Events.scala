@@ -1618,9 +1618,73 @@ object Events {
       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS lift
       |FROM h ORDER BY event_type, hod""".stripMargin)
 
+  // -- q229: deterministic A/B harness with integer-exact significance ------
+  //   Experiment readout at pipeline scale: users are assigned to arms by
+  //   salted md5 (reproducible on any engine, no RNG, no assignment
+  //   table), conversion is "ever purchased", and the two-proportion
+  //   z-test |z| > 1.96 is decided without a single float by clearing
+  //   denominators — with X = x_a+x_b, N = n_a+n_b:
+  //     z² > (49/25)² ⇔ 625·N·(x_a·n_b − x_b·n_a)² > 2401·n_a·n_b·X·(N−X)
+  //   evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact at any
+  //   user count, immune to catastrophic cancellation. One user-keyed
+  //   rollup, then a 2-row aggregate — the events table shuffles once.
+  val q229 = Query.sql(
+    "q229_ab_test",
+    (s, dir) => {
+      val perUser = ev(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("grp",
+          when(substring(md5(concat(lit("ab1:"),
+            col("user_id").cast("string"))), 1, 2) < "80", "A").otherwise("B"))
+      val g = perUser.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val row = g.agg(
+        max(when(col("grp") === "A", col("n"))).as("n_a"),
+        max(when(col("grp") === "A", col("x"))).as("x_a"),
+        max(when(col("grp") === "B", col("n"))).as("n_b"),
+        max(when(col("grp") === "B", col("x"))).as("x_b"))
+      val diff = d(col("x_a")) * d(col("n_b")) - d(col("x_b")) * d(col("n_a"))
+      val bigN = d(col("n_a")) + d(col("n_b"))
+      val bigX = d(col("x_a")) + d(col("x_b"))
+      row.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (col("x_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+        (col("x_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+        (lit(625L).cast("decimal(38,0)") * bigN * diff * diff >
+          lit(2401L).cast("decimal(38,0)") * d(col("n_a")) * d(col("n_b")) *
+            bigX * (bigN - bigX)).cast("long").as("significant"))
+    },
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT CASE WHEN substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 2)
+      |              < '80' THEN 'A' ELSE 'B' END AS grp,
+      |    COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS x
+      |  FROM pu GROUP BY 1),
+      |w AS (
+      |  SELECT MAX(CASE WHEN grp = 'A' THEN n END) AS n_a,
+      |         MAX(CASE WHEN grp = 'A' THEN x END) AS x_a,
+      |         MAX(CASE WHEN grp = 'B' THEN n END) AS n_b,
+      |         MAX(CASE WHEN grp = 'B' THEN x END) AS x_b
+      |  FROM g)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      |  CAST(CASE WHEN CAST(625 AS HUGEINT) * CAST(n_a + n_b AS HUGEINT) *
+      |         CAST(x_a * n_b - x_b * n_a AS HUGEINT) *
+      |         CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+      |       > CAST(2401 AS HUGEINT) * CAST(n_a AS HUGEINT) *
+      |         CAST(n_b AS HUGEINT) * CAST(x_a + x_b AS HUGEINT) *
+      |         CAST(n_a + n_b - x_a - x_b AS HUGEINT)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM w""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226)
+      q214, q215, q217, q220, q226, q229)
 }

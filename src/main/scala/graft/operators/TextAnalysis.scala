@@ -1224,8 +1224,68 @@ object TextAnalysis {
       |        JOIN tot nb ON nb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin)
 
+  // -- q228: inter-rater agreement (Cohen's kappa) between quality rules ----
+  //   Before swapping one corpus-quality filter for another, measure how
+  //   much they actually agree beyond chance. Rater A: the metadata
+  //   length rule (n_chars >= 300). Rater B: the lexical-diversity rule
+  //   (distinct tokens >= half the tokens, decided by integer
+  //   cross-multiplication — no ratio float). With confusion counts
+  //   n11/n10/n01/n00 and marginals a1 = n11+n10 etc.,
+  //     kappa = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))
+  //   — all BIGINT (exact through N ≈ 9·10^7 docs; widen the two final
+  //   products to DECIMAL(38,0) beyond that), one IEEE division at the
+  //   end. Map-side classification + a single 1-row aggregate: no
+  //   shuffle of the text at all.
+  val q228 = Query.sql(
+    "q228_rater_kappa",
+    (s, dir) => {
+      val rated = docs(s, dir).select(
+        (col("n_chars") >= 300).cast("long").as("a"),
+        (size(array_distinct(split(col("text"), " "))).cast("long") * 2 >=
+          size(split(col("text"), " ")).cast("long")).cast("long").as("b"))
+      rated.agg(
+          count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          ((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double")).as("po"),
+          (((col("n") * (col("n11") + col("n00"))) -
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+            .cast("double") /
+           ((col("n") * col("n")) -
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+            .cast("double")).as("kappa"))
+    },
+    """WITH rated AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_distinct(string_split(text, ' '))) * 2 >=
+      |              len(string_split(text, ' ')) THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |cm AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(a * b) AS BIGINT) AS n11,
+      |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM rated)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  CAST(n * (n11 + n00) -
+      |       ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |    AS DOUBLE) /
+      |  CAST(n * n -
+      |       ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |    AS DOUBLE) AS kappa
+      |FROM cm""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224)
+      q193, q194, q204, q212, q222, q224, q228)
 }

@@ -741,7 +741,70 @@ object Warehouse {
       |    AS billing_ratio
       |FROM j""".stripMargin)
 
+  // -- q227: join cardinality / fanout profiler -----------------------------
+  //   The "will this join explode" planning pass run BEFORE shipping a
+  //   100 TB join: for each candidate join key, the exact output
+  //   cardinality Σ_k n_left(k)·n_right(k), per-side max fanout, and the
+  //   expansion factor vs the fact side. Per profiled join this is two
+  //   key-local count rollups joined on the key — the heavy tables are
+  //   never joined row-to-row, so the profile costs a pair of small
+  //   aggregates even when the real join would produce 10^14 rows (the
+  //   exact situation the profiler exists to catch). All counts BIGINT;
+  //   the one division is exact-input IEEE on both engines.
+  val q227 = Query.sql(
+    "q227_join_profile",
+    (s, dir) => {
+      def profile(name: String, left: DataFrame, lk: String,
+          right: DataFrame, rk: String): DataFrame = {
+        val lc = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("lc"))
+        val rc = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("rc"))
+        val rightTotal = right.count()
+        lc.join(rc, "k")
+          .agg(
+            count(lit(1)).as("matched_keys"),
+            sum(col("lc") * col("rc")).as("join_rows"),
+            max(col("lc")).as("max_fanout_left"),
+            max(col("rc")).as("max_fanout_right"))
+          .select(lit(name).as("join_name"), col("matched_keys"),
+            col("join_rows"), col("max_fanout_left"),
+            col("max_fanout_right"),
+            (col("join_rows").cast("double") /
+              lit(rightTotal).cast("double")).as("expansion"))
+      }
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      profile("customer_orders", cust, "c_custkey", ord, "o_custkey")
+        .unionByName(
+          profile("orders_lineitem", ord, "o_orderkey", li, "l_orderkey"))
+        .orderBy("join_name")
+    },
+    """WITH co AS (
+      |  SELECT 'customer_orders' AS join_name,
+      |    COUNT(*) AS matched_keys,
+      |    CAST(SUM(lc * rc) AS BIGINT) AS join_rows,
+      |    CAST(MAX(lc) AS BIGINT) AS max_fanout_left,
+      |    CAST(MAX(rc) AS BIGINT) AS max_fanout_right,
+      |    CAST(SUM(lc * rc) AS DOUBLE) /
+      |      CAST((SELECT COUNT(*) FROM orders) AS DOUBLE) AS expansion
+      |  FROM (SELECT c_custkey AS k, COUNT(*) AS lc FROM customer GROUP BY 1) l
+      |  JOIN (SELECT o_custkey AS k, COUNT(*) AS rc FROM orders GROUP BY 1) r
+      |    USING (k)),
+      |ol AS (
+      |  SELECT 'orders_lineitem' AS join_name,
+      |    COUNT(*) AS matched_keys,
+      |    CAST(SUM(lc * rc) AS BIGINT) AS join_rows,
+      |    CAST(MAX(lc) AS BIGINT) AS max_fanout_left,
+      |    CAST(MAX(rc) AS BIGINT) AS max_fanout_right,
+      |    CAST(SUM(lc * rc) AS DOUBLE) /
+      |      CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS expansion
+      |  FROM (SELECT o_orderkey AS k, COUNT(*) AS lc FROM orders GROUP BY 1) l
+      |  JOIN (SELECT l_orderkey AS k, COUNT(*) AS rc FROM lineitem GROUP BY 1) r
+      |    USING (k))
+      |SELECT * FROM co UNION ALL SELECT * FROM ol
+      |ORDER BY join_name""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216)
+      q173, q211, q216, q227)
 }
