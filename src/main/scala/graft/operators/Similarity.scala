@@ -464,7 +464,8 @@ object Similarity {
       val ranked = e.filter(col("vec_id") >= 50)
         .crossJoin(broadcast(q))
         .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
-          expr(cosExpr("embedding", "qv")).as("cos_sim"))
+          call_function("cosine_similarity",
+            col("embedding"), col("qv")).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
       ranked.groupBy("qid")
