@@ -887,7 +887,47 @@ object Dedup {
        |WHERE len(list_intersect(a.shingles, b.shingles)) >= 3
        |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin)
 
+  // -- q231: dedup savings planner (bytes reclaimable, per source) ----------
+  //   The capacity-planning readout run BEFORE a dedup pass: for each
+  //   source, how many docs and bytes would keep-first exact dedup
+  //   remove. Groups on md5(text) so the shuffle carries a 16-byte
+  //   digest + n_chars, never the text (q40's scale rule); duplicate
+  //   groups contribute (c−1)·bytes. BIGINT byte sums; the one
+  //   percentage division is exact-input IEEE on both engines.
+  val q231 = Query.sql(
+    "q231_dedup_savings",
+    (s, dir) => {
+      val perDigest = docs(s, dir)
+        .groupBy(col("source"), md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("c"), min(col("n_chars")).as("bytes"))
+      perDigest.groupBy("source")
+        .agg(
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("bytes")).as("total_bytes"),
+          sum((col("c") - 1)).as("dup_docs"),
+          sum((col("c") - 1) * col("bytes")).as("dup_bytes"))
+        .select(col("source"), col("n_docs"), col("total_bytes"),
+          col("dup_docs"), col("dup_bytes"),
+          (col("dup_bytes").cast("double") /
+            col("total_bytes").cast("double")).as("savings_frac"))
+        .orderBy("source")
+    },
+    """WITH pd AS (
+      |  SELECT source, md5(text) AS digest, COUNT(*) AS c,
+      |    MIN(n_chars) AS bytes
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c * bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(c - 1) AS BIGINT) AS dup_docs,
+      |  CAST(SUM((c - 1) * bytes) AS BIGINT) AS dup_bytes,
+      |  CAST(SUM((c - 1) * bytes) AS DOUBLE) /
+      |    CAST(SUM(c * bytes) AS DOUBLE) AS savings_frac
+      |FROM pd GROUP BY source
+      |ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197)
+      q130, q147, q184, q190, q192, q197, q231)
+
 }

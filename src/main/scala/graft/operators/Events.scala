@@ -1682,9 +1682,51 @@ object Events {
       |       THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM w""".stripMargin)
 
+  // -- q230: time-series resampling to OHLC bars ----------------------------
+  //   Downsample the per-type value stream to hourly open/high/low/close
+  //   bars — the canonical resample step before charting or modeling any
+  //   metric stream. Open/close are struct-extrema argmin/argmax over
+  //   (ts, event_id): one shuffle on (type, hour), no window sort of the
+  //   bucket rows, and the event_id tiebreak makes same-instant rows
+  //   deterministic on any partitioning. High/low are plain min/max —
+  //   every output value is an untouched input double, so cross-engine
+  //   equality is structural, not numeric luck.
+  val q230 = Query.sql(
+    "q230_ohlc_bars",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "hour"),
+    """WITH ranked AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, hour,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  COUNT(*) AS n
+      |FROM ranked GROUP BY 1, 2
+      |ORDER BY event_type, hour""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226, q229)
+      q214, q215, q217, q220, q226, q229, q230)
 }
