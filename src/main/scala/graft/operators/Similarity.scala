@@ -555,6 +555,55 @@ object Similarity {
        |  ON x.src = y.nn AND x.nn = y.src AND x.src < y.src
        |ORDER BY id_a""".stripMargin)
 
+  // -- q232: k-fold CV assignment + class-balance audit ---------------------
+  //   Deterministic 5-fold split of the labeled vectors (fold = salted
+  //   md5 prefix mod 5 — reproducible on any engine, no RNG, no
+  //   assignment table to persist) and the audit that matters before
+  //   training on it: each fold's per-label share vs the global share.
+  //   skew = share/global_share is a ratio of two identically-computed
+  //   IEEE divisions, so cross-engine equality is structural. Map-side
+  //   classification + one (fold, label) rollup; the label marginals are
+  //   a broadcast-size aggregate.
+  val q232 = Query.sql(
+    "q232_cv_fold_audit",
+    (s, dir) => {
+      val assigned = emb(s, dir).select(
+        (expr("CAST(conv(substring(md5(concat('cv:', CAST(vec_id AS STRING))), 1, 7), 16, 10) AS BIGINT)")
+          % 5).as("fold"),
+        col("label").cast("long").as("label"))
+      val byCell = assigned.groupBy("fold", "label")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // k×|labels| rows; read for 3 rollups
+      val foldTot = byCell.groupBy("fold").agg(sum("n").as("fold_total"))
+      val labelTot = byCell.groupBy("label").agg(sum("n").as("label_total"))
+      val grand = byCell.agg(sum("n").as("grand")).select("grand")
+      byCell.join(broadcast(foldTot), "fold")
+        .join(broadcast(labelTot), "label")
+        .crossJoin(broadcast(grand))
+        .select(col("fold"), col("label"), col("n"), col("fold_total"),
+          (col("n").cast("double") / col("fold_total").cast("double"))
+            .as("share"),
+          ((col("n").cast("double") / col("fold_total").cast("double")) /
+            (col("label_total").cast("double") / col("grand").cast("double")))
+            .as("skew"))
+        .orderBy("fold", "label")
+    },
+    """WITH assigned AS (
+      |  SELECT ('0x' || substring(md5('cv:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+      |           % 5 AS fold,
+      |         CAST(label AS BIGINT) AS label
+      |  FROM embeddings),
+      |bc AS (SELECT fold, label, COUNT(*) AS n FROM assigned GROUP BY 1, 2),
+      |ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total FROM bc GROUP BY 1),
+      |lt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS label_total FROM bc GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM bc)
+      |SELECT fold, label, n, fold_total,
+      |  CAST(n AS DOUBLE) / CAST(fold_total AS DOUBLE) AS share,
+      |  (CAST(n AS DOUBLE) / CAST(fold_total AS DOUBLE)) /
+      |    (CAST(label_total AS DOUBLE) / CAST(grand AS DOUBLE)) AS skew
+      |FROM bc JOIN ft USING (fold) JOIN lt USING (label) CROSS JOIN g
+      |ORDER BY fold, label""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232)
 }

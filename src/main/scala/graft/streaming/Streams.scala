@@ -46,6 +46,30 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming twin of q230's OHLC resample: hourly open/high/low/close
+    * bars per event type as a watermarked tumbling-window aggregation.
+    * Open/close are the same struct-extrema argmin/argmax on
+    * (ts, event_id) as the batch op — deterministic under any micro-batch
+    * arrival order, which is exactly why the window-sort formulation is
+    * NOT used here (late rows would reorder a sort; an extremum is
+    * order-free). State is one struct pair per open (type, hour) window,
+    * dropped past the watermark.
+    */
+  def ohlcStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Sliding windows (1 hour every 15 minutes). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -33,6 +33,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming OHLC bars equal the batch resample") {
+    val dir = copyEventsTo("graft-ohlc")
+    val stream = Streams.ohlcStream(Streams.eventFileStream(spark, dir))
+    Streams.runAvailableNow(stream, "ohlc_stream", outputMode = "complete")
+    val streamed = spark.table("ohlc_stream")
+      .orderBy("hour", "event_type").collect()
+    val batch = Streams.ohlcStream(spark.read.parquet(dir))
+      .orderBy("hour", "event_type").collect()
+    assert(streamed.length > 0)
+    assert(streamed.sameElements(batch))
+    // bar invariants: low <= open/close <= high on every bar
+    streamed.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h, s"bad bar: $r")
+    }
+  }
+
   test("sliding windows cover each event 4 times") {
     val dir = copyEventsTo("graft-ev-slide")
     val stream = Streams.slidingCounts(Streams.eventFileStream(spark, dir))
