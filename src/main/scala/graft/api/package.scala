@@ -691,5 +691,114 @@ package object api {
         .select(col(keyCol), col("__avail").as("avail"),
           col("__capped").as("capped"), col("__alloc").as("allocation"))
     }
+
+    /** Resample a (group, time, value) stream to OHLC bars (cf. q230).
+      * Open/close are struct-extrema argmin/argmax on (ts, tiebreak) —
+      * order-free, so the result is identical under any partitioning or
+      * arrival order; the same formulation runs streaming
+      * ([[graft.streaming.Streams.ohlcStream]]). One (group, bucket)
+      * shuffle, no per-bucket sort.
+      */
+    def ohlcBars(groupCol: String, tsCol: String, tieBreak: String,
+        valueCol: String, bucket: String = "1 hour"): DataFrame =
+      df.groupBy(col(groupCol), window(col(tsCol), bucket)
+          .getField("start").as("bucket_start"))
+        .agg(
+          min(struct(col(tsCol), col(tieBreak), col(valueCol)))
+            .getField(valueCol).as("open"),
+          max(col(valueCol)).as("high"),
+          min(col(valueCol)).as("low"),
+          max(struct(col(tsCol), col(tieBreak), col(valueCol)))
+            .getField(valueCol).as("close"),
+          count(lit(1)).as("n"))
+
+    /** Exact join-size forecast WITHOUT running the join (cf. q227):
+      * output cardinality Σ_k n_left(k)·n_right(k), per-side max fanout,
+      * and expansion vs the right side, from two key-local count rollups.
+      * The plan this exists to protect against (a 10^14-row blowup) is
+      * never executed — the profile costs two small aggregates.
+      */
+    def joinCardinality(right: DataFrame, leftKey: String,
+        rightKey: String): DataFrame = {
+      val lc = df.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__lc"))
+      val rc = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__rc"))
+      val rightTotal = right.count()
+      lc.join(rc, "__k")
+        .agg(count(lit(1)).as("matched_keys"),
+          sum(col("__lc") * col("__rc")).as("join_rows"),
+          max(col("__lc")).as("max_fanout_left"),
+          max(col("__rc")).as("max_fanout_right"))
+        .select(col("matched_keys"), col("join_rows"),
+          col("max_fanout_left"), col("max_fanout_right"),
+          (col("join_rows").cast("double") / lit(rightTotal).cast("double"))
+            .as("expansion"))
+    }
+
+    /** Pairwise total-variation distance between the per-`groupCol` token
+      * distributions of (group, token) occurrence rows (cf. q224).
+      * Exact to one final division: Σ|c_a·N_b − c_b·N_a| over the union
+      * vocab, computed as inner-join terms + disjoint mass so only tokens
+      * present in both groups ever join. Returns (g_a, g_b, tv) for each
+      * unordered group pair.
+      */
+    def tvDistance(groupCol: String, tokenCol: String): DataFrame = {
+      val tc = df.groupBy(col(groupCol).as("__g"), col(tokenCol).as("__tok"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint(true)
+      val totals = tc.groupBy("__g").agg(sum("__c").as("__n"))
+      val ta = tc.join(broadcast(totals), "__g")
+      val inter = ta.as("a").join(ta.as("b"),
+          col("a.__tok") === col("b.__tok") && col("a.__g") < col("b.__g"))
+        .groupBy(col("a.__g").as("g_a"), col("b.__g").as("g_b"))
+        .agg(
+          sum(abs(col("a.__c") * col("b.__n") - col("b.__c") * col("a.__n")))
+            .as("__s"),
+          sum(col("a.__c")).as("__ia"), sum(col("b.__c")).as("__ib"))
+      // every unordered group pair, so fully-disjoint vocabularies still
+      // surface (as tv = 1) instead of silently dropping out of the join
+      broadcast(totals).toDF("g_a", "__na")
+        .crossJoin(broadcast(totals).toDF("g_b", "__nb"))
+        .filter(col("g_a") < col("g_b"))
+        .join(inter, Seq("g_a", "g_b"), "left")
+        .select(col("g_a"), col("g_b"),
+          ((coalesce(col("__s"), lit(0L)) +
+            (col("__na") - coalesce(col("__ia"), lit(0L))) * col("__nb") +
+            (col("__nb") - coalesce(col("__ib"), lit(0L))) * col("__na"))
+            .cast("double") /
+            (lit(2L) * col("__na") * col("__nb")).cast("double")).as("tv"))
+    }
+
+    /** Two-proportion z-test at α=0.05 over per-unit rows (cf. q229):
+      * `successCol` must be 0/1 and `groupCol` must take exactly two
+      * values (sorted: first = A). |z| > 1.96 is decided in
+      * DECIMAL(38,0) by clearing denominators —
+      * 625·N·(x_a·n_b − x_b·n_a)² > 2401·n_a·n_b·X·(N−X) — so the
+      * verdict is exact at any count, immune to cancellation.
+      */
+    def twoProportionTest(groupCol: String, successCol: String): DataFrame = {
+      val g = df.groupBy(col(groupCol).cast("string").as("__g"))
+        .agg(count(lit(1)).as("__n"), sum(col(successCol)).as("__x"))
+      def d(c: Column) = c.cast("decimal(38,0)")
+      // the per-group rollup is exactly 2 rows — a bounded driver collect
+      val two = g.orderBy("__g").collect()
+      require(two.length == 2,
+        s"twoProportionTest needs exactly 2 groups, got ${two.length}")
+      val (ga, na, xa) = (two(0).getString(0), two(0).getLong(1), two(0).getLong(2))
+      val (gb, nb, xb) = (two(1).getString(0), two(1).getLong(1), two(1).getLong(2))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val base = Seq((ga, na, xa, gb, nb, xb))
+        .toDF("grp_a", "n_a", "x_a", "grp_b", "n_b", "x_b")
+      val diff = d(col("x_a")) * d(col("n_b")) - d(col("x_b")) * d(col("n_a"))
+      val bigN = d(col("n_a")) + d(col("n_b"))
+      val bigX = d(col("x_a")) + d(col("x_b"))
+      base.select(col("grp_a"), col("grp_b"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        (col("x_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+        (col("x_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+        (lit(625L).cast("decimal(38,0)") * bigN * diff * diff >
+          lit(2401L).cast("decimal(38,0)") * d(col("n_a")) * d(col("n_b")) *
+            bigX * (bigN - bigX)).as("significant"))
+    }
   }
 }

@@ -1186,20 +1186,28 @@ object TextAnalysis {
         .localCheckpoint(true) // bounded (Σ per-source vocab); read 2×
       val totals = tc.groupBy("source").agg(sum("c").as("n"))
       val ta = tc.join(broadcast(totals), "source")
-      ta.as("a").join(ta.as("b"),
+      val inter = ta.as("a").join(ta.as("b"),
           col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(
           sum(abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")))
             .as("s_inter"),
           sum(col("a.c")).as("ia"), sum(col("b.c")).as("ib"))
-        .join(broadcast(totals).toDF("src_a", "na"), "src_a")
-        .join(broadcast(totals).toDF("src_b", "nb"), "src_b")
+      // pair spine from the totals cross (tiny): fully-disjoint source
+      // pairs must surface as tv = 1, not drop out of the token join
+      broadcast(totals).toDF("src_a", "na")
+        .crossJoin(broadcast(totals).toDF("src_b", "nb"))
+        .filter(col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
         .select(col("src_a"), col("src_b"),
-          (col("s_inter") + (col("na") - col("ia")) * col("nb") +
-            (col("nb") - col("ib")) * col("na")).as("tv_num"),
-          ((col("s_inter") + (col("na") - col("ia")) * col("nb") +
-            (col("nb") - col("ib")) * col("na")).cast("double") /
+          (coalesce(col("s_inter"), lit(0L)) +
+            (col("na") - coalesce(col("ia"), lit(0L))) * col("nb") +
+            (col("nb") - coalesce(col("ib"), lit(0L))) * col("na"))
+            .as("tv_num"),
+          ((coalesce(col("s_inter"), lit(0L)) +
+            (col("na") - coalesce(col("ia"), lit(0L))) * col("nb") +
+            (col("nb") - coalesce(col("ib"), lit(0L))) * col("na"))
+            .cast("double") /
             (lit(2L) * col("na") * col("nb")).cast("double")).as("tv"))
         .orderBy("src_a", "src_b")
     },
@@ -1214,14 +1222,17 @@ object TextAnalysis {
       |    CAST(SUM(ABS(a.c * b.n - b.c * a.n)) AS BIGINT) AS s_inter,
       |    CAST(SUM(a.c) AS BIGINT) AS ia, CAST(SUM(b.c) AS BIGINT) AS ib
       |  FROM ta a JOIN ta b ON a.tok = b.tok AND a.source < b.source
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT na.source AS src_a, na.n AS na, nb.source AS src_b, nb.n AS nb
+      |  FROM tot na CROSS JOIN tot nb WHERE na.source < nb.source)
       |SELECT src_a, src_b,
-      |  CAST(s_inter + (na.n - ia) * nb.n + (nb.n - ib) * na.n AS BIGINT)
-      |    AS tv_num,
-      |  CAST(s_inter + (na.n - ia) * nb.n + (nb.n - ib) * na.n AS DOUBLE) /
-      |    CAST(2 * na.n * nb.n AS DOUBLE) AS tv
-      |FROM pr JOIN tot na ON na.source = src_a
-      |        JOIN tot nb ON nb.source = src_b
+      |  CAST(COALESCE(s_inter, 0) + (na - COALESCE(ia, 0)) * nb +
+      |       (nb - COALESCE(ib, 0)) * na AS BIGINT) AS tv_num,
+      |  CAST(COALESCE(s_inter, 0) + (na - COALESCE(ia, 0)) * nb +
+      |       (nb - COALESCE(ib, 0)) * na AS DOUBLE) /
+      |    CAST(2 * na * nb AS DOUBLE) AS tv
+      |FROM spine LEFT JOIN pr USING (src_a, src_b)
       |ORDER BY src_a, src_b""".stripMargin)
 
   // -- q228: inter-rater agreement (Cohen's kappa) between quality rules ----

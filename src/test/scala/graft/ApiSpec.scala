@@ -311,4 +311,77 @@ class ApiSpec extends SparkSpec {
         .forall(v => v >= lo && v <= hi))
     }
   }
+
+  test("ohlcBars picks first/last by time with tiebreak, bounds hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      ("a", t(5), 1L, 10.0), ("a", t(1), 2L, 7.0), ("a", t(1), 3L, 8.0),
+      ("a", t(59), 4L, 3.0), ("b", t(30), 5L, 5.0))
+      .toDF("g", "ts", "id", "v")
+    val bars = df.ohlcBars("g", "ts", "id", "v")
+      .orderBy("g").collect()
+    val a = bars(0)
+    // open: earliest ts, smallest id wins the 10:01 tie → 7.0
+    assert(a.getAs[Double]("open") == 7.0)
+    assert(a.getAs[Double]("high") == 10.0)
+    assert(a.getAs[Double]("low") == 3.0)
+    assert(a.getAs[Double]("close") == 3.0)
+    assert(a.getAs[Long]("n") == 4L)
+    val b = bars(1)
+    assert(b.getAs[Double]("open") == 5.0 && b.getAs[Double]("close") == 5.0)
+  }
+
+  test("joinCardinality forecasts the exact join size without joining") {
+    import spark.implicits._
+    val left = Seq(1, 1, 2, 3).toDF("k")        // fanouts: 1→2, 2→1, 3→1
+    val right = Seq(1, 2, 2, 2, 9).toDF("j")    // fanouts: 1→1, 2→3, 9→1
+    val p = left.joinCardinality(right, "k", "j").collect().head
+    assert(p.getAs[Long]("matched_keys") == 2L)
+    // exact: key 1 → 2·1, key 2 → 1·3
+    assert(p.getAs[Long]("join_rows") == 5L)
+    assert(p.getAs[Long]("max_fanout_left") == 2L)
+    assert(p.getAs[Long]("max_fanout_right") == 3L)
+    assert(p.getAs[Double]("expansion") == 1.0)
+    // cross-check against the join it forecast
+    assert(left.join(right, col("k") === col("j")).count() == 5L)
+  }
+
+  test("tvDistance: 0 for identical, 1 for disjoint distributions") {
+    import spark.implicits._
+    val rows = Seq(
+      ("p", "x"), ("p", "x"), ("p", "y"),
+      ("q", "x"), ("q", "x"), ("q", "y"),   // q ≡ p → tv 0
+      ("r", "z"), ("r", "w"))               // r disjoint from both → tv 1
+    val tv = rows.toDF("g", "tok").tvDistance("g", "tok")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(tv(("p", "q")) == 0.0)
+    assert(tv(("p", "r")) == 1.0)
+    assert(tv(("q", "r")) == 1.0)
+    // and a hand-computed middle case: p={x:2,y:1}, s={x:1,y:2} → tv=1/3
+    val tv2 = (rows.filter(_._1 != "r") ++ Seq(("s", "x"), ("s", "y"), ("s", "y")))
+      .toDF("g", "tok").tvDistance("g", "tok").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(tv2(("p", "s")) - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("twoProportionTest flags an obvious effect, passes a null one") {
+    import spark.implicits._
+    val strong = (1 to 400).map(i => ("A", if (i % 2 == 0) 1L else 0L)) ++
+      (1 to 400).map(_ => ("B", 0L))
+    val s = strong.toDF("g", "conv").twoProportionTest("g", "conv")
+      .collect().head
+    assert(s.getAs[String]("grp_a") == "A" && s.getAs[Boolean]("significant"))
+    assert(s.getAs[Double]("rate_a") == 0.5 && s.getAs[Double]("rate_b") == 0.0)
+    val nullCase = (1 to 400).map(i =>
+      (if (i % 2 == 0) "A" else "B", if (i % 4 < 2) 1L else 0L))
+    val n = nullCase.toDF("g", "conv").twoProportionTest("g", "conv")
+      .collect().head
+    assert(!n.getAs[Boolean]("significant"))
+    intercept[IllegalArgumentException] {
+      Seq(("A", 1L)).toDF("g", "conv").twoProportionTest("g", "conv").collect()
+    }
+  }
 }
