@@ -194,4 +194,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       s"partition filter not applied:\n$p")
   }
+
+  test("q227 join profiler aggregates BEFORE joining — base rows never join") {
+    // the profiler's whole point: the (possibly exploding) row-level join
+    // must not appear in the plan; only key-local count rollups join.
+    val p = plan(Warehouse.q227.run(spark, sf001))
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(j => p.indexOf(j)).filter(_ >= 0)
+    assert(joins.nonEmpty, s"expected the rollup join in:\n$p")
+    // plans print parents first: every join must sit ABOVE (smaller index
+    // than) at least one HashAggregate pair on each input — cheap proxy:
+    // the first aggregate appears below the first join in the tree text
+    val firstJoin = joins.min
+    val aggBelowJoin = p.indexOf("HashAggregate", firstJoin)
+    assert(aggBelowJoin > firstJoin,
+      s"no aggregate below the join — profiler joined raw rows?\n$p")
+  }
+
+  test("q230 OHLC bars: one shuffle, two-phase aggregate, no window sort") {
+    val p = plan(Events.q230.run(spark, sf001))
+    assert(!p.contains("Window"), s"OHLC must not use a window sort:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    // one grouping exchange + one for the final orderBy
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    // struct extrema buffers aren't hash-eligible → SortAggregate, which
+    // still runs partial (map-side) + final: assert the two-phase pair
+    val aggs = "(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregate, got $aggs:\n$p")
+  }
+
+  test("q224 TV drift: totals join is broadcast, token join shuffles once") {
+    val p = plan(TextAnalysis.q224.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals should broadcast:\n$p")
+    // the token-keyed exchange must exist but ONLY on the tc aggregate —
+    // the raw text column must never reach an exchange
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text column crossed a shuffle:\n$p")
+  }
 }
