@@ -1724,9 +1724,58 @@ object Events {
       |FROM ranked GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin)
 
+  // -- q234: seasonality-adjusted volume anomalies --------------------------
+  //   q129 flags hours against the type's GLOBAL mean, so a quiet 3 AM
+  //   hour reads as an anomaly every single day. This one compares each
+  //   (type, calendar hour) cell against that type's baseline FOR THAT
+  //   HOUR-OF-DAY (q220's profile), catching "3 AM was busy for a 3 AM"
+  //   — the deseasonalized test real monitoring needs. Same cleared-
+  //   denominator integer z-test as q129, grouped by (type, hod):
+  //   (c·n − S1)²·(n−1) > 4·n·(n·S2 − S1²) — no float anywhere. One
+  //   hourly rollup shuffle; the per-(type, hod) stats broadcast back.
+  val q234 = Query.sql(
+    "q234_seasonal_anomalies",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.groupBy(col("event_type").as("et"), col("hod").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      hourly.join(broadcast(stats),
+          col("event_type") === col("et") && col("hod") === col("h"))
+        .filter(col("n") >= 3) // a 1-2 sample baseline can't flag anything
+        .withColumn("dev", col("c") * col("n") - col("s1"))
+        .filter(col("dev") * col("dev") * (col("n") - 1) >
+          lit(4L) * col("n") * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("hour"), col("hod"),
+          col("c").as("n_events"), col("dev"))
+        .orderBy("event_type", "hour")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT event_type AS et, hod AS h, COUNT(*) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1, 2)
+      |SELECT event_type, hour, hod, c AS n_events,
+      |  CAST(c * n - s1 AS BIGINT) AS dev
+      |FROM hourly JOIN stats ON event_type = et AND hod = h
+      |WHERE n >= 3
+      |  AND (c * n - s1) * (c * n - s1) * (n - 1) >
+      |      4 * n * (n * s2 - s1 * s1)
+      |ORDER BY event_type, hour""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226, q229, q230)
+      q214, q215, q217, q220, q226, q229, q230, q234)
 }

@@ -588,5 +588,54 @@ object Graph {
       |FROM deg JOIN pn ON deg.p = pn.p
       |WHERE pn.t > 0 ORDER BY node""".stripMargin)
 
-  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170, q203)
+  // -- q233: degree distribution + CCDF of the supplier–part graph ----------
+  //   The first diagnostic run on any production graph: the degree
+  //   histogram and its complementary CDF (what fraction of nodes have
+  //   degree ≥ d) — how hub-heaviness, skew-join risk, and power-law
+  //   tails get spotted before an algorithm is launched on 10^11 edges.
+  //   Degrees are one distinct-edge rollup; the histogram is bounded by
+  //   |distinct degrees| so the CCDF window runs over a tiny frame, never
+  //   the nodes. All counts BIGINT; the share division is exact-input
+  //   IEEE.
+  val q233 = Query.sql(
+    "q233_degree_distribution",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val deg = e.select(concat(lit("s"), col("sk").cast("string")).as("node"))
+        .union(e.select(concat(lit("p"), col("pk").cast("string")).as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("deg"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      hist
+        .withColumn("n_ge", sum(col("n_nodes")).over(wDesc))
+        .withColumn("total", sum(col("n_nodes")).over(wAll))
+        .select(col("deg"), col("n_nodes"),
+          col("n_ge"),
+          (col("n_ge").cast("double") / col("total").cast("double"))
+            .as("ccdf"))
+        .orderBy("deg")
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT 's' || CAST(sk AS VARCHAR) AS node FROM e
+      |    UNION ALL
+      |    SELECT 'p' || CAST(pk AS VARCHAR) FROM e)
+      |  GROUP BY node),
+      |hist AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg)
+      |SELECT deg, n_nodes,
+      |  CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+      |  CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    CAST(SUM(n_nodes) OVER () AS DOUBLE) AS ccdf
+      |FROM hist ORDER BY deg""".stripMargin)
+
+  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170, q203, q233)
 }
