@@ -407,6 +407,41 @@ object Streams {
       .select(col("window.start").as("hour"), col("n"),
         col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p90"))
 
+  /** Live distribution-drift monitor: per-window total-variation distance
+    * of the event-type mix against a fixed reference distribution
+    * (cf. q224 / `api.tvDistance` for the batch pairwise form).
+    *
+    * The trick that keeps this a SINGLE streaming aggregation (two-level
+    * aggs don't compose in append mode) and the state bounded: the
+    * reference's support is collected once at stream-construction time
+    * (tiny — it's a distribution over categories), and the window agg
+    * pivots to one conditional count per reference category. TV is then
+    * a plain projection: ½(Σ_known |c_t/N − r_t| + unseen/N) where
+    * `unseen` counts stream types outside the reference support (their
+    * reference mass is 0). State per open window = |support| + 2 longs.
+    *
+    * @param reference (category, weight) rows; weights must sum to 1.
+    */
+  def tvDriftStream(events: DataFrame, reference: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val ref = reference.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val perType = ref.map { case (t, _) =>
+      count(when(col("event_type") === t, 1)).as(s"__c_$t")
+    }
+    val counted = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), perType: _*)
+    val n = col("n").cast("double")
+    val knownSum = ref.map { case (t, w) =>
+      abs(col(s"__c_$t").cast("double") / n - lit(w))
+    }.reduce(_ + _)
+    val unseen = col("n") - ref.map(t => col(s"__c_${t._1}")).reduce(_ + _)
+    counted.select(col("window.start").as("hour"), col("n"),
+      ((knownSum + unseen.cast("double") / n) / 2.0).as("tv"))
+  }
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

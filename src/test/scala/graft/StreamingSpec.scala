@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tvDriftStream tracks per-window drift against a reference mix") {
+    val dir = copyEventsTo("graft-tvd")
+    val batchEv = spark.read.parquet(dir)
+    val total = batchEv.count().toDouble
+    val reference = batchEv.groupBy("event_type").count()
+      .select(col("event_type"),
+        (col("count").cast("double") / total).as("w"))
+    val stream = Streams.tvDriftStream(
+      Streams.eventFileStream(spark, dir), reference)
+    Streams.runAvailableNow(stream, "tvd_stream", outputMode = "complete")
+    val streamed = spark.table("tvd_stream").orderBy("hour").collect()
+    val batch = Streams.tvDriftStream(batchEv, reference)
+      .orderBy("hour").collect()
+    assert(streamed.length > 0)
+    assert(streamed.sameElements(batch))
+    // tv is a distance: within [0, 1] on every window
+    streamed.foreach { r =>
+      val tv = r.getDouble(2)
+      assert(tv >= 0.0 && tv <= 1.0, s"tv out of range: $r")
+    }
+    // hand-check one window against first principles
+    val h = streamed.head.getTimestamp(0)
+    val winCounts = batchEv
+      .filter(date_trunc("hour", col("ts")) === h)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = winCounts.values.sum.toDouble
+    val refMap = reference.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = (refMap.keySet ++ winCounts.keySet).toSeq.map { t =>
+      math.abs(winCounts.getOrElse(t, 0L) / n - refMap.getOrElse(t, 0.0))
+    }.sum / 2.0
+    assert(math.abs(streamed.head.getDouble(2) - expected) < 1e-12)
+  }
+
   test("sliding windows cover each event 4 times") {
     val dir = copyEventsTo("graft-ev-slide")
     val stream = Streams.slidingCounts(Streams.eventFileStream(spark, dir))
