@@ -926,8 +926,101 @@ object Dedup {
       |FROM pd GROUP BY source
       |ORDER BY source""".stripMargin)
 
+  // -- q235: MinHash calibration — signature estimate vs exact Jaccard ------
+  //   The eval that justifies the dedup pipeline's thresholds: for every
+  //   LSH candidate pair (q43's bands, same salts), how well does the
+  //   16-slot signature-agreement estimate m/16 track the TRUE shingle
+  //   Jaccard? The output IS the calibration table — one row per
+  //   candidate pair with the agreeing-slot count (integer), the
+  //   estimate (m/16, exact: denominator is a power of two) and the
+  //   exact Jaccard (one division) — so no float aggregation is needed
+  //   at all. Bounded oracle (doc_id < 2000, q42's rule); at scale the
+  //   same join runs on a SAMPLE of candidate pairs.
+  val q235 = {
+    val P = 1000000007L
+    Query.sql(
+      "q235_minhash_calibration",
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("doc_id") < 2000)
+          .select(col("doc_id"), expr(shinglesExpr).as("sh"),
+            // int64-hashed copy for the quadratic intersect (q42's trick:
+            // counts are unchanged unless xxhash64 collides within a pair)
+            expr(s"transform($shinglesExpr, x -> xxhash64(x))").as("shh"))
+          .localCheckpoint(true) // read for signatures AND exact Jaccard
+        val base = expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)")
+        val sigLong = d
+          .select(col("doc_id"), explode(col("sh")).as("sh"))
+          .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"),
+            base.as("b"))
+          .groupBy("doc_id", "j")
+          .agg(min(((lit(1000003L) * col("j") + lit(12345L)) * col("b") +
+            lit(7919L) * col("j") + lit(271L)) % P).as("m"))
+          .localCheckpoint(true) // 16 rows/doc; read for bands AND agreement
+        val bandkeys = sigLong
+          .groupBy(col("doc_id"), (col("j") / 2).cast("long").as("band"))
+          .agg(concat_ws(",",
+            min(when(col("j") % 2 === 0, col("m"))),
+            min(when(col("j") % 2 === 1, col("m")))).as("bh"))
+        val cand = bandkeys.as("x").join(bandkeys.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val agree = cand
+          .join(sigLong.toDF("id_a", "j", "ma"), "id_a")
+          .join(sigLong.toDF("__db", "j2", "mb"),
+            col("id_b") === col("__db") && col("j") === col("j2"))
+          .groupBy("id_a", "id_b")
+          .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("m16"))
+        val inter = size(array_intersect(col("da.shh"), col("db.shh")))
+          .cast("double")
+        agree
+          .join(d.as("da"), col("id_a") === col("da.doc_id"))
+          .join(d.as("db"), col("id_b") === col("db.doc_id"))
+          .select(col("id_a"), col("id_b"), col("m16"),
+            (col("m16").cast("double") / 16.0).as("est"),
+            (inter / (size(col("da.shh")) + size(col("db.shh")) - inter))
+              .as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles
+         |           FROM documents WHERE doc_id < 2000),
+         |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+         |hb AS (
+         |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS base
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, j,
+         |    MIN(((1000003 * j + 12345) * base + 7919 * j + 271) % 1000000007) AS m
+         |  FROM hb, (SELECT unnest(generate_series(0, 15)) AS j) jj
+         |  GROUP BY doc_id, j),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+         |    array_to_string(list(m ORDER BY j), ',') AS bh
+         |  FROM sig GROUP BY doc_id, j // 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |agree AS (
+         |  SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS m16
+         |  FROM cand JOIN sig a ON a.doc_id = id_a
+         |            JOIN sig b ON b.doc_id = id_b AND a.j = b.j
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, m16,
+         |  CAST(m16 AS DOUBLE) / 16.0 AS est,
+         |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+         |    (len(da.shingles) + len(db.shingles)
+         |     - CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE))
+         |    AS jaccard
+         |FROM agree JOIN d da ON da.doc_id = id_a
+         |           JOIN d db ON db.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197, q231)
+      q130, q147, q184, q190, q192, q197, q231, q235)
 
 }
