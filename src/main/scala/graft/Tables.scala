@@ -34,19 +34,28 @@ object Tables {
     if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
-  /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to
-    * microseconds — the same conversion DuckDB applies — keeping the session
-    * free of the legacy conf for every other scan.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's reader unless read
+    * as raw nanos via the legacy conf, then truncated to micros — the same
+    * conversion DuckDB applies) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Normalize both to session-zone TimestampType — the
+    * session is pinned to UTC everywhere (GraftSession/Bench/Verify), so
+    * the NTZ→LTZ cast is value-preserving and downstream operators see one
+    * stable type regardless of which generation is on disk.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
