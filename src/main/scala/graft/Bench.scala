@@ -6,6 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   */
 object Bench {
+  /** Release blocks pinned by per-query `localCheckpoint`/`cache` calls.
+    * Each query is self-contained; without this, a 250+-query session
+    * accumulates hundreds of dead cached RDDs and later queries pay the
+    * eviction/GC pressure (observed: q119 3 s standalone vs 9 s late in a
+    * full bench run). A production pipeline gets this for free — one job,
+    * one session, blocks die with the app.
+    */
+  def dropCaches(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,8 +42,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9 // stop the clock, THEN clean
+        dropCaches(spark)
+        if (ok) dt else -1.0
       }
       val a = once()
       val b = if (a < 0) a else math.min(a, once())

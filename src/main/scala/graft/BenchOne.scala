@@ -27,7 +27,9 @@ object BenchOne {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Bench.dropCaches(spark)
+        dt
       }.sorted
       println(f"BENCHONE $name best=${times.head}%.3f median=${times(1)}%.3f worst=${times(2)}%.3f")
     }

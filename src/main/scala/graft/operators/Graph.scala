@@ -89,14 +89,21 @@ object Graph {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val und = e.select(concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst"))
-        .union(e.select(concat(lit("p"), col("pk").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst")))
+      // Iterate on BIGINT node ids (supplier → 2·sk, part → 2·pk+1): every
+      // per-iteration shuffle hashes and compares 8-byte longs instead of
+      // variable-length strings; the human-readable label is rendered once
+      // on the final 20-row output. The graph is isomorphic to the oracle's
+      // string-keyed one, so degrees, contribution sums, and ranks are
+      // bit-identical.
+      val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+        .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
       // teleport pinned to decimal 0.15: the oracle computes it as
       // CAST(0.15 AS DOUBLE), and 1.0 - 0.85 is 0.15000000000000002
       pageRank(und, "src", "dst", iters = 3, damping = 0.85,
           teleport = Some(0.15))
+        .select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
+          " ELSE 'p' || CAST(node DIV 2 AS STRING) END").as("node"),
+          col("deg"), col("rank"))
         .orderBy(desc("rank"), asc("node")).limit(20)
     },
     """WITH e AS (
@@ -246,7 +253,7 @@ object Graph {
     * Unreached nodes stay at rank 0 (kept by the LEFT join).
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: Seq[String], iters: Int = 3, damping: Double = 0.85,
+      seeds: Seq[Any], iters: Int = 3, damping: Double = 0.85,
       teleport: Double = 0.15): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -472,12 +479,16 @@ object Graph {
         val e = Tables.load(s, dir, "lineitem")
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .distinct()
-        val und = e.select(concat(lit("s"), col("sk").cast("string")).as("src"),
-            concat(lit("p"), col("pk").cast("string")).as("dst"))
-          .union(e.select(concat(lit("p"), col("pk").cast("string")).as("src"),
-            concat(lit("s"), col("sk").cast("string")).as("dst")))
-        personalizedPageRank(und, "src", "dst", seeds, iters = 3,
+        // Same BIGINT-id iteration core as q119 (supplier → 2·sk, part →
+        // 2·pk+1); seeds s1..s5 become ids 2,4,6,8,10 and the label is
+        // rendered once on the bounded output.
+        val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+          .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+        personalizedPageRank(und, "src", "dst", (1 to 5).map(_ * 2L), iters = 3,
             damping = 0.85, teleport = 0.15)
+          .select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
+            " ELSE 'p' || CAST(node DIV 2 AS STRING) END").as("node"),
+            col("deg"), col("rank"))
           .orderBy(desc("rank"), asc("node")).limit(20)
       },
       s"""WITH e AS (
