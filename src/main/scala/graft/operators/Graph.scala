@@ -648,5 +648,128 @@ object Graph {
       |    CAST(SUM(n_nodes) OVER () AS DOUBLE) AS ccdf
       |FROM hist ORDER BY deg""".stripMargin)
 
-  val all: Seq[Query] = Seq(q119, q123, q150, q166, q170, q203, q233)
+  // -- q236: HITS hubs & authorities on the supplier→part graph -------------
+  //   Kleinberg's mutual-reinforcement scores: a(p) = Σ h(s) over suppliers
+  //   shipping p, h(s) = Σ a(p) over parts s ships. Two rounds from h₀ = 1
+  //   — and UNNORMALIZED, which is the determinism trick: every
+  //   intermediate score is then an exact BIGINT (a₁ is an in-degree, each
+  //   later score a sum of BIGINTs), so there is no float accumulation to
+  //   order. Normalization happens once, on the final bounded top-k, as a
+  //   single exact-input IEEE division by the side's max. Each round is one
+  //   key-partitioned join + one aggregation over the (pk, sk) pair table —
+  //   the same Pregel-as-joins shape as PageRank, state 8 bytes per node.
+  val q236 = Query.sql(
+    "q236_hits",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+        .localCheckpoint(true) // read 4× (a1 + three propagation joins)
+      val a1 = e.groupBy("pk").agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "pk").groupBy("sk").agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, "sk").groupBy("pk").agg(sum(col("h1")).as("a2"))
+        .localCheckpoint(true) // feeds both h2 and the authority top-k
+      val h2 = e.join(a2, "pk").groupBy("sk").agg(sum(col("a2")).as("h2"))
+      val hubs = h2
+        .crossJoin(broadcast(h2.agg(max(col("h2")).as("mx"))))
+        .select(lit("hub").as("side"), col("sk").as("id"),
+          col("h2").as("score"),
+          (col("h2").cast("double") / col("mx").cast("double")).as("norm"))
+        .orderBy(desc("score"), asc("id")).limit(10)
+      val auths = a2
+        .crossJoin(broadcast(a2.agg(max(col("a2")).as("mx"))))
+        .select(lit("authority").as("side"), col("pk").as("id"),
+          col("a2").as("score"),
+          (col("a2").cast("double") / col("mx").cast("double")).as("norm"))
+        .orderBy(desc("score"), asc("id")).limit(10)
+      hubs.unionAll(auths).orderBy(asc("side"), desc("score"), asc("id"))
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |a1 AS (SELECT pk, COUNT(*) AS a1 FROM e GROUP BY pk),
+      |h1 AS (SELECT sk, SUM(a1) AS h1 FROM e JOIN a1 USING (pk) GROUP BY sk),
+      |a2 AS (SELECT pk, SUM(h1) AS a2 FROM e JOIN h1 USING (sk) GROUP BY pk),
+      |h2 AS (SELECT sk, SUM(a2) AS h2 FROM e JOIN a2 USING (pk) GROUP BY sk),
+      |hubs AS (
+      |  SELECT 'hub' AS side, sk AS id, CAST(h2 AS BIGINT) AS score,
+      |    CAST(h2 AS DOUBLE) / CAST((SELECT MAX(h2) FROM h2) AS DOUBLE) AS norm
+      |  FROM h2 ORDER BY score DESC, id LIMIT 10),
+      |auths AS (
+      |  SELECT 'authority' AS side, pk AS id, CAST(a2 AS BIGINT) AS score,
+      |    CAST(a2 AS DOUBLE) / CAST((SELECT MAX(a2) FROM a2) AS DOUBLE) AS norm
+      |  FROM a2 ORDER BY score DESC, id LIMIT 10)
+      |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+      |ORDER BY side, score DESC, id""".stripMargin)
+
+  // -- q237: synchronous label propagation communities ----------------------
+  //   Two LPA rounds over the q123 co-purchase graph (support ≥ 2): each
+  //   node adopts the MODE of its neighbours' labels, ties broken by the
+  //   smallest label — fully deterministic, unlike textbook random-order
+  //   LPA, and genuinely different from connected components (a hub's
+  //   label wins locally even inside one component). Each round is one
+  //   edge⋈label join + two key-partitioned aggregations; the mode is an
+  //   argmin over (−count, label) structs, so no window over the node set.
+  //   Per-round state is one (node, label) pair — 16 bytes per node.
+  val q237 = Query.sql(
+    "q237_label_propagation",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e0 = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.p1") < col("pr.p2"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+        .select("p1", "p2")
+      val und = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .union(e0.select(col("p2").as("u"), col("p1").as("v")))
+        .localCheckpoint(true) // read by both rounds + the node spine
+      def round(l: DataFrame): DataFrame =
+        und.join(l, col("v") === col("node"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("u").as("node"), col("m.l").as("lbl"))
+      val l0 = und.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val l2 = round(round(l0))
+      l2.groupBy("lbl").agg(count(lit(1)).as("size"),
+          min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy(desc("size"), asc("lbl")).limit(20)
+    },
+    """WITH e0 AS (
+      |  SELECT a.l_partkey p1, b.l_partkey p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT p1 AS u, p2 AS v FROM e0
+      |        UNION ALL SELECT p2, p1 FROM e0),
+      |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+      |c1 AS (
+      |  SELECT und.u, l.lbl, COUNT(*) AS cnt
+      |  FROM und JOIN l0 l ON und.v = l.node GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT u AS node, lbl FROM (
+      |    SELECT u, lbl, ROW_NUMBER() OVER (
+      |      PARTITION BY u ORDER BY cnt DESC, lbl) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT und.u, l.lbl, COUNT(*) AS cnt
+      |  FROM und JOIN l1 l ON und.v = l.node GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT u AS node, lbl FROM (
+      |    SELECT u, lbl, ROW_NUMBER() OVER (
+      |      PARTITION BY u ORDER BY cnt DESC, lbl) AS rn FROM c2)
+      |  WHERE rn = 1)
+      |SELECT lbl, COUNT(*) AS size, MIN(node) AS min_node,
+      |  MAX(node) AS max_node
+      |FROM l2 GROUP BY lbl
+      |ORDER BY size DESC, lbl LIMIT 20""".stripMargin)
+
+  val all: Seq[Query] =
+    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237)
 }
