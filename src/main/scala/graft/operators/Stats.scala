@@ -1063,7 +1063,59 @@ object Stats {
       |  CAST(abs(s_k) AS DOUBLE) / CAST(n AS DOUBLE) AS shift_magnitude
       |FROM sk WHERE rn = 1 ORDER BY event_type""".stripMargin)
 
+  // -- q239: count-min sketch frequency estimation + error audit ------------
+  //   The mergeable fixed-size counter sketch for streams too wide to count
+  //   exactly: d=4 hash rows × w=512 buckets; est(x) = min_i counter[i][
+  //   h_i(x)] — always an OVERestimate (collisions only add). The build is
+  //   map-side combined (each partition folds into ≤ d·w counters before
+  //   the shuffle, like a groupBy on (row, bucket)), so sketch cost is
+  //   independent of key cardinality — the property that matters when the
+  //   true key space is 10⁹ at 100 TB. The audit compares est vs exact for
+  //   the 10 heaviest keys. h_i = md5-prefix (cross-engine determinism —
+  //   the q43 pattern; production swaps in xxhash64).
+  val q239 = Query.sql(
+    "q239_count_min_sketch",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(col("l_partkey").as("pk"))
+      def bucket = expr("CAST(conv(substring(md5(CAST(i AS STRING) || ':' || " +
+        "CAST(pk AS STRING)), 1, 7), 16, 10) AS BIGINT) % 512")
+      val counters = li
+        .select(col("pk"), explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("i"), bucket.as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      val exact = li.groupBy("pk").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(desc("n_exact"), asc("pk")).limit(10)
+      top
+        .select(col("pk"), col("n_exact"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("pk"), col("n_exact"), col("i"), bucket.as("b"))
+        .join(broadcast(counters), Seq("i", "b")) // sketch is 2048 rows
+        .groupBy("pk", "n_exact").agg(min(col("c")).as("est"))
+        .select(col("pk"), col("n_exact"), col("est"),
+          (col("est") - col("n_exact")).as("overcount"))
+        .orderBy(desc("n_exact"), asc("pk"))
+    },
+    """WITH keys AS (SELECT l_partkey AS pk FROM lineitem),
+      |ii AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+      |counters AS (
+      |  SELECT i, ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+      |      CAST(pk AS VARCHAR)), 1, 7))::BIGINT % 512 AS b,
+      |    COUNT(*) AS c
+      |  FROM keys CROSS JOIN ii GROUP BY 1, 2),
+      |exact AS (SELECT pk, COUNT(*) AS n_exact FROM keys GROUP BY pk),
+      |top AS (SELECT * FROM exact ORDER BY n_exact DESC, pk LIMIT 10),
+      |est AS (
+      |  SELECT t.pk, t.n_exact, MIN(c.c) AS est
+      |  FROM top t CROSS JOIN ii
+      |  JOIN counters c ON c.i = ii.i AND
+      |    c.b = ('0x' || substring(md5(CAST(ii.i AS VARCHAR) || ':' ||
+      |      CAST(t.pk AS VARCHAR)), 1, 7))::BIGINT % 512
+      |  GROUP BY 1, 2)
+      |SELECT pk, n_exact, CAST(est AS BIGINT) AS est,
+      |  CAST(est - n_exact AS BIGINT) AS overcount
+      |FROM est ORDER BY n_exact DESC, pk""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180, q182, q210, q218, q219, q221)
+      q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239)
 }

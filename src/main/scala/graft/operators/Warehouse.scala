@@ -804,7 +804,52 @@ object Warehouse {
       |SELECT * FROM co UNION ALL SELECT * FROM ol
       |ORDER BY join_name""".stripMargin)
 
+  // -- q238: k-anonymity audit over quasi-identifiers -----------------------
+  //   Before a table (or a training corpus's metadata) is released, the
+  //   re-identification surface is the equivalence-class size histogram
+  //   over the quasi-identifier columns: a row in a class of size < k is
+  //   k-anonymity-violating at that k. QI here = (nation, market segment,
+  //   account-balance band); the report gives, per policy threshold k ∈
+  //   {2,5,10,20}, how many classes and rows fall below it and the share
+  //   of rows at risk. One aggregation over the table → a bounded class
+  //   histogram (|QI value combinations|), then a 4× threshold cross on
+  //   that histogram — the base table is scanned once, never re-joined.
+  val q238 = Query.sql(
+    "q238_k_anonymity",
+    (s, dir) => {
+      val cls = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 100).as("band"))
+        .agg(count(lit(1)).as("cnt"))
+      cls.crossJoin(s.sql(
+          "SELECT explode(array(2L, 5L, 10L, 20L)) AS k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("cnt") < col("k"), 1L).otherwise(0L))
+            .as("risky_classes"),
+          sum(when(col("cnt") < col("k"), col("cnt")).otherwise(0L))
+            .as("risky_rows"),
+          min(col("cnt")).as("min_class_size"),
+          (sum(when(col("cnt") < col("k"), col("cnt")).otherwise(0L))
+            .cast("double") / sum(col("cnt")).cast("double")).as("risk_share"))
+        .orderBy("k")
+    },
+    """WITH cls AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    FLOOR(c_acctbal / 100) AS band, COUNT(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |ks AS (SELECT UNNEST([2, 5, 10, 20]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_classes,
+      |  CAST(SUM(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS risky_classes,
+      |  CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS risky_rows,
+      |  CAST(MIN(cnt) AS BIGINT) AS min_class_size,
+      |  CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(cnt) AS DOUBLE) AS risk_share
+      |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227)
+      q173, q211, q216, q227, q238)
 }
