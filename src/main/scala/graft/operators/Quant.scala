@@ -470,5 +470,56 @@ object Quant {
       })
   }
 
-  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146)
+  // -- q241: exponentially weighted moving average per user -----------------
+  //   EWMA over each user's event-value sequence with α = 1/2 and a
+  //   truncated 8-term memory: ewma_t = Σ_{d=0..7} 2^(7−d)·x_{t−d} /
+  //   Σ 2^(7−d). Truncating the tail makes the smoother expressible as a
+  //   BOUNDED range self-join (fan-out ≤ 8, co-partitioned on user) instead
+  //   of an inherently sequential recurrence — the standard trade for
+  //   distributing an IIR filter. Values floor-scale to 1e6 BIGINTs and the
+  //   power-of-two weights are exact, so both numerator and denominator are
+  //   integers and the single final division is the only float op.
+  //   Determinism: rn orders by (ts, event_id) — a total order.
+  val q241 = {
+    import org.apache.spark.sql.expressions.Window
+    Query.sql(
+      "q241_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val v = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("CAST(FLOOR(value * 1e6) AS BIGINT)").as("sv"),
+            row_number().over(w).cast("long").as("rn"))
+          .localCheckpoint(true) // both sides of the bounded self-join
+        v.as("a").join(v.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.rn") >= col("a.rn") - 7 && col("b.rn") <= col("a.rn"))
+          .groupBy(col("a.user_id").as("user_id"), col("a.rn").as("rn"),
+            col("a.event_id").as("event_id"))
+          .agg(
+            sum(expr("b.sv * shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(7 - (a.rn - b.rn) AS INT))")).as("num"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(7 - (a.rn - b.rn) AS INT))")).as("den"))
+          .select(col("user_id"), col("rn"), col("event_id"),
+            (col("num").cast("double") /
+              (lit(1e6) * col("den").cast("double"))).as("ewma"))
+          .orderBy("user_id", "rn")
+      },
+      """WITH v AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(value * 1e6) AS BIGINT) AS sv,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.rn, a.event_id,
+        |  CAST(SUM(b.sv * (1 << CAST(7 - (a.rn - b.rn) AS INT))) AS DOUBLE) /
+        |    (1e6 * CAST(SUM(1 << CAST(7 - (a.rn - b.rn) AS INT)) AS DOUBLE))
+        |    AS ewma
+        |FROM v a JOIN v b ON a.user_id = b.user_id
+        |  AND b.rn BETWEEN a.rn - 7 AND a.rn
+        |GROUP BY 1, 2, 3
+        |ORDER BY a.user_id, a.rn""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241)
 }

@@ -1295,8 +1295,77 @@ object TextAnalysis {
       |    AS DOUBLE) AS kappa
       |FROM cm""".stripMargin)
 
+  // -- q240: Heaps-law vocabulary-growth curve ------------------------------
+  //   How fast does the vocabulary grow as the corpus grows? The classic
+  //   V(n) ≈ K·n^β diagnostic that sizes tokenizer vocabularies and
+  //   predicts dedup returns. Corpus order = doc_id; the curve samples 10
+  //   equal doc-id deciles. The scalable core is "term first seen at" =
+  //   min(doc_id) per term — one shuffle keyed by term with map-side
+  //   combine; the decile bucketing is arithmetic on a 2-value bound row
+  //   broadcast as a literal-sized cross join, and the cumulative sums run
+  //   over the 10-row bucket histogram, never the corpus (q233's bounded-
+  //   window pattern).
+  val q240 = {
+    import org.apache.spark.sql.expressions.Window
+    Query.sql(
+      "q240_vocab_growth",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bounds = d.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        def bkt(c: String) =
+          expr(s"CAST(FLOOR(($c - lo) * 10 / (hi - lo + 1)) AS BIGINT)")
+        val docStats = d.crossJoin(broadcast(bounds))
+          .select(bkt("doc_id").as("bucket"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        val newTerms = d
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(min("doc_id").as("first_doc"))
+          .crossJoin(broadcast(bounds))
+          .select(bkt("first_doc").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docStats.join(newTerms, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_docs"), col("tokens"),
+            coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+          .withColumn("cum_tokens", sum("tokens").over(w))
+          .withColumn("cum_vocab", sum("new_terms").over(w))
+          .orderBy("bucket")
+      },
+      """WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+        |dk AS (
+        |  SELECT CAST(FLOOR((doc_id - lo) * 10 / (hi - lo + 1)) AS BIGINT)
+        |      AS bucket,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents CROSS JOIN b),
+        |ds AS (
+        |  SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+        |  FROM dk GROUP BY bucket),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |firsts AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+        |nt AS (
+        |  SELECT CAST(FLOOR((fd - lo) * 10 / (hi - lo + 1)) AS BIGINT)
+        |      AS bucket,
+        |    COUNT(*) AS new_terms
+        |  FROM firsts CROSS JOIN b GROUP BY 1)
+        |SELECT ds.bucket, n_docs, tokens,
+        |  COALESCE(new_terms, 0) AS new_terms,
+        |  CAST(SUM(tokens) OVER (ORDER BY ds.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY ds.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM ds LEFT JOIN nt ON ds.bucket = nt.bucket
+        |ORDER BY ds.bucket""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224, q228)
+      q193, q194, q204, q212, q222, q224, q228, q240)
 }
