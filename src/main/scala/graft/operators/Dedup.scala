@@ -1019,8 +1019,44 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  // -- q242: duplicate-n-gram coverage per source ---------------------------
+  //   The corpus-repetition metric behind substring-level dedup decisions
+  //   (Lee et al., "Deduplicating Training Data Makes Language Models
+  //   Better"): what fraction of a source's distinct 3-gram shingles also
+  //   appear in at least one OTHER document? shinglesExpr is per-doc
+  //   distinct, so a gram's row count IS its containing-doc count. The
+  //   shuffle key is the 16-byte md5 digest of the gram, never the text;
+  //   the dg frame feeds both the gram rollup and the coverage join on the
+  //   same key, so AQE reuses one exchange. Output is one row per source.
+  val q242 = Query.sql(
+    "q242_dup_ngram_coverage",
+    (s, dir) => {
+      val dg = docs(s, dir)
+        .select(col("source"), explode(expr(shinglesExpr)).as("sh"))
+        .select(col("source"), md5(col("sh")).as("fp"))
+      val counts = dg.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      dg.join(counts, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_grams"),
+          (sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("dup_share"))
+        .orderBy("source")
+    },
+    s"""WITH sh AS (
+       |  SELECT source, unnest($shinglesSql) AS sh FROM documents),
+       |dg AS (SELECT source, md5(sh) AS fp FROM sh),
+       |counts AS (SELECT fp, COUNT(*) AS n_docs FROM dg GROUP BY fp)
+       |SELECT source, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_grams,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS dup_share
+       |FROM dg JOIN counts USING (fp)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197, q231, q235)
+      q130, q147, q184, q190, q192, q197, q231, q235, q242)
 
 }

@@ -1773,9 +1773,59 @@ object Events {
       |      4 * n * (n * s2 - s1 * s1)
       |ORDER BY event_type, hour""".stripMargin)
 
+  // -- q243: temporal train/test split leakage audit ------------------------
+  //   Split events at a cutoff (train < T ≤ test) and measure USER-level
+  //   leakage: a user active on both sides lets user-conditioned features
+  //   smuggle future information into training — the eval bug that
+  //   inflates every engagement model. Per event type: event volumes on
+  //   each side, users present on both, and the share of test events
+  //   attributable to leaked users. One (user, type) rollup carries both
+  //   side-counts as conditional sums — the event table is scanned once
+  //   and the leakage flags come from the bounded per-user frame.
+  val q243 = Query.sql(
+    "q243_split_leakage",
+    (s, dir) => {
+      val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+      ev(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_test"))
+        .groupBy("event_type")
+        .agg(sum("n_train").as("train_events"),
+          sum("n_test").as("test_events"),
+          count(lit(1)).as("n_users"),
+          sum(when(col("n_train") > 0 && col("n_test") > 0, 1L)
+            .otherwise(0L)).as("leaked_users"),
+          sum(when(col("n_train") > 0, col("n_test")).otherwise(0L))
+            .as("leaked_test_events"))
+        .select(col("event_type"), col("train_events"), col("test_events"),
+          col("n_users"), col("leaked_users"), col("leaked_test_events"),
+          (col("leaked_test_events").cast("double") /
+            col("test_events").cast("double")).as("leak_share"))
+        .orderBy("event_type")
+    },
+    """WITH u AS (
+      |  SELECT user_id, event_type,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+      |      THEN 1 ELSE 0 END) AS n_train,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+      |      THEN 1 ELSE 0 END) AS n_test
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(SUM(n_train) AS BIGINT) AS train_events,
+      |  CAST(SUM(n_test) AS BIGINT) AS test_events,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS leaked_users,
+      |  CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+      |    AS leaked_test_events,
+      |  CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(n_test) AS DOUBLE) AS leak_share
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226, q229, q230, q234)
+      q214, q215, q217, q220, q226, q229, q230, q234, q243)
 }

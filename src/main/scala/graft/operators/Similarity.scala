@@ -604,6 +604,51 @@ object Similarity {
       |FROM bc JOIN ft USING (fold) JOIN lt USING (label) CROSS JOIN g
       |ORDER BY fold, label""".stripMargin)
 
+  // -- q244: contrastive-pair mining (positives + hard negatives) -----------
+  //   Training data for embedding models: for each query vector, the top-3
+  //   nearest SAME-label corpus vectors (positives) and the top-3 nearest
+  //   DIFFERENT-label ones (hard negatives — high-similarity confusables
+  //   that carry most of the contrastive gradient). Queries broadcast once
+  //   (the q50 pattern), one corpus pass scores all (query, kind) groups,
+  //   and the per-group top-3 is a (qid, kind)-partitioned window — 10
+  //   small independent partitions here; at 10⁹ vectors the same shape
+  //   swaps the window for the bounded TopKAggregator (q54) per group.
+  val q244 = Query.sql(
+    "q244_hard_negatives",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy("qid", "kind")
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), col("label"),
+          expr(cosExpr("embedding", "qv")).as("cos_sim"),
+          when(col("label") === col("qlabel"), lit("positive"))
+            .otherwise(lit("hard_negative")).as("kind"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("qid", "kind", "rnk", "vec_id", "label", "cos_sim")
+        .orderBy("qid", "kind", "rnk")
+    },
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qid, vec_id, label,
+       |    ${cosSql("embedding", "qv")} AS cos_sim,
+       |    CASE WHEN label = qlabel THEN 'positive'
+       |      ELSE 'hard_negative' END AS kind
+       |  FROM embeddings, q WHERE vec_id >= 5),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, kind
+       |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+       |SELECT qid, kind, rnk, vec_id, label, cos_sim
+       |FROM rk WHERE rnk <= 3 ORDER BY qid, kind, rnk""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232, q244)
 }
