@@ -648,6 +648,62 @@ object Graph {
       |    CAST(SUM(n_nodes) OVER () AS DOUBLE) AS ccdf
       |FROM hist ORDER BY deg""".stripMargin)
 
+  /** HITS hubs & authorities over a directed edge list (hubs point at
+    * authorities). Returns (hubScores(src, score), authScores(dst, score))
+    * after `rounds` full hub→authority→hub iterations from h₀ = 1 —
+    * UNNORMALIZED, so every score is an exact BIGINT (a₁ is an in-degree;
+    * every later score is a sum of BIGINTs) and the result is bit-identical
+    * under any partitioning or reduce order. Callers normalize on their
+    * bounded output if they need [0,1] scores (see q236). Each half-round
+    * is one edge⋈score join + one key-partitioned aggregation — the
+    * Pregel-as-joins shape, 8 bytes of state per node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "hits needs at least one round")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // read 2·rounds times
+    var auth = e.groupBy("dst").agg(count(lit(1)).as("score"))
+    var hub = e.join(auth, "dst").groupBy("src")
+      .agg(sum(col("score")).as("score"))
+    for (_ <- 2 to rounds) {
+      auth = e.join(hub, "src").groupBy("dst")
+        .agg(sum(col("score")).as("score"))
+      hub = e.join(auth, "dst").groupBy("src")
+        .agg(sum(col("score")).as("score"))
+    }
+    (hub, auth)
+  }
+
+  /** Synchronous label-propagation communities over an UNDIRECTED edge
+    * list (pass both directions, or use `symmetrize = true`). Starts from
+    * label = node id; each round every node adopts the MODE of its
+    * neighbours' labels with ties broken by the smallest label — fully
+    * deterministic (textbook LPA's random update order is exactly what a
+    * distributed engine can't reproduce). Returns (node, lbl) after
+    * `iters` rounds. Per round: one edge⋈label join + two key-partitioned
+    * aggregations; the mode is an argmin over (−count, label) structs, so
+    * no window over the node set. State is 16 bytes per node.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, symmetrize: Boolean = false): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = (if (symmetrize)
+      fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    else fwd).localCheckpoint(true)
+    def round(l: DataFrame): DataFrame =
+      und.join(l, col("v") === col("node"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("u").as("node"), col("m.l").as("lbl"))
+    var l: DataFrame = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) l = round(l)
+    l
+  }
+
   // -- q236: HITS hubs & authorities on the supplier→part graph -------------
   //   Kleinberg's mutual-reinforcement scores: a(p) = Σ h(s) over suppliers
   //   shipping p, h(s) = Σ a(p) over parts s ships. Two rounds from h₀ = 1
@@ -664,25 +720,17 @@ object Graph {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-        .localCheckpoint(true) // read 4× (a1 + three propagation joins)
-      val a1 = e.groupBy("pk").agg(count(lit(1)).as("a1"))
-      val h1 = e.join(a1, "pk").groupBy("sk").agg(sum(col("a1")).as("h1"))
-      val a2 = e.join(h1, "sk").groupBy("pk").agg(sum(col("h1")).as("a2"))
-        .localCheckpoint(true) // feeds both h2 and the authority top-k
-      val h2 = e.join(a2, "pk").groupBy("sk").agg(sum(col("a2")).as("h2"))
-      val hubs = h2
-        .crossJoin(broadcast(h2.agg(max(col("h2")).as("mx"))))
-        .select(lit("hub").as("side"), col("sk").as("id"),
-          col("h2").as("score"),
-          (col("h2").cast("double") / col("mx").cast("double")).as("norm"))
-        .orderBy(desc("score"), asc("id")).limit(10)
-      val auths = a2
-        .crossJoin(broadcast(a2.agg(max(col("a2")).as("mx"))))
-        .select(lit("authority").as("side"), col("pk").as("id"),
-          col("a2").as("score"),
-          (col("a2").cast("double") / col("mx").cast("double")).as("norm"))
-        .orderBy(desc("score"), asc("id")).limit(10)
-      hubs.unionAll(auths).orderBy(asc("side"), desc("score"), asc("id"))
+      val (hub, auth) = hits(e, "sk", "pk", rounds = 2)
+      def topSide(scores: DataFrame, idCol: String, side: String) =
+        scores
+          .crossJoin(broadcast(scores.agg(max(col("score")).as("mx"))))
+          .select(lit(side).as("side"), col(idCol).as("id"), col("score"),
+            (col("score").cast("double") / col("mx").cast("double"))
+              .as("norm"))
+          .orderBy(desc("score"), asc("id")).limit(10)
+      topSide(hub, "src", "hub")
+        .unionAll(topSide(auth, "dst", "authority"))
+        .orderBy(asc("side"), desc("score"), asc("id"))
     },
     """WITH e AS (
       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
@@ -725,19 +773,8 @@ object Graph {
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
-      val und = e0.select(col("p1").as("u"), col("p2").as("v"))
-        .union(e0.select(col("p2").as("u"), col("p1").as("v")))
-        .localCheckpoint(true) // read by both rounds + the node spine
-      def round(l: DataFrame): DataFrame =
-        und.join(l, col("v") === col("node"))
-          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("u"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
-          .select(col("u").as("node"), col("m.l").as("lbl"))
-      val l0 = und.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      val l2 = round(round(l0))
-      l2.groupBy("lbl").agg(count(lit(1)).as("size"),
+      labelPropagation(e0, "p1", "p2", iters = 2, symmetrize = true)
+        .groupBy("lbl").agg(count(lit(1)).as("size"),
           min("node").as("min_node"), max("node").as("max_node"))
         .orderBy(desc("size"), asc("lbl")).limit(20)
     },

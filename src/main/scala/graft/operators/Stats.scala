@@ -468,12 +468,23 @@ object Stats {
             .cast("double").as("sxx"))
         .select(col("l_returnflag"), expr("sx / n").as("mu"),
           expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("sd"))
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
-      l.join(broadcast(st), Seq("l_returnflag"))
+      // Salted two-phase top-k: a window partitioned by l_returnflag alone
+      // has 3 partitions, so 3 tasks would sort the whole table. Phase 1
+      // takes a LOCAL top-5 per (flag, salt) bucket — 96 parallel bounded
+      // sorts, and every global top-5 row is necessarily in its bucket's
+      // top-5 — then phase 2 ranks the ≤ 480 survivors. Result is
+      // salt-invariant, so the oracle keeps the single-window form.
+      val z = l.join(broadcast(st), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"),
-          expr("(l_quantity - mu) / sd").as("z"))
+          expr("(l_quantity - mu) / sd").as("z"),
+          pmod(col("l_orderkey"), lit(32)).as("salt"))
+      val wLocal = Window.partitionBy("l_returnflag", "salt")
+        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+      z.withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= 5).drop("lrk", "salt")
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .orderBy("l_returnflag", "rk")

@@ -127,4 +127,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(fix == peeled && fix.nonEmpty)
   }
+
+  test("hits: hand-computed 2-round scores on a tiny bipartite graph") {
+    // s1→{p1,p2,p3}, s2→{p2,p3}. Unnormalized rounds:
+    //   a1 = indegree: p1=1 p2=2 p3=2
+    //   h1: s1=1+2+2=5, s2=2+2=4
+    //   a2: p1=5, p2=5+4=9, p3=9
+    //   h2: s1=5+9+9=23, s2=9+9=18
+    val e = Seq(("s1", "p1"), ("s1", "p2"), ("s1", "p3"),
+      ("s2", "p2"), ("s2", "p3")).toDF("src", "dst")
+    val (hub, auth) = operators.Graph.hits(e, "src", "dst", rounds = 2)
+    val h = hub.as[(String, Long)].collect().toMap
+    val a = auth.as[(String, Long)].collect().toMap
+    assert(h == Map("s1" -> 23L, "s2" -> 18L), s"hubs: $h")
+    assert(a == Map("p1" -> 5L, "p2" -> 9L, "p3" -> 9L), s"auths: $a")
+  }
+
+  test("labelPropagation: two triangles with a bridge, exact 2-round labels") {
+    // Triangles {1,2,3}, {4,5,6} bridged by 3–4. Synchronous min-tiebreak
+    // rounds resolve by hand to l2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}:
+    // the left triangle unifies on label 1 and no left label crosses the
+    // bridge into {5,6}.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val l2 = operators.Graph
+      .labelPropagation(e, "u", "v", iters = 2, symmetrize = true)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L), s"labels: $l2")
+  }
+
+  test("labelPropagation is partition-invariant") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(80)
+    val e = docs.select(col("doc_id").cast("string").as("src"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("dst"))
+      .distinct()
+    def run(df: org.apache.spark.sql.DataFrame) = operators.Graph
+      .labelPropagation(df, "src", "dst", iters = 2, symmetrize = true)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(run(e.repartition(1)) == run(e.repartition(7, col("dst"))))
+  }
 }
