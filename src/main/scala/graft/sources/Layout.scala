@@ -32,6 +32,27 @@ object Layout {
       .parquet(path)
   }
 
+  /** Bucketed table write: hash-clusters rows into `buckets` files per
+    * partition ON DISK, keyed by `bucketCol`. Two tables bucketed into the
+    * same bucket count on their join key plan a CO-LOCATED join — no
+    * shuffle exchange on either side, the single biggest cost in a fact⋈
+    * fact join at 100 TB — and `sortBy` additionally persists in-bucket
+    * order so the merge join skips its sort. Bucketing metadata lives in
+    * the session catalog, so this writes a managed table (`saveAsTable`),
+    * not a bare path — the trade for layout the planner can trust.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Partition-level upsert: with partitionOverwriteMode=dynamic (set by
     * GraftSession), SaveMode.Overwrite replaces ONLY the partition
     * directories present in `updates`, leaving the rest of the table

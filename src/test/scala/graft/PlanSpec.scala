@@ -233,4 +233,36 @@ class PlanSpec extends SparkSpec {
         l.contains("Exchange") && l.contains("text#")),
       s"raw text column crossed a shuffle:\n$p")
   }
+
+  test("bucketed tables co-locate a fact⋈fact join: zero shuffle exchanges") {
+    // The 100 TB join strategy bucketing exists for: orders and lineitem
+    // written bucketed on the order key plan a SortMergeJoin with NO
+    // Exchange on either side — the layout already satisfies the join's
+    // required distribution. Broadcast is disabled so the test exercises
+    // the shuffle path a fact⋈fact join takes at scale (at sf0.001 the
+    // optimizer would otherwise just broadcast the small side).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sources.Layout.writeBucketed(
+        Tables.load(spark, sf0001, "orders"),
+        "b_orders", "o_orderkey", 8, Seq("o_orderkey"))
+      sources.Layout.writeBucketed(
+        Tables.load(spark, sf0001, "lineitem"),
+        "b_lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(j.count() > 0)
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffled:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
