@@ -44,10 +44,10 @@ class ScaleSpec extends SparkSpec {
   private def bucketedJoinBody(): Unit = {
     val o = Tables.load(spark, sf0001, "orders")
     val l = Tables.load(spark, sf0001, "lineitem")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("orders_b")
-    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    sources.Layout.writeBucketed(o, "orders_b", "o_orderkey", 8,
+      Seq("o_orderkey"))
+    sources.Layout.writeBucketed(l, "lineitem_b", "l_orderkey", 8,
+      Seq("l_orderkey"))
     val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
       col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
@@ -261,6 +261,31 @@ class ScaleSpec extends SparkSpec {
       .agg(max("rank")).collect().head.getDouble(0)
     assert(agg.getDouble(2) > maxRing * 10,
       s"hub rank ${agg.getDouble(2)} not dominant over ring $maxRing")
+  }
+
+  test("soak: labelPropagation over 333k disjoint triangles (1M edges)") {
+    import org.apache.spark.sql.functions._
+    // A triangle {3i, 3i+1, 3i+2} provably converges to the min id as
+    // every member's label after exactly 2 synchronous min-tiebreak
+    // rounds (hand derivation in GraphSpec). 333k disjoint triangles =
+    // 1M nodes / 2M directed edges after symmetrize, under the forced
+    // spill conf — the converged labeling is exactly checkable in one
+    // aggregate, no collect of the node set.
+    val k = 333333L
+    val base = spark.range(k)
+    val e = base.select((col("id") * 3).as("u"), (col("id") * 3 + 1).as("v"))
+      .union(base.select((col("id") * 3).as("u"), (col("id") * 3 + 2).as("v")))
+      .union(base.select((col("id") * 3 + 1).as("u"),
+        (col("id") * 3 + 2).as("v")))
+    val l = operators.Graph
+      .labelPropagation(e, "u", "v", iters = 2, symmetrize = true)
+    val agg = l.agg(count(lit(1)),
+      sum(when(col("lbl") === col("node") - pmod(col("node"), lit(3)), 0L)
+        .otherwise(1L)),
+      countDistinct("lbl")).collect().head
+    assert(agg.getLong(0) == 3 * k, s"node count ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 0L, "a node is not labeled with its triangle min")
+    assert(agg.getLong(2) == k, s"community count ${agg.getLong(2)}")
   }
 
   test("soak: kmeansFit over 200k synthetic 16-d vectors, planted clusters") {
