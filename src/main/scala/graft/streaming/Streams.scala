@@ -323,6 +323,48 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  final case class EwmaState(vals: Seq[Long])
+  final case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
+
+  /** Streaming twin of batch q241: truncated 8-term EWMA (α = 1/2) per
+    * user, emitted per event. State is the ring of the last ≤ 7
+    * floor-scaled values per user (≤ 56 B) — the truncation that makes the
+    * batch op a bounded self-join is exactly what makes the streaming
+    * state finite. The arithmetic is the batch op's bit-for-bit: 1e6
+    * BIGINT scaling, power-of-two weights, one final double division — so
+    * stream == batch exactly when each user's events arrive in order
+    * (same contract as `transitionsStateful`).
+    */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Event) => e.ts != null)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          var ring = state.getOption.map(_.vals.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sv = math.floor(e.value * 1e6).toLong
+            val window = ring :+ sv // oldest..newest, ≤ 8 terms
+            var num = 0L; var den = 0L
+            val m = window.length
+            var j = 0
+            while (j < m) {
+              val w = 1L << (7 - (m - 1 - j)) // current term gets 2^7
+              num += window(j) * w; den += w; j += 1
+            }
+            out += EwmaPoint(userId, e.event_id,
+              num.toDouble / (1e6 * den.toDouble))
+            ring = window.takeRight(7)
+          }
+          state.update(EwmaState(ring))
+          out.iterator
+      }
+  }
+
   final case class Kept(event_id: Long, user_id: Long, ts: Timestamp)
 
   /** Streaming per-key rate limit: at most `maxPerHour` events pass per

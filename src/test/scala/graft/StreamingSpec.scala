@@ -474,6 +474,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ewmaStream equals batch q241 bit-for-bit across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .orderBy("ts", "event_id").collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val q = Streams.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val got = spark.table("ewma_test")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, e, v) => (u, e) -> bits(v) }.toMap
+    val want = graft.operators.Quant.q241.run(spark, sf0001)
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, e, v) => (u, e) -> bits(v) }.toMap
+    assert(got == want && got.nonEmpty,
+      s"stream/batch EWMA diverged (${got.size} vs ${want.size} rows)")
+  }
+
   test("firstSeenStream emits one row per user at their first event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
