@@ -521,5 +521,58 @@ object Quant {
         |ORDER BY a.user_id, a.rn""".stripMargin)
   }
 
-  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241)
+  // -- q245: label-centroid similarity matrix -------------------------------
+  //   Embedding-space drift/confusability diagnostics: the pairwise cosine
+  //   between per-label centroids — which classes are collapsing toward
+  //   each other, which are isolated. Centroid dims are decimal-exact
+  //   means (q146's trick: doubles round to 6 dp identically on both
+  //   engines, sums are exact decimals, one division back to double). The
+  //   cross-centroid dot products floor-scale each term to 1e12 BIGINTs
+  //   (q132's trick) so the 64-term sums are order-free; the only
+  //   remaining float ops are one multiply + sqrt + divide, each a single
+  //   IEEE step. Scale: centroids are a (labels × 64)-row aggregate — the
+  //   corpus is read once; the pair join runs on the tiny centroid table.
+  val q245 = Query.sql(
+    "q245_label_centroids",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val cd = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((sum(col("v").cast("double").cast(D)).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+      cd.as("a").join(cd.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(
+          sum(expr("CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT)")).as("num"),
+          sum(expr("CAST(FLOOR(a.c * a.c * 1e12) AS BIGINT)")).as("na"),
+          sum(expr("CAST(FLOOR(b.c * b.c * 1e12) AS BIGINT)")).as("nb"))
+        .select(col("label_a"), col("label_b"),
+          (col("num").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("centroid_cos"))
+        .orderBy("label_a", "label_b")
+    },
+    """WITH cd AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |          generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |  GROUP BY label, pos),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    SUM(CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT)) AS num,
+      |    SUM(CAST(FLOOR(a.c * a.c * 1e12) AS BIGINT)) AS na,
+      |    SUM(CAST(FLOOR(b.c * b.c * 1e12) AS BIGINT)) AS nb
+      |  FROM cd a JOIN cd b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  CAST(num AS DOUBLE) /
+      |    SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS centroid_cos
+      |FROM pairs ORDER BY label_a, label_b""".stripMargin)
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245)
 }
