@@ -165,7 +165,12 @@ object TpchExtra {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate").cast("date") >
             date_add(col("o_orderdate").cast("date"), 60)).as("late"))
-      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+      // One exchange, not two: hash-partitioning on l_orderkey alone
+      // satisfies BOTH the (l_orderkey, l_suppkey) aggregation (subset
+      // clustering) and the order-key window, so the explicit repartition
+      // replaces two full-width exchanges with one.
+      val perSupp = lo.repartition(col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("late"), 1L).otherwise(0L)).as("sup_late"))
       val byOrder = org.apache.spark.sql.expressions.Window
         .partitionBy("l_orderkey")
