@@ -1311,16 +1311,23 @@ object TextAnalysis {
       "q240_vocab_growth",
       (s, dir) => {
         val d = docs(s, dir)
-        val bounds = d.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
         def bkt(c: String) =
           expr(s"CAST(FLOOR(($c - lo) * 10 / (hi - lo + 1)) AS BIGINT)")
-        val docStats = d.crossJoin(broadcast(bounds))
-          .select(bkt("doc_id").as("bucket"),
-            size(split(col("text"), " ")).cast("long").as("ntok"))
+        val tok = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        // One row per doc (split keeps empties, so exploded-row count ==
+        // len(string_split)); small enough to checkpoint, and it carries
+        // the doc-id bounds so the corpus is scanned exactly twice (ntok
+        // rollup + term-first rollup), not four times.
+        val perDoc = tok.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("ntok"))
+          .localCheckpoint(true)
+        val bounds = perDoc.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        val docStats = perDoc.crossJoin(broadcast(bounds))
+          .select(bkt("doc_id").as("bucket"), col("ntok"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
-        val newTerms = d
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val newTerms = tok
           .groupBy("term").agg(min("doc_id").as("first_doc"))
           .crossJoin(broadcast(bounds))
           .select(bkt("first_doc").as("bucket"))
