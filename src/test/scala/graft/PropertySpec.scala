@@ -79,6 +79,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hits equals naive in-memory mutual reinforcement on a random graph") {
+    import spark.implicits._
+    val raw = Gen.listOfN(150,
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(100L, 125L))).sample.get
+    val edges = raw.distinct
+    val (hub, auth) = operators.Graph.hits(
+      edges.toDF("src", "dst"), "src", "dst", rounds = 2)
+    val bySrc = edges.groupBy(_._1)
+    val byDst = edges.groupBy(_._2)
+    val a1 = byDst.view.mapValues(_.size.toLong).toMap
+    val h1 = bySrc.view.mapValues(_.map(e => a1(e._2)).sum).toMap
+    val a2 = byDst.view.mapValues(_.map(e => h1(e._1)).sum).toMap
+    val h2 = bySrc.view.mapValues(_.map(e => a2(e._2)).sum).toMap
+    assert(hub.as[(Long, Long)].collect().toMap == h2)
+    assert(auth.as[(Long, Long)].collect().toMap == a2)
+  }
+
+  test("labelPropagation equals naive synchronous min-tiebreak LPA") {
+    import spark.implicits._
+    val raw = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+      .sample.get.filter(e => e._1 != e._2).distinct
+    val got = operators.Graph.labelPropagation(
+        raw.toDF("u", "v"), "u", "v", iters = 2, symmetrize = true)
+      .as[(Long, Long)].collect().toMap
+    // naive replica, including edge multiplicity exactly as the facade
+    // sees it (symmetrize appends the reversed list, no dedup)
+    val und = raw ++ raw.map(e => (e._2, e._1))
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = nbrs.keySet
+    var l: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 2)
+      l = nodes.map { n =>
+        val counts = nbrs(n).map(l).groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq
+        n -> counts.minBy { case (lbl, cnt) => (-cnt, lbl) }._1
+      }.toMap
+    assert(got == l, s"lpa diverged: got=$got want=$l")
+  }
+
   test("RangeJoin equals the naive containment join") {
     import spark.implicits._
     def t(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
