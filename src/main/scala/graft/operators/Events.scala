@@ -1823,9 +1823,116 @@ object Events {
       |    CAST(SUM(n_test) AS DOUBLE) AS leak_share
       |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  // -- q246: session-timeout sensitivity sweep ------------------------------
+  //   Before picking a sessionization idle threshold, measure how session
+  //   counts respond to it: total sessions = n_users + #(inter-event gaps
+  //   > T), so ONE per-user lag pass yields the whole sweep — each gap row
+  //   crosses with the 3 candidate thresholds and a conditional sum per
+  //   threshold does the rest. Gaps are microsecond-exact BIGINTs
+  //   (unix_micros / epoch_us on the two engines); no re-sessionization
+  //   per candidate, no second scan.
+  val q246 = Query.sql(
+    "q246_session_sensitivity",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .select(col("user_id"),
+          (expr("unix_micros(ts)") - col("prev_us")).as("gap_us"))
+      gaps
+        .crossJoin(s.sql("SELECT explode(array(600L, 1800L, 3600L)) AS t_s"))
+        .groupBy("t_s")
+        .agg(
+          sum(when(col("gap_us").isNull, 1L).otherwise(0L)).as("n_users"),
+          count(lit(1)).as("n_events"),
+          (sum(when(col("gap_us").isNull, 1L).otherwise(0L)) +
+            sum(when(col("gap_us") > col("t_s") * 1000000L, 1L)
+              .otherwise(0L))).as("n_sessions"))
+        .select(col("t_s"), col("n_users"), col("n_events"), col("n_sessions"),
+          (col("n_events").cast("double") / col("n_sessions").cast("double"))
+            .as("events_per_session"))
+        .orderBy("t_s")
+    },
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |ks AS (SELECT UNNEST([600, 1800, 3600]) AS t_s)
+      |SELECT CAST(t_s AS BIGINT) AS t_s,
+      |  CAST(SUM(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) +
+      |    SUM(CASE WHEN gap_us > CAST(t_s AS BIGINT) * 1000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) +
+      |      SUM(CASE WHEN gap_us > CAST(t_s AS BIGINT) * 1000000
+      |        THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS events_per_session
+      |FROM g CROSS JOIN ks GROUP BY t_s ORDER BY t_s""".stripMargin)
+
+  // -- q247: watermark / ingest-batch audit ---------------------------------
+  //   The report that picks `withWatermark`'s delay: replay ingest in
+  //   arrival batches (event_id ranges ≈ ingest order), track the running
+  //   max event time BEFORE each batch — exactly the quantity a streaming
+  //   watermark holds — and report per batch: volume, event-time span, and
+  //   how many events arrived behind the watermark (with the worst
+  //   lateness). On in-order feeds the late columns read zero and the span
+  //   column sizes the state-retention window; on disordered feeds they
+  //   size the watermark. Per-batch rollup is metadata-sized (1 row /
+  //   1000 events), its running max runs over that bounded frame, and the
+  //   broadcast back to events is map-only: one scan, one tiny window.
+  val q247 = Query.sql(
+    "q247_lateness_audit",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("ts"))
+        .withColumn("batch", expr("event_id DIV 1000"))
+        .withColumn("us", expr("unix_micros(ts)"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("batch")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wm = e.groupBy("batch").agg(max(col("us")).as("bmax"))
+        .withColumn("wm_us", max(col("bmax")).over(w))
+        .select(col("batch"), col("wm_us"))
+      // first batch has no preceding watermark → lateness 0 (explicit
+      // coalesce: the engines disagree on GREATEST's null semantics)
+      e.join(broadcast(wm), Seq("batch"))
+        .withColumn("late_us", greatest(lit(0L),
+          coalesce(col("wm_us") - col("us"), lit(0L))))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST((MAX(us) - MIN(us)) DIV 1000000 AS BIGINT)")
+            .as("span_s"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          expr("CAST(MAX(late_us) DIV 1000000 AS BIGINT)").as("max_late_s"))
+        .orderBy("batch")
+    },
+    """WITH e AS (
+      |  SELECT event_id, event_id // 1000 AS batch, epoch_us(ts) AS us
+      |  FROM events),
+      |bm AS (
+      |  SELECT batch, MAX(us) AS bmax FROM e GROUP BY batch),
+      |wm AS (
+      |  SELECT batch, MAX(bmax) OVER (ORDER BY batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+      |  FROM bm),
+      |le AS (
+      |  SELECT batch, us,
+      |    GREATEST(0, COALESCE(wm_us - us, 0)) AS late_us
+      |  FROM e JOIN wm USING (batch))
+      |SELECT batch, COUNT(*) AS n_events,
+      |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_s,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
+      |FROM le GROUP BY batch ORDER BY batch""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226, q229, q230, q234, q243)
+      q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247)
 }

@@ -1090,11 +1090,17 @@ object Stats {
       val li = Tables.load(s, dir, "lineitem").select(col("l_partkey").as("pk"))
       def bucket = expr("CAST(conv(substring(md5(CAST(i AS STRING) || ':' || " +
         "CAST(pk AS STRING)), 1, 7), 16, 10) AS BIGINT) % 512")
-      val counters = li
-        .select(col("pk"), explode(expr("sequence(0, 3)")).as("i"))
-        .select(col("i"), bucket.as("b"))
-        .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      // Build the sketch from the per-key rollup, not per row: the d hash
+      // evaluations run once per DISTINCT key and bucket counts are sums
+      // of key counts — identical counters (a bucket's total is the same
+      // whether rows or pre-counted keys flow in; that additivity is the
+      // sketch's mergeability), one stream pass, |keys| hash work.
       val exact = li.groupBy("pk").agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint(true) // feeds the counters, the top-k, and est
+      val counters = exact
+        .select(col("pk"), col("n_exact"), explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("i"), bucket.as("b"), col("n_exact"))
+        .groupBy("i", "b").agg(sum("n_exact").as("c"))
       val top = exact.orderBy(desc("n_exact"), asc("pk")).limit(10)
       top
         .select(col("pk"), col("n_exact"),
