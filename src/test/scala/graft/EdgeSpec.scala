@@ -253,4 +253,24 @@ class EdgeSpec extends SparkSpec {
     assert(run(1) == expected)
     assert(run(7) == expected)
   }
+
+  test("hits and labelPropagation survive degenerate graphs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (h0, a0) = operators.Graph.hits(empty, "src", "dst")
+    assert(h0.count() == 0 && a0.count() == 0)
+    assert(operators.Graph
+      .labelPropagation(empty, "src", "dst", symmetrize = true).count() == 0)
+    // single edge: authority = the dst (score 1 after round 1; rounds
+    // propagate 1s), hub = the src; LPA swaps the two labels each round →
+    // after 2 rounds each node is back to its own label
+    val one = Seq((7L, 9L)).toDF("src", "dst")
+    val (h1, a1) = operators.Graph.hits(one, "src", "dst", rounds = 2)
+    assert(h1.as[(Long, Long)].collect().toSeq == Seq((7L, 1L)))
+    assert(a1.as[(Long, Long)].collect().toSeq == Seq((9L, 1L)))
+    val l = operators.Graph
+      .labelPropagation(one, "src", "dst", iters = 2, symmetrize = true)
+      .as[(Long, Long)].collect().toMap
+    assert(l == Map(7L -> 7L, 9L -> 9L), s"$l")
+  }
 }
