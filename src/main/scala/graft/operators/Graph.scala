@@ -807,6 +807,55 @@ object Graph {
       |FROM l2 GROUP BY lbl
       |ORDER BY size DESC, lbl LIMIT 20""".stripMargin)
 
+  // -- q248: bipartite projection — supplier–supplier co-shipment similarity
+  //   The item-item collaborative-filtering primitive: project the
+  //   supplier–part bipartite graph onto suppliers, scoring each supplier
+  //   pair by cosine-normalized overlap |parts(a) ∩ parts(b)| /
+  //   √(deg(a)·deg(b)). The pair build is keyed on the shared part
+  //   (per-part quadratic, bounded by suppliers-per-part — the q08/q123
+  //   skew argument; a hub-part cap is the production guard), the overlap
+  //   count is an exact BIGINT, and the two degree joins ride on a tiny
+  //   broadcast. One shuffle on the part key, one on the pair key.
+  val q248 = Query.sql(
+    "q248_coshipment_similarity",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+        .localCheckpoint(true) // feeds degrees + the pair build
+      val deg = e.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(deg.select(col("sk").as("sa"), col("deg").as("da"))),
+          "sa")
+        .join(broadcast(deg.select(col("sk").as("sb"), col("deg").as("db"))),
+          "sb")
+        .select(col("sa"), col("sb"), col("shared"),
+          (col("shared").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")))
+            .as("cosine_overlap"))
+        .orderBy(desc("cosine_overlap"), desc("shared"), asc("sa"), asc("sb"))
+        .limit(20)
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |deg AS (SELECT sk, COUNT(*) AS deg FROM e GROUP BY sk),
+      |pairs AS (
+      |  SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS shared
+      |  FROM e a JOIN e b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, shared,
+      |  CAST(shared AS DOUBLE) /
+      |    SQRT(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE))
+      |    AS cosine_overlap
+      |FROM pairs
+      |JOIN deg da ON pairs.sa = da.sk
+      |JOIN deg db ON pairs.sb = db.sk
+      |ORDER BY cosine_overlap DESC, shared DESC, sa, sb LIMIT 20""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237)
+    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248)
 }

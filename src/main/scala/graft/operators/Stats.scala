@@ -1132,7 +1132,63 @@ object Stats {
       |  CAST(est - n_exact AS BIGINT) AS overcount
       |FROM est ORDER BY n_exact DESC, pk""".stripMargin)
 
+  // -- q249: shipping-SLA percentile report per order priority --------------
+  //   Exact p50/p90/p99 of order→ship lag per priority — the SLA report
+  //   every ops dashboard runs, computed the scale-safe way: the quantiles
+  //   come from a per-(priority, lag-days) HISTOGRAM (bounded by distinct
+  //   integer lags, ~150 rows per priority) with a cumulative window over
+  //   that histogram — the fact rows are never sorted. The quantile pick
+  //   is the lower-quantile rule in pure integers (cum·100 ≥ q·n), the
+  //   mean is an exact BIGINT sum with one final division.
+  val q249 = Query.sql(
+    "q249_sla_percentiles",
+    (s, dir) => {
+      val lag = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("lag"))
+      val hist = lag.groupBy("prio", "lag").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("prio").orderBy("lag")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("prio")
+      hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(wAll))
+        .groupBy("prio")
+        .agg(max("n").as("n_lines"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("lag"))).as("p50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("lag"))).as("p90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("lag"))).as("p99"),
+          (sum(col("lag") * col("c")).cast("double") /
+            max("n").cast("double")).as("mean_lag"))
+        .orderBy("prio")
+    },
+    """WITH lag AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |hist AS (SELECT prio, lag, COUNT(*) AS c FROM lag GROUP BY 1, 2),
+      |cu AS (
+      |  SELECT prio, lag, c,
+      |    SUM(c) OVER (PARTITION BY prio ORDER BY lag
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY prio) AS n
+      |  FROM hist)
+      |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_lines,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN lag END) AS p50,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN lag END) AS p90,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lag END) AS p99,
+      |  CAST(SUM(lag * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_lag
+      |FROM cu GROUP BY prio ORDER BY prio""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
-      q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239)
+      q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
+      q249)
 }
