@@ -1930,9 +1930,76 @@ object Events {
       |  CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
       |FROM le GROUP BY batch ORDER BY batch""".stripMargin)
 
+  // -- q250: cohort LTV triangle --------------------------------------------
+  //   The cumulative-value-by-cohort table behind every LTV model: users
+  //   cohorted by first-seen week, value accumulated per week-offset since
+  //   signup. Week indexing is pure integer day arithmetic (days since a
+  //   fixed epoch DIV 7 — no engine-specific week-truncation rules), the
+  //   value sums ride DECIMAL(18,6) (q01's dsum discipline), and the
+  //   cumulative runs over the bounded (cohort × offset) triangle, never
+  //   the event rows. Two event-table shuffles total: the per-user first
+  //   week (window min over user) and the (cohort, offset) rollup.
+  val q250 = Query.sql(
+    "q250_cohort_ltv",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val wUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val e = ev(s, dir)
+        .select(col("user_id"), col("value"),
+          expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").as("day0"))
+        .withColumn("w", expr("day0 DIV 7"))
+        .withColumn("cohort", min(col("w")).over(wUser))
+        .withColumn("offset", col("w") - col("cohort"))
+      val sizes = e.groupBy("cohort")
+        .agg(countDistinct("user_id").as("cohort_users"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      e.groupBy("cohort", "offset")
+        .agg(countDistinct("user_id").as("active_users"),
+          sum(col("value").cast(D)).cast("double").as("week_value"))
+        .withColumn("cum_value", sum(col("week_value").cast(D)).over(wCum)
+          .cast("double"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("offset"), col("cohort_users"),
+          col("active_users"), col("week_value"), col("cum_value"),
+          (col("cum_value") / col("cohort_users").cast("double"))
+            .as("ltv_per_user"))
+        .orderBy("cohort", "offset")
+    },
+    """WITH e AS (
+      |  SELECT user_id, value,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, value, w,
+      |    MIN(w) OVER (PARTITION BY user_id) AS cohort
+      |  FROM e),
+      |sizes AS (
+      |  SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+      |  FROM f GROUP BY cohort),
+      |wk AS (
+      |  SELECT cohort, w - cohort AS "offset",
+      |    COUNT(DISTINCT user_id) AS active_users,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS week_value
+      |  FROM f GROUP BY 1, 2),
+      |cu AS (
+      |  SELECT cohort, "offset", active_users, week_value,
+      |    CAST(SUM(CAST(week_value AS DECIMAL(18,6)))
+      |      OVER (PARTITION BY cohort ORDER BY "offset"
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      AS cum_value
+      |  FROM wk)
+      |SELECT cohort, "offset", cohort_users, active_users, week_value,
+      |  cum_value,
+      |  cum_value / CAST(cohort_users AS DOUBLE) AS ltv_per_user
+      |FROM cu JOIN sizes USING (cohort)
+      |ORDER BY cohort, "offset"""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
-      q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247)
+      q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
+      q250)
 }
