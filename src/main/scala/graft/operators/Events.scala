@@ -1996,10 +1996,97 @@ object Events {
       |FROM cu JOIN sizes USING (cohort)
       |ORDER BY cohort, "offset"""".stripMargin)
 
+  // -- q251: multi-touch attribution model comparison -----------------------
+  //   First-touch vs last-touch vs linear credit for every conversion,
+  //   side by side — the report that decides which attribution model a
+  //   business runs on. Touches join conversions per user within a 7-day
+  //   lookback (user-key range join, per-user bounded); first/last are
+  //   struct-extrema argmin/argmax on (ts, event_id) — no per-conversion
+  //   sort; linear credit avoids float-rounding-rule divergence entirely
+  //   by crediting 1000000 DIV k micro-units per touch (exact BIGINTs,
+  //   one final /1e6). The touch frame is computed once and feeds both
+  //   the per-conversion extrema and the credit rollup.
+  val q251 = Query.sql(
+    "q251_attribution_models",
+    (s, dir) => {
+      val base = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val conv = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("us").as("cus"))
+      val touches = base.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("event_type").as("channel"), col("us").as("tus"))
+      val joined = touches.join(conv,
+          touches("user_id") === conv("user_id") &&
+            col("tus") < col("cus") &&
+            col("tus") >= col("cus") - lit(7L * 86400L * 1000000L))
+        .select(col("conv_id"), col("channel"), col("tus"), col("tid"))
+        .localCheckpoint(true) // feeds per-conversion extrema + credits
+      val perConv = joined.groupBy("conv_id")
+        .agg(count(lit(1)).as("k"),
+          min(struct(col("tus"), col("tid"), col("channel")))
+            .getField("channel").as("first_ch"),
+          max(struct(col("tus"), col("tid"), col("channel")))
+            .getField("channel").as("last_ch"))
+      val ft = perConv.groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("ft"))
+      val lt = perConv.groupBy(col("last_ch").as("channel"))
+        .agg(count(lit(1)).as("lt"))
+      val lin = joined
+        .join(broadcast(perConv.select(col("conv_id"), col("k"))), "conv_id")
+        .groupBy("channel")
+        .agg((sum(expr("1000000 DIV k")).cast("double") / 1e6).as("linear"))
+      lin.join(ft, Seq("channel"), "left").join(lt, Seq("channel"), "left")
+        .select(col("channel"),
+          coalesce(col("ft"), lit(0L)).as("ft_conversions"),
+          coalesce(col("lt"), lit(0L)).as("lt_conversions"),
+          col("linear").as("linear_credit"))
+        .orderBy("channel")
+    },
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |conv AS (
+      |  SELECT user_id, event_id AS conv_id, us AS cus
+      |  FROM base WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, event_id AS tid, event_type AS channel, us AS tus
+      |  FROM base WHERE event_type <> 'purchase'),
+      |j AS (
+      |  SELECT conv_id, channel, tus, tid
+      |  FROM touches t JOIN conv c ON t.user_id = c.user_id
+      |    AND t.tus < c.cus
+      |    AND t.tus >= c.cus - CAST(604800000000 AS BIGINT)),
+      |pc AS (
+      |  SELECT conv_id, COUNT(*) AS k,
+      |    MAX(CASE WHEN rn_a = 1 THEN channel END) AS first_ch,
+      |    MAX(CASE WHEN rn_d = 1 THEN channel END) AS last_ch
+      |  FROM (
+      |    SELECT conv_id, channel,
+      |      row_number() OVER (PARTITION BY conv_id
+      |        ORDER BY tus, tid) AS rn_a,
+      |      row_number() OVER (PARTITION BY conv_id
+      |        ORDER BY tus DESC, tid DESC) AS rn_d
+      |    FROM j)
+      |  GROUP BY conv_id),
+      |ft AS (SELECT first_ch AS channel, COUNT(*) AS ft FROM pc GROUP BY 1),
+      |lt AS (SELECT last_ch AS channel, COUNT(*) AS lt FROM pc GROUP BY 1),
+      |lin AS (
+      |  SELECT channel,
+      |    CAST(SUM(1000000 // k) AS DOUBLE) / 1e6 AS linear_credit
+      |  FROM j JOIN pc USING (conv_id) GROUP BY channel)
+      |SELECT lin.channel, COALESCE(ft, 0) AS ft_conversions,
+      |  COALESCE(lt, 0) AS lt_conversions, linear_credit
+      |FROM lin LEFT JOIN ft ON lin.channel = ft.channel
+      |LEFT JOIN lt ON lin.channel = lt.channel
+      |ORDER BY lin.channel""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250)
+      q250, q251)
 }
