@@ -856,6 +856,95 @@ object Graph {
       |JOIN deg db ON pairs.sb = db.sk
       |ORDER BY cosine_overlap DESC, shared DESC, sa, sb LIMIT 20""".stripMargin)
 
+  // -- q252: weighted PageRank over the co-shipment graph -------------------
+  //   q119's propagation with EDGE STRENGTH: each (supplier, part) edge
+  //   weighs its co-shipment multiplicity (lineitem rows for the pair), so
+  //   rank flows proportionally to shipping volume, not mere adjacency —
+  //   the centrality a procurement analysis actually wants. Per-edge
+  //   contribution floor-scales rank·w/W to a BIGINT (W = source's total
+  //   out-weight, attached to the edge once like q119's degree), keeping
+  //   the sums order-free; rank·w/W is one double multiply + divide, the
+  //   same fixed IEEE sequence on both engines. 2 iterations unrolled in
+  //   the oracle. Same BIGINT node ids as q119 (supplier 2k, part 2k+1).
+  val q252 = Query.sql(
+    "q252_weighted_pagerank",
+    (s, dir) => {
+      val ew = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("w"))
+      val und = ew.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"),
+          col("w"))
+        .union(ew.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"),
+          col("w")))
+        .localCheckpoint(true)
+      val wsum = und.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("wtot"))
+        .localCheckpoint(true)
+      val n = wsum.count().toDouble
+      val undW = und.join(wsum, col("src") === col("node"))
+        .select(col("src"), col("dst"), col("w"), col("wtot"))
+        .localCheckpoint(true)
+      var r: DataFrame = wsum.select(col("node"), lit(1.0 / n).as("rank"))
+      for (_ <- 1 to 2) {
+        val contrib = undW.join(r, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr(
+            "CAST(FLOOR(rank * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)" +
+              " * 1e15) AS BIGINT)")).as("sm"))
+        r = wsum.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(0.85) *
+              (coalesce(col("sm"), lit(0L)).cast("double") / lit(1e15)))
+              .as("rank"))
+      }
+      r.select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
+          " ELSE 'p' || CAST(node DIV 2 AS STRING) END").as("node"),
+          col("rank"))
+        .orderBy(desc("rank"), asc("node")).limit(20)
+    },
+    """WITH ew AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk, COUNT(*) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |und AS (
+      |  SELECT sk * 2 AS src, pk * 2 + 1 AS dst, w FROM ew
+      |  UNION ALL
+      |  SELECT pk * 2 + 1, sk * 2, w FROM ew),
+      |ws AS (SELECT src AS node, SUM(w) AS wtot FROM und GROUP BY src),
+      |ns AS (SELECT COUNT(*) AS n FROM ws),
+      |r0 AS (
+      |  SELECT node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+      |  FROM ws CROSS JOIN ns),
+      |c1 AS (
+      |  SELECT u.dst AS node,
+      |    SUM(CAST(FLOOR(r.rank * CAST(u.w AS DOUBLE) /
+      |      CAST(ws.wtot AS DOUBLE) * 1e15) AS BIGINT)) AS sm
+      |  FROM und u JOIN r0 r ON u.src = r.node
+      |  JOIN ws ON u.src = ws.node
+      |  GROUP BY u.dst),
+      |r1 AS (
+      |  SELECT w.node,
+      |    CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) +
+      |      CAST(0.85 AS DOUBLE) *
+      |        (CAST(COALESCE(c1.sm, 0) AS DOUBLE) / 1e15) AS rank
+      |  FROM ws w LEFT JOIN c1 ON w.node = c1.node CROSS JOIN ns),
+      |c2 AS (
+      |  SELECT u.dst AS node,
+      |    SUM(CAST(FLOOR(r.rank * CAST(u.w AS DOUBLE) /
+      |      CAST(ws.wtot AS DOUBLE) * 1e15) AS BIGINT)) AS sm
+      |  FROM und u JOIN r1 r ON u.src = r.node
+      |  JOIN ws ON u.src = ws.node
+      |  GROUP BY u.dst),
+      |r2 AS (
+      |  SELECT w.node,
+      |    CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) +
+      |      CAST(0.85 AS DOUBLE) *
+      |        (CAST(COALESCE(c2.sm, 0) AS DOUBLE) / 1e15) AS rank
+      |  FROM ws w LEFT JOIN c2 ON w.node = c2.node CROSS JOIN ns)
+      |SELECT CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR)
+      |  ELSE 'p' || CAST(node // 2 AS VARCHAR) END AS node, rank
+      |FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248)
+    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252)
 }
