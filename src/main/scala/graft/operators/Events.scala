@@ -2083,10 +2083,109 @@ object Events {
       |LEFT JOIN lt ON lin.channel = lt.channel
       |ORDER BY lin.channel""".stripMargin)
 
+  // -- q253: velocity rule — trailing-window burst detection ----------------
+  //   The fraud/abuse primitive "more than K events from one user inside
+  //   any trailing M minutes": a RANGE-frame window over microsecond
+  //   timestamps counts each event's trailing 10-minute company, per user
+  //   — event-time semantics, partitioned by the user key (the state
+  //   never leaves the user's partition, q61's argument). Report per
+  //   flagged user: events, peak trailing count, flagged events, first
+  //   flagged timestamp. The range frame is the point: a rows-frame
+  //   misreads bursts under jittered timestamps, and a self-join version
+  //   of the same predicate is O(burst²) — the frame is O(n log n) in the
+  //   partition sort the window already pays.
+  val q253 = Query.sql(
+    "q253_velocity_rule",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+        .rangeBetween(-600000000L, 0L) // trailing 10 min in µs
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("trailing", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("trailing").as("peak_10min"),
+          sum(when(col("trailing") >= 5, 1L).otherwise(0L))
+            .as("flagged_events"),
+          min(when(col("trailing") >= 5, col("us"))).as("first_flag_us"))
+        .filter(col("flagged_events") > 0)
+        .orderBy("user_id")
+    },
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS trail
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(trail) AS BIGINT) AS peak_10min,
+      |  CAST(SUM(CASE WHEN trail >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS flagged_events,
+      |  MIN(CASE WHEN trail >= 5 THEN us END) AS first_flag_us
+      |FROM t GROUP BY user_id
+      |HAVING SUM(CASE WHEN trail >= 5 THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin)
+
+  // -- q254: daily bounce rate over gap sessions ----------------------------
+  //   The web-analytics staple: share of sessions that contain exactly one
+  //   event, per day of session start. Sessions come from the 30-minute
+  //   gap rule as a running sum of start flags inside each user's ordered
+  //   partition (two windows over the SAME (user, time) sort — one
+  //   partition sort, q61's layout), the per-session rollup is keyed
+  //   (user, session_idx), and days are integer epoch-day arithmetic so
+  //   no engine date-truncation rules participate.
+  val q254 = Query.sql(
+    "q254_bounce_rate",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val wCum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val sess = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("is_start",
+          when(col("prev").isNull ||
+            col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("is_start").over(wCum))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(MIN(us) DIV 86400000000 AS BIGINT)").as("day0"))
+      sess.groupBy("day0")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("bounces"),
+          (sum(when(col("n") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("bounce_rate"))
+        .orderBy("day0")
+    },
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, us,
+      |    SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, sid, COUNT(*) AS n,
+      |    CAST(MIN(us) // 86400000000 AS BIGINT) AS day0
+      |  FROM f GROUP BY 1, 2)
+      |SELECT day0, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+      |FROM sess GROUP BY day0 ORDER BY day0""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251)
+      q250, q251, q253, q254)
 }
