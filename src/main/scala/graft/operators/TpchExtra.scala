@@ -650,6 +650,57 @@ object TpchExtra {
       |    WHERE qty_2000 > 0.25 * qty_all AND qty_2000 > 0)
       |ORDER BY s_name""".stripMargin)
 
+  // -- q255: ABC / Pareto revenue classification ----------------------------
+  //   The supply-chain staple: rank parts by revenue, classify the head
+  //   that carries ≤80% of cumulative revenue as A, ≤95% as B, the tail
+  //   C. Revenue sums are DECIMAL(18,6)-exact per part; the class
+  //   boundaries are exact decimal cross-multiplications (cum·5 ≤ tot·4,
+  //   cum·20 ≤ tot·19) so no float share ever decides a boundary row.
+  //   The ordered cumulative runs over the PART-level rollup — the part
+  //   dimension is ~1/200 of the fact table (the q121 histogram
+  //   argument); the fact rows are never globally sorted.
+  val q255 = Query.sql(
+    "q255_abc_classification",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("rev"), asc("pk"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D)).as("rev"))
+        .withColumn("cum", sum("rev").over(wOrd))
+        .withColumn("tot", sum("rev").over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 5 <= col("tot") * 4, lit("A"))
+            .when(col("cum") * 20 <= col("tot") * 19, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("rev").cast("double").as("revenue"),
+          (sum("rev").cast("double") / max("tot").cast("double"))
+            .as("share"))
+        .orderBy("cls")
+    },
+    """WITH rev AS (
+      |  SELECT l_partkey AS pk,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |cu AS (
+      |  SELECT pk, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, pk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(rev) OVER () AS tot
+      |  FROM rev)
+      |SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+      |    WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS cls,
+      |  COUNT(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS share
+      |FROM cu GROUP BY 1 ORDER BY cls""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22)
+    t15, t16, t17, t18, t19, t20, t21, t22, q255)
 }
