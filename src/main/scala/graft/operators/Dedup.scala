@@ -1055,8 +1055,52 @@ object Dedup {
        |FROM dg JOIN counts USING (fp)
        |GROUP BY source ORDER BY source""".stripMargin)
 
+  // -- q256: cross-source duplication matrix --------------------------------
+  //   Which sources copy from which: for every source pair (a ≤ b), how
+  //   many exact-content digests appear in BOTH — the provenance matrix
+  //   that decides which feed to drop when corpus dedup finds overlap.
+  //   The rollup is per-(digest, source) DISTINCT (16-byte md5 shuffle
+  //   key, q40's discipline); the pair expansion runs only on digests
+  //   seen in ≥ 2 sources — a vanishing fraction — and each such digest
+  //   emits its bounded source-combination list map-side. Diagonal rows
+  //   (a = b) count within-source duplicate digests.
+  val q256 = Query.sql(
+    "q256_cross_source_dupes",
+    (s, dir) => {
+      val fp = docs(s, dir)
+        .select(col("source"), md5(col("text")).as("fp"))
+      val bySrc = fp.groupBy("fp", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds diagonal + cross pairs
+      val diag = bySrc.filter(col("n") >= 2)
+        .groupBy(col("source").as("source_a"))
+        .agg(count(lit(1)).as("shared_digests"))
+        .select(col("source_a"), col("source_a").as("source_b"),
+          col("shared_digests"))
+      val cross = bySrc.as("x").join(bySrc.as("y"),
+          col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_digests"))
+      diag.unionAll(cross).orderBy("source_a", "source_b")
+    },
+    """WITH fp AS (SELECT source, md5(text) AS fp FROM documents),
+      |by_src AS (
+      |  SELECT fp, source, COUNT(*) AS n FROM fp GROUP BY 1, 2),
+      |diag AS (
+      |  SELECT source AS source_a, source AS source_b,
+      |    COUNT(*) AS shared_digests
+      |  FROM by_src WHERE n >= 2 GROUP BY source),
+      |cross_p AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    COUNT(*) AS shared_digests
+      |  FROM by_src x JOIN by_src y
+      |    ON x.fp = y.fp AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT * FROM diag UNION ALL SELECT * FROM cross_p)
+      |ORDER BY source_a, source_b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197, q231, q235, q242)
+      q130, q147, q184, q190, q192, q197, q231, q235, q242, q256)
 
 }
