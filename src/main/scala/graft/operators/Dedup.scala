@@ -1080,7 +1080,16 @@ object Dedup {
           col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
         .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
         .agg(count(lit(1)).as("shared_digests"))
-      diag.unionAll(cross).orderBy("source_a", "source_b")
+      // full matrix spine (sources are a bounded dimension): every a ≤ b
+      // pair appears, zero-filled — "no overlap" is a finding too, and the
+      // report never empties on clean corpora
+      val srcs = fp.select("source").distinct()
+      srcs.as("a").join(srcs.as("b"), col("a.source") <= col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .join(diag.unionAll(cross), Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("shared_digests"), lit(0L)).as("shared_digests"))
+        .orderBy("source_a", "source_b")
     },
     """WITH fp AS (SELECT source, md5(text) AS fp FROM documents),
       |by_src AS (
@@ -1094,10 +1103,18 @@ object Dedup {
       |    COUNT(*) AS shared_digests
       |  FROM by_src x JOIN by_src y
       |    ON x.fp = y.fp AND x.source < y.source
-      |  GROUP BY 1, 2)
-      |SELECT * FROM (
-      |  SELECT * FROM diag UNION ALL SELECT * FROM cross_p)
-      |ORDER BY source_a, source_b""".stripMargin)
+      |  GROUP BY 1, 2),
+      |srcs AS (SELECT DISTINCT source FROM fp),
+      |spine AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM srcs a JOIN srcs b ON a.source <= b.source),
+      |counts AS (SELECT * FROM diag UNION ALL SELECT * FROM cross_p)
+      |SELECT spine.source_a, spine.source_b,
+      |  COALESCE(shared_digests, 0) AS shared_digests
+      |FROM spine LEFT JOIN counts
+      |  ON spine.source_a = counts.source_a
+      | AND spine.source_b = counts.source_b
+      |ORDER BY spine.source_a, spine.source_b""".stripMargin)
 
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
