@@ -541,6 +541,8 @@ object Quant {
         .groupBy("label", "pos")
         .agg((sum(col("v").cast("double").cast(D)).cast("double") /
           count(lit(1)).cast("double")).as("c"))
+        .localCheckpoint(true) // |labels|·64 rows; corpus scanned once,
+                               // not once per side of the pair self-join
       cd.as("a").join(cd.as("b"),
           col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
         .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
