@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Subqueries.all ++ operators.Windows.all ++
       operators.TpchExtra.all ++ operators.Pipeline.all ++
       operators.Warehouse.all ++ operators.Graph.all ++
-      operators.Ranking.all ++ operators.Quant.all
+      operators.Ranking.all ++ operators.Quant.all ++
+      operators.Recursive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative / recursive-query operators: BFS reachability, parent-pointer
+  * hierarchy closure (the `WITH RECURSIVE` family Spark lacks natively),
+  * plus profiling ops that pair with them (FD discovery, leakage-safe
+  * splits).
+  *
+  * Reference scope: AyeAye's `ModelCollection.run_order()` walks a DAG on
+  * the driver (model dependency graphs are tiny); these operators are the
+  * DATA-side analogues — graphs with billions of edges, walked with
+  * distributed joins, a fixed/logarithmic number of rounds, and
+  * `localCheckpoint` lineage barriers per round (durable `checkpoint` on a
+  * real cluster).
+  *
+  * Scale design:
+  *  - BFS (q257) is frontier-based: each round shuffles only the NEW
+  *    frontier (anti-join against the visited set), never the full vertex
+  *    set; rounds are bounded by the requested radius.
+  *  - Hierarchy closure (q258) uses pointer-doubling — O(log depth) self
+  *    joins instead of O(depth) sequential rounds, the same trick as
+  *    ConnectedComponents.scala — so a 10-level hierarchy closes in 4
+  *    joins, each hash-partitioned on the jump key.
+  *  - Both orderings and sums are exact integers/DECIMALs; no floats until
+  *    a final single IEEE division (oracle-exact contract, see
+  *    Relational.scala `dsum`).
+  */
+object Recursive {
+
+  /** BFS hop distances from `seeds` over a DIRECTED edge list, bounded by
+    * `radius`. Returns (node, dist) with dist = min #hops (0 for seeds);
+    * unreachable nodes are absent. Symmetrize the edges first for
+    * undirected graphs.
+    *
+    * Frontier-based: round r shuffles O(|frontier_r|) + the edges it
+    * touches, never the visited set; per-round `localCheckpoint` keeps
+    * lineage flat (durable `checkpoint` on a real cluster).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, radius: Int,
+      materialize: Boolean = true): DataFrame = {
+    if (!materialize)
+      return bfsDistancesInline(edges, srcCol, dstCol, seeds, seedCol, radius)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (d <- 1 to radius) {
+      val cand = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+      // The one materialization per round: `fresh` feeds three consumers
+      // (the visited union, the next round's probe, the next anti-join).
+      // `visited` itself is a union of already-checkpointed pieces — no
+      // extra job needed to keep its lineage flat.
+      val fresh = cand.join(visited.select(col("node").as("v")),
+          col("node") === col("v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(fresh.select(col("node"), lit(d).as("dist")))
+      frontier = fresh
+    }
+    visited
+  }
+
+  /** Single-plan BFS: level d = DISTINCT dst of (edges ⋈ level d−1); the
+    * union of all levels tagged with d, min(d) per node, IS the BFS
+    * distance (the shortest walk is the shortest path — longer walks to
+    * an already-seen node lose the MIN). No driver-side rounds: the whole
+    * walk compiles into ONE Spark job whose repeated level subtrees
+    * collapse under exchange reuse, so small radii pay one job's overhead
+    * instead of ~3 jobs per round. Plan size grows ~2^radius — use the
+    * materialized variant for radius ≳ 8 or when levels are too large to
+    * keep as exchanges.
+    */
+  private def bfsDistancesInline(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      radius: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var level = seeds.select(col(seedCol).as("node")).distinct()
+    var tagged = level.select(col("node"), lit(0).as("dist"))
+    for (d <- 1 to radius) {
+      level = e.join(level, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+      tagged = tagged.union(level.select(col("node"), lit(d).as("dist")))
+    }
+    tagged.groupBy("node").agg(min(col("dist")).as("dist"))
+  }
+
+  /** Ancestor closure of a parent-pointer FOREST by pointer doubling:
+    * returns every (node, anc, dist) with dist ≥ 1 proper-ancestor hops.
+    * `rounds` doublings cover depth 2^rounds. Each round is one self-join
+    * on the jump key + a distinct (composition regenerates a pair once per
+    * a+b split of its distance; in a forest the regenerated triple is
+    * identical, so distinct collapses them exactly).
+    */
+  def ancestorClosure(parents: DataFrame, childCol: String, parentCol: String,
+      rounds: Int): DataFrame = {
+    var closure = parents
+      .select(col(childCol).as("node"), col(parentCol).as("anc"),
+        lit(1L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val jumped = closure.as("a")
+        .join(closure.select(col("node").as("jn"), col("anc").as("janc"),
+          col("dist").as("jdist")).as("b"), col("a.anc") === col("jn"))
+        .select(col("a.node").as("node"), col("janc").as("anc"),
+          (col("a.dist") + col("jdist")).as("dist"))
+      closure = closure.union(jumped).distinct().localCheckpoint(true)
+    }
+    closure
+  }
+
+  private val D = "decimal(28,4)"
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+
+  // -- q257: BFS hop distances over the co-shipment graph -------------------
+  //   Shortest hop distance (radius ≤ 4) from seed suppliers over the
+  //   supplier–part bipartite graph: the reachability primitive behind
+  //   "what's within k hops of a flagged entity" (fraud rings, recall
+  //   blast radius, supply-chain exposure). Node encoding matches
+  //   q119/q252: supplier 2k, part 2k+1.
+  //
+  //   Plan: classic frontier BFS. Each round joins the CURRENT frontier
+  //   (not the visited set) to the edge list on the source key, dedups the
+  //   candidate set, and anti-joins visited — so round r shuffles
+  //   O(|frontier_r| + new edges touched), never O(V). The visited set and
+  //   frontier are localCheckpoint'd per round: lineage stays flat and the
+  //   edge list is read from executor blocks, not re-scanned. The DuckDB
+  //   oracle is the textbook WITH RECURSIVE bounded-depth walk with a
+  //   post-hoc MIN(d) — identical semantics (first time a node is seen in
+  //   BFS = its min distance).
+  val q257 = Query.sql(
+    "q257_bfs_distances",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+        .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+        .localCheckpoint(true)
+      // Seeds: every 100th supplier — 1 seed at sf0.01, 10 at sf0.1; the
+      // seed-set size scales with the data, the radius does not.
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") % 100 === 1)
+        .select((col("s_suppkey") * 2).as("seed"))
+      bfsDistances(und, "src", "dst", seeds, "seed", radius = 4)
+        .select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
+          " ELSE 'p' || CAST(node DIV 2 AS STRING) END").as("node"), col("dist"))
+        .orderBy("node")
+    },
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |und AS (
+      |  SELECT sk * 2 AS src, pk * 2 + 1 AS dst FROM e
+      |  UNION ALL
+      |  SELECT pk * 2 + 1, sk * 2 FROM e),
+      |walk(node, d) AS (
+      |  SELECT s_suppkey * 2, 0 FROM supplier WHERE s_suppkey % 100 = 1
+      |  UNION
+      |  SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      |  WHERE w.d < 4)
+      |SELECT CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR)
+      |  ELSE 'p' || CAST(node // 2 AS VARCHAR) END AS node,
+      |  CAST(MIN(d) AS INT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+
+  // -- q258: parent-pointer hierarchy closure + subtree rollup --------------
+  //   The BOM-explosion / org-chart primitive: parts form a synthetic
+  //   decimal hierarchy (parent(k) = k div 10; keys 1..9 are roots), and
+  //   the query answers "for every node: its depth, subtree size, and
+  //   subtree retail value" — the rollup a cost-explosion or permission-
+  //   inheritance pass needs.
+  //
+  //   Plan: the ancestor closure is built by POINTER DOUBLING, not
+  //   per-level iteration: P₁ = direct parent pairs (dist 1); each round
+  //   composes the closure with itself (a.anc = b.node → dist a+b), so
+  //   after r rounds every path of length ≤ 2^r is present — 3 rounds
+  //   cover depth 8 (a 100-million-key hierarchy). Tree paths are unique,
+  //   so composition never duplicates a (node, anc) pair and no dedup
+  //   shuffle is needed. Each round is one hash join on the jump key +
+  //   localCheckpoint. The oracle is the sequential WITH RECURSIVE walk —
+  //   same closure, different round structure, identical rows.
+  val q258 = Query.sql(
+    "q258_hierarchy_rollup",
+    (s, dir) => {
+      val part = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+      // Direct parent edges (child → parent); roots (1..9) have none.
+      val p1 = part.filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("child"),
+          (col("p_partkey").cast("long") / 10).cast("long").as("parent"))
+      // 3 doublings = depth 8 ≫ log10(|part|) at any test SF.
+      val closure = ancestorClosure(p1, "child", "parent", rounds = 3)
+      val self = part.select(col("p_partkey").as("node"),
+        col("p_partkey").as("anc"), lit(0L).as("dist"))
+      val full = closure.union(self)
+      // depth(node) = # proper ancestors; subtree stats key on the ancestor.
+      val depth = full.filter(col("dist") > 0)
+        .groupBy("node").agg(count(lit(1)).as("depth"))
+      full.join(part, col("node") === col("p_partkey"))
+        .groupBy(col("anc").as("p_partkey"))
+        .agg(count(lit(1)).as("n_subtree"),
+          dsum(col("p_retailprice")).as("subtree_value"))
+        .join(depth.select(col("node").as("p_partkey"), col("depth")), Seq("p_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("depth"), lit(0L)).as("depth"),
+          col("n_subtree"), col("subtree_value"))
+        .orderBy(desc("n_subtree"), asc("p_partkey"))
+        .limit(100)
+    },
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT p_partkey AS c, p_partkey // 10 AS p FROM part WHERE p_partkey >= 10),
+       |anc(node, anc, dist) AS (
+       |  SELECT c, p, CAST(1 AS BIGINT) FROM edges
+       |  UNION ALL
+       |  SELECT a.node, e.p, a.dist + 1 FROM anc a JOIN edges e ON a.anc = e.c),
+       |full_cl AS (
+       |  SELECT node, anc, dist FROM anc
+       |  UNION ALL
+       |  SELECT p_partkey, p_partkey, 0 FROM part),
+       |depth AS (
+       |  SELECT node, COUNT(*) AS depth FROM anc GROUP BY node)
+       |SELECT f.anc AS p_partkey,
+       |  COALESCE(d.depth, 0) AS depth,
+       |  COUNT(*) AS n_subtree,
+       |  ${sqlDsum("p.p_retailprice")} AS subtree_value
+       |FROM full_cl f JOIN part p ON f.node = p.p_partkey
+       |LEFT JOIN depth d ON f.anc = d.node
+       |GROUP BY f.anc, d.depth
+       |ORDER BY n_subtree DESC, p_partkey LIMIT 100""".stripMargin)
+
+  // -- q259: leakage-safe train/val/test split ------------------------------
+  //   Split assignment that can never leak a duplicate across splits: hash
+  //   the CLUSTER REPRESENTATIVE (min doc_id of the exact-dup digest
+  //   group), not the document — every member of a dup cluster lands in
+  //   the same split by construction (the q243 audit found the naive
+  //   per-doc hash DOES leak). Thresholds on the first md5 byte:
+  //   train < 0xcc (~80%), val < 0xe6 (~10%), test = rest.
+  //
+  //   Plan: one digest-keyed shuffle to find reps (shuffles the 16-byte
+  //   digest, never the text — the q40 contract), then the split tag is a
+  //   map-side hash of the rep; the per-split rollup is 3 rows. The rep
+  //   join is digest-keyed and AQE-broadcastable when the dup-cluster
+  //   table is small relative to the corpus.
+  val q259 = Query.sql(
+    "q259_cluster_safe_split",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("digest"))
+      val reps = d.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+      d.join(reps, "digest")
+        .select(col("doc_id"), col("n_chars"), col("digest"),
+          substring(md5(concat(lit("split:"), col("rep").cast("string"))), 1, 2)
+            .as("b"))
+        .select(col("doc_id"), col("n_chars"), col("digest"),
+          when(col("b") < "cc", "train").when(col("b") < "e6", "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("digest")).as("n_clusters"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split")
+    },
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, md5(text) AS digest FROM documents),
+      |reps AS (SELECT digest, MIN(doc_id) AS rep FROM d GROUP BY digest),
+      |tagged AS (
+      |  SELECT d.doc_id, d.n_chars, d.digest,
+      |    CASE WHEN substring(md5('split:' || CAST(r.rep AS VARCHAR)), 1, 2) < 'cc'
+      |           THEN 'train'
+      |         WHEN substring(md5('split:' || CAST(r.rep AS VARCHAR)), 1, 2) < 'e6'
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM d JOIN reps r ON d.digest = r.digest)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT digest) AS n_clusters,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM tagged GROUP BY split ORDER BY split""".stripMargin)
+
+  // -- q260: functional-dependency audit (data profiling) -------------------
+  //   For candidate column pairs A→B, measure how well the dependency
+  //   holds: # distinct determinant values, # that map to >1 dependent
+  //   value (violations), the worst fan-out, and the violation share. The
+  //   schema-discovery / normalization-audit primitive (Papenbrock et al.,
+  //   VLDB'15 — here as a verification pass over declared candidates, the
+  //   form that scales).
+  //
+  //   Plan: ONE scan of part — the 3 candidate pairs are exploded from an
+  //   inline array (k rows per input row, no extra scans), then a single
+  //   (fd, det)-keyed aggregation + a 3-row rollup. All counts exact
+  //   BIGINTs; the one division is final.
+  val q260 = Query.sql(
+    "q260_fd_audit",
+    (s, dir) => {
+      Tables.load(s, dir, "part")
+        .select(explode(array(
+          struct(lit("name->brand").as("fd"), col("p_name").as("det"),
+            col("p_brand").as("dep")),
+          struct(lit("brand->type").as("fd"), col("p_brand").as("det"),
+            col("p_type").as("dep")),
+          struct(lit("type->size").as("fd"), col("p_type").as("det"),
+            col("p_size").cast("string").as("dep")))).as("c"))
+        .select(col("c.fd").as("fd"), col("c.det").as("det"), col("c.dep").as("dep"))
+        .groupBy("fd", "det").agg(countDistinct(col("dep")).as("ndep"))
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violated"),
+          max(col("ndep")).as("max_fanout"))
+        .select(col("fd"), col("n_det"), col("n_violated"), col("max_fanout"),
+          (col("n_violated").cast("double") / col("n_det").cast("double"))
+            .as("violation_rate"))
+        .orderBy("fd")
+    },
+    """WITH pairs AS (
+      |  SELECT 'name->brand' AS fd, p_name AS det, p_brand AS dep FROM part
+      |  UNION ALL
+      |  SELECT 'brand->type', p_brand, p_type FROM part
+      |  UNION ALL
+      |  SELECT 'type->size', p_type, CAST(p_size AS VARCHAR) FROM part),
+      |per_det AS (
+      |  SELECT fd, det, COUNT(DISTINCT dep) AS ndep
+      |  FROM pairs GROUP BY fd, det)
+      |SELECT fd, COUNT(*) AS n_det,
+      |  CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violated,
+      |  MAX(ndep) AS max_fanout,
+      |  CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS violation_rate
+      |FROM per_det GROUP BY fd ORDER BY fd""".stripMargin)
+
+  val all: Seq[Query] = Seq(q257, q258, q259, q260)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Recursive
+import org.apache.spark.sql.functions._
+
+/** BFS distances + pointer-doubling ancestor closure (operators.Recursive)
+  * on hand-built graphs where the answer is computable by eye.
+  */
+class RecursiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsDistances: path graph, radius bound, unreachable absent") {
+    // 1→2→3→4→5 directed; seed 1, radius 3.
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("s", "d")
+    val seeds = Seq(1).toDF("n")
+    val out = Recursive.bfsDistances(e, "s", "d", seeds, "n", radius = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out == Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3), s"got $out")
+  }
+
+  test("bfsDistances: min distance wins on a diamond with unequal arms") {
+    // 1→2→5 (2 hops) and 1→3→4→5 (3 hops): 5 must report 2.
+    val e = Seq((1, 2), (2, 5), (1, 3), (3, 4), (4, 5)).toDF("s", "d")
+    val out = Recursive.bfsDistances(e, "s", "d", Seq(1).toDF("n"), "n", 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(5) == 2 && out(4) == 2 && out(3) == 1, s"got $out")
+  }
+
+  test("bfsDistances: inline single-plan mode equals the materialized mode") {
+    val e = Seq((1, 2), (2, 5), (1, 3), (3, 4), (4, 5), (5, 1)).toDF("s", "d")
+    val a = Recursive.bfsDistances(e, "s", "d", Seq(1).toDF("n"), "n", 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val b = Recursive.bfsDistances(e, "s", "d", Seq(1).toDF("n"), "n", 4,
+        materialize = false)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(a == b, s"materialized $a != inline $b")
+  }
+
+  test("bfsDistances: multi-seed keeps per-node minimum; cycles terminate") {
+    // 4-cycle with seeds on opposite corners: everything is ≤ 1 away.
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 1),
+      (2, 1), (3, 2), (4, 3), (1, 4)).toDF("s", "d")
+    val out = Recursive.bfsDistances(e, "s", "d", Seq(1, 3).toDF("n"), "n", 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out == Map(1 -> 0, 3 -> 0, 2 -> 1, 4 -> 1), s"got $out")
+  }
+
+  test("ancestorClosure: chain of depth 6 closes in 3 doublings, exact dists") {
+    // parents: i → i-1 for 2..7 (chain 1..7).
+    val p = (2 to 7).map(i => (i, i - 1)).toDF("c", "par")
+    val out = Recursive.ancestorClosure(p, "c", "par", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // Every (node, anc) pair exactly once, dist = node - anc.
+    val expected = (for (n <- 2 to 7; a <- 1 until n) yield (n, a) -> (n - a).toLong).toMap
+    assert(out == expected, s"got ${out.toSeq.sorted}")
+  }
+
+  test("ancestorClosure: no duplicate (node, anc) pairs after doubling") {
+    // Branching forest: parent(k) = k / 3.
+    val p = (3 to 40).map(i => (i, i / 3)).toDF("c", "par")
+    val cl = Recursive.ancestorClosure(p, "c", "par", rounds = 3)
+    val dups = cl.groupBy("node", "anc").count().filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicated closure pairs")
+    // Spot-check: 40 → 13 → 4 → 1 (1 is a root: no parent edge below 3).
+    val anc40 = cl.filter(col("node") === 40).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(anc40 == Map(13 -> 1L, 4 -> 2L, 1 -> 3L), s"got $anc40")
+  }
+}
