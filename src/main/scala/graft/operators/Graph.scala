@@ -945,6 +945,60 @@ object Graph {
       |  ELSE 'p' || CAST(node // 2 AS VARCHAR) END AS node, rank
       |FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin)
 
+  // -- q264: link prediction by resource-allocation index -------------------
+  //   For supplier pairs sharing parts: RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)
+  //   (Zhou–Lü–Zhang 2009) — like Adamic–Adar but log-free, so each term
+  //   floor-scales to FLOOR(1e15 / deg) and the pair score is an exact
+  //   order-free BIGINT sum. Rare shared parts (low degree) count more
+  //   than hub parts — exactly the signal a "recommend a supplier"
+  //   pipeline wants.
+  //
+  //   Plan: ONE shuffle — the q123/q150 grouped pair build: suppliers
+  //   collect per part (sorted), index pairs explode map-side, and the
+  //   part degree is size(list) for free, so each pair's floor-scaled
+  //   term needs no degree join at all. Per-part quadratic, bounded by
+  //   suppliers-per-part (hub cap is the production guard). Top-20 via
+  //   TakeOrdered on the integer score.
+  val q264 = Query.sql(
+    "q264_link_prediction",
+    (s, dir) => {
+      // Both self-join inputs are the SAME windowed subtree, so Spark's
+      // ReuseExchange materializes the pk-partitioned exchange once: the
+      // degree window and the pair join ride one shuffle.
+      val ew2 = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("pk")))
+        .withColumn("term", expr(
+          "CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT)"))
+      ew2.as("a").join(ew2.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+        .agg(count(lit(1)).as("shared"), sum(col("a.term")).as("ra_scaled"))
+        .select(col("sa"), col("sb"), col("shared"),
+          (col("ra_scaled").cast("double") / lit(1e15)).as("ra_index"))
+        .orderBy(desc("ra_index"), desc("shared"), asc("sa"), asc("sb"))
+        .limit(20)
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |deg AS (SELECT pk, COUNT(*) AS deg FROM e GROUP BY pk),
+      |ed AS (
+      |  SELECT e.pk, e.sk,
+      |    CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT) AS term
+      |  FROM e JOIN deg ON e.pk = deg.pk),
+      |pairs AS (
+      |  SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS shared,
+      |    CAST(SUM(a.term) AS BIGINT) AS ra_scaled
+      |  FROM ed a JOIN e b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, shared,
+      |  CAST(ra_scaled AS DOUBLE) / 1e15 AS ra_index
+      |FROM pairs
+      |ORDER BY ra_index DESC, shared DESC, sa, sb LIMIT 20""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252)
+    Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
+      q264)
 }

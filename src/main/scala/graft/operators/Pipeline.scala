@@ -1038,8 +1038,69 @@ object Pipeline {
       |SELECT source, stage, COUNT(*) AS n_docs
       |FROM g GROUP BY source, stage ORDER BY source, stage""".stripMargin)
 
+  // -- q261: DSIR importance weights (hashed-n-gram domain reweighting) -----
+  //   Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  //   score every document by how much its hashed-unigram feature profile
+  //   looks like a TARGET domain (here lang='en') relative to the raw
+  //   corpus, then resample by the weight. Features are 64 md5-hash
+  //   buckets; the per-bucket ratio r_b = (target_b + 1)·1e9 div
+  //   (raw_b + 1) is computed once as exact integer arithmetic (additive
+  //   smoothing, floor division — identical in both engines) and a doc's
+  //   raw weight is Σ count_{doc,b} · r_b: a BIGINT, order-free. The
+  //   log-ratio form of the paper is monotone-equivalent per bucket; the
+  //   linear form keeps the math exact end to end.
+  //
+  //   Scale: the 64-row ratio table broadcasts; the corpus is tokenized
+  //   once into per-(doc, bucket) counts (doc-keyed shuffle), and the
+  //   scoring join is map-side. No collect, no floats until the final
+  //   display division.
+  val q261 = Query.sql(
+    "q261_dsir_weights",
+    (s, dir) => {
+      val tb = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT)")
+            % 64).as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the ratio build AND the scoring join
+      val ratios = tb.groupBy("b")
+        .agg(sum(col("c")).as("raw"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt"))
+        .select(col("b"),
+          expr("(tgt + 1) * 1000000000 div (raw + 1)").as("r"))
+      tb.join(broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("r")).as("raw_w"))
+        .select(col("doc_id"), col("n_toks"), col("raw_w"),
+          (col("raw_w").cast("double") / lit(1e9) /
+            col("n_toks").cast("double")).as("mean_ratio"))
+        .orderBy(desc("raw_w"), asc("doc_id"))
+        .limit(30)
+    },
+    """WITH tb AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substring(md5(tok), 1, 4))::BIGINT % 64 AS b,
+      |    COUNT(*) AS c
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |ratios AS (
+      |  SELECT b,
+      |    (SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 1) * 1000000000
+      |      // (SUM(c) + 1) AS r
+      |  FROM tb GROUP BY b),
+      |scored AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+      |    CAST(SUM(c * r) AS BIGINT) AS raw_w
+      |  FROM tb JOIN ratios USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n_toks, raw_w,
+      |  CAST(raw_w AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE) AS mean_ratio
+      |FROM scored ORDER BY raw_w DESC, doc_id LIMIT 30""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198)
+      q176, q196, q198, q261)
 }

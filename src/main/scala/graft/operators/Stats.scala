@@ -1187,8 +1187,89 @@ object Stats {
       |  CAST(SUM(lag * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_lag
       |FROM cu GROUP BY prio ORDER BY prio""".stripMargin)
 
+  // -- q263: Mann–Whitney U, each event type vs the rest --------------------
+  //   The nonparametric A/B primitive (does this group's `value`
+  //   distribution stochastically dominate the others?) — the
+  //   distribution-free alternative to q229's t-style comparison, robust
+  //   to the heavy tails a revenue metric always has.
+  //
+  //   Exactness: rank sums with tie-averaged ranks stay in BIGINTs by
+  //   carrying 2×rank — for a tied value v with global count ct and
+  //   cumulative-before cb, each occurrence's doubled average rank is
+  //   2·cb + ct + 1 (an integer). 2R_x per group is then Σ c_{g,v} ·
+  //   (2cb + ct + 1), and 2U₁ = 2R_x − n₁(n₁+1): all exact. The tie term
+  //   T = Σ(t³−t) is exact too; only the final z-score touches doubles —
+  //   one fixed-order expression (sqrt is IEEE correctly-rounded on both
+  //   engines).
+  //
+  //   Scale: one shuffle keyed on the value for the global histogram +
+  //   ordered cumulative (values are distinct-valued rollups, not raw
+  //   events), one (type, value) rollup joined on the value key, and a
+  //   5-row output. The raw event table is scanned once.
+  val q263 = Query.sql(
+    "q263_mann_whitney",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").select("event_type", "value")
+        .filter(col("value").isNotNull) // engines order NULL keys differently
+        .localCheckpoint(true) // feeds the global and the per-type rollup
+      val glob = ev.groupBy("value").agg(count(lit(1)).as("ct"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = glob
+        .withColumn("cb", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .withColumn("two_r", lit(2) * col("cb") + col("ct") + lit(1))
+      val tieT = ranked.agg(
+        sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_t"),
+        sum(col("ct")).as("n")).localCheckpoint(true)
+      val byType = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cx"))
+      byType.join(ranked.select("value", "two_r"), "value")
+        .groupBy("event_type")
+        .agg(sum(col("cx")).as("n1"), sum(col("cx") * col("two_r")).as("two_rx"))
+        .crossJoin(broadcast(tieT))
+        .select(col("event_type"), col("n1"), (col("n") - col("n1")).as("n2"),
+          (col("two_rx") - col("n1") * (col("n1") + 1)).as("two_u"),
+          col("tie_t"))
+        .withColumn("z", expr(
+          """CAST(two_u - n1 * n2 AS DOUBLE) /
+            |(2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+            |  (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_t AS DOUBLE) /
+            |    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))"""
+            .stripMargin))
+        .select("event_type", "n1", "n2", "two_u", "z")
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |gl AS (
+      |  SELECT value, COUNT(*) AS ct FROM ev GROUP BY value),
+      |ranked AS (
+      |  SELECT value, ct,
+      |    COALESCE(SUM(ct) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM gl),
+      |tie AS (
+      |  SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_t,
+      |    CAST(SUM(ct) AS BIGINT) AS n
+      |  FROM ranked),
+      |bytype AS (
+      |  SELECT event_type, value, COUNT(*) AS cx
+      |  FROM ev GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT b.event_type,
+      |    CAST(SUM(b.cx) AS BIGINT) AS n1,
+      |    CAST(SUM(b.cx * (2 * r.cb + r.ct + 1)) AS BIGINT) AS two_rx
+      |  FROM bytype b JOIN ranked r ON b.value = r.value
+      |  GROUP BY 1)
+      |SELECT event_type, n1, n - n1 AS n2,
+      |  two_rx - n1 * (n1 + 1) AS two_u,
+      |  CAST(two_rx - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE) /
+      |    (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+      |      (CAST(n + 1 AS DOUBLE) - CAST(tie_t AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))) AS z
+      |FROM agg CROSS JOIN tie ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249)
+      q249, q263)
 }

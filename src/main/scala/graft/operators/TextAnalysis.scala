@@ -1371,8 +1371,86 @@ object TextAnalysis {
         |ORDER BY ds.bucket""".stripMargin)
   }
 
+  // -- q262: Gopher-style quality-rule battery ------------------------------
+  //   The Rae et al. 2021 (Gopher §A.1.1) corpus-filter battery, adapted
+  //   to single-line synthetic docs: per document, five independent rules
+  //   — word-count bounds, mean-word-length bounds, distinct-token ratio,
+  //   top-token dominance, stopword presence — each decided by INTEGER
+  //   cross-multiplication (10·distinct ≥ 3·n, never a float ratio at the
+  //   boundary), then a per-source rollup of per-rule failure counts and
+  //   the pass-all count.
+  //
+  //   Plan: tokenize once into per-(doc, tok) counts (one doc-keyed
+  //   shuffle carrying distinct tokens, not occurrences), derive every
+  //   per-doc statistic from that rollup in a second doc-keyed
+  //   aggregation, flag map-side, and roll up to sources. The rule
+  //   thresholds are plan literals — at 100 TB this is two aggregations
+  //   and a 20-row output.
+  val q262 = Query.sql(
+    "q262_gopher_rules",
+    (s, dir) => {
+      val tc = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+      val per = tc.groupBy("doc_id", "source")
+        .agg(sum(col("c")).as("nw"),
+          sum(col("c") * length(col("tok"))).as("sum_len"),
+          count(lit(1)).as("nd"),
+          max(col("c")).as("maxc"),
+          sum(when(col("tok").isin("the", "a"), col("c")).otherwise(0L))
+            .as("stopc"))
+      per
+        .withColumn("f_wc", (col("nw") < 40 || col("nw") > 100000).cast("int"))
+        .withColumn("f_mwl", (col("sum_len") < col("nw") * 3 ||
+          col("sum_len") > col("nw") * 10).cast("int"))
+        .withColumn("f_dr", (col("nd") * 10 < col("nw") * 3).cast("int"))
+        .withColumn("f_top", (col("maxc") * 10 > col("nw")).cast("int"))
+        .withColumn("f_stop", (col("stopc") < 2).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_wc")).as("fail_wordcount"),
+          sum(col("f_mwl")).as("fail_meanwordlen"),
+          sum(col("f_dr")).as("fail_distinctratio"),
+          sum(col("f_top")).as("fail_topdominance"),
+          sum(col("f_stop")).as("fail_stopwords"),
+          sum(when(col("f_wc") + col("f_mwl") + col("f_dr") + col("f_top") +
+            col("f_stop") === 0, 1L).otherwise(0L)).as("n_pass_all"))
+        .orderBy("source")
+    },
+    """WITH tc AS (
+      |  SELECT doc_id, source, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT doc_id, source,
+      |    SUM(c) AS nw,
+      |    SUM(c * length(tok)) AS sum_len,
+      |    COUNT(*) AS nd,
+      |    MAX(c) AS maxc,
+      |    SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS stopc
+      |  FROM tc GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT source,
+      |    CASE WHEN nw < 40 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+      |    CASE WHEN sum_len < nw * 3 OR sum_len > nw * 10 THEN 1 ELSE 0 END AS f_mwl,
+      |    CASE WHEN nd * 10 < nw * 3 THEN 1 ELSE 0 END AS f_dr,
+      |    CASE WHEN maxc * 10 > nw THEN 1 ELSE 0 END AS f_top,
+      |    CASE WHEN stopc < 2 THEN 1 ELSE 0 END AS f_stop
+      |  FROM per)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+      |  CAST(SUM(f_mwl) AS BIGINT) AS fail_meanwordlen,
+      |  CAST(SUM(f_dr) AS BIGINT) AS fail_distinctratio,
+      |  CAST(SUM(f_top) AS BIGINT) AS fail_topdominance,
+      |  CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+      |  CAST(SUM(CASE WHEN f_wc + f_mwl + f_dr + f_top + f_stop = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224, q228, q240)
+      q193, q194, q204, q212, q222, q224, q228, q240, q262)
 }

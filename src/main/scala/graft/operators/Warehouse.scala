@@ -849,7 +849,54 @@ object Warehouse {
       |    CAST(SUM(cnt) AS DOUBLE) AS risk_share
       |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin)
 
+  // -- q265: small-file compaction plan (OPTIMIZE bin packing) --------------
+  //   The lakehouse maintenance step: given a file inventory (simulated
+  //   here as per-source "files" of ~100 docs each with their byte sizes),
+  //   assign each file to an output group so groups approach a target size
+  //   — Delta/Iceberg OPTIMIZE's first phase. Greedy sequential packing:
+  //   group = (running size BEFORE this file) div target, which never
+  //   splits a file and keeps every group except the last ≥ target once
+  //   closed.
+  //
+  //   Plan: the inventory rollup is one (source, fid) aggregation; the
+  //   packing itself is a per-source ordered cumulative (RANGE-free ROWS
+  //   window over the tiny inventory, not the data), and the group rollup
+  //   keys on (source, grp). Everything is BIGINT arithmetic — integer
+  //   division is the floor both engines share. At 100 TB the inventory
+  //   is file metadata (listings), ~10⁶ rows per 10⁹ data rows: the plan
+  //   never touches payload bytes.
+  val q265 = Query.sql(
+    "q265_compaction_plan",
+    (s, dir) => {
+      val target = 200000L // bytes per output group
+      val inv = t(s, dir, "documents")
+        .groupBy(col("source"), expr("doc_id div 100").as("fid"))
+        .agg(sum(col("n_chars")).as("sz"))
+      val w = Window.partitionBy("source").orderBy("fid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      inv
+        .withColumn("before", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .withColumn("grp", expr(s"before div $target"))
+        .groupBy("source", "grp")
+        .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bytes"),
+          min(col("fid")).as("first_fid"), max(col("fid")).as("last_fid"))
+        .orderBy("source", "grp")
+    },
+    """WITH inv AS (
+      |  SELECT source, doc_id // 100 AS fid, CAST(SUM(n_chars) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1, 2),
+      |packed AS (
+      |  SELECT source, fid, sz,
+      |    COALESCE(SUM(sz) OVER (PARTITION BY source ORDER BY fid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM inv)
+      |SELECT source, CAST(before // 200000 AS BIGINT) AS grp, COUNT(*) AS n_files,
+      |  CAST(SUM(sz) AS BIGINT) AS bytes,
+      |  MIN(fid) AS first_fid, MAX(fid) AS last_fid
+      |FROM packed GROUP BY source, before // 200000
+      |ORDER BY source, grp""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238)
+      q173, q211, q216, q227, q238, q265)
 }
