@@ -1116,8 +1116,52 @@ object Dedup {
       | AND spine.source_b = counts.source_b
       |ORDER BY spine.source_a, spine.source_b""".stripMargin)
 
+  // -- q273: duplicate-cluster size histogram -------------------------------
+  //   The shape report behind q231's savings number: how ARE duplicates
+  //   distributed — mostly pairs, or a few viral documents with thousands
+  //   of copies? Cluster sizes bucket into powers of two via the integer
+  //   bit length (length of the binary string — no float log whose last
+  //   ulp could flip a power-of-two boundary), reporting cluster and
+  //   document counts plus the duplicate surplus per bucket. The curve's
+  //   tail is what decides whether exact dedup needs AQE skew handling
+  //   (one hot digest) or not.
+  //
+  //   Plan: one digest-keyed shuffle (16-byte keys, never the text), a
+  //   size rollup, and a ≤64-row bucket rollup. Map-side combine does the
+  //   heavy lifting at any corpus size.
+  val q273 = Query.sql(
+    "q273_cluster_size_histogram",
+    (s, dir) => {
+      docs(s, dir)
+        // Prefix families (first 40 chars), not whole-text digests: the
+        // histogram then reports near-family sizes even on a corpus with
+        // no byte-exact duplicates (q231 reports those), and the bucket
+        // math is identical for either digest choice.
+        .select(md5(substring(col("text"), 1, 40)).as("digest"))
+        .groupBy("digest").agg(count(lit(1)).as("sz"))
+        .select(col("sz"),
+          (length(expr("bin(sz)")) - 1).cast("long").as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_surplus"))
+        .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+          .as("size_from"), col("n_clusters"), col("n_docs"), col("n_surplus"))
+        .orderBy("size_from")
+    },
+    """WITH cl AS (
+      |  SELECT md5(substring(text, 1, 40)) AS digest, COUNT(*) AS sz
+      |  FROM documents GROUP BY 1),
+      |bk AS (
+      |  SELECT sz, CAST(length(bin(sz)) - 1 AS BIGINT) AS b
+      |  FROM cl)
+      |SELECT CAST(1 AS BIGINT) << b AS size_from,
+      |  COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS n_surplus
+      |FROM bk GROUP BY b ORDER BY size_from""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197, q231, q235, q242, q256)
+      q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273)
 
 }

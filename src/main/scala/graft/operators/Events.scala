@@ -2182,10 +2182,113 @@ object Events {
       |    CAST(COUNT(*) AS DOUBLE) AS bounce_rate
       |FROM sess GROUP BY day0 ORDER BY day0""".stripMargin)
 
+  // -- q267: bitemporal snapshot ("as known at") ----------------------------
+  //   Treats the event log as a bitemporal CDC stream: VALID time = ts,
+  //   TRANSACTION time = event_id (the ingest sequence). The query answers
+  //   "what was each user's state as of valid-time T, as KNOWN at
+  //   transaction cutoff X" — the audit/backtest primitive (reproduce last
+  //   week's report exactly, late arrivals excluded). X = half the max
+  //   ingest sequence so the cutoff scales with the log.
+  //
+  //   Plan: the 1-row cutoff broadcasts; the snapshot filter is map-side;
+  //   per-user state is ONE struct-extrema aggregation on the user key
+  //   ((ts, event_id) is unique — event_id globally unique — so the
+  //   lexicographic max is total). No window, no self-join.
+  val q267 = Query.sql(
+    "q267_bitemporal_snapshot",
+    (s, dir) => {
+      val base = ev(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val cut = base.agg(expr("max(event_id) div 2").as("tx_cut"))
+      base.crossJoin(broadcast(cut))
+        .filter(col("event_id") <= col("tx_cut") &&
+          col("ts_us") <= lit(1705363200000000L)) // 2024-01-16T00:00:00Z
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          max(struct(col("ts_us"), col("event_id"), col("event_type")))
+            .as("st"))
+        .select(col("user_id"), col("n_versions"),
+          col("st.ts_us").as("state_ts_us"),
+          col("st.event_id").as("state_event_id"),
+          col("st.event_type").as("state_type"))
+        .orderBy("user_id")
+        .limit(100)
+    },
+    """WITH base AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |cut AS (SELECT MAX(event_id) // 2 AS tx_cut FROM base),
+      |known AS (
+      |  SELECT user_id, event_id, ts_us, event_type
+      |  FROM base CROSS JOIN cut
+      |  WHERE event_id <= tx_cut
+      |    AND ts_us <= 1705363200000000),
+      |ranked AS (
+      |  SELECT user_id, event_id, ts_us, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      |  FROM known)
+      |SELECT user_id, n_versions, ts_us AS state_ts_us,
+      |  event_id AS state_event_id, event_type AS state_type
+      |FROM ranked WHERE rn = 1 ORDER BY user_id LIMIT 100""".stripMargin)
+
+  // -- q272: eventually-follows pairs (sequential pattern support) ----------
+  //   The process-mining counterpart to q186's ADJACENT transitions: for
+  //   type pair (a, b), in how many users does a's FIRST occurrence
+  //   precede b's LAST occurrence ("a eventually followed by b")? Support
+  //   = that user count; confidence = support / users-with-a. The
+  //   first/last reduction makes the check exact without any pair
+  //   explosion over events.
+  //
+  //   Plan: one user-keyed rollup to (user, type, first_us, last_us) —
+  //   ≤ |types| rows per user — then a per-user pair build bounded by
+  //   |types|² = 25, then a constant-size pair rollup. One shuffle on the
+  //   user key; the per-type totals ride the same rollup.
+  val q272 = Query.sql(
+    "q272_eventually_follows",
+    (s, dir) => {
+      val per = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id", "event_type")
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        .localCheckpoint(true) // pair build + the per-type denominator
+      val withA = per.groupBy(col("event_type").as("a"))
+        .agg(count(lit(1)).as("users_with_a"))
+      val pairs = per.as("x").join(per.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") =!= col("y.event_type") &&
+            col("x.first_us") < col("y.last_us"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("support"))
+      pairs.join(broadcast(withA), "a")
+        .select(col("a"), col("b"), col("support"),
+          (col("support").cast("double") / col("users_with_a").cast("double"))
+            .as("confidence"))
+        .orderBy("a", "b")
+    },
+    """WITH per AS (
+      |  SELECT user_id, event_type,
+      |    MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1, 2),
+      |wa AS (
+      |  SELECT event_type AS a, COUNT(*) AS users_with_a
+      |  FROM per GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS support
+      |  FROM per x JOIN per y ON x.user_id = y.user_id
+      |    AND x.event_type <> y.event_type
+      |    AND x.first_us < y.last_us
+      |  GROUP BY 1, 2)
+      |SELECT a, b, support,
+      |  CAST(support AS DOUBLE) / CAST(users_with_a AS DOUBLE) AS confidence
+      |FROM pairs JOIN wa USING (a) ORDER BY a, b""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254)
+      q250, q251, q253, q254, q267, q272)
 }

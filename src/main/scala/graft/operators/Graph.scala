@@ -998,7 +998,36 @@ object Graph {
       |FROM pairs
       |ORDER BY ra_index DESC, shared DESC, sa, sb LIMIT 20""".stripMargin)
 
+  // -- q275: two-hop fanout (GNN neighborhood-sampling budget) --------------
+  //   Per supplier: its degree and its 2-walk count Σ_{p∈N(s)} deg(p) —
+  //   the exact expected neighborhood size a 2-layer GraphSAGE-style
+  //   sampler must budget for, and the hub-detection signal for fanout
+  //   capping. Computed WITHOUT materializing 2-hop edges: attach each
+  //   part's degree to the edge (join on the part key) and sum per
+  //   supplier — two key-partitioned shuffles, payload 8 bytes per edge,
+  //   at any graph size.
+  val q275 = Query.sql(
+    "q275_two_hop_fanout",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+        .localCheckpoint(true)
+      val degP = e.groupBy("pk").agg(count(lit(1)).as("dp"))
+      e.join(degP, "pk")
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("degree"), sum(col("dp")).as("two_walks"))
+        .orderBy(desc("two_walks"), asc("sk"))
+        .limit(30)
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |degp AS (SELECT pk, COUNT(*) AS dp FROM e GROUP BY pk)
+      |SELECT sk, COUNT(*) AS degree, CAST(SUM(dp) AS BIGINT) AS two_walks
+      |FROM e JOIN degp USING (pk)
+      |GROUP BY sk ORDER BY two_walks DESC, sk LIMIT 30""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264)
+      q264, q275)
 }

@@ -1099,8 +1099,129 @@ object Pipeline {
       |  CAST(raw_w AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE) AS mean_ratio
       |FROM scored ORDER BY raw_w DESC, doc_id LIMIT 30""".stripMargin)
 
+  // -- q269: walk-forward (rolling-origin) validation splits ----------------
+  //   Time-series CV without future leakage: fold k trains on days
+  //   [0, 7(k+1)) and tests on days [7(k+1), 7(k+2)). Per fold: train/test
+  //   sizes plus the USER overlap between train and test — the entity-
+  //   leakage measure that q243 flags for random splits (a user in both
+  //   windows means the model sees them twice; walk-forward accepts that
+  //   on purpose, this op quantifies it).
+  //
+  //   Plan: each event maps to its fold assignments via a 4-literal
+  //   explode (map-side; k rows per event, k fixed), then ONE
+  //   (fold, user) rollup with train/test flags OR-ed, then a 4-row fold
+  //   rollup. The raw table is scanned once; no joins at all.
+  val q269 = Query.sql(
+    "q269_walkforward_splits",
+    (s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000 - 19723") // days since 2024-01-01
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), day.as("d"))
+        .select(col("user_id"), col("d"),
+          explode(expr("sequence(0, 3)")).as("fold"))
+        .select(col("user_id"), col("fold"),
+          (col("d") < (col("fold") + 1) * 7).cast("long").as("in_train"),
+          (col("d") >= (col("fold") + 1) * 7 &&
+            col("d") < (col("fold") + 2) * 7).cast("long").as("in_test"))
+      e.groupBy("fold", "user_id")
+        .agg(sum(col("in_train")).as("tr"), sum(col("in_test")).as("te"))
+        .groupBy("fold")
+        .agg(sum(col("tr")).as("n_train"), sum(col("te")).as("n_test"),
+          sum(when(col("tr") > 0 && col("te") > 0, 1L).otherwise(0L))
+            .as("n_overlap_users"))
+        .orderBy("fold")
+    },
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) // 86400000000 - 19723 AS d,
+      |    unnest([0, 1, 2, 3]) AS fold
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, fold,
+      |    CASE WHEN d < (fold + 1) * 7 THEN 1 ELSE 0 END AS in_train,
+      |    CASE WHEN d >= (fold + 1) * 7 AND d < (fold + 2) * 7
+      |      THEN 1 ELSE 0 END AS in_test
+      |  FROM e),
+      |pu AS (
+      |  SELECT fold, user_id, SUM(in_train) AS tr, SUM(in_test) AS te
+      |  FROM f GROUP BY 1, 2)
+      |SELECT fold, CAST(SUM(tr) AS BIGINT) AS n_train,
+      |  CAST(SUM(te) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overlap_users
+      |FROM pu GROUP BY fold ORDER BY fold""".stripMargin)
+
+  // -- q274: session-coherent (cluster) sampling ----------------------------
+  //   Whole-unit sampling: keep or drop entire SESSIONS (30-minute-gap
+  //   sessionization, q61's definition), never splitting one — the
+  //   cluster-sampling design a replay/eval pipeline needs (a half-kept
+  //   session is useless) and the same all-or-nothing contract q259
+  //   enforces for dup clusters. The keep decision hashes the session
+  //   KEY (user, session index), so membership is reproducible and
+  //   partition-invariant (the q48 salted-hash contract). ~25% kept
+  //   (md5 first byte < 0x40).
+  //
+  //   Plan: sessionization is one user-keyed window (the only shuffle on
+  //   raw events); the keep flag is map-side; the rollup is 5 rows. The
+  //   per-session integrity invariant (kept sessions contribute ALL their
+  //   events) holds by construction — the flag is a function of the
+  //   session key.
+  val q274 = Query.sql(
+    "q274_session_sampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+            lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sidx",
+          sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess
+        .withColumn("keep",
+          substring(md5(concat(lit("cs:"), col("user_id").cast("string"),
+            lit(":"), col("sidx").cast("string"))), 1, 2) < "40")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(col("keep"),
+            concat(col("user_id").cast("string"), lit(":"),
+              col("sidx").cast("string")))).as("kept_sessions"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          col("kept_sessions"),
+          (col("n_kept").cast("double") / col("n_events").cast("double"))
+            .as("kept_share"))
+        .orderBy("event_type")
+    },
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+      |      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sidx
+      |  FROM g),
+      |k AS (
+      |  SELECT event_type, user_id, sidx,
+      |    substring(md5('cs:' || CAST(user_id AS VARCHAR) || ':' ||
+      |      CAST(sidx AS VARCHAR)), 1, 2) < '40' AS keep
+      |  FROM sess)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COUNT(DISTINCT CASE WHEN keep THEN
+      |    CAST(user_id AS VARCHAR) || ':' || CAST(sidx AS VARCHAR) END)
+      |    AS kept_sessions,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS kept_share
+      |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261)
+      q176, q196, q198, q261, q269, q274)
 }

@@ -1268,8 +1268,63 @@ object Stats {
       |        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))) AS z
       |FROM agg CROSS JOIN tie ORDER BY event_type""".stripMargin)
 
+  // -- q270: rank / ECDF normalization (percentile feature scaling) ---------
+  //   The rank-based alternative to q164's z-scores: map each value to its
+  //   tie-averaged empirical CDF position within its event type — the
+  //   outlier-immune normalization (quantile transform) feature pipelines
+  //   use when distributions are heavy-tailed. Reuses q263's exact-rank
+  //   machinery: doubled average rank 2·cb + ct + 1 is an integer, ECDF =
+  //   that over 2n — one final division. Scored for a deterministic probe
+  //   set (every 997th event) so the output stays bounded at any SF.
+  //
+  //   Plan: per-(type, value) histogram + per-type ordered cumulative
+  //   (windows partition on the type key; the per-type distinct-value
+  //   series is the bounded state), probes join on (type, value)
+  //   co-keyed. One scan of the raw table feeds both.
+  val q270 = Query.sql(
+    "q270_rank_normalize",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+        .localCheckpoint(true)
+      val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("ct"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wn = Window.partitionBy("event_type")
+      val ranked = hist
+        .withColumn("cb", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .withColumn("n", sum(col("ct")).over(wn))
+        .select(col("event_type"), col("value"),
+          (lit(2) * col("cb") + col("ct") + 1).as("two_r"), col("n"))
+      ev.filter(col("event_id") % 997 === 0)
+        .join(ranked, Seq("event_type", "value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("two_r").cast("double") /
+            (lit(2.0) * col("n").cast("double"))).as("ecdf"))
+        .orderBy("event_id")
+    },
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE value IS NOT NULL),
+      |hist AS (
+      |  SELECT event_type, value, COUNT(*) AS ct FROM ev GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, value,
+      |    2 * COALESCE(SUM(ct) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + ct + 1 AS two_r,
+      |    SUM(ct) OVER (PARTITION BY event_type) AS n
+      |  FROM hist)
+      |SELECT event_id, ev.event_type, ev.value,
+      |  CAST(two_r AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS ecdf
+      |FROM ev JOIN ranked ON ev.event_type = ranked.event_type
+      |  AND ev.value = ranked.value
+      |WHERE event_id % 997 = 0
+      |ORDER BY event_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263)
+      q249, q263, q270)
 }

@@ -1449,8 +1449,76 @@ object TextAnalysis {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
       |FROM flags GROUP BY source ORDER BY source""".stripMargin)
 
+  // -- q268: stupid-backoff bigram LM scoring -------------------------------
+  //   q118's bigram MLE with Brants et al. 2007 "stupid backoff": a bigram
+  //   unseen in the model (here: singleton bigrams, the held-out proxy —
+  //   a bigram whose only occurrence is the one being scored would
+  //   otherwise score itself) backs off to 0.4 × unigram MLE. Score terms
+  //   stay exact: seen branch (c2 · 1e12) div c1, backoff branch
+  //   (c(w2) · 4·10¹¹) div N — integer floor division both engines; the
+  //   per-doc mean is one final double division.
+  //
+  //   Plan: identical shuffle structure to q118 (per-(doc,bigram) rollup
+  //   feeds model AND scoring — one corpus tokenization), plus a broadcast
+  //   1-row N and a unigram join keyed on w2. The backoff CASE is
+  //   map-side.
+  val q268 = Query.sql(
+    "q268_stupid_backoff",
+    (s, dir) => {
+      val bc = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true)
+      val c2 = bc.groupBy("w1", "w2").agg(sum(col("bn")).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val uni = c2.groupBy("w2").agg(sum(col("c2")).as("cu"))
+      val nTot = uni.agg(sum(col("cu")).as("ntot"))
+      bc.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .join(uni, Seq("w2")).crossJoin(broadcast(nTot))
+        .select(col("doc_id"), col("bn"),
+          expr("""bn * (CASE WHEN c2 > 1 THEN (c2 * 1000000000000) div c1
+                 |ELSE (cu * 400000000000) div ntot END)""".stripMargin)
+            .as("sp"))
+        .groupBy("doc_id")
+        .agg(sum(col("bn")).as("n_bigrams"), sum(col("sp")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e12")
+            .as("avg_score"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bi AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, len(ts) - 1),
+      |        i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg
+      |    FROM toks)),
+      |bc AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS bn FROM bi GROUP BY 1, 2, 3),
+      |c2t AS (SELECT w1, w2, CAST(SUM(bn) AS BIGINT) AS c2
+      |        FROM bc GROUP BY 1, 2),
+      |c1t AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1),
+      |unit AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cu FROM c2t GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntot FROM unit),
+      |scored AS (
+      |  SELECT doc_id, bn,
+      |    bn * (CASE WHEN c2 > 1 THEN (c2 * 1000000000000) // c1
+      |          ELSE (cu * 400000000000) // ntot END) AS sp
+      |  FROM bc JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+      |  JOIN unit USING (w2) CROSS JOIN nt)
+      |SELECT doc_id, CAST(SUM(bn) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(SUM(sp) AS BIGINT) AS DOUBLE) /
+      |    CAST(SUM(bn) AS DOUBLE) / 1e12 AS avg_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224, q228, q240, q262)
+      q193, q194, q204, q212, q222, q224, q228, q240, q262, q268)
 }

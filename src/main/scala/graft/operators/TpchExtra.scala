@@ -701,6 +701,72 @@ object TpchExtra {
       |  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS share
       |FROM cu GROUP BY 1 ORDER BY cls""".stripMargin)
 
+  // -- q271: RFM segmentation (recency / frequency / monetary quintiles) ---
+  //   The classic CRM segmentation: per customer, days since last order
+  //   (R), order count (F), and decimal-exact total spend (M); each metric
+  //   quintiled by GLOBAL RANK with the integer assignment
+  //   ((rank−1)·5) div n + 1 — no float percentile at a boundary, ties
+  //   broken on custkey so the ranking is total. Output: the populated
+  //   (r,f,m) cells with their sizes and exact mean spend.
+  //
+  //   Scale note: the three quintile ranks are single-ordered windows over
+  //   the CUSTOMER rollup (one row per customer, not per order). At true
+  //   100 TB the rank comes from q148's repartitionByRange + partition
+  //   offsets, or boundaries from q121's equi-depth machinery; the
+  //   segment assignment is unchanged either way.
+  val q271 = Query.sql(
+    "q271_rfm_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val asOf = to_date(lit("2001-08-02"))
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(datediff(asOf, max(to_date(col("o_orderdate")))).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(D)).as("mon"))
+        .localCheckpoint(true) // three ranked passes over one tiny rollup
+      // Bounded driver scalar (one row per customer already aggregated),
+      // baked in as a literal like q55's centroids.
+      val n = per.count()
+      // recency: LOW days = best → rank ascending puts freshest first;
+      // frequency/monetary: HIGH = best → rank descending.
+      val wr = Window.orderBy(col("rec").asc, col("c").asc)
+      val wf = Window.orderBy(col("freq").desc, col("c").asc)
+      val wm = Window.orderBy(col("mon").desc, col("c").asc)
+      per
+        .withColumn("rn_r", row_number().over(wr).cast("long"))
+        .withColumn("rn_f", row_number().over(wf).cast("long"))
+        .withColumn("rn_m", row_number().over(wm).cast("long"))
+        .select(col("mon"),
+          expr(s"(rn_r - 1) * 5 div ${n}L + 1").as("r_q"),
+          expr(s"(rn_f - 1) * 5 div ${n}L + 1").as("f_q"),
+          expr(s"(rn_m - 1) * 5 div ${n}L + 1").as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("mon")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_spend"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+    """WITH per AS (
+      |  SELECT o_custkey AS c,
+      |    date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-08-02')
+      |      AS rec,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM per),
+      |q AS (
+      |  SELECT c, mon,
+      |    (row_number() OVER (ORDER BY rec, c) - 1) * 5 // n + 1 AS r_q,
+      |    (row_number() OVER (ORDER BY freq DESC, c) - 1) * 5 // n + 1 AS f_q,
+      |    (row_number() OVER (ORDER BY mon DESC, c) - 1) * 5 // n + 1 AS m_q
+      |  FROM per CROSS JOIN n)
+      |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |  CAST(m_q AS BIGINT) AS m_q,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_spend
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, q255)
+    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271)
 }

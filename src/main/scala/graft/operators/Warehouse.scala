@@ -896,7 +896,78 @@ object Warehouse {
       |FROM packed GROUP BY source, before // 200000
       |ORDER BY source, grp""".stripMargin)
 
+  // -- q266: zone-map pruning simulation (layout A/B for data skipping) -----
+  //   Quantifies what min/max zone maps (parquet row-group stats, the
+  //   engine behind q122's z-order layout) buy for point lookups under two
+  //   layouts: natural insertion order vs sorted-by-column. Per layout:
+  //   per-file [min, max] of n_chars; a deterministic probe set (every
+  //   97th doc's n_chars) counts how many files CANNOT be skipped
+  //   (min ≤ probe ≤ max). The sorted layout should collapse the average
+  //   scan set to ~1 file per probe — the measured argument for paying a
+  //   sort/cluster at write time.
+  //
+  //   Plan: two inventory aggregations (the sorted layout ranks globally —
+  //   single-ordered-window over file-count rows at test SF; the full-
+  //   export path is q148's repartitionByRange + per-partition offsets),
+  //   probes broadcast into a range-condition join against the TINY file
+  //   inventory, never the data. Counts exact; one final division.
+  val q266 = Query.sql(
+    "q266_zonemap_pruning",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .localCheckpoint(true) // feeds both layouts + the probe set
+      val nat = d.groupBy(expr("doc_id div 100").as("fid"))
+        .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .select(lit("natural").as("layout"), col("fid"), col("mn"), col("mx"))
+      val w = Window.orderBy("n_chars", "doc_id")
+      val srt = d.withColumn("rn", row_number().over(w))
+        .groupBy(expr("(rn - 1) div 100").as("fid"))
+        .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .select(lit("sorted").as("layout"), col("fid"), col("mn"), col("mx"))
+      val files = nat.union(srt).localCheckpoint(true)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("n_chars").as("p")).distinct().localCheckpoint(true)
+      val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+      val hits = files.join(broadcast(probes),
+          col("p") >= col("mn") && col("p") <= col("mx"))
+        .groupBy("layout").agg(count(lit(1)).as("total_hits"))
+      files.groupBy("layout").agg(count(lit(1)).as("n_files"))
+        .join(hits, "layout")
+        .crossJoin(broadcast(nProbes))
+        .select(col("layout"), col("n_files"), col("n_probes"),
+          col("total_hits"),
+          (col("total_hits").cast("double") / col("n_probes").cast("double"))
+            .as("avg_files_per_probe"))
+        .orderBy("layout")
+    },
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |nat AS (
+      |  SELECT 'natural' AS layout, doc_id // 100 AS fid,
+      |    MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      |  FROM d GROUP BY 1, 2),
+      |srt AS (
+      |  SELECT 'sorted' AS layout, (rn - 1) // 100 AS fid,
+      |    MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      |  FROM (SELECT n_chars,
+      |          row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+      |        FROM d)
+      |  GROUP BY 1, 2),
+      |files AS (SELECT * FROM nat UNION ALL SELECT * FROM srt),
+      |probes AS (
+      |  SELECT DISTINCT n_chars AS p FROM d WHERE doc_id % 97 = 0),
+      |np AS (SELECT COUNT(*) AS n_probes FROM probes),
+      |hits AS (
+      |  SELECT layout, COUNT(*) AS total_hits
+      |  FROM files JOIN probes ON p >= mn AND p <= mx
+      |  GROUP BY layout),
+      |nf AS (SELECT layout, COUNT(*) AS n_files FROM files GROUP BY layout)
+      |SELECT nf.layout, n_files, n_probes, total_hits,
+      |  CAST(total_hits AS DOUBLE) / CAST(n_probes AS DOUBLE)
+      |    AS avg_files_per_probe
+      |FROM nf JOIN hits ON nf.layout = hits.layout CROSS JOIN np
+      |ORDER BY nf.layout""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238, q265)
+      q173, q211, q216, q227, q238, q265, q266)
 }
