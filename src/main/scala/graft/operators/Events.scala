@@ -2285,10 +2285,81 @@ object Events {
       |  CAST(support AS DOUBLE) / CAST(users_with_a AS DOUBLE) AS confidence
       |FROM pairs JOIN wa USING (a) ORDER BY a, b""".stripMargin)
 
+  // -- q278: survival analysis — hazard table (time to first purchase) ------
+  //   The Kaplan–Meier ingredients, exactly: per user, time from first
+  //   activity to first purchase (observed) or to last activity (right-
+  //   censored); then per day d: the risk set n(d) = users still
+  //   unconverted and unexpired at d, events e(d) = conversions on day d,
+  //   and the discrete hazard e/n. (The KM survival curve is the running
+  //   product of (1 − hazard) — a cumulative float product, so the table
+  //   keeps the exact integer ingredients and one division per row.)
+  //
+  //   Plan: ONE user-keyed rollup (conditional mins — no self-join,
+  //   identical shape to q59's funnel), a day histogram, and a reverse
+  //   cumulative over the ≤31-row day series. Censoring is handled by the
+  //   same exit-day histogram, so the whole table is two tiny shuffles.
+  val q278 = Query.sql(
+    "q278_survival_hazard",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = ev(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(min(col("us")).as("t0"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"),
+          max(col("us")).as("tmax"))
+        .select(col("user_id"),
+          when(col("tp").isNotNull,
+            expr("(tp - t0) div 86400000000"))
+            .otherwise(expr("(tmax - t0) div 86400000000")).as("x"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
+      val hist = per.groupBy("x")
+        .agg(sum(col("obs")).as("d_events"), count(lit(1)).as("exits"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wBefore = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("n_risk",
+          sum(col("exits")).over(wAll) -
+            coalesce(sum(col("exits")).over(wBefore), lit(0L)))
+        .select(col("x").as("day"), col("n_risk"), col("d_events"),
+          (col("d_events").cast("double") / col("n_risk").cast("double"))
+            .as("hazard"))
+        .orderBy("day")
+    },
+    """WITH per AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |    MAX(epoch_us(ts)) AS tmax
+      |  FROM events GROUP BY 1),
+      |xs AS (
+      |  SELECT user_id,
+      |    CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+      |         ELSE (tmax - t0) // 86400000000 END AS x,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+      |  FROM per),
+      |hist AS (
+      |  SELECT x, CAST(SUM(obs) AS BIGINT) AS d_events,
+      |    COUNT(*) AS exits
+      |  FROM xs GROUP BY x)
+      |SELECT x AS day,
+      |  CAST(SUM(exits) OVER () -
+      |    COALESCE(SUM(exits) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS n_risk,
+      |  d_events,
+      |  CAST(d_events AS DOUBLE) /
+      |    CAST(SUM(exits) OVER () -
+      |      COALESCE(SUM(exits) OVER (ORDER BY x
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DOUBLE) AS hazard
+      |FROM hist ORDER BY day""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254, q267, q272)
+      q250, q251, q253, q254, q267, q272, q278)
 }

@@ -1220,8 +1220,93 @@ object Pipeline {
       |    CAST(COUNT(*) AS DOUBLE) AS kept_share
       |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  // -- q277: greedy set cover (coverage-maximizing eval selection) ----------
+  //   Pick K=5 documents that together cover the most distinct word
+  //   bigrams — the classic greedy (1−1/e)-approximation to max-coverage,
+  //   the "choose a small eval set that exercises the most behavior"
+  //   selection. Each round: per-doc uncovered-bigram counts (anti-join
+  //   against the covered set), argmax with doc_id tiebreak, covered set
+  //   grows by the winner's bigrams.
+  //
+  //   Scale: the greedy outer loop is inherently sequential (K tiny); per
+  //   round the work is one anti-join + one map-side-combined count over
+  //   the (doc, bigram) rollup — fully distributed. Driver state is ONE
+  //   row per round (the argmax), never the cover itself; the covered-set
+  //   frame stays on executors, localCheckpoint'd per round. The DuckDB
+  //   oracle unrolls the identical 5 rounds as MATERIALIZED CTEs.
+  val q277 = {
+    val rounds = 5
+    val roundsSql = (1 to rounds).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT d.doc_id, d.bg FROM dt d
+         |  LEFT JOIN cov${k - 1} c ON d.bg = c.bg WHERE c.bg IS NULL),
+         |p$k AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS c FROM u$k GROUP BY doc_id
+         |  ORDER BY c DESC, doc_id LIMIT 1),
+         |cov$k AS MATERIALIZED (
+         |  SELECT bg FROM cov${k - 1}
+         |  UNION
+         |  SELECT d.bg FROM dt d JOIN p$k USING (doc_id)),
+         |r$k AS (SELECT $k AS round, doc_id, c AS new_items FROM p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to rounds).map(k => s"SELECT * FROM r$k").mkString("\nUNION ALL\n")
+    Query.sql(
+      "q277_greedy_set_cover",
+      (s, dir) => {
+        val dt = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+            .as("bg"))
+          .distinct()
+          .localCheckpoint(true)
+        var covered = dt.select("bg").limit(0).localCheckpoint(true)
+        val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        var k = 1
+        var done = false
+        while (k <= rounds && !done) {
+          val top = dt.join(covered.select(col("bg").as("cb")),
+              col("bg") === col("cb"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("c"))
+            .orderBy(desc("c"), asc("doc_id")).limit(1)
+            .collect()
+          if (top.isEmpty) done = true
+          else {
+            val d = top.head.getLong(0); val c = top.head.getLong(1)
+            picks += ((k, d, c))
+            covered = covered
+              .union(dt.filter(col("doc_id") === d).select("bg"))
+              .localCheckpoint(true)
+            k += 1
+          }
+        }
+        val cum = picks.scanLeft(0L)(_ + _._3).tail
+        import s.implicits._
+        picks.zip(cum).map { case ((r, d, c), t) => (r, d, c, t) }.toSeq
+          .toDF("round", "doc_id", "new_items", "covered_total")
+          .orderBy("round")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |dt AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, bg FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(ts) - 1),
+         |        i -> ts[i] || ' ' || ts[i + 1])) AS bg
+         |    FROM toks WHERE len(ts) >= 2)),
+         |cov0 AS (SELECT '' AS bg WHERE 1 = 0),
+         |$roundsSql,
+         |allr AS ($unionAll)
+         |SELECT round, doc_id, CAST(new_items AS BIGINT) AS new_items,
+         |  CAST(SUM(new_items) OVER (ORDER BY round
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+         |FROM allr ORDER BY round""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274)
+      q176, q196, q198, q261, q269, q274, q277)
 }

@@ -113,6 +113,31 @@ object Recursive {
     closure
   }
 
+  /** Bounded Bellman–Ford: cheapest total `costCol` from `seeds` within
+    * ≤ `rounds` edges. Each round is one min-plus relaxation — edge ⋈
+    * distance join + a per-node min — localCheckpoint'd so lineage stays
+    * flat. Costs must be non-negative for the bounded result to equal the
+    * true shortest path once rounds ≥ graph diameter; with fewer rounds
+    * the result is exactly "cheapest path using ≤ rounds edges".
+    */
+  def boundedBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+      costCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(costCol).as("ecost")).localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("cost")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val step = e.join(dist.select(col("node").as("dn"), col("cost").as("dc")),
+          col("src") === col("dn"))
+        .select(col("dst").as("node"), (col("dc") + col("ecost")).as("cost"))
+      dist = dist.union(step)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   private val D = "decimal(28,4)"
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
   private def sqlDsum(e: String): String =
@@ -330,5 +355,62 @@ object Recursive {
       |    CAST(COUNT(*) AS DOUBLE) AS violation_rate
       |FROM per_det GROUP BY fd ORDER BY fd""".stripMargin)
 
-  val all: Seq[Query] = Seq(q257, q258, q259, q260)
+  // -- q276: weighted shortest paths (bounded Bellman–Ford) -----------------
+  //   q257's BFS with EDGE WEIGHTS: cheapest total cost from the seed set
+  //   within ≤ 3 hops, weight = co-shipment multiplicity inverted into a
+  //   "rarity cost" (max observed count + 1 − count, so heavily-shipped
+  //   links are cheap). The min-plus relaxation d_{r} = min(d_{r-1},
+  //   min over edges (d_{r-1}(src) + w)) is the classic Bellman–Ford round
+  //   as one join + one min-aggregation, localCheckpoint'd per round —
+  //   distances only ever shrink, costs stay exact BIGINTs, and a fixed
+  //   round bound makes the DuckDB WITH RECURSIVE walk (steps < 3, then
+  //   MIN(cost)) replicate it exactly (every ≤3-edge path is enumerated;
+  //   min-plus keeps only the cheapest, which MIN recovers).
+  val q276 = Query.sql(
+    "q276_bellman_ford",
+    (s, dir) => {
+      val ew = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("w"))
+      val mx = ew.agg(max(col("w")).as("mw"))
+      val e = ew.crossJoin(broadcast(mx))
+        .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"),
+          (col("mw") + 1 - col("w")).as("cost"))
+      val und = e.union(
+          e.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+        .localCheckpoint(true)
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") % 100 === 1)
+        .select((col("s_suppkey") * 2).as("seed"))
+      boundedBellmanFord(und, "src", "dst", "cost", seeds, "seed", rounds = 3)
+        .select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
+          " ELSE 'p' || CAST(node DIV 2 AS STRING) END").as("node"),
+          col("cost"))
+        .orderBy("node")
+    },
+    """WITH RECURSIVE ew AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk, COUNT(*) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |mx AS (SELECT MAX(w) AS mw FROM ew),
+      |e AS (
+      |  SELECT sk * 2 AS src, pk * 2 + 1 AS dst,
+      |    CAST(mw + 1 - w AS BIGINT) AS cost
+      |  FROM ew CROSS JOIN mx),
+      |und AS (
+      |  SELECT src, dst, cost FROM e
+      |  UNION ALL
+      |  SELECT dst, src, cost FROM e),
+      |walk(node, cost, steps) AS (
+      |  SELECT s_suppkey * 2, CAST(0 AS BIGINT), 0
+      |  FROM supplier WHERE s_suppkey % 100 = 1
+      |  UNION ALL
+      |  SELECT u.dst, w.cost + u.cost, w.steps + 1
+      |  FROM walk w JOIN und u ON u.src = w.node
+      |  WHERE w.steps < 3)
+      |SELECT CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR)
+      |  ELSE 'p' || CAST(node // 2 AS VARCHAR) END AS node,
+      |  MIN(cost) AS cost
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+
+  val all: Seq[Query] = Seq(q257, q258, q259, q260, q276)
 }

@@ -767,6 +767,55 @@ object TpchExtra {
       |  CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_spend
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 
+  // -- q279: leave-fold-out target encoding ---------------------------------
+  //   The categorical-feature encoding that doesn't leak: each fold's
+  //   encoding of o_orderpriority uses only the OTHER folds' target stats
+  //   (out-of-fold mean of y = [totalprice > 150k]), with additive
+  //   smoothing toward 1/2 (m = 10): enc = (s_out + 5) / (n_out + 10).
+  //   Per (priority, fold) the encoding is one rational constant, so the
+  //   output is the 20-cell encoding table a feature store would
+  //   materialize — numerators and denominators exact BIGINTs, one final
+  //   division per cell.
+  //
+  //   Plan: one (priority, fold) rollup; the per-priority totals are a
+  //   5-row broadcast; everything after the first aggregation is
+  //   constant-size. No per-row join ever happens — rows pick up their
+  //   encoding by (priority, fold) key at train time.
+  val q279 = Query.sql(
+    "q279_target_encoding",
+    (s, dir) => {
+      val pf = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          (col("o_orderkey") % 4).as("fold"),
+          when(col("o_totalprice") > 150000.0, 1L).otherwise(0L).as("y"))
+        .groupBy("prio", "fold")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val tot = pf.groupBy("prio")
+        .agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+      pf.join(broadcast(tot), "prio")
+        .select(col("prio"), col("fold"), col("n").as("n_rows"),
+          (col("st") - col("s")).as("s_out"),
+          (col("nt") - col("n")).as("n_out"),
+          (((col("st") - col("s")) * 2 + 10).cast("double") /
+            (((col("nt") - col("n")) + 10) * 2).cast("double")).as("encoding"))
+        .orderBy("prio", "fold")
+    },
+    """WITH pf AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey % 4 AS fold,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT prio, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+      |  FROM pf GROUP BY 1)
+      |SELECT pf.prio, fold, n AS n_rows,
+      |  st - s AS s_out, nt - n AS n_out,
+      |  CAST((st - s) * 2 + 10 AS DOUBLE) /
+      |    CAST((nt - n + 10) * 2 AS DOUBLE) AS encoding
+      |FROM pf JOIN tot ON pf.prio = tot.prio
+      |ORDER BY pf.prio, fold""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271)
+    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279)
 }

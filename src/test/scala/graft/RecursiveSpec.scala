@@ -55,6 +55,24 @@ class RecursiveSpec extends SparkSpec {
     assert(out == expected, s"got ${out.toSeq.sorted}")
   }
 
+  test("boundedBellmanFord: cheap 2-edge detour beats expensive direct edge") {
+    // 1→3 costs 10; 1→2→3 costs 2+3=5. With 2 rounds the detour wins.
+    val e = Seq((1, 3, 10L), (1, 2, 2L), (2, 3, 3L)).toDF("s", "d", "w")
+    val out = Recursive.boundedBellmanFord(e, "s", "d", "w",
+        Seq(1).toDF("n"), "n", rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 0L, 2 -> 2L, 3 -> 5L), s"got $out")
+  }
+
+  test("boundedBellmanFord: round bound limits path length exactly") {
+    // With only 1 round, 3 is reachable solely via the direct edge (10).
+    val e = Seq((1, 3, 10L), (1, 2, 2L), (2, 3, 3L)).toDF("s", "d", "w")
+    val out = Recursive.boundedBellmanFord(e, "s", "d", "w",
+        Seq(1).toDF("n"), "n", rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 0L, 2 -> 2L, 3 -> 10L), s"got $out")
+  }
+
   test("ancestorClosure: no duplicate (node, anc) pairs after doubling") {
     // Branching forest: parent(k) = k / 3.
     val p = (3 to 40).map(i => (i, i / 3)).toDF("c", "par")
