@@ -134,6 +134,35 @@ package object api {
         damping: Double = 0.85): DataFrame =
       graft.operators.Graph.pageRank(df, srcCol, dstCol, iters, damping)
 
+    /** BFS hop distances from `seeds` over this frame as a directed edge
+      * list, bounded by `radius`; returns (node, dist), unreachable nodes
+      * absent. Frontier-based — round r shuffles only the new frontier;
+      * see [[graft.operators.Recursive.bfsDistances]].
+      */
+    def bfsDistances(srcCol: String, dstCol: String, seeds: DataFrame,
+        seedCol: String, radius: Int): DataFrame =
+      graft.operators.Recursive.bfsDistances(df, srcCol, dstCol, seeds,
+        seedCol, radius)
+
+    /** Ancestor closure of this frame as (child, parent) pointers of a
+      * forest, by pointer doubling — O(log depth) self-joins; returns
+      * (node, anc, dist ≥ 1). See
+      * [[graft.operators.Recursive.ancestorClosure]].
+      */
+    def ancestorClosure(childCol: String, parentCol: String,
+        rounds: Int): DataFrame =
+      graft.operators.Recursive.ancestorClosure(df, childCol, parentCol, rounds)
+
+    /** Cheapest total cost from `seeds` within ≤ `rounds` edges over this
+      * frame as a weighted edge list (min-plus Bellman–Ford rounds);
+      * returns (node, cost). See
+      * [[graft.operators.Recursive.boundedBellmanFord]].
+      */
+    def boundedBellmanFord(srcCol: String, dstCol: String, costCol: String,
+        seeds: DataFrame, seedCol: String, rounds: Int): DataFrame =
+      graft.operators.Recursive.boundedBellmanFord(df, srcCol, dstCol,
+        costCol, seeds, seedCol, rounds)
+
     /** Deterministic global shuffle for training-data export: total order
       * by a salted hash of the key, realized as range partitioning + a
       * per-partition sort — sorted, disjoint output shards and NO

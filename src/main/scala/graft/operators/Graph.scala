@@ -1027,7 +1027,66 @@ object Graph {
       |FROM e JOIN degp USING (pk)
       |GROUP BY sk ORDER BY two_walks DESC, sk LIMIT 30""".stripMargin)
 
+  // -- q280: degree assortativity -------------------------------------------
+  //   Pearson correlation of endpoint degrees over the directed edge list
+  //   (Newman 2002): do high-degree nodes attach to other hubs
+  //   (assortative, r > 0) or to the periphery (disassortative, r < 0)?
+  //   The one-number topology fingerprint that decides whether hub-capped
+  //   sampling (q275) is even necessary. Measured on the supplier–part
+  //   BIPARTITE graph (q119's substrate) — the co-purchase projection is
+  //   complete at small SF, where degree variance (and r) degenerates.
+  //
+  //   Exactness: degrees are integers, so all five moment sums are exact
+  //   BIGINTs (the q27 raw-moment pattern with no decimal needed); the
+  //   closed-form correlation is one fixed-order double expression.
+  //   Plan: one distinct, a degree rollup, two broadcast degree joins,
+  //   one moment aggregation. Output is 1 row.
+  val q280 = Query.sql(
+    "q280_degree_assortativity",
+    (s, dir) => {
+      val e0 = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = e0.select((col("sk") * 2).as("u"), (col("pk") * 2 + 1).as("v"))
+        .union(e0.select((col("pk") * 2 + 1).as("u"), (col("sk") * 2).as("v")))
+        .localCheckpoint(true)
+      val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      und
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("du")).as("sx"), sum(col("du") * col("du")).as("sxx"),
+          sum(col("dv")).as("sy"), sum(col("dv") * col("dv")).as("syy"),
+          sum(col("du") * col("dv")).as("sxy"))
+        .select(col("n").as("n_edges"), expr(
+          """CAST(n * sxy - sx * sy AS DOUBLE) /
+            |SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+            |     CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin)
+          .as("assortativity"))
+    },
+    """WITH e0 AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |und AS (
+      |  SELECT sk * 2 AS u, pk * 2 + 1 AS v FROM e0
+      |  UNION ALL
+      |  SELECT pk * 2 + 1, sk * 2 FROM e0),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM und GROUP BY u),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(da.deg) AS BIGINT) AS sx,
+      |    CAST(SUM(da.deg * da.deg) AS BIGINT) AS sxx,
+      |    CAST(SUM(db.deg) AS BIGINT) AS sy,
+      |    CAST(SUM(db.deg * db.deg) AS BIGINT) AS syy,
+      |    CAST(SUM(da.deg * db.deg) AS BIGINT) AS sxy
+      |  FROM und JOIN deg da ON und.u = da.node
+      |  JOIN deg db ON und.v = db.node)
+      |SELECT n AS n_edges,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |  SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |       CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+      |FROM m""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264, q275)
+      q264, q275, q280)
 }

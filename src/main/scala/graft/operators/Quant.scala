@@ -576,5 +576,70 @@ object Quant {
       |    SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS centroid_cos
       |FROM pairs ORDER BY label_a, label_b""".stripMargin)
 
-  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245)
+  // -- q281: diagonal-Mahalanobis outlier scoring ---------------------------
+  //   Per vector: Σ_d (x_d − μ_d)²/σ²_d — Mahalanobis distance under a
+  //   diagonal covariance (per-dimension standardization, the embedding
+  //   QA pass that flags corrupted / out-of-distribution vectors before
+  //   they poison an index). Full-covariance needs a driver-side 64×64
+  //   inverse; the diagonal form is the scalable standard and catches
+  //   per-dimension corruption exactly.
+  //
+  //   Determinism: coordinates quantize to BIGINTs (floor(x·1e4)) first,
+  //   so per-dimension sums S_d, SS_d are exact; each dimension's term
+  //   (n·x − S)²·1e9 / (n·SS − S²) is a fixed-order double expression
+  //   floor-scaled back to a BIGINT, and the per-vector score is an
+  //   order-free integer sum. Plan: one posexplode feeds BOTH the 64-row
+  //   dimension-stats aggregate (broadcast back) and the vec-keyed score
+  //   sum — the corpus is scanned once.
+  val q281 = Query.sql(
+    "q281_mahalanobis_outliers",
+    (s, dir) => {
+      val xd = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1e4) AS BIGINT)").as("xq"))
+        .localCheckpoint(true) // dimension stats + scoring share this
+      val stats = xd.groupBy("d")
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sd"),
+          sum(col("xq") * col("xq")).as("ssd"))
+      xd.join(broadcast(stats), "d")
+        .select(col("vec_id"), expr(
+          """CAST(FLOOR(
+            |  CAST(n * xq - sd AS DOUBLE) * CAST(n * xq - sd AS DOUBLE)
+            |    * 1e9 / (CAST(n AS DOUBLE) *
+            |             CAST(n * ssd - sd * sd AS DOUBLE))
+            |) AS BIGINT)""".stripMargin).as("term"))
+        .groupBy("vec_id").agg(sum(col("term")).as("score_scaled"))
+        .select(col("vec_id"),
+          (col("score_scaled").cast("double") / lit(1e9)).as("mahalanobis_sq"))
+        .orderBy(desc("score_scaled"), asc("vec_id"))
+        .limit(20)
+    },
+    """WITH xd AS (
+      |  SELECT vec_id, d - 1 AS d,
+      |    CAST(FLOOR(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |stats AS (
+      |  SELECT d, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sd,
+      |    CAST(SUM(xq * xq) AS BIGINT) AS ssd
+      |  FROM xd GROUP BY d),
+      |terms AS (
+      |  SELECT vec_id,
+      |    CAST(FLOOR(
+      |      CAST(n * xq - sd AS DOUBLE) * CAST(n * xq - sd AS DOUBLE)
+      |        * 1e9 / (CAST(n AS DOUBLE) *
+      |                 CAST(n * ssd - sd * sd AS DOUBLE))
+      |    ) AS BIGINT) AS term
+      |  FROM xd JOIN stats USING (d)),
+      |scored AS (
+      |  SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score_scaled
+      |  FROM terms GROUP BY vec_id)
+      |SELECT vec_id,
+      |  CAST(score_scaled AS DOUBLE) / 1e9 AS mahalanobis_sq
+      |FROM scored ORDER BY score_scaled DESC, vec_id LIMIT 20""".stripMargin)
+
+  val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245,
+    q281)
 }

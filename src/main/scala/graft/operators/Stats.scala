@@ -1323,8 +1323,65 @@ object Stats {
       |WHERE event_id % 997 = 0
       |ORDER BY event_id""".stripMargin)
 
+  // -- q282: Lorenz curve (cumulative concentration deciles) ----------------
+  //   The curve behind q178's Gini scalar: customers ranked by total
+  //   spend, split into population deciles by integer rank assignment
+  //   (q271's (rank−1)·10 div n — no float percentile at a boundary), and
+  //   per decile the cumulative share of total revenue. The inequality
+  //   report every mix/concentration review wants next to the one-number
+  //   Gini.
+  //
+  //   Exactness: spend sums are DECIMAL-exact; shares are a decimal→
+  //   double cast then one division, same expression both engines. Plan:
+  //   one customer rollup, a single-ordered window over the rollup (the
+  //   q271/q148 scale caveat), a 10-row cumulative.
+  val q282 = Query.sql(
+    "q282_lorenz_curve",
+    (s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(col("o_totalprice").cast(D)).as("spend"))
+        .localCheckpoint(true)
+      val n = per.count()
+      val w = Window.orderBy(col("spend").asc, col("c").asc)
+      val dec = per
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(expr(s"(rn - 1) * 10 div ${n}L + 1").as("decile"), col("spend"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("dspend"))
+      val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      dec
+        .withColumn("cum", sum(col("dspend")).over(wc))
+        .withColumn("tot", sum(col("dspend")).over(wt))
+        .select(col("decile"), col("n_customers"),
+          col("dspend").cast("double").as("decile_revenue"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    """WITH per AS (
+      |  SELECT o_custkey AS c, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM per),
+      |dec AS (
+      |  SELECT (row_number() OVER (ORDER BY spend, c) - 1) * 10 // n + 1
+      |      AS decile,
+      |    spend
+      |  FROM per CROSS JOIN n),
+      |agg AS (
+      |  SELECT decile, COUNT(*) AS n_customers, SUM(spend) AS dspend
+      |  FROM dec GROUP BY decile)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+      |  CAST(dspend AS DOUBLE) AS decile_revenue,
+      |  CAST(SUM(dspend) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |    AS DOUBLE) /
+      |  CAST(SUM(dspend) OVER () AS DOUBLE) AS cum_share
+      |FROM agg ORDER BY decile""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270)
+      q249, q263, q270, q282)
 }

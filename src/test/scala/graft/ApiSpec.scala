@@ -384,4 +384,20 @@ class ApiSpec extends SparkSpec {
       Seq(("A", 1L)).toDF("g", "conv").twoProportionTest("g", "conv").collect()
     }
   }
+
+  test("graph traversal extensions delegate to the Recursive operators") {
+    import spark.implicits._
+    val e = Seq((1, 2, 5L), (2, 3, 5L), (1, 3, 20L)).toDF("s", "d", "w")
+    val seeds = Seq(1).toDF("n")
+    val bfs = e.bfsDistances("s", "d", seeds, "n", radius = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(bfs == Map(1 -> 0, 2 -> 1, 3 -> 1), s"bfs got $bfs")
+    val bf = e.boundedBellmanFord("s", "d", "w", seeds, "n", rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bf == Map(1 -> 0L, 2 -> 5L, 3 -> 10L), s"bellman-ford got $bf")
+    val cl = Seq((4, 2), (2, 1)).toDF("c", "p")
+      .ancestorClosure("c", "p", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cl == Map((4, 2) -> 1L, (2, 1) -> 1L, (4, 1) -> 2L), s"closure got $cl")
+  }
 }
