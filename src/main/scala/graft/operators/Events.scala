@@ -2356,10 +2356,138 @@ object Events {
       |      AS DOUBLE) AS hazard
       |FROM hist ORDER BY day""".stripMargin)
 
+  // -- q284: seasonality strength (hour-of-day variance decomposition) ------
+  //   How much of the hourly-volume variance does the time-of-day profile
+  //   explain? strength = 1 − SSE_within / SS_total over the per-(type,
+  //   hour-of-day) group means — the R² of "predict the hour's volume
+  //   from its clock hour" (STL's seasonal-strength statistic, computed
+  //   exactly). Near 1 → strong daily rhythm; near 0 → volume is flat or
+  //   trend-driven.
+  //
+  //   Exactness: with integer counts, SS terms are rationals with
+  //   denominator n_h (group size): scale every term by Π-free per-group
+  //   n_h via the cross-multiplied form n_h·Σc² − (Σc)² — all BIGINTs;
+  //   the final strength is one fixed-order double expression per type.
+  //   Plan: hourly rollup (the q60 shape), a 24-row-per-type group stat,
+  //   one 5-row output.
+  val q284 = Query.sql(
+    "q284_seasonality_strength",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), hour(col("h")).as("hod"), col("c"))
+      val byHod = hourly.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("nh"), sum(col("c")).as("sh"),
+          sum(col("c") * col("c")).as("ssh"))
+      byHod.groupBy("event_type")
+        .agg(sum(col("nh")).as("n"),
+          sum(col("sh")).as("st"),
+          sum(col("ssh")).as("sst"),
+          // within-group SSE, scaled: Σ_h (ssh − sh²/nh) stays rational;
+          // multiply through per group: SSE = Σ ssh − Σ sh²/nh. Keep the
+          // two exact pieces and divide once at the end.
+          sum(expr("CAST(FLOOR(CAST(sh * sh AS DOUBLE) / CAST(nh AS DOUBLE)" +
+            " * 1e6) AS BIGINT)")).as("sqh_scaled"))
+        // zero total variance (every hour identical, possible at tiny SF)
+        // makes strength undefined — excluded identically on both engines
+        .filter(col("sst") * col("n") > col("st") * col("st"))
+        .select(col("event_type"), col("n"),
+          expr(
+            """1.0 - (CAST(sst AS DOUBLE) - CAST(sqh_scaled AS DOUBLE) / 1e6) /
+              |(CAST(sst AS DOUBLE) -
+              | CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"""
+              .stripMargin).as("seasonal_strength"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |hod AS (
+      |  SELECT event_type, EXTRACT(hour FROM h) AS hod, c FROM hourly),
+      |byhod AS (
+      |  SELECT event_type, hod, COUNT(*) AS nh,
+      |    CAST(SUM(c) AS BIGINT) AS sh,
+      |    CAST(SUM(c * c) AS BIGINT) AS ssh
+      |  FROM hod GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(nh) AS BIGINT) AS n,
+      |    CAST(SUM(sh) AS BIGINT) AS st,
+      |    CAST(SUM(ssh) AS BIGINT) AS sst,
+      |    CAST(SUM(CAST(FLOOR(CAST(sh * sh AS DOUBLE) / CAST(nh AS DOUBLE)
+      |      * 1e6) AS BIGINT)) AS BIGINT) AS sqh_scaled
+      |  FROM byhod GROUP BY 1)
+      |SELECT event_type, n,
+      |  1.0 - (CAST(sst AS DOUBLE) - CAST(sqh_scaled AS DOUBLE) / 1e6) /
+      |  (CAST(sst AS DOUBLE) -
+      |   CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS seasonal_strength
+      |FROM agg WHERE sst * n > st * st ORDER BY event_type""".stripMargin)
+
+  // -- q285: churn label generation (observation/outcome windows) -----------
+  //   The supervised-label builder: users active in the OBSERVATION
+  //   window (days 0–13) get features (events, active days, purchases)
+  //   from it and a churn label from the OUTCOME window (days 14–27):
+  //   churned = no PURCHASE there (activity-based churn is vacuous on a
+  //   corpus where every user stays active; purchase churn splits it). Reported as the per-label feature
+  //   profile a training-set QA would eyeball before fitting. Leak-free
+  //   by construction — features never read the outcome window.
+  //
+  //   Plan: one user-keyed rollup computes both windows' aggregates in a
+  //   single pass (conditional sums), the label is map-side, the profile
+  //   is a 2-row rollup. One shuffle total.
+  val q285 = Query.sql(
+    "q285_churn_labels",
+    (s, dir) => {
+      val d = expr("unix_micros(ts) div 86400000000 - 19723")
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), d.as("d"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("d") < 14, 1L).otherwise(0L)).as("obs_events"),
+          countDistinct(when(col("d") < 14, col("d"))).as("obs_days"),
+          sum(when(col("d") < 14 && col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("obs_purchases"),
+          sum(when(col("d") >= 14 && col("d") < 28 &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("out_purchases"))
+        .filter(col("obs_events") > 0)
+        .withColumn("churned", (col("out_purchases") === 0).cast("int"))
+        .groupBy("churned")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("obs_events")).as("total_obs_events"),
+          sum(col("obs_days")).as("total_obs_days"),
+          sum(col("obs_purchases")).as("total_obs_purchases"))
+        .orderBy("churned")
+    },
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(ts) // 86400000000 - 19723 AS d
+      |  FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN d < 14 THEN 1 ELSE 0 END) AS obs_events,
+      |    COUNT(DISTINCT CASE WHEN d < 14 THEN d END) AS obs_days,
+      |    SUM(CASE WHEN d < 14 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS obs_purchases,
+      |    SUM(CASE WHEN d >= 14 AND d < 28 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS out_purchases
+      |  FROM e GROUP BY 1)
+      |SELECT CAST(CASE WHEN out_purchases = 0 THEN 1 ELSE 0 END AS INT)
+      |    AS churned,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(obs_events) AS BIGINT) AS total_obs_events,
+      |  CAST(SUM(obs_days) AS BIGINT) AS total_obs_days,
+      |  CAST(SUM(obs_purchases) AS BIGINT) AS total_obs_purchases
+      |FROM per WHERE obs_events > 0
+      |GROUP BY 1 ORDER BY churned""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254, q267, q272, q278)
+      q250, q251, q253, q254, q267, q272, q278, q284, q285)
 }

@@ -1086,7 +1086,90 @@ object Graph {
       |       CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
       |FROM m""".stripMargin)
 
+  // -- q283: item-based collaborative-filtering recommendations -------------
+  //   The classic implicit-feedback recommender: customer baskets
+  //   (distinct parts ordered), item–item co-occurrence supports from a
+  //   per-basket pair build, and for a probe set of customers the top-3
+  //   parts they have NOT bought, scored by summed co-occurrence with
+  //   what they have. Amazon-style item-item CF (Linden et al. 2003).
+  //
+  //   Scale: the pair build is the q123 grouped explode with a PER-BASKET
+  //   CAP (first 20 parts by key) — per-basket quadratic is bounded by a
+  //   constant, the production guard for whale customers; supports are
+  //   one (a,b)-keyed rollup. Probe scoring joins the probes' baskets to
+  //   supports on the item key and re-aggregates — candidates never
+  //   explode beyond (probe parts × co-items). The owned-item anti-join
+  //   runs on the tiny scored set. Integer scores end to end.
+  val q283 = Query.sql(
+    "q283_item_cf_recommend",
+    (s, dir) => {
+      val baskets = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true) // pair build + probe baskets + ownership
+      val capped = baskets.groupBy("c")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 20).as("ps"))
+      val supports = capped
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS a, y AS b))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.a") < col("pr.b"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("supp"))
+      val sym = supports.select(col("a"), col("b"), col("supp"))
+        .union(supports.select(col("b").as("a"), col("a").as("b"), col("supp")))
+      val probes = baskets.filter(col("c") % 500 === 1)
+      val scored = probes.join(sym, col("p") === col("a"))
+        .groupBy(col("c").as("pc"), col("b").as("cand"))
+        .agg(sum(col("supp")).as("score"))
+      scored.join(baskets,
+          scored("pc") === baskets("c") && scored("cand") === baskets("p"),
+          "left_anti")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("pc")
+            .orderBy(desc("score"), asc("cand"))))
+        .filter(col("rk") <= 3)
+        .select(col("pc").as("custkey"), col("rk").cast("long").as("rk"),
+          col("cand").as("partkey"), col("score"))
+        .orderBy("custkey", "rk")
+    },
+    """WITH baskets AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |capped AS (
+      |  SELECT c, p FROM (
+      |    SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY p) AS rn
+      |    FROM baskets) WHERE rn <= 20),
+      |supports AS (
+      |  SELECT x.p AS a, y.p AS b, COUNT(*) AS supp
+      |  FROM capped x JOIN capped y ON x.c = y.c AND x.p < y.p
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT a, b, supp FROM supports
+      |  UNION ALL
+      |  SELECT b, a, supp FROM supports),
+      |probes AS (SELECT c, p FROM baskets WHERE c % 500 = 1),
+      |scored AS (
+      |  SELECT pr.c AS pc, s.b AS cand, CAST(SUM(s.supp) AS BIGINT) AS score
+      |  FROM probes pr JOIN sym s ON pr.p = s.a
+      |  GROUP BY 1, 2),
+      |fresh AS (
+      |  SELECT sc.pc, sc.cand, sc.score
+      |  FROM scored sc LEFT JOIN baskets bk
+      |    ON sc.pc = bk.c AND sc.cand = bk.p
+      |  WHERE bk.c IS NULL),
+      |ranked AS (
+      |  SELECT pc, cand, score, row_number() OVER (PARTITION BY pc
+      |    ORDER BY score DESC, cand) AS rk
+      |  FROM fresh)
+      |SELECT pc AS custkey, CAST(rk AS BIGINT) AS rk, cand AS partkey, score
+      |FROM ranked WHERE rk <= 3 ORDER BY custkey, rk""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264, q275, q280)
+      q264, q275, q280, q283)
 }

@@ -967,7 +967,87 @@ object Warehouse {
       |FROM nf JOIN hits ON nf.layout = hits.layout CROSS JOIN np
       |ORDER BY nf.layout""".stripMargin)
 
+  // -- q286: join-cardinality estimation audit ------------------------------
+  //   The cost-model check a planner (or a capacity review) runs before a
+  //   big join: for each candidate equi-join, the TRUE output cardinality
+  //   Σ_k cA(k)·cB(k) from the two key histograms, against the textbook
+  //   uniform estimate |A|·|B| / max(ndv_A, ndv_B) (System-R / Selinger).
+  //   The ratio tells you exactly how much key skew breaks the uniform
+  //   assumption — the number that justifies AQE skew handling.
+  //
+  //   Exactness: everything is BIGINT arithmetic; the estimate keeps its
+  //   div floor and the ratio is one final double division. Plan: per
+  //   join, two map-side-combined key histograms joined on the key
+  //   (inner — keys absent from either side contribute 0), aggregated to
+  //   one row; the audited tables are scanned once each.
+  val q286 = Query.sql(
+    "q286_join_cardinality",
+    (s, dir) => {
+      def audit(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+        val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
+        val sa = ca.agg(sum(col("ca")).as("na"), count(lit(1)).as("da"))
+        val sb = cb.agg(sum(col("cb")).as("nb"), count(lit(1)).as("db"))
+        ca.join(cb, "k")
+          .agg(sum(col("ca") * col("cb")).as("actual"))
+          .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .select(lit(name).as("join_name"), col("actual"),
+            expr("na * nb div greatest(da, db)").as("est_uniform"),
+            expr("CAST(actual AS DOUBLE) /" +
+              " CAST(na * nb div greatest(da, db) AS DOUBLE)").as("skew_ratio"))
+      }
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      audit("orders_lineitem",
+          orders.select(col("o_orderkey").as("k")),
+          li.select(col("l_orderkey").as("k")))
+        .union(audit("customer_orders",
+          cust.select(col("c_custkey").as("k")),
+          orders.select(col("o_custkey").as("k"))))
+        .union(audit("part_lineitem",
+          t(s, dir, "part").select(col("p_partkey").as("k")),
+          li.select(col("l_partkey").as("k"))))
+        .orderBy("join_name")
+    },
+    """WITH
+      |ol AS (
+      |  SELECT 'orders_lineitem' AS join_name,
+      |    (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+      |      (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+      |      JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+      |            GROUP BY 1) b USING (k)) AS actual,
+      |    (SELECT COUNT(*) FROM orders) * (SELECT COUNT(*) FROM lineitem)
+      |      // GREATEST((SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+      |                  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem))
+      |      AS est_uniform),
+      |co AS (
+      |  SELECT 'customer_orders' AS join_name,
+      |    (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+      |      (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer GROUP BY 1) a
+      |      JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders
+      |            GROUP BY 1) b USING (k)) AS actual,
+      |    (SELECT COUNT(*) FROM customer) * (SELECT COUNT(*) FROM orders)
+      |      // GREATEST((SELECT COUNT(DISTINCT c_custkey) FROM customer),
+      |                  (SELECT COUNT(DISTINCT o_custkey) FROM orders))
+      |      AS est_uniform),
+      |pl AS (
+      |  SELECT 'part_lineitem' AS join_name,
+      |    (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+      |      (SELECT p_partkey AS k, COUNT(*) AS ca FROM part GROUP BY 1) a
+      |      JOIN (SELECT l_partkey AS k, COUNT(*) AS cb FROM lineitem
+      |            GROUP BY 1) b USING (k)) AS actual,
+      |    (SELECT COUNT(*) FROM part) * (SELECT COUNT(*) FROM lineitem)
+      |      // GREATEST((SELECT COUNT(DISTINCT p_partkey) FROM part),
+      |                  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem))
+      |      AS est_uniform),
+      |u AS (SELECT * FROM ol UNION ALL SELECT * FROM co
+      |      UNION ALL SELECT * FROM pl)
+      |SELECT join_name, actual, CAST(est_uniform AS BIGINT) AS est_uniform,
+      |  CAST(actual AS DOUBLE) / CAST(est_uniform AS DOUBLE) AS skew_ratio
+      |FROM u ORDER BY join_name""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238, q265, q266)
+      q173, q211, q216, q227, q238, q265, q266, q286)
 }
