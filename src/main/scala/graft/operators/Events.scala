@@ -2484,10 +2484,54 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q288: second-order Markov transitions --------------------------------
+  //   q186 with one more state of memory: P(next | previous TWO event
+  //   types), the model that distinguishes "view→click after a view" from
+  //   "view→click after an error". Two lags over one (user, time)
+  //   partition sort — the same single-shuffle window stack as q186/q254;
+  //   probabilities are one exact-integer division per row, ranked output
+  //   keeps the top transitions.
+  val q288 = Query.sql(
+    "q288_markov2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tr = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .groupBy(col("p2"), col("p1"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val ctx = Window.partitionBy("p2", "p1")
+      tr.withColumn("ctx_n", sum(col("n")).over(ctx))
+        .select(col("p2"), col("p1"), col("nxt"), col("n"),
+          (col("n").cast("double") / col("ctx_n").cast("double")).as("p"))
+        .orderBy(desc("n"), asc("p2"), asc("p1"), asc("nxt"))
+        .limit(30)
+    },
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type, 1) OVER w AS p1,
+      |    lag(event_type, 2) OVER w AS p2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |tr AS (
+      |  SELECT p2, p1, event_type AS nxt, COUNT(*) AS n
+      |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+      |wc AS (
+      |  SELECT p2, p1, nxt, n,
+      |    SUM(n) OVER (PARTITION BY p2, p1) AS ctx_n
+      |  FROM tr)
+      |SELECT p2, p1, nxt, n,
+      |  CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
+      |FROM wc ORDER BY n DESC, p2, p1, nxt LIMIT 30""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254, q267, q272, q278, q284, q285)
+      q250, q251, q253, q254, q267, q272, q278, q284, q285, q288)
 }

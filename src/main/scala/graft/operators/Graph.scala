@@ -1169,7 +1169,47 @@ object Graph {
       |SELECT pc AS custkey, CAST(rk AS BIGINT) AS rk, cand AS partkey, score
       |FROM ranked WHERE rk <= 3 ORDER BY custkey, rk""".stripMargin)
 
+  // -- q287: frequent itemset triples ---------------------------------------
+  //   One level deeper than q166's pairs: part triples co-occurring in
+  //   ≥ 2 orders, ranked by support. Per-order triple
+  //   explode is C(k,3) with k = lines-per-order ≤ 7 — a constant ≤ 35
+  //   per order, the Apriori step that still needs no candidate pruning.
+  //   One order-key shuffle; triple counts map-side-combine on the
+  //   (a,b,c) key.
+  val q287 = Query.sql(
+    "q287_frequent_triples",
+    (s, dir) => {
+      val tri = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) >= 3)
+        .select(explode(expr(
+          """flatten(flatten(
+            |  transform(sequence(1, size(ps) - 2), i ->
+            |    transform(sequence(i + 1, size(ps) - 1), j ->
+            |      transform(slice(ps, j + 1, size(ps) - j), z ->
+            |        struct(element_at(ps, i) AS a, element_at(ps, j) AS b,
+            |               z AS c))))))""".stripMargin)).as("t"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+      tri
+        .orderBy(desc("supp"), asc("a"), asc("b"), asc("c"))
+        .limit(25)
+    },
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tri AS (
+      |  SELECT x.p AS a, y.p AS b, z.p AS c, COUNT(*) AS supp
+      |  FROM e x JOIN e y ON x.o = y.o AND x.p < y.p
+      |  JOIN e z ON y.o = z.o AND y.p < z.p
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+      |SELECT a, b, c, supp FROM tri
+      |ORDER BY supp DESC, a, b, c LIMIT 25""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264, q275, q280, q283)
+      q264, q275, q280, q283, q287)
 }

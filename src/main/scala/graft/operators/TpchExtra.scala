@@ -816,6 +816,73 @@ object TpchExtra {
       |FROM pf JOIN tot ON pf.prio = tot.prio
       |ORDER BY pf.prio, fold""".stripMargin)
 
+  // -- q289: dimension-hierarchy revenue tree with parent shares ------------
+  //   The drill-down report ROLLUP alone can't produce: revenue at every
+  //   level of region → nation → top customers, each row carrying its
+  //   SHARE OF PARENT (nation/region, customer/nation) — the tree a BI
+  //   drill-down renders directly. Customers are capped to the top 3 per
+  //   nation (rank window on the nation key) so the report is bounded at
+  //   any SF.
+  //
+  //   Exactness: revenue sums are DECIMAL; every share is one decimal→
+  //   double cast + division, identical expression both engines. Plan:
+  //   one orders-customer join keyed on custkey, one rollup per level
+  //   (nation and region rollups derive FROM the customer rollup — the
+  //   fact table is scanned once), broadcast joins for the share lookups.
+  val q289 = Query.sql(
+    "q289_hierarchy_shares",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+        .localCheckpoint(true)
+      val nat = cust.groupBy("r_name", "n_name").agg(sum(col("rev")).as("nrev"))
+        .localCheckpoint(true)
+      val reg = nat.groupBy("r_name").agg(sum(col("nrev")).as("rrev"))
+      val w = Window.partitionBy("r_name", "n_name")
+        .orderBy(desc("rev"), asc("c_custkey"))
+      cust.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .join(broadcast(nat), Seq("r_name", "n_name"))
+        .join(broadcast(reg), Seq("r_name"))
+        .select(col("r_name"), col("n_name"), col("c_custkey"),
+          col("rev").cast("double").as("revenue"),
+          (col("rev").cast("double") / col("nrev").cast("double"))
+            .as("share_of_nation"),
+          (col("nrev").cast("double") / col("rrev").cast("double"))
+            .as("nation_share_of_region"))
+        .orderBy(col("r_name"), col("n_name"), desc("revenue"), col("c_custkey"))
+    },
+    """WITH cust AS (
+      |  SELECT r_name, n_name, c_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2, 3),
+      |nat AS (
+      |  SELECT r_name, n_name, SUM(rev) AS nrev
+      |  FROM cust GROUP BY 1, 2),
+      |reg AS (SELECT r_name, SUM(nrev) AS rrev FROM nat GROUP BY 1),
+      |top3 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY r_name, n_name
+      |    ORDER BY rev DESC, c_custkey) AS rk
+      |  FROM cust)
+      |SELECT t.r_name, t.n_name, t.c_custkey,
+      |  CAST(t.rev AS DOUBLE) AS revenue,
+      |  CAST(t.rev AS DOUBLE) / CAST(n.nrev AS DOUBLE) AS share_of_nation,
+      |  CAST(n.nrev AS DOUBLE) / CAST(r.rrev AS DOUBLE)
+      |    AS nation_share_of_region
+      |FROM top3 t
+      |JOIN nat n ON t.r_name = n.r_name AND t.n_name = n.n_name
+      |JOIN reg r ON t.r_name = r.r_name
+      |WHERE t.rk <= 3
+      |ORDER BY t.r_name, t.n_name, revenue DESC, t.c_custkey""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279)
+    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279, q289)
 }

@@ -1047,7 +1047,68 @@ object Warehouse {
       |  CAST(actual AS DOUBLE) / CAST(est_uniform AS DOUBLE) AS skew_ratio
       |FROM u ORDER BY join_name""".stripMargin)
 
+  // -- q290: near-zero-variance / degenerate feature audit ------------------
+  //   The feature-pruning pass every training pipeline runs first: per
+  //   numeric column — distinct count, exact-moment variance, the top
+  //   value's share — and the prune flags (constant, low-cardinality,
+  //   dominant ≥ 95%). Flags are integer cross-multiplications (20·maxc ≥
+  //   19·n — no float at the boundary); variance comes from q27's
+  //   decimal-exact raw moments with the closed form evaluated once in
+  //   double.
+  //
+  //   Plan: ONE unpivot scan of the fact table (4 rows out per input
+  //   row), a (feature, value) rollup, a 4-row feature rollup. At 100 TB
+  //   the histogram shuffle carries distinct values only.
+  val q290 = Query.sql(
+    "q290_feature_pruning",
+    (s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val hist = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "feature", "v")
+        .groupBy("feature", "v").agg(count(lit(1)).as("c"))
+      hist.groupBy("feature")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("nd"),
+          max(col("c")).as("maxc"),
+          sum((col("v") * col("c")).cast(D)).cast("double").as("sx"),
+          sum((col("v") * col("v") * col("c")).cast(D)).cast("double").as("sxx"))
+        .select(col("feature"), col("n"), col("nd").as("n_distinct"),
+          (col("maxc").cast("double") / col("n").cast("double"))
+            .as("top_share"),
+          expr("(CAST(n AS DOUBLE) * sxx - sx * sx) /" +
+            " (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))").as("variance"),
+          (col("nd") === 1).as("flag_constant"),
+          (col("nd") <= 10).as("flag_low_card"),
+          (col("maxc") * 20 >= col("n") * 19).as("flag_dominant"))
+        .orderBy("feature")
+    },
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS feature, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+      |hist AS (
+      |  SELECT feature, v, COUNT(*) AS c FROM long GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT feature, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd,
+      |    MAX(c) AS maxc,
+      |    CAST(SUM(CAST(v * c AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(v * v * c AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      |  FROM hist GROUP BY 1)
+      |SELECT feature, n, nd AS n_distinct,
+      |  CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) AS top_share,
+      |  (CAST(n AS DOUBLE) * sxx - sx * sx) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance,
+      |  nd = 1 AS flag_constant,
+      |  nd <= 10 AS flag_low_card,
+      |  maxc * 20 >= n * 19 AS flag_dominant
+      |FROM agg ORDER BY feature""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238, q265, q266, q286)
+      q173, q211, q216, q227, q238, q265, q266, q286, q290)
 }
