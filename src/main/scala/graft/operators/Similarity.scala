@@ -649,6 +649,154 @@ object Similarity {
        |SELECT qid, kind, rnk, vec_id, label, cos_sim
        |FROM rk WHERE rnk <= 3 ORDER BY qid, kind, rnk""".stripMargin)
 
+  // -- q291: DBSCAN density clustering over embeddings ----------------------
+  //   Full DBSCAN semantics (Ester et al. 1996) on the cosine ε-graph:
+  //   CORE points have ≥ minPts ε-neighbors, clusters are connected
+  //   components of the core–core subgraph (ConnectedComponents.run —
+  //   pointer jumping, the q46 machinery), BORDER points attach to their
+  //   minimum core-neighbor's cluster, everything else is NOISE. The
+  //   density-based near-dup grouping that survives chains a plain
+  //   threshold join would over-merge.
+  //
+  //   Bounded all-pairs oracle (vec_id < 500, the q51 contract); the
+  //   scale path replaces the ε-graph build with q53's LSH buckets and
+  //   keeps everything downstream unchanged. Cosines are the same
+  //   sequential left-folds (bit-identical both engines); cluster labels
+  //   come from the same min-reachable fixpoint the q46 oracle walks.
+  val q291 = Query.sql(
+    "q291_density_clusters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val eps = 0.3
+      val minPts = 3
+      val e = embBalanced(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val pairs = e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(expr("cosine_similarity(a.embedding, b.embedding)") > eps)
+        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+        .localCheckpoint(true)
+      val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      val deg = sym.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+      val core = deg.filter(col("deg") >= minPts).select("id")
+        .localCheckpoint(true)
+      val coreEdges = sym
+        .join(core.select(col("id").as("cx")), col("x") === col("cx"))
+        .join(core.select(col("id").as("cy")), col("y") === col("cy"))
+        .select(col("x").as("a"), col("y").as("b"))
+      val comp = ConnectedComponents.run(core, coreEdges) // (id, component)
+      val borderLabel = sym
+        .join(core.select(col("id").as("cn")), col("y") === col("cn"))
+        .join(comp.select(col("id").as("cid"), col("component")),
+          col("y") === col("cid"))
+        .groupBy(col("x").as("bid")).agg(min(col("component")).as("bcluster"))
+      e.select(col("vec_id"))
+        .join(comp.select(col("id").as("vid"), col("component")),
+          col("vec_id") === col("vid"), "left")
+        .join(borderLabel, col("vec_id") === col("bid"), "left")
+        .select(col("vec_id"),
+          when(col("component").isNotNull, "core")
+            .when(col("bcluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("component"),
+            when(col("bcluster").isNotNull, col("bcluster"))).as("cluster"))
+        .orderBy("vec_id")
+    },
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS x, b.vec_id AS y
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
+       |sym AS MATERIALIZED (
+       |  SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+       |deg AS (SELECT x AS id, COUNT(*) AS deg FROM sym GROUP BY x),
+       |core AS MATERIALIZED (SELECT id FROM deg WHERE deg >= 3),
+       |ce AS MATERIALIZED (
+       |  SELECT s.x AS a, s.y AS b FROM sym s
+       |  JOIN core cx ON s.x = cx.id JOIN core cy ON s.y = cy.id),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT ce.b, reach.r FROM ce JOIN reach ON ce.a = reach.id),
+       |comp AS MATERIALIZED (
+       |  SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |border AS (
+       |  SELECT s.x AS bid, MIN(c.component) AS bcluster
+       |  FROM sym s JOIN core co ON s.y = co.id
+       |  JOIN comp c ON s.y = c.id
+       |  GROUP BY s.x)
+       |SELECT e.vec_id,
+       |  CASE WHEN comp.component IS NOT NULL THEN 'core'
+       |       WHEN border.bcluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(comp.component,
+       |    CASE WHEN border.bcluster IS NOT NULL THEN border.bcluster END)
+       |    AS cluster
+       |FROM e
+       |LEFT JOIN comp ON e.vec_id = comp.id
+       |LEFT JOIN border ON e.vec_id = border.bid
+       |ORDER BY e.vec_id""".stripMargin)
+
+  // -- q292: label-noise detection (k-NN majority disagreement) -------------
+  //   Confident-learning-style QA for labeled embeddings: a vector whose
+  //   5 nearest neighbors' majority label disagrees with its own label is
+  //   a mislabel candidate (Northcutt et al. 2021's intuition, as the
+  //   exact k-NN vote). Output: the disagreeing vectors with their own
+  //   label, the neighborhood majority, and the vote count.
+  //
+  //   Bounded all-pairs oracle (vec_id < 300, q51's contract; scale path
+  //   = LSH/IVF neighbor generation feeding the same vote). Ranks break
+  //   cosine ties on neighbor id; the majority vote breaks count ties on
+  //   the smaller label — every ordering total, both engines identical.
+  val q292 = Query.sql(
+    "q292_label_noise",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embBalanced(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .localCheckpoint(true)
+      val wNn = Window.partitionBy("a").orderBy(desc("cs"), asc("b"))
+      val votes = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("x.label").as("own"),
+          col("y.vec_id").as("b"), col("y.label").as("nl"),
+          expr("cosine_similarity(x.embedding, y.embedding)").as("cs"))
+        .withColumn("rk", row_number().over(wNn))
+        .filter(col("rk") <= 5)
+        .groupBy(col("a"), col("own"), col("nl"))
+        .agg(count(lit(1)).as("votes"))
+      val wMaj = Window.partitionBy("a").orderBy(desc("votes"), asc("nl"))
+      votes.withColumn("mr", row_number().over(wMaj))
+        .filter(col("mr") === 1 && col("nl") =!= col("own"))
+        .select(col("a").as("vec_id"), col("own").as("own_label"),
+          col("nl").as("majority_label"), col("votes").as("majority_votes"))
+        .orderBy("vec_id")
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 300),
+       |nn AS (
+       |  SELECT x.vec_id AS a, x.label AS own, y.vec_id AS b,
+       |    y.label AS nl,
+       |    ${cosSql("x.embedding", "y.embedding")} AS cs
+       |  FROM e x JOIN e y ON x.vec_id <> y.vec_id),
+       |rk AS (
+       |  SELECT a, own, nl,
+       |    row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rk
+       |  FROM nn),
+       |votes AS (
+       |  SELECT a, own, nl, COUNT(*) AS votes
+       |  FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+       |maj AS (
+       |  SELECT a, own, nl, votes,
+       |    row_number() OVER (PARTITION BY a ORDER BY votes DESC, nl) AS mr
+       |  FROM votes)
+       |SELECT a AS vec_id, own AS own_label, nl AS majority_label,
+       |  votes AS majority_votes
+       |FROM maj WHERE mr = 1 AND nl <> own ORDER BY vec_id""".stripMargin)
+
   val all: Seq[Query] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232, q244)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232, q244,
+      q291, q292)
 }
