@@ -265,4 +265,36 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q287 triple build groups once — no self-join of lineitem") {
+    // The C(k,3) explode must come from ONE order-key aggregation; a
+    // regression to the naive 3-way self-join would show 3 scans.
+    val p = plan(Graph.q287.run(spark, sf001))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem scanned $scans times:\n$p")
+  }
+
+  test("q290 unpivot profiles 4 features from one lineitem scan") {
+    val p = plan(Warehouse.q290.run(spark, sf001))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem scanned $scans times:\n$p")
+    assert(p.contains("Expand") || p.contains("expand"),
+      s"unpivot did not compile to Expand:\n$p")
+  }
+
+  test("q286 cardinality audit never materializes the actual join") {
+    // actual = sum over the two histograms joined on the key — the plan
+    // must contain aggregations over per-key counts, not a fact-to-fact
+    // row join output feeding a count.
+    val df = Warehouse.q286.run(spark, sf001)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // orders⋈lineitem actual must equal |lineitem| (every line has an order)
+    val ol = rows.find(_.getString(0) == "orders_lineitem").get
+    val liCount = Tables.load(spark, sf001, "lineitem").count()
+    assert(ol.getLong(1) == liCount,
+      s"actual ${ol.getLong(1)} != lineitem count $liCount")
+  }
 }
