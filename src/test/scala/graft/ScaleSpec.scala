@@ -412,4 +412,46 @@ class ScaleSpec extends SparkSpec {
       .agg(min("allocation"), max("allocation")).collect().head
     assert(lv.getLong(1) - lv.getLong(0) <= 1)
   }
+
+  test("soak: BFS over a 1M-edge ring — frontier walk, exact distances") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    // 500k-node ring, both directions (1M directed edges). From one seed
+    // with radius 5, BFS must discover exactly 11 nodes (5 each way) with
+    // provable distances |i - seed| — a frontier that stays tiny while
+    // the edge list is large, the exact regime the frontier design is
+    // for (anti-join against visited, no O(V) state per round).
+    val n = 500000L
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val und = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = spark.range(1).select((col("id") + 1000).as("s"))
+    val out = und.bfsDistances("src", "dst", seeds, "s", radius = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 11, s"expected 11 reached nodes, got ${out.size}")
+    (0 to 5).foreach { d =>
+      assert(out(1000L + d) == d && out(1000L - d) == d,
+        s"distance wrong at offset $d: $out")
+    }
+  }
+
+  test("soak: ancestorClosure on a 1M-node forest (depth ~7) stays exact") {
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    // parent(k) = k div 10 over 1..1M: a 10-ary forest of depth 7.
+    // 3 doublings cover depth 8. Spot-check the deepest chain and the
+    // closure size formula Σ depth(k) — both provable in closed form.
+    val parents = spark.range(1, 1000001)
+      .select(col("id").as("c"), (col("id") / 10).cast("long").as("p"))
+      .filter(col("p") >= 1)
+    val cl = parents.ancestorClosure("c", "p", rounds = 3)
+    // node 999999's ancestors: 99999, 9999, 999, 99, 9 (dist 1..5)
+    val a = cl.filter(col("node") === 999999L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(a == Map(99999L -> 1L, 9999L -> 2L, 999L -> 3L, 99L -> 4L,
+      9L -> 5L), s"got $a")
+    // every (node, anc) pair unique
+    val dups = cl.groupBy("node", "anc").count().filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicate closure pairs")
+  }
 }
