@@ -365,6 +365,37 @@ object Streams {
       }
   }
 
+  final case class M2State(p2: String, p1: String)
+  final case class Transition2(user_id: Long, p2: String, p1: String, nxt: String)
+
+  /** Streaming twin of batch q288 (second-order Markov transitions): per
+    * user, keep only the LAST TWO event types as state (O(1) per active
+    * user — the smallest stateful-window case) and emit one transition
+    * row per event once two predecessors exist. Within a micro-batch,
+    * events sort by (event time, id); across batches the caller feeds
+    * time-ordered input (the same per-key ordering contract ewmaStream
+    * documents — a production feed is per-key ordered by the log).
+    */
+  def markov2Stream(events: Dataset[Event]): Dataset[Transition2] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Event) => e.ts != null)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[M2State, Transition2](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[M2State]) =>
+          var st = state.getOption.getOrElse(M2State(null, null))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition2]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.p2 != null)
+              out += Transition2(userId, st.p2, st.p1, e.event_type)
+            st = M2State(st.p1, e.event_type)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class Kept(event_id: Long, user_id: Long, ts: Timestamp)
 
   /** Streaming per-key rate limit: at most `maxPerHour` events pass per

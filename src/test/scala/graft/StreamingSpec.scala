@@ -500,6 +500,34 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch EWMA diverged (${got.size} vs ${want.size} rows)")
   }
 
+  test("markov2Stream transition counts equal the batch sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .orderBy("ts", "event_id").collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-m2").toString
+    val q = Streams.markov2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("m2_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("m2_test")
+      .groupBy("p2", "p1", "nxt").count()
+      .as[(String, String, String, Long)].collect()
+      .map { case (a, b, c, n) => (a, b, c) -> n }.toMap
+    // ground truth: per-user time-ordered sliding triples, in plain Scala
+    val want = events.groupBy(_.user_id).values.flatMap { es =>
+      es.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
+        .sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want && got.nonEmpty,
+      s"stream/batch transition counts diverged (${got.size} vs ${want.size})")
+  }
+
   test("firstSeenStream emits one row per user at their first event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
