@@ -2484,6 +2484,43 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q293: Sankey step flows (position-indexed transitions) ---------------
+  //   The flow diagram behind every onboarding analysis: per user, the
+  //   first K=4 events in time order; count transitions by STEP POSITION
+  //   (step 1→2, 2→3, 3→4) — unlike q186/q288's stationary transitions,
+  //   the position index is what a Sankey diagram's columns mean. One
+  //   (user, time) partition sort; the step filter keeps ≤ 4 rows per
+  //   user, so the flow rollup is constant-bounded per user.
+  val q293 = Query.sql(
+    "q293_sankey_flows",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("step", row_number().over(w))
+        .filter(col("step") <= 4)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull && col("step") <= 3)
+        .groupBy(col("step"), col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("step").cast("long").as("step"), col("from_type"),
+          col("to_type"), col("n_users"))
+        .orderBy("step", "from_type", "to_type")
+    },
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER w AS step,
+      |    lead(event_type) OVER w AS next_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT CAST(step AS BIGINT) AS step, event_type AS from_type,
+      |  next_type AS to_type, COUNT(*) AS n_users
+      |FROM seq WHERE step <= 3 AND next_type IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY step, from_type, to_type""".stripMargin)
+
   // -- q288: second-order Markov transitions --------------------------------
   //   q186 with one more state of memory: P(next | previous TWO event
   //   types), the model that distinguishes "view→click after a view" from
@@ -2533,5 +2570,5 @@ object Events {
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254, q267, q272, q278, q284, q285, q288)
+      q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293)
 }

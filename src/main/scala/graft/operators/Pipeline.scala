@@ -1305,8 +1305,58 @@ object Pipeline {
          |FROM allr ORDER BY round""".stripMargin)
   }
 
+  // -- q294: feature-hashing collision audit --------------------------------
+  //   The sizing study behind q261's hashed features (and any
+  //   hashing-trick model): for bucket counts 2^8 / 2^10 / 2^12, how many
+  //   distinct tokens collide? Reports buckets used, vocabulary size,
+  //   colliding-token share, and max bucket occupancy per width — the
+  //   table that picks the hash width. One vocabulary rollup feeds all
+  //   three widths (map-side modulo, no re-tokenization); everything is
+  //   exact integers but the final share division.
+  val q294 = Query.sql(
+    "q294_feature_hash_audit",
+    (s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .select(col("tok"),
+          expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+        .localCheckpoint(true)
+      Seq(256, 1024, 4096).map { k =>
+        vocab.groupBy((col("h") % k).as("b"))
+          .agg(count(lit(1)).as("occ"))
+          .agg(count(lit(1)).as("buckets_used"),
+            sum(col("occ")).as("vocab"),
+            sum(when(col("occ") > 1, col("occ")).otherwise(0L))
+              .as("colliding_toks"),
+            max(col("occ")).as("max_occ"))
+          .select(lit(k.toLong).as("n_buckets"), col("buckets_used"),
+            col("vocab"), col("colliding_toks"), col("max_occ"),
+            (col("colliding_toks").cast("double") / col("vocab").cast("double"))
+              .as("collision_share"))
+      }.reduce(_ union _).orderBy("n_buckets")
+    },
+    """WITH vocab AS (
+      |  SELECT tok, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |ks AS (SELECT unnest([256, 1024, 4096]) AS k),
+      |occ AS (
+      |  SELECT k, h % k AS b, COUNT(*) AS occ
+      |  FROM vocab CROSS JOIN ks GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS n_buckets,
+      |  COUNT(*) AS buckets_used,
+      |  CAST(SUM(occ) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN occ > 1 THEN occ ELSE 0 END) AS BIGINT)
+      |    AS colliding_toks,
+      |  MAX(occ) AS max_occ,
+      |  CAST(SUM(CASE WHEN occ > 1 THEN occ ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(occ) AS DOUBLE) AS collision_share
+      |FROM occ GROUP BY k ORDER BY n_buckets""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274, q277)
+      q176, q196, q198, q261, q269, q274, q277, q294)
 }

@@ -1108,7 +1108,60 @@ object Warehouse {
       |  maxc * 20 >= n * 19 AS flag_dominant
       |FROM agg ORDER BY feature""".stripMargin)
 
+  // -- q295: dictionary-compression estimate (storage planning) -------------
+  //   Per string column: cardinality, total bytes plain, and the
+  //   dictionary-encoded projection (distinct bytes + 4-byte codes) with
+  //   the resulting ratio — the parquet-encoding sizing study that decides
+  //   whether a column benefits from dict encoding (low cardinality →
+  //   huge wins) before a 100 TB rewrite. One unpivot scan per table; the
+  //   per-(column, value) histogram shuffle carries distinct values only.
+  val q295 = Query.sql(
+    "q295_dict_compression",
+    (s, dir) => {
+      val hist = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("o_orderstatus"), col("o_orderpriority")),
+          "column_name", "v")
+        .union(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .unpivot(Array.empty[org.apache.spark.sql.Column],
+            Array(col("l_returnflag"), col("l_linestatus")),
+            "column_name", "v"))
+        .groupBy("column_name", "v").agg(count(lit(1)).as("c"))
+      hist.groupBy("column_name")
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("cardinality"),
+          sum(length(col("v")) * col("c")).as("plain_bytes"),
+          sum(length(col("v"))).as("dict_bytes"))
+        .select(col("column_name"), col("n_rows"), col("cardinality"),
+          col("plain_bytes"),
+          (col("dict_bytes") + col("n_rows") * 4).as("encoded_bytes"),
+          (col("plain_bytes").cast("double") /
+            (col("dict_bytes") + col("n_rows") * 4).cast("double"))
+            .as("compression_ratio"))
+        .orderBy("column_name")
+    },
+    """WITH long AS (
+      |  SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+      |hist AS (
+      |  SELECT column_name, v, COUNT(*) AS c FROM long GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    COUNT(*) AS cardinality,
+      |    CAST(SUM(length(v) * c) AS BIGINT) AS plain_bytes,
+      |    CAST(SUM(length(v)) AS BIGINT) AS dict_bytes
+      |  FROM hist GROUP BY 1)
+      |SELECT column_name, n_rows, cardinality, plain_bytes,
+      |  dict_bytes + n_rows * 4 AS encoded_bytes,
+      |  CAST(plain_bytes AS DOUBLE) /
+      |    CAST(dict_bytes + n_rows * 4 AS DOUBLE) AS compression_ratio
+      |FROM agg ORDER BY column_name""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238, q265, q266, q286, q290)
+      q173, q211, q216, q227, q238, q265, q266, q286, q290, q295)
 }
