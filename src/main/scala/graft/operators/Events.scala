@@ -2484,6 +2484,51 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q296: audience-overlap matrix (pairwise Jaccard of user sets) --------
+  //   For every event-type pair: |users(a) ∩ users(b)|, the union size by
+  //   inclusion–exclusion (no second pass), and the Jaccard — the
+  //   audience-overlap matrix behind "do clickers also purchase?"
+  //   segmentation. One (user, type) distinct rollup; the pair build is a
+  //   per-user self-join bounded by |types|² = 25, the q272 shape; type
+  //   totals broadcast back.
+  val q296 = Query.sql(
+    "q296_audience_overlap",
+    (s, dir) => {
+      val ut = ev(s, dir).select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true)
+      val totals = ut.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val inter = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(totals.select(col("t").as("a"), col("n").as("na"))), "a")
+        .join(broadcast(totals.select(col("t").as("b"), col("n").as("nb"))), "b")
+        .select(col("a"), col("b"), col("n_both"),
+          (col("na") + col("nb") - col("n_both")).as("n_union"),
+          (col("n_both").cast("double") /
+            (col("na") + col("nb") - col("n_both")).cast("double"))
+            .as("jaccard"))
+        .orderBy("a", "b")
+    },
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |totals AS (
+      |  SELECT event_type AS t, COUNT(*) AS n FROM ut GROUP BY 1),
+      |inter AS (
+      |  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_both
+      |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_both, ta.n + tb.n - n_both AS n_union,
+      |  CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE)
+      |    AS jaccard
+      |FROM inter JOIN totals ta ON inter.a = ta.t
+      |JOIN totals tb ON inter.b = tb.t
+      |ORDER BY a, b""".stripMargin)
+
   // -- q293: Sankey step flows (position-indexed transitions) ---------------
   //   The flow diagram behind every onboarding analysis: per user, the
   //   first K=4 events in time order; count transitions by STEP POSITION
@@ -2570,5 +2615,6 @@ object Events {
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
-      q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293)
+      q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
+      q296)
 }

@@ -1305,6 +1305,54 @@ object Pipeline {
          |FROM allr ORDER BY round""".stripMargin)
   }
 
+  // -- q297: shard balance + vocabulary coverage audit ----------------------
+  //   QA for q58's hash sharding: a shard that's size-balanced can still
+  //   be CONTENT-skewed (one shard missing half the vocabulary starves a
+  //   data-parallel trainer of rare tokens). Per shard: docs, chars, the
+  //   shard's distinct-token count and its coverage of the global
+  //   vocabulary. One tokenize pass → per-(shard, token) distinct →
+  //   shard rollup; the global vocab count broadcasts back as one row.
+  val q297 = Query.sql(
+    "q297_shard_balance",
+    (s, dir) => {
+      val shard = (instr(lit("0123456789abcdef"),
+        substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 1)) - 1)
+        .cast("long")
+      val st = docs(s, dir)
+        .select(shard.as("shard"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+      val perShardTok = st.select("shard", "tok").distinct()
+        .localCheckpoint(true)
+      val vocabTotal = perShardTok.select("tok").distinct()
+        .agg(count(lit(1)).as("global_vocab"))
+      val docsPerShard = st.groupBy("shard")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      perShardTok.groupBy("shard").agg(count(lit(1)).as("shard_vocab"))
+        .join(docsPerShard, "shard")
+        .crossJoin(broadcast(vocabTotal))
+        .select(col("shard"), col("n_docs"), col("shard_vocab"),
+          col("global_vocab"),
+          (col("shard_vocab").cast("double") / col("global_vocab").cast("double"))
+            .as("vocab_coverage"))
+        .orderBy("shard")
+    },
+    """WITH st AS (
+      |  SELECT CAST(strpos('0123456789abcdef',
+      |      substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      |      AS BIGINT) AS shard,
+      |    doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |pst AS (SELECT DISTINCT shard, tok FROM st),
+      |vt AS (SELECT COUNT(DISTINCT tok) AS global_vocab FROM pst),
+      |dps AS (
+      |  SELECT shard, COUNT(DISTINCT doc_id) AS n_docs FROM st GROUP BY 1),
+      |sv AS (SELECT shard, COUNT(*) AS shard_vocab FROM pst GROUP BY 1)
+      |SELECT sv.shard, n_docs, shard_vocab, global_vocab,
+      |  CAST(shard_vocab AS DOUBLE) / CAST(global_vocab AS DOUBLE)
+      |    AS vocab_coverage
+      |FROM sv JOIN dps ON sv.shard = dps.shard CROSS JOIN vt
+      |ORDER BY sv.shard""".stripMargin)
+
   // -- q294: feature-hashing collision audit --------------------------------
   //   The sizing study behind q261's hashed features (and any
   //   hashing-trick model): for bucket counts 2^8 / 2^10 / 2^12, how many
@@ -1358,5 +1406,5 @@ object Pipeline {
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274, q277, q294)
+      q176, q196, q198, q261, q269, q274, q277, q294, q297)
 }
