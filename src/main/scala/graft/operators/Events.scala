@@ -2484,6 +2484,54 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q300: cohort activity half-life --------------------------------------
+  //   Per signup-week cohort: the day offset (from each user's own first
+  //   day) by which HALF the cohort's lifetime events have happened — the
+  //   engagement-decay scalar product teams track per cohort. The
+  //   crossing is decided by the integer cross-multiply 2·cum ≥ total
+  //   (never a float at the boundary); the cumulative runs over the
+  //   bounded (cohort × offset) grid, not events.
+  val q300 = Query.sql(
+    "q300_activity_halflife",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = expr("unix_micros(ts) div 86400000000")
+      val base = ev(s, dir).select(col("user_id"), d.as("day"))
+      val first = base.groupBy("user_id").agg(min(col("day")).as("d0"))
+      val off = base.join(first, "user_id")
+        .select(expr("d0 div 7").as("cohort_week"),
+          (col("day") - col("d0")).as("off"))
+        .groupBy("cohort_week", "off").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("cohort_week").orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("cohort_week")
+      off
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("tot", sum(col("c")).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("cohort_week")
+        .agg(min(col("off")).as("halflife_days"), max(col("tot")).as("n_events"))
+        .orderBy("cohort_week")
+    },
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(day) AS d0 FROM base GROUP BY 1),
+      |off AS (
+      |  SELECT d0 // 7 AS cohort_week, day - d0 AS off, COUNT(*) AS c
+      |  FROM base JOIN first USING (user_id)
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_week, off, c,
+      |    SUM(c) OVER (PARTITION BY cohort_week ORDER BY off
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY cohort_week) AS tot
+      |  FROM off)
+      |SELECT cohort_week, MIN(off) AS halflife_days,
+      |  CAST(MAX(tot) AS BIGINT) AS n_events
+      |FROM cum WHERE cum * 2 >= tot
+      |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin)
+
   // -- q296: audience-overlap matrix (pairwise Jaccard of user sets) --------
   //   For every event-type pair: |users(a) ∩ users(b)|, the union size by
   //   inclusion–exclusion (no second pass), and the Jaccard — the
@@ -2616,5 +2664,5 @@ object Events {
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296)
+      q296, q300)
 }

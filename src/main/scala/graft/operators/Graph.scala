@@ -1209,7 +1209,65 @@ object Graph {
       |SELECT a, b, c, supp FROM tri
       |ORDER BY supp DESC, a, b, c LIMIT 25""".stripMargin)
 
+  // -- q298: global transitivity (wedges vs closed triangles) ---------------
+  //   The one-number clustering summary complementing q203's per-node
+  //   coefficients: transitivity = 3·triangles / wedges, with wedges =
+  //   Σ C(deg, 2) from the degree rollup alone (no path enumeration) and
+  //   the triangle count from q123's grouped pair-support build. Both
+  //   numerators exact BIGINTs; one final division.
+  val q298 = Query.sql(
+    "q298_transitivity",
+    (s, dir) => {
+      // co-purchase edges, q123's derivation: parts sharing ≥2 orders
+      val e0 = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
+            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
+            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
+          .as("pr"))
+        .filter(col("pr.p1") < col("pr.p2"))
+        .groupBy(col("pr.p1").as("u"), col("pr.p2").as("v"))
+        .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+        .select("u", "v")
+        .localCheckpoint(true) // degrees + the triangle join both reuse it
+      val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      val wedges = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).as("wedges"))
+      // triangles: for each edge (u,v), count common neighbors w with
+      // u < v < w — each triangle counted exactly once.
+      val tri = e0.as("ab")
+        .join(e0.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e0.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .agg(count(lit(1)).as("triangles"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("triangles"), col("wedges"),
+          expr("CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)")
+            .as("transitivity"))
+    },
+    """WITH e1 AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (
+      |  SELECT a.p AS u, b.p AS v
+      |  FROM e1 a JOIN e1 b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |w AS (
+      |  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM
+      |    (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)),
+      |t AS (
+      |  SELECT COUNT(*) AS triangles
+      |  FROM e0 ab JOIN e0 bc ON ab.v = bc.u
+      |  JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v)
+      |SELECT triangles, wedges,
+      |  CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+      |    AS transitivity
+      |FROM t CROSS JOIN w""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264, q275, q280, q283, q287)
+      q264, q275, q280, q283, q287, q298)
 }

@@ -1305,6 +1305,62 @@ object Pipeline {
          |FROM allr ORDER BY round""".stripMargin)
   }
 
+  // -- q299: size-ranked task assignment (static load balance) --------------
+  //   Assign work units (the q265 file inventory) to K=8 workers by
+  //   descending-size rank round-robin with serpentine reversal (rank
+  //   1..K forward, K+1..2K backward, …) — the deterministic cousin of
+  //   LPT greedy: big items spread first, the zig-zag cancels the
+  //   first-pick advantage. Output: per-worker totals and the global
+  //   imbalance ratio max/mean — the pre-flight report before a static
+  //   partition assignment. Rank is a single-ordered window over the
+  //   INVENTORY (q148's caveat); all math integer until the final ratio.
+  val q299 = Query.sql(
+    "q299_task_balance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val inv = docs(s, dir)
+        .groupBy(expr("doc_id div 100").as("fid"))
+        .agg(sum(col("n_chars")).as("sz"))
+      val w = Window.orderBy(desc("sz"), asc("fid"))
+      val assigned = inv
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("rd", expr(s"(rk - 1) div $k"))
+        .withColumn("pos", expr(s"(rk - 1) % $k"))
+        .withColumn("worker",
+          expr(s"CASE WHEN rd % 2 = 0 THEN pos ELSE $k - 1 - pos END"))
+      val per = assigned.groupBy("worker")
+        .agg(count(lit(1)).as("n_tasks"), sum(col("sz")).as("total_sz"))
+      val tot = per.agg(sum(col("total_sz")).as("all_sz"),
+        max(col("total_sz")).as("max_sz"))
+      per.crossJoin(broadcast(tot))
+        .select(col("worker"), col("n_tasks"), col("total_sz"),
+          expr(s"CAST(max_sz * $k AS DOUBLE) / CAST(all_sz AS DOUBLE)")
+            .as("imbalance"))
+        .orderBy("worker")
+    },
+    """WITH inv AS (
+      |  SELECT doc_id // 100 AS fid, CAST(SUM(n_chars) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT fid, sz,
+      |    row_number() OVER (ORDER BY sz DESC, fid) AS rk
+      |  FROM inv),
+      |a AS (
+      |  SELECT sz,
+      |    CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+      |         ELSE 7 - (rk - 1) % 8 END AS worker
+      |  FROM r),
+      |per AS (
+      |  SELECT worker, COUNT(*) AS n_tasks,
+      |    CAST(SUM(sz) AS BIGINT) AS total_sz
+      |  FROM a GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(total_sz) AS BIGINT) AS all_sz,
+      |               MAX(total_sz) AS max_sz FROM per)
+      |SELECT CAST(worker AS BIGINT) AS worker, n_tasks, total_sz,
+      |  CAST(max_sz * 8 AS DOUBLE) / CAST(all_sz AS DOUBLE) AS imbalance
+      |FROM per CROSS JOIN tot ORDER BY worker""".stripMargin)
+
   // -- q297: shard balance + vocabulary coverage audit ----------------------
   //   QA for q58's hash sharding: a shard that's size-balanced can still
   //   be CONTENT-skewed (one shard missing half the vocabulary starves a
@@ -1406,5 +1462,5 @@ object Pipeline {
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274, q277, q294, q297)
+      q176, q196, q198, q261, q269, q274, q277, q294, q297, q299)
 }
