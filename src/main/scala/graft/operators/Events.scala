@@ -2484,6 +2484,48 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q304: seasonal-naive forecast backtest -------------------------------
+  //   The forecasting floor every model must beat: predict each hour's
+  //   event volume with the SAME HOUR YESTERDAY (lag-24 seasonal naive)
+  //   and report per-type MAE, bias, and coverage — all from one hourly
+  //   rollup self-joined on (type, hour−24), an equi-join (the lag is a
+  //   key shift, not a window). Errors are exact integer |Δ| sums; hours
+  //   missing on either side are excluded identically on both engines.
+  val q304 = Query.sql(
+    "q304_naive_backtest",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("ih"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      hourly.as("now")
+        .join(hourly.as("prev"),
+          col("now.event_type") === col("prev.event_type") &&
+            col("now.ih") === col("prev.ih") + 24)
+        .groupBy(col("now.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("now.c") - col("prev.c"))).as("abs_err"),
+          sum(col("now.c") - col("prev.c")).as("bias"))
+        .select(col("event_type"), col("n_hours"),
+          (col("abs_err").cast("double") / col("n_hours").cast("double"))
+            .as("mae"),
+          (col("bias").cast("double") / col("n_hours").cast("double"))
+            .as("mean_bias"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS ih, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT now.event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(ABS(now.c - prev.c)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mae,
+      |  CAST(SUM(now.c - prev.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_bias
+      |FROM hourly now JOIN hourly prev
+      |  ON now.event_type = prev.event_type AND now.ih = prev.ih + 24
+      |GROUP BY now.event_type ORDER BY now.event_type""".stripMargin)
+
   // -- q300: cohort activity half-life --------------------------------------
   //   Per signup-week cohort: the day offset (from each user's own first
   //   day) by which HALF the cohort's lifetime events have happened — the
@@ -2664,5 +2706,5 @@ object Events {
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300)
+      q296, q300, q304)
 }

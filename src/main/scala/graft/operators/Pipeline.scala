@@ -1305,6 +1305,56 @@ object Pipeline {
          |FROM allr ORDER BY round""".stripMargin)
   }
 
+  // -- q302: sampling-bias audit (sample vs corpus composition) -------------
+  //   Does the q48 hash sample PRESERVE the corpus composition? Per
+  //   (lang, source) cell: corpus share vs sample share and the absolute
+  //   bias; plus each cell's contribution to the total-variation distance
+  //   (half the sum of |bias| — reported per cell so the TV total is one
+  //   more rollup away). The sampler-QA every eval-set build should run.
+  //   One scan computes both memberships (the sample flag is map-side);
+  //   shares are exact-integer ratios divided once.
+  val q302 = Query.sql(
+    "q302_sampling_bias",
+    (s, dir) => {
+      val flagged = docs(s, dir)
+        .select(col("lang"), col("source"),
+          (hashBucket(col("doc_id")) < "40").as("in_sample"))
+        .localCheckpoint(true)
+      val cells = flagged.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
+      val tot = cells.agg(sum(col("n_corpus")).as("nc"),
+        sum(col("n_sample")).as("ns"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_corpus"), col("n_sample"),
+          (col("n_corpus").cast("double") / col("nc").cast("double"))
+            .as("corpus_share"),
+          (col("n_sample").cast("double") / col("ns").cast("double"))
+            .as("sample_share"),
+          abs(col("n_sample").cast("double") / col("ns").cast("double") -
+            col("n_corpus").cast("double") / col("nc").cast("double"))
+            .as("abs_bias"))
+        .orderBy("lang", "source")
+    },
+    """WITH flagged AS (
+      |  SELECT lang, source,
+      |    substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |      AS in_sample
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang, source, COUNT(*) AS n_corpus,
+      |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sample
+      |  FROM flagged GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS nc,
+      |               CAST(SUM(n_sample) AS BIGINT) AS ns FROM cells)
+      |SELECT lang, source, n_corpus, n_sample,
+      |  CAST(n_corpus AS DOUBLE) / CAST(nc AS DOUBLE) AS corpus_share,
+      |  CAST(n_sample AS DOUBLE) / CAST(ns AS DOUBLE) AS sample_share,
+      |  ABS(CAST(n_sample AS DOUBLE) / CAST(ns AS DOUBLE) -
+      |      CAST(n_corpus AS DOUBLE) / CAST(nc AS DOUBLE)) AS abs_bias
+      |FROM cells CROSS JOIN tot ORDER BY lang, source""".stripMargin)
+
   // -- q299: size-ranked task assignment (static load balance) --------------
   //   Assign work units (the q265 file inventory) to K=8 workers by
   //   descending-size rank round-robin with serpentine reversal (rank
@@ -1462,5 +1512,5 @@ object Pipeline {
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274, q277, q294, q297, q299)
+      q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302)
 }

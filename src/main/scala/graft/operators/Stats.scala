@@ -1380,8 +1380,69 @@ object Stats {
       |  CAST(SUM(dspend) OVER () AS DOUBLE) AS cum_share
       |FROM agg ORDER BY decile""".stripMargin)
 
+  // -- q303: Tukey-fence outlier audit (IQR method) -------------------------
+  //   Per event type: exact type-1 quartiles from the distinct-value
+  //   histogram walk (q28's machinery — smallest value with 4·cum ≥ k·n,
+  //   an integer crossing), the 1.5·IQR fences, and how many observations
+  //   fall outside — the box-plot outlier count, robust where q164's
+  //   z-scores are not. Two passes over the HISTOGRAM (quartile walk +
+  //   fence count), one over the data; fences are exact data values
+  //   combined by one fixed IEEE expression.
+  val q303 = Query.sql(
+    "q303_iqr_outliers",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_type", "value").filter(col("value").isNotNull)
+        .localCheckpoint(true)
+      val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("event_type")
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wt))
+      val quarts = cum.groupBy("event_type")
+        .agg(min(when(col("cum") * 4 >= col("n"), col("value"))).as("q1"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("value"))).as("q3"),
+          max(col("n")).as("n"))
+        .select(col("event_type"), col("q1"), col("q3"), col("n"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      ev.join(broadcast(quarts), "event_type")
+        .groupBy(col("event_type"), col("q1"), col("q3"), col("n"))
+        .agg(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("q1"), col("q3"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |hist AS (
+      |  SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, value, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist),
+      |quarts AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum * 4 >= n THEN value END) AS q1,
+      |    MIN(CASE WHEN cum * 4 >= n * 3 THEN value END) AS q3,
+      |    CAST(MAX(n) AS BIGINT) AS n
+      |  FROM cum GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, q1, q3, n,
+      |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+      |  FROM quarts)
+      |SELECT ev.event_type, n, q1, q3,
+      |  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM ev JOIN f ON ev.event_type = f.event_type
+      |GROUP BY ev.event_type, q1, q3, n ORDER BY ev.event_type""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282)
+      q249, q263, q270, q282, q303)
 }
