@@ -166,5 +166,62 @@ object Multimodal {
       |    CAST(CAST(SUM(refs * len) AS BIGINT) AS DOUBLE) AS savings
       |FROM per""".stripMargin)
 
-  val all: Seq[Query] = Seq(q70, q71, q72, q206)
+  // -- q305: block-hash perceptual near-dup grouping ------------------------
+  //   The image-dedup primitive (blockhash / pHash family): split each
+  //   payload into 16 byte blocks, set bit b when the block's byte sum
+  //   beats its proportional share of the total (sum_b·16 ≥ total·1 — an
+  //   integer cross-multiply, no float mean), and group media by the
+  //   16-bit signature. Buckets with ≥ 2 members are near-dup families —
+  //   byte-identical layout-shifted payloads collide, which is exactly
+  //   the robustness a perceptual hash trades for.
+  //
+  //   Scale: the hash is map-side over the payload (payloads never
+  //   shuffle); the bucket rollup carries a 2-byte key. Byte codes are
+  //   materialized ONCE per row and block sums slice that array — O(len)
+  //   per payload; empty blocks (len < 16) sum to 0 on both engines.
+  val q305 = Query.sql(
+    "q305_blockhash_neardup",
+    (s, dir) => {
+      // byte codes ONCE per row (O(len)); block sums slice the array —
+      // the naive per-position substring would be O(len²) per payload.
+      val phash = expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) ->
+          |  acc + CASE WHEN
+          |    aggregate(slice(codes, CAST(b * size(codes) div 16 + 1 AS INT),
+          |      CAST((b + 1) * size(codes) div 16 - b * size(codes) div 16 AS INT)),
+          |      0L, (a2, v) -> a2 + v) * 16 >=
+          |    aggregate(codes, 0L, (a3, v) -> a3 + v)
+          |  THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)""".stripMargin)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("n_chars"),
+          expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))")
+            .as("codes"))
+        .select(col("media_id"), col("n_chars"), phash.as("phash"))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep"),
+          sum(col("n_chars")).cast("long").as("total_bytes"))
+        .filter(col("n_media") >= 2)
+        .orderBy(desc("n_media"), asc("phash"))
+    },
+    """WITH c AS (
+      |  SELECT doc_id AS media_id, n_chars,
+      |    list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes
+      |  FROM documents),
+      |h AS (
+      |  SELECT media_id, n_chars,
+      |    list_aggregate(list_transform(generate_series(0, 15), b ->
+      |      CASE WHEN
+      |        COALESCE(list_aggregate(list_slice(codes,
+      |          b * len(codes) // 16 + 1, (b + 1) * len(codes) // 16),
+      |          'sum'), 0) * 16 >=
+      |        list_aggregate(codes, 'sum')
+      |      THEN CAST(1 AS BIGINT) << b ELSE 0 END), 'sum') AS phash
+      |  FROM c)
+      |SELECT CAST(phash AS BIGINT) AS phash, COUNT(*) AS n_media,
+      |  MIN(media_id) AS rep,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+      |FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY n_media DESC, phash""".stripMargin)
+
+  val all: Seq[Query] = Seq(q70, q71, q72, q206, q305)
 }
