@@ -2484,6 +2484,137 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q306: rolling 7-day active users (trailing-window distinct) ----------
+  //   Daily WAU: for every day, the DISTINCT users active in the trailing
+  //   7 days. Rolling distinct cannot ride a window frame (distinct
+  //   doesn't decompose); the scalable exact form materializes the tiny
+  //   (day, user) presence rollup once and fans each presence row out to
+  //   the ≤ 7 report days it supports (a 7× map-side explode of the
+  //   ROLLUP, never the events), then one (day, user)-keyed distinct
+  //   count. Report days ride the data's own day domain.
+  val q306 = Query.sql(
+    "q306_rolling_wau",
+    (s, dir) => {
+      val du = ev(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // presence rollup: fan-out + day spine
+      val days = du.select(col("d").as("rd")).distinct()
+      du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("rd"))
+        .join(days, "rd") // keep only real report days
+        .groupBy("rd")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("rd").as("day"), col("wau"))
+        .orderBy("day")
+    },
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS rd FROM du),
+      |fan AS (
+      |  SELECT user_id, d + off AS rd
+      |  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)),
+      |kept AS (SELECT fan.user_id, fan.rd FROM fan JOIN days USING (rd))
+      |SELECT rd AS day, COUNT(DISTINCT user_id) AS wau
+      |FROM kept GROUP BY rd ORDER BY day""".stripMargin)
+
+  // -- q307: weekly value-distribution drift series -------------------------
+  //   q224's total-variation drift, run as a TIME SERIES: per event type
+  //   and week, the TV distance between this week's value-decile
+  //   histogram and the previous week's — the monitoring curve a
+  //   data-quality dashboard plots. Value deciles come from GLOBAL exact
+  //   decile boundaries (one histogram walk), so every week is binned
+  //   identically; |Δshare| sums are exact rationals cross-multiplied to
+  //   integers over a common denominator before one final division.
+  val q307 = Query.sql(
+    "q307_weekly_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = ev(s, dir)
+        .select(col("event_type"), col("value"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .filter(col("value").isNotNull)
+        .localCheckpoint(true)
+      // global decile boundaries from the exact value histogram
+      val hist = ev0.groupBy("value").agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+      val n = ev0.count()
+      val bounds = hist.withColumn("cum", sum(col("c")).over(wcum))
+        .select(col("value"), expr(s"CAST(((cum - 1) * 10) div ${n}L AS INT)")
+          .as("dec"))
+        .groupBy("dec").agg(max(col("value")).as("ub"))
+        .orderBy("dec").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))) // ≤ 10 (dec, ub) pairs
+      // fold by ACTUAL decile id (heavy ties can skip deciles — a
+      // positional index would misnumber the bins)
+      val decExpr = bounds.filter(_._1 < 9)
+        .foldRight(lit(9): org.apache.spark.sql.Column) {
+          case ((dk, ub), acc) => when(col("value") <= ub, dk).otherwise(acc)
+        }
+      val cells = ev0.select(col("event_type"), col("wk"), decExpr.as("dec"))
+        .groupBy("event_type", "wk", "dec").agg(count(lit(1)).as("c"))
+      val wkTot = cells.groupBy("event_type", "wk").agg(sum(col("c")).as("n"))
+      // zero-filled 10-decile grid per (type, week) so both comparison
+      // sides are complete — a decile present only one week still counts
+      val grid = wkTot
+        .select(col("event_type"), col("wk"), col("n"),
+          explode(expr("sequence(0, 9)")).as("dec"))
+        .join(cells, Seq("event_type", "wk", "dec"), "left")
+        .select(col("event_type"), col("wk"), col("dec"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c0"))
+      val prev = grid.select(col("event_type"), (col("wk") + 1).as("wk"),
+        col("dec"), col("c0").as("pc"), col("n").as("pn"))
+      grid.join(prev, Seq("event_type", "wk", "dec"))
+        .groupBy("event_type", "wk")
+        .agg(max(col("n")).as("nn"), max(col("pn")).as("np"),
+          sum(abs(col("c0") * col("pn") - col("pc") * col("n"))).as("num"))
+        .select(col("event_type"), col("wk"),
+          (col("num").cast("double") /
+            (lit(2.0) * col("nn").cast("double") * col("np").cast("double")))
+            .as("tv_distance"))
+        .orderBy("event_type", "wk")
+    },
+    s"""WITH ev0 AS (
+       |  SELECT event_type, value, epoch_us(ts) // 604800000000 AS wk
+       |  FROM events WHERE value IS NOT NULL),
+       |hist AS (SELECT value, COUNT(*) AS c FROM ev0 GROUP BY value),
+       |cum AS (
+       |  SELECT value,
+       |    SUM(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist),
+       |n1 AS (SELECT COUNT(*) AS n FROM ev0),
+       |bounds AS (
+       |  SELECT CAST(((cum - 1) * 10) // n AS INT) AS dec, MAX(value) AS ub
+       |  FROM cum CROSS JOIN n1 GROUP BY 1),
+       |binned AS (
+       |  SELECT event_type, wk,
+       |    COALESCE((SELECT MIN(dec) FROM bounds
+       |              WHERE ev0.value <= ub AND dec < 9), 9) AS dec
+       |  FROM ev0),
+       |cells AS (
+       |  SELECT event_type, wk, dec, COUNT(*) AS c
+       |  FROM binned GROUP BY 1, 2, 3),
+       |wktot AS (
+       |  SELECT event_type, wk, CAST(SUM(c) AS BIGINT) AS n
+       |  FROM cells GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT w.event_type, w.wk, d.dec, w.n,
+       |    COALESCE(c.c, 0) AS c0
+       |  FROM wktot w CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS dec) d
+       |  LEFT JOIN cells c ON c.event_type = w.event_type AND c.wk = w.wk
+       |    AND c.dec = d.dec),
+       |paired AS (
+       |  SELECT g.event_type, g.wk, g.dec, g.n, g.c0,
+       |    p.c0 AS pc, p.n AS pn
+       |  FROM grid g JOIN grid p ON g.event_type = p.event_type
+       |    AND g.wk = p.wk + 1 AND g.dec = p.dec)
+       |SELECT event_type, wk,
+       |  CAST(CAST(SUM(ABS(c0 * pn - pc * n)) AS BIGINT) AS DOUBLE) /
+       |    (2.0 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(pn) AS DOUBLE))
+       |    AS tv_distance
+       |FROM paired GROUP BY event_type, wk
+       |ORDER BY event_type, wk""".stripMargin)
+
   // -- q304: seasonal-naive forecast backtest -------------------------------
   //   The forecasting floor every model must beat: predict each hour's
   //   event volume with the SAME HOUR YESTERDAY (lag-24 seasonal naive)
@@ -2706,5 +2837,5 @@ object Events {
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300, q304)
+      q296, q300, q304, q306, q307)
 }
