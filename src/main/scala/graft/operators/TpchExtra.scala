@@ -883,6 +883,109 @@ object TpchExtra {
       |WHERE t.rk <= 3
       |ORDER BY t.r_name, t.n_name, revenue DESC, t.c_custkey""".stripMargin)
 
+  // -- q308: top-k per group with an OTHER residual --------------------------
+  //   The chart-feed shape plain top-k truncation gets wrong: per nation,
+  //   the top-3 customers by revenue PLUS one "OTHER" row carrying
+  //   everything else, so every group still sums to its true total. One
+  //   rank window over the customer rollup; the residual comes from the
+  //   same pass via a conditional re-aggregation — the fact table is
+  //   scanned once.
+  val q308 = Query.sql(
+    "q308_topk_with_other",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+      val w = Window.partitionBy("n_name").orderBy(desc("rev"), asc("c_custkey"))
+      cust.withColumn("rk", row_number().over(w))
+        .withColumn("slot",
+          when(col("rk") <= 3, col("c_custkey").cast("string"))
+            .otherwise("OTHER"))
+        .groupBy(col("n_name"), col("slot"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(when(col("rk") <= 3, col("rk"))).as("rk"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .select(col("n_name"), coalesce(col("rk"), lit(99L)).as("rank_slot"),
+          col("slot"), col("n_customers"), col("revenue"))
+        .orderBy("n_name", "rank_slot")
+    },
+    """WITH cust AS (
+      |  SELECT n_name, c_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY n_name
+      |    ORDER BY rev DESC, c_custkey) AS rk
+      |  FROM cust),
+      |slotted AS (
+      |  SELECT n_name,
+      |    CASE WHEN rk <= 3 THEN CAST(c_custkey AS VARCHAR)
+      |         ELSE 'OTHER' END AS slot,
+      |    rk, rev
+      |  FROM ranked)
+      |SELECT n_name,
+      |  CAST(COALESCE(MIN(CASE WHEN rk <= 3 THEN rk END), 99) AS BIGINT)
+      |    AS rank_slot,
+      |  slot, COUNT(*) AS n_customers,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue
+      |FROM slotted GROUP BY n_name, slot
+      |ORDER BY n_name, rank_slot""".stripMargin)
+
+  // -- q309: revenue bridge (price vs volume decomposition) ------------------
+  //   Month-over-month ΔRevenue split into the VOLUME effect (Δorders ×
+  //   last month's average ticket) and the PRICE/MIX effect (Δaverage ×
+  //   this month's orders) — the finance-bridge identity Δrev =
+  //   Δn·p̄_prev + Δp̄·n_now, exact because both terms are computed from
+  //   the same exact decimal sums in one fixed expression order. The
+  //   month series is a key-shift self-join (q304's trick), one monthly
+  //   rollup scan.
+  val q309 = Query.sql(
+    "q309_revenue_bridge",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + " +
+            "month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)").as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D)).as("rev"))
+        .localCheckpoint(true)
+      monthly.as("now").join(monthly.as("prev"),
+          col("now.m") === col("prev.m") + 1)
+        .select(col("now.m").as("month_idx"),
+          col("now.n").as("n_orders"),
+          col("now.rev").cast("double").as("revenue"),
+          (col("now.rev") - col("prev.rev")).cast("double").as("delta_rev"),
+          expr("""CAST(now.n - prev.n AS DOUBLE) *
+                 |(CAST(prev.rev AS DOUBLE) / CAST(prev.n AS DOUBLE))"""
+            .stripMargin).as("volume_effect"),
+          expr("""(CAST(now.rev AS DOUBLE) / CAST(now.n AS DOUBLE) -
+                 | CAST(prev.rev AS DOUBLE) / CAST(prev.n AS DOUBLE)) *
+                 |CAST(now.n AS DOUBLE)""".stripMargin).as("price_effect"))
+        .orderBy("month_idx")
+    },
+    """WITH monthly AS (
+      |  SELECT (EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12 +
+      |          EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1) AS m,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT now.m AS month_idx, now.n AS n_orders,
+      |  CAST(now.rev AS DOUBLE) AS revenue,
+      |  CAST(now.rev - prev.rev AS DOUBLE) AS delta_rev,
+      |  CAST(now.n - prev.n AS DOUBLE) *
+      |    (CAST(prev.rev AS DOUBLE) / CAST(prev.n AS DOUBLE))
+      |    AS volume_effect,
+      |  (CAST(now.rev AS DOUBLE) / CAST(now.n AS DOUBLE) -
+      |   CAST(prev.rev AS DOUBLE) / CAST(prev.n AS DOUBLE)) *
+      |    CAST(now.n AS DOUBLE) AS price_effect
+      |FROM monthly now JOIN monthly prev ON now.m = prev.m + 1
+      |ORDER BY month_idx""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279, q289)
+    t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279, q289, q308,
+    q309)
 }
