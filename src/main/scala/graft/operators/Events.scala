@@ -2484,6 +2484,35 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q310: cumulative adoption curve (distinct users ever seen) -----------
+  //   Per day: how many distinct users have appeared AT LEAST once by that
+  //   day — the adoption/penetration curve. Cumulative distinct reduces
+  //   exactly to "count of first-days ≤ d": one first-day rollup, one
+  //   per-day count, one ordered cumulative over the ≤31-row day spine —
+  //   never a distinct over a growing window.
+  val q310 = Query.sql(
+    "q310_adoption_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firsts = ev(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy("user_id").agg(min(col("d")).as("d0"))
+        .groupBy("d0").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+      firsts.withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("d0").as("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+    """WITH firsts AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+      |  FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT d0, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+      |SELECT d0 AS day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin)
+
   // -- q306: rolling 7-day active users (trailing-window distinct) ----------
   //   Daily WAU: for every day, the DISTINCT users active in the trailing
   //   7 days. Rolling distinct cannot ride a window frame (distinct
@@ -2837,5 +2866,5 @@ object Events {
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300, q304, q306, q307)
+      q296, q300, q304, q306, q307, q310)
 }

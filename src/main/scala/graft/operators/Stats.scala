@@ -1441,8 +1441,58 @@ object Stats {
       |FROM ev JOIN f ON ev.event_type = f.event_type
       |GROUP BY ev.event_type, q1, q3, n ORDER BY ev.event_type""".stripMargin)
 
+  // -- q311: 2-D equi-width histogram (zero-filled grid) --------------------
+  //   The joint-distribution heat map q165's 1-D bins can't show:
+  //   lineitem (quantity × discount) on a 10×10 equi-width grid, ZERO-
+  //   FILLED so the consumer renders a complete matrix (the q256 bounded-
+  //   spine trick — empty cells are data, not absence). Bin edges are
+  //   integer cross-multiplications from the driver-free min/max rollup
+  //   broadcast back; counts map-side-combine on the 2-byte cell key.
+  val q311 = Query.sql(
+    "q311_hist2d",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_quantity", "l_discount")
+        .localCheckpoint(true)
+      val mm = li.agg(min(col("l_quantity")).as("qlo"), max(col("l_quantity")).as("qhi"),
+        min(col("l_discount")).as("dlo"), max(col("l_discount")).as("dhi"))
+      val binned = li.crossJoin(broadcast(mm))
+        .select(
+          least(expr("CAST(FLOOR((l_quantity - qlo) * 10 / (qhi - qlo)) AS INT)"),
+            lit(9)).as("qb"),
+          least(expr("CAST(FLOOR((l_discount - dlo) * 10 / (dhi - dlo)) AS INT)"),
+            lit(9)).as("db"))
+        .groupBy("qb", "db").agg(count(lit(1)).as("n"))
+      val spine = s.range(1)
+        .select(explode(expr("sequence(0, 9)")).as("qb"))
+        .crossJoin(s.range(1).select(explode(expr("sequence(0, 9)")).as("db")))
+      spine.join(binned, Seq("qb", "db"), "left")
+        .select(col("qb").cast("long").as("qb"), col("db").cast("long").as("db"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("qb", "db")
+    },
+    """WITH mm AS (
+      |  SELECT MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi,
+      |    MIN(l_discount) AS dlo, MAX(l_discount) AS dhi
+      |  FROM lineitem),
+      |binned AS (
+      |  SELECT LEAST(CAST(FLOOR((l_quantity - qlo) * 10 / (qhi - qlo)) AS INT), 9)
+      |      AS qb,
+      |    LEAST(CAST(FLOOR((l_discount - dlo) * 10 / (dhi - dlo)) AS INT), 9)
+      |      AS db,
+      |    COUNT(*) AS n
+      |  FROM lineitem CROSS JOIN mm GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT q.qb, d.db
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS qb) q
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS db) d)
+      |SELECT CAST(spine.qb AS BIGINT) AS qb, CAST(spine.db AS BIGINT) AS db,
+      |  COALESCE(n, 0) AS n
+      |FROM spine LEFT JOIN binned
+      |  ON spine.qb = binned.qb AND spine.db = binned.db
+      |ORDER BY qb, db""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282, q303)
+      q249, q263, q270, q282, q303, q311)
 }
