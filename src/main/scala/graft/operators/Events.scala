@@ -2484,6 +2484,39 @@ object Events {
       |FROM per WHERE obs_events > 0
       |GROUP BY 1 ORDER BY churned""".stripMargin)
 
+  // -- q314: behavioral diversity (per-user Simpson index rollup) -----------
+  //   How specialized is each user's behavior? Per user, the Simpson
+  //   repeat probability Σcᵢ²/N² over their event-type mix (q189's
+  //   log-free entropy proxy, applied to behavior instead of vocabulary),
+  //   bucketed into tenth-of-an-effective-type bands (10/Σp² floored) — a
+  //   segmentation between single-track and omnivorous users. All
+  //   integer until each user's one division; the band edge is an
+  //   integer cross-multiply (N² ≥ k·Σc² ⇔ eff ≥ k).
+  val q314 = Query.sql(
+    "q314_behavior_diversity",
+    (s, dir) => {
+      val per = ev(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      per
+        .select(col("user_id"),
+          // effective-types ×10, floored: largest k with 10·N² ≥ k·Σc²
+          expr("(n * n * 10) div ss").as("eff_band"))
+        .groupBy("eff_band")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("eff_band")
+    },
+    """WITH per AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM per GROUP BY 1)
+      |SELECT (n * n * 10) // ss AS eff_band, COUNT(*) AS n_users
+      |FROM agg GROUP BY 1 ORDER BY eff_band""".stripMargin)
+
   // -- q310: cumulative adoption curve (distinct users ever seen) -----------
   //   Per day: how many distinct users have appeared AT LEAST once by that
   //   day — the adoption/penetration curve. Cumulative distinct reduces
@@ -2866,5 +2899,5 @@ object Events {
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300, q304, q306, q307, q310)
+      q296, q300, q304, q306, q307, q310, q314)
 }

@@ -985,7 +985,107 @@ object TpchExtra {
       |FROM monthly now JOIN monthly prev ON now.m = prev.m + 1
       |ORDER BY month_idx""".stripMargin)
 
+  // -- q312: customer activity spells (gaps and islands on order dates) ----
+  //   Per customer: runs of orders with < 90 days between consecutive
+  //   orders form one SPELL (the dormancy segmentation CRM runs on
+  //   purchase dates, the order-date cousin of q61's event sessions).
+  //   Output: per spell-count bucket, how many customers, their mean
+  //   longest-spell length — the distribution report. One (customer,
+  //   date) partition sort; spell ids from the gap-flag cumulative.
+  val q312 = Query.sql(
+    "q312_customer_spells",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c").orderBy("d")
+      val spells = t(s, dir, "orders")
+        .select(col("o_custkey").as("c"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)")
+            .as("d"))
+        .distinct()
+        .withColumn("gap",
+          when(col("d") - lag(col("d"), 1).over(w) >= 90 ||
+            lag(col("d"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("spell",
+          sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("c", "spell")
+        .agg((max(col("d")) - min(col("d"))).as("span_days"))
+      spells.groupBy("c")
+        .agg(count(lit(1)).as("n_spells"), max(col("span_days")).as("longest"))
+        .groupBy("n_spells")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("longest")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_longest_days"))
+        .orderBy("n_spells")
+    },
+    """WITH od AS (
+      |  SELECT DISTINCT o_custkey AS c,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS d
+      |  FROM orders),
+      |g AS (
+      |  SELECT c, d, CASE WHEN d - lag(d) OVER w >= 90
+      |      OR lag(d) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |  FROM od WINDOW w AS (PARTITION BY c ORDER BY d)),
+      |sp AS (
+      |  SELECT c, SUM(gap) OVER (PARTITION BY c ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS spell, d
+      |  FROM g),
+      |spans AS (
+      |  SELECT c, spell, MAX(d) - MIN(d) AS span_days
+      |  FROM sp GROUP BY 1, 2),
+      |per AS (
+      |  SELECT c, COUNT(*) AS n_spells, MAX(span_days) AS longest
+      |  FROM spans GROUP BY 1)
+      |SELECT CAST(n_spells AS BIGINT) AS n_spells, COUNT(*) AS n_customers,
+      |  CAST(SUM(longest) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_longest_days
+      |FROM per GROUP BY 1 ORDER BY n_spells""".stripMargin)
+
+  // -- q313: interaction-matrix sparsity profile ----------------------------
+  //   The recommender pre-flight (the matrix q283 factors implicitly):
+  //   customer×part interaction counts, density, and the degree
+  //   distribution's concentration — plus how many rows/columns clear the
+  //   ≥ 5-interaction bar collaborative filtering needs. Two
+  //   map-side-combined rollups off one distinct pass; the output is one
+  //   row.
+  val q313 = Query.sql(
+    "q313_interaction_profile",
+    (s, dir) => {
+      val b = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      val rc = b.groupBy("c").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("k") >= 5, 1L).otherwise(0L)).as("users_ge5"))
+      val cc = b.groupBy("p").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("k") >= 5, 1L).otherwise(0L)).as("items_ge5"))
+      val n = b.agg(count(lit(1)).as("n_interactions"))
+      n.crossJoin(broadcast(rc)).crossJoin(broadcast(cc))
+        .select(col("n_interactions"), col("n_users"), col("n_items"),
+          col("users_ge5"), col("items_ge5"),
+          (col("n_interactions").cast("double") /
+            (col("n_users") * col("n_items")).cast("double")).as("density"))
+    },
+    """WITH b AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |rc AS (
+      |  SELECT COUNT(*) AS n_users,
+      |    CAST(SUM(CASE WHEN k >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS users_ge5
+      |  FROM (SELECT c, COUNT(*) AS k FROM b GROUP BY c)),
+      |cc AS (
+      |  SELECT COUNT(*) AS n_items,
+      |    CAST(SUM(CASE WHEN k >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS items_ge5
+      |  FROM (SELECT p, COUNT(*) AS k FROM b GROUP BY p)),
+      |n AS (SELECT COUNT(*) AS n_interactions FROM b)
+      |SELECT n_interactions, n_users, n_items, users_ge5, items_ge5,
+      |  CAST(n_interactions AS DOUBLE) /
+      |    CAST(n_users * n_items AS DOUBLE) AS density
+      |FROM n CROSS JOIN rc CROSS JOIN cc""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279, q289, q308,
-    q309)
+    q309, q312, q313)
 }
