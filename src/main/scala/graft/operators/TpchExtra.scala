@@ -1085,7 +1085,54 @@ object TpchExtra {
       |    CAST(n_users * n_items AS DOUBLE) AS density
       |FROM n CROSS JOIN rc CROSS JOIN cc""".stripMargin)
 
+  // -- q315: order→ship lead-time percentiles per priority ------------------
+  //   The fulfillment SLA report: days from order to line shipment, exact
+  //   P50/P90/max per order priority from the bounded day-lag histogram
+  //   (the q249 crossing — MIN day with cum·100 ≥ n·k, integer
+  //   cross-multiplied). One join keyed on the order key, one histogram
+  //   shuffle carrying (priority, lag-day) only.
+  val q315 = Query.sql(
+    "q315_lead_time",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lag0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), " +
+            "CAST(o_orderdate AS DATE)) AS BIGINT)").as("lagd"))
+        .groupBy("prio", "lagd").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("prio").orderBy("lagd")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("prio")
+      lag0.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wt))
+        .groupBy("prio")
+        .agg(max(col("n")).as("n_lines"),
+          min(when(col("cum") * 2 >= col("n"), col("lagd"))).as("p50_days"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lagd"))).as("p90_days"),
+          max(col("lagd")).as("max_days"))
+        .orderBy("prio")
+    },
+    """WITH lagd AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+      |      AS lagd
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |hist AS (
+      |  SELECT prio, lagd, COUNT(*) AS c FROM lagd GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT prio, lagd, c,
+      |    SUM(c) OVER (PARTITION BY prio ORDER BY lagd
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY prio) AS n
+      |  FROM hist)
+      |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_lines,
+      |  MIN(CASE WHEN cum * 2 >= n THEN lagd END) AS p50_days,
+      |  MIN(CASE WHEN cum * 10 >= n * 9 THEN lagd END) AS p90_days,
+      |  MAX(lagd) AS max_days
+      |FROM cum GROUP BY prio ORDER BY prio""".stripMargin)
+
   val all: Seq[Query] = Seq(t02, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, q255, q271, q279, q289, q308,
-    q309, q312, q313)
+    q309, q312, q313, q315)
 }
