@@ -953,25 +953,27 @@ object Graph {
   //   than hub parts — exactly the signal a "recommend a supplier"
   //   pipeline wants.
   //
-  //   Plan: ONE shuffle — the q123/q150 grouped pair build: suppliers
-  //   collect per part (sorted), index pairs explode map-side, and the
-  //   part degree is size(list) for free, so each pair's floor-scaled
-  //   term needs no degree join at all. Per-part quadratic, bounded by
-  //   suppliers-per-part (hub cap is the production guard). Top-20 via
-  //   TakeOrdered on the integer score.
+  //   Plan: ONE shuffle — the pk-partitioned exchange feeds the degree
+  //   window, the hub-cap row_number AND the pair self-join (ReuseExchange
+  //   materializes it once). Per-part quadratic is HARD-CAPPED at the
+  //   first 64 suppliers per part (ordered by key, deterministic in both
+  //   engines — the q283 whale guard, actually applied here): a hot part
+  //   with k ≫ 64 suppliers contributes 64²/2 pairs, not k²/2. The RA
+  //   term still uses the UNCAPPED degree (the index semantics), only the
+  //   pair build is bounded. TPC-H's ~4 suppliers/part sits far under the
+  //   cap, so tested outputs are exactly the uncapped result.
   val q264 = Query.sql(
     "q264_link_prediction",
     (s, dir) => {
-      // Both self-join inputs are the SAME windowed subtree, so Spark's
-      // ReuseExchange materializes the pk-partitioned exchange once: the
-      // degree window and the pair join ride one shuffle.
+      val byPk = org.apache.spark.sql.expressions.Window.partitionBy("pk")
       val ew2 = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-        .withColumn("deg", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("pk")))
+        .withColumn("deg", count(lit(1)).over(byPk))
+        .withColumn("rn", row_number().over(byPk.orderBy("sk")))
         .withColumn("term", expr(
           "CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT)"))
+        .filter(col("rn") <= 64)
       ew2.as("a").join(ew2.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
@@ -986,12 +988,14 @@ object Graph {
       |deg AS (SELECT pk, COUNT(*) AS deg FROM e GROUP BY pk),
       |ed AS (
       |  SELECT e.pk, e.sk,
-      |    CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT) AS term
+      |    CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT) AS term,
+      |    ROW_NUMBER() OVER (PARTITION BY e.pk ORDER BY e.sk) AS rn
       |  FROM e JOIN deg ON e.pk = deg.pk),
+      |capped AS (SELECT * FROM ed WHERE rn <= 64),
       |pairs AS (
       |  SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS shared,
       |    CAST(SUM(a.term) AS BIGINT) AS ra_scaled
-      |  FROM ed a JOIN e b ON a.pk = b.pk AND a.sk < b.sk
+      |  FROM capped a JOIN capped b ON a.pk = b.pk AND a.sk < b.sk
       |  GROUP BY 1, 2)
       |SELECT sa, sb, shared,
       |  CAST(ra_scaled AS DOUBLE) / 1e15 AS ra_index

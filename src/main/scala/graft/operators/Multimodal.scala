@@ -179,6 +179,10 @@ object Multimodal {
   //   shuffle); the bucket rollup carries a 2-byte key. Byte codes are
   //   materialized ONCE per row and block sums slice that array — O(len)
   //   per payload; empty blocks (len < 16) sum to 0 on both engines.
+  //   Zero-length payloads are excluded up front: Spark's split('','')
+  //   yields [""] (codes=[0]) while DuckDB's yields [], so the engines
+  //   would disagree on degenerate rows — filtering n_chars > 0 in BOTH
+  //   engines makes the contract explicit (a 0-byte medium has no hash).
   val q305 = Query.sql(
     "q305_blockhash_neardup",
     (s, dir) => {
@@ -193,6 +197,7 @@ object Multimodal {
           |    aggregate(codes, 0L, (a3, v) -> a3 + v)
           |  THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)""".stripMargin)
       Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0 && length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), col("n_chars"),
           expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))")
             .as("codes"))
@@ -206,7 +211,7 @@ object Multimodal {
     """WITH c AS (
       |  SELECT doc_id AS media_id, n_chars,
       |    list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes
-      |  FROM documents),
+      |  FROM documents WHERE n_chars > 0 AND LENGTH(text) > 0),
       |h AS (
       |  SELECT media_id, n_chars,
       |    list_aggregate(list_transform(generate_series(0, 15), b ->

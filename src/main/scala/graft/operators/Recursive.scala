@@ -42,7 +42,10 @@ object Recursive {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, radius: Int,
       materialize: Boolean = true): DataFrame = {
-    if (!materialize)
+    // The inline variant's plan grows ~2^radius — beyond radius 10 the
+    // documented guidance becomes an enforced fallback to this
+    // materialized variant rather than an exponential plan blowup.
+    if (!materialize && radius <= 10)
       return bfsDistancesInline(edges, srcCol, dstCol, seeds, seedCol, radius)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
@@ -218,8 +221,18 @@ object Recursive {
       val p1 = part.filter(col("p_partkey") >= 10)
         .select(col("p_partkey").as("child"),
           (col("p_partkey").cast("long") / 10).cast("long").as("parent"))
-      // 3 doublings = depth 8 ≫ log10(|part|) at any test SF.
-      val closure = ancestorClosure(p1, "child", "parent", rounds = 3)
+      // Doubling count DERIVED from the data, not hardcoded: depth of key
+      // k under parent=k div 10 is floor(log10 k), so 2^rounds must cover
+      // floor(log10(max key)). One scalar agg (driver-side, O(1) rows)
+      // buys scale-proofing — at p_partkey ≥ 1e9 this becomes 4 rounds
+      // instead of silently truncating ancestors beyond 8 hops.
+      val maxKey = part.agg(max(col("p_partkey")).cast("long")).head.getLong(0)
+      val maxDepth = math.floor(math.log10(math.max(maxKey, 1).toDouble)).toInt
+      val rounds = math.max(1,
+        math.ceil(math.log(math.max(maxDepth, 1).toDouble) / math.log(2.0)).toInt)
+      require((1L << rounds) >= maxDepth,
+        s"pointer-doubling rounds=$rounds cannot cover depth $maxDepth")
+      val closure = ancestorClosure(p1, "child", "parent", rounds)
       val self = part.select(col("p_partkey").as("node"),
         col("p_partkey").as("anc"), lit(0L).as("dist"))
       val full = closure.union(self)

@@ -84,8 +84,11 @@ object TpchExtra {
     "t14_promo_share",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
+      // part grows with SF — no forced broadcast hint (the q05 rule):
+      // AQE/size stats broadcast it at every scale where that still fits,
+      // and fall back to a shuffle join instead of OOMing at 100×.
       val p = t(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .agg(
           dsum(when(col("p_type") === "PROMO", expr(discPrice)).otherwise(0.0))
             .as("promo_revenue"),
@@ -107,8 +110,10 @@ object TpchExtra {
     "t16_part_suppliers",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
+      // p_size >= 20 keeps the large majority of part, which grows with
+      // SF — no forced hint; AQE decides from post-filter size stats.
       val p = t(s, dir, "part").filter(col("p_size") >= 20)
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
@@ -126,8 +131,9 @@ object TpchExtra {
     "t19_discount_bands",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
+      // full part table, SF-growing — no forced hint (q05 rule).
       val p = t(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
             col("p_size").between(1, 5)) ||
@@ -320,9 +326,11 @@ object TpchExtra {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      // the p_size=25 slice is a small FRACTION of part but still linear
+      // in SF — no forced hint; AQE broadcasts while it fits.
       val pp = t(s, dir, "part").filter(col("p_size") === 25).select("p_partkey")
       val cost = t(s, dir, "lineitem")
-        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .join(pp, col("l_partkey") === col("p_partkey"))
         // region-filtered suppliers stay a constant fraction of supplier:
         // no forced hint, AQE broadcasts while that remains correct.
         .join(eu.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
@@ -421,13 +429,14 @@ object TpchExtra {
     (s, dir) => {
       val profit = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) " +
         "- CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity"
+      // name-contains slice of part: linear in SF — no forced hint.
       val p = t(s, dir, "part").filter(col("p_name").contains("red"))
         .select("p_partkey", "p_retailprice")
       val su = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
       t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
@@ -569,11 +578,13 @@ object TpchExtra {
   val t17 = Query.sql(
     "t17_small_qty_revenue",
     (s, dir) => {
+      // brand+size slice of part: small fraction, still linear in SF —
+      // no forced hint (q05 rule), AQE broadcasts while it fits.
       val pp = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#5" && col("p_size") < 15)
         .select("p_partkey")
       val base = t(s, dir, "lineitem")
-        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .join(pp, col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
         // the brand+size part filter keeps ~0.1% of lineitem; the slice is
         // read twice (avgs + gate), so materialize it rather than scan the
@@ -582,7 +593,8 @@ object TpchExtra {
       val avgs = base.groupBy(col("l_partkey").as("a_part"))
         .agg((sum(col("l_quantity").cast(D)).cast("double") /
           count(lit(1))).as("avg_qty"))
-      base.join(broadcast(avgs), col("l_partkey") === col("a_part"))
+      // avgs is keyed per part of the slice — same linear-in-SF family.
+      base.join(avgs, col("l_partkey") === col("a_part"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     },
@@ -609,10 +621,11 @@ object TpchExtra {
   val t20 = Query.sql(
     "t20_promo_suppliers",
     (s, dir) => {
+      // name-prefix slice of part: linear in SF — no forced hint.
       val pp = t(s, dir, "part").filter(col("p_name").startsWith("small"))
         .select("p_partkey")
       val sp = t(s, dir, "lineitem")
-        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .join(pp, col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(
           sum(when(year(col("l_shipdate")) === 2000, col("l_quantity"))

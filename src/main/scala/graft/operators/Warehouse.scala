@@ -1062,7 +1062,12 @@ object Warehouse {
   val q290 = Query.sql(
     "q290_feature_pruning",
     (s, dir) => {
-      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      // DECIMAL(28,4), not (18,6): v² for l_extendedprice is ~1.1e10, so a
+      // distinct-value count above ~90 would overflow 12 integer digits —
+      // NULL under Spark's non-ANSI overflow, an error under DuckDB. 24
+      // integer digits cover 100 TB counts; prices/rates have ≤ 2 decimal
+      // places so 4 fractional digits keep v·c and v²·c exact.
+      val D = org.apache.spark.sql.types.DecimalType(28, 4)
       val hist = t(s, dir, "lineitem")
         .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax"))
@@ -1096,8 +1101,8 @@ object Warehouse {
       |agg AS (
       |  SELECT feature, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd,
       |    MAX(c) AS maxc,
-      |    CAST(SUM(CAST(v * c AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(v * v * c AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      |    CAST(SUM(CAST(v * c AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(v * v * c AS DECIMAL(28,4))) AS DOUBLE) AS sxx
       |  FROM hist GROUP BY 1)
       |SELECT feature, n, nd AS n_distinct,
       |  CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) AS top_share,

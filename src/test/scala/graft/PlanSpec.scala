@@ -284,6 +284,45 @@ class PlanSpec extends SparkSpec {
       s"unpivot did not compile to Expand:\n$p")
   }
 
+  test("t14/t16/t19 part joins broadcast from size stats, not a forced hint (sf0.1)") {
+    // part grows with SF, so the forced broadcast(p) hints were removed —
+    // a forced hint on an SF-growing table OOMs at cluster scale instead
+    // of degrading. At sf0.1 part is far under the broadcast threshold, so
+    // the optimizer must STILL choose broadcast on its own; and the
+    // analyzed plan must carry zero ResolvedHint nodes (these three
+    // queries join only lineitem⋈part — no dim hints to allow for).
+    val sf01 = "/root/testdata/sf0.1"
+    for ((name, q) <- Seq("t14" -> TpchExtra.t14, "t16" -> TpchExtra.t16,
+                          "t19" -> TpchExtra.t19)) {
+      val df = q.run(spark, sf01)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"$name: forced broadcast hint crept back in")
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: optimizer did not broadcast part from size stats:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: part join fell back to a shuffle join at sf0.1:\n$p")
+    }
+  }
+
+  test("t02/t09/t17/t20 carry hints only on fixed-size dims (nation/region)") {
+    // The filtered part slices (p_size=25, name-contains, brand+size,
+    // name-prefix) are small FRACTIONS but still linear in SF — their
+    // forced hints were dropped. Only the bounded dims (nation: 25 rows,
+    // region: 5) may keep explicit hints. Pin the exact hint count so a
+    // refactor that re-hints a part slice fails here.
+    val expected = Seq(
+      ("t02", TpchExtra.t02, 2), // nation + region
+      ("t09", TpchExtra.t09, 1), // nation
+      ("t17", TpchExtra.t17, 0),
+      ("t20", TpchExtra.t20, 2)) // nation + region
+    for ((name, q, n) <- expected) {
+      val hints = "ResolvedHint".r
+        .findAllIn(q.run(spark, sf001).queryExecution.analyzed.toString).size
+      assert(hints == n, s"$name: expected $n dim hints, found $hints")
+    }
+  }
+
   test("q286 cardinality audit never materializes the actual join") {
     // actual = sum over the two histograms joined on the key — the plan
     // must contain aggregations over per-key counts, not a fact-to-fact
