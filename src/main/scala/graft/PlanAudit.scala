@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Plan hygiene audit: `runMain graft.PlanAudit <name>[,<name>…] [sfDir]`
   * prints, per query, the shuffle-exchange count, broadcast count, number
@@ -8,8 +10,73 @@ import org.apache.spark.sql.SparkSession
   * the quick check that a new operator's plan is the one you'd want at
   * 100 TB (pruned scans, broadcast dims, no accidental subtree
   * re-computation fanning into repeated corpus scans).
+  *
+  * Beyond the printed report, [[audit]] returns the two plan anti-patterns
+  * that BREAK (not degrade) at 100×, as machine-checkable findings that a
+  * spec runs over every registered query (PlanAuditSpec):
+  *
+  *  - a forced broadcast hint whose input scans an SF-growing table with no
+  *    aggregation/limit bounding it — works at test SF, OOMs the cluster at
+  *    real SF (the q05/t14 bug class from rounds 3–4, now CI);
+  *  - a join with no condition (cartesian) whose BOTH sides are unbounded
+  *    SF-growing scans — quadratic in SF.
+  *
+  * Per-key quadratic blowup (self-join fanout on skewed keys) is not
+  * statically decidable from the plan shape — that class is pinned by the
+  * hub-cap specs instead (q264/q283, GraphSpec).
   */
 object PlanAudit {
+
+  /** Tables whose row count grows with the scale factor. Broadcasting one of
+    * these because a hint said so is the canonical does-not-survive-100×
+    * mistake; `region`/`nation` are fixed-size dims and exempt.
+    */
+  val growingTables: Set[String] = Set(
+    "lineitem", "orders", "customer", "part", "supplier", "partsupp",
+    "events", "documents", "embeddings")
+
+  private def tableOf(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.flatMap(p =>
+          "/(\\w+)\\.parquet".r.findFirstMatchIn(p.toString).map(_.group(1))).headOption
+      case _ => None
+    }
+
+  /** An unbounded growing scan: subtree reaches a growing table and nothing
+    * in the subtree (Aggregate / limit) bounds its size to o(SF). Conservative
+    * in the safe direction for CI: an Aggregate anywhere in the subtree counts
+    * as bounded, so findings are high-precision (every flag is real).
+    */
+  private def unboundedGrowing(p: LogicalPlan): Option[String] = {
+    val bounded = p.exists {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _ => false
+    }
+    if (bounded) None
+    else p.collectFirst {
+      case l: LogicalRelation if tableOf(l).exists(growingTables) => tableOf(l).get
+    }
+  }
+
+  /** Findings for one query's analyzed plan; empty = clean. */
+  def audit(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.analyzed
+    val forced = plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        unboundedGrowing(h.child).map(t => s"forced broadcast of unbounded '$t'")
+    }.flatten
+    val cartesian = plan.collect {
+      case j: Join if j.condition.isEmpty =>
+        (unboundedGrowing(j.left), unboundedGrowing(j.right)) match {
+          case (Some(l), Some(r)) => Some(s"unconditioned cartesian of unbounded '$l' x '$r'")
+          case _ => None
+        }
+    }.flatten
+    forced ++ cartesian
+  }
+
   def main(args: Array[String]): Unit = {
     val names =
       if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
@@ -35,9 +102,11 @@ object PlanAudit {
           .flatMap(l => "/(\\w+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)))
           .groupBy(identity).view.mapValues(_.size).toMap
         val rescanned = byTable.filter(_._2 > 1)
+        val findings = audit(df)
         println(s"PLANAUDIT $n shuffles=$shuffles broadcasts=$broadcasts " +
           s"reused=$reused scans=${byTable.toSeq.sortBy(_._1).map { case (t, c) => s"$t:$c" }.mkString(",")}" +
-          (if (rescanned.nonEmpty) s" MULTI_SCAN=${rescanned.keys.mkString(",")}" else ""))
+          (if (rescanned.nonEmpty) s" MULTI_SCAN=${rescanned.keys.mkString(",")}" else "") +
+          (if (findings.nonEmpty) s" FLAGS=${findings.mkString("; ")}" else ""))
       } catch {
         case e: Throwable => println(s"PLANAUDIT $n ERROR ${e.getMessage}")
       }

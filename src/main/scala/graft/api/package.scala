@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Checkpoints._
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -773,7 +774,7 @@ package object api {
     def tvDistance(groupCol: String, tokenCol: String): DataFrame = {
       val tc = df.groupBy(col(groupCol).as("__g"), col(tokenCol).as("__tok"))
         .agg(count(lit(1)).as("__c"))
-        .localCheckpoint(true)
+        .barrier()
       val totals = tc.groupBy("__g").agg(sum("__c").as("__n"))
       val ta = tc.join(broadcast(totals), "__g")
       val inter = ta.as("a").join(ta.as("b"),

@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage barrier used by every iterative / multi-read operator.
+  *
+  * Default (tests, single node): eager `localCheckpoint` — blocks cached on
+  * executors, lineage truncated, no durable I/O. Cluster mode: set
+  * `graft.checkpoint.dir` to an HDFS/S3 path and every barrier becomes a
+  * DURABLE `checkpoint()` instead, so iterative operators (PageRank,
+  * connected components, BFS/k-core peeling, BPE round state) survive
+  * executor loss at 100 TB — localCheckpoint blocks die with their executor
+  * and force a recompute from round 0, which truncated lineage can no longer
+  * replay. One conf flips all barrier sites; no code edits.
+  */
+object Checkpoints {
+
+  /** Conf key: when set (non-empty), barriers checkpoint durably there. */
+  val DirKey = "graft.checkpoint.dir"
+
+  implicit final class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrier(): DataFrame = {
+      val spark = df.sparkSession
+      spark.conf.getOption(Checkpoints.DirKey).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(dir)
+          df.checkpoint() // eager + reliable (written to the checkpoint dir)
+        case None => df.localCheckpoint(true)
+      }
+    }
+  }
+}

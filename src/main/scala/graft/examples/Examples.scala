@@ -1,5 +1,6 @@
 package graft.examples
 
+import graft.core.Checkpoints._
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -287,5 +288,264 @@ class MaintainDimension(baseUrl: String, changesUrl: String,
       Checks.noViolations(audit,
         col("change_type") === "removed",
         "an upsert never removes rows")
+  }
+}
+
+// ============================================================================
+// FLAGSHIP: the end-to-end LLM training-data curation DAG.
+//
+// The reference's raison d'être is the multi-model pipeline
+// (`model_collection.py`: declared datasets wiring models into a DAG, run in
+// dependency order with lifecycle checks). This graph exercises that at
+// integration level over the operators the library ships individually:
+//
+//   raw documents
+//     └─ NearDedupDocs      exact dedup (q40) + MinHash-LSH near dedup
+//                           (q43) + connected-component representatives (q46)
+//     └─ QualityGateDocs    Gopher-style repetition/length gates (q87, q34)
+//     └─ DecontaminateDocs  eval n-gram probe anti-join (q47)
+//     └─ DomainMixDocs      per-language cap, deterministic hash ranking (q113)
+//     └─ ShardCorpus        hash shards + per-shard manifest (q57) + lock
+//
+// Scale shape (the 100 TB story, per stage): near dedup shuffles 16-byte
+// digests and 8-byte minhash band keys, never text; candidate verification
+// touches only LSH-bucket collisions; CC is pointer-jumping with checkpointed
+// lineage (durable under graft.checkpoint.dir); quality gates are map-side
+// except one (doc_id, bigram) combine; decontamination broadcasts a bounded
+// probe set (Bounded.probe states the budget in the plan); the domain mix is
+// one rank window per language partition; the shard write is a
+// hash-partitioned fan-out. No stage collects documents on the driver.
+// ============================================================================
+
+/** Stage 1: exact + near dedup, keeping one representative per duplicate
+  * cluster. Near-dup = word-3-gram Jaccard >= minJaccard, found via
+  * MinHash-LSH banding (bands x rowsPerBand signature), verified exactly on
+  * the candidate pairs so LSH false positives cannot merge clusters.
+  */
+class NearDedupDocs(inUrl: String, outUrl: String,
+    bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.8)
+  extends Model {
+  override def name = "NearDedupDocs"
+  val connects = Map(
+    "raw" -> Connect(inUrl, AccessMode.Read),
+    "unique_docs" -> Connect(outUrl, AccessMode.Write))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("raw"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val raw = io.read("raw")
+    val nIn = raw.count()
+    stat(s, "docs_in").add(nIn)
+    val norm = raw.withColumn("norm_text",
+      regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    val exact = norm.dedupExactBy("norm_text", "doc_id")
+    // Shingle + 16-permutation minhash, all codegen'd expressions; the
+    // token array materializes once per doc (inlining the split into each
+    // lambda re-tokenizes per shingle — measured 2x slower on q42).
+    val sigs = bands * rowsPerBand
+    val withSh = exact
+      .withColumn("__toks", split(col("norm_text"), " "))
+      // 28-bit shingle hashes (xxhash64 masked): with a_j < 2^25 the
+      // affine mixes below stay under 2^53 — no int64 overflow under ANSI.
+      .withColumn("__sh", expr(
+        """IF(size(__toks) < 3, array(xxhash64(norm_text) & 268435455),
+          |  array_distinct(transform(sequence(1, size(__toks) - 2),
+          |    i -> xxhash64(concat_ws(' ', element_at(__toks, i),
+          |      element_at(__toks, i + 1), element_at(__toks, i + 2)))
+          |      & 268435455)))""".stripMargin))
+    val withBands = withSh.withColumn("__sig", expr(
+        s"""transform(sequence(0, ${sigs - 1}, 1),
+           |  j -> aggregate(__sh, CAST(1000000007 AS BIGINT),
+           |    (acc, h) -> least(acc, ((1000003 * j + 12345) * h
+           |                            + 7919 * j + 271) % 1000000007)))"""
+          .stripMargin))
+      .withColumn("__band", explode(expr(
+        s"""transform(sequence(0, ${bands - 1}, 1),
+           |  b -> named_struct('b', b, 'k', xxhash64(concat_ws(',',
+           |    b, slice(__sig, b * $rowsPerBand + 1, $rowsPerBand)))))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("__band.b").as("b"), col("__band.k").as("k"),
+        col("__sh"))
+      .barrier() // both sides of the candidate self-join
+    // LSH candidates -> exact Jaccard verification -> duplicate edges.
+    val cand = withBands.select(col("b"), col("k"), col("doc_id").as("a"),
+        col("__sh").as("sa"))
+      .join(withBands.select(col("b"), col("k"), col("doc_id").as("bid"),
+        col("__sh").as("sb")), Seq("b", "k"))
+      .filter(col("a") < col("bid"))
+      .select(col("a"), col("bid").as("b2"), col("sa"), col("sb"))
+      .dropDuplicates("a", "b2")
+    val edges = cand
+      .withColumn("__i", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("__j",
+        col("__i") / (size(col("sa")) + size(col("sb")) - col("__i")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("a"), col("b2").as("b"))
+    val cc = graft.operators.ConnectedComponents.run(
+      exact.select(col("doc_id").as("id")), edges)
+    val kept = exact.join(cc, exact("doc_id") === cc("id"))
+      .filter(col("doc_id") === col("component"))
+      .drop("id", "component")
+    val nKept = kept.count()
+    stat(s, "docs_kept").add(nKept)
+    stat(s, "dups_removed").add(nIn - nKept)
+    io.write("unique_docs", kept)
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.unique(io.readBack("unique_docs"), Seq("norm_text")) &&
+      Checks.noNulls(io.readBack("unique_docs"), Seq("doc_id"))
+}
+
+/** Stage 2: Gopher-style quality gates — token-count window, duplicate-token
+  * and top-bigram repetition caps. All signals are exact integers/ratios
+  * from one (doc_id, bigram) combine plus map-side arithmetic.
+  */
+class QualityGateDocs(inUrl: String, outUrl: String,
+    minTokens: Int = 15, maxTokens: Int = 100000,
+    maxDupTokenFrac: Double = 0.75, maxTopBigramFrac: Double = 0.25)
+  extends Model {
+  override def name = "QualityGateDocs"
+  val connects = Map(
+    "docs" -> Connect(inUrl, AccessMode.Read),
+    "quality_docs" -> Connect(outUrl, AccessMode.Write))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val in = io.read("docs")
+    val nIn = in.count()
+    val kept = in.repetitionSignals("doc_id", "norm_text")
+      .withColumn("__nt", size(split(col("norm_text"), " ")))
+      .filter(col("__nt").between(minTokens, maxTokens) &&
+        col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+      .drop("__nt", "dup_token_frac", "top_bigram_frac")
+    val nKept = kept.count()
+    stat(s, "docs_kept").add(nKept)
+    stat(s, "docs_rejected").add(nIn - nKept)
+    io.write("quality_docs", kept)
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.readBack("quality_docs"))
+}
+
+/** Stage 3: benchmark decontamination — drop any document sharing
+  * >= minHits distinct word 3-grams with the held-out eval set. The probe
+  * gram set rides a bounded broadcast (eval benchmarks do not grow with
+  * corpus SF; `Bounded.probe` states the budget in the plan), so the
+  * corpus side is a map-side join + per-doc count.
+  */
+class DecontaminateDocs(inUrl: String, evalUrl: String, outUrl: String,
+    minHits: Int = 2) extends Model {
+  override def name = "DecontaminateDocs"
+  val connects = Map(
+    "docs" -> Connect(inUrl, AccessMode.Read),
+    "eval_set" -> Connect(evalUrl, AccessMode.Read),
+    "clean_docs" -> Connect(outUrl, AccessMode.Write))
+
+  private def grams(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", split(
+        regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+          " +", " "), " "))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(__toks) < 3, array(), array_distinct(
+          |  transform(sequence(1, size(__toks) - 2),
+          |    i -> concat_ws(' ', element_at(__toks, i),
+          |      element_at(__toks, i + 1), element_at(__toks, i + 2)))))"""
+          .stripMargin)).as("gram"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    val in = io.read("docs")
+    val nIn = in.count()
+    val probe = grams(io.read("eval_set"), "text")
+      .select("gram").distinct()
+    val contaminated = grams(in, "norm_text")
+      .join(graft.operators.Bounded.probe(probe, 1 << 20), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("__hits"))
+      .filter(col("__hits") >= minHits)
+      .select("doc_id")
+    val kept = in.join(contaminated, Seq("doc_id"), "left_anti")
+    val nKept = kept.count()
+    stat(s, "docs_kept").add(nKept)
+    stat(s, "docs_decontaminated").add(nIn - nKept)
+    io.write("clean_docs", kept)
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.noNulls(io.readBack("clean_docs"), Seq("doc_id"))
+}
+
+/** Stage 4: domain mix — cap each language's share with a deterministic
+  * hash ranking (the same doc wins at any parallelism), so the corpus mix
+  * matches the training recipe instead of the crawl's accidents. One rank
+  * window per language; at whale-language scale the window is two-phase
+  * (per-partition top-cap, then merge) via Spark's TakeOrdered-style
+  * partial aggregation on the filter, never a global sort.
+  */
+class DomainMixDocs(inUrl: String, outUrl: String, capPerLang: Int)
+  extends Model {
+  override def name = "DomainMixDocs"
+  val connects = Map(
+    "docs" -> Connect(inUrl, AccessMode.Read),
+    "mixed_docs" -> Connect(outUrl, AccessMode.Write))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    val in = io.read("docs")
+    val nIn = in.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(concat(lit("mix:"), col("doc_id"))), col("doc_id"))
+    val kept = in.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= capPerLang).drop("__rk")
+    val nKept = kept.count()
+    stat(s, "docs_kept").add(nKept)
+    stat(s, "docs_capped_out").add(nIn - nKept)
+    io.write("mixed_docs", kept)
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val perLang = io.readBack("mixed_docs").groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    Checks.noViolations(perLang, col("n") > capPerLang,
+      s"every language capped at $capPerLang")
+  }
+}
+
+/** Build + run the whole curation DAG over a documents table, write each
+  * model's lock doc next to the outputs, and return the stats counters.
+  * `ModelGraph` discovers the stage order from the dataset urls — the
+  * models are handed over shuffled to prove it.
+  */
+object CurationFlagship {
+  def run(spark: SparkSession, docsParquetDir: String, workDir: String,
+      capPerLang: Int = 900): Map[String, Long] = {
+    val models = Seq(
+      new ShardCorpus(s"parquet://$workDir/mixed",
+        s"parquet://$workDir/sharded;partitionBy=shard",
+        s"parquet://$workDir/manifest"),
+      new DomainMixDocs(s"parquet://$workDir/clean",
+        s"parquet://$workDir/mixed", capPerLang),
+      new DecontaminateDocs(s"parquet://$workDir/unique",
+        s"parquet://$workDir/eval", s"parquet://$workDir/clean"),
+      new QualityGateDocs(s"parquet://$workDir/deduped",
+        s"parquet://$workDir/unique"),
+      new NearDedupDocs(s"parquet://$docsParquetDir/documents.parquet",
+        s"parquet://$workDir/deduped"))
+    // Held-out "benchmark": a tiny fixed eval slice, written before the run.
+    graft.Tables.load(spark, docsParquetDir, "documents")
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$workDir/eval")
+    val graph = new ModelGraph(new scala.util.Random(7).shuffle(models))
+    val ctx = graft.core.RunContext()
+    graph.run(spark, ctx)
+    models.foreach(m =>
+      Manifest.writeLock(s"$workDir/${m.name}.lock.json", m, ctx))
+    models.flatMap(m => m.stats.toSeq.map { case (k, acc) =>
+      s"${m.name}.$k" -> acc.value.longValue }).toMap
   }
 }

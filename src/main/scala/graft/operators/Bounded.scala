@@ -1,0 +1,23 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Broadcast a probe/query set with its size bound STATED IN THE PLAN.
+  *
+  * Probe sets (KNN query vectors, decontamination eval n-grams, retrieval
+  * query batches) are bounded by construction — a benchmark or query batch
+  * does not grow with corpus SF — but when one is carved out of a big table
+  * with a filter, the plan alone can't prove that, and a forced broadcast of
+  * a "maybe-unbounded" input is exactly the shape that OOMs at 100×
+  * (PlanAudit flags it). `probe` makes the contract explicit: the broadcast
+  * carries at most `cap` rows, as a GlobalLimit the optimizer and the audit
+  * can both see. Pick `cap` as the operator's documented probe budget — when
+  * the filter's exact yield is known (e.g. a unique-key equality or key
+  * range), pass that; otherwise a generous budget far above any legitimate
+  * probe set, so the limit is an annotation that never binds in practice
+  * but hard-bounds executor memory if the contract is ever violated.
+  */
+object Bounded {
+  def probe(df: DataFrame, cap: Int): DataFrame = broadcast(df.limit(cap))
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,7 @@ object ConnectedComponents {
     // adaptive count probe and the chosen algorithm don't each
     // re-evaluate that plan. The blocks are freed when the checkpointed
     // RDD is garbage-collected with the returned plan.
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).barrier()
     val edgeCount = e.count()
     if (edgeCount <= unionFindMaxEdges) runUnionFind(nodes, e)
     else runIterative(nodes, e, maxRounds, hopsPerRound)
@@ -108,9 +109,9 @@ object ConnectedComponents {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .barrier()
     var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .barrier()
     // labels only ever decrease, so convergence = "no label changed this
     // round". For numeric ids the component sum is a one-number witness
     // (strictly decreases until the fixpoint); for other id types (both
@@ -134,7 +135,7 @@ object ConnectedComponents {
           .groupBy("id")
           .agg(min(col("component")).as("component"))
       }
-      val next = hopped.localCheckpoint(true)
+      val next = hopped.barrier()
       if (numericIds) {
         val s = labelSum(next)
         converged = s == prevSum

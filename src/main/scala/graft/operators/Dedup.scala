@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -248,7 +249,7 @@ object Dedup {
       // simhash fold over the corpus.
       val g = simhash32(s, dir)
         .groupBy("simhash").agg(count(lit(1)).as("m"))
-        .localCheckpoint(true)
+        .barrier()
       // identical-hash pairs (Hamming 0) are within-group arithmetic
       val ham0 = g.filter(col("m") > 1)
         .agg(sum(expr("m * (m - 1) DIV 2")).as("n_pairs"))
@@ -364,7 +365,7 @@ object Dedup {
       val probe = grams.filter(col("doc_id") < 10)
         .select(col("gram")).distinct()
       grams.filter(col("doc_id") >= 10)
-        .join(broadcast(probe), "gram")
+        .join(Bounded.probe(probe, 1 << 20), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
         .orderBy(desc("n_contaminated_grams"), asc("doc_id"))
@@ -498,7 +499,7 @@ object Dedup {
       val probe = grams.filter(col("doc_id") < 10)
         .select(col("gram")).distinct().withColumn("__hit", lit(1L))
       grams.filter(col("doc_id") >= 10)
-        .join(broadcast(probe), Seq("gram"), "left")
+        .join(Bounded.probe(probe, 1 << 20), Seq("gram"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
@@ -709,7 +710,7 @@ object Dedup {
         docs(s, dir).filter(col("doc_id") < 1000)
           .select(col("doc_id"),
             array_distinct(split(col("text"), " ")).as("toks"))
-          .localCheckpoint(true),
+          .barrier(),
         "doc_id", "toks", 4, 5)
         .orderBy("id_a", "id_b"),
     """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -946,7 +947,7 @@ object Dedup {
             // int64-hashed copy for the quadratic intersect (q42's trick:
             // counts are unchanged unless xxhash64 collides within a pair)
             expr(s"transform($shinglesExpr, x -> xxhash64(x))").as("shh"))
-          .localCheckpoint(true) // read for signatures AND exact Jaccard
+          .barrier() // read for signatures AND exact Jaccard
         val base = expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)")
         val sigLong = d
           .select(col("doc_id"), explode(col("sh")).as("sh"))
@@ -955,7 +956,7 @@ object Dedup {
           .groupBy("doc_id", "j")
           .agg(min(((lit(1000003L) * col("j") + lit(12345L)) * col("b") +
             lit(7919L) * col("j") + lit(271L)) % P).as("m"))
-          .localCheckpoint(true) // 16 rows/doc; read for bands AND agreement
+          .barrier() // 16 rows/doc; read for bands AND agreement
         val bandkeys = sigLong
           .groupBy(col("doc_id"), (col("j") / 2).cast("long").as("band"))
           .agg(concat_ws(",",
@@ -1070,7 +1071,7 @@ object Dedup {
       val fp = docs(s, dir)
         .select(col("source"), md5(col("text")).as("fp"))
       val bySrc = fp.groupBy("fp", "source").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // feeds diagonal + cross pairs
+        .barrier() // feeds diagonal + cross pairs
       val diag = bySrc.filter(col("n") >= 2)
         .groupBy(col("source").as("source_a"))
         .agg(count(lit(1)).as("shared_digests"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -986,7 +987,7 @@ object Events {
         .groupBy(col("user_id"), col("event_type").as("cur_type"),
           col("next_type"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // small; read twice below
+        .barrier() // small; read twice below
       val matrix = perUser.groupBy("cur_type", "next_type")
         .agg(sum(col("c")).as("n"))
         .withColumn("row_total",
@@ -1032,7 +1033,7 @@ object Events {
       // distinct'd edge list is ≤ users×|types| rows — materialize it once
       // instead of re-deriving it from the corpus on all three uses
       val du = ev(s, dir).select(col("event_type"), col("user_id")).distinct()
-        .localCheckpoint(true)
+        .barrier()
       val sizes = du.groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
       val inter = du.as("a")
@@ -2023,7 +2024,7 @@ object Events {
             col("tus") < col("cus") &&
             col("tus") >= col("cus") - lit(7L * 86400L * 1000000L))
         .select(col("conv_id"), col("channel"), col("tus"), col("tid"))
-        .localCheckpoint(true) // feeds per-conversion extrema + credits
+        .barrier() // feeds per-conversion extrema + credits
       val perConv = joined.groupBy("conv_id")
         .agg(count(lit(1)).as("k"),
           min(struct(col("tus"), col("tid"), col("channel")))
@@ -2253,7 +2254,7 @@ object Events {
           unix_micros(col("ts")).as("us"))
         .groupBy("user_id", "event_type")
         .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-        .localCheckpoint(true) // pair build + the per-type denominator
+        .barrier() // pair build + the per-type denominator
       val withA = per.groupBy(col("event_type").as("a"))
         .agg(count(lit(1)).as("users_with_a"))
       val pairs = per.as("x").join(per.as("y"),
@@ -2560,7 +2561,7 @@ object Events {
       val du = ev(s, dir)
         .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
         .distinct()
-        .localCheckpoint(true) // presence rollup: fan-out + day spine
+        .barrier() // presence rollup: fan-out + day spine
       val days = du.select(col("d").as("rd")).distinct()
       du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("rd"))
         .join(days, "rd") // keep only real report days
@@ -2596,7 +2597,7 @@ object Events {
         .select(col("event_type"), col("value"),
           expr("unix_micros(ts) div 604800000000").as("wk"))
         .filter(col("value").isNotNull)
-        .localCheckpoint(true)
+        .barrier()
       // global decile boundaries from the exact value histogram
       val hist = ev0.groupBy("value").agg(count(lit(1)).as("c"))
       val wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
@@ -2691,7 +2692,7 @@ object Events {
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("ih"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .barrier()
       hourly.as("now")
         .join(hourly.as("prev"),
           col("now.event_type") === col("prev.event_type") &&
@@ -2778,7 +2779,7 @@ object Events {
     "q296_audience_overlap",
     (s, dir) => {
       val ut = ev(s, dir).select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint(true)
+        .barrier()
       val totals = ut.groupBy(col("event_type").as("t"))
         .agg(count(lit(1)).as("n"))
       val inter = ut.as("x").join(ut.as("y"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,9 +45,9 @@ object Graph {
       // Materialize the edge list once: every iteration re-reads it; on a
       // real cluster this is `checkpoint` to durable storage instead of
       // executor blocks.
-      .localCheckpoint(true)
+      .barrier()
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .barrier()
     // Node count as a driver scalar (bounded collect, like q55's centroid
     // literal): baking the teleport term into a literal saves a broadcast
     // exchange per iteration. tele/n is the identical IEEE division an
@@ -56,7 +57,7 @@ object Graph {
     // the degree table: each power step is exactly one edge⋈rank join +
     // one destination-keyed aggregation.
     val undD = und.join(deg, col("src") === col("node"))
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("deg")).barrier()
     var r: DataFrame = deg.select(col("node"), (lit(1.0 / n)).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = undD.join(r, col("src") === col("node"))
@@ -182,7 +183,7 @@ object Graph {
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
-        .localCheckpoint(true)
+        .barrier()
       val deg = e0.select(col("p1").as("p"))
         .union(e0.select(col("p2").as("p")))
         .groupBy("p").agg(count(lit(1)).as("d"))
@@ -195,7 +196,7 @@ object Graph {
           when(fwd, col("p1")).otherwise(col("p2")).as("u_p"),
           when(fwd, col("p2")).otherwise(col("p1")).as("v_p"),
           when(fwd, col("d2")).otherwise(col("d1")).as("v_d"))
-        .localCheckpoint(true) // read 3× below (wedge self-join + closure)
+        .barrier() // read 3× below (wedge self-join + closure)
       val w = ed.as("x").join(ed.as("y"),
           col("x.u_p") === col("y.u_p") &&
             (col("x.v_d") < col("y.v_d") ||
@@ -257,11 +258,11 @@ object Graph {
       teleport: Double = 0.15): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .barrier()
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .barrier()
     val undD = und.join(deg, col("src") === col("node"))
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("deg")).barrier()
     val nS = seeds.size
     def teleCol = when(col("node").isin(seeds: _*),
       lit(teleport) / lit(nS.toDouble)).otherwise(lit(0.0))
@@ -299,12 +300,12 @@ object Graph {
     * fixpoint is reached further rounds are no-ops, so with enough rounds
     * this IS the k-core. */
   def peelRounds(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var s = sym.localCheckpoint(true)
+    var s = sym.barrier()
     var prev = s.count()
     var i = 0
     var fixed = prev == 0
     while (i < rounds && !fixed) {
-      s = peelStep(s, k).localCheckpoint(true)
+      s = peelStep(s, k).barrier()
       val n = s.count()
       // a round that removes nothing makes every later round a no-op, so
       // stopping early returns EXACTLY the R-round result (the count is
@@ -331,12 +332,12 @@ object Graph {
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
     var s = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .barrier()
     var prev = s.count()
     var iters = 0
     var done = prev == 0
     while (!done && iters < maxIters) {
-      s = peelStep(s, k).localCheckpoint(true)
+      s = peelStep(s, k).barrier()
       val n = s.count()
       done = n == prev || n == 0
       prev = n
@@ -533,7 +534,7 @@ object Graph {
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
-        .localCheckpoint(true)
+        .barrier()
       val deg = e0.select(col("p1").as("p"))
         .union(e0.select(col("p2").as("p")))
         .groupBy("p").agg(count(lit(1)).as("d"))
@@ -546,7 +547,7 @@ object Graph {
           when(fwd, col("p1")).otherwise(col("p2")).as("u_p"),
           when(fwd, col("p2")).otherwise(col("p1")).as("v_p"),
           when(fwd, col("d2")).otherwise(col("d1")).as("v_d"))
-        .localCheckpoint(true)
+        .barrier()
       val tri = ed.as("x").join(ed.as("y"),
           col("x.u_p") === col("y.u_p") &&
             (col("x.v_d") < col("y.v_d") ||
@@ -662,7 +663,7 @@ object Graph {
       rounds: Int = 2): (DataFrame, DataFrame) = {
     require(rounds >= 1, "hits needs at least one round")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true) // read 2·rounds times
+      .barrier() // read 2·rounds times
     var auth = e.groupBy("dst").agg(count(lit(1)).as("score"))
     var hub = e.join(auth, "dst").groupBy("src")
       .agg(sum(col("score")).as("score"))
@@ -691,7 +692,7 @@ object Graph {
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val und = (if (symmetrize)
       fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-    else fwd).localCheckpoint(true)
+    else fwd).barrier()
     def round(l: DataFrame): DataFrame =
       und.join(l, col("v") === col("node"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -822,7 +823,7 @@ object Graph {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-        .localCheckpoint(true) // feeds degrees + the pair build
+        .barrier() // feeds degrees + the pair build
       val deg = e.groupBy("sk").agg(count(lit(1)).as("deg"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
@@ -876,14 +877,14 @@ object Graph {
           col("w"))
         .union(ew.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"),
           col("w")))
-        .localCheckpoint(true)
+        .barrier()
       val wsum = und.groupBy(col("src").as("node"))
         .agg(sum(col("w")).as("wtot"))
-        .localCheckpoint(true)
+        .barrier()
       val n = wsum.count().toDouble
       val undW = und.join(wsum, col("src") === col("node"))
         .select(col("src"), col("dst"), col("w"), col("wtot"))
-        .localCheckpoint(true)
+        .barrier()
       var r: DataFrame = wsum.select(col("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 2) {
         val contrib = undW.join(r, col("src") === col("node"))
@@ -1016,7 +1017,7 @@ object Graph {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-        .localCheckpoint(true)
+        .barrier()
       val degP = e.groupBy("pk").agg(count(lit(1)).as("dp"))
       e.join(degP, "pk")
         .groupBy(col("sk"))
@@ -1053,7 +1054,7 @@ object Graph {
         .distinct()
       val und = e0.select((col("sk") * 2).as("u"), (col("pk") * 2 + 1).as("v"))
         .union(e0.select((col("pk") * 2 + 1).as("u"), (col("sk") * 2).as("v")))
-        .localCheckpoint(true)
+        .barrier()
       val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       und
         .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
@@ -1112,7 +1113,7 @@ object Graph {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true) // pair build + probe baskets + ownership
+        .barrier() // pair build + probe baskets + ownership
       val capped = baskets.groupBy("c")
         .agg(slice(sort_array(collect_list(col("p"))), 1, 20).as("ps"))
       val supports = capped
@@ -1236,7 +1237,7 @@ object Graph {
         .groupBy(col("pr.p1").as("u"), col("pr.p2").as("v"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("u", "v")
-        .localCheckpoint(true) // degrees + the triangle join both reuse it
+        .barrier() // degrees + the triangle join both reuse it
       val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       val wedges = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .agg(sum(expr("d * (d - 1) div 2")).as("wedges"))

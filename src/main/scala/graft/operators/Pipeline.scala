@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -336,7 +337,7 @@ object Pipeline {
       val mightContain = udf((k: Long) => bbf.value.mightContain(k))
       Tables.load(s, dir, "lineitem")
         .filter(mightContain(col("l_orderkey")))       // bloom pre-filter
-        .join(orders.hint("broadcast"), col("l_orderkey") === col("o_orderkey"),
+        .join(orders, col("l_orderkey") === col("o_orderkey"),
           "left_semi")                                 // exact verification
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
@@ -618,7 +619,7 @@ object Pipeline {
       // sources-sized frame, so pin it once (one corpus scan total).
       val counts = Tables.load(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .barrier()
       val tot = counts.agg(sum(col("n")).as("nn"))
       val weighted = counts.crossJoin(broadcast(tot))
         .select(col("source"), col("n"), col("nn"),
@@ -778,7 +779,7 @@ object Pipeline {
       // one row per language, consumed by both the total and the base
       // quotas: materialize so documents is scanned once
       val counts = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .barrier()
       val tot = counts.agg(sum(col("n")).as("nn"))
       val base = counts.crossJoin(broadcast(tot))
         .withColumn("base", expr(s"($k * n) DIV nn"))
@@ -1064,7 +1065,7 @@ object Pipeline {
           (expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT)")
             % 64).as("b"))
         .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // feeds the ratio build AND the scoring join
+        .barrier() // feeds the ratio build AND the scoring join
       val ratios = tb.groupBy("b")
         .agg(sum(col("c")).as("raw"),
           sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt"))
@@ -1261,8 +1262,8 @@ object Pipeline {
             "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
             .as("bg"))
           .distinct()
-          .localCheckpoint(true)
-        var covered = dt.select("bg").limit(0).localCheckpoint(true)
+          .barrier()
+        var covered = dt.select("bg").limit(0).barrier()
         val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
         var k = 1
         var done = false
@@ -1278,7 +1279,7 @@ object Pipeline {
             picks += ((k, d, c))
             covered = covered
               .union(dt.filter(col("doc_id") === d).select("bg"))
-              .localCheckpoint(true)
+              .barrier()
             k += 1
           }
         }
@@ -1319,7 +1320,7 @@ object Pipeline {
       val flagged = docs(s, dir)
         .select(col("lang"), col("source"),
           (hashBucket(col("doc_id")) < "40").as("in_sample"))
-        .localCheckpoint(true)
+        .barrier()
       val cells = flagged.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_corpus"),
           sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
@@ -1428,7 +1429,7 @@ object Pipeline {
         .select(shard.as("shard"), col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
       val perShardTok = st.select("shard", "tok").distinct()
-        .localCheckpoint(true)
+        .barrier()
       val vocabTotal = perShardTok.select("tok").distinct()
         .agg(count(lit(1)).as("global_vocab"))
       val docsPerShard = st.groupBy("shard")
@@ -1476,7 +1477,7 @@ object Pipeline {
         .select(col("tok"),
           expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
             .as("h"))
-        .localCheckpoint(true)
+        .barrier()
       Seq(256, 1024, 4096).map { k =>
         vocab.groupBy((col("h") % k).as("b"))
           .agg(count(lit(1)).as("occ"))

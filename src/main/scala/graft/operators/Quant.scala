@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -113,7 +114,7 @@ object Quant {
       val q = e.filter(col("vec_id") === 0)
         .select(expr(quantExpr("embedding")).as("qq"))
       e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(Bounded.probe(q, 1)) // vec_id = 0: exactly one row
         .select(col("vec_id"),
           expr(s"""aggregate(zip_with(${quantExpr("embedding")}, qq,
                   |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
@@ -155,7 +156,7 @@ object Quant {
         // repeats per use).
         val seedRows = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("scl"), col("embedding").as("c"))
-          .localCheckpoint(true)
+          .barrier()
         val seeds = seedRows
           .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
             .as("seeds"))
@@ -369,7 +370,7 @@ object Quant {
                  |    THEN named_struct('dsp', ${cellDsp("sd.c")}, 'cl', sd.cl)
                  |    ELSE acc END).cl""".stripMargin).as("cell"))
           .filter(col("cell").isin(probed.toSeq: _*))
-          .crossJoin(broadcast(q))
+          .crossJoin(Bounded.probe(q, 1)) // vec_id = 0: exactly one row
           .select(col("vec_id"), col("cell"),
             expr(s"""aggregate(zip_with(${quantExpr("embedding")}, qq,
                     |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
@@ -490,7 +491,7 @@ object Quant {
           .select(col("user_id"), col("event_id"),
             expr("CAST(FLOOR(value * 1e6) AS BIGINT)").as("sv"),
             row_number().over(w).cast("long").as("rn"))
-          .localCheckpoint(true) // both sides of the bounded self-join
+          .barrier() // both sides of the bounded self-join
         v.as("a").join(v.as("b"),
             col("a.user_id") === col("b.user_id") &&
               col("b.rn") >= col("a.rn") - 7 && col("b.rn") <= col("a.rn"))
@@ -541,7 +542,7 @@ object Quant {
         .groupBy("label", "pos")
         .agg((sum(col("v").cast("double").cast(D)).cast("double") /
           count(lit(1)).cast("double")).as("c"))
-        .localCheckpoint(true) // |labels|·64 rows; corpus scanned once,
+        .barrier() // |labels|·64 rows; corpus scanned once,
                                // not once per side of the pair self-join
       cd.as("a").join(cd.as("b"),
           col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
@@ -598,7 +599,7 @@ object Quant {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("vec_id"), col("d"),
           expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1e4) AS BIGINT)").as("xq"))
-        .localCheckpoint(true) // dimension stats + scoring share this
+        .barrier() // dimension stats + scoring share this
       val stats = xd.groupBy("d")
         .agg(count(lit(1)).as("n"), sum(col("xq")).as("sd"),
           sum(col("xq") * col("xq")).as("ssd"))

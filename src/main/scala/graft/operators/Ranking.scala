@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -59,7 +60,7 @@ object Ranking {
       val tf = toks.filter(col("term").isin(queryTerms: _*))
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .barrier()
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = docs(s, dir)
         .select(size(split(col("text"), " ")).as("dl0"))
@@ -169,7 +170,7 @@ object Ranking {
       val tf = toks.filter(col("term").isin(queryTerms: _*))
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // reused by df_ + scoring: one corpus pass
+        .barrier() // reused by df_ + scoring: one corpus pass
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = docs(s, dir)
         .select(size(split(col("text"), " ")).as("dl0"))
@@ -187,7 +188,7 @@ object Ranking {
         .select("doc_id", "r_bm25")
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val dTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val dTop = e.filter(col("vec_id") =!= 0).crossJoin(Bounded.probe(q, 1))
         .select(col("vec_id").as("doc_id"),
           expr(
             """aggregate(zip_with(embedding, qv,

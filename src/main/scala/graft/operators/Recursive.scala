@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,9 +49,9 @@ object Recursive {
     if (!materialize && radius <= 10)
       return bfsDistancesInline(edges, srcCol, dstCol, seeds, seedCol, radius)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .barrier()
     var visited = seeds.select(col(seedCol).as("node")).distinct()
-      .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+      .select(col("node"), lit(0).as("dist")).barrier()
     var frontier = visited.select("node")
     for (d <- 1 to radius) {
       val cand = e.join(frontier, col("src") === col("node"))
@@ -61,7 +62,7 @@ object Recursive {
       // extra job needed to keep its lineage flat.
       val fresh = cand.join(visited.select(col("node").as("v")),
           col("node") === col("v"), "left_anti")
-        .localCheckpoint(true)
+        .barrier()
       visited = visited.union(fresh.select(col("node"), lit(d).as("dist")))
       frontier = fresh
     }
@@ -104,14 +105,14 @@ object Recursive {
     var closure = parents
       .select(col(childCol).as("node"), col(parentCol).as("anc"),
         lit(1L).as("dist"))
-      .localCheckpoint(true)
+      .barrier()
     for (_ <- 1 to rounds) {
       val jumped = closure.as("a")
         .join(closure.select(col("node").as("jn"), col("anc").as("janc"),
           col("dist").as("jdist")).as("b"), col("a.anc") === col("jn"))
         .select(col("a.node").as("node"), col("janc").as("anc"),
           (col("a.dist") + col("jdist")).as("dist"))
-      closure = closure.union(jumped).distinct().localCheckpoint(true)
+      closure = closure.union(jumped).distinct().barrier()
     }
     closure
   }
@@ -127,16 +128,16 @@ object Recursive {
       costCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(costCol).as("ecost")).localCheckpoint(true)
+      col(costCol).as("ecost")).barrier()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .select(col("node"), lit(0L).as("cost")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("cost")).barrier()
     for (_ <- 1 to rounds) {
       val step = e.join(dist.select(col("node").as("dn"), col("cost").as("dc")),
           col("src") === col("dn"))
         .select(col("dst").as("node"), (col("dc") + col("ecost")).as("cost"))
       dist = dist.union(step)
         .groupBy("node").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .barrier()
     }
     dist
   }
@@ -170,7 +171,7 @@ object Recursive {
         .distinct()
       val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
         .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
-        .localCheckpoint(true)
+        .barrier()
       // Seeds: every 100th supplier — 1 seed at sf0.01, 10 at sf0.1; the
       // seed-set size scales with the data, the radius does not.
       val seeds = Tables.load(s, dir, "supplier")
@@ -391,7 +392,7 @@ object Recursive {
           (col("mw") + 1 - col("w")).as("cost"))
       val und = e.union(
           e.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
-        .localCheckpoint(true)
+        .barrier()
       val seeds = Tables.load(s, dir, "supplier")
         .filter(col("s_suppkey") % 100 === 1)
         .select((col("s_suppkey") * 2).as("seed"))

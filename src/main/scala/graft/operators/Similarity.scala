@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ object Similarity {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(Bounded.probe(q, 1)) // vec_id = 0: exactly one row
         .select(col("vec_id"), col("label"),
           expr(cosExpr("embedding", "qv")).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -211,7 +212,7 @@ object Similarity {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(Bounded.probe(q, 1)) // vec_id = 0: exactly one row
         .select(col("vec_id"), expr("cosine_similarity(embedding, qv)").as("cos_sim"))
         .agg(graft.functions.TopK.topK(10)(col("cos_sim"), col("vec_id")).as("top"))
         .select(explode(col("top")).as("t"))
@@ -347,7 +348,7 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
       e.filter(col("vec_id") >= 20)
-        .crossJoin(broadcast(queries))
+        .crossJoin(Bounded.probe(queries, 20)) // vec_id < 20: <= 20 rows
         .select(col("q_id"), col("vec_id"),
           expr("cosine_similarity(embedding, qv)").as("cos_sim"))
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -462,7 +463,7 @@ object Similarity {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
       val ranked = e.filter(col("vec_id") >= 50)
-        .crossJoin(broadcast(q))
+        .crossJoin(Bounded.probe(q, 50)) // vec_id < 50: <= 50 rows
         .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
           call_function("cosine_similarity",
             col("embedding"), col("qv")).as("cos_sim"))
@@ -520,7 +521,7 @@ object Similarity {
     (s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 400)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true)
+        .barrier()
       val best = e.as("a").join(e.as("b"),
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
@@ -532,7 +533,7 @@ object Similarity {
         .select(col("src"), (-col("b.nd")).as("nn"), col("b.cs").as("cs"))
         // one row per vector — materialize so the x/y self-join below does
         // not recompute the all-pairs scoring twice
-        .localCheckpoint(true)
+        .barrier()
       best.as("x").join(best.as("y"),
           col("x.src") === col("y.nn") && col("x.nn") === col("y.src") &&
             col("x.src") < col("y.src"))
@@ -573,7 +574,7 @@ object Similarity {
         col("label").cast("long").as("label"))
       val byCell = assigned.groupBy("fold", "label")
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // k×|labels| rows; read for 3 rollups
+        .barrier() // k×|labels| rows; read for 3 rollups
       val foldTot = byCell.groupBy("fold").agg(sum("n").as("fold_total"))
       val labelTot = byCell.groupBy("label").agg(sum("n").as("label_total"))
       val grand = byCell.agg(sum("n").as("grand")).select("grand")
@@ -624,7 +625,7 @@ object Similarity {
       val w = Window.partitionBy("qid", "kind")
         .orderBy(desc("cos_sim"), asc("vec_id"))
       e.filter(col("vec_id") >= 5)
-        .crossJoin(broadcast(q))
+        .crossJoin(Bounded.probe(q, 5)) // vec_id < 5: <= 5 rows
         .select(col("qid"), col("vec_id"), col("label"),
           expr(cosExpr("embedding", "qv")).as("cos_sim"),
           when(col("label") === col("qlabel"), lit("positive"))
@@ -671,16 +672,16 @@ object Similarity {
       val minPts = 3
       val e = embBalanced(s, dir).filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true)
+        .barrier()
       val pairs = e.as("a")
         .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .filter(expr("cosine_similarity(a.embedding, b.embedding)") > eps)
         .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
-        .localCheckpoint(true)
+        .barrier()
       val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
       val deg = sym.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
       val core = deg.filter(col("deg") >= minPts).select("id")
-        .localCheckpoint(true)
+        .barrier()
       val coreEdges = sym
         .join(core.select(col("id").as("cx")), col("x") === col("cx"))
         .join(core.select(col("id").as("cy")), col("y") === col("cy"))
@@ -757,7 +758,7 @@ object Similarity {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embBalanced(s, dir).filter(col("vec_id") < 300)
         .select(col("vec_id"), col("embedding"), col("label"))
-        .localCheckpoint(true)
+        .barrier()
       val wNn = Window.partitionBy("a").orderBy(desc("cs"), asc("b"))
       val votes = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("x.label").as("own"),

@@ -257,6 +257,48 @@ object Sources {
       |    AS BIGINT) AS sum_valid_ids
       |FROM documents WHERE doc_id < 4000""".stripMargin)
 
+  // -- q316: CSV positional row-range ;start=;end= ---------------------------
+  //   The reference DECLARES `;start=n;end=n` on CsvConnector but never
+  //   implements it (`csv_connector.py:23,99-104`); here it works: a
+  //   single-file ordered write, then a ranged read of data rows [5, 15).
+  //   Scale shape: positional ranges require one file (enforced with a loud
+  //   error for globs — partition order across files is not a row order);
+  //   within the file the range filter is distributed and map-only, with
+  //   only per-partition line COUNTS on the driver.
+  val q316 = Query.sql(
+    "q316_csv_rowrange",
+    (s, dir) => {
+      val out = tmp(dir, "customer_rowrange_csv")
+      ConnectorRegistry.write(
+        Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+          .orderBy("c_custkey").coalesce(1),
+        s"csv://$out")
+      ConnectorRegistry.read(s,
+          s"csv://$out/*.csv;start=5;end=15;schema=c_custkey BIGINT, c_name STRING, c_nationkey INT")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)
+
+  // -- q317: CSV write-side option passthrough -------------------------------
+  //   `;sep=` / `;header=` honored on WRITE as on read (the reference's
+  //   write path honors its constructor options, `csv_connector.py:231-270`);
+  //   round-trip through a headerless pipe-separated file proves the writer
+  //   actually used them (a comma-written file would fail the pipe parse).
+  val q317 = Query.sql(
+    "q317_csv_write_options",
+    (s, dir) => {
+      val out = tmp(dir, "supplier_pipe_csv")
+      ConnectorRegistry.write(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        s"csv://$out;sep=|;header=false")
+      ConnectorRegistry.read(s,
+          s"csv://$out;sep=|;header=false;schema=s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
+        .orderBy("s_suppkey")
+    },
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")
+
   val all: Seq[Query] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112, q158, q169)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q89, q112, q158, q169, q316, q317)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -364,7 +365,7 @@ object Stats {
       val cells = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("o"))
-        .localCheckpoint(true)
+        .barrier()
       val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
       val colT = cells.groupBy("hr").agg(sum(col("o")).as("c"))
       val nRow = cells.agg(sum(col("o")).as("n"),
@@ -765,7 +766,7 @@ object Stats {
       (s, dir) => {
         val cells = Tables.load(s, dir, "lineitem")
           .groupBy("l_quantity", "l_discount").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+          .barrier()
         val cd = cells.as("a").join(cells.as("b"),
             col("a.l_quantity") < col("b.l_quantity"))
           .agg(
@@ -968,7 +969,7 @@ object Stats {
         .groupBy(col("event_type"),
           unix_micros(date_trunc("hour", col("ts"))).as("h"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // tiny (types × hours); self-joined below
+        .barrier() // tiny (types × hours); self-joined below
       val slopes = hourly.as("a").join(hourly.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.h") < col("b.h"))
@@ -1096,7 +1097,7 @@ object Stats {
       // whether rows or pre-counted keys flow in; that additivity is the
       // sketch's mergeability), one stream pass, |keys| hash work.
       val exact = li.groupBy("pk").agg(count(lit(1)).as("n_exact"))
-        .localCheckpoint(true) // feeds the counters, the top-k, and est
+        .barrier() // feeds the counters, the top-k, and est
       val counters = exact
         .select(col("pk"), col("n_exact"), explode(expr("sequence(0, 3)")).as("i"))
         .select(col("i"), bucket.as("b"), col("n_exact"))
@@ -1211,7 +1212,7 @@ object Stats {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events").select("event_type", "value")
         .filter(col("value").isNotNull) // engines order NULL keys differently
-        .localCheckpoint(true) // feeds the global and the per-type rollup
+        .barrier() // feeds the global and the per-type rollup
       val glob = ev.groupBy("value").agg(count(lit(1)).as("ct"))
       val w = Window.orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1220,7 +1221,7 @@ object Stats {
         .withColumn("two_r", lit(2) * col("cb") + col("ct") + lit(1))
       val tieT = ranked.agg(
         sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_t"),
-        sum(col("ct")).as("n")).localCheckpoint(true)
+        sum(col("ct")).as("n")).barrier()
       val byType = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cx"))
       byType.join(ranked.select("value", "two_r"), "value")
         .groupBy("event_type")
@@ -1287,7 +1288,7 @@ object Stats {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
         .filter(col("value").isNotNull)
-        .localCheckpoint(true)
+        .barrier()
       val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("ct"))
       val w = Window.partitionBy("event_type").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1341,7 +1342,7 @@ object Stats {
       val per = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey").as("c"))
         .agg(sum(col("o_totalprice").cast(D)).as("spend"))
-        .localCheckpoint(true)
+        .barrier()
       val n = per.count()
       val w = Window.orderBy(col("spend").asc, col("c").asc)
       val dec = per
@@ -1393,7 +1394,7 @@ object Stats {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select("event_type", "value").filter(col("value").isNotNull)
-        .localCheckpoint(true)
+        .barrier()
       val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("event_type").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1452,7 +1453,7 @@ object Stats {
     "q311_hist2d",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem").select("l_quantity", "l_discount")
-        .localCheckpoint(true)
+        .barrier()
       val mm = li.agg(min(col("l_quantity")).as("qlo"), max(col("l_quantity")).as("qhi"),
         min(col("l_discount")).as("dlo"), max(col("l_discount")).as("dhi"))
       val binned = li.crossJoin(broadcast(mm))

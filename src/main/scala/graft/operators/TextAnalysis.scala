@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.functions._
 
@@ -597,7 +598,7 @@ object TextAnalysis {
       // scans), and the scoring join carries one row per distinct bigram
       // per doc instead of one per occurrence.
       val bc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bn"))
-        .localCheckpoint(true)
+        .barrier()
       val c2 = bc.groupBy("w1", "w2").agg(sum(col("bn")).as("c2"))
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       bc.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -1081,7 +1082,7 @@ object TextAnalysis {
       val dl = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .distinct()
-        .localCheckpoint(true) // bounded (Σ per-lang vocab); read 3×
+        .barrier() // bounded (Σ per-lang vocab); read 3×
       val sizes = dl.groupBy("lang").agg(count(lit(1)).as("v"))
       dl.as("a").join(dl.as("b"),
           col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
@@ -1126,7 +1127,7 @@ object TextAnalysis {
       val tc = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // bounded (Σ per-lang vocab); read 3×
+        .barrier() // bounded (Σ per-lang vocab); read 3×
       val norms = tc.groupBy("lang")
         .agg(sum(col("c") * col("c")).as("n2"))
       tc.as("a").join(tc.as("b"),
@@ -1183,7 +1184,7 @@ object TextAnalysis {
       val tc = docs(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // bounded (Σ per-source vocab); read 2×
+        .barrier() // bounded (Σ per-source vocab); read 2×
       val totals = tc.groupBy("source").agg(sum("c").as("n"))
       val ta = tc.join(broadcast(totals), "source")
       val inter = ta.as("a").join(ta.as("b"),
@@ -1321,7 +1322,7 @@ object TextAnalysis {
         // rollup + term-first rollup), not four times.
         val perDoc = tok.groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("ntok"))
-          .localCheckpoint(true)
+          .barrier()
         val bounds = perDoc.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
         val docStats = perDoc.crossJoin(broadcast(bounds))
           .select(bkt("doc_id").as("bucket"), col("ntok"))
@@ -1473,7 +1474,7 @@ object TextAnalysis {
             "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
         .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("bn"))
-        .localCheckpoint(true)
+        .barrier()
       val c2 = bc.groupBy("w1", "w2").agg(sum(col("bn")).as("c2"))
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       val uni = c2.groupBy("w2").agg(sum(col("c2")).as("cu"))

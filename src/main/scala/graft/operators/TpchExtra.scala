@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -338,7 +339,7 @@ object TpchExtra {
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
         // referenced by minPer AND the final join — materialize the
         // (part, supp)-sized aggregate so lineitem is scanned ONCE
-        .localCheckpoint(true)
+        .barrier()
       val minPer = cost.groupBy(col("l_partkey").as("mp_part"))
         .agg(min(col("cost")).as("min_cost"))
       cost
@@ -475,7 +476,7 @@ object TpchExtra {
         .groupBy(col("l_partkey").as("p_partkey"))
         .agg(dsum(col("l_extendedprice")).as("part_value"))
         // part-sized; reused by the total and the filter → one fact scan
-        .localCheckpoint(true)
+        .barrier()
       // threshold = 2× the mean per-part value: SF-invariant (a fixed
       // fraction of the global total selects nothing once |part| grows),
       // and both engines divide the same decimal-exact sum by the same
@@ -549,7 +550,7 @@ object TpchExtra {
         .groupBy(col("l_suppkey"))
         .agg(dsum(expr(discPrice)).as("total_revenue"))
         // supplier-sized; reused by the max and the filter → one fact scan
-        .localCheckpoint(true)
+        .barrier()
       val maxRev = rev.agg(max(col("total_revenue")).as("__max"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("__max"))
@@ -589,7 +590,7 @@ object TpchExtra {
         // the brand+size part filter keeps ~0.1% of lineitem; the slice is
         // read twice (avgs + gate), so materialize it rather than scan the
         // fact table twice (a real cluster checkpoints to durable storage)
-        .localCheckpoint(true)
+        .barrier()
       val avgs = base.groupBy(col("l_partkey").as("a_part"))
         .agg((sum(col("l_quantity").cast(D)).cast("double") /
           count(lit(1))).as("avg_qty"))
@@ -737,7 +738,7 @@ object TpchExtra {
         .agg(datediff(asOf, max(to_date(col("o_orderdate")))).as("rec"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(D)).as("mon"))
-        .localCheckpoint(true) // three ranked passes over one tiny rollup
+        .barrier() // three ranked passes over one tiny rollup
       // Bounded driver scalar (one row per customer already aggregated),
       // baked in as a literal like q55's centroids.
       val n = per.count()
@@ -852,9 +853,9 @@ object TpchExtra {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"), col("c_custkey"))
         .agg(sum(col("o_totalprice").cast(D)).as("rev"))
-        .localCheckpoint(true)
+        .barrier()
       val nat = cust.groupBy("r_name", "n_name").agg(sum(col("rev")).as("nrev"))
-        .localCheckpoint(true)
+        .barrier()
       val reg = nat.groupBy("r_name").agg(sum(col("nrev")).as("rrev"))
       val w = Window.partitionBy("r_name", "n_name")
         .orderBy(desc("rev"), asc("c_custkey"))
@@ -966,7 +967,7 @@ object TpchExtra {
           "CAST(year(CAST(o_orderdate AS DATE)) * 12 + " +
             "month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)").as("m"))
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D)).as("rev"))
-        .localCheckpoint(true)
+        .barrier()
       monthly.as("now").join(monthly.as("prev"),
           col("now.m") === col("prev.m") + 1)
         .select(col("now.m").as("month_idx"),
@@ -1067,7 +1068,7 @@ object TpchExtra {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true)
+        .barrier()
       val rc = b.groupBy("c").agg(count(lit(1)).as("k"))
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("k") >= 5, 1L).otherwise(0L)).as("users_ge5"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints._
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -915,7 +916,7 @@ object Warehouse {
     "q266_zonemap_pruning",
     (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .localCheckpoint(true) // feeds both layouts + the probe set
+        .barrier() // feeds both layouts + the probe set
       val nat = d.groupBy(expr("doc_id div 100").as("fid"))
         .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
         .select(lit("natural").as("layout"), col("fid"), col("mn"), col("mx"))
@@ -924,9 +925,9 @@ object Warehouse {
         .groupBy(expr("(rn - 1) div 100").as("fid"))
         .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
         .select(lit("sorted").as("layout"), col("fid"), col("mn"), col("mx"))
-      val files = nat.union(srt).localCheckpoint(true)
+      val files = nat.union(srt).barrier()
       val probes = d.filter(col("doc_id") % 97 === 0)
-        .select(col("n_chars").as("p")).distinct().localCheckpoint(true)
+        .select(col("n_chars").as("p")).distinct().barrier()
       val nProbes = probes.agg(count(lit(1)).as("n_probes"))
       val hits = files.join(broadcast(probes),
           col("p") >= col("mn") && col("p") <= col("mx"))

@@ -23,7 +23,10 @@ trait Connector {
 
 /** csv:// and tsv:// — header row as schema by default; options mirror the
   * reference's CsvConnector surface: `sep`, `encoding`, `header`,
-  * plus schema assertions applied via [[SchemaRules]].
+  * row-range `;start=n;end=n` (declared at `csv_connector.py:23,99-104`),
+  * plus schema assertions applied via [[SchemaRules]]. Write honors the
+  * same `;sep=`/`;encoding=`/`;header=` options the read path does
+  * (the reference's write path honors encoding, `csv_connector.py:231-270`).
   */
 final class CsvConnector(sep: String, override val schemes: Seq[String]) extends Connector {
   def read(spark: SparkSession, url: EngineUrl): DataFrame = {
@@ -36,11 +39,69 @@ final class CsvConnector(sep: String, override val schemes: Seq[String]) extends
       case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
       case None      => reader
     }
-    SchemaRules.apply(withSchema.csv(url.sparkPath), url)
+    val parsed = (url.option("start"), url.option("end")) match {
+      case (None, None) => withSchema.csv(url.sparkPath)
+      case (s, e) =>
+        withSchema.csv(rowRange(spark, url, s.map(_.toLong), e.map(_.toLong)))
+    }
+    SchemaRules.apply(parsed, url)
   }
+
+  /** Positional `;start=n;end=n` data-row range (0-based, end exclusive —
+    * the grammar the reference declares but leaves unimplemented,
+    * `csv_connector.py:23,99-104`).
+    *
+    * Positional ranges are only well-defined against a byte order, so this
+    * path requires the url to resolve to a SINGLE file (the reference
+    * likewise opens exactly one file); a multi-file glob fails loudly
+    * rather than returning partition-order-dependent rows. Within one
+    * file Spark's text splits are byte-ordered and partition index order
+    * follows split order, so a per-partition line-count pass gives every
+    * partition its exact global starting line number; the range filter
+    * then runs distributed with no driver collection of data rows — two
+    * scans of one file, each map-only.
+    */
+  private def rowRange(spark: SparkSession, url: EngineUrl,
+      start: Option[Long], end: Option[Long]): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(url.sparkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(new org.apache.hadoop.fs.Path(url.sparkPath)) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st => st.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath) else Array(s)
+      }.filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    }
+    require(matches.length == 1,
+      s"csv ;start=/;end= needs exactly one file (positional ranges are " +
+        s"undefined over ${matches.length} files): ${url.sparkPath}")
+    val lines = spark.read.textFile(matches.head.getPath.toString)
+    val header = url.option("header").getOrElse("true").toBoolean
+    // One counting pass: partition index -> number of lines (tiny driver set).
+    val counts = lines.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val firstLine = counts.scanLeft(0L)(_ + _) // global line no. of partition starts
+    val lo = start.getOrElse(0L)
+    val hi = end.getOrElse(Long.MaxValue)
+    val ranged = lines.rdd.mapPartitionsWithIndex { (i, it) =>
+      var line = firstLine(i)
+      it.flatMap { text =>
+        val cur = line; line += 1
+        val dataIdx = if (header) cur - 1 else cur // line 0 is the header
+        if ((header && cur == 0L) || (dataIdx >= lo && dataIdx < hi)) Some(text)
+        else None
+      }
+    }
+    spark.createDataset(ranged)
+  }
+
   override def write(df: DataFrame, url: EngineUrl): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .option("header", "true").option("sep", sep)
+      .option("header", url.option("header").getOrElse("true"))
+      .option("sep", url.option("sep").getOrElse(sep))
+      .option("encoding", url.option("encoding").getOrElse("UTF-8"))
       .csv(url.sparkPath)
 }
 

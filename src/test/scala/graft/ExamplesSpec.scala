@@ -175,4 +175,52 @@ class ExamplesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit == Map("added" -> 1L, "changed" -> 1L, "unchanged" -> 2L))
   }
+
+  test("flagship curation DAG at sf0.1: golden counts, conservation, locks") {
+    import org.apache.spark.sql.functions._
+    val work = tmp()
+    val stats = CurationFlagship.run(spark, "/root/testdata/sf0.1", work)
+    // Golden counts: pinned from the first run; any change to dedup
+    // banding, gates, decontamination or the mix silently altering the
+    // corpus must fail here.
+    assert(stats("NearDedupDocs.docs_in") == 5000L)
+    assert(stats("NearDedupDocs.docs_kept") == GOLD_DEDUP_KEPT)
+    assert(stats("QualityGateDocs.docs_kept") == GOLD_QUALITY_KEPT)
+    assert(stats("DecontaminateDocs.docs_kept") == GOLD_CLEAN_KEPT)
+    assert(stats("DomainMixDocs.docs_kept") == GOLD_MIXED_KEPT)
+    // Stage-to-stage conservation: kept(n) == in(n+1) == kept + removed
+    assert(stats("NearDedupDocs.docs_in") ==
+      stats("NearDedupDocs.docs_kept") + stats("NearDedupDocs.dups_removed"))
+    assert(stats("QualityGateDocs.docs_kept") +
+      stats("QualityGateDocs.docs_rejected") == stats("NearDedupDocs.docs_kept"))
+    assert(stats("DecontaminateDocs.docs_kept") +
+      stats("DecontaminateDocs.docs_decontaminated") ==
+      stats("QualityGateDocs.docs_kept"))
+    assert(stats("DomainMixDocs.docs_kept") +
+      stats("DomainMixDocs.docs_capped_out") == stats("DecontaminateDocs.docs_kept"))
+    // Final corpus: manifest totals equal the shard write; every language
+    // at or under the cap; locks written for every model.
+    val manifest = spark.read.parquet(s"$work/manifest")
+    assert(manifest.agg(sum("n_docs")).first().getLong(0) ==
+      stats("DomainMixDocs.docs_kept"))
+    val sharded = spark.read.parquet(s"$work/sharded")
+    assert(sharded.count() == stats("DomainMixDocs.docs_kept"))
+    assert(sharded.groupBy("lang").count()
+      .filter(col("count") > 900).count() == 0)
+    for (m <- Seq("NearDedupDocs", "QualityGateDocs", "DecontaminateDocs",
+        "DomainMixDocs", "ShardCorpus")) {
+      val lock = Files.readString(java.nio.file.Paths.get(s"$work/$m.lock.json"))
+      assert(lock.contains("dataset."), s"$m lock doc must list datasets")
+    }
+    // Determinism: a second full run reproduces the same counters.
+    val work2 = tmp()
+    val stats2 = CurationFlagship.run(spark, "/root/testdata/sf0.1", work2)
+    assert(stats2 == stats)
+  }
+
+  // Golden values pinned from the first sf0.1 run (see test above).
+  private val GOLD_DEDUP_KEPT = 4756L
+  private val GOLD_QUALITY_KEPT = 4507L
+  private val GOLD_CLEAN_KEPT = 3169L
+  private val GOLD_MIXED_KEPT = 2739L
 }

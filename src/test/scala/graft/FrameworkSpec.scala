@@ -345,4 +345,66 @@ class FrameworkSpec extends SparkSpec {
       .filter(col("o_totalprice") > 100000.0).count()
     assert(n == expected)
   }
+
+  test("csv write honors ;sep/;encoding/;header; read round-trips them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("csvopts").toString
+    val df = Seq((1, "Ségur"), (2, "naïve"), (3, "plain")).toDF("id", "w")
+    ConnectorRegistry.write(df.coalesce(1),
+      s"csv://$out;sep=|;encoding=ISO-8859-1;header=false")
+    // Raw bytes prove the writer used the pipe sep and Latin-1 encoding
+    // (é is one byte 0xE9 in Latin-1, two bytes in UTF-8).
+    val file = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    assert(bytes.contains('|'.toByte))
+    assert(bytes.contains(0xE9.toByte), "Latin-1 single-byte é expected")
+    val back = ConnectorRegistry.read(spark,
+      s"csv://$out;sep=|;encoding=ISO-8859-1;header=false;schema=id INT, w STRING")
+    assert(back.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "Ségur"), (2, "naïve"), (3, "plain")))
+  }
+
+  test("csv ;start/;end row range: exact slice, header kept, globs rejected") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("csvrange").toString
+    (0 until 50).map(i => (i, s"row$i")).toDF("id", "w")
+      .orderBy("id").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val sliced = ConnectorRegistry.read(spark,
+      s"csv://$out/*.csv;start=10;end=13;schema=id INT, w STRING")
+    assert(sliced.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((10, "row10"), (11, "row11"), (12, "row12")))
+    // open-ended ;start= only
+    assert(ConnectorRegistry.read(spark,
+      s"csv://$out/*.csv;start=47;schema=id INT, w STRING").count() == 3)
+    // multi-file positional range must fail loudly, not silently reorder
+    (50 until 60).map(i => (i, s"row$i")).toDF("id", "w").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(s"$out/more")
+    val err = intercept[IllegalArgumentException] {
+      ConnectorRegistry.read(spark,
+        s"csv://$out/*;start=0;end=5;schema=id INT, w STRING").count()
+    }
+    assert(err.getMessage.contains("exactly one file"))
+  }
+
+  test("graft.checkpoint.dir flips barriers from local to durable checkpoints") {
+    import graft.core.Checkpoints._
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    // default: localCheckpoint — nothing written anywhere durable
+    assert(df.barrier().count() == 100)
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.core.Checkpoints.DirKey, dir)
+    try {
+      assert(df.barrier().count() == 100)
+      // durable path: the reliable checkpoint wrote RDD files under dir
+      def allFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(allFiles) else Seq(f)
+      val written = allFiles(new java.io.File(dir))
+      assert(written.exists(_.getName.startsWith("part-")),
+        s"expected checkpoint part files under $dir, found: $written")
+    } finally spark.conf.unset(graft.core.Checkpoints.DirKey)
+  }
 }

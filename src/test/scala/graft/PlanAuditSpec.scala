@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CI for the 100×-scale plan anti-patterns (VERDICT r4 findings #1/#2 as
+  * automation): every registered query's analyzed plan must be free of
+  * forced broadcasts of unbounded SF-growing tables and of unconditioned
+  * cartesians between two unbounded growing inputs. The detector itself is
+  * exercised positively first so a regression in the detector (returning
+  * empty for everything) cannot silently pass the sweep.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("detector flags a forced broadcast of an unbounded growing table") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val o = Tables.load(spark, sf0001, "orders")
+    val bad = o.join(broadcast(li), col("o_orderkey") === col("l_orderkey"))
+    assert(PlanAudit.audit(bad).exists(_.contains("forced broadcast of unbounded 'lineitem'")))
+    // bounded by an aggregate: same hint, no flag
+    val agg = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(PlanAudit.audit(o.crossJoin(broadcast(agg))).isEmpty)
+    // fixed-size dim: no flag
+    val nation = Tables.load(spark, sf0001, "nation")
+    assert(PlanAudit.audit(o.join(broadcast(nation),
+      col("o_custkey") === col("n_nationkey"))).isEmpty)
+  }
+
+  test("detector flags an unconditioned cartesian of two growing tables") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val o = Tables.load(spark, sf0001, "orders")
+    assert(PlanAudit.audit(o.crossJoin(li))
+      .exists(_.contains("unconditioned cartesian")))
+    assert(PlanAudit.audit(o.crossJoin(li.limit(10))).isEmpty)
+  }
+
+  test("every registered query is free of scale-breaking plan shapes") {
+    val flagged = SparkEntry.allQueries.flatMap { q =>
+      val findings =
+        try PlanAudit.audit(q.run(spark, sf0001))
+        catch { case e: Throwable => Seq(s"audit error: ${e.getMessage}") }
+      findings.map(f => s"${q.name}: $f")
+    }
+    assert(flagged.isEmpty, s"\n${flagged.mkString("\n")}")
+  }
+}
