@@ -1161,8 +1161,47 @@ object Dedup {
       |  CAST(SUM(sz - 1) AS BIGINT) AS n_surplus
       |FROM bk GROUP BY b ORDER BY size_from""".stripMargin)
 
+  // -- q319: blocked fuzzy linkage (edit-distance matching at scale) --------
+  //   The classic entity-resolution shape q110 generalizes: candidate pairs
+  //   come from a BLOCKING key (p_size here — a real pipeline composes
+  //   several passes: phonetic key, sorted-neighborhood, first-token), and
+  //   only within-block pairs pay the edit-distance compare, so the
+  //   quadratic is per-block (bounded by the block histogram, which q103's
+  //   skew profile audits), never corpus-wide. levenshtein is exact integer
+  //   arithmetic in both engines. Report per block: pairs compared, pairs
+  //   matched at distance ≤ 3, and the closest non-identical pair.
+  val q319 = Query.sql(
+    "q319_fuzzy_linkage",
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      p.select(col("p_size").as("sz"), col("p_partkey").as("ka"),
+          col("p_name").as("na"))
+        .join(p.select(col("p_size").as("sz"), col("p_partkey").as("kb"),
+          col("p_name").as("nb")), Seq("sz"))
+        .filter(col("ka") < col("kb"))
+        .select(col("sz"), levenshtein(col("na"), col("nb")).as("d"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") <= 3, 1L).otherwise(0L)).as("n_matched"),
+          min(when(col("d") > 0, col("d"))).cast("long").as("closest_dist"))
+        .select(col("sz").cast("long").as("p_size"), col("n_pairs"),
+          col("n_matched"), col("closest_dist"))
+        .orderBy("p_size")
+    },
+    """WITH pr AS (
+      |  SELECT a.p_size AS sz, levenshtein(a.p_name, b.p_name) AS d
+      |  FROM part a JOIN part b
+      |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+      |SELECT CAST(sz AS BIGINT) AS p_size, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(MIN(CASE WHEN d > 0 THEN d END) AS BIGINT) AS closest_dist
+      |FROM pr GROUP BY sz ORDER BY p_size""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
-      q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273)
+      q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
+      q319)
 
 }

@@ -2894,11 +2894,46 @@ object Events {
       |  CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
       |FROM wc ORDER BY n DESC, p2, p1, nxt LIMIT 30""".stripMargin)
 
+  // -- q327: rolling 7-day median (robust moving baseline) ------------------
+  //   EWMA (q241) is mean-based and outlier-sensitive; ops baselines use a
+  //   ROLLING MEDIAN of the daily series instead. The window is a FIXED 7
+  //   rows, so the exact median comes from sorting the tiny per-row frame
+  //   slice — collect_list over a ROWS window, array_sort, middle element —
+  //   deterministic integer math, no approximation. Scale shape: the series
+  //   is the per-(type, day) rollup (bounded by calendar × types, not SF);
+  //   the window partitions by type, so one shuffle of the small rollup.
+  //   Rows before a full window emit the median of what exists (both
+  //   engines sort the same shorter prefix).
+  val q327 = Query.sql(
+    "q327_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-6, 0)
+      ev(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("win", collect_list(col("n")).over(w))
+        .select(col("event_type"), col("d"),  col("n"),
+          expr("element_at(array_sort(win), CAST((size(win) + 1) / 2 AS INT))")
+            .as("med7"))
+        .orderBy("event_type", "d")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, d, n,
+      |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+      |  FROM daily)
+      |SELECT event_type, d, n, w[CAST(CEIL(len(w) / 2.0) AS INT)] AS med7
+      |FROM win ORDER BY event_type, d""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300, q304, q306, q307, q310, q314)
+      q296, q300, q304, q306, q307, q310, q314, q327)
 }

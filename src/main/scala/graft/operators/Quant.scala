@@ -641,6 +641,78 @@ object Quant {
       |  CAST(score_scaled AS DOUBLE) / 1e9 AS mahalanobis_sq
       |FROM scored ORDER BY score_scaled DESC, vec_id LIMIT 20""".stripMargin)
 
+  // -- q323: product quantization codebook assignment (FAISS PQ shape) ------
+  //   PQ is how a 10⁹-vector corpus fits serving RAM: the 64-dim vector is
+  //   split into 8 subspaces of 8 dims, each subvector quantized to its
+  //   nearest codebook entry, so a vector stores as 8 single-byte codes
+  //   (64× smaller than float32). Codebooks here are the deterministic
+  //   seed set (subvectors of vec_id < 16, one Lloyd step away from
+  //   q135's full trainer). Scale shape: codebooks are 8×16 rows broadcast
+  //   once; the assign pass is map-only over the corpus (the subspace
+  //   explode multiplies rows 8× but each carries only an 8-float slice);
+  //   the output is the bounded (subspace, code) histogram + floor-scaled
+  //   quantization error — the codebook-health report a PQ index build
+  //   emits. Argmin is integer-ordered on (floor-scaled d², code), q135's
+  //   tie convention.
+  val q323 = Query.sql(
+    "q323_pq_codes",
+    (s, dir) => {
+      def dsp(a: String, b: String): String =
+        s"""CAST(FLOOR(1e9 * aggregate(zip_with($a, $b,
+           |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+           |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+      val e = emb(s, dir)
+      val js = s.sql("SELECT explode(sequence(0, 7)) AS j")
+      val books = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("scl"), col("embedding").as("c"))
+        .crossJoin(js)
+        .select(col("j"), col("scl"), expr("slice(c, j * 8 + 1, 8)").as("sc"))
+        .groupBy("j")
+        .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', sc)))")
+          .as("book"))
+      e.crossJoin(js)
+        .select(col("vec_id"), col("j"),
+          expr("slice(embedding, j * 8 + 1, 8)").as("sv"))
+        .join(Bounded.probe(books, 8), Seq("j"))
+        .select(col("j"), expr(
+          s"""aggregate(book,
+             |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+             |               'cl', CAST(-1 AS BIGINT)),
+             |  (acc, sd) -> CASE WHEN ${dsp("sv", "sd.c")} < acc.dsp
+             |    THEN named_struct('dsp', ${dsp("sv", "sd.c")}, 'cl', sd.cl)
+             |    ELSE acc END)""".stripMargin).as("best"))
+        .groupBy(col("j"), col("best.cl").as("code"))
+        .agg(count(lit(1)).as("n_assigned"),
+          expr("CAST(SUM(best.dsp) AS DOUBLE) / 1e9").as("total_err"))
+        .select(col("j").cast("long").as("subspace"),
+          col("code"), col("n_assigned"), col("total_err"))
+        .orderBy("subspace", "code")
+    },
+    """WITH js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+      |books AS (
+      |  SELECT j, vec_id AS cl, list_slice(embedding, j * 8 + 1, j * 8 + 8)
+      |    AS sc
+      |  FROM embeddings CROSS JOIN js WHERE vec_id < 16),
+      |subv AS (
+      |  SELECT vec_id, j, list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sv
+      |  FROM embeddings CROSS JOIN js),
+      |dists AS (
+      |  SELECT s.vec_id, s.j, b.cl,
+      |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(s.sv, b.sc),
+      |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+      |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+      |      AS BIGINT) AS dsp
+      |  FROM subv s JOIN books b ON s.j = b.j),
+      |assigned AS (
+      |  SELECT j, cl, dsp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |      ORDER BY dsp, cl) AS rn
+      |    FROM dists) WHERE rn = 1)
+      |SELECT CAST(j AS BIGINT) AS subspace, cl AS code,
+      |  COUNT(*) AS n_assigned, CAST(SUM(dsp) AS DOUBLE) / 1e9 AS total_err
+      |FROM assigned GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin)
+
   val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245,
-    q281)
+    q281, q323)
 }

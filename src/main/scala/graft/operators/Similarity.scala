@@ -797,7 +797,61 @@ object Similarity {
        |  votes AS majority_votes
        |FROM maj WHERE mr = 1 AND nl <> own ORDER BY vec_id""".stripMargin)
 
+  // -- q325: grid-bucketed spatial neighbor join ----------------------------
+  //   The 2-D range self-join (geo points, UI coordinates, feature pairs):
+  //   for every point, count neighbors within Chebyshev radius r. The
+  //   all-pairs form is O(n²); the scale path buckets points into r-sized
+  //   grid cells so candidates come only from the 3×3 cell neighborhood —
+  //   each point probes 9 cells and each true pair is found EXACTLY once
+  //   (the neighbor's home cell is unique), so no dedup pass. The oracle
+  //   keeps the naive all-pairs SQL, proving the grid plan computes the
+  //   same counts. Shuffle carries (cell, point) rows; per-cell skew is
+  //   the density bound a real geo pipeline audits with q103's profile.
+  //   Coordinates are exact integers (n_chars × a decimal fold of doc_id).
+  val q325 = {
+    val r = 8L
+    Query.sql(
+      "q325_grid_spatial_join",
+      (s, dir) => {
+        val pts = Tables.loadBalanced(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("n_chars").cast("long").as("x"),
+            pmod(col("doc_id"), lit(479L)).as("y"))
+        val cells = pts
+          .withColumn("cx", floor(col("x") / r))
+          .withColumn("cy", floor(col("y") / r))
+          .barrier() // probe side (×9) and build side share this frame
+        val probe = cells
+          .crossJoin(s.sql(
+            "SELECT explode(sequence(-1, 1)) AS dx")
+            .crossJoin(s.sql("SELECT explode(sequence(-1, 1)) AS dy")))
+          .select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"),
+            (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+        val nbr = probe
+          .join(cells.select(col("id").as("idb"), col("x").as("xb"),
+            col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+          .filter(col("ida") =!= col("idb") &&
+            abs(col("xa") - col("xb")) <= r && abs(col("ya") - col("yb")) <= r)
+          .groupBy("ida").agg(count(lit(1)).as("nn"))
+        pts.join(nbr, pts("id") === nbr("ida"), "left")
+          .select(coalesce(col("nn"), lit(0L)).as("n_neighbors"))
+          .groupBy("n_neighbors").agg(count(lit(1)).as("n_points"))
+          .orderBy("n_neighbors")
+      },
+      s"""WITH pts AS (
+         |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+         |    doc_id % 479 AS y
+         |  FROM documents),
+         |nbr AS (
+         |  SELECT a.id, COUNT(b.id) AS nn
+         |  FROM pts a JOIN pts b
+         |    ON a.id <> b.id AND abs(a.x - b.x) <= $r AND abs(a.y - b.y) <= $r
+         |  GROUP BY a.id)
+         |SELECT COALESCE(nn, 0) AS n_neighbors, COUNT(*) AS n_points
+         |FROM pts LEFT JOIN nbr USING (id)
+         |GROUP BY 1 ORDER BY n_neighbors""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232, q244,
-      q291, q292)
+      q291, q292, q325)
 }

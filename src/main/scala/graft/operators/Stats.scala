@@ -1492,8 +1492,63 @@ object Stats {
       |  ON spine.qb = binned.qb AND spine.db = binned.db
       |ORDER BY qb, db""".stripMargin)
 
+  // -- q321: autocorrelation function, lags 1..7 ----------------------------
+  //   The seasonality detector under q234/q284: Pearson correlation of the
+  //   daily-order-count series against itself at each lag (a weekly cycle
+  //   shows as a peak at k=7). Scale shape: the SERIES is bounded by the
+  //   calendar (days), not by SF — one date-keyed count aggregation over
+  //   orders, then a 7-way lag cross on the tiny series via an integer
+  //   day-index equi-join (no INTERVAL arithmetic: epoch-day BIGINTs join
+  //   exactly in both engines). All sums are exact BIGINTs; each r is the
+  //   textbook formula evaluated once in double with identical expression
+  //   text on both sides (the repo's corr convention).
+  val q321 = Query.sql(
+    "q321_acf",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
+          .cast("long").as("dd"))
+        .agg(count(lit(1)).as("x"))
+        .barrier() // tiny (calendar days); both sides of the lag join
+      val lags = s.sql("SELECT explode(sequence(1, 7)) AS k")
+        .select(col("k").cast("long").as("k"))
+      daily.crossJoin(lags)
+        .join(daily.select(col("dd").as("dd2"), col("x").as("y")),
+          col("dd") + col("k") === col("dd2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sa"),
+          sum(col("y")).as("sb"), sum(col("x") * col("y")).as("sab"),
+          sum(col("x") * col("x")).as("saa"),
+          sum(col("y") * col("y")).as("sbb"))
+        .select(col("k"), col("m"),
+          expr("""(CAST(m AS DOUBLE) * CAST(sab AS DOUBLE)
+                 |   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+                 | (sqrt(CAST(m AS DOUBLE) * CAST(saa AS DOUBLE)
+                 |   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 |  * sqrt(CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 |   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"""
+            .stripMargin).as("r_acf"))
+        .orderBy("k")
+    },
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+      |    AS dd, COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |ks AS (SELECT CAST(UNNEST(generate_series(1, 7)) AS BIGINT) AS k),
+      |paired AS (
+      |  SELECT k, a.x AS x, b.x AS y
+      |  FROM daily a CROSS JOIN ks JOIN daily b ON a.dd + k = b.dd)
+      |SELECT k, COUNT(*) AS m,
+      |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+      |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) /
+      |  (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+      |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+      |   * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+      |     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS r_acf
+      |FROM paired GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282, q303, q311)
+      q249, q263, q270, q282, q303, q311, q321)
 }

@@ -1518,8 +1518,47 @@ object TextAnalysis {
       |    CAST(SUM(bn) AS DOUBLE) / 1e12 AS avg_score
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // -- q324: Zipf-fit audit (rank × frequency constancy) --------------------
+  //   A natural corpus follows Zipf's law: f(r) ≈ C/r, i.e. rank×frequency
+  //   is roughly constant. Machine-generated or template-heavy corpora
+  //   break it — so the per-rank-decile spread of C = f·r is a cheap
+  //   generation-artifact detector. Kept LOG-FREE deliberately: the repo's
+  //   determinism contract avoids libm (ln is not guaranteed correctly
+  //   rounded across engines); f·r is exact BIGINT arithmetic. Scale: the
+  //   ranked set is the VOCABULARY (bounded), not the corpus — one
+  //   map-side-combined token count, then a window over |vocab| rows
+  //   truncated to the top 100.
+  val q324 = Query.sql(
+    "q324_zipf_fit",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("f"), asc("token"))
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("f"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= 100)
+        .select(((col("r") - 1) / lit(10)).cast("long").as("decile"),
+          (col("f") * col("r")).as("c"))
+        .groupBy("decile")
+        .agg(min(col("c")).as("c_min"), max(col("c")).as("c_max"),
+          (sum(col("c")).cast("double") / 10.0).as("c_avg"))
+        .orderBy("decile")
+    },
+    """WITH tf AS (
+      |  SELECT token, COUNT(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r FROM tf)
+      |SELECT CAST((r - 1) // 10 AS BIGINT) AS decile,
+      |  CAST(MIN(f * r) AS BIGINT) AS c_min,
+      |  CAST(MAX(f * r) AS BIGINT) AS c_max,
+      |  CAST(SUM(f * r) AS DOUBLE) / 10.0 AS c_avg
+      |FROM ranked WHERE r <= 100 GROUP BY 1 ORDER BY decile""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224, q228, q240, q262, q268)
+      q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324)
 }

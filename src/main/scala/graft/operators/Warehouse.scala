@@ -850,6 +850,94 @@ object Warehouse {
       |    CAST(SUM(cnt) AS DOUBLE) AS risk_share
       |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin)
 
+  // -- q322: l-diversity audit (the k-anonymity follow-up) ------------------
+  //   k-anonymity (q238) bounds class SIZE; l-diversity bounds what a class
+  //   LEAKS: if everyone in a quasi-identifier class shares the same
+  //   sensitive value, membership alone discloses it, however large the
+  //   class. Per QI class (nation, segment) count DISTINCT sensitive values
+  //   (account-balance kilo-band), then cross the tiny class histogram with
+  //   policy thresholds l ∈ {2,3,5}. Same scale shape as q238: ONE scan of
+  //   the table into a bounded (|QI| classes) histogram — the threshold
+  //   cross and the report never touch base rows again.
+  val q322 = Query.sql(
+    "q322_l_diversity",
+    (s, dir) => {
+      val cls = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(floor(col("c_acctbal") / 1000)).as("lv"))
+      cls.crossJoin(s.sql("SELECT explode(array(2L, 3L, 5L)) AS l"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("lv") < col("l"), 1L).otherwise(0L))
+            .as("undiverse_classes"),
+          sum(when(col("lv") < col("l"), col("cnt")).otherwise(0L))
+            .as("exposed_rows"),
+          min(col("lv")).as("min_diversity"))
+        .orderBy("l")
+    },
+    """WITH cls AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS cnt,
+      |    COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS lv
+      |  FROM customer GROUP BY 1, 2),
+      |ls AS (SELECT UNNEST([2, 3, 5]) AS l)
+      |SELECT CAST(l AS BIGINT) AS l, COUNT(*) AS n_classes,
+      |  CAST(SUM(CASE WHEN lv < l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS undiverse_classes,
+      |  CAST(SUM(CASE WHEN lv < l THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS exposed_rows,
+      |  CAST(MIN(lv) AS BIGINT) AS min_diversity
+      |FROM cls CROSS JOIN ls GROUP BY l ORDER BY l""".stripMargin)
+
+  // -- q318: bucketed co-located join (zero-shuffle SMJ) --------------------
+  //   THE shuffle-elimination tool at 100 TB: both fact tables are written
+  //   bucketed (and bucket-sorted) on the join key into the catalog, so the
+  //   repeated daily join needs no Exchange and no Sort on either side —
+  //   Spark matches bucket spec to the join's required distribution. The
+  //   one-time bucketing write costs a single shuffle; every subsequent
+  //   join of the two tables is map-side. PlanSpec pins the zero-Exchange
+  //   plan (with broadcast disabled, so the pin survives AQE's small-input
+  //   shortcut); the oracle proves the bucketed layout returns exactly the
+  //   plain join's answer.
+  val q318 = Query.sql(
+    "q318_bucketed_join",
+    (s, dir) => {
+      bucketedPair(s, dir) match { case (lt, ot) =>
+        s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      }
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** Write (once per sf-dir) lineitem + orders as 8-bucket tables on the
+    * join key, external under /tmp; returns the catalog table names.
+    * Idempotent across a session so PlanSpec and Verify share the layout.
+    */
+  def bucketedPair(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"graft_li_bkt_$tag", s"graft_or_bkt_$tag")
+    if (!s.catalog.tableExists(lt)) {
+      graft.sources.Layout.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lt, "l_orderkey", 8, Seq("l_orderkey"),
+        Some(s"/tmp/graft_bkt_$tag/lineitem"))
+      graft.sources.Layout.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", 8, Seq("o_orderkey"),
+        Some(s"/tmp/graft_bkt_$tag/orders"))
+    }
+    (lt, ot)
+  }
+
   // -- q265: small-file compaction plan (OPTIMIZE bin packing) --------------
   //   The lakehouse maintenance step: given a file inventory (simulated
   //   here as per-source "files" of ~100 docs each with their byte sizes),
@@ -1169,5 +1257,6 @@ object Warehouse {
 
   val all: Seq[Query] =
     Seq(q100, q101, q103, q104, q105, q122, q127, q141, q149, q154, q157,
-      q173, q211, q216, q227, q238, q265, q266, q286, q290, q295)
+      q173, q211, q216, q227, q238, q265, q266, q286, q290, q295, q318,
+      q322)
 }

@@ -46,9 +46,11 @@ object Layout {
       table: String,
       bucketCol: String,
       buckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
+    val w = path.fold(w0)(p => w0.option("path", p)) // external table location
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

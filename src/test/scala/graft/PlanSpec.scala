@@ -266,6 +266,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q318 bucketed-join query: both scans bucketed, no join-key exchange") {
+    // The only Exchange allowed in q318's plan is the groupBy's; the join
+    // itself must be satisfied by the bucketed layout. Broadcast disabled
+    // so the small sf0.001 input can't sidestep the shuffle path.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Warehouse.q318.run(spark, sf0001))
+      assert(p.contains("SortMergeJoin"), s"expected merge join:\n$p")
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        s"both sides must scan the bucketed layout:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join key still shuffled despite bucketing:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q287 triple build groups once — no self-join of lineitem") {
     // The C(k,3) explode must come from ONE order-key aggregation; a
     // regression to the naive 3-way self-join would show 3 scans.
