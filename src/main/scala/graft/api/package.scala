@@ -830,5 +830,74 @@ package object api {
           lit(2401L).cast("decimal(38,0)") * d(col("n_a")) * d(col("n_b")) *
             bigX * (bigN - bigX)).as("significant"))
     }
+
+    /** Count, per row, the neighbors within Chebyshev radius `r` of its
+      * integer point (`xCol`, `yCol`) — the grid-bucketed 2-D range
+      * self-join (cf. q325): points bucket into r-sized cells, each point
+      * probes its 3×3 cell neighborhood, and every true pair is found
+      * exactly once (the neighbor's home cell is unique). Returns the
+      * input plus `n_neighbors`. Shuffles (cell, point) rows; per-cell
+      * density is the skew bound to audit (skewProfile on the cell key).
+      */
+    def gridNeighborJoin(idCol: String, xCol: String, yCol: String,
+        r: Long): DataFrame = {
+      val s = df.sparkSession
+      val cells = df
+        .withColumn("__cx", floor(col(xCol) / r))
+        .withColumn("__cy", floor(col(yCol) / r))
+      val probe = cells
+        .select(col(idCol).as("__ida"), col(xCol).as("__xa"),
+          col(yCol).as("__ya"), col("__cx"), col("__cy"))
+        .crossJoin(s.sql("SELECT explode(sequence(-1, 1)) AS __dx")
+          .crossJoin(s.sql("SELECT explode(sequence(-1, 1)) AS __dy")))
+        .select(col("__ida"), col("__xa"), col("__ya"),
+          (col("__cx") + col("__dx")).as("__cx"),
+          (col("__cy") + col("__dy")).as("__cy"))
+      val nbr = probe
+        .join(cells.select(col(idCol).as("__idb"), col(xCol).as("__xb"),
+          col(yCol).as("__yb"), col("__cx"), col("__cy")),
+          Seq("__cx", "__cy"))
+        .filter(col("__ida") =!= col("__idb") &&
+          abs(col("__xa") - col("__xb")) <= r &&
+          abs(col("__ya") - col("__yb")) <= r)
+        .groupBy(col("__ida")).agg(count(lit(1)).as("__nn"))
+      df.join(nbr, df(idCol) === nbr("__ida"), "left")
+        .withColumn("n_neighbors", coalesce(col("__nn"), lit(0L)))
+        .drop("__ida", "__nn")
+    }
+
+    /** Exact rolling median of `valueCol` over the trailing `window` rows
+      * per group in `orderCol` order (cf. q327): the window is a fixed row
+      * count, so the median comes from sorting that bounded slice — no
+      * approximation, deterministic for integer values. Appends `out`.
+      */
+    def rollingMedian(groupCol: String, orderCol: String, valueCol: String,
+        window: Int, out: String = "rolling_median"): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(orderCol)
+        .rowsBetween(-(window - 1), 0)
+      df.withColumn("__win", collect_list(col(valueCol)).over(w))
+        .withColumn(out, expr(
+          "element_at(array_sort(__win), CAST((size(__win) + 1) / 2 AS INT))"))
+        .drop("__win")
+    }
+
+    /** Sorted-neighborhood candidate pairs (cf. q328): global rank by
+      * `sortCol` (two-phase, never a single-partition window), then each
+      * row pairs with its next `window` neighbors in sort order — the
+      * linkage blocking pass that catches near-dups an attribute block
+      * splits. Returns (`a`, `b`, `k`) id pairs with k = rank offset.
+      */
+    def snmPairs(idCol: String, sortCol: String, window: Int = 3): DataFrame = {
+      val s = df.sparkSession
+      val ranked = df.select(col(idCol), col(sortCol))
+        .globalRowNumber("__r", col(sortCol), col(idCol))
+      ranked.select(col("__r"), col(idCol).as("a"))
+        .crossJoin(s.sql(s"SELECT explode(sequence(1, $window)) AS k")
+          .select(col("k").cast("long").as("k")))
+        .join(ranked.select(col("__r").as("__rb"), col(idCol).as("b")),
+          col("__r") + col("k") === col("__rb"))
+        .select(col("a"), col("b"), col("k"))
+    }
   }
 }

@@ -1199,9 +1199,52 @@ object Dedup {
       |  CAST(MIN(CASE WHEN d > 0 THEN d END) AS BIGINT) AS closest_dist
       |FROM pr GROUP BY sz ORDER BY p_size""".stripMargin)
 
+  // -- q328: sorted-neighborhood linkage (the OTHER classic blocking pass) --
+  //   q319 blocks on an attribute; sorted-neighborhood sorts the sort-key
+  //   column and compares each record only to its w nearest neighbors in
+  //   sort order — the pass that catches near-dups an attribute block
+  //   splits (production linkage unions several passes). Rank comes from
+  //   the two-phase globalRowNumber (per-partition counts + offsets — a
+  //   range shuffle, NEVER a single-partition window), and the neighbor
+  //   pairing is an equi-join on rank+k for k ∈ 1..3 — each within-window
+  //   pair generated exactly once at its offset.
+  val q328 = Query.sql(
+    "q328_snm_linkage",
+    (s, dir) => {
+      import graft.api._
+      val ranked = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+        .globalRowNumber("r", col("p_name"), col("p_partkey"))
+        .barrier() // both sides of the offset join
+      ranked.select(col("r"), col("p_name").as("na"))
+        .crossJoin(s.sql("SELECT explode(sequence(1, 3)) AS k")
+          .select(col("k").cast("long").as("k")))
+        .join(ranked.select(col("r").as("rb"), col("p_name").as("nb")),
+          col("r") + col("k") === col("rb"))
+        .select(col("k"), levenshtein(col("na"), col("nb")).as("d"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") <= 3, 1L).otherwise(0L)).as("n_matched"),
+          min(when(col("d") > 0, col("d"))).cast("long").as("closest_dist"))
+        .orderBy("k")
+    },
+    """WITH ranked AS (
+      |  SELECT p_name,
+      |    row_number() OVER (ORDER BY p_name, p_partkey) AS r
+      |  FROM part),
+      |ks AS (SELECT CAST(UNNEST(generate_series(1, 3)) AS BIGINT) AS k),
+      |pr AS (
+      |  SELECT k, levenshtein(a.p_name, b.p_name) AS d
+      |  FROM ranked a CROSS JOIN ks JOIN ranked b ON a.r + k = b.r)
+      |SELECT k, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(MIN(CASE WHEN d > 0 THEN d END) AS BIGINT) AS closest_dist
+      |FROM pr GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319)
+      q319, q328)
 
 }

@@ -1547,8 +1547,68 @@ object Stats {
       |     - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS r_acf
       |FROM paired GROUP BY k ORDER BY k""".stripMargin)
 
+  // -- q329: split-conformal prediction intervals ---------------------------
+  //   Distribution-free forecast intervals for the seasonal-naive model
+  //   (q304's forecaster): calibrate q̂ = the ⌈0.9·(n+1)⌉-th smallest
+  //   absolute residual on the pre-1997 days, then audit empirical
+  //   coverage of |residual| ≤ q̂ on the held-out days — the finite-sample
+  //   ≥90% guarantee split conformal promises. Everything is exact integer
+  //   math: residuals are count differences, the quantile comes from the
+  //   distinct-|r| histogram crossing (q315's pattern — no sort of the
+  //   series, a window over the tiny residual-value histogram), and the
+  //   rank ⌈9(n+1)/10⌉ is integer division. Series length is
+  //   calendar-bounded, so every frame here is tiny at any SF.
+  val q329 = Query.sql(
+    "q329_conformal_intervals",
+    (s, dir) => {
+      val split = 1827L // days from 1992-01-01 to 1997-01-01
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')")
+          .cast("long").as("dd"))
+        .agg(count(lit(1)).as("x"))
+        .barrier() // both sides of the lag-7 join
+      val resid = daily
+        .join(daily.select((col("dd") + 7).as("dd"), col("x").as("f")), "dd")
+        .select(col("dd"), abs(col("x") - col("f")).as("ar"))
+        .barrier() // calibration histogram + test coverage
+      val cal = resid.filter(col("dd") < split)
+      val tot = cal.agg(count(lit(1)).as("n_cal"))
+      val hist = cal.groupBy("ar").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c"))
+          .over(Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, 0)))
+      val qhat = hist.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(min(col("ar")).as("q_hat"))
+      resid.filter(col("dd") >= split)
+        .crossJoin(broadcast(qhat)).crossJoin(broadcast(tot))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          max(col("q_hat")).as("q_hat"),
+          (sum(when(col("ar") <= col("q_hat"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+    },
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+      |    AS dd, COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |resid AS (
+      |  SELECT a.dd, abs(a.x - b.x) AS ar
+      |  FROM daily a JOIN daily b ON a.dd = b.dd + 7),
+      |tot AS (SELECT COUNT(*) AS n_cal FROM resid WHERE dd < 1827),
+      |hist AS (
+      |  SELECT ar, COUNT(*) AS c,
+      |    SUM(COUNT(*)) OVER (ORDER BY ar
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM resid WHERE dd < 1827 GROUP BY ar),
+      |qh AS (
+      |  SELECT MIN(ar) AS q_hat FROM hist CROSS JOIN tot
+      |  WHERE cum >= (9 * (n_cal + 1) + 9) // 10)
+      |SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test, MAX(q_hat) AS q_hat,
+      |  CAST(SUM(CASE WHEN ar <= q_hat THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS coverage
+      |FROM resid CROSS JOIN qh CROSS JOIN tot WHERE dd >= 1827""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282, q303, q311, q321)
+      q249, q263, q270, q282, q303, q311, q321, q329)
 }

@@ -400,4 +400,27 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(cl == Map((4, 2) -> 1L, (2, 1) -> 1L, (4, 1) -> 2L), s"closure got $cl")
   }
+
+  test("rollingMedian: exact trailing-window medians, short prefixes included") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10L), ("a", 2, 100L), ("a", 3, 20L), ("a", 4, 30L),
+      ("b", 1, 7L)).toDF("g", "t", "v")
+    val out = df.rollingMedian("g", "t", "v", window = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // windows: [10]=10, [10,100]=10 (lower median), [10,100,20]=20,
+    // [100,20,30]=30; group b has a 1-row window
+    assert(out == Map(("a", 1) -> 10L, ("a", 2) -> 10L, ("a", 3) -> 20L,
+      ("a", 4) -> 30L, ("b", 1) -> 7L), s"got $out")
+  }
+
+  test("snmPairs: each rank-window pair exactly once, offsets correct") {
+    import spark.implicits._
+    // sort order by name: ann(1), bob(2), cat(3), dan(4)
+    val df = Seq((10L, "cat"), (11L, "ann"), (12L, "dan"), (13L, "bob"))
+      .toDF("id", "name")
+    val pairs = df.snmPairs("id", "name", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((11L, 13L, 1L), (13L, 10L, 1L), (10L, 12L, 1L),
+      (11L, 10L, 2L), (13L, 12L, 2L)), s"got $pairs")
+  }
 }

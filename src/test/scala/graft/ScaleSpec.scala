@@ -454,4 +454,20 @@ class ScaleSpec extends SparkSpec {
     val dups = cl.groupBy("node", "anc").count().filter(col("count") > 1).count()
     assert(dups == 0, s"$dups duplicate closure pairs")
   }
+
+  test("soak: gridNeighborJoin on a 1M-point lattice — closed-form counts") {
+    import org.apache.spark.sql.functions._
+    import graft.api._
+    import spark.implicits._
+    // 1000x1000 integer lattice: within Chebyshev r=1 every interior point
+    // has exactly 8 neighbors, edge points 5, corners 3 — an analytic
+    // oracle that would catch any double-counted or missed cell probe.
+    val pts = spark.range(1000000).select(col("id"),
+      pmod(col("id"), lit(1000L)).as("x"), expr("id div 1000").as("y"))
+    val hist = pts.gridNeighborJoin("id", "x", "y", 1L)
+      .groupBy("n_neighbors").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(8L -> 998L * 998L, 5L -> 4L * 998L, 3L -> 4L),
+      s"got $hist")
+  }
 }
