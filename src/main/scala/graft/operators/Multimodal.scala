@@ -228,5 +228,92 @@ object Multimodal {
       |FROM h GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY n_media DESC, phash""".stripMargin)
 
-  val all: Seq[Query] = Seq(q70, q71, q72, q206, q305)
+  // -- q330: batched feature extraction (decode → embed plumbing) -----------
+  //   The third leg of the multimodal triad (decode q70, frame-sample q71,
+  //   FEATURES here): each payload becomes a fixed-dimension vector via the
+  //   iterator→iterator batch path a real encoder (CNN/CLIP on the
+  //   executor) would use — one model handle per partition, payloads never
+  //   shuffled, only the small vectors leave the map side. FAKE EXTRACTOR
+  //   (clearly marked): an 8-bin byte histogram stands in for the
+  //   embedding; the vector schema, batch shape, and the downstream
+  //   per-bin aggregation are exactly what the codec-backed version keeps.
+  //   Oracle-able because the payload is ASCII text: DuckDB rebuilds the
+  //   histogram from code points.
+  val q330 = Query.sql(
+    "q330_media_features",
+    (s, dir) => {
+      import s.implicits._
+      val feats = mediaTable(s, dir)
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, p) =>
+            // FAKE FEATURE EXTRACT: byte-bucket histogram in place of a
+            // learned encoder; one vector per payload, computed in-place.
+            val h = new Array[Long](8)
+            p.foreach(b => h((b & 0xFF) >> 5) += 1)
+            (id, h.toSeq)
+          }
+        }
+        .toDF("media_id", "feature")
+      feats
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("bin", "v")))
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(sum(col("v")).as("total"),
+          sum(when(col("v") > 0, 1L).otherwise(0L)).as("n_media_nonzero"),
+          max(col("v")).as("max_in_one"))
+        .orderBy("bin")
+    },
+    """WITH chars AS (
+      |  SELECT doc_id, unicode(c) // 32 AS bin
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+      |        FROM documents)),
+      |per_doc AS (
+      |  SELECT doc_id, bin, COUNT(*) AS v FROM chars GROUP BY 1, 2),
+      |spine AS (SELECT CAST(UNNEST(generate_series(0, 7)) AS BIGINT) AS bin)
+      |SELECT bin,
+      |  CAST(COALESCE(SUM(v), 0) AS BIGINT) AS total,
+      |  CAST(COUNT(v) AS BIGINT) AS n_media_nonzero,
+      |  CAST(COALESCE(MAX(v), 0) AS BIGINT) AS max_in_one
+      |FROM spine LEFT JOIN per_doc USING (bin)
+      |GROUP BY bin ORDER BY bin""".stripMargin)
+
+  // -- q331: resize/downsample (the 4th leg: decode→features→RESIZE→frames) -
+  //   Media resize as a map-side payload transform: FAKE RESIZE (clearly
+  //   marked) keeps every 4th byte — the stand-in for a codec's
+  //   scale-to-quarter-resolution — implemented as a codegen'd expression
+  //   chain (no UDF), so the whole op stays inside WholeStageCodegen and
+  //   the shuffle carries only the per-media summary row. A codec-backed
+  //   version swaps the expression for a mapPartitions decode (q71's batch
+  //   shape); everything downstream (size accounting, digest audit,
+  //   compression-ratio report) is unchanged.
+  val q331 = Query.sql(
+    "q331_media_resize",
+    (s, dir) => {
+      val resized = mediaTable(s, dir)
+        .select(col("media_id"), col("payload").cast("string").as("t"))
+        .withColumn("small", expr(
+          """concat_ws('', transform(
+            |  sequence(1, greatest(length(t), 1), 4),
+            |  i -> substring(t, i, 1)))""".stripMargin))
+      resized.select(
+          col("media_id"),
+          length(col("t")).cast("long").as("orig_bytes"),
+          length(col("small")).cast("long").as("resized_bytes"),
+          md5(col("small")).as("resized_digest"))
+        .orderBy("media_id")
+    },
+    """WITH r AS (
+      |  SELECT doc_id AS media_id, text AS t,
+      |    list_aggregate(list_transform(
+      |      range(1, greatest(LENGTH(text), 1) + 1, 4),
+      |      i -> substring(text, CAST(i AS INT), 1)), 'string_agg', '')
+      |      AS small
+      |  FROM documents)
+      |SELECT media_id, CAST(LENGTH(t) AS BIGINT) AS orig_bytes,
+      |  CAST(LENGTH(small) AS BIGINT) AS resized_bytes,
+      |  md5(small) AS resized_digest
+      |FROM r ORDER BY media_id""".stripMargin)
+
+  val all: Seq[Query] = Seq(q70, q71, q72, q206, q305, q330, q331)
 }
