@@ -18,6 +18,13 @@ object GraftFunctions {
         CosineSimilarity(children.head, children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(stringA, stringB)")
+        JaroWinkler(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => {

@@ -1242,9 +1242,49 @@ object Dedup {
       |  CAST(MIN(CASE WHEN d > 0 THEN d END) AS BIGINT) AS closest_dist
       |FROM pr GROUP BY k ORDER BY k""".stripMargin)
 
+  // -- q332: Jaro–Winkler blocked linkage (native codegen Expression) -------
+  //   q319's blocked shape with the scorer human-name matching actually
+  //   uses: Jaro–Winkler rewards shared prefixes and tolerates
+  //   transpositions (levenshtein charges full price for both). The scorer
+  //   is graft's native `jaro_winkler` Expression (functions/JaroWinkler
+  //   .scala) — whole-stage codegen'd, bit-exact against DuckDB's
+  //   implementation (35k-pair fuzz verified, FunctionsSpec), so even the
+  //   raw double scores hash-match the oracle. Same scale contract as
+  //   q319: the blocking key bounds the per-block quadratic.
+  val q332 = Query.sql(
+    "q332_jaro_linkage",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      p.select(col("p_size").as("sz"), col("p_partkey").as("ka"),
+          col("p_name").as("na"))
+        .join(p.select(col("p_size").as("sz"), col("p_partkey").as("kb"),
+          col("p_name").as("nb")), Seq("sz"))
+        .filter(col("ka") < col("kb"))
+        .select(col("sz"), expr("jaro_winkler(na, nb)").as("jw"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jw") >= 0.85, 1L).otherwise(0L)).as("n_strong"),
+          max(col("jw")).as("best_jw"))
+        .select(col("sz").cast("long").as("p_size"), col("n_pairs"),
+          col("n_strong"), col("best_jw"))
+        .orderBy("p_size")
+    },
+    """WITH pr AS (
+      |  SELECT a.p_size AS sz, jaro_winkler_similarity(a.p_name, b.p_name)
+      |    AS jw
+      |  FROM part a JOIN part b
+      |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+      |SELECT CAST(sz AS BIGINT) AS p_size, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN jw >= 0.85 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_strong,
+      |  MAX(jw) AS best_jw
+      |FROM pr GROUP BY sz ORDER BY p_size""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319, q328)
+      q319, q328, q332)
 
 }

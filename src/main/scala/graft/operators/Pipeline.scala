@@ -1510,8 +1510,143 @@ object Pipeline {
       |    CAST(SUM(occ) AS DOUBLE) AS collision_share
       |FROM occ GROUP BY k ORDER BY n_buckets""".stripMargin)
 
+  // -- q333: consistent-hashing reshard audit --------------------------------
+  //   Why sharded stores use ring hashing: growing a mod-N cluster from 8
+  //   to 9 nodes remaps ~8/9 of all keys (every key whose k%8 ≠ k%9 moves
+  //   — a full-cluster rebalance), while on a hash ring only the keys
+  //   landing on the NEW node move (~1/9). This audit computes both
+  //   movement fractions over the real key population — the planning
+  //   number a capacity change needs. Ring positions are md5-derived
+  //   (reproducible in both engines); the 9-node ring is a bounded
+  //   broadcast; everything else is one map-side pass + one rollup.
+  val q333 = Query.sql(
+    "q333_consistent_hashing",
+    (s, dir) => {
+      val M = 4294967296L // 2^32 ring size
+      def h32(e: String) =
+        s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+      val keys = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          expr(h32("concat('key:', CAST(c_custkey AS STRING))")).as("kpos"))
+      // ring nodes 0..8: node 8 is the one being added
+      val nodes = s.sql(
+        "SELECT explode(sequence(0, 8)) AS node").select(col("node")
+          .cast("long").as("node"),
+          expr(h32("concat('node:', CAST(node AS STRING))")).as("npos"))
+      val assigned = keys.crossJoin(Bounded.probe(nodes, 9))
+        .select(col("k"), col("kpos"), col("node"),
+          (((col("npos") - col("kpos")) % M + M) % M).as("gap"),
+          (col("node") < 8).as("old_ring"))
+      def owner(flt: Column) = assigned.filter(flt)
+        .groupBy("k").agg(min(struct(col("gap"), col("node"))).as("b"))
+        .select(col("k"), col("b.node").as("owner"))
+      val moves = owner(col("old_ring")) // 8-node ring
+        .join(owner(lit(true)).withColumnRenamed("owner", "owner9"), "k")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("owner") =!= col("owner9"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(lit("ring").as("method"), col("n_keys"), col("n_moved"))
+      val modMoves = keys
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(pmod(col("k"), lit(8L)) =!= pmod(col("k"), lit(9L)), 1L)
+            .otherwise(0L)).as("n_moved"))
+        .select(lit("mod").as("method"), col("n_keys"), col("n_moved"))
+      moves.union(modMoves)
+        .select(col("method"), col("n_keys"), col("n_moved"),
+          (col("n_moved").cast("double") / col("n_keys").cast("double"))
+            .as("moved_share"))
+        .orderBy("method")
+    },
+    """WITH keys AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(('0x' || substring(md5('key:' || CAST(c_custkey AS VARCHAR)),
+      |      1, 8))::BIGINT AS BIGINT) AS kpos
+      |  FROM customer),
+      |nodes AS (
+      |  SELECT CAST(n AS BIGINT) AS node,
+      |    CAST(('0x' || substring(md5('node:' || CAST(n AS VARCHAR)),
+      |      1, 8))::BIGINT AS BIGINT) AS npos
+      |  FROM (SELECT UNNEST(generate_series(0, 8)) AS n)),
+      |assigned AS (
+      |  SELECT k, node,
+      |    ((npos - kpos) % 4294967296 + 4294967296) % 4294967296 AS gap,
+      |    node < 8 AS old_ring
+      |  FROM keys CROSS JOIN nodes),
+      |own8 AS (
+      |  SELECT k, arg_min(node, gap) AS owner
+      |  FROM assigned WHERE old_ring GROUP BY k),
+      |own9 AS (
+      |  SELECT k, arg_min(node, gap) AS owner9
+      |  FROM assigned GROUP BY k),
+      |ring AS (
+      |  SELECT 'ring' AS method, COUNT(*) AS n_keys,
+      |    CAST(SUM(CASE WHEN owner <> owner9 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_moved
+      |  FROM own8 JOIN own9 USING (k)),
+      |m AS (
+      |  SELECT 'mod' AS method, COUNT(*) AS n_keys,
+      |    CAST(SUM(CASE WHEN k % 8 <> k % 9 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_moved
+      |  FROM keys)
+      |SELECT method, n_keys, n_moved,
+      |  CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS moved_share
+      |FROM (SELECT * FROM ring UNION ALL SELECT * FROM m)
+      |ORDER BY method""".stripMargin)
+
+  // -- q334: priority sampling (weighted sample + HT estimator) -------------
+  //   Duffield–Lund–Thorup priority sampling: each item gets priority
+  //   w/u with u a hash-derived uniform in (0,1]; keep the top k; the
+  //   Horvitz–Thompson estimate Σ max(w, τ) over the sample (τ = the
+  //   (k+1)-th priority) is unbiased for the population total. The ONE
+  //   weighted-sample scheme that is simultaneously deterministic here
+  //   (division only, no pow — repo's libm ban) and accurate for skewed
+  //   weights (heavy items enter with probability ~1). Scale: priorities
+  //   are map-side; top-(k+1) is TakeOrdered (k rows per partition cross
+  //   the wire); the estimate is a floor-scaled integer sum.
+  val q334 = Query.sql(
+    "q334_priority_sampling",
+    (s, dir) => {
+      val k = 100
+      val pri = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("w"),
+          expr(
+            """o_totalprice / ((CAST(conv(substring(md5(
+              |  concat('ps:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10)
+              |  AS BIGINT) + 1) / 4294967296e0)""".stripMargin).as("pri"))
+      val top = pri.orderBy(desc("pri"), asc("key")).limit(k + 1)
+        .barrier() // tau + the sample share this 101-row frame
+      val tau = top.agg(min(col("pri")).as("tau"))
+      val est = top.crossJoin(broadcast(tau))
+        .filter(col("pri") > col("tau")) // the top k (the (k+1)-th sets τ)
+        .agg(count(lit(1)).as("n_sample"),
+          sum(expr("CAST(FLOOR(greatest(w, tau) * 1e6) AS BIGINT)"))
+            .as("est_sp"))
+      val truth = Tables.load(s, dir, "orders")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("true_total"))
+      est.crossJoin(broadcast(truth))
+        .select(col("n_sample"),
+          expr("CAST(est_sp AS DOUBLE) / 1e6").as("est_total"),
+          col("true_total"))
+    },
+    """WITH pri AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS w,
+      |    o_totalprice / ((CAST(('0x' || substring(md5(
+      |      'ps:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS BIGINT)
+      |      + 1) / 4294967296e0) AS pri
+      |  FROM orders),
+      |top AS (SELECT * FROM pri ORDER BY pri DESC, key LIMIT 101),
+      |tau AS (SELECT MIN(pri) AS tau FROM top)
+      |SELECT COUNT(*) AS n_sample,
+      |  CAST(CAST(SUM(CAST(FLOOR(greatest(w, tau) * 1e6) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / 1e6 AS est_total,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |   FROM orders) AS true_total
+      |FROM top CROSS JOIN tau WHERE pri > tau""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
-      q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302)
+      q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
+      q333, q334)
 }

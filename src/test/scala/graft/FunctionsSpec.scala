@@ -173,4 +173,37 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(est - exact).toDouble / exact < 0.05,
         s"$label estimate $est vs exact $exact drifted > 5%")
   }
+
+  test("jaro_winkler: textbook golden values and edge cases") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT jaro_winkler('$a', '$b')").first().getDouble(0)
+    assert(jw("martha", "marhta") == 0.9611111111111111) // classic transposition
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0) // empty-before-equality: DuckDB's convention
+    assert(jw("crate", "trace") == 0.7333333333333334) // no shared prefix
+    // boost threshold: jaro 2/3 <= 0.7 -> NO prefix boost despite 'abc'
+    assert(jw("abcdef", "abcxyz") == 0.6666666666666666)
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").first().isNullAt(0))
+  }
+
+  test("jaro_winkler: interpreted eval equals codegen over real names") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.load(spark, sf0001, "part").select("p_name")
+      .distinct().as("a")
+      .crossJoin(Tables.load(spark, sf0001, "part").select(col("p_name")
+        .as("q")).distinct().as("b"))
+    val viaCodegen = pairs.select(expr("jaro_winkler(p_name, q)").as("v"))
+      .agg(sum(expr("CAST(floor(v * 1e15) AS DECIMAL(38,0))"))).first().getDecimal(0)
+    val viaEval = pairs.collect().map { r =>
+      BigDecimal(math.floor(graft.functions.JaroWinklerImpl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        * 1e15))
+    }.sum
+    assert(BigDecimal(viaCodegen) == viaEval, s"$viaCodegen vs $viaEval")
+  }
 }
