@@ -549,3 +549,76 @@ object CurationFlagship {
       s"${m.name}.$k" -> acc.value.longValue }).toMap
   }
 }
+
+/** STREAMING FLAGSHIP — the serving-side sibling of [[CurationFlagship]]:
+  * a live event feed maintained as an always-fresh serving table.
+  *
+  *   event files (arriving)                      [readStream, file source]
+  *     → exact dedup within watermark            [dropDuplicatesWithinWatermark]
+  *     → enrich with a static user dimension     [stream-static broadcast join]
+  *     → hourly rollup per segment               [watermarked tumbling window]
+  *     → MERGE into a keyed serving table        [foreachBatch + mergeUpsert]
+  *
+  * Every stage is the streaming twin of a batch operator this library
+  * ships, so the pipeline has a BATCH ORACLE: running the same transforms
+  * over a plain read of the same files must equal the serving table
+  * exactly (ExamplesSpec pins it, including across a second file drop —
+  * updated windows re-merge, untouched rows survive).
+  *
+  * Scale shape: dedup state is bounded by the watermark; the dimension is
+  * a broadcast; window state is dropped past the watermark; the serving
+  * table rewrite is keyed (mergeUpsert's full-outer join on the serving
+  * key), so each micro-batch touches work proportional to ITS windows,
+  * not the table's history.
+  */
+object StreamingServing {
+  import graft.streaming.Streams
+
+  /** One AvailableNow pass over whatever files exist now; safe to call
+    * repeatedly as new files land (checkpointDir carries source offsets,
+    * so each call processes only NEW files — the incremental contract).
+    */
+  def refresh(spark: SparkSession, eventsDir: String, dim: DataFrame,
+      servingPath: String, checkpointDir: String): Unit = {
+    val rollup = hourlyRollup(
+      Streams.enrichStream(
+        Streams.dedupStream(Streams.eventFileStream(spark, eventsDir),
+          "event_id"),
+        dim, "user_id"))
+    val q = rollup.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.api._
+        val changes = batch.withColumn("k",
+          concat_ws("|", col("hour").cast("string"), col("segment")))
+        val base =
+          if (graft.sources.DatasetFs.exists(spark, s"parquet://$servingPath"))
+            spark.read.parquet(servingPath)
+          else changes.limit(0)
+        // rewrite via temp dir: mergeUpsert reads the current table lazily
+        val merged = base.mergeUpsert(changes, "k").cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(servingPath)
+        merged.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The shared shape: batch oracle and stream run the SAME function.
+    * No watermark here — the ingest dedup already stamped one, and it
+    * governs every downstream stateful operator (a second withWatermark
+    * on the same stream is redefinition, which Spark rejects); on the
+    * batch oracle a watermark would be a no-op anyway.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(FLOOR(value * 1e6) AS BIGINT)")).as("value_sp"))
+      .select(col("window.start").as("hour"), col("segment"),
+        col("n_events"), col("value_sp"))
+}

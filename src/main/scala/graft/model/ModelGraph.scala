@@ -57,14 +57,50 @@ final class ModelGraph(models: Seq[Model]) {
     * concurrently. Fails fast on the first failed model.
     */
   def run(spark: SparkSession, ctx: RunContext = RunContext()): Unit = {
+    runIncremental(spark, ctx, incremental = false)
+    ()
+  }
+
+  /** Run with BUILD AVOIDANCE: a model is skipped when every output it
+    * writes already exists and is newer than the newest of its inputs —
+    * make's rule applied to dataset urls, the nightly-rebuild primitive
+    * (re-running a 100 TB DAG because one leaf changed is the expensive
+    * mistake; timestamps come from the filesystem, so this works unchanged
+    * on S3/HDFS). Conservative in the safe direction: a model with no
+    * outputs, a non-filesystem url (jdbc/kafka), or any unreadable
+    * timestamp always rebuilds. Returns model → "built" | "skipped".
+    */
+  def runIncremental(spark: SparkSession, ctx: RunContext = RunContext(),
+      incremental: Boolean = true): Map[String, String] = {
     implicit val ec: ExecutionContext = ModelGraph.stageEc
+    val status = scala.collection.mutable.Map.empty[String, String]
+    def upToDate(m: Model): Boolean = m.targets.nonEmpty && {
+      def times(urls: Set[String]): Option[Seq[java.time.Instant]] = {
+        val ts = urls.toSeq.map { u =>
+          scala.util.Try(
+            graft.sources.DatasetFs.lastModified(spark, ctx.resolve(u)))
+            .toOption.flatten
+        }
+        if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+      }
+      (times(m.targets), times(m.sources)) match {
+        case (Some(outs), Some(ins)) if outs.nonEmpty =>
+          ins.isEmpty || !outs.min.isBefore(ins.max)
+        case _ => false // anything unreadable/absent → rebuild
+      }
+    }
     runOrder().foreach { stage =>
-      val results = stage.map(m => Future(m.name -> m.go(spark, ctx)))
+      val (skip, build) =
+        if (incremental) stage.partition(upToDate) else (Seq.empty, stage)
+      skip.foreach(m => status(m.name) = "skipped")
+      val results = build.map(m => Future(m.name -> m.go(spark, ctx)))
       val done = Await.result(Future.sequence(results), Duration.Inf)
+      done.foreach { case (n, ok) => status(n) = if (ok) "built" else "failed" }
       done.collectFirst { case (n, false) => n }.foreach { failed =>
         throw new RuntimeException(s"model $failed failed its checks")
       }
     }
+    status.toMap
   }
 }
 

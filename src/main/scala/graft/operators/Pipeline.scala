@@ -1644,9 +1644,59 @@ object Pipeline {
       |   FROM orders) AS true_total
       |FROM top CROSS JOIN tau WHERE pri > tau""".stripMargin)
 
+  // -- q335: preference-pair construction (DPO/RLHF data prep) --------------
+  //   Build (chosen, rejected) training pairs: within each group (source =
+  //   the "prompt"), the highest- and lowest-scoring completions under a
+  //   deterministic quality score (distinct-token count), with the score
+  //   margin attached — the last step before preference-tuning a model.
+  //   Shape: one map-side score, two rank windows PARTITIONED on the group
+  //   key (the per-prompt candidate set is bounded — never a global sort),
+  //   one self-join per group row. Ties break on doc_id so the pair set is
+  //   unique under any parallelism; groups with one doc pair with
+  //   themselves and are dropped by the margin > 0 gate... kept explicit:
+  //   chosen <> rejected.
+  val q335 = Query.sql(
+    "q335_preference_pairs",
+    (s, dir) => {
+      val scored = Tables.loadBalanced(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("sc"))
+        .barrier() // both rank windows read this tiny frame
+      val wTop = Window.partitionBy("source").orderBy(desc("sc"), asc("doc_id"))
+      val wBot = Window.partitionBy("source").orderBy(asc("sc"), asc("doc_id"))
+      val chosen = scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("doc_id").as("chosen"),
+          col("sc").as("chosen_score"))
+      val rejected = scored.withColumn("rn", row_number().over(wBot))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("doc_id").as("rejected"),
+          col("sc").as("rejected_score"))
+      chosen.join(rejected, "source")
+        .filter(col("chosen") =!= col("rejected"))
+        .select(col("source"), col("chosen"), col("rejected"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+        .orderBy("source")
+    },
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS sc
+      |  FROM documents),
+      |ch AS (
+      |  SELECT source, doc_id AS chosen, sc AS chosen_score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY sc DESC, doc_id) AS rn FROM scored) WHERE rn = 1),
+      |rj AS (
+      |  SELECT source, doc_id AS rejected, sc AS rejected_score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY sc, doc_id) AS rn FROM scored) WHERE rn = 1)
+      |SELECT source, chosen, rejected, chosen_score - rejected_score AS margin
+      |FROM ch JOIN rj USING (source)
+      |WHERE chosen <> rejected ORDER BY source""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
       q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
-      q333, q334)
+      q333, q334, q335)
 }

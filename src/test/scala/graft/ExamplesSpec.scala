@@ -218,6 +218,66 @@ class ExamplesSpec extends SparkSpec {
     assert(stats2 == stats)
   }
 
+  test("streaming serving pipeline: stream == batch, incremental across drops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = tmp()
+    val eventsDir = s"$work/events"; new java.io.File(eventsDir).mkdirs()
+    val serving = s"$work/serving"; val ckpt = s"$work/ckpt"
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "gold"))
+      .toDF("user_id", "segment")
+    def ev(rows: Seq[(Long, String, Long, String, Double)]) = rows
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    // the file stream watches a flat dir: land each drop's part files there
+    def drop(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$work/stage_$tag"
+      df.coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$eventsDir/$tag-$i.parquet"))
+        }
+    }
+    // drop 1: two hours of events, with an in-stream duplicate event_id
+    drop("d1", ev(Seq((1L, "2024-01-01 10:05:00", 1L, "view", 1.5),
+      (1L, "2024-01-01 10:06:00", 1L, "view", 99.0), // dup: dropped
+      (2L, "2024-01-01 10:20:00", 2L, "buy", 10.0),
+      (3L, "2024-01-01 11:10:00", 3L, "view", 2.0))))
+    StreamingServing.refresh(spark, eventsDir, dim, serving, ckpt)
+    def table() = spark.read.parquet(serving)
+      .select("hour", "segment", "n_events", "value_sp")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(table() == Set(
+      ("2024-01-01 10:00:00.0", "gold", 1L, 1500000L),
+      ("2024-01-01 10:00:00.0", "silver", 1L, 10000000L),
+      ("2024-01-01 11:00:00.0", "gold", 1L, 2000000L)))
+    // drop 2: a NEW file lands — one more event in an EXISTING window and
+    // one in a new window; refresh reprocesses only the new file and the
+    // merge updates/extends exactly those keys
+    drop("d2", ev(Seq((4L, "2024-01-01 10:45:00", 3L, "view", 0.5),
+      (5L, "2024-01-01 12:00:00", 2L, "buy", 4.0))))
+    StreamingServing.refresh(spark, eventsDir, dim, serving, ckpt)
+    val expected = Set(
+      ("2024-01-01 10:00:00.0", "gold", 2L, 2000000L), // 1.5 + 0.5
+      ("2024-01-01 10:00:00.0", "silver", 1L, 10000000L),
+      ("2024-01-01 11:00:00.0", "gold", 1L, 2000000L),
+      ("2024-01-01 12:00:00.0", "silver", 1L, 4000000L))
+    assert(table() == expected, s"got ${table()}")
+    // batch oracle: the same rollup over a plain read of all files equals
+    // the incrementally-maintained serving table
+    val batch = StreamingServing.hourlyRollup(
+        spark.read.parquet(eventsDir).dropDuplicates("event_id")
+          .join(broadcast(dim), Seq("user_id"), "left"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(batch == expected, s"batch oracle got $batch")
+  }
+
   // Golden values pinned from the first sf0.1 run (see test above).
   private val GOLD_DEDUP_KEPT = 4756L
   private val GOLD_QUALITY_KEPT = 4507L

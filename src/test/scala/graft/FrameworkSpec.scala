@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{EngineUrl, RunContext}
+import graft.examples.{CleanDocuments, LangSummary}
 import graft.model._
 import graft.sources.{ConnectorRegistry, SchemaRules}
 import org.apache.spark.sql.SparkSession
@@ -387,6 +388,36 @@ class FrameworkSpec extends SparkSpec {
         s"csv://$out/*;start=0;end=5;schema=id INT, w STRING").count()
     }
     assert(err.getMessage.contains("exactly one file"))
+  }
+
+  test("incremental rebuild: up-to-date models skip, stale inputs cascade") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("incr").toString
+    Seq((1L, "en", 150L, "a", "x"), (2L, "fr", 200L, "b", "y"))
+      .toDF("doc_id", "lang", "n_chars", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    def graph() = new ModelGraph(Seq(
+      new LangSummary(s"parquet://$dir/clean", s"parquet://$dir/summary"),
+      new CleanDocuments(s"parquet://$dir/raw", s"parquet://$dir/clean")))
+    val first = graph().runIncremental(spark)
+    assert(first == Map("CleanDocuments" -> "built", "LangSummary" -> "built"))
+    // nothing changed: the whole DAG is a no-op
+    val second = graph().runIncremental(spark)
+    assert(second ==
+      Map("CleanDocuments" -> "skipped", "LangSummary" -> "skipped"), second)
+    // a refreshed leaf input cascades: every downstream model rebuilds
+    Thread.sleep(1100) // fs mtime granularity
+    Seq((3L, "de", 300L, "c", "z"))
+      .toDF("doc_id", "lang", "n_chars", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/raw")
+    val third = graph().runIncremental(spark)
+    assert(third == Map("CleanDocuments" -> "built", "LangSummary" -> "built"),
+      third)
+    assert(spark.read.parquet(s"$dir/summary").count() == 1) // just 'de'
+    // non-incremental run builds everything regardless
+    val forced = graph().runIncremental(spark, incremental = false)
+    assert(forced.values.forall(_ == "built"))
   }
 
   test("graft.checkpoint.dir flips barriers from local to durable checkpoints") {
