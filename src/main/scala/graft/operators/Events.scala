@@ -2929,11 +2929,60 @@ object Events {
       |SELECT event_type, d, n, w[CAST(CEIL(len(w) / 2.0) AS INT)] AS med7
       |FROM win ORDER BY event_type, d""".stripMargin)
 
+  // -- q336: sequence-pattern funnel with exclusion (MATCH_RECOGNIZE-lite) --
+  //   "view then purchase with NO error in between" — the funnel shape
+  //   plain step-counting (q59) cannot express, and the core of what SQL's
+  //   MATCH_RECOGNIZE sells. Each user's time-ordered event types become a
+  //   one-letter-per-event string (one groupBy shuffle, paths bounded by
+  //   per-user event counts), and the pattern is a regex over that string:
+  //   `v[^e]*p` = conversion with a clean window, `v.*p` = conversion
+  //   ignoring errors — the difference isolates users whose every
+  //   view→purchase window was error-poisoned. The regex subset used
+  //   (literal letters, negated char class, star) evaluates identically in
+  //   Java regex and RE2, keeping the oracle exact.
+  val q336 = Query.sql(
+    "q336_pattern_funnel",
+    (s, dir) => {
+      val letter = expr(
+        """CASE event_type WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+          |  WHEN 'error' THEN 'e' ELSE 'o' END""".stripMargin)
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), letter.as("c"))
+        .groupBy("user_id")
+        .agg(expr(
+          """array_join(transform(
+            |  array_sort(collect_list(struct(ts, event_id, c))),
+            |  x -> x.c), '')""".stripMargin).as("path"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("path").rlike("v[^e]*p"), 1L).otherwise(0L))
+            .as("n_clean_convert"),
+          sum(when(col("path").rlike("v.*p"), 1L).otherwise(0L))
+            .as("n_any_convert"),
+          sum(when(col("path").rlike("v.*p") &&
+              !col("path").rlike("v[^e]*p"), 1L).otherwise(0L))
+            .as("n_error_poisoned"))
+    },
+    """WITH paths AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+      |      WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' ELSE 'o' END,
+      |      '' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN regexp_matches(path, 'v[^e]*p') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_clean_convert,
+      |  CAST(SUM(CASE WHEN regexp_matches(path, 'v.*p') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_any_convert,
+      |  CAST(SUM(CASE WHEN regexp_matches(path, 'v.*p')
+      |    AND NOT regexp_matches(path, 'v[^e]*p') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_error_poisoned
+      |FROM paths""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q59, q60, q61, q62, q63, q64, q65, q66, q67, q97, q107, q108, q109,
       q126, q128, q129, q145, q159, q163, q167, q168, q175, q181, q185,
       q186, q187, q191, q195, q199, q200, q201, q205, q208, q209,
       q214, q215, q217, q220, q226, q229, q230, q234, q243, q246, q247,
       q250, q251, q253, q254, q267, q272, q278, q284, q285, q288, q293,
-      q296, q300, q304, q306, q307, q310, q314, q327)
+      q296, q300, q304, q306, q307, q310, q314, q327, q336)
 }
