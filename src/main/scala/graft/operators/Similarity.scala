@@ -851,7 +851,151 @@ object Similarity {
          |GROUP BY 1 ORDER BY n_neighbors""".stripMargin)
   }
 
+  // -- q337: average precision @10 (MAP component, exact rationals) --------
+  //   Completes q213's eval battery: AP@10 per query over the same 50-query
+  //   batch. P@i = hits_i / i is kept EXACT by scaling to lcm(1..10)=2520 —
+  //   every hit contributes the integer hits_i * (2520 div i), so the AP
+  //   numerator is a BIGINT and the only float op is ONE final division by
+  //   2520 * min(R, 10). R (relevant corpus docs per query label) is a tiny
+  //   per-label count broadcast back. Scale: identical to q213 — one corpus
+  //   pass scores all queries, ranking is a window over the 50-key space;
+  //   per-query output rows are O(|queries|), never O(corpus).
+  val q337 = Query.sql(
+    "q337_average_precision",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val relCounts = e.filter(col("vec_id") >= 50)
+        .groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("r_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy("rn")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ranked = e.filter(col("vec_id") >= 50)
+        .crossJoin(Bounded.probe(q, 50))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          call_function("cosine_similarity",
+            col("embedding"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .withColumn("hit", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .withColumn("hits_at", sum(col("hit")).over(wCum))
+      ranked.groupBy("qid", "qlabel")
+        .agg(sum(col("hit")).as("n_hits10"),
+          sum(when(col("hit") === 1L,
+            col("hits_at") * expr("2520 div rn")).otherwise(0L))
+            .as("ap_scaled"))
+        .join(broadcast(relCounts), "qlabel")
+        .select(col("qid"), col("r_total"), col("n_hits10"),
+          (col("ap_scaled").cast("double") /
+            (least(col("r_total"), lit(10L)) * 2520L).cast("double"))
+            .as("ap10"))
+        .orderBy("qid")
+    },
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 50),
+       |rc AS (
+       |  SELECT label AS qlabel, COUNT(*) AS r_total
+       |  FROM embeddings WHERE vec_id >= 50 GROUP BY label),
+       |ranked AS (
+       |  SELECT qid, qlabel, e.vec_id, e.label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${cosSql("e.embedding", "qv")} DESC, e.vec_id)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 50
+       |  QUALIFY rn <= 10),
+       |hits AS (
+       |  SELECT qid, qlabel, rn,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit,
+       |    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY qid ORDER BY rn
+       |            ROWS UNBOUNDED PRECEDING) AS hits_at
+       |  FROM ranked),
+       |per AS (
+       |  SELECT qid, qlabel,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hits10,
+       |    CAST(SUM(CASE WHEN hit = 1 THEN hits_at * (2520 // rn)
+       |      ELSE 0 END) AS BIGINT) AS ap_scaled
+       |  FROM hits GROUP BY qid, qlabel)
+       |SELECT qid, r_total, n_hits10,
+       |  CAST(ap_scaled AS DOUBLE) /
+       |    CAST(LEAST(r_total, 10) * 2520 AS DOUBLE) AS ap10
+       |FROM per JOIN rc USING (qlabel)
+       |ORDER BY qid""".stripMargin)
+
+  // -- q338: nDCG@10 with a linear (transcendental-free) discount -----------
+  //   The standard log2 discount would make scores depend on libm rounding;
+  //   the engine's deterministic variant discounts rank i by 1/(i+1) —
+  //   same monotone shape, but every DCG is an EXACT integer after scaling
+  //   by lcm(2..11)=27720. The ideal DCG for m = min(R, 10) relevant docs
+  //   is the closed prefix sum Σ_{i=1..m} 27720/(i+1), computed by a
+  //   bounded sequence fold in both engines. One double division per query
+  //   at the very end. Scale: same one-pass batch shape as q213/q337.
+  val q338 = Query.sql(
+    "q338_ndcg",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val relCounts = e.filter(col("vec_id") >= 50)
+        .groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("r_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+      e.filter(col("vec_id") >= 50)
+        .crossJoin(Bounded.probe(q, 50))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          call_function("cosine_similarity",
+            col("embedding"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("qid", "qlabel")
+        .agg(sum(when(col("label") === col("qlabel"),
+          expr("27720 div (rn + 1)")).otherwise(0L)).as("dcg_scaled"))
+        .join(broadcast(relCounts), "qlabel")
+        .withColumn("m", least(col("r_total"), lit(10L)))
+        .withColumn("idcg_scaled", expr(
+          "aggregate(sequence(2L, m + 1L), 0L, (acc, x) -> acc + 27720 div x)"))
+        .select(col("qid"), col("dcg_scaled"),
+          (col("dcg_scaled").cast("double") / col("idcg_scaled").cast("double"))
+            .as("ndcg10"))
+        .orderBy("qid")
+    },
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 50),
+       |rc AS (
+       |  SELECT label AS qlabel, COUNT(*) AS r_total
+       |  FROM embeddings WHERE vec_id >= 50 GROUP BY label),
+       |ranked AS (
+       |  SELECT qid, qlabel, e.vec_id, e.label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${cosSql("e.embedding", "qv")} DESC, e.vec_id)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 50
+       |  QUALIFY rn <= 10),
+       |per AS (
+       |  SELECT qid, qlabel,
+       |    CAST(SUM(CASE WHEN label = qlabel THEN 27720 // (rn + 1)
+       |      ELSE 0 END) AS BIGINT) AS dcg_scaled
+       |  FROM ranked GROUP BY qid, qlabel),
+       |norm AS (
+       |  SELECT qid, dcg_scaled,
+       |    CAST(list_sum(list_transform(
+       |      range(2, CAST(LEAST(r_total, 10) AS INT) + 2),
+       |      x -> 27720 // x)) AS BIGINT) AS idcg_scaled
+       |  FROM per JOIN rc USING (qlabel))
+       |SELECT qid, dcg_scaled,
+       |  CAST(dcg_scaled AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) AS ndcg10
+       |FROM norm ORDER BY qid""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q156, q213, q223, q232, q244,
-      q291, q292, q325)
+      q291, q292, q325, q337, q338)
 }

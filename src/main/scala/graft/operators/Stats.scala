@@ -1607,8 +1607,216 @@ object Stats {
       |    CAST(COUNT(*) AS DOUBLE) AS coverage
       |FROM resid CROSS JOIN qh CROSS JOIN tot WHERE dd >= 1827""".stripMargin)
 
+  // -- q339: delete-one-bucket jackknife CI for a ratio metric --------------
+  //   The production way to put an error bar on a ratio (AOV here) over an
+  //   arbitrarily large table with ONE aggregation: rows are hashed into
+  //   g=16 deterministic buckets (map-only, salted md5 — no RNG), each
+  //   bucket keeps exact integer sums, and the leave-one-out estimates are
+  //   pure algebra over the 16-row aggregate. Money is carried as
+  //   milli-units in BIGINT (exact), the squared LOO terms go through
+  //   DECIMAL(19,0)×DECIMAL(19,0) so nothing overflows, and the only float
+  //   ops are the final divisions and one sqrt (correctly rounded per
+  //   IEEE-754, so bit-identical across engines). Scale: the shuffle is
+  //   16 rows regardless of input size.
+  val q339 = Query.sql(
+    "q339_jackknife_ci",
+    (s, dir) => {
+      val buckets = Tables.load(s, dir, "orders")
+        .select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000 AS BIGINT)")
+            .as("v_milli"),
+          expr("CAST(conv(substring(md5('s42:' || CAST(o_orderkey AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+            .as("b"))
+        .groupBy("b")
+        .agg(sum(col("v_milli")).as("s_m"), count(lit(1)).as("n_b"))
+      val tot = buckets.agg(sum(col("s_m")).as("s_tot"),
+        sum(col("n_b")).as("n_tot"), count(lit(1)).as("g"))
+      buckets.crossJoin(broadcast(tot))
+        .select(col("g"), col("s_tot"), col("n_tot"),
+          expr("(s_tot - s_m) div (n_tot - n_b)").as("loo"))
+        .groupBy("g", "s_tot", "n_tot")
+        .agg(sum(col("loo")).as("sl"),
+          sum(expr("CAST(loo AS DECIMAL(19,0)) * CAST(loo AS DECIMAL(19,0))"))
+            .as("sll"))
+        .select(col("n_tot").as("n_orders"),
+          expr("CAST(s_tot AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 1000e0)")
+            .as("point_aov"),
+          expr("""sqrt(CAST((g - 1) AS DOUBLE) *
+                 |  CAST(CAST(g AS DECIMAL(19,0)) * sll -
+                 |       CAST(sl AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))
+                 |       AS DOUBLE) /
+                 |  (CAST(g AS DOUBLE) * CAST(g AS DOUBLE))) / 1000e0"""
+            .stripMargin).as("se_jack"))
+        .select(col("n_orders"), col("point_aov"), col("se_jack"),
+          expr("point_aov - 1.96e0 * se_jack").as("ci_lo"),
+          expr("point_aov + 1.96e0 * se_jack").as("ci_hi"))
+    },
+    """WITH b AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000 AS BIGINT)
+      |      AS v_milli,
+      |    ('0x' || substring(md5('s42:' || CAST(o_orderkey AS VARCHAR)), 1, 1))::BIGINT
+      |      AS bk
+      |  FROM orders),
+      |agg AS (
+      |  SELECT bk, CAST(SUM(v_milli) AS BIGINT) AS s_m, COUNT(*) AS n_b
+      |  FROM b GROUP BY bk),
+      |tot AS (
+      |  SELECT CAST(SUM(s_m) AS BIGINT) AS s_tot,
+      |    CAST(SUM(n_b) AS BIGINT) AS n_tot, COUNT(*) AS g FROM agg),
+      |loo AS (
+      |  SELECT g, s_tot, n_tot, (s_tot - s_m) // (n_tot - n_b) AS loo
+      |  FROM agg CROSS JOIN tot),
+      |mo AS (
+      |  SELECT g, s_tot, n_tot, CAST(SUM(loo) AS BIGINT) AS sl,
+      |    SUM(CAST(loo AS DECIMAL(19,0)) * CAST(loo AS DECIMAL(19,0))) AS sll
+      |  FROM loo GROUP BY g, s_tot, n_tot),
+      |fin AS (
+      |  SELECT n_tot AS n_orders,
+      |    CAST(s_tot AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 1000e0)
+      |      AS point_aov,
+      |    sqrt(CAST((g - 1) AS DOUBLE) *
+      |      CAST(CAST(g AS DECIMAL(19,0)) * sll -
+      |           CAST(sl AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))
+      |           AS DOUBLE) /
+      |      (CAST(g AS DOUBLE) * CAST(g AS DOUBLE))) / 1000e0 AS se_jack
+      |  FROM mo)
+      |SELECT n_orders, point_aov, se_jack,
+      |  point_aov - 1.96e0 * se_jack AS ci_lo,
+      |  point_aov + 1.96e0 * se_jack AS ci_hi
+      |FROM fin""".stripMargin)
+
+  // -- q340: t-closeness audit (EMD over an ordered sensitive attribute) ----
+  //   Privacy release check completing q238/q322 (k-anonymity, l-diversity):
+  //   for each market segment, the earth-mover distance between its
+  //   order-priority distribution and the global one, where the 5
+  //   priorities are ordered. Ordered-EMD = mean |cumulative-share gap|;
+  //   shares are kept exact by cross-multiplying the integer cumulative
+  //   counts (|CumG*N - Cum*n_g| is a BIGINT), so the single float op is
+  //   the final division by n_g*N*(m-1). Scale: two keyed counts + a
+  //   5×5-row join — nothing grows with the fact table but the first agg.
+  val q340 = Query.sql(
+    "q340_t_closeness",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      val grp = o.groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cg"))
+      val wg = Window.partitionBy("seg").orderBy("prio")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cumG = grp.withColumn("cum_g", sum(col("cg")).over(wg))
+        .withColumn("n_g", sum(col("cg")).over(Window.partitionBy("seg")))
+      val globDist = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy("prio").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_tot", sum(col("c")).over(
+          Window.partitionBy(lit(1))))
+      cumG.join(broadcast(globDist.select("prio", "cum", "n_tot")), "prio")
+        .groupBy("seg", "n_g", "n_tot")
+        .agg(sum(abs(col("cum_g") * col("n_tot") - col("cum") * col("n_g")))
+          .as("emd_scaled"), count(lit(1)).as("m"))
+        .select(col("seg"), col("n_g"),
+          (col("emd_scaled").cast("double") /
+            (col("n_g") * col("n_tot") * (col("m") - 1)).cast("double"))
+            .as("t_emd"))
+        .orderBy("seg")
+    },
+    """WITH j AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grp AS (
+      |  SELECT seg, prio, COUNT(*) AS cg FROM j GROUP BY seg, prio),
+      |cumg AS (
+      |  SELECT seg, prio, cg,
+      |    SUM(cg) OVER (PARTITION BY seg ORDER BY prio
+      |                  ROWS UNBOUNDED PRECEDING) AS cum_g,
+      |    SUM(cg) OVER (PARTITION BY seg) AS n_g
+      |  FROM grp),
+      |gdist AS (
+      |  SELECT prio, COUNT(*) AS c FROM j GROUP BY prio),
+      |cumt AS (
+      |  SELECT prio,
+      |    SUM(c) OVER (ORDER BY prio ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER () AS n_tot
+      |  FROM gdist)
+      |SELECT seg, CAST(n_g AS BIGINT) AS n_g,
+      |  CAST(SUM(ABS(cum_g * n_tot - cum * n_g)) AS DOUBLE) /
+      |    CAST(n_g * MAX(n_tot) * (COUNT(*) - 1) AS DOUBLE) AS t_emd
+      |FROM cumg JOIN cumt USING (prio)
+      |GROUP BY seg, n_g ORDER BY seg""".stripMargin)
+
+  // -- q341: Gini-gain feature ranking (log-free information value) ---------
+  //   Split-quality scoring for feature selection over the embedding
+  //   space: for each of the first 8 dimensions, the Gini impurity
+  //   reduction of the sign split (dim > 0) against the class label.
+  //   Entropy gain needs logs (libm-dependent); Gini gain is a pure
+  //   rational — the gain numerator is assembled from integer class
+  //   counts by cross-multiplication and only the final division is a
+  //   double. Scale: one pass over (row × 8 dims) with map-side combine
+  //   into ≤ 8 × 2 × |labels| cells; no shuffle carries vectors.
+  val q341 = Query.sql(
+    "q341_gini_gain",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "embeddings")
+        .select(col("label"), expr("explode(sequence(1L, 8L))").as("d"),
+          col("embedding"))
+        .select(col("d"), col("label"),
+          when(expr("element_at(embedding, CAST(d AS INT))") > 0f, 1).otherwise(0)
+            .as("side"))
+        .groupBy("d", "side", "label")
+        .agg(count(lit(1)).as("c"))
+      val bySide = cells.groupBy("d", "side")
+        .agg(sum(col("c")).as("ns"), sum(col("c") * col("c")).as("ss"))
+      val parent = cells.groupBy("d", "label")
+        .agg(sum(col("c")).as("cp"))
+        .groupBy("d")
+        .agg(sum(col("cp")).as("n"), sum(col("cp") * col("cp")).as("sp"))
+      val sides = bySide.groupBy("d")
+        .agg(sum(when(col("side") === 1, col("ns")).otherwise(0L)).as("nr"),
+          sum(when(col("side") === 1, col("ss")).otherwise(0L)).as("ssr"),
+          sum(when(col("side") === 0, col("ns")).otherwise(0L)).as("nl"),
+          sum(when(col("side") === 0, col("ss")).otherwise(0L)).as("ssl"))
+      parent.join(sides, "d")
+        .select(col("d"), col("nl").as("n_left"), col("nr").as("n_right"),
+          when(col("nl") === 0 || col("nr") === 0, lit(0.0)).otherwise(
+            expr("""CAST((n * n - sp) * nl * nr -
+                   |     (nl * nl - ssl) * n * nr -
+                   |     (nr * nr - ssr) * n * nl AS DOUBLE) /
+                   |CAST(n * n * nl * nr AS DOUBLE)""".stripMargin))
+            .as("gini_gain"))
+        .orderBy("d")
+    },
+    """WITH lv AS (
+      |  SELECT d, label,
+      |    CASE WHEN embedding[d] > 0 THEN 1 ELSE 0 END AS side
+      |  FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 9)) AS d)),
+      |cells AS (
+      |  SELECT d, side, label, COUNT(*) AS c FROM lv GROUP BY d, side, label),
+      |sides AS (
+      |  SELECT d,
+      |    SUM(CASE WHEN side = 1 THEN ns ELSE 0 END) AS nr,
+      |    SUM(CASE WHEN side = 1 THEN ss ELSE 0 END) AS ssr,
+      |    SUM(CASE WHEN side = 0 THEN ns ELSE 0 END) AS nl,
+      |    SUM(CASE WHEN side = 0 THEN ss ELSE 0 END) AS ssl
+      |  FROM (SELECT d, side, SUM(c) AS ns, SUM(c * c) AS ss
+      |        FROM cells GROUP BY d, side) GROUP BY d),
+      |parent AS (
+      |  SELECT d, SUM(cp) AS n, SUM(cp * cp) AS sp
+      |  FROM (SELECT d, label, SUM(c) AS cp FROM cells GROUP BY d, label)
+      |  GROUP BY d)
+      |SELECT d, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+      |  CASE WHEN nl = 0 OR nr = 0 THEN 0e0 ELSE
+      |    CAST((n * n - sp) * nl * nr -
+      |         (nl * nl - ssl) * n * nr -
+      |         (nr * nr - ssr) * n * nl AS DOUBLE) /
+      |    CAST(n * n * nl * nr AS DOUBLE) END AS gini_gain
+      |FROM parent JOIN sides USING (d)
+      |ORDER BY d""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282, q303, q311, q321, q329)
+      q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341)
 }
