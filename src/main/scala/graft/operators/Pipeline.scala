@@ -1694,9 +1694,59 @@ object Pipeline {
       |FROM ch JOIN rj USING (source)
       |WHERE chosen <> rejected ORDER BY source""".stripMargin)
 
+  // -- q342: CCNet-style per-language quality terciles ----------------------
+  //   The head/middle/tail split CCNet applies before sampling: within each
+  //   language, rank documents by a quality score and cut into three equal
+  //   buckets (head = best third). The LM-perplexity score is replaced by
+  //   the engine's deterministic proxy — stopword density as an EXACT
+  //   integer rational (n_stopwords * 10^6 div n_tokens), higher = more
+  //   natural-language-like — so the ntile ordering has no float ties;
+  //   doc_id breaks exact score ties. Output is the per-(lang, bucket)
+  //   audit a curation run logs before choosing head-only or head+middle.
+  //   Scale: score is map-side; the rank is a per-language window —
+  //   at 100 TB that is the one global sort per language a real CCNet run
+  //   also pays (or replaces with approx quantile cuts, q121's path).
+  val q342 = Query.sql(
+    "q342_ccnet_buckets",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("score_ppm"), asc("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("""(size(filter(split(text, ' '), w -> w IN ('the', 'a')))
+                 | * 1000000L) div size(split(text, ' '))""".stripMargin)
+            .as("score_ppm"))
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          min(col("score_ppm")).as("min_score_ppm"),
+          max(col("score_ppm")).as("max_score_ppm"))
+        .withColumn("bucket",
+          expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+        .orderBy("lang", "bucket")
+    },
+    """WITH scored AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+      |     * 1000000) // len(string_split(text, ' ')) AS score_ppm
+      |  FROM documents),
+      |cut AS (
+      |  SELECT lang, n_chars, score_ppm,
+      |    ntile(3) OVER (PARTITION BY lang
+      |                   ORDER BY score_ppm DESC, doc_id) AS b
+      |  FROM scored)
+      |SELECT lang,
+      |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+      |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+      |FROM cut GROUP BY lang, b ORDER BY lang, bucket""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
       q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
-      q333, q334, q335)
+      q333, q334, q335, q342)
 }

@@ -1815,8 +1815,81 @@ object Stats {
       |FROM parent JOIN sides USING (d)
       |ORDER BY d""".stripMargin)
 
+  // -- q343: KMV (k-minimum-values) distinct sketch + merge proof -----------
+  //   The third distinct-count sketch in the battery (q29 HLL for speed,
+  //   q239 CMS for frequencies): KMV keeps the k=64 smallest salted-md5
+  //   hash values per group, estimates distincts as (k-1)·2^60/h_(k), and
+  //   — unlike HLL's engine-private register layout — is fully
+  //   reproducible in the oracle, so the ESTIMATE itself is hash-exact
+  //   here. The 'ALL' row is the sketch-merge proof: the global sketch is
+  //   rebuilt from the per-group sketches alone (k smallest of the union
+  //   of k-smallest sets), never from the raw data — the property that
+  //   lets 1000 executors each ship 64 longs to answer a global distinct.
+  //   Scale: one distinct shuffle keyed (group, hash); the rank windows
+  //   run on ≤ |distinct| rows per group and everything after is k rows.
+  val q343 = Query.sql(
+    "q343_kmv_sketch",
+    (s, dir) => {
+      val k = 64
+      val d = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(conv(substring(md5('s42:' || CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .distinct()
+        .barrier()
+      val wg = Window.partitionBy("prio").orderBy("h")
+      val sketch = d.withColumn("rn", row_number().over(wg))
+        .filter(col("rn") <= k)
+        .barrier()
+      val exact = d.groupBy("prio").agg(count(lit(1)).as("n_exact"))
+      val perGroup = sketch.groupBy("prio")
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+        .join(exact, "prio")
+      // merged sketch: built ONLY from the per-group sketch rows
+      val merged = sketch.select("h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .filter(col("rn") <= k)
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+        .crossJoin(d.select("h").distinct().agg(count(lit(1)).as("n_exact")))
+        .select(lit("ALL").as("prio"), col("n_sk"), col("kth"), col("n_exact"))
+      perGroup.select(col("prio"), col("n_sk"), col("kth"), col("n_exact"))
+        .union(merged)
+        .select(col("prio"), col("n_exact"),
+          when(col("n_sk") < k, col("n_exact").cast("double"))
+            .otherwise(expr(s"CAST(${k - 1} AS DOUBLE) * 1.152921504606846976e18 / CAST(kth AS DOUBLE)"))
+            .as("est_kmv"))
+        .orderBy("prio")
+    },
+    """WITH d AS (
+      |  SELECT DISTINCT o_orderpriority AS prio,
+      |    ('0x' || substring(md5('s42:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |sk AS (
+      |  SELECT prio, h,
+      |    row_number() OVER (PARTITION BY prio ORDER BY h) AS rn
+      |  FROM d QUALIFY rn <= 64),
+      |per AS (
+      |  SELECT prio, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY prio),
+      |ex AS (SELECT prio, COUNT(*) AS n_exact FROM d GROUP BY prio),
+      |mg AS (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT h FROM sk) QUALIFY rn <= 64),
+      |mrow AS (
+      |  SELECT 'ALL' AS prio, COUNT(*) AS n_sk, MAX(h) AS kth,
+      |    (SELECT COUNT(DISTINCT h) FROM d) AS n_exact
+      |  FROM mg),
+      |uni AS (
+      |  SELECT prio, n_sk, kth, n_exact FROM per JOIN ex USING (prio)
+      |  UNION ALL SELECT prio, n_sk, kth, n_exact FROM mrow)
+      |SELECT prio, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CASE WHEN n_sk < 64 THEN CAST(n_exact AS DOUBLE)
+      |    ELSE CAST(63 AS DOUBLE) * 1.152921504606846976e18 /
+      |         CAST(kth AS DOUBLE) END AS est_kmv
+      |FROM uni ORDER BY prio""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
-      q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341)
+      q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341,
+      q343)
 }
