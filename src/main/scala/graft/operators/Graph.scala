@@ -1272,7 +1272,164 @@ object Graph {
       |    AS transitivity
       |FROM t CROSS JOIN w""".stripMargin)
 
+  /** Directed nation-level trade graph: supplier-nation → customer-nation
+    * edges kept when the pair's shipped quantity is above the cross-pair
+    * average (scale-invariant sparsifier: `q_pair · n_pairs > q_total`,
+    * all exact centi-unit BIGINTs). The rollup-to-metadata-graph move —
+    * collapse a 100 TB fact table into a |dims|² summary graph, then run
+    * the expensive graph op on THAT — is the production pattern for
+    * entity-level flow analysis; the fact-table side is one 4-way join +
+    * one keyed agg, and everything after is dimension-sized.
+    */
+  private def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)").as("v"))
+      .groupBy("src", "dst").agg(sum(col("v")).as("q"))
+    val tot = flows.agg(count(lit(1)).as("np"), sum(col("q")).as("qt"))
+    flows.crossJoin(broadcast(tot))
+      .filter(col("q") * col("np") > col("qt"))
+      .select("src", "dst")
+  }
+
+  private val tradeEdgesSql: String =
+    """edges AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |      AS BIGINT) AS q
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |  WHERE s_nationkey <> c_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT COUNT(*) AS np, CAST(SUM(q) AS BIGINT) AS qt FROM edges),
+      |kept AS (SELECT src, dst FROM edges, tot WHERE q * np > qt)""".stripMargin
+
+  // -- q344: strongly connected components (mutual-reachability closure) ----
+  //   Tarjan's stack is inherently sequential; the distributed formulation
+  //   is reachability algebra: build the transitive closure R by POINTER
+  //   DOUBLING (5 rounds cover paths of length 32 > any 25-node diameter;
+  //   each round is one self-join + distinct, localCheckpoint'd), then
+  //   scc_id(v) = min over {v} ∪ {u : v→*u ∧ u→*v}. Closure is quadratic
+  //   in nodes, which is exactly why the graph here is the nation-level
+  //   ROLLUP (see nationTradeEdges) — run SCC on the metadata graph, never
+  //   the raw fact table. The naive pair (f-reach, b-reach) label trick is
+  //   NOT used: it merges distinct SCCs that share an ancestor and a
+  //   descendant; mutual reachability is the correct predicate.
+  val q344 = Query.sql(
+    "q344_scc",
+    (s, dir) => {
+      var reach = nationTradeEdges(s, dir).distinct().barrier()
+      for (_ <- 1 to 5) {
+        val step = reach.as("a").join(reach.as("b"),
+            col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        reach = reach.union(step).distinct().barrier()
+      }
+      val mutual = reach.as("f").join(reach.as("b"),
+          col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+        .select(col("f.src").as("node"), col("f.dst").as("peer"))
+      val nations = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("node"), col("n_name"))
+      val sccId = nations.select(col("node"))
+        .join(mutual, Seq("node"), "left")
+        .groupBy("node")
+        .agg(least(coalesce(min(col("peer")), col("node")), col("node"))
+          .cast("long").as("scc_id"))
+      val sizes = sccId.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+      sccId.join(sizes, "scc_id").join(broadcast(nations), "node")
+        .select(col("n_name"), col("scc_id"), col("scc_size"))
+        .orderBy("n_name")
+    },
+    s"""WITH RECURSIVE $tradeEdgesSql,
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM kept
+       |  UNION
+       |  SELECT r.src, k.dst FROM reach r JOIN kept k ON k.src = r.dst),
+       |mutual AS (
+       |  SELECT f.src AS node, f.dst AS peer
+       |  FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+       |sccid AS (
+       |  SELECT n_nationkey AS node,
+       |    LEAST(COALESCE(MIN(peer), n_nationkey), n_nationkey) AS scc_id
+       |  FROM nation LEFT JOIN mutual ON node = n_nationkey
+       |  GROUP BY n_nationkey),
+       |sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM sccid GROUP BY scc_id)
+       |SELECT n_name, scc_id, scc_size
+       |FROM sccid JOIN sz USING (scc_id) JOIN nation ON node = n_nationkey
+       |ORDER BY n_name""".stripMargin)
+
+  // -- q345: closeness centrality (exact all-pairs hop distances) -----------
+  //   Wasserman–Faust closeness on the undirected trade graph:
+  //   C(v) = r² / ((n-1)·Σd), r = nodes reached, computed from the EXACT
+  //   min-plus distance closure (pointer doubling again: D ← min(D, D∘D),
+  //   5 rounds ≥ the 24-hop worst case; per-round one self-join + one
+  //   (a,b)-keyed MIN). All-pairs is affordable because the graph is the
+  //   dimension rollup; numerator/denominator stay integer and the
+  //   closeness is ONE double division. Disconnected nodes score 0.
+  val q345 = Query.sql(
+    "q345_closeness_centrality",
+    (s, dir) => {
+      val e = nationTradeEdges(s, dir)
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      var dist = und.withColumn("d", lit(1L)).barrier()
+      for (_ <- 1 to 5) {
+        val step = dist.as("a").join(dist.as("b"),
+            col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"),
+            (col("a.d") + col("b.d")).as("d"))
+        dist = dist.union(step)
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(min(col("d")).as("d"))
+          .barrier()
+      }
+      val nations = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("src"), col("n_name"))
+      val nTot = nations.agg(count(lit(1)).as("n"))
+      nations.join(dist, Seq("src"), "left")
+        .groupBy("src", "n_name")
+        .agg(count(col("dst")).as("n_reach"), sum(col("d")).as("sum_d"))
+        .crossJoin(broadcast(nTot))
+        .select(col("n_name"), col("n_reach"),
+          coalesce(col("sum_d"), lit(0L)).as("sum_d"),
+          when(coalesce(col("sum_d"), lit(0L)) === 0L, lit(0.0))
+            .otherwise((col("n_reach") * col("n_reach")).cast("double") /
+              ((col("n") - 1L) * col("sum_d")).cast("double"))
+            .as("closeness"))
+        .orderBy("n_name")
+    },
+    s"""WITH RECURSIVE $tradeEdgesSql,
+       |und AS (
+       |  SELECT src, dst FROM kept
+       |  UNION SELECT dst, src FROM kept),
+       |walk(src, dst, d) AS (
+       |  SELECT src, dst, 1 FROM und
+       |  UNION
+       |  SELECT w.src, u.dst, w.d + 1
+       |  FROM walk w JOIN und u ON u.src = w.dst
+       |  WHERE w.d < 24 AND w.src <> u.dst),
+       |mind AS (
+       |  SELECT src, dst, MIN(d) AS d FROM walk
+       |  WHERE src <> dst GROUP BY src, dst),
+       |agg AS (
+       |  SELECT n_nationkey, n_name, COUNT(dst) AS n_reach,
+       |    COALESCE(CAST(SUM(d) AS BIGINT), 0) AS sum_d
+       |  FROM nation LEFT JOIN mind ON src = n_nationkey
+       |  GROUP BY n_nationkey, n_name),
+       |nt AS (SELECT COUNT(*) AS n FROM nation)
+       |SELECT n_name, n_reach, sum_d,
+       |  CASE WHEN sum_d = 0 THEN 0e0 ELSE
+       |    CAST(n_reach * n_reach AS DOUBLE) /
+       |    CAST((n - 1) * sum_d AS DOUBLE) END AS closeness
+       |FROM agg CROSS JOIN nt ORDER BY n_name""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q119, q123, q150, q166, q170, q203, q233, q236, q237, q248, q252,
-      q264, q275, q280, q283, q287, q298)
+      q264, q275, q280, q283, q287, q298, q344, q345)
 }
