@@ -713,6 +713,78 @@ object Quant {
       |  COUNT(*) AS n_assigned, CAST(SUM(dsp) AS DOUBLE) / 1e9 AS total_err
       |FROM assigned GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin)
 
+  // -- q346: Holt double exponential smoothing (level + trend) --------------
+  //   q241's EWMA has no trend term; Holt's linear method is the standard
+  //   next step (and the base of Holt–Winters). The recurrence
+  //   l_t = α·s_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}
+  //   is inherently sequential, so it runs as a per-key ordered fold over
+  //   the collected daily series — bounded by days-per-key (a wall-clock
+  //   bound, not a data bound), the same contract as q163/q219. α = β =
+  //   1/4 make every step integer: ×3, +, and an ARITHMETIC RIGHT SHIFT
+  //   (>> 2 floors negatives identically in Spark and DuckDB, where `div`
+  //   would truncate-toward-zero and diverge on negative trends). Daily
+  //   sums are exact cent BIGINTs; the only float ops are the final
+  //   unscalings. The oracle runs the same recurrence as a sequential
+  //   WITH RECURSIVE — different execution shape, identical integers.
+  val q346 = Query.sql(
+    "q346_holt_linear",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sv"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("sv"))))
+          .as("series"))
+        .filter(size(col("series")) >= 2)
+        .select(col("event_type"),
+          size(col("series")).cast("long").as("n_days"),
+          expr("transform(series, x -> x.sv)").as("sv"))
+        .withColumn("st", expr(
+          """aggregate(slice(sv, 3, greatest(size(sv) - 2, 0)),
+            |  named_struct('l', sv[1], 'b', sv[2] - sv[1]),
+            |  (acc, x) -> named_struct(
+            |    'l', shiftright(x + 3L * (acc.l + acc.b), 2),
+            |    'b', shiftright((shiftright(x + 3L * (acc.l + acc.b), 2)
+            |                     - acc.l) + 3L * acc.b, 2)))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          (col("st.l").cast("double") / 100.0).as("level"),
+          (col("st.b").cast("double") / 100.0).as("trend"),
+          ((col("st.l") + 7L * col("st.b")).cast("double") / 100.0)
+            .as("forecast_7d"))
+        .orderBy("event_type")
+    },
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, sv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM daily),
+      |rec(event_type, rn, l, b) AS (
+      |  SELECT s1.event_type, CAST(2 AS BIGINT), s1.sv, s2.sv - s1.sv
+      |  FROM series s1 JOIN series s2
+      |    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+      |  UNION ALL
+      |  SELECT r.event_type, r.rn + 1,
+      |    (s.sv + 3 * (r.l + r.b)) >> 2,
+      |    (((s.sv + 3 * (r.l + r.b)) >> 2) - r.l + 3 * r.b) >> 2
+      |  FROM rec r JOIN series s
+      |    ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+      |fin AS (
+      |  SELECT r.event_type, r.l, r.b, s.n_days
+      |  FROM rec r JOIN (SELECT event_type, MAX(rn) AS m, MAX(n_days)
+      |                     AS n_days FROM series GROUP BY 1) s
+      |    ON r.event_type = s.event_type AND r.rn = s.m
+      |  WHERE s.n_days >= 2)
+      |SELECT event_type, n_days,
+      |  CAST(l AS DOUBLE) / 100.0 AS level,
+      |  CAST(b AS DOUBLE) / 100.0 AS trend,
+      |  CAST(l + 7 * b AS DOUBLE) / 100.0 AS forecast_7d
+      |FROM fin ORDER BY event_type""".stripMargin)
+
   val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245,
-    q281, q323)
+    q281, q323, q346)
 }
