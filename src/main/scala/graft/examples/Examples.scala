@@ -177,6 +177,45 @@ class AustralianAnimals(manifestUrl: String, itemsKey: String,
   }
 }
 
+/** Port of the reference's `examples/manifest_build_context/sensor_model.py`
+  * (+ `common_pattern/build_context.py:16-60`): a manifest JSON
+  * parameterizes the whole run. `Manifest.buildContext` turns the
+  * manifest's scalar keys into resolver vars (`{dataset_id}` below) and
+  * derives `{manifest_path}`/`{manifest_file}`, so the model binds the
+  * manifest itself as a dataset; the manifest's file LIST drives per-file
+  * reads (the reference's EngineFromManifest → MultiConnector shape). The
+  * readings binding is a CALLABLE Connect (`connect.py:193-195`): its url
+  * is minted at bind time, after the context exists, not at declaration.
+  */
+class SensorInputs(readingsUrl: () => String) extends Model {
+  override def name = "SensorInputs"
+  val connects = Map(
+    "lookup" -> Connect("csv://{manifest_path}/lookup_table_{dataset_id}.csv",
+      AccessMode.Read),
+    "manifest" -> Connect("json://{manifest_file}", AccessMode.Read),
+    "sensor_readings" -> Connect(readingsUrl, AccessMode.Read))
+
+  /** The reference's in-build assertion: the lookup url must have resolved
+    * `{dataset_id}` from the manifest's contents.
+    */
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    !io.resolvedUrl("lookup").contains("{")
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    // Per-file identity (each manifest item is its own connector in the
+    // reference): read every listed file, stamp its source, count rows.
+    val manifestPath =
+      graft.core.EngineUrl.parse(io.resolvedUrl("manifest")).path
+    Manifest.items(manifestPath, "sensor_readings").foreach { f =>
+      val readings = graft.sources.ConnectorRegistry.read(
+        s, io.context.resolve(f))
+      stat(s, "sensor_files").add(1L)
+      stat(s, "sensor_rows").add(readings.count())
+    }
+    stat(s, "lookup_rows").add(io.read("lookup").count())
+  }
+}
+
 /** End-to-end training-data curation pipeline: the composition a corpus
   * team actually runs, expressed as three framework models over the
   * library's own operators (sample → clean/normalize → dedup →
@@ -589,7 +628,7 @@ object StreamingServing {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.api._
         val changes = batch.withColumn("k",
           concat_ws("|", col("hour").cast("string"), col("segment")))
@@ -597,11 +636,13 @@ object StreamingServing {
           if (graft.sources.DatasetFs.exists(spark, s"parquet://$servingPath"))
             spark.read.parquet(servingPath)
           else changes.limit(0)
-        // rewrite via temp dir: mergeUpsert reads the current table lazily
-        val merged = base.mergeUpsert(changes, "k").cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(servingPath)
-        merged.unpersist()
+        // Rewrite via temp dir + atomic swap: the merge job reads the
+        // current table and writes somewhere ELSE, so a lost cached block
+        // can always recompute from intact inputs; only after the write
+        // succeeds does swapInto replace servingPath by rename.
+        val tmp = s"$servingPath.tmp-$batchId"
+        base.mergeUpsert(changes, "k").write.mode("overwrite").parquet(tmp)
+        graft.sources.DatasetFs.swapInto(spark, tmp, servingPath)
         ()
       }
       .start()

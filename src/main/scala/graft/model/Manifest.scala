@@ -45,6 +45,47 @@ object Manifest {
       }
   }
 
+  /** Build a resolver context from a manifest file — the reference's
+    * `manifest_build_context()` (`common_pattern/build_context.py:16-60`):
+    * every scalar key in the manifest JSON object becomes a context var,
+    * plus two derived vars —
+    *   - `manifest_path`: the manifest's directory
+    *   - `manifest_file`: the manifest's absolute path
+    * (manifest keys overwrite the derived vars, matching the reference).
+    * Array-valued keys don't fit a string var; they stay addressable via
+    * [[items]] / the MultiConnector path, which is how the reference's
+    * sensor example consumes them too (EngineFromManifest → multi engine).
+    *
+    * Driver-side and tiny by contract — the reference's own warning ("don't
+    * let the manifest file get too big as it will be loaded by every
+    * model") applies verbatim; big listings belong in secondary manifests.
+    */
+  def buildContext(manifestFile: String,
+      base: RunContext = RunContext()): RunContext = {
+    val abs = Paths.get(manifestFile).toAbsolutePath
+    // UTF-8 BOM tolerated (the reference opens with utf-8-sig).
+    val text = new String(Files.readAllBytes(abs), "UTF-8").stripPrefix("﻿")
+    import org.json4s._
+    val parsed = org.json4s.jackson.JsonMethods.parse(text)
+    val obj = parsed match {
+      case JObject(fields) => fields
+      case _ => throw new IllegalArgumentException(
+        "The manifest file must contain a dictionary so key values can be" +
+          " used as context variables")
+    }
+    val scalars = obj.collect {
+      case (k, JString(v)) => k -> v
+      case (k, JInt(v)) => k -> v.toString
+      case (k, JLong(v)) => k -> v.toString
+      case (k, JDouble(v)) => k -> v.toString
+      case (k, JDecimal(v)) => k -> v.toString
+      case (k, JBool(v)) => k -> v.toString
+    }
+    base.withVars(Seq(
+      "manifest_path" -> abs.getParent.toString,
+      "manifest_file" -> abs.toString) ++ scalars: _*)
+  }
+
   /** Write a model's lock/repeatability doc as JSON. */
   def writeLock(path: String, model: Model, ctx: RunContext): Unit = {
     val entries = model.lock(ctx).toSeq.sortBy(_._1)

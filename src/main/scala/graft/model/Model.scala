@@ -11,7 +11,18 @@ import scala.collection.mutable
   * descriptor (`connect.py:10-348`): lazy, template-resolved at first
   * access, shareable across models via url identity.
   */
-final case class Connect(urlTemplate: String, mode: AccessMode)
+final case class Connect(urlProvider: () => String, mode: AccessMode) {
+  /** Template evaluated at BIND time — the reference accepts zero-arg
+    * callables as engine_urls and invokes them when the connection binds
+    * (`connect.py:193-195`), so a url minted per run (dated path, fresh
+    * build id) resolves when used, not when declared.
+    */
+  def urlTemplate: String = urlProvider()
+}
+object Connect {
+  def apply(urlTemplate: String, mode: AccessMode): Connect =
+    Connect(() => urlTemplate, mode)
+}
 
 sealed trait AccessMode
 object AccessMode {
@@ -54,10 +65,11 @@ abstract class Model {
     * READ, `model_collection.py:59-121`).
     */
   def sources: Set[String] = connects.collect {
-    case (_, Connect(u, AccessMode.Read)) => u
+    case (_, c @ Connect(_, AccessMode.Read)) => c.urlTemplate
   }.toSet
   def targets: Set[String] = connects.collect {
-    case (_, Connect(u, AccessMode.Write | AccessMode.ReadWrite)) => u
+    case (_, c @ Connect(_, AccessMode.Write | AccessMode.ReadWrite)) =>
+      c.urlTemplate
   }.toSet
 
   /** Full lifecycle. Returns true on success (checks passed). */

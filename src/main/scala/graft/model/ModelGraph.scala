@@ -84,8 +84,11 @@ final class ModelGraph(models: Seq[Model]) {
         if (ts.forall(_.isDefined)) Some(ts.flatten) else None
       }
       (times(m.targets), times(m.sources)) match {
+        // STRICTLY newer: on coarse-mtime filesystems an input rewritten in
+        // the same granule as its consumer's output must trigger a rebuild
+        // (ties rebuild — conservative in the safe direction).
         case (Some(outs), Some(ins)) if outs.nonEmpty =>
-          ins.isEmpty || !outs.min.isBefore(ins.max)
+          ins.isEmpty || outs.min.isAfter(ins.max)
         case _ => false // anything unreadable/absent → rebuild
       }
     }

@@ -19,5 +19,19 @@ import org.apache.spark.sql.functions.broadcast
   * but hard-bounds executor memory if the contract is ever violated.
   */
 object Bounded {
-  def probe(df: DataFrame, cap: Int): DataFrame = broadcast(df.limit(cap))
+
+  /** Fails LOUDLY if the probe exceeds its cap — a silently-truncated probe
+    * set would yield silently incomplete joins (e.g. partial
+    * decontamination), which is worse than a crash. The guard counts
+    * `limit(cap + 1)`, so the scan early-terminates after cap+1 rows and
+    * costs O(cap) regardless of the underlying table's size.
+    */
+  def probe(df: DataFrame, cap: Int): DataFrame = {
+    val n = df.limit(cap + 1).count()
+    require(n <= cap,
+      s"Bounded.probe: probe set exceeds its declared cap ($n > $cap rows)" +
+        " — the bounded-by-contract broadcast would truncate; widen the cap" +
+        " or restructure the join")
+    broadcast(df.limit(cap))
+  }
 }

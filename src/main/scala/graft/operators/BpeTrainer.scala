@@ -40,6 +40,7 @@ object BpeTrainer {
     val n = vocab.count()
     require(n <= maxVocab,
       s"vocabulary has $n entries (> $maxVocab): aggregate before training")
+    // bounded: ≤ maxVocab rows by the require above
     var words: Seq[(Array[String], Long)] = vocab
       .select(col("word").cast("string"), col("n").cast("long"))
       .collect().toSeq

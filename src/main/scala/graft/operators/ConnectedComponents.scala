@@ -119,7 +119,7 @@ object ConnectedComponents {
     // ANY change short-circuits via limit(1).
     val numericIds = nodes.schema("id").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def labelSum(df: DataFrame): Long =
+    def labelSum(df: DataFrame): Long = // bounded: 1-row global agg
       df.agg(sum(col("component").cast("long"))).collect()(0).getLong(0)
     var prevSum = if (numericIds) labelSum(labels) else 0L
     var converged = false

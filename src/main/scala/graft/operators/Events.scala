@@ -2606,8 +2606,8 @@ object Events {
         .select(col("value"), expr(s"CAST(((cum - 1) * 10) div ${n}L AS INT)")
           .as("dec"))
         .groupBy("dec").agg(max(col("value")).as("ub"))
-        .orderBy("dec").collect()
-        .map(r => (r.getInt(0), r.getDouble(1))) // ≤ 10 (dec, ub) pairs
+        .orderBy("dec").collect() // bounded: ≤ 10 (dec, ub) pairs
+        .map(r => (r.getInt(0), r.getDouble(1)))
       // fold by ACTUAL decile id (heavy ties can skip deciles — a
       // positional index would misnumber the bins)
       val decExpr = bounds.filter(_._1 < 9)

@@ -812,11 +812,15 @@ object Graph {
   //   The item-item collaborative-filtering primitive: project the
   //   supplier–part bipartite graph onto suppliers, scoring each supplier
   //   pair by cosine-normalized overlap |parts(a) ∩ parts(b)| /
-  //   √(deg(a)·deg(b)). The pair build is keyed on the shared part
-  //   (per-part quadratic, bounded by suppliers-per-part — the q08/q123
-  //   skew argument; a hub-part cap is the production guard), the overlap
-  //   count is an exact BIGINT, and the two degree joins ride on a tiny
-  //   broadcast. One shuffle on the part key, one on the pair key.
+  //   √(deg(a)·deg(b)). The pair build is keyed on the shared part and
+  //   HARD-CAPPED at the first 64 suppliers per part (row_number by key,
+  //   mirrored in the oracle — the same whale guard as q264/q283): a hot
+  //   part with k ≫ 64 suppliers contributes 64²/2 pairs, not k²/2.
+  //   Degrees stay UNCAPPED (the cosine denominator is the true degree);
+  //   TPC-H's ~4 suppliers/part sits far under the cap, so tested outputs
+  //   equal the uncapped result. The overlap count is an exact BIGINT and
+  //   the two degree joins ride on a tiny broadcast. One shuffle on the
+  //   part key, one on the pair key.
   val q248 = Query.sql(
     "q248_coshipment_similarity",
     (s, dir) => {
@@ -825,7 +829,12 @@ object Graph {
         .distinct()
         .barrier() // feeds degrees + the pair build
       val deg = e.groupBy("sk").agg(count(lit(1)).as("deg"))
-      val pairs = e.as("a").join(e.as("b"),
+      val byPk248 = org.apache.spark.sql.expressions.Window.partitionBy("pk")
+      val eCap = e
+        .withColumn("rn", row_number().over(byPk248.orderBy("sk")))
+        .filter(col("rn") <= 64)
+        .drop("rn")
+      val pairs = eCap.as("a").join(eCap.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
         .agg(count(lit(1)).as("shared"))
@@ -844,9 +853,14 @@ object Graph {
     """WITH e AS (
       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
       |deg AS (SELECT sk, COUNT(*) AS deg FROM e GROUP BY sk),
+      |ecap AS (
+      |  SELECT pk, sk FROM (
+      |    SELECT pk, sk,
+      |      ROW_NUMBER() OVER (PARTITION BY pk ORDER BY sk) AS rn FROM e)
+      |  WHERE rn <= 64),
       |pairs AS (
       |  SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS shared
-      |  FROM e a JOIN e b ON a.pk = b.pk AND a.sk < b.sk
+      |  FROM ecap a JOIN ecap b ON a.pk = b.pk AND a.sk < b.sk
       |  GROUP BY 1, 2)
       |SELECT sa, sb, shared,
       |  CAST(shared AS DOUBLE) /

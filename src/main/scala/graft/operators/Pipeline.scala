@@ -1272,7 +1272,7 @@ object Pipeline {
               col("bg") === col("cb"), "left_anti")
             .groupBy("doc_id").agg(count(lit(1)).as("c"))
             .orderBy(desc("c"), asc("doc_id")).limit(1)
-            .collect()
+            .collect() // bounded: limit(1)
           if (top.isEmpty) done = true
           else {
             val d = top.head.getLong(0); val c = top.head.getLong(1)

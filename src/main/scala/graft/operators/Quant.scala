@@ -331,12 +331,14 @@ object Quant {
       "q139_ann_ivf_int8",
       (s, dir) => {
         val e = emb(s, dir)
+        // bounded: exactly k = 8 seed-centroid rows
         val seedRows = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("scl"), col("embedding").as("c"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
         // driver-side probe selection: distances query→seed with the SAME
         // op sequence the engines use (sequential double fold, floor-scale)
+        // bounded: 1-row unique-key lookup
         val qv = e.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         def dsp(a: Array[Float], b: Array[Float]): Long = {
@@ -742,7 +744,7 @@ object Quant {
           expr("transform(series, x -> x.sv)").as("sv"))
         .withColumn("st", expr(
           """aggregate(slice(sv, 3, greatest(size(sv) - 2, 0)),
-            |  named_struct('l', sv[1], 'b', sv[2] - sv[1]),
+            |  named_struct('l', sv[0], 'b', sv[1] - sv[0]),
             |  (acc, x) -> named_struct(
             |    'l', shiftright(x + 3L * (acc.l + acc.b), 2),
             |    'b', shiftright((shiftright(x + 3L * (acc.l + acc.b), 2)
@@ -750,7 +752,7 @@ object Quant {
         .select(col("event_type"), col("n_days"),
           (col("st.l").cast("double") / 100.0).as("level"),
           (col("st.b").cast("double") / 100.0).as("trend"),
-          ((col("st.l") + 7L * col("st.b")).cast("double") / 100.0)
+          ((col("st.l") + col("st.b") * 7L).cast("double") / 100.0)
             .as("forecast_7d"))
         .orderBy("event_type")
     },

@@ -143,17 +143,20 @@ object Similarity {
         val bucketed = emb(s, dir).select(col("vec_id"), col("embedding"),
           bucket.as("bucket"))
         bucketed.cache()
-        // Bucket lookup, candidate probe and recall are driver-side set
-        // math over collected ids (≤ bucket size rows) — the previous
-        // intersect() spawned a full-width shuffle to compare two 10-row
-        // frames.
+        // Recall is computed DISTRIBUTIVELY: the SF-growing candidate
+        // bucket (≈ N/256 of the table) is semi-joined against the
+        // brute-force top-10 (10 rows, broadcast) and counted — the only
+        // driver-side values are the 1-row q0 bucket id and the final
+        // scalar count. No collect() over an SF-growing set.
         val q0Bucket = bucketed.filter(col("vec_id") === 0)
           .select("bucket").as[Long].head()
-        val candIds = bucketed
+        val brute10 = q54.run(s, dir).select("vec_id")
+        val hit = bucketed
           .filter(col("bucket") === q0Bucket && col("vec_id") =!= 0)
-          .select("vec_id").as[Long].collect().toSet
-        val bruteIds = q54.run(s, dir).select("vec_id").as[Long].collect().toSet
-        val recall = candIds.intersect(bruteIds).size / 10.0
+          .join(broadcast(brute10), Seq("vec_id"), "left_semi")
+          .count()
+        val recall = hit / 10.0
+        // bounded: single global-agg stats row
         val Array((nBuckets, maxBucket, avgBucket)) =
           bucketed.groupBy("bucket").agg(count(lit(1)).as("sz"))
             .agg(count(lit(1)), max(col("sz")),
@@ -248,6 +251,7 @@ object Similarity {
         // on impossible sim ties). The previous crossJoin+groupBy form
         // shuffled every (vector × cell) row WITH its embedding payload —
         // 16× the corpus through the wire; this form shuffles nothing.
+        // bounded: nCells centroid rows, shipped as a literal
         val centLocal = e.filter(col("vec_id") < nCells)
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])].collect().sortBy(_._1)
@@ -275,15 +279,22 @@ object Similarity {
         val qv = centLocal.find(_._1 == 0L).get._2
         val probeSet = centLocal.map { case (cell, cv) => (cos(qv, cv), cell) }
           .sortBy { case (sim, cell) => (-sim, -cell) }.take(nProbe).map(_._2)
-        val candIds = assigned
+        // Recall computed distributively: the probe's top-10 (already a
+        // distributed TakeOrdered) is semi-joined against the broadcast
+        // brute-force top-10 and counted — no driver-side set math.
+        val cand10 = assigned
           .filter(col("cell").isin(probeSet: _*) && col("vec_id") =!= 0)
           .select(col("vec_id"),
             call_function("cosine_similarity", col("embedding"),
               typedLit(qv)).as("sim"))
           .orderBy(desc("sim"), asc("vec_id")).limit(10)
-          .select("vec_id").as[Long].collect().toSet
-        val bruteIds = q54.run(s, dir).select("vec_id").as[Long].collect().toSet
-        val recall = candIds.intersect(bruteIds).size / 10.0
+          .select("vec_id")
+        val hit = cand10
+          .join(broadcast(q54.run(s, dir).select("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .count()
+        val recall = hit / 10.0
+        // bounded: single global-agg stats row
         val Array((searched, total)) = assigned.agg(
           sum(when(col("cell").isin(probeSet: _*), 1L).otherwise(0L)),
           count(lit(1))).as[(Long, Long)].collect()

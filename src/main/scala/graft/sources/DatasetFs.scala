@@ -67,6 +67,30 @@ object DatasetFs {
       if (st.isDirectory) fs.getContentSummary(st.getPath).getLength else st.getLen
     }.sum
   }
+
+  /** Atomically swap a freshly-written temp dataset directory into `dest`.
+    *
+    * The read-modify-overwrite pattern (`spark.read(dest)` feeding
+    * `write.mode("overwrite").parquet(dest)`) is unsafe even through a
+    * cache: overwrite deletes the source files first, so any cached block
+    * lost after the delete (executor failure / eviction) recomputes from
+    * destroyed inputs. The safe shape is write-to-temp THEN swap — `dest`
+    * is replaced by two metadata renames, never read and deleted in the
+    * same job. The displaced old directory is removed last; if the process
+    * dies between the renames, the data survives under `<dest>.old`.
+    */
+  def swapInto(spark: SparkSession, tmpDir: String, dest: String): Unit = {
+    val dst = new Path(dest)
+    val fs = fsFor(spark, dst)
+    val bak = new Path(dest + ".old")
+    fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"swapInto: cannot displace $dst")
+    if (!fs.rename(new Path(tmpDir), dst))
+      throw new java.io.IOException(s"swapInto: cannot promote $tmpDir to $dst")
+    fs.delete(bak, true)
+    ()
+  }
 }
 
 /** The reference's `progress` property is the fraction of the dataset read

@@ -123,6 +123,45 @@ class ExamplesSpec extends SparkSpec {
     assert(poisonous == Seq("Blue ringed octopus"))
   }
 
+  test("SensorInputs: manifest build context + callable engine url") {
+    val dir = tmp()
+    val p = java.nio.file.Paths.get(dir)
+    Files.writeString(p.resolve("manifest_20220511.json"),
+      s"""{
+         |"dataset_id" : "abc123",
+         |"sensor_readings" : ["csv://$dir/file_a.csv",
+         |                     "csv://$dir/file_b.csv"]
+         |}""".stripMargin)
+    Files.writeString(p.resolve("lookup_table_abc123.csv"),
+      "sensor,station\ns1,north\ns2,south\n")
+    Files.writeString(p.resolve("file_a.csv"), "sensor,v\ns1,1\ns1,2\n")
+    Files.writeString(p.resolve("file_b.csv"), "sensor,v\ns2,3\n")
+
+    val ctx = graft.model.Manifest.buildContext(s"$dir/manifest_20220511.json")
+    // derived vars + manifest scalars land in the context
+    assert(ctx.vars("manifest_file") == s"$dir/manifest_20220511.json")
+    assert(ctx.vars("manifest_path") == dir)
+    assert(ctx.vars("dataset_id") == "abc123")
+
+    // callable engine url: minted at BIND time — it reads a var that is
+    // still unset at declaration and only appears below
+    var lateBound = ""
+    val m = new SensorInputs(() => lateBound)
+    lateBound = s"csv://$dir/file_*.csv"
+    assert(m.go(spark, ctx))
+    assert(m.stats("sensor_files").value == 2)
+    assert(m.stats("sensor_rows").value == 3)
+    assert(m.stats("lookup_rows").value == 2)
+  }
+
+  test("Manifest.buildContext rejects a non-object manifest") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"), "[1, 2]")
+    intercept[IllegalArgumentException] {
+      graft.model.Manifest.buildContext(s"$dir/bad.json")
+    }
+  }
+
   test("curation pipeline: sample → dedup → filter → shard, conserved and deterministic") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("curate").toString

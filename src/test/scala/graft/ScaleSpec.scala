@@ -455,6 +455,33 @@ class ScaleSpec extends SparkSpec {
     assert(dups == 0, s"$dups duplicate closure pairs")
   }
 
+  test("Bounded.probe fails loudly when the cap binds, passes under it") {
+    import org.apache.spark.sql.functions._
+    val under = graft.operators.Bounded.probe(spark.range(10).toDF(), 100)
+    assert(under.count() == 10)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Bounded.probe(spark.range(200).toDF(), 100)
+    }
+    assert(ex.getMessage.contains("exceeds its declared cap"))
+  }
+
+  test("DatasetFs.swapInto atomically replaces a dataset directory") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val dest = s"$dir/serving"
+    spark.range(5).write.parquet(dest)
+    spark.range(100).write.parquet(s"$dest.tmp-1")
+    graft.sources.DatasetFs.swapInto(spark, s"$dest.tmp-1", dest)
+    assert(spark.read.parquet(dest).count() == 100)
+    // old payload fully displaced, no leftover temp/backup dirs
+    assert(!new java.io.File(s"$dest.tmp-1").exists())
+    assert(!new java.io.File(s"$dest.old").exists())
+    // first-write case: no existing dest
+    spark.range(7).write.parquet(s"$dir/fresh.tmp-0")
+    graft.sources.DatasetFs.swapInto(spark, s"$dir/fresh.tmp-0", s"$dir/fresh")
+    assert(spark.read.parquet(s"$dir/fresh").count() == 7)
+  }
+
   test("soak: gridNeighborJoin on a 1M-point lattice — closed-form counts") {
     import org.apache.spark.sql.functions._
     import graft.api._

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Compile gate — run before EVERY commit (especially end-of-round snapshots).
+# Round 5's entire gate loss came from committing one uncompiled line; this
+# script makes that impossible to repeat. Usage:
+#   tools/precommit.sh            # Test/compile only (fast path)
+#   tools/precommit.sh --test     # full sbt test as well
+set -euo pipefail
+cd "$(dirname "$0")/.."
+sbt -batch Test/compile
+if [[ "${1:-}" == "--test" ]]; then
+  sbt -batch test
+fi
+echo "precommit OK"
