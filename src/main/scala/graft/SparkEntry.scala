@@ -15,7 +15,7 @@ object SparkEntry {
       operators.TpchExtra.all ++ operators.Pipeline.all ++
       operators.Warehouse.all ++ operators.Graph.all ++
       operators.Ranking.all ++ operators.Quant.all ++
-      operators.Recursive.all
+      operators.Recursive.all ++ operators.PiiScan.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

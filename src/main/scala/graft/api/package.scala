@@ -233,6 +233,22 @@ package object api {
         .drop("__c")
     }
 
+    /** PII detector counts + a redacted copy of `textCol` (cf. q350):
+      * appends `n_emails`/`n_phones`/`n_digit_runs` and `redacted` with
+      * emails/phones masked. Pure map-side codegen'd regexp work.
+      */
+    def piiSignals(textCol: String): DataFrame =
+      graft.operators.PiiScan.piiSignals(df, textCol)
+
+    /** Schema-dynamic profile of EVERY column, any type (cf. q351; the
+      * numeric-only companion is `profile(cols*)` below): one row per
+      * column with row/null/distinct counts and min/max as strings.
+      * `exact = false` uses HLL distinct counts for a cheap production
+      * fingerprint.
+      */
+    def profileAll(exact: Boolean = true): DataFrame =
+      graft.operators.PiiScan.profile(df, exact)
+
     /** Gopher-style repetition signals per row (cf. q87): appends
       * `dup_token_frac` (1 − distinct/total tokens) and `top_bigram_frac`
       * (share of bigram slots taken by the most frequent bigram). Token

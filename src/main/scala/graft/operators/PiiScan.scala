@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection/redaction and schema-dynamic table profiling — the two
+  * data-hygiene passes a training-data pipeline runs before anything else
+  * ships: find and mask contact strings, and fingerprint every column's
+  * null/distinct/range shape for drift monitoring.
+  *
+  * Scale design (100 TB): both operators are single-pass. PII scan is
+  * pure map-side regexp work inside whole-stage codegen (regexp_count /
+  * regexp_replace are codegen'd native expressions — no UDF), so it
+  * scales linearly with input bytes and shuffles only the final per-group
+  * counters. The profiler is ONE aggregate pass computing every column's
+  * stats together (count/nulls/distinct/min/max per column in a single
+  * shuffle with map-side partial aggregation); exact countDistinct is the
+  * oracle semantics, and the same shape runs with approx_count_distinct
+  * for a cheap production fingerprint.
+  *
+  * The regex dialect is the RE2-compatible subset (character classes and
+  * bounded repetition only — no backrefs, no lookaround), so Spark (Java
+  * regex) and DuckDB (RE2) agree exactly.
+  */
+object PiiScan {
+
+  /** RE2-and-Java-compatible detector patterns (kept deliberately simple:
+    * character classes + bounded repetition only).
+    */
+  val emailPattern = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+  val digitRunPattern = "[0-9]{6,}"
+
+  /** Per-row PII signals + a redacted copy of `textCol`: match counts for
+    * each detector and the text with emails/phones masked. Map-side only.
+    */
+  def piiSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(emailPattern)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(phonePattern)).cast("long"))
+      .withColumn("n_digit_runs",
+        regexp_count(col(textCol), lit(digitRunPattern)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+
+  // -- q350: PII detection audit (vs q69, which verifies the redacted text
+  //   itself: this one verifies the detector COUNTS and the per-segment
+  //   redaction footprint) ---------------------------------------------------
+  //   Support-ticket-shaped text is assembled from customer fields (name →
+  //   email, key → phone extension, balance → a long digit run), then the
+  //   detectors count and mask it. The audit reports, per market segment:
+  //   tickets scanned, contacts found, and how many characters redaction
+  //   removed — the number a privacy review actually asks for. Everything
+  //   is integer counts and string lengths; zero float ops.
+  val q350 = Query.sql(
+    "q350_pii_audit",
+    (s, dir) => {
+      val tickets = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          concat(
+            lit("please contact "),
+            lower(regexp_replace(col("c_name"), "#", ".")),
+            lit("@example.com or call 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+            lit(" re account "),
+            expr("CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS STRING)"))
+            .as("ticket"))
+      piiSignals(tickets, "ticket")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_tickets"),
+          sum(col("n_emails")).cast("long").as("emails_found"),
+          sum(col("n_phones")).cast("long").as("phones_found"),
+          sum(col("n_digit_runs")).cast("long").as("digit_runs_found"),
+          sum(length(col("ticket")) - length(col("redacted")))
+            .cast("long").as("chars_redacted"))
+        .orderBy("seg")
+    },
+    """WITH tickets AS (
+      |  SELECT c_mktsegment AS seg,
+      |    concat('please contact ',
+      |      lower(regexp_replace(c_name, '#', '.', 'g')),
+      |      '@example.com or call 555-',
+      |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+      |      ' re account ',
+      |      CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)) AS ticket
+      |  FROM customer),
+      |scanned AS (
+      |  SELECT seg, ticket,
+      |    len(regexp_extract_all(ticket, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+      |      AS n_emails,
+      |    len(regexp_extract_all(ticket, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |    len(regexp_extract_all(ticket, '[0-9]{6,}')) AS n_digit_runs,
+      |    regexp_replace(
+      |      regexp_replace(ticket, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>',
+      |        'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM tickets)
+      |SELECT seg, COUNT(*) AS n_tickets,
+      |  CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+      |  CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+      |  CAST(SUM(n_digit_runs) AS BIGINT) AS digit_runs_found,
+      |  CAST(SUM(LENGTH(ticket) - LENGTH(redacted)) AS BIGINT)
+      |    AS chars_redacted
+      |FROM scanned GROUP BY seg ORDER BY seg""".stripMargin)
+
+  /** Schema-dynamic column profile: one row per EVERY column (any type)
+    * with row/null/distinct counts and min/max rendered as strings.
+    *
+    * Two cheap passes, each shaped to avoid the known Spark trap:
+    * row/null/min/max are NON-distinct aggregates, so they all ride one
+    * wide map-side-combined agg (a multi-countDistinct wide agg would
+    * plan an Expand duplicating every input row k× — see the numeric
+    * `profile(cols*)` facade's measurement); the k distinct counts go
+    * long-format (explode to (col_name, value), ONE countDistinct per
+    * group) so there is a single distinct path however many columns are
+    * profiled. `exact = false` swaps in approx_count_distinct (HLL) for
+    * a cheap production fingerprint at 100 TB.
+    *
+    * Note for floating-point columns: min/max STRING rendering is
+    * engine-specific; keep profile oracles to integer/string columns or
+    * compare numerically.
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val cols = df.schema.fields.toSeq
+    val wideAggs = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"__nn_${f.name}"),
+        min(c).cast("string").as(s"__mn_${f.name}"),
+        max(c).cast("string").as(s"__mx_${f.name}"))
+    }
+    val agged = df.agg(count(lit(1)).as("__n"), wideAggs: _*)
+    val pairs = cols.map(f =>
+      struct(lit(f.name).as("c"), col(f.name).cast("string").as("v")))
+    val distincts = df
+      .select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.c").as("c"))
+      .agg((if (exact) countDistinct(col("p.v"))
+            else approx_count_distinct(col("p.v"))).as("nd"))
+    // bounded: one wide-agg row + one distinct-count row per column; the
+    // pivot to the output frame is driver-side over those k+1 rows
+    val row = agged.collect()(0)
+    val nd = distincts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = cols.map { f =>
+      org.apache.spark.sql.Row(
+        f.name, f.dataType.simpleString, row.getAs[Long]("__n"),
+        row.getAs[Long]("__n") - row.getAs[Long](s"__nn_${f.name}"),
+        nd.getOrElse(f.name, 0L),
+        row.getAs[String](s"__mn_${f.name}"),
+        row.getAs[String](s"__mx_${f.name}"))
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(out.asJava, StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("dtype", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min_s", StringType, nullable = true),
+      StructField("max_s", StringType, nullable = true))))
+      .orderBy("col_name")
+  }
+
+  // -- q351: full-table profile of `documents` ------------------------------
+  //   The dynamic profiler against a known schema, oracle-checked column
+  //   by column (documents is all BIGINT/VARCHAR, so min/max string
+  //   rendering is engine-safe).
+  val q351 = Query.sql(
+    "q351_table_profile",
+    (s, dir) => profile(Tables.load(s, dir, "documents")),
+    """WITH p AS (
+      |  SELECT 'doc_id' AS col_name, 'bigint' AS dtype, COUNT(*) AS n_rows,
+      |    COUNT(*) - COUNT(doc_id) AS n_nulls,
+      |    COUNT(DISTINCT doc_id) AS n_distinct,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+      |    CAST(MAX(doc_id) AS VARCHAR) AS max_s
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', 'string', COUNT(*), COUNT(*) - COUNT(lang),
+      |    COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', 'bigint', COUNT(*), COUNT(*) - COUNT(n_chars),
+      |    COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+      |    CAST(MAX(n_chars) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'source', 'string', COUNT(*), COUNT(*) - COUNT(source),
+      |    COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+      |  UNION ALL
+      |  SELECT 'text', 'string', COUNT(*), COUNT(*) - COUNT(text),
+      |    COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents)
+      |SELECT col_name, dtype, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+      |FROM p ORDER BY col_name""".stripMargin)
+
+  val all: Seq[Query] = Seq(q350, q351)
+}

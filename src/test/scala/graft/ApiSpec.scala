@@ -423,4 +423,36 @@ class ApiSpec extends SparkSpec {
     assert(pairs == Set((11L, 13L, 1L), (13L, 10L, 1L), (10L, 12L, 1L),
       (11L, 10L, 2L), (13L, 12L, 2L)), s"got $pairs")
   }
+
+  test("piiSignals: counts and masks emails/phones, leaves clean text") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.k@corp.io or 555-1234 ref 1234567",
+      "nothing sensitive here").toDF("t")
+    val out = df.piiSignals("t").orderBy(desc("n_emails"))
+      .select("n_emails", "n_phones", "n_digit_runs", "redacted")
+      .collect()
+    assert(out(0).getLong(0) == 1 && out(0).getLong(1) == 1 &&
+      out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == "mail <EMAIL> or <PHONE> ref 1234567")
+    assert(out(1).getLong(0) == 0 && out(1).getLong(1) == 0 &&
+      out(1).getString(3) == "nothing sensitive here")
+  }
+
+  test("profile: per-column nulls/distincts/min-max, exact and approx") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "tag")
+    val p = df.profileAll().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(2) == 3 && p("id").getLong(3) == 0 &&
+      p("id").getLong(4) == 3 && p("id").getString(5) == "1" &&
+      p("id").getString(6) == "3")
+    assert(p("tag").getLong(3) == 1 && p("tag").getLong(4) == 1 &&
+      p("tag").getString(5) == "a")
+    // approx mode: same shape, distinct counts within HLL error of exact
+    val pa = df.profileAll(exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(math.abs(pa("id") - 3L) <= 1 && math.abs(pa("tag") - 1L) <= 1)
+  }
 }
