@@ -74,7 +74,17 @@ object PlanAudit {
           case _ => None
         }
     }.flatten
-    forced ++ cartesian
+    // A window whose partition spec is empty (or all-foldable, e.g.
+    // partitionBy(lit(1))) funnels its whole input through ONE task. Fine
+    // over an aggregated histogram; a cluster-killer over an SF-growing
+    // row stream (the q148 class — its globalRowNumber scale path exists
+    // precisely to avoid this shape).
+    val globalWindow = plan.collect {
+      case w: Window if w.partitionSpec.forall(_.foldable) =>
+        unboundedGrowing(w.child).map(t =>
+          s"single-partition window over unbounded '$t'")
+    }.flatten
+    forced ++ cartesian ++ globalWindow
   }
 
   def main(args: Array[String]): Unit = {

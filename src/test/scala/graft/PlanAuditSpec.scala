@@ -33,6 +33,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.audit(o.crossJoin(li.limit(10))).isEmpty)
   }
 
+  test("detector flags a single-partition window over a growing table") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val bad = li.withColumn("rn",
+      row_number().over(W.orderBy("l_orderkey")))
+    assert(PlanAudit.audit(bad)
+      .exists(_.contains("single-partition window over unbounded 'lineitem'")))
+    // partitionBy(lit(1)) is the same single-task shape: also flagged
+    val bad2 = li.withColumn("rn",
+      row_number().over(W.partitionBy(lit(1)).orderBy("l_orderkey")))
+    assert(PlanAudit.audit(bad2).nonEmpty)
+    // over an aggregate (bounded histogram): clean
+    val ok = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(W.orderBy("l_returnflag")))
+    assert(PlanAudit.audit(ok).isEmpty)
+    // keyed window over the raw table: clean
+    val keyed = li.withColumn("rn",
+      row_number().over(W.partitionBy("l_orderkey").orderBy("l_linenumber")))
+    assert(PlanAudit.audit(keyed).isEmpty)
+  }
+
   test("every .collect() in operator code carries a bounded justification") {
     // Plan-level audits can't see driver-side set math after a collect, so
     // this closes the class at the source level: any `.collect()` in the
