@@ -1887,65 +1887,10 @@ object Stats {
       |         CAST(kth AS DOUBLE) END AS est_kmv
       |FROM uni ORDER BY prio""".stripMargin)
 
-  // -- q347: one-vs-rest Mann–Whitney AUC per event type --------------------
-  //   How well does `value` separate each event type from the rest? The
-  //   rank-sum statistic IS the AUC of the single-feature classifier
-  //   (U/(n_a·n_b)) — the standard label-leakage / feature-screening probe
-  //   before training on a column. Tie-corrected midranks are assembled
-  //   from INTEGER counts only (2·midrank = 2·c_lt + c_eq + 1 over
-  //   cent-scaled values), so ranks are exact at any row order; the only
-  //   double op is the final division. Scale: one groupBy per (value) and
-  //   per (type, value) — both map-side combinable — then a key-partitioned
-  //   join on the value; nothing quadratic, no row-level ranks
-  //   materialized (the window runs over DISTINCT values, not rows).
-  val q347 = Query.sql(
-    "q347_mannwhitney_auc",
-    (s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_type").as("t"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        .barrier() // feeds the global and per-type value histograms
-      val byVal = ev.groupBy("v").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(
-          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-      val byTypeVal = ev.groupBy("t", "v").agg(count(lit(1)).as("ca"))
-      val n = byTypeVal.join(byVal, "v")
-        .groupBy("t")
-        .agg(sum(col("ca")).as("n_a"),
-          // Σ ca·(2·c_lt + c_eq + 1) = Σ ca·(2·cum − c + 1)  (= 2·rank sum)
-          sum(col("ca") * (lit(2) * col("cum") - col("c") + lit(1)))
-            .as("r2"))
-      n.withColumn("n_tot", sum(col("n_a")).over(
-          Window.partitionBy(lit(1))))
-        .select(col("t").as("event_type"), col("n_a").cast("long").as("n_a"),
-          (col("n_tot") - col("n_a")).cast("long").as("n_b"),
-          ((col("r2") - col("n_a") * (col("n_a") + 1)).cast("double") /
-            (lit(2) * col("n_a") * (col("n_tot") - col("n_a")))
-              .cast("double")).as("auc"))
-        .orderBy("event_type")
-    },
-    """WITH ev AS (
-      |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v
-      |  FROM events WHERE value IS NOT NULL),
-      |byval AS (
-      |  SELECT v, COUNT(*) AS c FROM ev GROUP BY v),
-      |cumv AS (
-      |  SELECT v, c,
-      |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM byval),
-      |bytv AS (SELECT t, v, COUNT(*) AS ca FROM ev GROUP BY t, v),
-      |r AS (
-      |  SELECT t, CAST(SUM(ca) AS BIGINT) AS n_a,
-      |    CAST(SUM(ca * (2 * cum - c + 1)) AS BIGINT) AS r2
-      |  FROM bytv JOIN cumv USING (v) GROUP BY t),
-      |tot AS (SELECT *, SUM(n_a) OVER () AS n_tot FROM r)
-      |SELECT t AS event_type, n_a, CAST(n_tot - n_a AS BIGINT) AS n_b,
-      |  CAST(r2 - n_a * (n_a + 1) AS DOUBLE) /
-      |    CAST(2 * n_a * (n_tot - n_a) AS DOUBLE) AS auc
-      |FROM tot ORDER BY event_type""".stripMargin)
-
-  // -- q348: two-sample Kolmogorov–Smirnov distance, all type pairs ---------
+  // -- q348: pairwise Kolmogorov–Smirnov drift MATRIX -----------------------
+  //   q151 tests ONE pre-named pair; this computes D for EVERY pair of
+  //   event types in one plan — the drift dashboard a multi-source corpus
+  //   publishes, where the pair list isn't known up front.
   //   Distribution-drift detection between event types: D = max_v
   //   |F_a(v) − F_b(v)|, the classic pre-training check that two data
   //   sources (or two time slices) draw from the same distribution. The
@@ -2017,61 +1962,9 @@ object Stats {
       |FROM filled a JOIN filled b ON a.v = b.v AND a.t < b.t
       |GROUP BY a.t, b.t, a.n, b.n ORDER BY type_a, type_b""".stripMargin)
 
-  // -- q349: Benford first-digit audit --------------------------------------
-  //   Fraud/synthetic-data screening: the first significant digit of
-  //   order totals against Benford's log10(1 + 1/d) expectation. The digit
-  //   is extracted from the DECIMAL RENDERING OF AN EXACT BIGINT (first
-  //   char of the cent amount) — both engines print integers identically,
-  //   where a log10-of-double extraction could straddle a power of ten
-  //   differently per libm. Expected fractions are literal constants
-  //   (identical text both sides); per-digit output rows avoid any
-  //   float accumulation entirely. Scale: map-side digit extraction,
-  //   9-group aggregate.
-  val q349 = Query.sql(
-    "q349_benford",
-    (s, dir) => {
-      val benford = "CASE digit WHEN 1 THEN 0.30102999566398120e0 " +
-        "WHEN 2 THEN 0.17609125905568124e0 WHEN 3 THEN 0.12493873660829993e0 " +
-        "WHEN 4 THEN 0.09691001300805642e0 WHEN 5 THEN 0.07918124604762482e0 " +
-        "WHEN 6 THEN 0.06694678963061322e0 WHEN 7 THEN 0.05799194697768673e0 " +
-        "WHEN 8 THEN 0.05115252244738129e0 ELSE 0.04575749056067514e0 END"
-      Tables.load(s, dir, "orders")
-        .select(expr(
-          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
-            " AS STRING), 1, 1) AS INT)").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("observed"))
-        .withColumn("n_tot", sum(col("observed")).over(
-          Window.partitionBy(lit(1))))
-        .select(col("digit"), col("observed"),
-          (col("observed").cast("double") / col("n_tot").cast("double"))
-            .as("obs_frac"),
-          expr(benford).as("benford_frac"))
-        .withColumn("excess", col("obs_frac") - col("benford_frac"))
-        .orderBy("digit")
-    },
-    """WITH d AS (
-      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-      |    AS VARCHAR), 1, 1) AS INT) AS digit
-      |  FROM orders),
-      |g AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit),
-      |t AS (SELECT *, SUM(observed) OVER () AS n_tot FROM g),
-      |e AS (
-      |  SELECT digit, observed,
-      |    CAST(observed AS DOUBLE) / CAST(n_tot AS DOUBLE) AS obs_frac,
-      |    CASE digit WHEN 1 THEN 0.30102999566398120e0
-      |      WHEN 2 THEN 0.17609125905568124e0 WHEN 3 THEN 0.12493873660829993e0
-      |      WHEN 4 THEN 0.09691001300805642e0 WHEN 5 THEN 0.07918124604762482e0
-      |      WHEN 6 THEN 0.06694678963061322e0 WHEN 7 THEN 0.05799194697768673e0
-      |      WHEN 8 THEN 0.05115252244738129e0 ELSE 0.04575749056067514e0 END
-      |      AS benford_frac
-      |  FROM t)
-      |SELECT digit, observed, obs_frac, benford_frac,
-      |  obs_frac - benford_frac AS excess
-      |FROM e ORDER BY digit""".stripMargin)
-
   val all: Seq[Query] =
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
       q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341,
-      q343, q347, q348, q349)
+      q343, q348)
 }

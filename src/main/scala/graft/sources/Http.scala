@@ -225,24 +225,28 @@ object HttpEnrich {
   }
 }
 
-/** Registry slots for connectors that need external clusters the zero-
-  * egress test environment lacks. Routing and option translation are real;
-  * the read fails with a clear description of what it would do (the
-  * reference unit-tests these against fakes the same way).
+/** Elasticsearch over its REST wire protocol — full implementation in
+  * [[Elasticsearch]] (sliced-scroll distributed reads, `_bulk` writes,
+  * doc-level add/fetch), verified against an in-process protocol
+  * emulation; a live cluster is only an engine-url away.
   */
 final class ElasticsearchConnector extends Connector {
   val schemes = Seq("elasticsearch", "es")
   def read(spark: SparkSession, url: EngineUrl): DataFrame =
-    throw new UnsupportedOperationException(
-      s"elasticsearch connector: would read index '${url.option("index").getOrElse(url.path)}' " +
-        "via org.elasticsearch.spark.sql; requires a live cluster")
+    Elasticsearch.read(spark, url)
+  override def write(df: DataFrame, url: EngineUrl): Unit =
+    Elasticsearch.write(df, url)
 }
 
+/** BigQuery over the public REST v2 API — full implementation in
+  * [[BigQuery]] (range-partitioned parallel query reads, insertAll
+  * writes), verified against an in-process protocol emulation; a real
+  * project needs only `;token=`.
+  */
 final class BigQueryConnector extends Connector {
   val schemes = Seq("bigquery")
   def read(spark: SparkSession, url: EngineUrl): DataFrame =
-    throw new UnsupportedOperationException(
-      s"bigquery connector: would read ${url.option("projectId").getOrElse("?")}." +
-        s"${url.option("datasetId").getOrElse("?")}.${url.option("tableId").getOrElse("?")} " +
-        "via the spark-bigquery connector; requires GCP access")
+    BigQuery.read(spark, url)
+  override def write(df: DataFrame, url: EngineUrl): Unit =
+    BigQuery.write(df, url)
 }

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+/** Minimal Kafka wire-protocol client — no client library, just the
+  * published binary protocol (kafka.apache.org/protocol): size-framed
+  * requests with `apiKey/apiVersion/correlationId/clientId` headers,
+  * big-endian primitives, int16-length strings, int32-length byte blobs.
+  *
+  * Pinned API versions, chosen as the simplest complete set for the
+  * batch-read/write surface (version negotiation via ApiVersions is a
+  * mechanical extension — the frame grammar is identical):
+  *   - Metadata v0 (partition discovery + leaders)
+  *   - ListOffsets v1 (timestamp → offset, incl. -1 latest / -2 earliest —
+  *     this is what the engine-url `@(ts)` grammar resolves through)
+  *   - Fetch v2 / Produce v2 with message-set format v1 (magic 1:
+  *     CRC32-protected timestamped records)
+  *
+  * Everything is synchronous one-request-one-response over a plain
+  * socket: the parallelism lives in Spark (one task per partition drives
+  * its own connection), not in the client.
+  */
+object KafkaProtocol {
+
+  final case class PartitionMeta(topic: String, partition: Int,
+      leaderHost: String, leaderPort: Int)
+  final case class Record(offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  val EarliestTs: Long = -2L
+  val LatestTs: Long = -1L
+
+  private val ClientId = "graft"
+
+  // -- primitive writers ----------------------------------------------------
+  private def str(b: ByteBuffer, s: String): Unit = {
+    val bytes = s.getBytes(UTF_8)
+    b.putShort(bytes.length.toShort); b.put(bytes)
+  }
+  private def bytes(b: ByteBuffer, v: Array[Byte]): Unit =
+    if (v == null) b.putInt(-1) else { b.putInt(v.length); b.put(v) }
+
+  private def readStr(b: ByteBuffer): String = {
+    val n = b.getShort
+    val arr = new Array[Byte](n); b.get(arr); new String(arr, UTF_8)
+  }
+  private def readBytes(b: ByteBuffer): Array[Byte] = {
+    val n = b.getInt
+    if (n < 0) null else { val arr = new Array[Byte](n); b.get(arr); arr }
+  }
+
+  /** One framed round-trip: returns the response body (header's
+    * correlation id verified and consumed).
+    */
+  private def roundTrip(host: String, port: Int, apiKey: Short,
+      apiVersion: Short, writeBody: ByteBuffer => Unit,
+      capacity: Int = 1 << 16): ByteBuffer = {
+    val socket = new Socket(host, port)
+    try {
+      socket.setSoTimeout(30000)
+      val body = ByteBuffer.allocate(capacity)
+      body.putShort(apiKey).putShort(apiVersion).putInt(7) // correlation id
+      str(body, ClientId)
+      writeBody(body)
+      body.flip()
+      val out = new DataOutputStream(socket.getOutputStream)
+      out.writeInt(body.remaining())
+      out.write(body.array(), 0, body.remaining())
+      out.flush()
+      val in = new DataInputStream(socket.getInputStream)
+      val size = in.readInt()
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      val corr = buf.getInt
+      require(corr == 7, s"correlation id mismatch: $corr")
+      buf
+    } finally socket.close()
+  }
+
+  /** Metadata v0: partition list with the leader broker of each. */
+  def metadata(host: String, port: Int, topic: String): Seq[PartitionMeta] = {
+    val b = roundTrip(host, port, apiKey = 3, apiVersion = 0, body => {
+      body.putInt(1); str(body, topic)
+    })
+    val brokers = (0 until b.getInt).map { _ =>
+      val nodeId = b.getInt; val h = readStr(b); val p = b.getInt
+      nodeId -> (h, p)
+    }.toMap
+    (0 until b.getInt).flatMap { _ =>
+      val err = b.getShort; val name = readStr(b)
+      require(err == 0, s"metadata error $err for topic $name")
+      (0 until b.getInt).map { _ =>
+        val pErr = b.getShort; val pid = b.getInt; val leader = b.getInt
+        val nReplicas = b.getInt; (0 until nReplicas).foreach(_ => b.getInt)
+        val nIsr = b.getInt; (0 until nIsr).foreach(_ => b.getInt)
+        require(pErr == 0, s"metadata error $pErr for $name/$pid")
+        val (lh, lp) = brokers(leader)
+        PartitionMeta(name, pid, lh, lp)
+      }
+    }
+  }
+
+  /** ListOffsets v1: first offset with timestamp >= `ts`; -1 = log end,
+    * -2 = log start. Returns -1 when no offset satisfies the timestamp.
+    */
+  def listOffset(host: String, port: Int, topic: String, partition: Int,
+      ts: Long): Long = {
+    val b = roundTrip(host, port, apiKey = 2, apiVersion = 1, body => {
+      body.putInt(-1) // replicaId
+      body.putInt(1); str(body, topic)
+      body.putInt(1); body.putInt(partition); body.putLong(ts)
+    })
+    val nTopics = b.getInt
+    require(nTopics == 1, s"unexpected ListOffsets topic count $nTopics")
+    readStr(b)
+    val nParts = b.getInt
+    require(nParts == 1, s"unexpected ListOffsets partition count $nParts")
+    b.getInt // partition id
+    val err = b.getShort
+    require(err == 0, s"ListOffsets error $err for $topic/$partition")
+    b.getLong // matched timestamp
+    b.getLong // offset
+  }
+
+  // -- message-set v1 (magic 1) ---------------------------------------------
+  private def crcOf(buf: Array[Byte], from: Int, len: Int): Int = {
+    val crc = new CRC32
+    crc.update(buf, from, len)
+    crc.getValue.toInt
+  }
+
+  /** Serialize records as a v1 message set (producer offsets are
+    * placeholders; the broker assigns real ones).
+    */
+  private[graft] def encodeMessageSet(
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] =
+    encodeMessageSetAt(records.zipWithIndex.map { case ((ts, k, v), i) =>
+      Record(i.toLong, ts, k, v)
+    })
+
+  /** Broker-side variant: a v1 message set with explicit absolute offsets
+    * (what Fetch responses carry).
+    */
+  private[graft] def encodeMessageSetAt(records: Seq[Record]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(records.map { r =>
+      34 + (if (r.key == null) 0 else r.key.length) +
+        (if (r.value == null) 0 else r.value.length) + 8
+    }.sum)
+    records.foreach { case Record(offset, ts, k, v) =>
+      buf.putLong(offset)
+      val sizePos = buf.position(); buf.putInt(0) // patched below
+      val msgStart = buf.position()
+      val crcPos = buf.position(); buf.putInt(0) // patched below
+      buf.put(1.toByte) // magic 1
+      buf.put(0.toByte) // attributes: no compression
+      buf.putLong(ts)
+      bytes(buf, k); bytes(buf, v)
+      val end = buf.position()
+      buf.putInt(sizePos, end - msgStart)
+      buf.putInt(crcPos, crcOf(buf.array(), crcPos + 4, end - crcPos - 4))
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  /** Parse a v1 message set, dropping a trailing partial message (the
+    * protocol allows brokers to cut the last message at maxBytes).
+    */
+  private[graft] def decodeMessageSet(raw: Array[Byte]): Seq[Record] = {
+    val buf = ByteBuffer.wrap(raw)
+    val out = Seq.newBuilder[Record]
+    while (buf.remaining() >= 12) {
+      val offset = buf.getLong
+      val size = buf.getInt
+      if (buf.remaining() < size) { buf.position(buf.limit()) }
+      else {
+        val crc = buf.getInt
+        val computed = crcOf(raw, buf.position(), size - 4)
+        require(crc == computed, s"CRC mismatch at offset $offset")
+        val magic = buf.get()
+        require(magic == 1, s"unsupported message magic $magic (need v1)")
+        buf.get() // attributes
+        val ts = buf.getLong
+        val k = readBytes(buf); val v = readBytes(buf)
+        out += Record(offset, ts, k, v)
+      }
+    }
+    out.result()
+  }
+
+  /** Produce v2 (acks=-1): returns the broker-assigned base offset. */
+  def produce(host: String, port: Int, topic: String, partition: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
+    val set = encodeMessageSet(records)
+    val b = roundTrip(host, port, apiKey = 0, apiVersion = 2, body => {
+      body.putShort(-1) // acks: full ISR
+      body.putInt(30000) // timeout
+      body.putInt(1); str(body, topic)
+      body.putInt(1); body.putInt(partition)
+      body.putInt(set.length); body.put(set)
+    }, capacity = set.length + 1024)
+    val nTopics = b.getInt; require(nTopics == 1, s"produce topics $nTopics")
+    readStr(b)
+    val nParts = b.getInt; require(nParts == 1, s"produce partitions $nParts")
+    b.getInt // partition id
+    val err = b.getShort
+    require(err == 0, s"produce error $err for $topic/$partition")
+    val baseOffset = b.getLong
+    b.getLong // log append time
+    b.getInt // throttle
+    baseOffset
+  }
+
+  /** Fetch v2: records from `offset` (bounded by maxBytes) plus the
+    * partition's high watermark (log end).
+    */
+  def fetch(host: String, port: Int, topic: String, partition: Int,
+      offset: Long, maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+    val b = roundTrip(host, port, apiKey = 1, apiVersion = 2, body => {
+      body.putInt(-1) // replicaId
+      body.putInt(500) // maxWaitMs
+      body.putInt(1) // minBytes
+      body.putInt(1); str(body, topic)
+      body.putInt(1); body.putInt(partition)
+      body.putLong(offset); body.putInt(maxBytes)
+    })
+    b.getInt // throttle
+    val nTopics = b.getInt; require(nTopics == 1, s"fetch topics $nTopics")
+    readStr(b)
+    val nParts = b.getInt; require(nParts == 1, s"fetch partitions $nParts")
+    b.getInt // partition id
+    val err = b.getShort
+    require(err == 0, s"fetch error $err for $topic/$partition")
+    val highWatermark = b.getLong
+    val setSize = b.getInt
+    val raw = new Array[Byte](setSize); b.get(raw)
+    (decodeMessageSet(raw), highWatermark)
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sources.ConnectorRegistry
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+
+/** BigQuery connector against an in-process REST v2 protocol emulation:
+  * `jobs.query` establishes a job with schema + totalRows, Spark tasks
+  * page disjoint `getQueryResults?startIndex=…` ranges in the documented
+  * `rows[].f[].v` cell format, and writes land via
+  * `tabledata.insertAll`. SQL execution is the remote engine's job — the
+  * emulator serves `SELECT * FROM ds.t` snapshots; what's under test is
+  * the connector's protocol logic (pagination, typing, batching,
+  * insertId idempotence handles).
+  */
+class BqSpec extends SparkSpec {
+
+  private var server: HttpServer = _
+  private var port: Int = _
+
+  // "ds.t" -> (schema fields as (name, type), row cells as strings)
+  private val tables = new ConcurrentHashMap[String,
+    (Seq[(String, String)], java.util.List[Seq[String]])]()
+  // jobId -> snapshot of (schema, rows) at query time
+  private val jobs = new ConcurrentHashMap[String,
+    (Seq[(String, String)], Vector[Seq[String]])]()
+  private val jobSeq = new java.util.concurrent.atomic.AtomicInteger()
+  private val pageCalls = new java.util.concurrent.atomic.AtomicInteger()
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def defineTable(name: String, schema: Seq[(String, String)]): Unit =
+    tables.put(name, (schema,
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Seq[String]]())))
+
+  private def schemaJson(fields: Seq[(String, String)]): String =
+    fields.map { case (n, t) => s"""{"name": "$n", "type": "$t"}""" }
+      .mkString("""{"fields": [""", ",", "]}")
+
+  private def rowsJson(rows: Seq[Seq[String]]): String =
+    rows.map(cells => cells.map {
+      case null => """{"v": null}"""
+      case v => s"""{"v": "$v"}"""
+    }.mkString("""{"f": [""", ",", "]}")).mkString("[", ",", "]")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    port = server.getAddress.getPort
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
+        // POST /projects/p/queries
+        case ("POST", "projects" :: _ :: "queries" :: Nil) =>
+          val sql = JsonMethods.parse(body) \ "query" match {
+            case JString(s) => s
+            case _ => ""
+          }
+          val table = "SELECT \\* FROM (\\S+)".r.findFirstMatchIn(sql)
+            .map(_.group(1)).getOrElse("")
+          Option(tables.get(table)) match {
+            case None => reply(ex, 404, s"""{"error": "no table $table"}""")
+            case Some((schema, rows)) =>
+              val jobId = s"job-${jobSeq.incrementAndGet()}"
+              val snapshot = rows.toArray(Array.empty[Seq[String]]).toVector
+              jobs.put(jobId, (schema, snapshot))
+              reply(ex, 200,
+                s"""{"jobComplete": true,
+                    | "jobReference": {"jobId": "$jobId"},
+                    | "schema": ${schemaJson(schema)},
+                    | "totalRows": "${snapshot.size}"}""".stripMargin)
+          }
+        // GET /projects/p/queries/{jobId}?startIndex=&maxResults=
+        case ("GET", "projects" :: _ :: "queries" :: jobId :: Nil) =>
+          pageCalls.incrementAndGet()
+          Option(jobs.get(jobId)) match {
+            case None => reply(ex, 404, s"""{"error": "no job $jobId"}""")
+            case Some((schema, rows)) =>
+              val params = query.split("&").filter(_.nonEmpty)
+                .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+                .toMap
+              val start = params.getOrElse("startIndex", "0").toInt
+              val n = params.getOrElse("maxResults", "100").toInt
+              reply(ex, 200,
+                s"""{"jobComplete": true,
+                    | "schema": ${schemaJson(schema)},
+                    | "totalRows": "${rows.size}",
+                    | "rows": ${rowsJson(rows.slice(start, start + n))}}""".stripMargin)
+          }
+        // POST /projects/p/datasets/ds/tables/t/insertAll
+        case ("POST", "projects" :: _ :: "datasets" :: ds :: "tables" ::
+            t :: "insertAll" :: Nil) =>
+          Option(tables.get(s"$ds.$t")) match {
+            case None => reply(ex, 404, s"""{"error": "no table $ds.$t"}""")
+            case Some((schema, rows)) =>
+              JsonMethods.parse(body) \ "rows" match {
+                case JArray(items) =>
+                  items.foreach { item =>
+                    val doc = item \ "json"
+                    rows.add(schema.map { case (name, _) =>
+                      doc \ name match {
+                        case JString(s) => s
+                        case JInt(i) => i.toString
+                        case JLong(l) => l.toString
+                        case JDouble(d) => d.toString
+                        case JBool(b) => b.toString
+                        case _ => null
+                      }
+                    })
+                  }
+                  reply(ex, 200, """{"kind": "bigquery#tableDataInsertAllResponse"}""")
+                case _ => reply(ex, 400, """{"error": "rows required"}""")
+              }
+          }
+        case (m, p) => reply(ex, 400, s"""{"error": "unhandled $m /${p.mkString("/")}"}""")
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def bqUrl(opts: String): String =
+    s"bigquery://api;projectId=proj;endpoint=http://127.0.0.1:$port$opts"
+
+  test("insertAll write then range-partitioned read round-trips, typed") {
+    import spark.implicits._
+    defineTable("corpus.metrics", Seq(
+      "k" -> "INTEGER", "name" -> "STRING", "score" -> "FLOAT",
+      "ok" -> "BOOLEAN"))
+    val df = (0L until 41L).map(i => (i, s"m$i", i / 4.0, i % 2 == 0))
+      .toDF("k", "name", "score", "ok")
+    ConnectorRegistry.write(df,
+      bqUrl(";datasetId=corpus;tableId=metrics;id=k;batch=10"))
+    val back = ConnectorRegistry.read(spark,
+      bqUrl(";datasetId=corpus;tableId=metrics;slices=3;batch=7"))
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("k" -> "bigint", "name" -> "string", "score" -> "double",
+        "ok" -> "boolean"))
+    assert(back.count() == 41)
+    assert(back.select("k").as[Long].collect().toSet == (0L until 41L).toSet)
+    assert(back.agg(sum("score")).first().getDouble(0) ==
+      (0L until 41L).map(_ / 4.0).sum)
+  }
+
+  test("arbitrary query option reads a job result with pagination") {
+    import spark.implicits._
+    defineTable("corpus.small", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((1L to 10L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=small"))
+    pageCalls.set(0)
+    val out = ConnectorRegistry.read(spark,
+      bqUrl(";query=SELECT * FROM corpus.small;slices=2;batch=3"))
+    assert(out.select("v").as[Long].collect().sorted.toSeq == (1L to 10L))
+    // 10 rows, 2 slices of 5, pages of 3 → 2+2 page calls
+    assert(pageCalls.get() == 4, s"got ${pageCalls.get()} page calls")
+  }
+
+  test("reading a missing table surfaces the server error") {
+    val e = intercept[Exception](
+      ConnectorRegistry.read(spark,
+        bqUrl(";datasetId=no;tableId=such")).count())
+    assert(e.getMessage.contains("404") || e.getMessage.contains("no table"))
+  }
+}

@@ -132,13 +132,14 @@ class HttpTaskSpec extends SparkSpec {
     assert(doc.contains("60"))
   }
 
-  test("elasticsearch/bigquery slots route and explain themselves") {
-    val es = intercept[UnsupportedOperationException](
-      ConnectorRegistry.read(spark, "elasticsearch://localhost:9200/idx;index=docs"))
-    assert(es.getMessage.contains("docs"))
+  test("bigquery routes and explains missing addressing options") {
+    // full protocol round-trips live in BqSpec; here: addressing errors
     val bq = intercept[UnsupportedOperationException](
-      ConnectorRegistry.read(spark, "bigquery://x;projectId=p;datasetId=d;tableId=t"))
-    assert(bq.getMessage.contains("p.d.t"))
+      ConnectorRegistry.read(spark, "bigquery://x;projectId=p"))
+    assert(bq.getMessage.contains("p.?.?"))
+    val bq2 = intercept[UnsupportedOperationException](
+      ConnectorRegistry.read(spark, "bigquery://x;projectId=p;datasetId=d"))
+    assert(bq2.getMessage.contains("p.d.?"))
   }
 
   test("task grid runs tasks across the cluster and collates in order") {

@@ -1,0 +1,270 @@
+package graft
+
+import graft.sources.{ConnectorRegistry, KafkaProtocol}
+import graft.sources.KafkaProtocol.Record
+import org.apache.spark.sql.functions._
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** In-process Kafka broker emulation speaking the same pinned wire
+  * versions the connector does (Metadata v0, ListOffsets v1, Produce v2,
+  * Fetch v2, message-set v1 with CRC), plus the connector round-trips:
+  * produce from Spark partitions, read back per-partition with one task
+  * each, timestamp-grammar (`@(ts)`) range reads through real
+  * ListOffsets lookups.
+  */
+class KafkaSpec extends SparkSpec {
+
+  // topic -> partitions -> append log of (ts, key, value)
+  private val topics = new java.util.concurrent.ConcurrentHashMap[String,
+    Array[java.util.List[(Long, Array[Byte], Array[Byte])]]]()
+  private var server: ServerSocket = _
+  private var port: Int = _
+  @volatile private var running = true
+
+  private def defineTopic(name: String, partitions: Int): Unit =
+    topics.put(name, Array.fill(partitions)(
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Array[Byte], Array[Byte])]())))
+
+  // -- wire helpers (mirror of the client's, for the server side) -----------
+  private def readStr(b: ByteBuffer): String = {
+    val n = b.getShort; val arr = new Array[Byte](n); b.get(arr)
+    new String(arr, UTF_8)
+  }
+  private def putStr(b: ByteBuffer, s: String): Unit = {
+    val bytes = s.getBytes(UTF_8); b.putShort(bytes.length.toShort); b.put(bytes)
+  }
+
+  private def handle(req: ByteBuffer): ByteBuffer = {
+    val apiKey = req.getShort
+    val apiVersion = req.getShort
+    val corr = req.getInt
+    readStr(req) // clientId
+    val resp = ByteBuffer.allocate(1 << 22)
+    resp.putInt(corr)
+    (apiKey, apiVersion) match {
+      case (3, 0) => // Metadata
+        val nTopics = req.getInt
+        val names =
+          if (nTopics == 0) topics.keySet().toArray(Array.empty[String]).toSeq
+          else (0 until nTopics).map(_ => readStr(req))
+        resp.putInt(1) // one broker
+        resp.putInt(0); putStr(resp, "127.0.0.1"); resp.putInt(port)
+        resp.putInt(names.size)
+        names.foreach { name =>
+          val parts = topics.get(name)
+          if (parts == null) { resp.putShort(3); putStr(resp, name); resp.putInt(0) }
+          else {
+            resp.putShort(0); putStr(resp, name)
+            resp.putInt(parts.length)
+            parts.indices.foreach { pid =>
+              resp.putShort(0); resp.putInt(pid); resp.putInt(0) // leader 0
+              resp.putInt(0); resp.putInt(0) // replicas, isr: empty
+            }
+          }
+        }
+      case (2, 1) => // ListOffsets
+        req.getInt // replicaId
+        val nTopics = req.getInt
+        resp.putInt(nTopics)
+        (0 until nTopics).foreach { _ =>
+          val name = readStr(req)
+          val nParts = req.getInt
+          putStr(resp, name)
+          resp.putInt(nParts)
+          (0 until nParts).foreach { _ =>
+            val pid = req.getInt; val ts = req.getLong
+            val log = topics.get(name)(pid)
+            val offset = ts match {
+              case -2L => 0L
+              case -1L => log.size.toLong
+              case t =>
+                val snap = log.toArray(Array.empty[(Long, Array[Byte], Array[Byte])])
+                snap.indexWhere(_._1 >= t) match {
+                  case -1 => -1L
+                  case i => i.toLong
+                }
+            }
+            resp.putInt(pid); resp.putShort(0); resp.putLong(ts); resp.putLong(offset)
+          }
+        }
+      case (0, 2) => // Produce
+        req.getShort; req.getInt // acks, timeout
+        val nTopics = req.getInt
+        resp.putInt(nTopics)
+        (0 until nTopics).foreach { _ =>
+          val name = readStr(req)
+          val nParts = req.getInt
+          putStr(resp, name)
+          resp.putInt(nParts)
+          (0 until nParts).foreach { _ =>
+            val pid = req.getInt
+            val setSize = req.getInt
+            val raw = new Array[Byte](setSize); req.get(raw)
+            val records = KafkaProtocol.decodeMessageSet(raw)
+            val log = topics.get(name)(pid)
+            var base = -1L
+            log.synchronized {
+              base = log.size.toLong
+              records.foreach(r => log.add((r.timestamp, r.key, r.value)))
+            }
+            resp.putInt(pid); resp.putShort(0); resp.putLong(base)
+            resp.putLong(-1L) // log append time (broker uses create time)
+          }
+        }
+        resp.putInt(0) // throttle
+      case (1, 2) => // Fetch
+        req.getInt; req.getInt; req.getInt // replicaId, maxWait, minBytes
+        val nTopics = req.getInt
+        resp.putInt(0) // throttle
+        resp.putInt(nTopics)
+        (0 until nTopics).foreach { _ =>
+          val name = readStr(req)
+          val nParts = req.getInt
+          putStr(resp, name)
+          resp.putInt(nParts)
+          (0 until nParts).foreach { _ =>
+            val pid = req.getInt
+            val off = req.getLong
+            val maxBytes = req.getInt
+            val log = topics.get(name)(pid)
+            val snap = log.toArray(Array.empty[(Long, Array[Byte], Array[Byte])])
+            // accumulate whole messages up to maxBytes (>= 1 if it fits)
+            val out = Seq.newBuilder[Record]
+            var used = 0
+            var i = off.toInt
+            var stop = false
+            while (!stop && i < snap.length) {
+              val (ts, k, v) = snap(i)
+              val sz = 34 + (if (k == null) 0 else k.length) +
+                (if (v == null) 0 else v.length)
+              if (used + sz > maxBytes) stop = true
+              else { out += Record(i.toLong, ts, k, v); used += sz; i += 1 }
+            }
+            val set = KafkaProtocol.encodeMessageSetAt(out.result())
+            resp.putInt(pid); resp.putShort(0)
+            resp.putLong(snap.length.toLong) // high watermark
+            resp.putInt(set.length); resp.put(set)
+          }
+        }
+      case (k, v) =>
+        throw new IllegalArgumentException(s"emulator: unhandled api $k v$v")
+    }
+    resp.flip()
+    resp
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = new ServerSocket(0)
+    port = server.getLocalPort
+    new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          new Thread(() => serve(sock)).start()
+        } catch { case _: Throwable => () }
+      }
+    }, "kafka-emulator-accept").start()
+  }
+
+  private def serve(sock: Socket): Unit =
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (true) {
+        val size = in.readInt()
+        val raw = new Array[Byte](size)
+        in.readFully(raw)
+        val resp = handle(ByteBuffer.wrap(raw))
+        out.writeInt(resp.remaining())
+        out.write(resp.array(), 0, resp.remaining())
+        out.flush()
+      }
+    } catch { case _: Throwable => () } finally sock.close()
+
+  override def afterAll(): Unit = {
+    running = false
+    server.close()
+    super.afterAll()
+  }
+
+  private def url(opts: String): String = s"kafka://127.0.0.1:$port$opts"
+
+  test("protocol client: metadata, produce, list offsets, fetch with CRC") {
+    defineTopic("wire", 2)
+    val parts = KafkaProtocol.metadata("127.0.0.1", port, "wire")
+    assert(parts.map(_.partition).sorted == Seq(0, 1))
+    val base = KafkaProtocol.produce("127.0.0.1", port, "wire", 0,
+      Seq((1000L, "k1".getBytes, "v1".getBytes),
+        (2000L, null, "v2".getBytes)))
+    assert(base == 0L)
+    assert(KafkaProtocol.listOffset("127.0.0.1", port, "wire", 0,
+      KafkaProtocol.EarliestTs) == 0L)
+    assert(KafkaProtocol.listOffset("127.0.0.1", port, "wire", 0,
+      KafkaProtocol.LatestTs) == 2L)
+    assert(KafkaProtocol.listOffset("127.0.0.1", port, "wire", 0, 1500L) == 1L)
+    val (recs, hw) = KafkaProtocol.fetch("127.0.0.1", port, "wire", 0, 0L)
+    assert(hw == 2L)
+    assert(recs.map(r => new String(r.value, "UTF-8")) == Seq("v1", "v2"))
+    assert(recs.head.key != null && new String(recs.head.key, "UTF-8") == "k1")
+    assert(recs(1).key == null)
+  }
+
+  test("spark write then read round-trips across partitions") {
+    import spark.implicits._
+    defineTopic("corpus", 3)
+    val df = (0 until 100).map(i =>
+        (s"key-${i % 7}", s"payload-$i",
+          new java.sql.Timestamp(1700000000000L + i * 1000L)))
+      .toDF("key", "value", "timestamp")
+    ConnectorRegistry.write(df, url(";topic=corpus;batch=16"))
+    val back = ConnectorRegistry.read(spark, url(";topic=corpus"))
+    assert(back.count() == 100)
+    assert(back.select("partition").distinct().count() == 3)
+    val values = back.select(col("value").cast("string")).as[String]
+      .collect().toSet
+    assert(values == (0 until 100).map(i => s"payload-$i").toSet)
+    // keyed rows co-partition: every key lives in exactly one partition
+    val spread = back
+      .select(col("key").cast("string").as("k"), col("partition"))
+      .distinct().groupBy("k").count()
+      .agg(max("count")).first().getLong(0)
+    assert(spread == 1L, "a key appeared in more than one partition")
+  }
+
+  test("timestamp-grammar range read resolves through ListOffsets") {
+    import spark.implicits._
+    defineTopic("ranged", 1)
+    val base = 1700000000000L // 2023-11-14T22:13:20Z
+    val df = (0 until 60).map(i =>
+        (s"m-$i", new java.sql.Timestamp(base + i * 60000L)))
+      .toDF("value", "timestamp")
+    ConnectorRegistry.write(df, url(";topic=ranged"))
+    // [t+10min, t+20min): minutes 10..19
+    val slice = ConnectorRegistry.read(spark, url(
+      ";topic=ranged;start=@(2023-11-14 22:23:20);end=@(2023-11-14 22:33:20)"))
+    val vals = slice.select(col("value").cast("string")).as[String]
+      .collect().map(_.stripPrefix("m-").toInt).sorted.toSeq
+    assert(vals == (10 until 20), s"got $vals")
+    // absolute offsets also work
+    val byOffset = ConnectorRegistry.read(spark,
+      url(";topic=ranged;start=5;end=8"))
+    assert(byOffset.select("offset").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 6L, 7L))
+  }
+
+  test("a message larger than the fetch budget fails loudly, not silently") {
+    import spark.implicits._
+    defineTopic("big", 1)
+    val df = Seq(("x" * 5000)).toDF("value")
+    ConnectorRegistry.write(df, url(";topic=big"))
+    val e = intercept[Exception](
+      ConnectorRegistry.read(spark, url(";topic=big;batch=100")).count())
+    assert(e.getMessage.contains("raise ;batch=") ||
+      Option(e.getCause).exists(_.getMessage.contains("raise ;batch=")))
+  }
+}
