@@ -1,0 +1,209 @@
+package graft.sources.v2
+
+import graft.sources.KafkaProtocol
+import graft.sources.KafkaProtocol.PartitionMeta
+import java.util.{Map => JMap}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Kafka STREAMING source: a DataSource V2 `MicroBatchStream` built
+  * directly on [[KafkaProtocol]] — no spark-sql-kafka package, no
+  * kafka-clients jar. Completes the Kafka story: batch range reads and
+  * writes live in the connector; this provides `spark.readStream
+  * .format("graft-kafka")` with exactly-once micro-batch semantics from
+  * replayable offset ranges.
+  *
+  *   spark.readStream.format("graft-kafka")
+  *     .option("bootstrap", "host:9092").option("topic", "events")
+  *     .option("startingOffsets", "earliest")           // or latest
+  *     .option("maxOffsetsPerTrigger", 10000)           // optional cap
+  *     .load()
+  *
+  * How it maps to Spark's contract: `latestOffset` polls ListOffsets
+  * (latest) per partition on the driver — tiny RPCs; `planInputPartitions
+  * (start, end)` hands each task one partition's closed offset range;
+  * readers drive their own Fetch loops. Offsets serialize as a
+  * `partition → next-offset` JSON map in the checkpoint log, so recovery
+  * replays exactly the committed ranges — the standard Kafka-source
+  * semantics, speaking the same wire protocol, same schema (key binary,
+  * value binary, topic, partition, offset, timestamp).
+  */
+object KafkaStream {
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+}
+
+class KafkaStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaStream.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KafkaStreamTable(opts.get("bootstrap"), opts.get("topic"),
+      Option(opts.get("startingoffsets")).getOrElse("earliest"),
+      Option(opts.get("maxoffsetspertrigger")).map(_.toLong))
+  }
+}
+
+class KafkaStreamTable(bootstrap: String, topic: String, startingOffsets: String,
+    maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+  require(bootstrap != null, "graft-kafka needs option bootstrap=host:port")
+  require(topic != null, "graft-kafka needs option topic=")
+  override def name(): String = s"kafka:$topic"
+  override def schema(): StructType = KafkaStream.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KafkaScan(bootstrap, topic, startingOffsets, maxPerTrigger)
+}
+
+/** partition → next offset to read, as the checkpointable stream offset. */
+case class KafkaOffsets(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+}
+
+object KafkaOffsets {
+  def parse(json: String): KafkaOffsets = KafkaOffsets(
+    "\"(\\d+)\":\\s*(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+case class KafkaRange(host: String, port: Int, topic: String, partition: Int,
+    start: Long, end: Long, maxBytes: Int) extends InputPartition
+
+class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
+    maxPerTrigger: Option[Long]) extends Scan {
+
+  private val (host, port) = bootstrap.split(":", 2) match {
+    case Array(h, p) => (h, p.toInt)
+    case Array(h) => (h, 9092)
+  }
+
+  override def readSchema(): StructType = KafkaStream.schema
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl {
+      private def parts: Seq[PartitionMeta] =
+        KafkaProtocol.metadata(host, port, topic)
+
+      private def trueLatest: Map[Int, Long] = parts.map(p =>
+        p.partition -> KafkaProtocol.listOffset(
+          p.leaderHost, p.leaderPort, topic, p.partition,
+          KafkaProtocol.LatestTs)).toMap
+
+      override def initialOffset(): Offset = {
+        val ts = if (startingOffsets == "latest") KafkaProtocol.LatestTs
+          else KafkaProtocol.EarliestTs
+        KafkaOffsets(parts.map(p =>
+          p.partition -> KafkaProtocol.listOffset(
+            p.leaderHost, p.leaderPort, topic, p.partition, ts)).toMap)
+      }
+
+      override def getDefaultReadLimit: ReadLimit =
+        maxPerTrigger.map(c => ReadLimit.maxRows(c))
+          .getOrElse(ReadLimit.allAvailable())
+
+      /** Admission-control path: plan up to the limit, spread across
+        * partitions proportionally to their backlog; the TRUE log end is
+        * reported separately so the engine still knows data remains.
+        */
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val latest = trueLatest
+        val committed = start.asInstanceOf[KafkaOffsets].offsets
+        limit match {
+          case mr: ReadMaxRows =>
+            val cap = mr.maxRows()
+            val backlog = latest.map { case (p, hi) =>
+              p -> math.max(0L, hi - committed.getOrElse(p, 0L)) }
+            val total = backlog.values.sum
+            if (total <= cap) KafkaOffsets(latest)
+            else KafkaOffsets(latest.map { case (p, hi) =>
+              val lo = committed.getOrElse(p, 0L)
+              val share = math.max(1L, backlog(p) * cap / math.max(1L, total))
+              p -> math.min(hi, lo + share)
+            })
+          case _ => KafkaOffsets(latest)
+        }
+      }
+
+      override def reportLatestOffset(): Offset = KafkaOffsets(trueLatest)
+
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+      override def deserializeOffset(json: String): Offset =
+        KafkaOffsets.parse(json)
+
+      override def commit(end: Offset): Unit = ()
+
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[KafkaOffsets].offsets
+        val e = end.asInstanceOf[KafkaOffsets].offsets
+        parts.flatMap { p =>
+          val lo = s.getOrElse(p.partition, 0L)
+          val hi = e.getOrElse(p.partition, lo)
+          if (hi > lo)
+            Some(KafkaRange(p.leaderHost, p.leaderPort, topic, p.partition,
+              lo, hi, 1 << 20): InputPartition)
+          else None
+        }.toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KafkaReaderFactory
+
+      override def stop(): Unit = ()
+    }
+}
+
+class KafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[KafkaRange]
+    new PartitionReader[InternalRow] {
+      private var off = r.start
+      private var page: Iterator[KafkaProtocol.Record] = Iterator.empty
+      private var current: KafkaProtocol.Record = _
+
+      override def next(): Boolean = {
+        while (!page.hasNext && off < r.end) {
+          val (recs, hw) = KafkaProtocol.fetch(
+            r.host, r.port, r.topic, r.partition, off, r.maxBytes)
+          if (recs.isEmpty) {
+            if (off < math.min(r.end, hw)) throw new RuntimeException(
+              s"kafka fetch returned no complete message at offset $off of" +
+                s" ${r.topic}/${r.partition}; raise maxBytes")
+            off = r.end
+          } else {
+            val lo = off // capture BEFORE advancing (the filter is lazy)
+            page = recs.iterator.filter(x => x.offset >= lo && x.offset < r.end)
+            off = recs.map(_.offset).max + 1
+          }
+        }
+        if (page.hasNext) { current = page.next(); true } else false
+      }
+
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        current.key, current.value, UTF8String.fromString(r.topic),
+        r.partition, current.offset, current.timestamp * 1000L))
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -257,6 +257,64 @@ class KafkaSpec extends SparkSpec {
       Seq(5L, 6L, 7L))
   }
 
+  test("native streaming source: incremental micro-batches across drops") {
+    import spark.implicits._
+    defineTopic("stream", 2)
+    def drop(from: Int, until: Int): Unit =
+      ConnectorRegistry.write(
+        (from until until).map(i =>
+            (s"u${i % 5}", s"ev-$i", new java.sql.Timestamp(1700000000000L + i)))
+          .toDF("key", "value", "timestamp"),
+        url(";topic=stream"))
+    drop(0, 30)
+    val stream = spark.readStream.format("graft-kafka")
+      .option("bootstrap", s"127.0.0.1:$port")
+      .option("topic", "stream")
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("v"), col("partition"),
+        col("offset"), col("timestamp"))
+    val q = stream.writeStream.format("memory").queryName("kafka_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kafka_mem").count() == 30)
+      drop(30, 50) // second drop: only the NEW offsets arrive
+      q.processAllAvailable()
+      val got = spark.table("kafka_mem")
+      assert(got.count() == 50)
+      assert(got.select("v").as[String].collect().toSet ==
+        (0 until 50).map(i => s"ev-$i").toSet)
+      assert(got.select("partition").distinct().count() == 2)
+      // event-time survives the wire: ms timestamps round-trip exactly
+      assert(got.agg(min(unix_millis(col("timestamp")))).first().getLong(0)
+        == 1700000000000L)
+    } finally q.stop()
+  }
+
+  test("streaming rate cap splits a backlog into bounded micro-batches") {
+    import spark.implicits._
+    defineTopic("capped", 1)
+    ConnectorRegistry.write(
+      (0 until 40).map(i => Tuple1(s"r-$i")).toDF("value"),
+      url(";topic=capped"))
+    val q = spark.readStream.format("graft-kafka")
+      .option("bootstrap", s"127.0.0.1:$port")
+      .option("topic", "capped")
+      .option("maxOffsetsPerTrigger", "15")
+      .load()
+      .writeStream.format("memory").queryName("kafka_capped")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kafka_capped").count() == 40)
+      // 40 rows at <= 15/trigger → at least 3 non-empty batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"got $batches batches")
+      assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 15)
+    } finally q.stop()
+  }
+
   test("a message larger than the fetch budget fails loudly, not silently") {
     import spark.implicits._
     defineTopic("big", 1)
