@@ -333,6 +333,7 @@ final class KafkaConnector extends Connector {
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
+    checkVersions(host, port) // fail fast if the broker dropped our versions
     val parts = metadata(host, port, topic)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")
     // resolve the range PER PARTITION on the driver: k tiny RPCs, so each
@@ -413,6 +414,7 @@ final class KafkaConnector extends Connector {
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
+    checkVersions(host, port) // fail fast if the broker dropped our versions
     val parts = metadata(host, port, topic)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")
     val n = parts.size

@@ -82,6 +82,40 @@ object KafkaProtocol {
     } finally socket.close()
   }
 
+  /** ApiVersions v0: the broker's supported [min, max] range per api key.
+    * [[checkVersions]] uses it to fail fast with a clear message when a
+    * broker no longer serves the pinned versions, instead of a confusing
+    * frame-decode error mid-read.
+    */
+  def apiVersions(host: String, port: Int): Map[Short, (Short, Short)] = {
+    val b = roundTrip(host, port, apiKey = 18, apiVersion = 0, _ => ())
+    val err = b.getShort
+    require(err == 0, s"ApiVersions error $err")
+    (0 until b.getInt).map { _ =>
+      val key = b.getShort; val min = b.getShort; val max = b.getShort
+      key -> (min, max)
+    }.toMap
+  }
+
+  /** The (apiKey, version) pairs this client speaks. */
+  val pinnedVersions: Seq[(String, Short, Short)] = Seq(
+    ("Produce", 0.toShort, 2.toShort),
+    ("Fetch", 1.toShort, 2.toShort),
+    ("ListOffsets", 2.toShort, 1.toShort),
+    ("Metadata", 3.toShort, 0.toShort))
+
+  /** Assert the broker still serves every pinned version. */
+  def checkVersions(host: String, port: Int): Unit = {
+    val ranges = apiVersions(host, port)
+    val unsupported = pinnedVersions.filter { case (_, key, v) =>
+      ranges.get(key).exists { case (lo, hi) => v < lo || v > hi }
+    }
+    require(unsupported.isEmpty,
+      s"broker $host:$port no longer serves pinned api versions: " +
+        unsupported.map { case (n, k, v) => s"$n(key=$k) v$v" }.mkString(", ") +
+        s" — broker ranges: ${ranges.toSeq.sortBy(_._1).mkString(", ")}")
+  }
+
   /** Metadata v0: partition list with the leader broker of each. */
   def metadata(host: String, port: Int, topic: String): Seq[PartitionMeta] = {
     val b = roundTrip(host, port, apiKey = 3, apiVersion = 0, body => {

@@ -150,6 +150,14 @@ class KafkaSpec extends SparkSpec {
             resp.putInt(set.length); resp.put(set)
           }
         }
+      case (18, 0) => // ApiVersions
+        resp.putShort(0)
+        val supported = Seq[(Short, Short, Short)](
+          (0, 0, 2), (1, 1, 2), (2, 1, 1), (3, 0, 0), (18, 0, 0))
+        resp.putInt(supported.size)
+        supported.foreach { case (k, lo, hi) =>
+          resp.putShort(k); resp.putShort(lo); resp.putShort(hi)
+        }
       case (k, v) =>
         throw new IllegalArgumentException(s"emulator: unhandled api $k v$v")
     }
@@ -313,6 +321,57 @@ class KafkaSpec extends SparkSpec {
       assert(batches >= 3, s"got $batches batches")
       assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 15)
     } finally q.stop()
+  }
+
+  test("ApiVersions negotiation accepts the pinned versions") {
+    val ranges = KafkaProtocol.apiVersions("127.0.0.1", port)
+    assert(ranges(0.toShort) == (0.toShort, 2.toShort))
+    KafkaProtocol.checkVersions("127.0.0.1", port) // must not throw
+  }
+
+  test("streaming pipeline: topic A -> transform -> topic B via foreachBatch") {
+    import spark.implicits._
+    defineTopic("raw_in", 2)
+    defineTopic("clean_out", 1)
+    ConnectorRegistry.write(
+      (0 until 30).map(i => (s"u${i % 3}", s"v=$i")).toDF("key", "value"),
+      url(";topic=raw_in"))
+    val q = spark.readStream.format("graft-kafka")
+      .option("bootstrap", s"127.0.0.1:$port")
+      .option("topic", "raw_in")
+      .load()
+      .select(col("key").cast("string").as("key"),
+        upper(col("value").cast("string")).as("value"))
+      .filter(col("value") =!= "V=0")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ConnectorRegistry.write(batch, url(";topic=clean_out"))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = ConnectorRegistry.read(spark, url(";topic=clean_out"))
+        .select(col("value").cast("string")).as[String].collect().toSet
+      assert(out == (1 until 30).map(i => s"V=$i").toSet)
+    } finally q.stop()
+  }
+
+  test("soak: 200k-record produce/fetch round-trip through the wire") {
+    import spark.implicits._
+    defineTopic("soak", 4)
+    val n = 200000
+    ConnectorRegistry.write(
+      spark.range(n.toLong).select(
+        col("id").cast("string").as("key"),
+        concat(lit("payload-"), col("id")).as("value")),
+      url(";topic=soak;batch=2000"))
+    val back = ConnectorRegistry.read(spark, url(";topic=soak"))
+    assert(back.count() == n)
+    assert(back.agg(sum(col("key").cast("string").cast("long")))
+        .first().getLong(0) ==
+      n.toLong * (n - 1) / 2)
+    assert(back.select("partition").distinct().count() == 4)
   }
 
   test("a message larger than the fetch budget fails loudly, not silently") {
