@@ -618,11 +618,25 @@ object StreamingServing {
     * so each call processes only NEW files — the incremental contract).
     */
   def refresh(spark: SparkSession, eventsDir: String, dim: DataFrame,
-      servingPath: String, checkpointDir: String): Unit = {
+      servingPath: String, checkpointDir: String): Unit =
+    refreshFrom(spark, Streams.eventFileStream(spark, eventsDir), dim,
+      servingPath, checkpointDir)
+
+  /** The same serving refresh fed from a Kafka topic through the native
+    * `graft-kafka` source — the pipeline (dedup → enrich → rollup →
+    * merge) is source-agnostic; the checkpoint carries Kafka offsets
+    * instead of file names, same incremental contract.
+    */
+  def refreshFromKafka(spark: SparkSession, bootstrap: String, topic: String,
+      dim: DataFrame, servingPath: String, checkpointDir: String): Unit =
+    refreshFrom(spark, Streams.eventKafkaStream(spark, bootstrap, topic), dim,
+      servingPath, checkpointDir)
+
+  private def refreshFrom(spark: SparkSession, events: DataFrame,
+      dim: DataFrame, servingPath: String, checkpointDir: String): Unit = {
     val rollup = hourlyRollup(
       Streams.enrichStream(
-        Streams.dedupStream(Streams.eventFileStream(spark, eventsDir),
-          "event_id"),
+        Streams.dedupStream(events, "event_id"),
         dim, "user_id"))
     val q = rollup.writeStream
       .outputMode("update")

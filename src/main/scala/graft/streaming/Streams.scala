@@ -34,6 +34,21 @@ object Streams {
   def eventFileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** The same event stream from a Kafka topic via the native `graft-kafka`
+    * MicroBatchStream (no external packages): record values are JSON
+    * events parsed against [[eventSchema]]. Downstream operators are
+    * source-agnostic — every stateful pipeline in this module runs
+    * unchanged on either source.
+    */
+  def eventKafkaStream(spark: SparkSession, bootstrap: String,
+      topic: String): DataFrame =
+    spark.readStream.format("graft-kafka")
+      .option("bootstrap", bootstrap)
+      .option("topic", topic)
+      .load()
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.*"))
+
   /** Tumbling-window counts per event type, watermarked: state for windows
     * older than the watermark is dropped, bounding memory on an unbounded
     * stream. Works identically on batch frames (watermark is a no-op).

@@ -374,6 +374,49 @@ class KafkaSpec extends SparkSpec {
     assert(back.select("partition").distinct().count() == 4)
   }
 
+  test("serving flagship over Kafka: incremental refresh == batch oracle") {
+    import spark.implicits._
+    defineTopic("events_in", 2)
+    val dim = Seq((1L, "basic"), (2L, "pro"), (3L, "pro"))
+      .toDF("user_id", "segment")
+    def eventsDf(ids: Range) = ids.toDF("event_id").select(
+      col("event_id").cast("long"),
+      (lit(1700000000000L) + col("event_id") * 60000).cast("timestamp")
+        .as("ts"),
+      (col("event_id") % 3 + 1).cast("long").as("user_id"),
+      lit("view").as("event_type"),
+      (col("event_id") % 10).cast("double").as("value"),
+      lit("{}").as("props"))
+    def produce(ids: Range): Unit = ConnectorRegistry.write(
+      eventsDf(ids).select(col("event_id").cast("string").as("key"),
+        to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))).as("value")),
+      url(";topic=events_in"))
+    val work = java.nio.file.Files.createTempDirectory("graft-kserve").toString
+    val serving = s"$work/serving"
+
+    produce(0 until 120)
+    graft.examples.StreamingServing.refreshFromKafka(spark,
+      s"127.0.0.1:$port", "events_in", dim, serving, s"$work/ck")
+    val expect1 = graft.examples.StreamingServing.hourlyRollup(
+      graft.streaming.Streams.enrichStream(eventsDf(0 until 120), dim,
+        "user_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("hour", "segment", "n_events", "value_sp")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(spark.read.parquet(serving).drop("k")) == canon(expect1))
+
+    // second drop: ONLY new offsets are processed; the merged serving
+    // table equals the batch rollup over everything
+    produce(120 until 200)
+    graft.examples.StreamingServing.refreshFromKafka(spark,
+      s"127.0.0.1:$port", "events_in", dim, serving, s"$work/ck")
+    val expectAll = graft.examples.StreamingServing.hourlyRollup(
+      graft.streaming.Streams.enrichStream(eventsDf(0 until 200), dim,
+        "user_id"))
+    assert(canon(spark.read.parquet(serving).drop("k")) == canon(expectAll))
+  }
+
   test("a message larger than the fetch budget fails loudly, not silently") {
     import spark.implicits._
     defineTopic("big", 1)
