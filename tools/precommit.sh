@@ -2,12 +2,26 @@
 # Compile gate — run before EVERY commit (especially end-of-round snapshots).
 # Round 5's entire gate loss came from committing one uncompiled line; this
 # script makes that impossible to repeat. Usage:
-#   tools/precommit.sh            # Test/compile only (fast path)
-#   tools/precommit.sh --test     # full sbt test as well
+#   tools/precommit.sh                      # Test/compile only (fast path)
+#   tools/precommit.sh --test               # full sbt test as well
+#   tools/precommit.sh --verify q346,q350   # + oracle-check named queries
+#   tools/precommit.sh --verify all         # + oracle-check every query
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch Test/compile
 if [[ "${1:-}" == "--test" ]]; then
   sbt -batch test
+fi
+if [[ "${1:-}" == "--verify" ]]; then
+  queries="${2:-all}"
+  out=$(mktemp -d)
+  if [[ "$queries" == "all" ]]; then
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out"
+    python3 tools/check_pandas.py "$out" /root/testdata/sf0.01
+  else
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out $queries"
+    # shellcheck disable=SC2086
+    python3 tools/check_pandas.py "$out" /root/testdata/sf0.01 ${queries//,/ }
+  fi
 fi
 echo "precommit OK"
