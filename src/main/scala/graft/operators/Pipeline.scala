@@ -1744,9 +1744,82 @@ object Pipeline {
       |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
       |FROM cut GROUP BY lang, b ORDER BY lang, bucket""".stripMargin)
 
+  // -- q352: Neyman allocation of a sampling budget -------------------------
+  //   q49 APPLIES per-stratum rates; this COMPUTES them optimally: for a
+  //   total budget n, the variance-minimizing allocation samples stratum h
+  //   in proportion to N_h·S_h (Neyman 1934) — big AND internally varied
+  //   strata get the samples. S_h comes from exact decimal-accumulated
+  //   moments (population σ, one sqrt per stratum), then the weight is
+  //   FIXED-POINTED (round(S_h·1e4), identical half-away-from-zero on the
+  //   same IEEE double in both engines) so the whole apportionment runs in
+  //   int64: base seats = (n·w_h) div Σw, leftover seats by
+  //   largest-remainder on the EXACT integer remainders (tie-break by
+  //   stratum) — allocations sum to exactly n, bit-reproducible anywhere.
+  //   (int64 bound: n·w_h ≲ 9e18 holds to ~1e9-row strata at this scale
+  //   factor of weights; widen to DECIMAL beyond.) Scale: one map-side
+  //   combined aggregate to |strata| rows; the apportionment runs on the
+  //   stratum table.
+  val q352 = Query.sql(
+    "q352_neyman_allocation",
+    (s, dir) => {
+      val budget = 1000L
+      val st = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("v"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("v").cast(DecimalType(18, 0))).cast("double").as("sx"),
+          sum((col("v") * col("v")).cast(DecimalType(28, 0)))
+            .cast("double").as("sxx"))
+        .select(col("seg"), col("n_h"),
+          expr("sqrt((sxx - sx * sx / n_h) / n_h) / 100.0").as("s_h"))
+        .withColumn("w",
+          col("n_h") * expr("CAST(round(s_h * 1e4) AS BIGINT)"))
+      st.withColumn("w_tot", sum(col("w")).over(Window.partitionBy(lit(1))))
+        .withColumn("base", expr(s"($budget * w) div w_tot"))
+        .withColumn("rem", (lit(budget) * col("w")) % col("w_tot"))
+        .withColumn("seats_left", lit(budget) - sum(col("base")).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("alloc",
+          col("base") + when(
+            row_number().over(Window.partitionBy(lit(1))
+              .orderBy(desc("rem"), asc("seg"))) <= col("seats_left"),
+            1L).otherwise(0L))
+        .select(col("seg"), col("n_h").cast("long").as("n_h"), col("s_h"),
+          col("w").cast("long").as("weight"),
+          col("alloc").cast("long").as("alloc"))
+        .orderBy("seg")
+    },
+    """WITH st AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS n_h,
+      |    CAST(SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+      |      AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT) *
+      |      CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(28,0)))
+      |      AS DOUBLE) AS sxx
+      |  FROM customer GROUP BY seg),
+      |w AS (
+      |  SELECT seg, n_h, sqrt((sxx - sx * sx / n_h) / n_h) / 100.0 AS s_h,
+      |    n_h * CAST(round((sqrt((sxx - sx * sx / n_h) / n_h) / 100.0)
+      |      * 1e4) AS BIGINT) AS w
+      |  FROM st),
+      |b AS (
+      |  SELECT seg, n_h, s_h, w,
+      |    (1000 * w) // SUM(w) OVER () AS base,
+      |    (1000 * w) % SUM(w) OVER () AS rem
+      |  FROM w),
+      |c AS (
+      |  SELECT *, 1000 - SUM(base) OVER () AS seats_left,
+      |    row_number() OVER (ORDER BY rem DESC, seg) AS fr
+      |  FROM b)
+      |SELECT seg, n_h, s_h, CAST(w AS BIGINT) AS weight,
+      |  CAST(base + CASE WHEN fr <= seats_left THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM c ORDER BY seg""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
       q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
-      q333, q334, q335, q342)
+      q333, q334, q335, q342, q352)
 }

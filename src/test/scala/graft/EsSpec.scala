@@ -178,6 +178,20 @@ class EsSpec extends SparkSpec {
     }
   }
 
+  test("soak: 100k docs through _bulk and sliced scroll, checksummed") {
+    import spark.implicits._
+    val n = 100000
+    ConnectorRegistry.write(
+      spark.range(n.toLong).select(col("id").as("k"),
+        concat(lit("doc-"), col("id")).as("body")),
+      esUrl("soak", ";id=k;batch=5000"))
+    val back = ConnectorRegistry.read(spark,
+      esUrl("soak", ";slices=8;batch=2000;schema=k BIGINT, body STRING"))
+    assert(back.count() == n)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k"))
+      .first().getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
   test("missing index in engine url fails loudly on read") {
     intercept[IllegalArgumentException] {
       ConnectorRegistry.read(spark, s"es://127.0.0.1:$port")
