@@ -93,16 +93,30 @@ object Elasticsearch {
       case _ => Seq.empty
     }
 
+  /** `;match=field:value` → a term-query body: the filter executes INSIDE
+    * Elasticsearch, so only matching documents ever cross the wire — the
+    * pushdown that matters when the index is 100× the wanted slice.
+    */
+  private[sources] def queryClause(url: EngineUrl): String =
+    url.option("match") match {
+      case Some(mv) => mv.split(":", 2) match {
+        case Array(f, v) => s""""query": {"term": {"$f": "$v"}},"""
+        case _ => throw new IllegalArgumentException(
+          s"es ;match= needs field:value, got '$mv'")
+      }
+      case None => ""
+    }
+
   /** One slice's full scroll drain, as a lazily-evaluated iterator so a
     * task never materializes more than one page.
     */
   private def scrollSlice(base: String, index: String, sliceId: Int,
-      slices: Int, batch: Int): Iterator[String] = {
+      slices: Int, batch: Int, query: String): Iterator[String] = {
     val client = newClient()
     val sliceClause =
       if (slices > 1) s""""slice": {"id": $sliceId, "max": $slices},""" else ""
     val first = postJson(client, s"$base/$index/_search?scroll=2m",
-      s"""{$sliceClause "size": $batch, "sort": ["_doc"]}""")
+      s"""{$sliceClause $query "size": $batch, "sort": ["_doc"]}""")
     new Iterator[Seq[String]] {
       private var page = sources(first)
       private var sid = scrollId(first)
@@ -136,10 +150,11 @@ object Elasticsearch {
     val slices = url.option("slices").map(_.toInt).getOrElse(4)
     val batch = url.option("batch").map(_.toInt).getOrElse(500)
     val base = t.base
+    val query = queryClause(url)
     val docs = spark.range(slices.toLong)
       .repartition(slices)
       .mapPartitions(ids => ids.flatMap(i =>
-        scrollSlice(base, index, i.toInt, slices, batch)))
+        scrollSlice(base, index, i.toInt, slices, batch, query)))
     url.option("schema") match {
       case Some(ddl) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))

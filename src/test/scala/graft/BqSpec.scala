@@ -172,6 +172,18 @@ class BqSpec extends SparkSpec {
     assert(pageCalls.get() == 4, s"got ${pageCalls.get()} page calls")
   }
 
+  test("soak: 50k rows through insertAll and range-partitioned pages") {
+    import spark.implicits._
+    defineTable("corpus.big", Seq("k" -> "INTEGER"))
+    val n = 50000
+    ConnectorRegistry.write(spark.range(n.toLong).select(col("id").as("k")),
+      bqUrl(";datasetId=corpus;tableId=big;batch=2000"))
+    val back = ConnectorRegistry.read(spark,
+      bqUrl(";datasetId=corpus;tableId=big;slices=8;batch=1000"))
+    assert(back.count() == n)
+    assert(back.agg(sum("k")).first().getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
   test("reading a missing table surfaces the server error") {
     val e = intercept[Exception](
       ConnectorRegistry.read(spark,

@@ -36,22 +36,37 @@ class EsSpec extends SparkSpec {
     case _ => default
   }
 
-  /** Page of a slice: stateless scroll token `index|slice|max|size|offset`.
-    * Slice membership is doc-position mod max (deterministic; real ES
-    * hashes _id — any disjoint-and-complete assignment satisfies the
-    * protocol contract the connector relies on).
+  private val hitsSent = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Page of a slice: stateless scroll token
+    * `index|slice|max|size|offset|termField|termValue` (term empty = match
+    * all). Slice membership is doc-position mod max (deterministic; real
+    * ES hashes _id — any disjoint-and-complete assignment satisfies the
+    * protocol contract the connector relies on). A term query filters
+    * SERVER-SIDE, before pagination — hitsSent counts what crosses the
+    * wire so pushdown tests can assert unmatched docs never travel.
     */
   private def page(token: String): (String, String) = {
-    val Array(index, sliceS, maxS, sizeS, offS) = token.split("\\|")
+    val parts = token.split("\\|", -1)
+    val Array(index, sliceS, maxS, sizeS, offS, termF, termV) = parts
     val (slice, max, size, off) =
       (sliceS.toInt, maxS.toInt, sizeS.toInt, offS.toInt)
     val all = docsOf(index)
     val mine = all.toArray(Array.empty[(String, String)]).zipWithIndex
       .collect { case ((id, src), i) if max <= 1 || i % max == slice => (id, src) }
+      .filter { case (_, src) =>
+        termF.isEmpty || (JsonMethods.parse(src) \ termF match {
+          case JString(v) => v == termV
+          case JInt(v) => v.toString == termV
+          case JBool(v) => v.toString == termV
+          case _ => false
+        })
+      }
     val hits = mine.slice(off, off + size).map { case (id, src) =>
       s"""{"_index": "$index", "_id": "$id", "_source": $src}"""
     }
-    val next = s"$index|$slice|$max|$size|${off + size}"
+    hitsSent.addAndGet(hits.length)
+    val next = s"$index|$slice|$max|$size|${off + size}|$termF|$termV"
     (s"""{"_scroll_id": "$next",
         | "hits": {"total": {"value": ${mine.length}},
         |          "hits": [${hits.mkString(",")}]}}""".stripMargin, next)
@@ -79,7 +94,11 @@ class EsSpec extends SparkSpec {
           val size = jint(parsed \ "size", 10)
           val slice = jint(parsed \ "slice" \ "id", 0)
           val max = jint(parsed \ "slice" \ "max", 1)
-          reply(ex, 200, page(s"$index|$slice|$max|$size|0")._1)
+          val (tf, tv) = parsed \ "query" \ "term" match {
+            case JObject(List((f, JString(v)))) => (f, v)
+            case _ => ("", "")
+          }
+          reply(ex, 200, page(s"$index|$slice|$max|$size|0|$tf|$tv")._1)
         // POST /_search/scroll   (subsequent pages)
         case ("POST", "_search" :: "scroll" :: Nil) =>
           JsonMethods.parse(body) \ "scroll_id" match {
@@ -176,6 +195,22 @@ class EsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Elasticsearch.add(noIdx, """{"n": 2}""")
     }
+  }
+
+  test("term-query pushdown: unmatched documents never cross the wire") {
+    import spark.implicits._
+    val df = (0L until 90L).map(i => (i, if (i % 9 == 0) "en" else "de"))
+      .toDF("k", "lang")
+    ConnectorRegistry.write(df, esUrl("langs", ";id=k"))
+    hitsSent.set(0)
+    // ONE action (explicit schema = no inference pass, one collect): the
+    // server must send ONLY the 10 matching docs, not the 90-doc index
+    val ks = ConnectorRegistry.read(spark,
+      esUrl("langs", ";slices=2;batch=50;match=lang:en" +
+        ";schema=k BIGINT, lang STRING"))
+      .select("k").as[Long].collect()
+    assert(ks.toSet == (0L until 90L by 9L).toSet)
+    assert(hitsSent.get() == 10, s"server sent ${hitsSent.get()} docs")
   }
 
   test("soak: 100k docs through _bulk and sliced scroll, checksummed") {
