@@ -1145,8 +1145,12 @@ object Graph {
       val scored = probes.join(sym, col("p") === col("a"))
         .groupBy(col("c").as("pc"), col("b").as("cand"))
         .agg(sum(col("supp")).as("score"))
-      scored.join(baskets,
-          scored("pc") === baskets("c") && scored("cand") === baskets("p"),
+      // ownership check only needs PROBE customers' baskets: filtering the
+      // anti-join's right side to the probe set first shrinks the shuffled
+      // ownership rows by the probe fraction (500× here) with identical
+      // semantics — scored.pc only contains probe customers
+      scored.join(probes,
+          scored("pc") === probes("c") && scored("cand") === probes("p"),
           "left_anti")
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("pc")
