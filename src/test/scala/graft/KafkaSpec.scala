@@ -323,6 +323,31 @@ class KafkaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("message-set codec: CRC corruption detected, null keys round-trip") {
+    val set = KafkaProtocol.encodeMessageSet(Seq(
+      (111L, null, "v".getBytes), (222L, "k".getBytes, null)))
+    val decoded = KafkaProtocol.decodeMessageSet(set)
+    assert(decoded.map(_.timestamp) == Seq(111L, 222L))
+    assert(decoded(0).key == null && decoded(1).value == null)
+    // flip one payload byte: the CRC check must refuse the message
+    val corrupted = set.clone()
+    corrupted(corrupted.length - 1) = (corrupted.last ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](
+      KafkaProtocol.decodeMessageSet(corrupted))
+    assert(e.getMessage.contains("CRC mismatch"))
+    // a truncated trailing message is dropped, not an error (the protocol
+    // lets brokers cut the last message at maxBytes)
+    assert(KafkaProtocol.decodeMessageSet(
+      java.util.Arrays.copyOf(set, set.length - 3)).length == 1)
+  }
+
+  test("stream offsets serialize and parse losslessly") {
+    import graft.sources.v2.KafkaOffsets
+    val o = KafkaOffsets(Map(0 -> 17L, 3 -> 0L, 12 -> 99999999999L))
+    assert(KafkaOffsets.parse(o.json()) == o)
+    assert(KafkaOffsets.parse("{}") == KafkaOffsets(Map.empty))
+  }
+
   test("ApiVersions negotiation accepts the pinned versions") {
     val ranges = KafkaProtocol.apiVersions("127.0.0.1", port)
     assert(ranges(0.toShort) == (0.toShort, 2.toShort))
