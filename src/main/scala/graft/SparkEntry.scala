@@ -15,7 +15,8 @@ object SparkEntry {
       operators.TpchExtra.all ++ operators.Pipeline.all ++
       operators.Warehouse.all ++ operators.Graph.all ++
       operators.Ranking.all ++ operators.Quant.all ++
-      operators.Recursive.all ++ operators.PiiScan.all
+      operators.Recursive.all ++ operators.PiiScan.all ++
+      operators.Causal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

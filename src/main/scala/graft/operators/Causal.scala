@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.core.Checkpoints._
+import graft.{Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Causal-inference / experimentation readouts over the events stream —
+  * the analyses an A/B platform runs on top of the warehouse. Both
+  * operators follow the engine's exactness discipline: group membership
+  * and outcomes are integers (cent-scaled sums, counts), every comparison
+  * and matching decision is integer-exact, and doubles appear only in the
+  * final reported effect — so results are bit-reproducible at any
+  * partitioning and hash-verified against the oracle.
+  */
+object Causal {
+
+  // -- q353: difference-in-differences experiment readout -------------------
+  //   Assignment: the deterministic A/B split (user_id parity — the q48
+  //   salted-hash contract's simplest form). Intervention date T0 splits
+  //   time into pre/post. The DiD estimate removes both the stable group
+  //   gap and the common time trend:
+  //     (mean_T,post − mean_T,pre) − (mean_C,post − mean_C,pre)
+  //   with per-user-count means (group membership fixed at N_g distinct
+  //   users, so pre/post means are comparable). Cells are exact cent
+  //   BIGINTs from ONE map-side-combined aggregate over (group, period);
+  //   four divisions and three subtractions at the end. Scale: linear
+  //   scan → 4 cells; nothing grows with users.
+  val q353 = Query.sql(
+    "q353_diff_in_diff",
+    (s, dir) => {
+      val t0 = "2024-01-16"
+      val ev = Tables.load(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+        .select(count(lit(1)).as("n_all"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_t"))
+      val cells = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(
+          (col("user_id") % 2 === 0).as("treated"),
+          (col("ts") >= lit(t0).cast("timestamp")).as("post"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sv"),
+          count(lit(1)).as("n_events"))
+      cells.groupBy()
+        .agg(
+          sum(when(col("treated") && col("post"), col("sv"))).as("t_post"),
+          sum(when(col("treated") && !col("post"), col("sv"))).as("t_pre"),
+          sum(when(!col("treated") && col("post"), col("sv"))).as("c_post"),
+          sum(when(!col("treated") && !col("post"), col("sv"))).as("c_pre"))
+        .crossJoin(broadcast(users))
+        .select(
+          col("n_t").cast("long").as("n_treated"),
+          (col("n_all") - col("n_t")).cast("long").as("n_control"),
+          col("t_pre").cast("long").as("t_pre_cents"),
+          col("t_post").cast("long").as("t_post_cents"),
+          col("c_pre").cast("long").as("c_pre_cents"),
+          col("c_post").cast("long").as("c_post_cents"),
+          (((col("t_post") - col("t_pre")).cast("double") /
+              col("n_t").cast("double") -
+            (col("c_post") - col("c_pre")).cast("double") /
+              (col("n_all") - col("n_t")).cast("double")) / 100.0)
+            .as("did_per_user"))
+    },
+    """WITH u AS (
+      |  SELECT COUNT(*) AS n_all,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_t
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |cells AS (
+      |  SELECT user_id % 2 = 0 AS treated,
+      |    ts >= TIMESTAMP '2024-01-16' AS post,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treated AND post THEN sv END) AS BIGINT)
+      |      AS t_post,
+      |    CAST(SUM(CASE WHEN treated AND NOT post THEN sv END) AS BIGINT)
+      |      AS t_pre,
+      |    CAST(SUM(CASE WHEN NOT treated AND post THEN sv END) AS BIGINT)
+      |      AS c_post,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN sv END)
+      |      AS BIGINT) AS c_pre
+      |  FROM cells)
+      |SELECT n_t AS n_treated, CAST(n_all - n_t AS BIGINT) AS n_control,
+      |  t_pre AS t_pre_cents, t_post AS t_post_cents,
+      |  c_pre AS c_pre_cents, c_post AS c_post_cents,
+      |  (CAST(t_post - t_pre AS DOUBLE) / CAST(n_t AS DOUBLE) -
+      |   CAST(c_post - c_pre AS DOUBLE) / CAST(n_all - n_t AS DOUBLE))
+      |    / 100.0 AS did_per_user
+      |FROM p, u""".stripMargin)
+
+  // -- q354: caliper nearest-neighbor matching (ATT estimate) ---------------
+  //   Propensity-style matching on an integer covariate (per-user activity
+  //   count): each treated user matches the control user nearest in
+  //   activity within a caliper of ±2, with replacement. The match is
+  //   resolved at the VALUE level — distinct control activity values join
+  //   treated values through an exploded offset window (5 keys), so the
+  //   join is keyed on (value+offset) and never quadratic in users; the
+  //   nearest value wins by (|Δ|, smaller value) and the representative
+  //   control at a value is the min user id — every decision integer,
+  //   deterministic. ATT = mean cent difference of purchase outcomes over
+  //   matched pairs, one double division at the end. Scale: users →
+  //   (value, group) histogram (map-side), 5×|values| join rows.
+  val q354 = Query.sql(
+    "q354_caliper_match",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val activity = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("a"),
+          sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+        .withColumn("treated", col("user_id") % 2 === 0)
+        .barrier() // feeds both sides of the value-level match
+      // control side collapsed to one representative per activity value
+      val ctrlVals = activity.filter(!col("treated"))
+        .groupBy(col("a").as("ca"))
+        .agg(min(col("user_id")).as("control_id"))
+      val ctrlRep = ctrlVals.join(
+        activity.select(col("user_id").as("control_id"),
+          col("y").as("y_c")), "control_id")
+      val candidates = activity.filter(col("treated"))
+        .select(col("user_id").as("treated_id"), col("a"), col("y").as("y_t"))
+        .withColumn("off", explode(sequence(lit(-2), lit(2))))
+        .withColumn("ca", col("a") + col("off"))
+        .join(ctrlRep, "ca")
+      val matched = candidates
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("treated_id")
+            .orderBy(abs(col("off")), col("ca"), col("control_id"))))
+        .filter(col("rk") === 1)
+      matched.groupBy()
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("y_t")).as("s_t"), sum(col("y_c")).as("s_c"))
+        .crossJoin(broadcast(
+          activity.filter(col("treated"))
+            .agg(count(lit(1)).as("n_treated"))))
+        .select(col("n_treated").cast("long").as("n_treated"),
+          col("n_matched").cast("long").as("n_matched"),
+          col("s_t").cast("long").as("treated_cents"),
+          col("s_c").cast("long").as("control_cents"),
+          ((col("s_t") - col("s_c")).cast("double") /
+            col("n_matched").cast("double") / 100.0).as("att_per_match"))
+    },
+    """WITH act AS (
+      |  SELECT user_id, COUNT(*) AS a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS y,
+      |    user_id % 2 = 0 AS treated
+      |  FROM events GROUP BY user_id),
+      |ctrl AS (
+      |  SELECT a AS ca, MIN(user_id) AS control_id
+      |  FROM act WHERE NOT treated GROUP BY a),
+      |ctrlrep AS (
+      |  SELECT c.ca, c.control_id, a2.y AS y_c
+      |  FROM ctrl c JOIN act a2 ON c.control_id = a2.user_id),
+      |cand AS (
+      |  SELECT t.user_id AS treated_id, t.a, t.y AS y_t, o.off,
+      |    r.ca, r.control_id, r.y_c
+      |  FROM act t
+      |  CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS off) o
+      |  JOIN ctrlrep r ON r.ca = t.a + o.off
+      |  WHERE t.treated),
+      |m AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY treated_id
+      |      ORDER BY ABS(off), ca, control_id) AS rk
+      |    FROM cand) WHERE rk = 1)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act WHERE treated)
+      |    AS n_treated,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+      |  CAST(SUM(y_t) AS BIGINT) AS treated_cents,
+      |  CAST(SUM(y_c) AS BIGINT) AS control_cents,
+      |  CAST(SUM(y_t) - SUM(y_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    / 100.0 AS att_per_match
+      |FROM m""".stripMargin)
+
+  val all: Seq[Query] = Seq(q353, q354)
+}
