@@ -54,6 +54,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.audit(keyed).isEmpty)
   }
 
+  test("query registry is consistent: unique names, oracles resolve") {
+    val names = SparkEntry.allQueries.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    // every oracle belongs to a registered query; (almost) every query is
+    // oracle-backed — a missing oracle downgrades the driver's check
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    val unoracled = names.toSet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracle: ${unoracled.mkString(", ")}")
+  }
+
   test("every .collect() in operator code carries a bounded justification") {
     // Plan-level audits can't see driver-side set math after a collect, so
     // this closes the class at the source level: any `.collect()` in the
