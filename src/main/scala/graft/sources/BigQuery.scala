@@ -160,13 +160,33 @@ object BigQuery {
         val lo = slice * per
         val hi = math.min(totalRows, lo + per)
         val cl = newClient()
-        Iterator.range(lo, hi, batch.toLong).flatMap { start =>
-          val n = math.min(batch.toLong, hi - start)
-          val page = call(cl, "GET",
-            s"$endpoint/projects/$projectId/queries/$jobId" +
-              s"?startIndex=$start&maxResults=$n", None, token)
-          rowsOf(JsonMethods.parse(page), schema)
-        }
+        // Advance by the rows each page ACTUALLY carried, not by the
+        // requested maxResults: the real API caps responses at ~10 MB and
+        // may return short pages. An empty page before the range end is a
+        // loud failure, never a silent drop.
+        new Iterator[Seq[Row]] {
+          private var cursor = lo
+          def hasNext: Boolean = cursor < hi
+          def next(): Seq[Row] = {
+            val n = math.min(batch.toLong, hi - cursor)
+            val page = call(cl, "GET",
+              s"$endpoint/projects/$projectId/queries/$jobId" +
+                s"?startIndex=$cursor&maxResults=$n", None, token)
+            val rows = rowsOf(JsonMethods.parse(page), schema)
+            if (rows.isEmpty)
+              throw new RuntimeException(
+                s"BigQuery getQueryResults returned 0 rows at startIndex=" +
+                  s"$cursor with ${hi - cursor} rows still expected in " +
+                  s"[$lo,$hi) — refusing to silently drop data")
+            cursor += rows.size
+            if (cursor > hi)
+              throw new RuntimeException(
+                s"BigQuery getQueryResults overran the range: page at " +
+                  s"startIndex=${cursor - rows.size} returned ${rows.size} " +
+                  s"rows past range end $hi")
+            rows
+          }
+        }.flatten
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -196,7 +216,7 @@ object BigQuery {
       rows.grouped(batch).foreach { chunk =>
         val items = chunk.map { r =>
           val id = Option(r.getString(0))
-            .map(i => s""""insertId": "$i", """).getOrElse("")
+            .map(i => s""""insertId": ${JsonText.jstr(i)}, """).getOrElse("")
           s"""{${id}"json": ${r.getString(1)}}"""
         }.mkString("[", ",", "]")
         val resp = call(cl, "POST",

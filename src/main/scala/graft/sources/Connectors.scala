@@ -403,14 +403,16 @@ final class KafkaConnector extends Connector {
   }
 
   /** Produce `value` (+ optional `key`) columns: keyed rows go to
-    * hash(key) % numPartitions (co-partitioning by key, the Kafka
-    * contract); unkeyed rows stick to their Spark partition id — both
-    * deterministic. Timestamps: a `timestamp` column (TimestampType) or
-    * the produce-time default of the broker.
+    * Kafka's own DefaultPartitioner hash (murmur2, see
+    * [[KafkaProtocol.partitionFor]]) so they co-partition with records
+    * produced by standard Kafka clients — the Kafka contract, not just
+    * writer-internal consistency. Unkeyed (or null-key) rows stick to
+    * their Spark partition id — deterministic. Timestamps: a `timestamp`
+    * column (TimestampType) or the produce-time default of the broker.
     */
   override def write(df: DataFrame, url: EngineUrl): Unit = {
     import KafkaProtocol._
-    import org.apache.spark.sql.functions.{col, lit, coalesce, pmod, hash, spark_partition_id, unix_millis}
+    import org.apache.spark.sql.functions.{col, lit, coalesce, pmod, when, udf, spark_partition_id, unix_millis}
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
@@ -427,8 +429,13 @@ final class KafkaConnector extends Connector {
     val tsCol =
       if (cols.contains("timestamp")) unix_millis(col("timestamp"))
       else lit(System.currentTimeMillis())
+    val kafkaPart = udf((k: Array[Byte]) => KafkaProtocol.partitionFor(k, n))
     val target =
-      if (cols.contains("key")) pmod(hash(col("key")), lit(n))
+      if (cols.contains("key"))
+        // null keys have no murmur2 home — Kafka clients spread them; we
+        // pin them deterministically to the producing Spark partition
+        when(col("key").isNull, pmod(spark_partition_id(), lit(n)))
+          .otherwise(kafkaPart(col("key").cast("binary")))
       else pmod(spark_partition_id(), lit(n))
     df.select(target.as("__p"), keyCol.as("__k"),
         col("value").cast("binary").as("__v"), tsCol.as("__ts"))

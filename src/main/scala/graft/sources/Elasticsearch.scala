@@ -100,7 +100,8 @@ object Elasticsearch {
   private[sources] def queryClause(url: EngineUrl): String =
     url.option("match") match {
       case Some(mv) => mv.split(":", 2) match {
-        case Array(f, v) => s""""query": {"term": {"$f": "$v"}},"""
+        case Array(f, v) =>
+          s""""query": {"term": {${JsonText.jstr(f)}: ${JsonText.jstr(v)}}},"""
         case _ => throw new IllegalArgumentException(
           s"es ;match= needs field:value, got '$mv'")
       }
@@ -127,7 +128,7 @@ object Elasticsearch {
         sid match {
           case Some(s) if out.nonEmpty =>
             val resp = postJson(client, s"$base/_search/scroll",
-              s"""{"scroll": "2m", "scroll_id": "${s}"}""")
+              s"""{"scroll": "2m", "scroll_id": ${JsonText.jstr(s)}}""")
             page = sources(resp)
             sid = scrollId(resp)
             if (page.isEmpty) done = true
@@ -191,8 +192,9 @@ object Elasticsearch {
       rows.grouped(batch).foreach { chunk =>
         val ndjson = chunk.map { r =>
           val action = Option(r.getString(0)) match {
-            case Some(id) => s"""{"index": {"_index": "$index", "_id": "$id"}}"""
-            case None => s"""{"index": {"_index": "$index"}}"""
+            case Some(id) =>
+              s"""{"index": {"_index": ${JsonText.jstr(index)}, "_id": ${JsonText.jstr(id)}}}"""
+            case None => s"""{"index": {"_index": ${JsonText.jstr(index)}}}"""
           }
           action + "\n" + r.getString(1)
         }.mkString("", "\n", "\n")

@@ -1,0 +1,15 @@
+package graft.sources
+
+import org.json4s.JString
+import org.json4s.jackson.JsonMethods
+
+/** JSON string rendering for hand-assembled request bodies (ES term
+  * queries, `_bulk` action lines, BigQuery insertIds). Interpolating raw
+  * data into JSON breaks on quotes/backslashes/control chars in
+  * legitimate values — and worse, lets data inject request fields.
+  */
+object JsonText {
+  /** `s` rendered as a JSON string literal, quotes included. */
+  def jstr(s: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(s)))
+}

@@ -104,12 +104,20 @@ object KafkaProtocol {
     ("ListOffsets", 2.toShort, 1.toShort),
     ("Metadata", 3.toShort, 0.toShort))
 
+  /** Pinned versions the broker's advertised `ranges` do NOT serve.
+    * forall: an api key the broker didn't list at all counts as
+    * unsupported (exists would treat the missing key as fine).
+    */
+  private[graft] def unsupportedVersions(
+      ranges: Map[Short, (Short, Short)]): Seq[(String, Short, Short)] =
+    pinnedVersions.filter { case (_, key, v) =>
+      ranges.get(key).forall { case (lo, hi) => v < lo || v > hi }
+    }
+
   /** Assert the broker still serves every pinned version. */
   def checkVersions(host: String, port: Int): Unit = {
     val ranges = apiVersions(host, port)
-    val unsupported = pinnedVersions.filter { case (_, key, v) =>
-      ranges.get(key).exists { case (lo, hi) => v < lo || v > hi }
-    }
+    val unsupported = unsupportedVersions(ranges)
     require(unsupported.isEmpty,
       s"broker $host:$port no longer serves pinned api versions: " +
         unsupported.map { case (n, k, v) => s"$n(key=$k) v$v" }.mkString(", ") +
@@ -160,6 +168,48 @@ object KafkaProtocol {
     b.getLong // matched timestamp
     b.getLong // offset
   }
+
+  /** MurmurHash2 with Kafka's pinned seed (0x9747b28c) — the hash behind
+    * Kafka's DefaultPartitioner, so keyed records land on the SAME
+    * partition standard Kafka clients would pick (true co-partitioning,
+    * not just same-key-same-partition within this writer). MurmurHash2 is
+    * Austin Appleby's public-domain algorithm; seed and finalization match
+    * the documented Kafka client behavior.
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val length = data.length
+    val m = 0x5bd1e995
+    var h = 0x9747b28c ^ length
+    var i = 0
+    while (i + 4 <= length) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> 24; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val tail = length & ~3
+    (length % 4: @annotation.switch) match {
+      case 3 =>
+        h ^= (data(tail + 2) & 0xff) << 16
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff; h *= m
+      case 2 =>
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff; h *= m
+      case 1 =>
+        h ^= data(tail) & 0xff; h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** Kafka DefaultPartitioner for a non-null key:
+    * toPositive(murmur2(key)) % numPartitions.
+    */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
 
   // -- message-set v1 (magic 1) ---------------------------------------------
   private def crcOf(buf: Array[Byte], from: Int, len: Int): Int = {
@@ -217,7 +267,13 @@ object KafkaProtocol {
         require(crc == computed, s"CRC mismatch at offset $offset")
         val magic = buf.get()
         require(magic == 1, s"unsupported message magic $magic (need v1)")
-        buf.get() // attributes
+        val attributes = buf.get()
+        // A compressed message set (gzip/snappy/lz4 producer) wraps records
+        // in one envelope message; decoding it as plain would hand back the
+        // compressed blob as a single record — fail fast instead.
+        require((attributes & 0x07) == 0,
+          s"compressed message sets unsupported (attributes=$attributes at " +
+            s"offset $offset) — produce with compression.type=none")
         val ts = buf.getLong
         val k = readBytes(buf); val v = readBytes(buf)
         out += Record(offset, ts, k, v)

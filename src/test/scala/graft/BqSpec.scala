@@ -28,6 +28,12 @@ class BqSpec extends SparkSpec {
     (Seq[(String, String)], Vector[Seq[String]])]()
   private val jobSeq = new java.util.concurrent.atomic.AtomicInteger()
   private val pageCalls = new java.util.concurrent.atomic.AtomicInteger()
+  // fault injection: short pages (the real API's ~10MB response cap),
+  // transient 5xx, truncated JSON, and silently-empty pages
+  private val pageCap = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val corruptNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val emptyNext = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -92,12 +98,26 @@ class BqSpec extends SparkSpec {
                 .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
                 .toMap
               val start = params.getOrElse("startIndex", "0").toInt
-              val n = params.getOrElse("maxResults", "100").toInt
-              reply(ex, 200,
-                s"""{"jobComplete": true,
-                    | "schema": ${schemaJson(schema)},
-                    | "totalRows": "${rows.size}",
-                    | "rows": ${rowsJson(rows.slice(start, start + n))}}""".stripMargin)
+              val asked = params.getOrElse("maxResults", "100").toInt
+              // the real API may return fewer rows than maxResults
+              val n = pageCap.get() match {
+                case cap if cap > 0 => math.min(asked, cap)
+                case _ => asked
+              }
+              if (failNext.getAndUpdate(c => math.max(0, c - 1)) > 0)
+                reply(ex, 503, """{"error": "backendError"}""")
+              else if (corruptNext.getAndSet(false))
+                reply(ex, 200, s"""{"jobComplete": true, "rows": [{"f": [{"v""")
+              else {
+                val page =
+                  if (emptyNext.getAndSet(false)) Vector.empty[Seq[String]]
+                  else rows.slice(start, start + n)
+                reply(ex, 200,
+                  s"""{"jobComplete": true,
+                      | "schema": ${schemaJson(schema)},
+                      | "totalRows": "${rows.size}",
+                      | "rows": ${rowsJson(page)}}""".stripMargin)
+              }
           }
         // POST /projects/p/datasets/ds/tables/t/insertAll
         case ("POST", "projects" :: _ :: "datasets" :: ds :: "tables" ::
@@ -182,6 +202,69 @@ class BqSpec extends SparkSpec {
       bqUrl(";datasetId=corpus;tableId=big;slices=8;batch=1000"))
     assert(back.count() == n)
     assert(back.agg(sum("k")).first().getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
+  test("short pages (the API's 10MB response cap) still deliver every row") {
+    import spark.implicits._
+    defineTable("corpus.shorty", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((0L until 100L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=shorty"))
+    pageCap.set(3) // server caps every page at 3 rows despite maxResults=20
+    try {
+      val out = ConnectorRegistry.read(spark,
+        bqUrl(";datasetId=corpus;tableId=shorty;slices=2;batch=20"))
+        .select("v").as[Long].collect()
+      assert(out.length == 100, s"got ${out.length} rows — short pages dropped data")
+      assert(out.toSet == (0L until 100L).toSet)
+    } finally pageCap.set(0)
+  }
+
+  test("a transient 503 mid-read is retried, not fatal") {
+    import spark.implicits._
+    defineTable("corpus.flaky", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((0L until 20L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=flaky"))
+    failNext.set(2)
+    val out = ConnectorRegistry.read(spark,
+      bqUrl(";datasetId=corpus;tableId=flaky;slices=1;batch=5"))
+      .select("v").as[Long].collect()
+    assert(out.toSet == (0L until 20L).toSet)
+    assert(failNext.get() == 0) // the 503s were actually consumed
+  }
+
+  test("a truncated JSON page fails loudly, never a silent partial read") {
+    import spark.implicits._
+    defineTable("corpus.cut", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((0L until 20L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=cut"))
+    corruptNext.set(true)
+    try {
+      val e = intercept[Exception](
+        ConnectorRegistry.read(spark,
+          bqUrl(";datasetId=corpus;tableId=cut;slices=1;batch=5")).count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.toLowerCase.matches("(?s).*(unexpected|parse|json|end.of.input).*"),
+        s"wanted a parse error, got: $msgs")
+    } finally corruptNext.set(false)
+  }
+
+  test("an empty page before the range end fails loudly (no silent drop)") {
+    import spark.implicits._
+    defineTable("corpus.hole", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((0L until 20L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=hole"))
+    emptyNext.set(true)
+    try {
+      val e = intercept[Exception](
+        ConnectorRegistry.read(spark,
+          bqUrl(";datasetId=corpus;tableId=hole;slices=1;batch=5")).count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("refusing to silently drop data"), msgs)
+    } finally emptyNext.set(false)
   }
 
   test("reading a missing table surfaces the server error") {

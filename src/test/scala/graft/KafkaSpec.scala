@@ -268,10 +268,12 @@ class KafkaSpec extends SparkSpec {
   test("native streaming source: incremental micro-batches across drops") {
     import spark.implicits._
     defineTopic("stream", 2)
+    // keys u0..u5: under Kafka's murmur2 partitioner u5 maps to partition
+    // 1 and the rest to partition 0 of 2 — both partitions exercised
     def drop(from: Int, until: Int): Unit =
       ConnectorRegistry.write(
         (from until until).map(i =>
-            (s"u${i % 5}", s"ev-$i", new java.sql.Timestamp(1700000000000L + i)))
+            (s"u${i % 6}", s"ev-$i", new java.sql.Timestamp(1700000000000L + i)))
           .toDF("key", "value", "timestamp"),
         url(";topic=stream"))
     drop(0, 30)
@@ -339,6 +341,55 @@ class KafkaSpec extends SparkSpec {
     // lets brokers cut the last message at maxBytes)
     assert(KafkaProtocol.decodeMessageSet(
       java.util.Arrays.copyOf(set, set.length - 3)).length == 1)
+  }
+
+  test("murmur2 matches Kafka's DefaultPartitioner vectors") {
+    // Known vectors of Kafka's murmur2 (seed 0x9747b28c) — computed
+    // independently from the published MurmurHash2 algorithm; matching
+    // these means keyed writes co-partition with standard Kafka clients.
+    val vectors = Seq(
+      "21" -> -973932308, "foobar" -> -790332482,
+      "a-little-bit-long-string" -> -985981536,
+      "a-little-bit-longer-string" -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8" -> -58897971,
+      "abc" -> 479470107, "" -> 275646681)
+    vectors.foreach { case (s, h) =>
+      assert(KafkaProtocol.murmur2(s.getBytes("UTF-8")) == h, s)
+    }
+    assert(KafkaProtocol.partitionFor("21".getBytes, 12) ==
+      ((-973932308 & 0x7fffffff) % 12))
+  }
+
+  test("compressed message sets are refused loudly, not mis-decoded") {
+    val set = KafkaProtocol.encodeMessageSet(
+      Seq((1L, "k".getBytes, "v".getBytes)))
+    // attributes byte sits right after magic: offset(8)+size(4)+crc(4)+magic(1)
+    val attrPos = 8 + 4 + 4 + 1
+    val gzipped = set.clone()
+    gzipped(attrPos) = 0x01 // gzip codec bits
+    // re-stamp the CRC so only the attributes check can fire
+    val crc = new java.util.zip.CRC32
+    crc.update(gzipped, 8 + 4 + 4, gzipped.length - (8 + 4 + 4))
+    val bb = java.nio.ByteBuffer.wrap(gzipped)
+    bb.putInt(8 + 4, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](
+      KafkaProtocol.decodeMessageSet(gzipped))
+    assert(e.getMessage.contains("compressed message sets unsupported"))
+  }
+
+  test("checkVersions treats an unlisted api key as unsupported") {
+    // full live ranges: every pinned version served
+    val live = KafkaProtocol.apiVersions("127.0.0.1", port)
+    assert(KafkaProtocol.unsupportedVersions(live).isEmpty)
+    // drop Fetch (key 1) from the advertised map entirely: the guard must
+    // flag it as unsupported, not sail past the missing key
+    val noFetch = live - 1.toShort
+    val flagged = KafkaProtocol.unsupportedVersions(noFetch)
+    assert(flagged.map(_._1) == Seq("Fetch"))
+    // an out-of-range version is still caught too
+    val narrow = live.updated(0.toShort, (5.toShort, 9.toShort))
+    assert(KafkaProtocol.unsupportedVersions(narrow).map(_._1) ==
+      Seq("Produce"))
   }
 
   test("stream offsets serialize and parse losslessly") {
