@@ -36,9 +36,26 @@ object Bench {
     // measured query doesn't absorb JVM startup.
     SparkEntry.entry(spark).count()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    // best-of-2 per query: the first run carries codegen compilation for
-    // that plan shape, the second is the steady-state number a long-running
-    // cluster job would see
+
+    // Fixed-shape calibration job, timed at start AND end of the run: the
+    // end/start ratio is stamped into the JSON so a CPU-contended
+    // environment (the BENCH_r06 312s-vs-175s incident) is self-evident
+    // in the artifact instead of masquerading as a code regression.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 3).foreach { _ =>
+        Tables.load(spark, sfDir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus").count().collect()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: warm this plan's codegen
+    val calibStart = calibrate()
+
+    // best-of-2 per query (run 1 carries codegen compilation, run 2 is the
+    // steady-state number a long-running cluster job would see); queries
+    // whose best-of-2 still exceeds 2 s get a third run and report the
+    // MEDIAN — one scheduler hiccup can no longer inflate a heavy query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -49,9 +66,17 @@ object Bench {
         if (ok) dt else -1.0
       }
       val a = once()
-      val b = if (a < 0) a else math.min(a, once())
-      name -> b
+      val b = if (a < 0) -1.0 else once()
+      val v =
+        if (a < 0 || b < 0) -1.0
+        else if (math.min(a, b) <= 2.0) math.min(a, b)
+        else {
+          val c = once()
+          if (c < 0) -1.0 else Seq(a, b, c).sorted.apply(1)
+        }
+      name -> v
     }
+    val calibEnd = calibrate()
     // The driver captures only the last ~2.3 KB of the log, so rounds 1-2
     // produced "parsed": null — the full-name per-query map alone exceeds
     // the window. The printed line therefore uses the qNN/tNN/wNN prefix
@@ -62,7 +87,10 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val ratio = if (calibStart > 0) calibEnd / calibStart else 1.0
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+        s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
+        s""","calib_ratio":${f3(ratio)},"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), jsonLine(identity) + "\n")
