@@ -46,11 +46,22 @@ object PlanAudit {
   /** An unbounded growing scan: subtree reaches a growing table and nothing
     * in the subtree (Aggregate / limit) bounds its size to o(SF). Conservative
     * in the safe direction for CI: an Aggregate anywhere in the subtree counts
-    * as bounded, so findings are high-precision (every flag is real).
+    * as bounded — UNLESS it groups on a continuous metric (any grouping key
+    * referencing a float/double/decimal attribute). A distinct-value
+    * histogram of a continuous measurement is only small when the data is
+    * quantized; on a 100 TB corpus with a genuinely continuous metric it
+    * scales with the corpus, so it cannot bound a broadcast or a
+    * single-partition window (the q263/q174 class).
     */
   private def unboundedGrowing(p: LogicalPlan): Option[String] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    def continuousKeyed(a: Aggregate): Boolean =
+      a.groupingExpressions.exists(_.references.exists(_.dataType match {
+        case DoubleType | FloatType | _: DecimalType => true
+        case _ => false
+      }))
     val bounded = p.exists {
-      case _: Aggregate => true
+      case a: Aggregate => !continuousKeyed(a)
       case _: GlobalLimit => true
       case _ => false
     }

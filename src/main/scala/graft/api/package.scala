@@ -215,6 +215,107 @@ package object api {
       df.sparkSession.createDataFrame(rdd, schema)
     }
 
+    /** Exclusive prefix sums of LongType `sumCols` in `(orderCols)` total
+      * order WITHOUT the single-partition stage a bare
+      * `sum(c) OVER (ORDER BY …)` costs — the cumulative-histogram
+      * companion of [[globalRowNumber]]. Range-repartition + per-partition
+      * sort gives globally ordered disjoint partitions; pass 1 collects one
+      * long per (partition × column) to the driver (bounded state, never
+      * the data); pass 2 adds the per-partition offsets to local running
+      * sums. Appends `<prefix><c>` = sum of `c` over all STRICTLY
+      * PRECEDING rows (the `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`
+      * frame), and with `withTotals` also `<totalPrefix><c>` = the grand
+      * total as a constant column (replacing the
+      * `OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`
+      * companion window). PRECONDITION: `orderCols` is a total order —
+      * the distinct-value-histogram callers key on the groupBy column
+      * itself, which is unique by construction.
+      */
+    def histCumSum(orderCols: Seq[Column], sumCols: Seq[String],
+        prefix: String = "cum_", withTotals: Boolean = false,
+        totalPrefix: String = "tot_"): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      sumCols.foreach { c =>
+        require(df.schema(c).dataType == LongType,
+          s"histCumSum needs LongType for '$c', got ${df.schema(c).dataType}")
+      }
+      val idx = sumCols.map(df.schema.fieldIndex).toArray
+      val sorted = df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+      // one RDD object shared by both passes: the range partitioner is
+      // computed once and the shuffle output is reused, so the partition
+      // assignment pass 2 sees is exactly the one pass 1 summed
+      val rdd = sorted.rdd
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = new Array[Long](idx.length)
+        it.foreach { r =>
+          var j = 0
+          while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
+        }
+        Iterator.single(pid -> acc)
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(new Array[Long](idx.length)) { (acc, t) =>
+        acc.zip(t).map { case (a, b) => a + b }
+      }
+      val grand = offsets.lastOption.getOrElse(new Array[Long](idx.length))
+      val schema0 = sumCols.foldLeft(sorted.schema)(
+        (s, c) => s.add(prefix + c, LongType, nullable = false))
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val run = offsets(pid).clone()
+        it.map { r =>
+          val cums = run.clone()
+          var j = 0
+          while (j < idx.length) { run(j) += r.getLong(idx(j)); j += 1 }
+          Row.fromSeq(r.toSeq ++ cums)
+        }
+      }
+      val base = df.sparkSession.createDataFrame(out, schema0)
+      if (!withTotals) base
+      else sumCols.zipWithIndex.foldLeft(base) { case (d, (c, j)) =>
+        d.withColumn(totalPrefix + c, lit(grand(j)))
+      }
+    }
+
+    /** Exclusive prefix MAX of `valCol` in `(orderCols)` total order —
+      * [[histCumSum]]'s running-max sibling (the skyline sweep's
+      * "best y among all strictly better x" accumulator). Same two-phase
+      * plan: range-partition + sort, collect one max per partition
+      * (bounded driver state), add per-partition offsets. Appends `out` =
+      * max of `valCol` over all STRICTLY PRECEDING rows, null when no
+      * predecessor has a non-null value. Works for any Comparable-backed
+      * column type (numerics, decimals, timestamps, dates, strings).
+      */
+    def histCumMax(orderCols: Seq[Column], valCol: String,
+        out: String): DataFrame = {
+      import org.apache.spark.sql.Row
+      val vi = df.schema.fieldIndex(valCol)
+      val dt = df.schema(vi).dataType
+      def maxOf(a: Any, b: Any): Any =
+        if (a == null) b
+        else if (b == null) a
+        else if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+      val sorted = df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+      val rdd = sorted.rdd // shared by both passes: one partitioner
+      val maxes = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var m: Any = null
+        it.foreach { r => if (!r.isNullAt(vi)) m = maxOf(m, r.get(vi)) }
+        Iterator.single(pid -> m)
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = maxes.scanLeft(null: Any)(maxOf)
+      val schema = sorted.schema.add(out, dt, nullable = true)
+      val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run: Any = offsets(pid)
+        it.map { r =>
+          val prev = run
+          if (!r.isNullAt(vi)) run = maxOf(run, r.get(vi))
+          Row.fromSeq(r.toSeq :+ prev)
+        }
+      }
+      df.sparkSession.createDataFrame(outRdd, schema)
+    }
+
     /** Explode `textCol` into overlapping token chunks (cf. q79): one row
       * per chunk with `chunk_no`, `chunk_text`, `n_tokens`.
       */
@@ -455,16 +556,18 @@ package object api {
         .groupBy(valueCol).agg(
           sum(when(a, 1L).otherwise(0L)).as("__c1"),
           sum(when(b, 1L).otherwise(0L)).as("__c2"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(valueCol)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      // two-phase range-partitioned cumulative (histCumSum): the pooled
+      // distinct-value histogram of a continuous metric grows with the
+      // corpus — no single-partition window, and the grand totals ride
+      // along instead of a second histogram scan
       val cum = h
-        .withColumn("__f1", sum(col("__c1")).over(w))
-        .withColumn("__f2", sum(col("__c2")).over(w))
-      val tot = h.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
-      cum.crossJoin(broadcast(tot))
-        .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
-          max(abs(col("__f1") * col("__n2") - col("__f2") * col("__n1")))
+        .histCumSum(Seq(col(valueCol)), Seq("__c1", "__c2"),
+          withTotals = true, totalPrefix = "__n")
+        .withColumn("__f1", col("cum___c1") + col("__c1"))
+        .withColumn("__f2", col("cum___c2") + col("__c2"))
+      cum
+        .agg(max(col("__n__c1")).as("n1"), max(col("__n__c2")).as("n2"),
+          max(abs(col("__f1") * col("__n__c2") - col("__f2") * col("__n__c1")))
             .as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
           (col("d_num").cast("double") /

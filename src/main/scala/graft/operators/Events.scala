@@ -2592,17 +2592,19 @@ object Events {
   val q307 = Query.sql(
     "q307_weekly_drift",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev0 = ev(s, dir)
         .select(col("event_type"), col("value"),
           expr("unix_micros(ts) div 604800000000").as("wk"))
         .filter(col("value").isNotNull)
         .barrier()
-      // global decile boundaries from the exact value histogram
+      // global decile boundaries from the exact value histogram; inclusive
+      // cumulative = two-phase exclusive prefix (api.histCumSum, no
+      // single-partition window over the continuous-metric histogram) + own
+      import graft.api._
       val hist = ev0.groupBy("value").agg(count(lit(1)).as("c"))
-      val wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
       val n = ev0.count()
-      val bounds = hist.withColumn("cum", sum(col("c")).over(wcum))
+      val bounds = hist.histCumSum(Seq(col("value")), Seq("c"))
+        .withColumn("cum", col("cum_c") + col("c"))
         .select(col("value"), expr(s"CAST(((cum - 1) * 10) div ${n}L AS INT)")
           .as("dec"))
         .groupBy("dec").agg(max(col("value")).as("ub"))

@@ -494,24 +494,26 @@ object Pipeline {
   // -- q121: exact equi-depth binning via distinct-value histogram ----------
   //   Feature binning / batch-size planning without a global sort: build
   //   the exact value histogram (one shuffle over DISTINCT values), run
-  //   the cumulative sum over that tiny frame, and assign each value the
-  //   bin floor(cum_before·k/n) — ties stay together, boundaries are
-  //   integer-exact. At 100 TB the window runs over the distinct-value
-  //   histogram (bounded: quantities, lengths, price cents), never rows —
-  //   this is the scale-correct replacement for a global NTILE, whose
-  //   unpartitioned window would funnel every row through one task.
+  //   the cumulative sum over it with the two-phase range-partitioned
+  //   prefix sum (api.histCumSum), and assign each value the bin
+  //   floor(cum_before·k/n) — ties stay together, boundaries are
+  //   integer-exact. At 100 TB the cumulative runs range-partitioned over
+  //   the distinct-value histogram, never rows and never one task — the
+  //   scale-correct replacement for a global NTILE.
   val q121 = Query.sql(
     "q121_equidepth_bins",
     (s, dir) => {
+      import graft.api._
       val hist = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_quantity").cast("long").as("q"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-      val n = Window.orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // two-phase range-partitioned cumulative (histCumSum) instead of a
+      // no-partition window: the histogram of a continuous metric is only
+      // small when the metric is quantized — don't bet the plan on it
       hist
-        .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
-        .withColumn("total", sum(col("cnt")).over(n))
+        .histCumSum(Seq(col("q")), Seq("cnt"), withTotals = true)
+        .withColumnRenamed("cum_cnt", "cum_before")
+        .withColumnRenamed("tot_cnt", "total")
         .select(col("q"), col("cnt"),
           least(lit(7L), expr("cum_before * 8 DIV total")).as("bin"))
         .groupBy("bin")

@@ -555,15 +555,16 @@ object Stats {
       val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
         .select(col("value"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      import graft.api._
       val hist = ev.groupBy("value")
         .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val nW = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+      // two-phase range-partitioned cumulative (histCumSum) — the
+      // distinct-value histogram of a CONTINUOUS metric scales with the
+      // corpus, so a no-partition window here is a 100TB bottleneck
       hist
-        .withColumn("cum0", coalesce(sum(col("cnt")).over(w), lit(0L)))
-        .withColumn("nn", sum(col("cnt")).over(nW))
+        .histCumSum(Seq(col("value")), Seq("cnt"), withTotals = true)
+        .withColumnRenamed("cum_cnt", "cum0")
+        .withColumnRenamed("tot_cnt", "nn")
         .withColumn("decile", expr("(cum0 * 10) DIV nn"))
         .groupBy("decile")
         .agg(sum(col("cnt")).as("n"),
@@ -612,10 +613,12 @@ object Stats {
             .as("pos"),
           sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
             .as("neg"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
+      import graft.api._
+      // two-phase cumulative over the distinct-score histogram (q174's
+      // scale rationale): no single-partition window
       hist
-        .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+        .histCumSum(Seq(col("value")), Seq("neg"))
+        .withColumnRenamed("cum_neg", "neg_below")
         .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
           sum(col("pos") * (lit(2) * col("neg_below") + col("neg")))
             .as("u2"))
@@ -656,13 +659,13 @@ object Stats {
       val hist = Tables.load(s, dir, "orders")
         .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val nW = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+      import graft.api._
+      // two-phase cumulative: the whole-dollar histogram still grows with
+      // the corpus's price range — no single-partition window
       hist
-        .withColumn("r", coalesce(sum(col("c")).over(w), lit(0L)))
-        .withColumn("n", sum(col("c")).over(nW))
+        .histCumSum(Seq(col("v")), Seq("c"), withTotals = true)
+        .withColumnRenamed("cum_c", "r")
+        .withColumnRenamed("tot_c", "n")
         .agg(max(col("n")).as("n_orders"),
           sum(col("v") * col("c")).as("sum_dollars"),
           sum(col("v") * col("c") *
@@ -702,19 +705,24 @@ object Stats {
     Query.sql(
       "q179_spearman",
       (s, dir) => {
+        import graft.api._
         val l = Tables.load(s, dir, "lineitem")
+        // two-phase cumulative ranks (no single-partition window), and NO
+        // forced broadcast: a continuous metric's distinct-value histogram
+        // grows with the corpus, so the join strategy is left to AQE —
+        // broadcast at runtime when the histogram is actually small,
+        // shuffle join when it isn't
         def ranks(vcol: String) = {
-          val w = Window.orderBy(vcol)
-            .rowsBetween(Window.unboundedPreceding, -1)
           l.groupBy(vcol).agg(count(lit(1)).as("c"))
-            .withColumn("r", coalesce(sum(col("c")).over(w), lit(0L)))
+            .histCumSum(Seq(col(vcol)), Seq("c"))
+            .withColumnRenamed("cum_c", "r")
             .select(col(vcol), (lit(2) * col("r") + col("c") + 1).as("rk"))
         }
         val sums = l
-          .join(broadcast(ranks("l_quantity")
-            .withColumnRenamed("rk", "u")), Seq("l_quantity"))
-          .join(broadcast(ranks("l_discount")
-            .withColumnRenamed("rk", "v")), Seq("l_discount"))
+          .join(ranks("l_quantity")
+            .withColumnRenamed("rk", "u"), Seq("l_quantity"))
+          .join(ranks("l_discount")
+            .withColumnRenamed("rk", "v"), Seq("l_discount"))
           .agg(count(lit(1)).cast(D38).as("n"),
             sum(col("u")).cast(D38).as("su"),
             sum(col("v")).cast(D38).as("sv"),
@@ -826,12 +834,14 @@ object Stats {
   val q182 = Query.sql(
     "q182_wilson_bounds",
     (s, dir) => {
+      import graft.api._
       val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+      // inclusive cumulative = exclusive two-phase prefix + own count
+      // (histCumSum: no single-partition window over the value histogram)
       val med = ev.groupBy("value").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("c")).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .histCumSum(Seq(col("value")), Seq("c"), withTotals = true)
+        .withColumn("cum", col("cum_c") + col("c"))
+        .withColumnRenamed("tot_c", "n")
         .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("value")))
           .as("med"))
       val wilson =
@@ -1213,11 +1223,14 @@ object Stats {
       val ev = Tables.load(s, dir, "events").select("event_type", "value")
         .filter(col("value").isNotNull) // engines order NULL keys differently
         .barrier() // feeds the global and the per-type rollup
+      import graft.api._
       val glob = ev.groupBy("value").agg(count(lit(1)).as("ct"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // two-phase range-partitioned cumulative (histCumSum): the distinct-
+      // value histogram of a continuous metric grows with the corpus, so
+      // the ordered cumulative must not funnel through one window task
       val ranked = glob
-        .withColumn("cb", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .histCumSum(Seq(col("value")), Seq("ct"))
+        .withColumnRenamed("cum_ct", "cb")
         .withColumn("two_r", lit(2) * col("cb") + col("ct") + lit(1))
       val tieT = ranked.agg(
         sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_t"),

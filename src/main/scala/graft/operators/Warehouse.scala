@@ -455,9 +455,9 @@ object Warehouse {
   //        max-date) row per DISTINCT price;
   //     2. a running max over that collapsed set, ordered by price desc,
   //        yields hmax = best date among all STRICTLY higher prices —
-  //        the only global window in the plan runs over distinct prices,
-  //        not rows (≪ data; a hierarchical coarse-bin pre-sweep covers
-  //        the case where even the distinct domain is huge);
+  //        computed by the two-phase range-partitioned prefix max
+  //        (api.histCumMax) over distinct prices, so even a huge distinct
+  //        domain never funnels through one task;
   //     3. survivors join back: date equals its price-group max (kills
   //        same-price strict domination; exact-duplicate points both
   //        survive, matching NOT EXISTS) and beats hmax strictly (kills
@@ -474,10 +474,12 @@ object Warehouse {
     * never survives its group (`max` ignores nulls, `===` rejects them) —
     * i.e. null coordinates mean "not on the frontier". */
   def skyline2D(d: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import graft.api._
     val g = d.groupBy(xCol).agg(max(col(yCol)).as("__gmax"))
-    val w = Window.orderBy(col(xCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val g2 = g.withColumn("__hmax", max(col("__gmax")).over(w))
+    // two-phase range-partitioned running max (api.histCumMax): the
+    // distinct-x sweep must not funnel through one window task when the
+    // x domain is a continuous metric (price, score) growing with corpus
+    val g2 = g.histCumMax(Seq(col(xCol).desc), "__gmax", "__hmax")
     d.join(g2, Seq(xCol))
       .filter(col(yCol) === col("__gmax") &&
         (col("__hmax").isNull || col(yCol) > col("__hmax")))

@@ -16,6 +16,46 @@ class ApiSpec extends SparkSpec {
       e.filter(col("event_type") === "purchase").count())
   }
 
+  test("histCumSum equals the single-partition window cumulative") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // value histogram with gaps, duplicates in counts, >1 range partition
+    val hist = (1 to 500).map(i => (i * 0.5 + (i % 7), (i % 13 + 1).toLong,
+      (i % 3).toLong)).toDF("v", "c", "p").repartition(8)
+    val viaExt = hist.histCumSum(Seq(col("v")), Seq("c", "p"),
+      withTotals = true)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = hist
+      .withColumn("cum_c", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("cum_p", coalesce(sum(col("p")).over(w), lit(0L)))
+    assert(viaExt.select("v", "c", "p", "cum_c", "cum_p").collect().toSet ==
+      viaWin.select("v", "c", "p", "cum_c", "cum_p").collect().toSet)
+    val (totC, totP) = (viaExt.select("tot_c").head.getLong(0),
+      viaExt.select("tot_p").head.getLong(0))
+    assert(totC == (1 to 500).map(i => (i % 13 + 1).toLong).sum)
+    assert(totP == (1 to 500).map(i => (i % 3).toLong).sum)
+    // empty input: no rows, no crash
+    assert(hist.filter(lit(false))
+      .histCumSum(Seq(col("v")), Seq("c")).count() == 0)
+  }
+
+  test("histCumMax equals the single-partition window running max") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = (1 to 300).map(i => (i.toDouble,
+      if (i % 11 == 0) null else java.sql.Timestamp.valueOf(
+        f"2024-01-${i % 28 + 1}%02d 00:00:00")))
+      .toDF("x", "y").repartition(7)
+    val viaExt = g.histCumMax(Seq(col("x").desc), "y", "hmax")
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = g.withColumn("hmax", max(col("y")).over(w))
+    assert(viaExt.select("x", "y", "hmax").collect().toSet ==
+      viaWin.select("x", "y", "hmax").collect().toSet)
+    // the first row in sweep order has no predecessor -> null
+    assert(viaExt.filter(col("x") === 300.0).select("hmax").head.isNullAt(0))
+  }
+
   test("dedupExactBy keeps one row per content with smallest tie-break") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"), (4L, "aa"))
