@@ -5,10 +5,12 @@ import graft.sources.KafkaProtocol.PartitionMeta
 import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,20 +57,35 @@ class KafkaStreamProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new KafkaStreamTable(opts.get("bootstrap"), opts.get("topic"),
       Option(opts.get("startingoffsets")).getOrElse("earliest"),
-      Option(opts.get("maxoffsetspertrigger")).map(_.toLong))
+      Option(opts.get("maxoffsetspertrigger")).map(_.toLong),
+      Option(opts.get("epochledger")))
   }
 }
 
 class KafkaStreamTable(bootstrap: String, topic: String, startingOffsets: String,
-    maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+    maxPerTrigger: Option[Long], epochLedger: Option[String])
+    extends Table with SupportsRead with SupportsWrite {
   require(bootstrap != null, "graft-kafka needs option bootstrap=host:port")
   require(topic != null, "graft-kafka needs option topic=")
   override def name(): String = s"kafka:$topic"
   override def schema(): StructType = KafkaStream.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
+      // sink rows carry the WRITE shape (value [+key +timestamp]), not
+      // the 6-column read schema — schema checks happen in the builder
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaScan(bootstrap, topic, startingOffsets, maxPerTrigger)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new KafkaStreamingWrite(bootstrap, topic,
+            epochLedger.getOrElse(s"${topic}__epochs"),
+            info.queryId(), info.schema())
+      }
+    }
 }
 
 /** partition → next offset to read, as the checkpointable stream offset. */
@@ -171,6 +188,187 @@ class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
 
       override def stop(): Unit = ()
     }
+}
+
+/** Epoch ledger: a compact control topic (partition 0) recording which
+  * (streaming queryId, epochId) micro-batches have been fully produced.
+  * This is what makes the streaming SINK exactly-once under Spark's
+  * replay contract: Spark re-runs an epoch whenever the sink committed
+  * but the checkpoint commit log didn't — without a fence, every such
+  * replay duplicates the whole batch. Writers consult the ledger before
+  * producing; the driver appends the marker only after every task
+  * succeeded. The remaining window (crash MID-epoch, marker absent,
+  * some records already produced) is at-least-once — closing it needs
+  * broker transactions, which the v1 wire protocol predates; readers
+  * wanting stronger semantics dedup on (topic, partition, offset) or an
+  * application key downstream.
+  *
+  * Ledger records: key = queryId UTF-8, value = epochId decimal UTF-8.
+  * The topic stays tiny (one record per micro-batch); compact or expire
+  * it like any control topic.
+  */
+private[graft] object EpochLedger {
+  // positive-only JVM cache: "committed" is immutable once true, while a
+  // negative result must stay uncached (the SAME JVM may later replay
+  // that epoch after its marker landed — local-mode restarts do)
+  private val known =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Long)]()
+
+  private def leaderOf(host: String, port: Int,
+      ledger: String): PartitionMeta =
+    KafkaProtocol.metadata(host, port, ledger).find(_.partition == 0)
+      .getOrElse(throw new IllegalStateException(
+        s"epoch-ledger topic '$ledger' does not exist on $host:$port — " +
+          "create it (1 partition is enough) or pass ;epochLedger= / " +
+          "option(\"epochLedger\", …) pointing at an existing topic"))
+
+  /** All (queryId, epochId) markers currently in the ledger. */
+  def committed(host: String, port: Int, ledger: String): Set[(String, Long)] = {
+    val p0 = leaderOf(host, port, ledger)
+    val end = KafkaProtocol.listOffset(p0.leaderHost, p0.leaderPort, ledger, 0,
+      KafkaProtocol.LatestTs)
+    val out = Set.newBuilder[(String, Long)]
+    var off = 0L
+    while (off < end) {
+      val (recs, _) = KafkaProtocol.fetch(
+        p0.leaderHost, p0.leaderPort, ledger, 0, off)
+      if (recs.isEmpty) off = end
+      else {
+        recs.foreach { r =>
+          if (r.key != null && r.value != null)
+            out += ((new String(r.key, "UTF-8"),
+              new String(r.value, "UTF-8").toLong))
+        }
+        off = recs.map(_.offset).max + 1
+      }
+    }
+    out.result()
+  }
+
+  def isCommitted(host: String, port: Int, ledger: String,
+      queryId: String, epochId: Long): Boolean = {
+    val k = (s"$host:$port/$ledger", queryId, epochId)
+    known.contains(k) || {
+      val hit = committed(host, port, ledger).contains((queryId, epochId))
+      if (hit) known.add(k)
+      hit
+    }
+  }
+
+  def mark(host: String, port: Int, ledger: String,
+      queryId: String, epochId: Long): Unit = {
+    val p0 = leaderOf(host, port, ledger)
+    KafkaProtocol.produce(p0.leaderHost, p0.leaderPort, ledger, 0,
+      Seq((System.currentTimeMillis(), queryId.getBytes("UTF-8"),
+        epochId.toString.getBytes("UTF-8"))))
+    known.add((s"$host:$port/$ledger", queryId, epochId))
+  }
+}
+
+private case class KafkaWriteSummary(records: Long) extends WriterCommitMessage
+
+/** DSv2 streaming sink over the native wire protocol: executors produce
+  * records as they arrive (bounded `flushEvery` buffers per target
+  * partition, never the whole batch), keyed records land on Kafka's own
+  * murmur2 partition ([[KafkaProtocol.partitionFor]]), and the
+  * [[EpochLedger]] fences replayed micro-batches. Input shape: a `value`
+  * column (binary or string) plus optional `key` (binary/string) and
+  * `timestamp` (TimestampType) — the same contract as the batch writer.
+  */
+class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
+    queryId: String, schema: StructType) extends StreamingWrite {
+
+  private val (host, port) = bootstrap.split(":", 2) match {
+    case Array(h, p) => (h, p.toInt)
+    case Array(h) => (h, 9092)
+  }
+
+  private def fieldIdx(name: String): Int = schema.fieldNames.indexOf(name)
+  require(fieldIdx("value") >= 0,
+    s"graft-kafka sink needs a 'value' column, got ${schema.fieldNames.mkString(", ")}")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    KafkaEpochWriterFactory(host, port, topic, ledger, queryId,
+      fieldIdx("value"), fieldIdx("key"), fieldIdx("timestamp"),
+      schema.fields(fieldIdx("value")).dataType == StringType,
+      fieldIdx("key") >= 0 &&
+        schema.fields(fieldIdx("key")).dataType == StringType)
+
+  /** Every task succeeded: fence this epoch. A replayed epoch whose
+    * marker already landed is NOT re-marked (idempotent).
+    */
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    if (!EpochLedger.isCommitted(host, port, ledger, queryId, epochId))
+      EpochLedger.mark(host, port, ledger, queryId, epochId)
+
+  /** No marker is written: Spark will replay the epoch. Records already
+    * produced by succeeded tasks remain (at-least-once inside an
+    * incomplete epoch — see [[EpochLedger]]).
+    */
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case class KafkaEpochWriterFactory(host: String, port: Int,
+    topic: String, ledger: String, queryId: String, valueIdx: Int,
+    keyIdx: Int, tsIdx: Int, valueIsString: Boolean, keyIsString: Boolean)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // one ledger probe per task; positive results are JVM-cached so a
+    // 1000-task epoch costs one fetch per executor, not per task
+    val skip = EpochLedger.isCommitted(host, port, ledger, queryId, epochId)
+    val parts = KafkaProtocol.metadata(host, port, topic)
+    val byPartition = parts.map(p => p.partition -> p).toMap
+    val n = parts.size
+    new DataWriter[InternalRow] {
+      private val flushEvery = 500
+      private val buf = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte])]]
+      private var written = 0L
+
+      private def flush(p: Int): Unit = buf.remove(p).foreach { rows =>
+        if (rows.nonEmpty) {
+          val m = byPartition(p)
+          KafkaProtocol.produce(m.leaderHost, m.leaderPort, topic, p,
+            rows.toSeq)
+        }
+      }
+
+      override def write(row: InternalRow): Unit = if (!skip) {
+        val v =
+          if (row.isNullAt(valueIdx)) null
+          else if (valueIsString) row.getUTF8String(valueIdx).getBytes
+          else row.getBinary(valueIdx)
+        val k =
+          if (keyIdx < 0 || row.isNullAt(keyIdx)) null
+          else if (keyIsString) row.getUTF8String(keyIdx).getBytes
+          else row.getBinary(keyIdx)
+        val ts =
+          if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) / 1000L
+          else System.currentTimeMillis()
+        val p =
+          if (k != null) KafkaProtocol.partitionFor(k, n)
+          else partitionId % n
+        val rows = buf.getOrElseUpdate(p,
+          scala.collection.mutable.ArrayBuffer.empty)
+        rows += ((ts, k, v))
+        written += 1
+        if (rows.length >= flushEvery) flush(p)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        buf.keys.toSeq.foreach(flush)
+        KafkaWriteSummary(written)
+      }
+
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class KafkaReaderFactory extends PartitionReaderFactory {

@@ -433,6 +433,93 @@ class KafkaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSv2 streaming sink: end-to-end pipe, replayed micro-batch not duplicated") {
+    import spark.implicits._
+    defineTopic("sink_in", 1)
+    defineTopic("sink_out", 2)
+    defineTopic("sink_out__epochs", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt")
+      .toString
+    def feed(from: Int, until: Int): Unit = ConnectorRegistry.write(
+      (from until until).map(i => (s"u${i % 6}", s"msg-$i"))
+        .toDF("key", "value"),
+      url(";topic=sink_in"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-kafka")
+        .option("bootstrap", s"127.0.0.1:$port")
+        .option("topic", "sink_in")
+        .load()
+        .select(col("key").cast("string").as("key"),
+          upper(col("value").cast("string")).as("value"))
+        .writeStream.format("graft-kafka")
+        .option("bootstrap", s"127.0.0.1:$port")
+        .option("topic", "sink_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    def outValues(): Seq[String] =
+      ConnectorRegistry.read(spark, url(";topic=sink_out"))
+        .select(col("value").cast("string")).as[String].collect().toSeq
+
+    feed(0, 25)
+    runOnce()
+    assert(outValues().sorted == (0 until 25).map(i => s"MSG-$i").sorted)
+    // keyed records land on Kafka's murmur2 partitions: u5 -> partition 1
+    val spread = ConnectorRegistry.read(spark, url(";topic=sink_out"))
+      .select("partition").distinct().count()
+    assert(spread == 2, s"expected both sink partitions used, got $spread")
+
+    // simulate "sink committed, checkpoint commit log lost": delete the
+    // last commit file; Spark replays that epoch on restart — the epoch
+    // ledger must fence it (no duplicate records)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val commits = commitsDir.listFiles().filter(_.getName.matches("\\d+"))
+    assert(commits.nonEmpty, "expected checkpoint commit files")
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete())
+    // the checkpoint runs on Hadoop's checksummed local fs: drop the
+    // sidecar too or the commit rewrite collides with the stale crc
+    val crc = new java.io.File(commitsDir, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    runOnce()
+    assert(outValues().size == 25,
+      s"replayed epoch duplicated records: got ${outValues().size}")
+
+    // and the stream still makes progress after the replay
+    feed(25, 40)
+    runOnce()
+    assert(outValues().sorted == (0 until 40).map(i => s"MSG-$i").sorted)
+  }
+
+  test("streaming sink without its epoch-ledger topic fails loudly") {
+    import spark.implicits._
+    defineTopic("lonely_in", 1)
+    defineTopic("lonely_out", 1) // note: NO lonely_out__epochs topic
+    ConnectorRegistry.write(Seq(Tuple1("x")).toDF("value"),
+      url(";topic=lonely_in"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt2")
+      .toString
+    val q = spark.readStream.format("graft-kafka")
+      .option("bootstrap", s"127.0.0.1:$port")
+      .option("topic", "lonely_in")
+      .load()
+      .select(col("value").cast("string").as("value"))
+      .writeStream.format("graft-kafka")
+      .option("bootstrap", s"127.0.0.1:$port")
+      .option("topic", "lonely_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("epoch-ledger topic") || msgs.contains("__epochs"),
+      msgs.take(500))
+  }
+
   test("soak: 200k-record produce/fetch round-trip through the wire") {
     import spark.implicits._
     defineTopic("soak", 4)
