@@ -132,7 +132,15 @@ object BigQuery {
         throw new UnsupportedOperationException(
           s"bigquery connector: would read ${c.projectId}.$ds.? — needs " +
             ";tableId= (or ;query=)"))
-      s"SELECT * FROM $ds.$t"
+      // projection + filter pushdown: `;columns=a,b` and `;where=…` land
+      // in the jobs.query SQL, so BigQuery scans/bills only the wanted
+      // columns and the row pages carry only matching rows — at 100 TB
+      // the difference between a column slice and the whole table
+      val cols = url.option("columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).mkString(", "))
+        .getOrElse("*")
+      val where = url.option("where").map(w => s" WHERE $w").getOrElse("")
+      s"SELECT $cols FROM $ds.$t$where"
     }
     val client = newClient()
     val first = call(client, "POST", s"${c.endpoint}/projects/${c.projectId}/queries",

@@ -93,18 +93,48 @@ object Elasticsearch {
       case _ => Seq.empty
     }
 
-  /** `;match=field:value` → a term-query body: the filter executes INSIDE
+  /** `;match=field:value` (term) and `;range=field:lo:hi` (numeric range,
+    * bounds inclusive) → a query body: the filters execute INSIDE
     * Elasticsearch, so only matching documents ever cross the wire — the
-    * pushdown that matters when the index is 100× the wanted slice.
+    * pushdown that matters when the index is 100× the wanted slice. One
+    * filter stays a plain query; both combine under `bool.filter`.
     */
-  private[sources] def queryClause(url: EngineUrl): String =
-    url.option("match") match {
-      case Some(mv) => mv.split(":", 2) match {
+  private[sources] def queryClause(url: EngineUrl): String = {
+    val term = url.option("match").map { mv =>
+      mv.split(":", 2) match {
         case Array(f, v) =>
-          s""""query": {"term": {${JsonText.jstr(f)}: ${JsonText.jstr(v)}}},"""
+          s"""{"term": {${JsonText.jstr(f)}: ${JsonText.jstr(v)}}}"""
         case _ => throw new IllegalArgumentException(
           s"es ;match= needs field:value, got '$mv'")
       }
+    }
+    val range = url.option("range").map { rv =>
+      rv.split(":", 3) match {
+        case Array(f, lo, hi) =>
+          // numeric-validate the bounds: they interpolate into JSON bare
+          val (l, h) = (BigDecimal(lo), BigDecimal(hi))
+          s"""{"range": {${JsonText.jstr(f)}: {"gte": $l, "lte": $h}}}"""
+        case _ => throw new IllegalArgumentException(
+          s"es ;range= needs field:lo:hi (numeric bounds), got '$rv'")
+      }
+    }
+    (term.toSeq ++ range.toSeq) match {
+      case Seq() => ""
+      case Seq(one) => s""""query": $one,"""
+      case many =>
+        s""""query": {"bool": {"filter": [${many.mkString(",")}]}},"""
+    }
+  }
+
+  /** `;columns=a,b` → `"_source": ["a","b"]`: Elasticsearch strips every
+    * other field server-side (the elasticsearch-hadoop projection
+    * pushdown), so a 2-column scan of wide documents ships 2 columns.
+    */
+  private[sources] def sourceClause(url: EngineUrl): String =
+    url.option("columns") match {
+      case Some(cols) =>
+        val fields = cols.split(",").map(_.trim).filter(_.nonEmpty)
+        s""""_source": [${fields.map(JsonText.jstr).mkString(",")}],"""
       case None => ""
     }
 
@@ -112,12 +142,12 @@ object Elasticsearch {
     * task never materializes more than one page.
     */
   private def scrollSlice(base: String, index: String, sliceId: Int,
-      slices: Int, batch: Int, query: String): Iterator[String] = {
+      slices: Int, batch: Int, query: String, source: String): Iterator[String] = {
     val client = newClient()
     val sliceClause =
       if (slices > 1) s""""slice": {"id": $sliceId, "max": $slices},""" else ""
     val first = postJson(client, s"$base/$index/_search?scroll=2m",
-      s"""{$sliceClause $query "size": $batch, "sort": ["_doc"]}""")
+      s"""{$sliceClause $query $source "size": $batch, "sort": ["_doc"]}""")
     new Iterator[Seq[String]] {
       private var page = sources(first)
       private var sid = scrollId(first)
@@ -152,10 +182,11 @@ object Elasticsearch {
     val batch = url.option("batch").map(_.toInt).getOrElse(500)
     val base = t.base
     val query = queryClause(url)
+    val source = sourceClause(url)
     val docs = spark.range(slices.toLong)
       .repartition(slices)
       .mapPartitions(ids => ids.flatMap(i =>
-        scrollSlice(base, index, i.toInt, slices, batch, query)))
+        scrollSlice(base, index, i.toInt, slices, batch, query, source)))
     url.option("schema") match {
       case Some(ddl) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))

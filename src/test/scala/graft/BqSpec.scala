@@ -34,6 +34,7 @@ class BqSpec extends SparkSpec {
   private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
   private val corruptNext = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val emptyNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val lastSql = new java.util.concurrent.atomic.AtomicReference[String]("")
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -68,24 +69,73 @@ class BqSpec extends SparkSpec {
       val query = Option(ex.getRequestURI.getQuery).getOrElse("")
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
-        // POST /projects/p/queries
+        // POST /projects/p/queries — the emulator "executes" the SQL the
+        // connector pushed: projection list and a simple `col op literal`
+        // WHERE both run server-side, like the real service
         case ("POST", "projects" :: _ :: "queries" :: Nil) =>
           val sql = JsonMethods.parse(body) \ "query" match {
             case JString(s) => s
             case _ => ""
           }
-          val table = "SELECT \\* FROM (\\S+)".r.findFirstMatchIn(sql)
-            .map(_.group(1)).getOrElse("")
+          lastSql.set(sql)
+          val m = "(?i)^SELECT (.+?) FROM (\\S+)(?: WHERE (.+))?$".r
+            .findFirstMatchIn(sql.trim)
+          val (colsSpec, table, whereSpec) = m match {
+            case Some(g) => (g.group(1).trim, g.group(2),
+              Option(g.group(3)).map(_.trim))
+            case None => ("", "", None)
+          }
           Option(tables.get(table)) match {
             case None => reply(ex, 404, s"""{"error": "no table $table"}""")
             case Some((schema, rows)) =>
+              val all = rows.toArray(Array.empty[Seq[String]]).toVector
+              val filtered = whereSpec match {
+                case None => all
+                case Some(w) =>
+                  val wm = "(\\w+)\\s*(<=|>=|=|<|>)\\s*(.+)".r
+                    .findFirstMatchIn(w).getOrElse(
+                      throw new IllegalArgumentException(s"emulator: bad WHERE '$w'"))
+                  val ci = schema.indexWhere(_._1 == wm.group(1))
+                  require(ci >= 0, s"emulator: unknown WHERE column ${wm.group(1)}")
+                  val lit = wm.group(3).stripPrefix("'").stripSuffix("'")
+                  all.filter { cells =>
+                    val v = cells(ci)
+                    if (v == null) false
+                    else {
+                      val cmp = (scala.util.Try(BigDecimal(v)),
+                          scala.util.Try(BigDecimal(lit))) match {
+                        case (scala.util.Success(a), scala.util.Success(b)) =>
+                          a.compare(b)
+                        case _ => v.compareTo(lit)
+                      }
+                      wm.group(2) match {
+                        case "=" => cmp == 0
+                        case "<" => cmp < 0
+                        case ">" => cmp > 0
+                        case "<=" => cmp <= 0
+                        case ">=" => cmp >= 0
+                      }
+                    }
+                  }
+              }
+              val (outSchema, snapshot) =
+                if (colsSpec == "*" ) (schema, filtered)
+                else {
+                  val wanted = colsSpec.split(",").map(_.trim)
+                  val idx = wanted.map { c =>
+                    val i = schema.indexWhere(_._1 == c)
+                    require(i >= 0, s"emulator: unknown column $c")
+                    i
+                  }
+                  (idx.toSeq.map(schema),
+                    filtered.map(cells => idx.toSeq.map(cells)))
+                }
               val jobId = s"job-${jobSeq.incrementAndGet()}"
-              val snapshot = rows.toArray(Array.empty[Seq[String]]).toVector
-              jobs.put(jobId, (schema, snapshot))
+              jobs.put(jobId, (outSchema, snapshot))
               reply(ex, 200,
                 s"""{"jobComplete": true,
                     | "jobReference": {"jobId": "$jobId"},
-                    | "schema": ${schemaJson(schema)},
+                    | "schema": ${schemaJson(outSchema)},
                     | "totalRows": "${snapshot.size}"}""".stripMargin)
           }
         // GET /projects/p/queries/{jobId}?startIndex=&maxResults=
@@ -202,6 +252,28 @@ class BqSpec extends SparkSpec {
       bqUrl(";datasetId=corpus;tableId=big;slices=8;batch=1000"))
     assert(back.count() == n)
     assert(back.agg(sum("k")).first().getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
+  test("projection and filter push into the jobs.query SQL") {
+    import spark.implicits._
+    defineTable("corpus.push", Seq(
+      "k" -> "INTEGER", "name" -> "STRING", "score" -> "FLOAT"))
+    ConnectorRegistry.write(
+      (0L until 60L).map(i => (i, s"n$i", i / 2.0)).toDF("k", "name", "score"),
+      bqUrl(";datasetId=corpus;tableId=push"))
+    pageCalls.set(0)
+    val out = ConnectorRegistry.read(spark,
+      bqUrl(";datasetId=corpus;tableId=push;columns=k,score;where=k < 10" +
+        ";slices=1;batch=100"))
+    // the emulator received the pushed SQL…
+    assert(lastSql.get() == "SELECT k, score FROM corpus.push WHERE k < 10",
+      lastSql.get())
+    // …and only the projected columns / matching rows came back
+    assert(out.schema.fieldNames.toSeq == Seq("k", "score"))
+    val rows = out.as[(Long, Double)].collect().toSet
+    assert(rows == (0L until 10L).map(i => (i, i / 2.0)).toSet)
+    // bytes-not-fetched: 10 of 60 rows in one page, not the full table
+    assert(pageCalls.get() == 1, s"got ${pageCalls.get()} page calls")
   }
 
   test("short pages (the API's 10MB response cap) still deliver every row") {

@@ -37,18 +37,23 @@ class EsSpec extends SparkSpec {
   }
 
   private val hitsSent = new java.util.concurrent.atomic.AtomicInteger()
+  private val bytesSent = new java.util.concurrent.atomic.AtomicLong()
 
   /** Page of a slice: stateless scroll token
-    * `index|slice|max|size|offset|termField|termValue` (term empty = match
-    * all). Slice membership is doc-position mod max (deterministic; real
-    * ES hashes _id — any disjoint-and-complete assignment satisfies the
-    * protocol contract the connector relies on). A term query filters
-    * SERVER-SIDE, before pagination — hitsSent counts what crosses the
-    * wire so pushdown tests can assert unmatched docs never travel.
+    * `index|slice|max|size|offset|termField|termValue|rangeField|lo|hi|cols`
+    * (term/range empty = match all; cols empty = whole `_source`). Slice
+    * membership is doc-position mod max (deterministic; real ES hashes
+    * _id — any disjoint-and-complete assignment satisfies the protocol
+    * contract the connector relies on). Term and range queries filter
+    * SERVER-SIDE before pagination, `_source` projection strips fields
+    * before serialization — hitsSent/bytesSent count what crosses the
+    * wire so pushdown tests can assert unmatched docs and unwanted
+    * columns never travel.
     */
   private def page(token: String): (String, String) = {
     val parts = token.split("\\|", -1)
-    val Array(index, sliceS, maxS, sizeS, offS, termF, termV) = parts
+    val Array(index, sliceS, maxS, sizeS, offS, termF, termV,
+      rangeF, loS, hiS, cols) = parts
     val (slice, max, size, off) =
       (sliceS.toInt, maxS.toInt, sizeS.toInt, offS.toInt)
     val all = docsOf(index)
@@ -62,11 +67,31 @@ class EsSpec extends SparkSpec {
           case _ => false
         })
       }
+      .filter { case (_, src) =>
+        rangeF.isEmpty || (JsonMethods.parse(src) \ rangeF match {
+          case JInt(v) => BigDecimal(v) >= BigDecimal(loS) &&
+            BigDecimal(v) <= BigDecimal(hiS)
+          case JDouble(v) => v >= loS.toDouble && v <= hiS.toDouble
+          case JDecimal(v) => v >= BigDecimal(loS) && v <= BigDecimal(hiS)
+          case _ => false
+        })
+      }
+    val wanted = cols.split(",").filter(_.nonEmpty).toSet
+    def project(src: String): String =
+      if (wanted.isEmpty) src
+      else JsonMethods.parse(src) match {
+        case JObject(fields) => JsonMethods.compact(JsonMethods.render(
+          JObject(fields.filter(f => wanted.contains(f._1)))))
+        case other => JsonMethods.compact(JsonMethods.render(other))
+      }
     val hits = mine.slice(off, off + size).map { case (id, src) =>
-      s"""{"_index": "$index", "_id": "$id", "_source": $src}"""
+      val s = project(src)
+      bytesSent.addAndGet(s.length.toLong)
+      s"""{"_index": "$index", "_id": "$id", "_source": $s}"""
     }
     hitsSent.addAndGet(hits.length)
-    val next = s"$index|$slice|$max|$size|${off + size}|$termF|$termV"
+    val next = s"$index|$slice|$max|$size|${off + size}|$termF|$termV" +
+      s"|$rangeF|$loS|$hiS|$cols"
     (s"""{"_scroll_id": "$next",
         | "hits": {"total": {"value": ${mine.length}},
         |          "hits": [${hits.mkString(",")}]}}""".stripMargin, next)
@@ -94,11 +119,31 @@ class EsSpec extends SparkSpec {
           val size = jint(parsed \ "size", 10)
           val slice = jint(parsed \ "slice" \ "id", 0)
           val max = jint(parsed \ "slice" \ "max", 1)
-          val (tf, tv) = parsed \ "query" \ "term" match {
-            case JObject(List((f, JString(v)))) => (f, v)
-            case _ => ("", "")
+          // a query is a bare term/range, or both under bool.filter
+          val clauses = parsed \ "query" \ "bool" \ "filter" match {
+            case JArray(cs) => cs
+            case _ => List(parsed \ "query")
           }
-          reply(ex, 200, page(s"$index|$slice|$max|$size|0|$tf|$tv")._1)
+          val (tf, tv) = clauses.map(_ \ "term").collectFirst {
+            case JObject(List((f, JString(v)))) => (f, v)
+          }.getOrElse(("", ""))
+          val (rf, lo, hi) = clauses.map(_ \ "range").collectFirst {
+            case JObject(List((f, bounds))) =>
+              def num(v: JValue): String = v match {
+                case JInt(i) => i.toString
+                case JDouble(d) => d.toString
+                case JDecimal(d) => d.toString
+                case _ => ""
+              }
+              (f, num(bounds \ "gte"), num(bounds \ "lte"))
+          }.getOrElse(("", "", ""))
+          val cols = parsed \ "_source" match {
+            case JArray(fs) => fs.collect { case JString(f) => f }
+              .mkString(",")
+            case _ => ""
+          }
+          reply(ex, 200,
+            page(s"$index|$slice|$max|$size|0|$tf|$tv|$rf|$lo|$hi|$cols")._1)
         // POST /_search/scroll   (subsequent pages)
         case ("POST", "_search" :: "scroll" :: Nil) =>
           JsonMethods.parse(body) \ "scroll_id" match {
@@ -211,6 +256,55 @@ class EsSpec extends SparkSpec {
       .select("k").as[Long].collect()
     assert(ks.toSet == (0L until 90L by 9L).toSet)
     assert(hitsSent.get() == 10, s"server sent ${hitsSent.get()} docs")
+  }
+
+  test("column projection pushdown: unwanted fields never cross the wire") {
+    import spark.implicits._
+    val wide = (0L until 40L).map(i =>
+        (i, "x" * 200, s"t-$i", i * 2))
+      .toDF("k", "payload", "tag", "dbl")
+    ConnectorRegistry.write(wide, esUrl("wide", ";id=k"))
+    bytesSent.set(0)
+    val all = ConnectorRegistry.read(spark,
+      esUrl("wide", ";slices=1;batch=50;schema=k BIGINT, payload STRING, tag STRING, dbl BIGINT"))
+    assert(all.count() == 40)
+    val fullBytes = bytesSent.get()
+    bytesSent.set(0)
+    val slim = ConnectorRegistry.read(spark,
+      esUrl("wide", ";slices=1;batch=50;columns=k,dbl;schema=k BIGINT, dbl BIGINT"))
+    assert(slim.schema.fieldNames.sorted.toSeq == Seq("dbl", "k"))
+    assert(slim.agg(sum("dbl")).first().getLong(0) == (0L until 40L).map(_ * 2).sum)
+    val slimBytes = bytesSent.get()
+    // the 200-char payload stayed server-side: the projected read must
+    // ship an order of magnitude fewer bytes
+    assert(slimBytes * 5 < fullBytes,
+      s"projection shipped $slimBytes of $fullBytes bytes")
+  }
+
+  test("range pushdown combines with term under bool.filter server-side") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i =>
+        (i, if (i % 2 == 0) "en" else "de")).toDF("k", "lang")
+    ConnectorRegistry.write(df, esUrl("ranged", ";id=k"))
+    hitsSent.set(0)
+    // lang=en AND 10 <= k <= 29 → 10 matching docs, and ONLY those travel
+    val ks = ConnectorRegistry.read(spark,
+      esUrl("ranged", ";slices=2;batch=50;match=lang:en;range=k:10:29" +
+        ";schema=k BIGINT, lang STRING"))
+      .select("k").as[Long].collect()
+    assert(ks.toSet == (10L to 29L by 2L).toSet)
+    assert(hitsSent.get() == 10, s"server sent ${hitsSent.get()} docs")
+    // range alone also pushes
+    hitsSent.set(0)
+    val r2 = ConnectorRegistry.read(spark,
+      esUrl("ranged", ";slices=1;batch=50;range=k:95:99" +
+        ";schema=k BIGINT, lang STRING")).count()
+    assert(r2 == 5 && hitsSent.get() == 5)
+    // malformed range bounds fail loudly, never interpolate
+    intercept[NumberFormatException] {
+      ConnectorRegistry.read(spark,
+        esUrl("ranged", ";range=k:ten:20;schema=k BIGINT")).count()
+    }
   }
 
   test("soak: 100k docs through _bulk and sliced scroll, checksummed") {
