@@ -56,7 +56,16 @@ object Bench {
     // steady-state number a long-running cluster job would see); queries
     // whose best-of-2 still exceeds 2 s get a third run and report the
     // MEDIAN — one scheduler hiccup can no longer inflate a heavy query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q283,q119,t02 restricts the run to a subset (id
+    // prefix or full name) — the sf1 rehearsal runs the heavy tail only
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) =>
+        only.forall(ids => ids.contains(name) ||
+          ids.contains(name.split('_').head))
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -93,7 +102,9 @@ object Bench {
         s""","calib_ratio":${f3(ratio)},"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), jsonLine(identity) + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_SELF.json")),
+      jsonLine(identity) + "\n")
     println(jsonLine(_.split('_').head))
     spark.stop()
   }

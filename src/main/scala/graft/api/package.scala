@@ -277,6 +277,103 @@ package object api {
       }
     }
 
+    /** PER-GROUP exclusive prefix sums of LongType `sumCols`, ordered by
+      * `orderCols` within each `groupCols` key — the
+      * `SUM(c) OVER (PARTITION BY g ORDER BY v ROWS … 1 PRECEDING)`
+      * replacement whose parallelism does NOT collapse to the number of
+      * groups. A per-group window gives one task per group; with five
+      * event types over a 100 TB histogram that is five tasks sorting
+      * everything. Here the data range-partitions on (group, value), so
+      * a huge group spans MANY partitions; pass 1 ships to the driver
+      * only each partition's first/last group key and their in-partition
+      * totals (state O(partitions), regardless of group count), the
+      * driver chains boundary groups, and pass 2 seeds each partition's
+      * leading group with its carried offset. PRECONDITION: (groupCols,
+      * orderCols) is a total order — the (group, value)-histogram callers
+      * satisfy it by construction.
+      */
+    def groupedHistCumSum(groupCols: Seq[String], orderCols: Seq[Column],
+        sumCols: Seq[String], prefix: String = "cum_"): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      sumCols.foreach { c =>
+        require(df.schema(c).dataType == LongType,
+          s"groupedHistCumSum needs LongType for '$c', got ${df.schema(c).dataType}")
+      }
+      val gIdx = groupCols.map(df.schema.fieldIndex).toArray
+      val sIdx = sumCols.map(df.schema.fieldIndex).toArray
+      val sortCols = groupCols.map(col) ++ orderCols
+      val sorted = df.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      val rdd = sorted.rdd // shared by both passes: one partitioner
+      def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+      // pass 1: (firstKey, firstTotals, lastKey, lastTotals) per partition;
+      // when a partition holds a single group first==last and the totals
+      // are the same array (counted once by the driver chain below)
+      val edges = rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val firstKey = keyOf(first)
+          var curKey = firstKey
+          var firstTotals: Array[Long] = null
+          var cur = new Array[Long](sIdx.length)
+          def add(r: Row): Unit = {
+            var j = 0
+            while (j < sIdx.length) { cur(j) += r.getLong(sIdx(j)); j += 1 }
+          }
+          add(first)
+          it.foreach { r =>
+            val k = keyOf(r)
+            if (k != curKey) {
+              if (firstTotals == null) firstTotals = cur
+              curKey = k
+              cur = new Array[Long](sIdx.length)
+            }
+            add(r)
+          }
+          if (firstTotals == null) firstTotals = cur // single-group partition
+          Iterator.single((pid, firstKey, firstTotals, curKey, cur))
+        }
+      }.collect().sortBy(_._1)
+      // driver chain: offset for partition p's FIRST group = accumulated
+      // totals of that same group from the contiguous run of preceding
+      // partitions ending in it
+      val offsets = Array.fill(rdd.getNumPartitions)(
+        new Array[Long](sIdx.length))
+      var carryKey: Seq[Any] = null
+      var carryAcc = new Array[Long](sIdx.length)
+      edges.foreach { case (pid, firstKey, firstTotals, lastKey, lastTotals) =>
+        val off =
+          if (carryKey != null && carryKey == firstKey) carryAcc
+          else new Array[Long](sIdx.length)
+        offsets(pid) = off
+        if (firstKey == lastKey)
+          carryAcc = off.zip(firstTotals).map { case (a, b) => a + b }
+        else carryAcc = lastTotals.clone()
+        carryKey = lastKey
+      }
+      val schema0 = sumCols.foldLeft(sorted.schema)(
+        (s, c) => s.add(prefix + c, LongType, nullable = false))
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curKey: Seq[Any] = null
+        var run: Array[Long] = null
+        var leading = true
+        it.map { r =>
+          val k = keyOf(r)
+          if (curKey == null) { curKey = k; run = offsets(pid).clone() }
+          else if (k != curKey) {
+            curKey = k; run = new Array[Long](sIdx.length); leading = false
+          }
+          val cums = run.clone()
+          var j = 0
+          while (j < sIdx.length) { run(j) += r.getLong(sIdx(j)); j += 1 }
+          Row.fromSeq(r.toSeq ++ cums)
+        }
+      }
+      df.sparkSession.createDataFrame(out, schema0)
+    }
+
     /** Exclusive prefix MAX of `valCol` in `(orderCols)` total order —
       * [[histCumSum]]'s running-max sibling (the skyline sweep's
       * "best y among all strictly better x" accumulator). Same two-phase
@@ -579,15 +676,17 @@ package object api {
       * per-group sort; every output is an actual data value.
       */
     def madBy(groupCol: String, valueCol: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
-        val w = Window.partitionBy(groupCol).orderBy(v)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        h.withColumn("__cum", sum(col("__c")).over(w))
-          .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+      // per-group two-phase cumulative (groupedHistCumSum): the histogram
+      // of a continuous metric is huge at scale, so the per-group
+      // cumulative must not collapse to one task per group; per-group
+      // totals ride a broadcast join instead of a second window
+      def lowerMedian(h: DataFrame, v: String, out: String): DataFrame =
+        h.groupedHistCumSum(Seq(groupCol), Seq(col(v)), Seq("__c"))
+          .withColumn("__cum", col("cum___c") + col("__c"))
+          .join(broadcast(
+            h.groupBy(groupCol).agg(sum(col("__c")).as("__n"))), Seq(groupCol))
           .groupBy(groupCol)
           .agg(min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col(v))).as(out))
-      }
       val ev = df.filter(col(valueCol).isNotNull)
       val h1 = ev.groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
       val med = lowerMedian(h1, valueCol, "median_val")

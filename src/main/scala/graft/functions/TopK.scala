@@ -41,6 +41,38 @@ final class TopKAggregator(k: Int)
     ExpressionEncoder[Seq[ScoredId]]()
 }
 
+final case class ScoredRow(score: Double, id: Long, payload: Double)
+
+/** [[TopKAggregator]] with a double payload riding along in the state —
+  * for top-k rows whose (score, id) alone cannot reconstruct the row
+  * (e.g. q164: id = orderkey*8+linenumber is not unique in the synthetic
+  * lineitem, so the winning row's quantity must travel with its rank
+  * instead of being joined back). Ordering ignores the payload: score
+  * descending, id ascending.
+  */
+final class TopKRowsAggregator(k: Int)
+  extends Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRow]] {
+
+  private val ord: Ordering[ScoredRow] =
+    Ordering.by((s: ScoredRow) => (-s.score, s.id))
+
+  override def zero: Seq[ScoredRow] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredRow], row: ScoredRow): Seq[ScoredRow] =
+    if (buf.length >= k && ord.gteq(row, buf.last)) buf
+    else ((buf :+ row).sorted(ord)).take(k)
+
+  override def merge(a: Seq[ScoredRow], b: Seq[ScoredRow]): Seq[ScoredRow] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[ScoredRow]): Seq[ScoredRow] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredRow]] =
+    ExpressionEncoder[Seq[ScoredRow]]()
+  override def outputEncoder: Encoder[Seq[ScoredRow]] =
+    ExpressionEncoder[Seq[ScoredRow]]()
+}
+
 object TopK {
   /** Aggregate: top-k rows by (score: double, id: long).
     * Usage: `df.agg(TopK.topK(10)($"score", $"id").as("top"))` then explode.
@@ -48,5 +80,11 @@ object TopK {
   def topK(k: Int): (Column, Column) => Column = {
     val agg = udaf(new TopKAggregator(k))
     (score: Column, id: Column) => agg(score, id)
+  }
+
+  /** Aggregate: top-k (score, id, payload) rows by (score desc, id asc). */
+  def topKRows(k: Int): (Column, Column, Column) => Column = {
+    val agg = udaf(new TopKRowsAggregator(k))
+    (score: Column, id: Column, payload: Column) => agg(score, id, payload)
   }
 }

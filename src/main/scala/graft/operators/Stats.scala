@@ -210,15 +210,22 @@ object Stats {
     Query.sql(
       "q143_winsorized_mean",
       (s, dir) => {
+        import graft.api._
         val h = Tables.load(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_quantity")
           .agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_returnflag").orderBy("l_quantity")
+        // per-group two-phase cumulative (groupedHistCumSum): a window
+        // PARTITION BY flag has 3 tasks sorting the whole histogram — at
+        // scale the per-group histogram of a continuous metric is huge,
+        // so the cumulative must range-partition WITHIN groups too; the
+        // 3-row per-group totals ride a broadcast join instead of a
+        // second window
         val cum = h
-          .withColumn("cum", sum(col("c")).over(w))
-          .withColumn("n", sum(col("c")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+          .groupedHistCumSum(Seq("l_returnflag"), Seq(col("l_quantity")),
+            Seq("c"))
+          .withColumn("cum", col("cum_c") + col("c"))
+          .join(broadcast(h.groupBy("l_returnflag")
+            .agg(sum(col("c")).as("n"))), Seq("l_returnflag"))
         // smallest value whose cumulative count reaches ceil(p*n):
         // integer-exact via cum*20 >= n (p05) / cum*20 >= 19*n (p95)
         val cuts = cum.groupBy("l_returnflag").agg(
@@ -469,25 +476,32 @@ object Stats {
             .cast("double").as("sxx"))
         .select(col("l_returnflag"), expr("sx / n").as("mu"),
           expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("sd"))
-      // Salted two-phase top-k: a window partitioned by l_returnflag alone
-      // has 3 partitions, so 3 tasks would sort the whole table. Phase 1
-      // takes a LOCAL top-5 per (flag, salt) bucket — 96 parallel bounded
-      // sorts, and every global top-5 row is necessarily in its bucket's
-      // top-5 — then phase 2 ranks the ≤ 480 survivors. Result is
-      // salt-invariant, so the oracle keeps the single-window form.
+      // Top-k as a partial+final AGGREGATE (functions.TopK.topKRows), not
+      // a window: the tiebreak (|z| desc, orderkey, linenumber) encodes
+      // losslessly as (score=|z|, id=orderkey*8+linenumber) since
+      // linenumber ∈ 1..7, and the quantity rides the aggregation state
+      // as the payload, so map-side combine keeps only 5 rows per flag
+      // per task, the shuffle carries O(k) — never the table — and no
+      // second scan is needed. This replaced the salted double-window
+      // plan that was the one >10x scale-up outlier in the sf1 rehearsal.
+      // z is recomputed from the payload with the identical expression
+      // text (bit-identical to the oracle's).
       val z = l.join(broadcast(st), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_quantity"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+          abs(expr("(l_quantity - mu) / sd")).as("az"))
+      z.groupBy("l_returnflag")
+        .agg(graft.functions.TopK.topKRows(5)(
+          col("az"), col("id"), col("l_quantity")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rk"),
+          expr("col.id div 8").as("l_orderkey"),
+          expr("CAST(col.id % 8 AS INT)").as("l_linenumber"),
+          col("col.payload").as("l_quantity"))
+        .join(broadcast(st), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"),
-          expr("(l_quantity - mu) / sd").as("z"),
-          pmod(col("l_orderkey"), lit(32)).as("salt"))
-      val wLocal = Window.partitionBy("l_returnflag", "salt")
-        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
-      z.withColumn("lrk", row_number().over(wLocal))
-        .filter(col("lrk") <= 5).drop("lrk", "salt")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+          col("l_quantity"), expr("(l_quantity - mu) / sd").as("z"),
+          col("rk"))
         .orderBy("l_returnflag", "rk")
     },
     """WITH st AS (

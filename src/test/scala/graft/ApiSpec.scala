@@ -39,6 +39,30 @@ class ApiSpec extends SparkSpec {
       .histCumSum(Seq(col("v")), Seq("c")).count() == 0)
   }
 
+  test("groupedHistCumSum equals the per-group window cumulative") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // few groups x many values: groups span several range partitions,
+    // exercising the boundary-carry chain
+    val hist = (1 to 900).map(i =>
+        (s"g${i % 3}", i * 0.25, (i % 11 + 1).toLong))
+      .toDF("g", "v", "c").repartition(10)
+    val viaExt = hist.groupedHistCumSum(Seq("g"), Seq(col("v")), Seq("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = hist
+      .withColumn("cum_c", coalesce(sum(col("c")).over(w), lit(0L)))
+    assert(viaExt.select("g", "v", "c", "cum_c").collect().toSet ==
+      viaWin.select("g", "v", "c", "cum_c").collect().toSet)
+    // single-group input (whole frame is one boundary chain)
+    val one = (1 to 100).map(i => ("only", i.toDouble, 2L)).toDF("g", "v", "c")
+    assert(one.groupedHistCumSum(Seq("g"), Seq(col("v")), Seq("c"))
+      .agg(max(col("cum_c"))).head.getLong(0) == 198L)
+    // empty input
+    assert(hist.filter(lit(false))
+      .groupedHistCumSum(Seq("g"), Seq(col("v")), Seq("c")).count() == 0)
+  }
+
   test("histCumMax equals the single-partition window running max") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -161,6 +161,59 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: Zipf-skewed 1M-row synth join — skew handling fires within budget") {
+    // sf0.1-equivalent volume (1M rows ≈ lineitem at sf0.17) with a
+    // DELIBERATE Zipf key: u^(-1/s) inverse-transform over the synth
+    // source's deterministic ids puts ~65% of all rows on key 1. The
+    // assertions pin (a) AQE actually re-planned the hot partition
+    // (skew=true in the final plan), (b) the salted path agrees with the
+    // plain join at volume, (c) the whole soak completes inside a hard
+    // wall-time budget — the "does the mitigation actually fire at
+    // volume" check, not just the small-data equivalence above.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val t0 = System.nanoTime()
+    try {
+      val docs = spark.read.format("graft-synth")
+        .option("rows", 1000000).option("partitions", 32).option("seed", 11)
+        .load()
+      // Zipf(s≈1.33) key via inverse transform of a uniform hash;
+      // key 1 ≈ 2^-0.75 ≈ 60% of rows, long tail to 10k
+      val left = docs.select(
+        least(expr("CAST(pow((pmod(xxhash64(doc_id), 1000000) + 1) / 1000000.0," +
+          " -0.75) AS BIGINT)"), lit(10000L)).as("k"),
+        col("n_chars"), col("lang"))
+      val right = spark.range(1, 10001).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      val total = joined.collect().length
+      assert(total == 1000000, s"join dropped rows: $total")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the 1M-row Zipf join skewed:\n${plan.take(2000)}")
+      // hot key really is hot (soak data sanity, not a tautology)
+      val hotShare = left.filter(col("k") === 1L).count()
+      assert(hotShare > 500000, s"hot key only $hotShare rows")
+      // salted path at the same volume agrees on the aggregate
+      val salted = SkewJoin.saltedInnerJoin(left, right, "k", 16)
+      assert(salted.count() == 1000000)
+      val budgetSec = 120
+      val took = (System.nanoTime() - t0) / 1e9
+      assert(took < budgetSec, f"skew soak took $took%.1f s (budget $budgetSec s)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("native as-of: string keys stay exact through forced sort spill") {
     // The spill-reader regime: UnsafeExternalSorter force-spills every
     // 100k rows (SparkSpec conf), so the exec's right iterator reads from
