@@ -14,8 +14,15 @@ object Bench {
     * one session, blocks die with the app.
     */
   def dropCaches(spark: SparkSession): Unit = {
+    // BLOCKING unpersist, off the clock: at sf1 a heavy query leaves
+    // multi-GB locally-checkpointed blocks, and async eviction overlaps the
+    // NEXT query's timed runs — measured 3–5× inflation on the sf1 heavy
+    // tail (q170 64s in-session vs 9.2s standalone) with calib_ratio ≈ 1
+    // because the scan-shaped calibration query is insensitive to block-
+    // manager pressure. Synchronous cleanup makes per-query times
+    // independent of run order.
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
   }
 

@@ -214,7 +214,12 @@ object Graph {
           count(col("hit")).as("n_triangles")))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          (col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          // NULL (not an error / not inf) on a wedge-free graph: ANSI Spark
+          // raises DIVIDE_BY_ZERO otherwise — hit at sf1, where the synth
+          // corpus has no support>=2 pairs at all
+          when(col("n_wedges") === 0, lit(null).cast("double"))
+            .otherwise(col("n_triangles").cast("double") /
+              col("n_wedges").cast("double"))
             .as("closure_rate"))
     },
     """WITH e0 AS (
@@ -242,8 +247,9 @@ object Graph {
       |  (SELECT COUNT(*) FROM ed) AS n_edges,
       |  (SELECT COUNT(*) FROM w) AS n_wedges,
       |  t AS n_triangles,
-      |  CAST(t AS DOUBLE) / CAST((SELECT COUNT(*) FROM w) AS DOUBLE)
-      |    AS closure_rate
+      |  CASE WHEN (SELECT COUNT(*) FROM w) = 0 THEN NULL
+      |    ELSE CAST(t AS DOUBLE) / CAST((SELECT COUNT(*) FROM w) AS DOUBLE)
+      |    END AS closure_rate
       |FROM tri""".stripMargin)
 
   /** Personalized PageRank: teleport mass returns to the SEED set only, so

@@ -691,10 +691,21 @@ object TpchExtra {
           when(col("cum") * 5 <= col("tot") * 4, lit("A"))
             .when(col("cum") * 20 <= col("tot") * 19, lit("B"))
             .otherwise(lit("C")))
+        // Double outputs go through an exact BIGINT scaling (decimal·1e6 →
+        // long → double) instead of a direct decimal→double cast: once a
+        // 6-dp sum needs more than 53 bits (~sf1 revenue totals), engines
+        // disagree in the last ulp of that cast (DuckDB double-rounds via
+        // int128/1e6), while int64→double is a single correctly-rounded
+        // conversion everywhere. The ratio divides the scaled longs once,
+        // so the 1e6 factors cancel without a second rounding.
+        .withColumn("rev6", (col("rev") * lit(1000000)).cast("long"))
+        .withColumn("tot6",
+          (col("tot").cast(org.apache.spark.sql.types.DecimalType(26, 6)) *
+            lit(1000000)).cast("long"))
         .groupBy("cls")
         .agg(count(lit(1)).as("n_parts"),
-          sum("rev").cast("double").as("revenue"),
-          (sum("rev").cast("double") / max("tot").cast("double"))
+          (sum("rev6").cast("double") / lit(1000000.0)).as("revenue"),
+          (sum("rev6").cast("double") / max("tot6").cast("double"))
             .as("share"))
         .orderBy("cls")
     },
@@ -708,12 +719,19 @@ object TpchExtra {
       |    SUM(rev) OVER (ORDER BY rev DESC, pk
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    SUM(rev) OVER () AS tot
-      |  FROM rev)
+      |  FROM rev),
+      |cu6 AS (
+      |  SELECT cum, tot,
+      |    CAST(rev * 1000000 AS BIGINT) AS rev6,
+      |    CAST(CAST(tot AS DECIMAL(26,6)) * CAST(1000000 AS DECIMAL(7,0))
+      |      AS BIGINT) AS tot6
+      |  FROM cu)
       |SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
       |    WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS cls,
-      |  COUNT(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS revenue,
-      |  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS share
-      |FROM cu GROUP BY 1 ORDER BY cls""".stripMargin)
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(rev6) AS DOUBLE) / 1000000 AS revenue,
+      |  CAST(SUM(rev6) AS DOUBLE) / CAST(MAX(tot6) AS DOUBLE) AS share
+      |FROM cu6 GROUP BY 1 ORDER BY cls""".stripMargin)
 
   // -- q271: RFM segmentation (recency / frequency / monetary quintiles) ---
   //   The classic CRM segmentation: per customer, days since last order
