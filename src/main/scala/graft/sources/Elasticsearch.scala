@@ -79,19 +79,34 @@ object Elasticsearch {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  private def scrollId(body: String): Option[String] =
-    JsonMethods.parse(body) \ "_scroll_id" match {
+  /** Parse one scroll page, failing LOUDLY on any corruption instead of
+    * reading as "scroll drained": a truncated body (json parse error) and
+    * a parseable body with no `hits.hits` array (an error document, a
+    * proxy page, a mangled reply) are both indistinguishable from an empty
+    * final page to a naive reader — each would silently truncate the scan.
+    * Returns (scroll id, `hits.hits[]._source` as compact JSON strings).
+    */
+  private def parsePage(body: String, ctx: String): (Option[String], Seq[String]) = {
+    val parsed =
+      try JsonMethods.parse(body)
+      catch {
+        case e: Exception => throw new RuntimeException(
+          s"ES $ctx page is not valid JSON (truncated or corrupted reply): " +
+            s"${body.take(200)}", e)
+      }
+    val sid = parsed \ "_scroll_id" match {
       case JString(s) => Some(s)
       case _ => None
     }
-
-  /** `hits.hits[]._source` rendered back to compact JSON strings. */
-  private def sources(body: String): Seq[String] =
-    JsonMethods.parse(body) \ "hits" \ "hits" match {
-      case JArray(hits) =>
-        hits.map(h => JsonMethods.compact(JsonMethods.render(h \ "_source")))
-      case _ => Seq.empty
+    val hits = parsed \ "hits" \ "hits" match {
+      case JArray(hs) =>
+        hs.map(h => JsonMethods.compact(JsonMethods.render(h \ "_source")))
+      case _ => throw new RuntimeException(
+        s"ES $ctx page has no hits.hits array — error or corrupted reply, " +
+          s"refusing a silent partial read: ${body.take(200)}")
     }
+    (sid, hits)
+  }
 
   /** `;match=field:value` (term) and `;range=field:lo:hi` (numeric range,
     * bounds inclusive) → a query body: the filters execute INSIDE
@@ -146,11 +161,12 @@ object Elasticsearch {
     val client = newClient()
     val sliceClause =
       if (slices > 1) s""""slice": {"id": $sliceId, "max": $slices},""" else ""
-    val first = postJson(client, s"$base/$index/_search?scroll=2m",
+    val firstBody = postJson(client, s"$base/$index/_search?scroll=2m",
       s"""{$sliceClause $query $source "size": $batch, "sort": ["_doc"]}""")
+    val (firstSid, firstHits) = parsePage(firstBody, s"slice $sliceId _search")
     new Iterator[Seq[String]] {
-      private var page = sources(first)
-      private var sid = scrollId(first)
+      private var page = firstHits
+      private var sid = firstSid
       private var done = page.isEmpty
       def hasNext: Boolean = !done
       def next(): Seq[String] = {
@@ -159,9 +175,17 @@ object Elasticsearch {
           case Some(s) if out.nonEmpty =>
             val resp = postJson(client, s"$base/_search/scroll",
               s"""{"scroll": "2m", "scroll_id": ${JsonText.jstr(s)}}""")
-            page = sources(resp)
-            sid = scrollId(resp)
+            val (nsid, nhits) = parsePage(resp, s"slice $sliceId scroll")
+            page = nhits
+            sid = nsid
             if (page.isEmpty) done = true
+          case None if out.nonEmpty =>
+            // a non-final page without a scroll id cannot be continued —
+            // stopping here would drop the rest of the slice
+            throw new RuntimeException(
+              s"ES slice $sliceId returned ${out.length} hits but no " +
+                "_scroll_id — cannot continue the scroll, refusing a " +
+                "silent partial read")
           case _ => done = true
         }
         out

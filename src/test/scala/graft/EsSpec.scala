@@ -39,6 +39,13 @@ class EsSpec extends SparkSpec {
   private val hitsSent = new java.util.concurrent.atomic.AtomicInteger()
   private val bytesSent = new java.util.concurrent.atomic.AtomicLong()
 
+  // fault injection for the protocol-fidelity tests: transient 5xx on the
+  // scroll endpoint, a truncated JSON page, and an error-shaped 200 page
+  // with no hits — the three real-world failure shapes of a long scroll
+  private val failScrolls = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val truncateNextScroll = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val hitlessNextScroll = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Page of a slice: stateless scroll token
     * `index|slice|max|size|offset|termField|termValue|rangeField|lo|hi|cols`
     * (term/range empty = match all; cols empty = whole `_source`). Slice
@@ -146,7 +153,18 @@ class EsSpec extends SparkSpec {
             page(s"$index|$slice|$max|$size|0|$tf|$tv|$rf|$lo|$hi|$cols")._1)
         // POST /_search/scroll   (subsequent pages)
         case ("POST", "_search" :: "scroll" :: Nil) =>
-          JsonMethods.parse(body) \ "scroll_id" match {
+          if (failScrolls.getAndUpdate(n => math.max(0, n - 1)) > 0)
+            reply(ex, 503, """{"error": "es_rejected_execution_exception"}""")
+          else if (truncateNextScroll.getAndSet(false))
+            // a full page chopped mid-document, as a dying proxy would
+            reply(ex, 200, JsonMethods.parse(body) \ "scroll_id" match {
+              case JString(token) => page(token)._1.dropRight(40)
+              case _ => "{\"hits\": {\"hi"
+            })
+          else if (hitlessNextScroll.getAndSet(false))
+            // parseable 200 with no hits.hits — an error document shape
+            reply(ex, 200, """{"took": 3, "timed_out": false}""")
+          else JsonMethods.parse(body) \ "scroll_id" match {
             case JString(token) => reply(ex, 200, page(token)._1)
             case _ => reply(ex, 400, """{"error": "missing scroll_id"}""")
           }
@@ -319,6 +337,55 @@ class EsSpec extends SparkSpec {
     assert(back.count() == n)
     assert(back.agg(org.apache.spark.sql.functions.sum("k"))
       .first().getLong(0) == n.toLong * (n - 1) / 2)
+  }
+
+  test("a transient 503 mid-scroll is retried, not fatal and not lossy") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => Tuple1(i)).toDF("v")
+    ConnectorRegistry.write(df, esUrl("flaky", ";id=v"))
+    // two consecutive 503s land mid-scroll; sendWithRetry absorbs both
+    failScrolls.set(2)
+    val back = ConnectorRegistry.read(spark,
+      esUrl("flaky", ";slices=1;batch=7;schema=v BIGINT"))
+      .select("v").as[Long].collect()
+    assert(back.toSet == (0L until 30L).toSet,
+      s"retry dropped rows: got ${back.length} of 30")
+    assert(failScrolls.get() == 0, "the injected 503s were not consumed")
+  }
+
+  test("a truncated JSON scroll page fails loudly, never a silent partial read") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => Tuple1(i)).toDF("v")
+    ConnectorRegistry.write(df, esUrl("chopped", ";id=v"))
+    truncateNextScroll.set(true)
+    val e = intercept[Exception] {
+      ConnectorRegistry.read(spark,
+        esUrl("chopped", ";slices=1;batch=7;schema=v BIGINT")).count()
+    }
+    try {
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("not valid JSON") || msgs.contains("hits.hits") ||
+        msgs.contains("Unexpected end-of-input") || msgs.contains("corrupted"),
+        s"failure was not actionable: $msgs")
+    } finally truncateNextScroll.set(false)
+  }
+
+  test("an error-shaped 200 page with no hits fails loudly (no silent drain)") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => Tuple1(i)).toDF("v")
+    ConnectorRegistry.write(df, esUrl("hitless", ";id=v"))
+    hitlessNextScroll.set(true)
+    val e = intercept[Exception] {
+      ConnectorRegistry.read(spark,
+        esUrl("hitless", ";slices=1;batch=7;schema=v BIGINT")).count()
+    }
+    try {
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("no hits.hits"),
+        s"hitless page did not fail loudly: $msgs")
+    } finally hitlessNextScroll.set(false)
   }
 
   test("missing index in engine url fails loudly on read") {
