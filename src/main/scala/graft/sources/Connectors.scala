@@ -422,6 +422,8 @@ final class KafkaConnector extends Connector {
     val n = parts.size
     val byLeader = parts.map(p => p.partition -> p).toMap
     val batch = url.option("batch").map(_.toInt).getOrElse(500)
+    // ;codec=gzip|snappy|lz4 compresses each produce batch producer-side
+    val codec = url.option("codec").map(KafkaProtocol.codecId).getOrElse(0)
     val cols = df.columns.toSet
     val keyCol =
       if (cols.contains("key")) col("key").cast("binary")
@@ -448,7 +450,7 @@ final class KafkaConnector extends Connector {
             val meta = byLeader(pid)
             produce(meta.leaderHost, meta.leaderPort, topic, pid,
               rs.map(r => (r.getLong(3), r.getAs[Array[Byte]](1),
-                r.getAs[Array[Byte]](2))))
+                r.getAs[Array[Byte]](2))), codec)
           }
         }
       }

@@ -211,6 +211,64 @@ object KafkaProtocol {
   def partitionFor(key: Array[Byte], numPartitions: Int): Int =
     (murmur2(key) & 0x7fffffff) % numPartitions
 
+  // -- compression codecs (message-set v1 attribute bits 0-2) ----------------
+  // Wire-compatible with real Kafka producers/brokers: gzip is RFC-1952,
+  // snappy is the xerial snappy-java stream format (what the Kafka clients
+  // use for magic>=1), lz4 is the LZ4 Frame format (Kafka uses the correct
+  // frame checksum from magic 1 on). zstd (id 4) exists only in the v2
+  // record-batch format, so it stays refused under magic 1.
+  val NoCodec = 0
+  val Gzip = 1
+  val SnappyCodec = 2
+  val Lz4 = 3
+  private val CodecNames = Map(Gzip -> "gzip", SnappyCodec -> "snappy", Lz4 -> "lz4")
+
+  def codecId(name: String): Int = name.toLowerCase match {
+    case "none" => NoCodec
+    case "gzip" => Gzip
+    case "snappy" => SnappyCodec
+    case "lz4" => Lz4
+    case other => throw new IllegalArgumentException(
+      s"unsupported kafka codec '$other' (supported: none, gzip, snappy, lz4)")
+  }
+
+  private[graft] def compress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val out: java.io.OutputStream = codec match {
+      case Gzip => new java.util.zip.GZIPOutputStream(bos)
+      case SnappyCodec => new org.xerial.snappy.SnappyOutputStream(bos)
+      case Lz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case c => throw new IllegalArgumentException(s"unsupported codec id $c")
+    }
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  private[graft] def decompress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val name = CodecNames.getOrElse(codec, s"id $codec")
+    val in: java.io.InputStream =
+      try codec match {
+        case Gzip => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(data))
+        case SnappyCodec => new org.xerial.snappy.SnappyInputStream(
+          new java.io.ByteArrayInputStream(data))
+        case Lz4 => new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(data))
+        case c => throw new IllegalArgumentException(
+          s"unsupported compression codec id $c in message set " +
+            "(supported under magic 1: gzip, snappy, lz4)")
+      } catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$name-compressed message set is corrupted (bad stream header): " +
+            s"${e.getMessage}", e)
+      }
+    try in.readAllBytes()
+    catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"$name-compressed message set is corrupted mid-stream: ${e.getMessage}", e)
+    } finally in.close()
+  }
+
   // -- message-set v1 (magic 1) ---------------------------------------------
   private def crcOf(buf: Array[Byte], from: Int, len: Int): Int = {
     val crc = new CRC32
@@ -219,17 +277,52 @@ object KafkaProtocol {
   }
 
   /** Serialize records as a v1 message set (producer offsets are
-    * placeholders; the broker assigns real ones).
+    * placeholders; the broker assigns real ones). With a codec, the plain
+    * set becomes the compressed value of ONE wrapper message — the inner
+    * messages carry relative offsets 0..n-1 and the wrapper carries the
+    * last relative offset, the magic-1 producer convention that lets the
+    * broker rewrite just the wrapper offset on append.
     */
   private[graft] def encodeMessageSet(
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] =
-    encodeMessageSetAt(records.zipWithIndex.map { case ((ts, k, v), i) =>
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      codec: Int = NoCodec): Array[Byte] = {
+    val plain = encodeMessageSetAt(records.zipWithIndex.map { case ((ts, k, v), i) =>
       Record(i.toLong, ts, k, v)
     })
+    if (codec == NoCodec || records.isEmpty) plain
+    else encodeWrapper(records.size.toLong - 1, records.map(_._1).max,
+      codec, compress(codec, plain))
+  }
+
+  /** One compressed wrapper message holding `payload` as its value. */
+  private def encodeWrapper(offset: Long, ts: Long, codec: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(34 + payload.length)
+    buf.putLong(offset)
+    val sizePos = buf.position(); buf.putInt(0)
+    val msgStart = buf.position()
+    val crcPos = buf.position(); buf.putInt(0)
+    buf.put(1.toByte) // magic 1
+    buf.put((codec & 0x07).toByte) // attributes: codec bits
+    buf.putLong(ts)
+    bytes(buf, null); bytes(buf, payload)
+    val end = buf.position()
+    buf.putInt(sizePos, end - msgStart)
+    buf.putInt(crcPos, crcOf(buf.array(), crcPos + 4, end - crcPos - 4))
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
 
   /** Broker-side variant: a v1 message set with explicit absolute offsets
-    * (what Fetch responses carry).
+    * (what Fetch responses carry). With a codec the set ships as one
+    * compressed wrapper whose offset is the last record's absolute offset
+    * — the broker convention the reader's rebase arithmetic expects.
     */
+  private[graft] def encodeMessageSetAt(records: Seq[Record],
+      codec: Int): Array[Byte] =
+    if (codec == NoCodec || records.isEmpty) encodeMessageSetAt(records)
+    else encodeWrapper(records.last.offset, records.map(_.timestamp).max,
+      codec, compress(codec, encodeMessageSetAt(records)))
+
   private[graft] def encodeMessageSetAt(records: Seq[Record]): Array[Byte] = {
     val buf = ByteBuffer.allocate(records.map { r =>
       34 + (if (r.key == null) 0 else r.key.length) +
@@ -253,8 +346,14 @@ object KafkaProtocol {
 
   /** Parse a v1 message set, dropping a trailing partial message (the
     * protocol allows brokers to cut the last message at maxBytes).
+    * Compressed wrappers (gzip/snappy/lz4, attribute bits 0-2) are
+    * decompressed and their inner messages rebased to absolute offsets
+    * (wrapper offset = last inner offset, the magic-1 broker convention);
+    * the log-append-time bit (0x08) stamps the wrapper timestamp onto
+    * every inner record, as the broker would.
     */
-  private[graft] def decodeMessageSet(raw: Array[Byte]): Seq[Record] = {
+  private[graft] def decodeMessageSet(raw: Array[Byte],
+      inner: Boolean = false): Seq[Record] = {
     val buf = ByteBuffer.wrap(raw)
     val out = Seq.newBuilder[Record]
     while (buf.remaining() >= 12) {
@@ -268,24 +367,39 @@ object KafkaProtocol {
         val magic = buf.get()
         require(magic == 1, s"unsupported message magic $magic (need v1)")
         val attributes = buf.get()
-        // A compressed message set (gzip/snappy/lz4 producer) wraps records
-        // in one envelope message; decoding it as plain would hand back the
-        // compressed blob as a single record — fail fast instead.
-        require((attributes & 0x07) == 0,
-          s"compressed message sets unsupported (attributes=$attributes at " +
-            s"offset $offset) — produce with compression.type=none")
+        val codec = attributes & 0x07
+        val logAppendTime = (attributes & 0x08) != 0
         val ts = buf.getLong
         val k = readBytes(buf); val v = readBytes(buf)
-        out += Record(offset, ts, k, v)
+        if (codec == NoCodec) out += Record(offset, ts, k, v)
+        else {
+          // nested compression is not legal in the protocol — refuse it
+          // rather than recurse into attacker-controllable depth
+          require(!inner,
+            s"nested compressed message set at offset $offset — corrupt data")
+          require(v != null,
+            s"compressed wrapper at offset $offset has a null value")
+          val innerRecords = decodeMessageSet(decompress(codec, v), inner = true)
+          require(innerRecords.nonEmpty,
+            s"compressed wrapper at offset $offset decoded to zero messages")
+          val base = offset - innerRecords.last.offset
+          out ++= innerRecords.map(r => Record(base + r.offset,
+            if (logAppendTime) ts else r.timestamp, r.key, r.value))
+        }
       }
     }
     out.result()
   }
 
-  /** Produce v2 (acks=-1): returns the broker-assigned base offset. */
+  /** Produce v2 (acks=-1): returns the broker-assigned base offset.
+    * `codec` compresses the batch producer-side (gzip/snappy/lz4) — at
+    * real scale this is the difference between shipping a text corpus and
+    * shipping a third of it.
+    */
   def produce(host: String, port: Int, topic: String, partition: Int,
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
-    val set = encodeMessageSet(records)
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      codec: Int = NoCodec): Long = {
+    val set = encodeMessageSet(records, codec)
     val b = roundTrip(host, port, apiKey = 0, apiVersion = 2, body => {
       body.putShort(-1) // acks: full ISR
       body.putInt(30000) // timeout

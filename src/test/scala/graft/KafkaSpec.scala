@@ -23,6 +23,9 @@ class KafkaSpec extends SparkSpec {
   private var server: ServerSocket = _
   private var port: Int = _
   @volatile private var running = true
+  // when nonzero, Fetch responses ship as compressed wrappers with this
+  // codec id — exercising the consumer-side decompression path
+  private val fetchCodec = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def defineTopic(name: String, partitions: Int): Unit =
     topics.put(name, Array.fill(partitions)(
@@ -144,7 +147,8 @@ class KafkaSpec extends SparkSpec {
               if (used + sz > maxBytes) stop = true
               else { out += Record(i.toLong, ts, k, v); used += sz; i += 1 }
             }
-            val set = KafkaProtocol.encodeMessageSetAt(out.result())
+            val set = KafkaProtocol.encodeMessageSetAt(out.result(),
+              fetchCodec.get())
             resp.putInt(pid); resp.putShort(0)
             resp.putLong(snap.length.toLong) // high watermark
             resp.putInt(set.length); resp.put(set)
@@ -360,21 +364,113 @@ class KafkaSpec extends SparkSpec {
       ((-973932308 & 0x7fffffff) % 12))
   }
 
-  test("compressed message sets are refused loudly, not mis-decoded") {
+  test("gzip/snappy/lz4 message sets round-trip with correct offsets") {
+    val records = (0 until 50).map(i =>
+      (1000L + i, s"key-$i".getBytes, ("v" * (i + 1)).getBytes))
+    for (codec <- Seq(KafkaProtocol.Gzip, KafkaProtocol.SnappyCodec,
+        KafkaProtocol.Lz4)) {
+      // producer-side: inner relative offsets 0..n-1, wrapper = n-1
+      val set = KafkaProtocol.encodeMessageSet(records, codec)
+      val decoded = KafkaProtocol.decodeMessageSet(set)
+      assert(decoded.map(_.offset) == (0L until 50L), s"codec $codec offsets")
+      assert(decoded.map(_.timestamp) == records.map(_._1), s"codec $codec ts")
+      assert(decoded.map(r => new String(r.value)) ==
+        records.map(r => new String(r._3)), s"codec $codec values")
+      // broker-side: absolute offsets survive the wrapper rebase
+      val abs = records.zipWithIndex.map { case ((ts, k, v), i) =>
+        Record(700L + i, ts, k, v)
+      }
+      val brokerSet = KafkaProtocol.encodeMessageSetAt(abs, codec)
+      val back = KafkaProtocol.decodeMessageSet(brokerSet)
+      assert(back.map(_.offset) == (700L until 750L), s"codec $codec abs")
+      // the wire actually shrank (these values are compressible)
+      val plain = KafkaProtocol.encodeMessageSet(records)
+      assert(set.length < plain.length, s"codec $codec did not compress")
+    }
+  }
+
+  test("log-append-time bit stamps the wrapper timestamp onto inner records") {
+    val set = KafkaProtocol.encodeMessageSet(
+      Seq((10L, null, "a".getBytes), (20L, null, "b".getBytes)),
+      KafkaProtocol.Gzip)
+    // flip the 0x08 attribute bit on the wrapper and re-stamp its CRC
+    val attrPos = 8 + 4 + 4 + 1
+    val stamped = set.clone()
+    stamped(attrPos) = (stamped(attrPos) | 0x08).toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(stamped, 8 + 4 + 4, stamped.length - (8 + 4 + 4))
+    java.nio.ByteBuffer.wrap(stamped).putInt(8 + 4, crc.getValue.toInt)
+    val decoded = KafkaProtocol.decodeMessageSet(stamped)
+    // wrapper ts = max inner ts = 20 → both records carry it
+    assert(decoded.map(_.timestamp) == Seq(20L, 20L))
+  }
+
+  test("corrupt or unknown compressed payloads are refused loudly") {
     val set = KafkaProtocol.encodeMessageSet(
       Seq((1L, "k".getBytes, "v".getBytes)))
-    // attributes byte sits right after magic: offset(8)+size(4)+crc(4)+magic(1)
+    // codec bits claiming gzip over a plain payload: decompress must fail
+    // loudly (bad stream header), never hand back the blob as one record
     val attrPos = 8 + 4 + 4 + 1
-    val gzipped = set.clone()
-    gzipped(attrPos) = 0x01 // gzip codec bits
-    // re-stamp the CRC so only the attributes check can fire
+    val bogus = set.clone()
+    bogus(attrPos) = 0x01
     val crc = new java.util.zip.CRC32
-    crc.update(gzipped, 8 + 4 + 4, gzipped.length - (8 + 4 + 4))
-    val bb = java.nio.ByteBuffer.wrap(gzipped)
-    bb.putInt(8 + 4, crc.getValue.toInt)
+    crc.update(bogus, 8 + 4 + 4, bogus.length - (8 + 4 + 4))
+    java.nio.ByteBuffer.wrap(bogus).putInt(8 + 4, crc.getValue.toInt)
     val e = intercept[IllegalArgumentException](
-      KafkaProtocol.decodeMessageSet(gzipped))
-    assert(e.getMessage.contains("compressed message sets unsupported"))
+      KafkaProtocol.decodeMessageSet(bogus))
+    assert(e.getMessage.contains("corrupted"), e.getMessage)
+    // a truncated gzip wrapper (mid-stream cut) also fails loudly
+    val real = KafkaProtocol.encodeMessageSet(
+      (0 until 100).map(i => (i.toLong, null, s"payload-$i".getBytes)),
+      KafkaProtocol.Gzip)
+    val innerLen = real.length - 34
+    val cut = real.clone()
+    // zero the tail of the compressed payload, keep frame + CRC consistent
+    java.util.Arrays.fill(cut, real.length - innerLen / 3, real.length, 0.toByte)
+    val crc2 = new java.util.zip.CRC32
+    crc2.update(cut, 8 + 4 + 4, cut.length - (8 + 4 + 4))
+    java.nio.ByteBuffer.wrap(cut).putInt(8 + 4, crc2.getValue.toInt)
+    val e2 = intercept[Exception](KafkaProtocol.decodeMessageSet(cut))
+    assert(e2.getMessage.contains("corrupted") ||
+      e2.getMessage.contains("CRC") || e2.getMessage.contains("Corrupt"),
+      e2.getMessage)
+    // zstd (codec id 4) is v2-record-batch-only: refused under magic 1
+    val z = set.clone()
+    z(attrPos) = 0x04
+    val crc3 = new java.util.zip.CRC32
+    crc3.update(z, 8 + 4 + 4, z.length - (8 + 4 + 4))
+    java.nio.ByteBuffer.wrap(z).putInt(8 + 4, crc3.getValue.toInt)
+    val e3 = intercept[IllegalArgumentException](
+      KafkaProtocol.decodeMessageSet(z))
+    assert(e3.getMessage.contains("unsupported compression codec id 4"),
+      e3.getMessage)
+  }
+
+  test("compressed produce and compressed fetch round-trip through the wire") {
+    import spark.implicits._
+    defineTopic("gz-pipe", 2)
+    val df = (0 until 400).map(i => (s"k$i", s"value-$i" * 8))
+      .toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    // producer-side gzip: the emulator's Produce handler decodes through
+    // the same decodeMessageSet, so arrival proves the wrapper format
+    ConnectorRegistry.write(df, url(";topic=gz-pipe;codec=gzip"))
+    val plain = ConnectorRegistry.read(spark, url(";topic=gz-pipe"))
+    assert(plain.count() == 400)
+    // consumer-side: broker ships compressed fetch responses (each codec)
+    for (codec <- Seq(KafkaProtocol.Gzip, KafkaProtocol.SnappyCodec,
+        KafkaProtocol.Lz4)) {
+      fetchCodec.set(codec)
+      try {
+        val back = ConnectorRegistry.read(spark, url(";topic=gz-pipe"))
+        assert(back.count() == 400, s"fetch codec $codec lost rows")
+        assert(back.select("value").as[Array[Byte]].collect()
+          .map(new String(_)).toSet ==
+          (0 until 400).map(i => s"value-$i" * 8).toSet,
+          s"fetch codec $codec mangled values")
+      } finally fetchCodec.set(0)
+    }
   }
 
   test("checkVersions treats an unlisted api key as unsupported") {
