@@ -26,16 +26,16 @@ import java.time.Duration
   *
   * Url grammar: `bigquery://host;projectId=p;datasetId=d;tableId=t`
   * with `;query=` overriding the table read, `;token=` (OAuth bearer),
-  * `;endpoint=` (API base, for emulators/test doubles), `;slices=`,
-  * `;batch=`.
+  * `;endpoint=` (API base, for emulators/test doubles), `;cacert=`
+  * (private-CA PEM for TLS endpoints), `;slices=`, `;batch=`.
   */
 object BigQuery {
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  private def newClient(): HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+  private def newClient(cacert: Option[String] = None): HttpClient =
+    Http.newClient(cacert)
 
   private def call(client: HttpClient, verb: String, url: String,
       body: Option[String], token: Option[String]): String = {
@@ -106,7 +106,7 @@ object BigQuery {
     }
 
   final case class Conf(endpoint: String, projectId: String, token: Option[String],
-      slices: Int, batch: Int)
+      slices: Int, batch: Int, cacert: Option[String])
 
   private def conf(url: EngineUrl): Conf = Conf(
     url.option("endpoint").getOrElse("https://bigquery.googleapis.com/bigquery/v2"),
@@ -114,7 +114,8 @@ object BigQuery {
       throw new IllegalArgumentException("bigquery needs ;projectId=")),
     url.option("token"),
     url.option("slices").map(_.toInt).getOrElse(4),
-    url.option("batch").map(_.toInt).getOrElse(500))
+    url.option("batch").map(_.toInt).getOrElse(500),
+    url.option("cacert"))
 
   /** Distributed read. `;query=` runs that SQL; otherwise
     * `SELECT * FROM dataset.table` from the url options. One driver call
@@ -142,7 +143,7 @@ object BigQuery {
       val where = url.option("where").map(w => s" WHERE $w").getOrElse("")
       s"SELECT $cols FROM $ds.$t$where"
     }
-    val client = newClient()
+    val client = newClient(c.cacert)
     val first = call(client, "POST", s"${c.endpoint}/projects/${c.projectId}/queries",
       Some(JsonMethods.compact(JsonMethods.render(JObject(
         "query" -> JString(sql), "useLegacySql" -> JBool(false),
@@ -157,8 +158,8 @@ object BigQuery {
     val totalRows = str(parsed \ "totalRows").map(_.toLong).getOrElse(0L)
     val jobId = str(parsed \ "jobReference" \ "jobId").getOrElse(
       throw new RuntimeException("BigQuery reply without jobReference.jobId"))
-    val (endpoint, projectId, token, batch) =
-      (c.endpoint, c.projectId, c.token, c.batch)
+    val (endpoint, projectId, token, batch, cacert) =
+      (c.endpoint, c.projectId, c.token, c.batch, c.cacert)
     val slices = math.max(1, math.min(c.slices.toLong,
       (totalRows + batch - 1) / math.max(1, batch)).toInt)
     val per = (totalRows + slices - 1) / slices
@@ -167,7 +168,7 @@ object BigQuery {
       .flatMap { slice =>
         val lo = slice * per
         val hi = math.min(totalRows, lo + per)
-        val cl = newClient()
+        val cl = newClient(cacert)
         // Advance by the rows each page ACTUALLY carried, not by the
         // requested maxResults: the real API caps responses at ~10 MB and
         // may return short pages. An empty page before the range end is a
@@ -210,8 +211,8 @@ object BigQuery {
     val table = url.option("tableId").getOrElse(
       throw new IllegalArgumentException("bigquery write needs ;tableId="))
     val idCol = url.option("id")
-    val (endpoint, projectId, token, batch) =
-      (c.endpoint, c.projectId, c.token, c.batch)
+    val (endpoint, projectId, token, batch, cacert) =
+      (c.endpoint, c.projectId, c.token, c.batch, c.cacert)
     val json = df.select(
       idCol.map(i => org.apache.spark.sql.functions.col(i).cast("string"))
         .getOrElse(org.apache.spark.sql.functions.lit(null).cast("string"))
@@ -220,7 +221,7 @@ object BigQuery {
         org.apache.spark.sql.functions.struct(
           df.columns.map(org.apache.spark.sql.functions.col): _*)).as("__doc"))
     json.foreachPartition { rows: Iterator[Row] =>
-      val cl = newClient()
+      val cl = newClient(cacert)
       rows.grouped(batch).foreach { chunk =>
         val items = chunk.map { r =>
           val id = Option(r.getString(0))

@@ -47,33 +47,41 @@ object Elasticsearch {
     }
   }
 
-  private def newClient(): HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+  /** Serializable connection profile: auth header (`;apikey=` → ApiKey,
+    * `;user=`/`;pass=` → Basic, `;token=` → Bearer) and private-CA
+    * truststore path (`;cacert=`, for `;scheme=https` behind an internal
+    * CA). Plain strings so executor tasks can rebuild their own clients.
+    */
+  private[sources] final case class Wire(auth: Option[String],
+      cacert: Option[String]) {
+    def client(): HttpClient = Http.newClient(cacert)
+  }
+  private[sources] def wire(url: EngineUrl): Wire =
+    Wire(Http.authHeader(url), url.option("cacert"))
 
-  private def postJson(client: HttpClient, url: String, body: String,
-      contentType: String = "application/json"): String = {
+  private def send(client: HttpClient, verb: String, url: String,
+      body: String, w: Wire, contentType: String = "application/json"): String = {
     val resp = Http.sendWithRetry(client,
-      () => HttpRequest.newBuilder(URI.create(url))
-        .header("Content-Type", contentType)
-        .timeout(Duration.ofSeconds(30))
-        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      () => {
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", contentType)
+          .timeout(Duration.ofSeconds(30))
+        w.auth.foreach(a => b.header("Authorization", a))
+        b.method(verb, HttpRequest.BodyPublishers.ofString(body)).build()
+      },
       retries = 3)
     if (resp.statusCode() / 100 == 2) resp.body()
     else throw new RuntimeException(
       s"ES HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
   }
 
-  private def putJson(client: HttpClient, url: String, body: String): String = {
-    val resp = Http.sendWithRetry(client,
-      () => HttpRequest.newBuilder(URI.create(url))
-        .header("Content-Type", "application/json")
-        .timeout(Duration.ofSeconds(30))
-        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
-      retries = 3)
-    if (resp.statusCode() / 100 == 2) resp.body()
-    else throw new RuntimeException(
-      s"ES HTTP ${resp.statusCode()} from $url: ${resp.body().take(200)}")
-  }
+  private def postJson(client: HttpClient, url: String, body: String, w: Wire,
+      contentType: String = "application/json"): String =
+    send(client, "POST", url, body, w, contentType)
+
+  private def putJson(client: HttpClient, url: String, body: String,
+      w: Wire): String =
+    send(client, "PUT", url, body, w)
 
   // -- JSON plumbing (json4s ships with Spark) ------------------------------
   import org.json4s._
@@ -157,12 +165,13 @@ object Elasticsearch {
     * task never materializes more than one page.
     */
   private def scrollSlice(base: String, index: String, sliceId: Int,
-      slices: Int, batch: Int, query: String, source: String): Iterator[String] = {
-    val client = newClient()
+      slices: Int, batch: Int, query: String, source: String,
+      w: Wire): Iterator[String] = {
+    val client = w.client()
     val sliceClause =
       if (slices > 1) s""""slice": {"id": $sliceId, "max": $slices},""" else ""
     val firstBody = postJson(client, s"$base/$index/_search?scroll=2m",
-      s"""{$sliceClause $query $source "size": $batch, "sort": ["_doc"]}""")
+      s"""{$sliceClause $query $source "size": $batch, "sort": ["_doc"]}""", w)
     val (firstSid, firstHits) = parsePage(firstBody, s"slice $sliceId _search")
     new Iterator[Seq[String]] {
       private var page = firstHits
@@ -174,7 +183,7 @@ object Elasticsearch {
         sid match {
           case Some(s) if out.nonEmpty =>
             val resp = postJson(client, s"$base/_search/scroll",
-              s"""{"scroll": "2m", "scroll_id": ${JsonText.jstr(s)}}""")
+              s"""{"scroll": "2m", "scroll_id": ${JsonText.jstr(s)}}""", w)
             val (nsid, nhits) = parsePage(resp, s"slice $sliceId scroll")
             page = nhits
             sid = nsid
@@ -207,10 +216,11 @@ object Elasticsearch {
     val base = t.base
     val query = queryClause(url)
     val source = sourceClause(url)
+    val w = wire(url)
     val docs = spark.range(slices.toLong)
       .repartition(slices)
       .mapPartitions(ids => ids.flatMap(i =>
-        scrollSlice(base, index, i.toInt, slices, batch, query, source)))
+        scrollSlice(base, index, i.toInt, slices, batch, query, source, w)))
     url.option("schema") match {
       case Some(ddl) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -230,6 +240,7 @@ object Elasticsearch {
     val batch = url.option("batch").map(_.toInt).getOrElse(500)
     val idCol = url.option("id")
     val base = t.base
+    val w = wire(url)
     val json = idCol match {
       case Some(c) => df.select(
         org.apache.spark.sql.functions.col(c).cast("string").as("__id"),
@@ -243,7 +254,7 @@ object Elasticsearch {
             df.columns.map(org.apache.spark.sql.functions.col): _*)).as("__doc"))
     }
     json.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      val client = newClient()
+      val client = w.client()
       rows.grouped(batch).foreach { chunk =>
         val ndjson = chunk.map { r =>
           val action = Option(r.getString(0)) match {
@@ -253,7 +264,7 @@ object Elasticsearch {
           }
           action + "\n" + r.getString(1)
         }.mkString("", "\n", "\n")
-        val resp = postJson(client, s"$base/_bulk", ndjson,
+        val resp = postJson(client, s"$base/_bulk", ndjson, w,
           "application/x-ndjson")
         if ((JsonMethods.parse(resp) \ "errors") == JBool(true))
           throw new RuntimeException(
@@ -271,10 +282,11 @@ object Elasticsearch {
     val idx = index.orElse(t.index).getOrElse(
       throw new IllegalArgumentException(
         "Unknown index: must be set in engine_url or as argument"))
-    val client = newClient()
+    val w = wire(url)
+    val client = w.client()
     docId match {
-      case Some(id) => putJson(client, s"${t.base}/$idx/_doc/$id", document)
-      case None => postJson(client, s"${t.base}/$idx/_doc", document)
+      case Some(id) => putJson(client, s"${t.base}/$idx/_doc/$id", document, w)
+      case None => postJson(client, s"${t.base}/$idx/_doc", document, w)
     }
   }
 
@@ -287,7 +299,9 @@ object Elasticsearch {
     val idx = index.orElse(t.index).getOrElse(
       throw new IllegalArgumentException(
         "Unknown index: must be set in engine_url or as argument"))
-    val body = Http.get(newClient(), s"${t.base}/$idx/_doc/$docId")
+    val w = wire(url)
+    val body = Http.get(w.client(), s"${t.base}/$idx/_doc/$docId",
+      auth = w.auth)
     JsonMethods.compact(JsonMethods.render(
       JsonMethods.parse(body) \ "_source"))
   }

@@ -18,6 +18,62 @@ import java.time.Duration
   *    100 TB the calls run distributed, throttled by partition count.
   */
 object Http {
+
+  /** TLS trust for a private CA: an SSLContext trusting exactly the
+    * X.509 certificate(s) in the PEM file at `path` — the standard
+    * self-managed-cluster deployment for Elasticsearch (and any REST
+    * service behind an internal CA). No trust-all fallback: a wrong or
+    * missing cert fails the handshake loudly.
+    */
+  private[sources] def caTrustContext(path: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = new java.io.FileInputStream(path)
+    val certs =
+      try cf.generateCertificates(in)
+      finally in.close()
+    require(!certs.isEmpty, s"no X.509 certificates found in $path")
+    val ks = java.security.KeyStore.getInstance(
+      java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca-$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** HttpClient with an optional private-CA truststore (`;cacert=` url
+    * option). Executor-safe: built from a serializable path, not a
+    * context object.
+    */
+  private[sources] def newClient(cacert: Option[String]): HttpClient = {
+    val b = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10))
+    cacert.foreach(p => b.sslContext(caTrustContext(p)))
+    b.build()
+  }
+
+  /** The Authorization header value an engine url asks for: `;apikey=`
+    * (Elasticsearch ApiKey scheme), `;token=` (OAuth bearer), or
+    * `;user=`/`;pass=` (HTTP Basic). At most one scheme per url.
+    */
+  private[sources] def authHeader(url: EngineUrl): Option[String] = {
+    val schemes = Seq(
+      url.option("apikey").map(k => s"ApiKey $k"),
+      url.option("token").map(t => s"Bearer $t"),
+      url.option("user").map { u =>
+        val p = url.option("pass").getOrElse("")
+        "Basic " + java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes("UTF-8"))
+      }).flatten
+    require(schemes.size <= 1,
+      "at most one auth scheme per url: ;apikey= or ;token= or ;user=/;pass=")
+    schemes.headOption
+  }
+
   /** Send with exponential backoff on 5xx; returns the final response
     * without judging its status (callers own the status policy).
     */
@@ -35,10 +91,15 @@ object Http {
     resp
   }
 
-  private[sources] def get(client: HttpClient, url: String, retries: Int = 3): String = {
+  private[sources] def get(client: HttpClient, url: String, retries: Int = 3,
+      auth: Option[String] = None): String = {
     val resp = sendWithRetry(client,
-      () => HttpRequest.newBuilder(URI.create(url)).GET()
-        .timeout(Duration.ofSeconds(30)).build(),
+      () => {
+        val b = HttpRequest.newBuilder(URI.create(url)).GET()
+          .timeout(Duration.ofSeconds(30))
+        auth.foreach(a => b.header("Authorization", a))
+        b.build()
+      },
       retries)
     if (resp.statusCode() / 100 == 2) resp.body()
     else throw new RuntimeException(

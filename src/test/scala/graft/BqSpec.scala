@@ -35,6 +35,9 @@ class BqSpec extends SparkSpec {
   private val corruptNext = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val emptyNext = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val lastSql = new java.util.concurrent.atomic.AtomicReference[String]("")
+  // when set, every request must carry `Authorization: Bearer <this>`
+  private val requiredToken =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -68,7 +71,13 @@ class BqSpec extends SparkSpec {
       val path = ex.getRequestURI.getPath
       val query = Option(ex.getRequestURI.getQuery).getOrElse("")
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
+      val tok = requiredToken.get()
+      if (tok != null &&
+          ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $tok") {
+        reply(ex, 401, """{"error": {"code": 401,
+          "message": "Request is missing required authentication credential.",
+          "status": "UNAUTHENTICATED"}}""")
+      } else (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
         // POST /projects/p/queries — the emulator "executes" the SQL the
         // connector pushed: projection list and a simple `col op literal`
         // WHERE both run server-side, like the real service
@@ -344,5 +353,35 @@ class BqSpec extends SparkSpec {
       ConnectorRegistry.read(spark,
         bqUrl(";datasetId=no;tableId=such")).count())
     assert(e.getMessage.contains("404") || e.getMessage.contains("no table"))
+  }
+
+  test("auth: bearer token travels on every call; missing token is a loud 401") {
+    import spark.implicits._
+    defineTable("corpus.locked", Seq("v" -> "INTEGER"))
+    // seed before the gate comes up
+    ConnectorRegistry.write((0L until 25L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=locked"))
+    requiredToken.set("ya29.test-oauth-token")
+    try {
+      // tokenless read: loud UNAUTHENTICATED, not an empty DataFrame
+      val e = intercept[Exception](
+        ConnectorRegistry.read(spark,
+          bqUrl(";datasetId=corpus;tableId=locked")).count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("401"), s"401 not surfaced: $msgs")
+      // ;token= rides both the driver's jobs.query and every executor's
+      // getQueryResults page (slices=3 → several independent clients)
+      assert(ConnectorRegistry.read(spark,
+        bqUrl(";datasetId=corpus;tableId=locked;slices=3;batch=7" +
+          ";token=ya29.test-oauth-token")).count() == 25)
+      // writes carry it too
+      ConnectorRegistry.write((25L until 30L).toDF("v"),
+        bqUrl(";datasetId=corpus;tableId=locked;token=ya29.test-oauth-token"))
+      assert(ConnectorRegistry.read(spark,
+        bqUrl(";datasetId=corpus;tableId=locked;slices=1" +
+          ";token=ya29.test-oauth-token")).count() == 30)
+    } finally requiredToken.set(null)
   }
 }

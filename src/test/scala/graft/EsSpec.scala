@@ -45,6 +45,9 @@ class EsSpec extends SparkSpec {
   private val failScrolls = new java.util.concurrent.atomic.AtomicInteger(0)
   private val truncateNextScroll = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val hitlessNextScroll = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // when set, every request must carry exactly this Authorization header
+  private val requiredAuth =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Page of a slice: stateless scroll token
     * `index|slice|max|size|offset|termField|termValue|rangeField|lo|hi|cols`
@@ -118,7 +121,12 @@ class EsSpec extends SparkSpec {
       val path = ex.getRequestURI.getPath
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val method = ex.getRequestMethod
-      (method, path.split("/").filter(_.nonEmpty).toList) match {
+      val needAuth = requiredAuth.get()
+      if (needAuth != null &&
+          ex.getRequestHeaders.getFirst("Authorization") != needAuth) {
+        reply(ex, 401, """{"error": {"type": "security_exception",
+          "reason": "missing authentication credentials"}}""")
+      } else (method, path.split("/").filter(_.nonEmpty).toList) match {
         // POST /<index>/_search?scroll=…   (first page of a slice scroll)
         case ("POST", index :: "_search" :: Nil) =>
           searchCalls.incrementAndGet()
@@ -386,6 +394,42 @@ class EsSpec extends SparkSpec {
       assert(msgs.contains("no hits.hits"),
         s"hitless page did not fail loudly: $msgs")
     } finally hitlessNextScroll.set(false)
+  }
+
+  test("auth: ApiKey and Basic credentials travel; missing auth is a loud 401") {
+    import spark.implicits._
+    val df = (0L until 12L).map(i => Tuple1(i)).toDF("v")
+    ConnectorRegistry.write(df, esUrl("secured", ";id=v"))
+    requiredAuth.set("ApiKey s3cr3t-key")
+    try {
+      // unauthenticated read: loud 401, not a silent empty result
+      val e = intercept[Exception] {
+        ConnectorRegistry.read(spark,
+          esUrl("secured", ";slices=1;schema=v BIGINT")).count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("401"), s"401 not surfaced: $msgs")
+      // ;apikey= flows as `Authorization: ApiKey …` on every request
+      assert(ConnectorRegistry.read(spark,
+        esUrl("secured", ";slices=2;batch=5;apikey=s3cr3t-key;schema=v BIGINT"))
+        .count() == 12)
+      // writes carry it too
+      ConnectorRegistry.write((12L until 15L).map(i => Tuple1(i)).toDF("v"),
+        esUrl("secured", ";id=v;apikey=s3cr3t-key"))
+      assert(docsOf("secured").size == 15)
+      // Basic user/pass: standard RFC 7617 encoding
+      requiredAuth.set("Basic " + java.util.Base64.getEncoder
+        .encodeToString("elastic:changeme".getBytes("UTF-8")))
+      assert(ConnectorRegistry.read(spark,
+        esUrl("secured", ";slices=1;user=elastic;pass=changeme;schema=v BIGINT"))
+        .count() == 15)
+      // two auth schemes on one url is a config error, caught up front
+      intercept[IllegalArgumentException] {
+        ConnectorRegistry.read(spark,
+          esUrl("secured", ";user=elastic;pass=x;apikey=also;schema=v BIGINT"))
+      }
+    } finally requiredAuth.set(null)
   }
 
   test("missing index in engine url fails loudly on read") {
