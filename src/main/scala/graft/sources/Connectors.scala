@@ -308,9 +308,12 @@ object Jdbc {
   *
   * Url grammar (reference `connectors/kafka_connector.py:19-263`):
   * `kafka://host:port;topic=t[;start=@(2020-01-01 00:00:00)|<offset>|earliest]
-  * [;end=@(ts)|<offset>|latest][;batch=...]`. Output schema mirrors the
-  * standard Spark Kafka source: (key binary, value binary, topic,
-  * partition, offset, timestamp).
+  * [;end=@(ts)|<offset>|latest][;batch=...][;codec=gzip|snappy|lz4]
+  * [;user=u;pass=p]`. `;codec=` compresses produce batches wrapper-style;
+  * `;user=`/`;pass=` authenticate every connection via SASL/PLAIN
+  * (SaslHandshake + SaslAuthenticate, driver and executors alike).
+  * Output schema mirrors the standard Spark Kafka source: (key binary,
+  * value binary, topic, partition, offset, timestamp).
   */
 final class KafkaConnector extends Connector {
   val schemes = Seq("kafka")
@@ -328,29 +331,37 @@ final class KafkaConnector extends Connector {
       case Array(h) => (h, 9092)
     }
 
+  /** `;user=`/`;pass=` → SASL/PLAIN on every connection (handshake +
+    * authenticate before each request, driver and executor side alike).
+    */
+  private def saslOf(url: EngineUrl): Option[KafkaProtocol.Sasl] =
+    url.option("user").map(u =>
+      KafkaProtocol.Sasl(u, url.option("pass").getOrElse("")))
+
   def read(spark: SparkSession, url: EngineUrl): DataFrame = {
     import KafkaProtocol._
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
-    checkVersions(host, port) // fail fast if the broker dropped our versions
-    val parts = metadata(host, port, topic)
+    val sasl = saslOf(url)
+    checkVersions(host, port, sasl) // fail fast if the broker dropped our versions
+    val parts = metadata(host, port, topic, sasl)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")
     // resolve the range PER PARTITION on the driver: k tiny RPCs, so each
     // task starts with a closed [start, end) plan — no executor rendezvous
     def bound(spec: Option[String], default: Long, p: PartitionMeta): Long =
       spec match {
-        case None => listOffset(p.leaderHost, p.leaderPort, topic, p.partition, default)
+        case None => listOffset(p.leaderHost, p.leaderPort, topic, p.partition, default, sasl)
         case Some(s) => toMillis(s) match {
           case Some(ms) =>
-            val off = listOffset(p.leaderHost, p.leaderPort, topic, p.partition, ms)
+            val off = listOffset(p.leaderHost, p.leaderPort, topic, p.partition, ms, sasl)
             // no record at/after ts → read to log end (end bound) / empty (start)
-            if (off < 0) listOffset(p.leaderHost, p.leaderPort, topic, p.partition, LatestTs)
+            if (off < 0) listOffset(p.leaderHost, p.leaderPort, topic, p.partition, LatestTs, sasl)
             else off
           case None if s == "earliest" =>
-            listOffset(p.leaderHost, p.leaderPort, topic, p.partition, EarliestTs)
+            listOffset(p.leaderHost, p.leaderPort, topic, p.partition, EarliestTs, sasl)
           case None if s == "latest" =>
-            listOffset(p.leaderHost, p.leaderPort, topic, p.partition, LatestTs)
+            listOffset(p.leaderHost, p.leaderPort, topic, p.partition, LatestTs, sasl)
           case None => s.toLong
         }
       }
@@ -367,7 +378,7 @@ final class KafkaConnector extends Connector {
           def hasNext: Boolean = off < end
           def next(): Seq[Record] = {
             val (recs, hw) = fetch(p.leaderHost, p.leaderPort, p.topic,
-              p.partition, off, maxBytes)
+              p.partition, off, maxBytes, sasl)
             if (recs.isEmpty) {
               // empty below the high watermark = one message exceeds
               // maxBytes (the broker truncated it) — fail loudly rather
@@ -416,8 +427,9 @@ final class KafkaConnector extends Connector {
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
-    checkVersions(host, port) // fail fast if the broker dropped our versions
-    val parts = metadata(host, port, topic)
+    val sasl = saslOf(url)
+    checkVersions(host, port, sasl) // fail fast if the broker dropped our versions
+    val parts = metadata(host, port, topic, sasl)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")
     val n = parts.size
     val byLeader = parts.map(p => p.partition -> p).toMap
@@ -450,7 +462,7 @@ final class KafkaConnector extends Connector {
             val meta = byLeader(pid)
             produce(meta.leaderHost, meta.leaderPort, topic, pid,
               rs.map(r => (r.getLong(3), r.getAs[Array[Byte]](1),
-                r.getAs[Array[Byte]](2))), codec)
+                r.getAs[Array[Byte]](2))), codec, sasl)
           }
         }
       }

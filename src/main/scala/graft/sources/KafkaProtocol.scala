@@ -53,32 +53,76 @@ object KafkaProtocol {
     if (n < 0) null else { val arr = new Array[Byte](n); b.get(arr); arr }
   }
 
-  /** One framed round-trip: returns the response body (header's
-    * correlation id verified and consumed).
+  /** SASL/PLAIN credentials (RFC 4616 over the Kafka SASL frames). */
+  final case class Sasl(user: String, pass: String)
+
+  /** One framed request/response on an open connection. */
+  private def exchange(socket: Socket, apiKey: Short, apiVersion: Short,
+      corrId: Int, writeBody: ByteBuffer => Unit, capacity: Int): ByteBuffer = {
+    val body = ByteBuffer.allocate(capacity)
+    body.putShort(apiKey).putShort(apiVersion).putInt(corrId)
+    str(body, ClientId)
+    writeBody(body)
+    body.flip()
+    val out = new DataOutputStream(socket.getOutputStream)
+    out.writeInt(body.remaining())
+    out.write(body.array(), 0, body.remaining())
+    out.flush()
+    val in = new DataInputStream(socket.getInputStream)
+    val size = in.readInt()
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val buf = ByteBuffer.wrap(resp)
+    val corr = buf.getInt
+    require(corr == corrId, s"correlation id mismatch: $corr (want $corrId)")
+    buf
+  }
+
+  /** SASL/PLAIN authentication on a fresh connection, per the published
+    * flow: SaslHandshake v1 (api key 17) names the mechanism, then
+    * SaslAuthenticate v0 (api key 36) carries the RFC 4616 token
+    * `[authzid] NUL user NUL pass`. Both failure paths surface the
+    * broker's own error text.
+    */
+  private def authenticate(socket: Socket, sasl: Sasl): Unit = {
+    val hs = exchange(socket, apiKey = 17, apiVersion = 1, corrId = 5,
+      body => str(body, "PLAIN"), capacity = 1 << 10)
+    val hsErr = hs.getShort
+    if (hsErr != 0) {
+      val mechanisms = (0 until hs.getInt).map(_ => readStr(hs))
+      throw new RuntimeException(
+        s"SASL handshake rejected (error $hsErr): broker mechanisms " +
+          s"[${mechanisms.mkString(", ")}], client offers PLAIN")
+    }
+    hs.getInt // enabled mechanisms array (success path: informational)
+    val token = ("\u0000" + sasl.user + "\u0000" + sasl.pass).getBytes(UTF_8)
+    val auth = exchange(socket, apiKey = 36, apiVersion = 0, corrId = 6,
+      body => bytes(body, token), capacity = token.length + 256)
+    val authErr = auth.getShort
+    if (authErr != 0) {
+      val msg = {
+        val n = auth.getShort
+        if (n < 0) "(no message)"
+        else { val a = new Array[Byte](n); auth.get(a); new String(a, UTF_8) }
+      }
+      throw new RuntimeException(
+        s"SASL authentication failed for user '${sasl.user}' " +
+          s"(error $authErr): $msg")
+    }
+  }
+
+  /** One framed round-trip on its own connection, authenticating first
+    * when `sasl` is set: returns the response body (header's correlation
+    * id verified and consumed).
     */
   private def roundTrip(host: String, port: Int, apiKey: Short,
       apiVersion: Short, writeBody: ByteBuffer => Unit,
-      capacity: Int = 1 << 16): ByteBuffer = {
+      capacity: Int = 1 << 16, sasl: Option[Sasl] = None): ByteBuffer = {
     val socket = new Socket(host, port)
     try {
       socket.setSoTimeout(30000)
-      val body = ByteBuffer.allocate(capacity)
-      body.putShort(apiKey).putShort(apiVersion).putInt(7) // correlation id
-      str(body, ClientId)
-      writeBody(body)
-      body.flip()
-      val out = new DataOutputStream(socket.getOutputStream)
-      out.writeInt(body.remaining())
-      out.write(body.array(), 0, body.remaining())
-      out.flush()
-      val in = new DataInputStream(socket.getInputStream)
-      val size = in.readInt()
-      val resp = new Array[Byte](size)
-      in.readFully(resp)
-      val buf = ByteBuffer.wrap(resp)
-      val corr = buf.getInt
-      require(corr == 7, s"correlation id mismatch: $corr")
-      buf
+      sasl.foreach(authenticate(socket, _))
+      exchange(socket, apiKey, apiVersion, corrId = 7, writeBody, capacity)
     } finally socket.close()
   }
 
@@ -87,8 +131,10 @@ object KafkaProtocol {
     * broker no longer serves the pinned versions, instead of a confusing
     * frame-decode error mid-read.
     */
-  def apiVersions(host: String, port: Int): Map[Short, (Short, Short)] = {
-    val b = roundTrip(host, port, apiKey = 18, apiVersion = 0, _ => ())
+  def apiVersions(host: String, port: Int,
+      sasl: Option[Sasl] = None): Map[Short, (Short, Short)] = {
+    val b = roundTrip(host, port, apiKey = 18, apiVersion = 0, _ => (),
+      sasl = sasl)
     val err = b.getShort
     require(err == 0, s"ApiVersions error $err")
     (0 until b.getInt).map { _ =>
@@ -115,8 +161,9 @@ object KafkaProtocol {
     }
 
   /** Assert the broker still serves every pinned version. */
-  def checkVersions(host: String, port: Int): Unit = {
-    val ranges = apiVersions(host, port)
+  def checkVersions(host: String, port: Int,
+      sasl: Option[Sasl] = None): Unit = {
+    val ranges = apiVersions(host, port, sasl)
     val unsupported = unsupportedVersions(ranges)
     require(unsupported.isEmpty,
       s"broker $host:$port no longer serves pinned api versions: " +
@@ -125,10 +172,11 @@ object KafkaProtocol {
   }
 
   /** Metadata v0: partition list with the leader broker of each. */
-  def metadata(host: String, port: Int, topic: String): Seq[PartitionMeta] = {
+  def metadata(host: String, port: Int, topic: String,
+      sasl: Option[Sasl] = None): Seq[PartitionMeta] = {
     val b = roundTrip(host, port, apiKey = 3, apiVersion = 0, body => {
       body.putInt(1); str(body, topic)
-    })
+    }, sasl = sasl)
     val brokers = (0 until b.getInt).map { _ =>
       val nodeId = b.getInt; val h = readStr(b); val p = b.getInt
       nodeId -> (h, p)
@@ -151,12 +199,12 @@ object KafkaProtocol {
     * -2 = log start. Returns -1 when no offset satisfies the timestamp.
     */
   def listOffset(host: String, port: Int, topic: String, partition: Int,
-      ts: Long): Long = {
+      ts: Long, sasl: Option[Sasl] = None): Long = {
     val b = roundTrip(host, port, apiKey = 2, apiVersion = 1, body => {
       body.putInt(-1) // replicaId
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition); body.putLong(ts)
-    })
+    }, sasl = sasl)
     val nTopics = b.getInt
     require(nTopics == 1, s"unexpected ListOffsets topic count $nTopics")
     readStr(b)
@@ -398,7 +446,7 @@ object KafkaProtocol {
     */
   def produce(host: String, port: Int, topic: String, partition: Int,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      codec: Int = NoCodec): Long = {
+      codec: Int = NoCodec, sasl: Option[Sasl] = None): Long = {
     val set = encodeMessageSet(records, codec)
     val b = roundTrip(host, port, apiKey = 0, apiVersion = 2, body => {
       body.putShort(-1) // acks: full ISR
@@ -406,7 +454,7 @@ object KafkaProtocol {
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition)
       body.putInt(set.length); body.put(set)
-    }, capacity = set.length + 1024)
+    }, capacity = set.length + 1024, sasl = sasl)
     val nTopics = b.getInt; require(nTopics == 1, s"produce topics $nTopics")
     readStr(b)
     val nParts = b.getInt; require(nParts == 1, s"produce partitions $nParts")
@@ -423,7 +471,8 @@ object KafkaProtocol {
     * partition's high watermark (log end).
     */
   def fetch(host: String, port: Int, topic: String, partition: Int,
-      offset: Long, maxBytes: Int = 1 << 20): (Seq[Record], Long) = {
+      offset: Long, maxBytes: Int = 1 << 20,
+      sasl: Option[Sasl] = None): (Seq[Record], Long) = {
     val b = roundTrip(host, port, apiKey = 1, apiVersion = 2, body => {
       body.putInt(-1) // replicaId
       body.putInt(500) // maxWaitMs
@@ -431,7 +480,7 @@ object KafkaProtocol {
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition)
       body.putLong(offset); body.putInt(maxBytes)
-    })
+    }, sasl = sasl)
     b.getInt // throttle
     val nTopics = b.getInt; require(nTopics == 1, s"fetch topics $nTopics")
     readStr(b)

@@ -58,12 +58,15 @@ class KafkaStreamProvider extends TableProvider with DataSourceRegister {
     new KafkaStreamTable(opts.get("bootstrap"), opts.get("topic"),
       Option(opts.get("startingoffsets")).getOrElse("earliest"),
       Option(opts.get("maxoffsetspertrigger")).map(_.toLong),
-      Option(opts.get("epochledger")))
+      Option(opts.get("epochledger")),
+      Option(opts.get("user")).map(u => KafkaProtocol.Sasl(u,
+        Option(opts.get("pass")).getOrElse(""))))
   }
 }
 
 class KafkaStreamTable(bootstrap: String, topic: String, startingOffsets: String,
-    maxPerTrigger: Option[Long], epochLedger: Option[String])
+    maxPerTrigger: Option[Long], epochLedger: Option[String],
+    sasl: Option[KafkaProtocol.Sasl] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(bootstrap != null, "graft-kafka needs option bootstrap=host:port")
   require(topic != null, "graft-kafka needs option topic=")
@@ -76,14 +79,14 @@ class KafkaStreamTable(bootstrap: String, topic: String, startingOffsets: String
       // the 6-column read schema — schema checks happen in the builder
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KafkaScan(bootstrap, topic, startingOffsets, maxPerTrigger)
+    () => new KafkaScan(bootstrap, topic, startingOffsets, maxPerTrigger, sasl)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new KafkaStreamingWrite(bootstrap, topic,
             epochLedger.getOrElse(s"${topic}__epochs"),
-            info.queryId(), info.schema())
+            info.queryId(), info.schema(), sasl)
       }
     }
 }
@@ -102,10 +105,12 @@ object KafkaOffsets {
 }
 
 case class KafkaRange(host: String, port: Int, topic: String, partition: Int,
-    start: Long, end: Long, maxBytes: Int) extends InputPartition
+    start: Long, end: Long, maxBytes: Int,
+    sasl: Option[KafkaProtocol.Sasl] = None) extends InputPartition
 
 class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
-    maxPerTrigger: Option[Long]) extends Scan {
+    maxPerTrigger: Option[Long],
+    sasl: Option[KafkaProtocol.Sasl] = None) extends Scan {
 
   private val (host, port) = bootstrap.split(":", 2) match {
     case Array(h, p) => (h, p.toInt)
@@ -117,19 +122,19 @@ class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream with SupportsAdmissionControl {
       private def parts: Seq[PartitionMeta] =
-        KafkaProtocol.metadata(host, port, topic)
+        KafkaProtocol.metadata(host, port, topic, sasl)
 
       private def trueLatest: Map[Int, Long] = parts.map(p =>
         p.partition -> KafkaProtocol.listOffset(
           p.leaderHost, p.leaderPort, topic, p.partition,
-          KafkaProtocol.LatestTs)).toMap
+          KafkaProtocol.LatestTs, sasl)).toMap
 
       override def initialOffset(): Offset = {
         val ts = if (startingOffsets == "latest") KafkaProtocol.LatestTs
           else KafkaProtocol.EarliestTs
         KafkaOffsets(parts.map(p =>
           p.partition -> KafkaProtocol.listOffset(
-            p.leaderHost, p.leaderPort, topic, p.partition, ts)).toMap)
+            p.leaderHost, p.leaderPort, topic, p.partition, ts, sasl)).toMap)
       }
 
       override def getDefaultReadLimit: ReadLimit =
@@ -178,7 +183,7 @@ class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
           val hi = e.getOrElse(p.partition, lo)
           if (hi > lo)
             Some(KafkaRange(p.leaderHost, p.leaderPort, topic, p.partition,
-              lo, hi, 1 << 20): InputPartition)
+              lo, hi, 1 << 20, sasl): InputPartition)
           else None
         }.toArray
       }
@@ -214,24 +219,25 @@ private[graft] object EpochLedger {
   private val known =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Long)]()
 
-  private def leaderOf(host: String, port: Int,
-      ledger: String): PartitionMeta =
-    KafkaProtocol.metadata(host, port, ledger).find(_.partition == 0)
+  private def leaderOf(host: String, port: Int, ledger: String,
+      sasl: Option[KafkaProtocol.Sasl]): PartitionMeta =
+    KafkaProtocol.metadata(host, port, ledger, sasl).find(_.partition == 0)
       .getOrElse(throw new IllegalStateException(
         s"epoch-ledger topic '$ledger' does not exist on $host:$port — " +
           "create it (1 partition is enough) or pass ;epochLedger= / " +
           "option(\"epochLedger\", …) pointing at an existing topic"))
 
   /** All (queryId, epochId) markers currently in the ledger. */
-  def committed(host: String, port: Int, ledger: String): Set[(String, Long)] = {
-    val p0 = leaderOf(host, port, ledger)
+  def committed(host: String, port: Int, ledger: String,
+      sasl: Option[KafkaProtocol.Sasl] = None): Set[(String, Long)] = {
+    val p0 = leaderOf(host, port, ledger, sasl)
     val end = KafkaProtocol.listOffset(p0.leaderHost, p0.leaderPort, ledger, 0,
-      KafkaProtocol.LatestTs)
+      KafkaProtocol.LatestTs, sasl)
     val out = Set.newBuilder[(String, Long)]
     var off = 0L
     while (off < end) {
       val (recs, _) = KafkaProtocol.fetch(
-        p0.leaderHost, p0.leaderPort, ledger, 0, off)
+        p0.leaderHost, p0.leaderPort, ledger, 0, off, sasl = sasl)
       if (recs.isEmpty) off = end
       else {
         recs.foreach { r =>
@@ -246,21 +252,23 @@ private[graft] object EpochLedger {
   }
 
   def isCommitted(host: String, port: Int, ledger: String,
-      queryId: String, epochId: Long): Boolean = {
+      queryId: String, epochId: Long,
+      sasl: Option[KafkaProtocol.Sasl] = None): Boolean = {
     val k = (s"$host:$port/$ledger", queryId, epochId)
     known.contains(k) || {
-      val hit = committed(host, port, ledger).contains((queryId, epochId))
+      val hit = committed(host, port, ledger, sasl).contains((queryId, epochId))
       if (hit) known.add(k)
       hit
     }
   }
 
   def mark(host: String, port: Int, ledger: String,
-      queryId: String, epochId: Long): Unit = {
-    val p0 = leaderOf(host, port, ledger)
+      queryId: String, epochId: Long,
+      sasl: Option[KafkaProtocol.Sasl] = None): Unit = {
+    val p0 = leaderOf(host, port, ledger, sasl)
     KafkaProtocol.produce(p0.leaderHost, p0.leaderPort, ledger, 0,
       Seq((System.currentTimeMillis(), queryId.getBytes("UTF-8"),
-        epochId.toString.getBytes("UTF-8"))))
+        epochId.toString.getBytes("UTF-8"))), sasl = sasl)
     known.add((s"$host:$port/$ledger", queryId, epochId))
   }
 }
@@ -276,7 +284,8 @@ private case class KafkaWriteSummary(records: Long) extends WriterCommitMessage
   * `timestamp` (TimestampType) — the same contract as the batch writer.
   */
 class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
-    queryId: String, schema: StructType) extends StreamingWrite {
+    queryId: String, schema: StructType,
+    sasl: Option[KafkaProtocol.Sasl] = None) extends StreamingWrite {
 
   private val (host, port) = bootstrap.split(":", 2) match {
     case Array(h, p) => (h, p.toInt)
@@ -293,15 +302,15 @@ class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
       fieldIdx("value"), fieldIdx("key"), fieldIdx("timestamp"),
       schema.fields(fieldIdx("value")).dataType == StringType,
       fieldIdx("key") >= 0 &&
-        schema.fields(fieldIdx("key")).dataType == StringType)
+        schema.fields(fieldIdx("key")).dataType == StringType, sasl)
 
   /** Every task succeeded: fence this epoch. A replayed epoch whose
     * marker already landed is NOT re-marked (idempotent).
     */
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    if (!EpochLedger.isCommitted(host, port, ledger, queryId, epochId))
-      EpochLedger.mark(host, port, ledger, queryId, epochId)
+    if (!EpochLedger.isCommitted(host, port, ledger, queryId, epochId, sasl))
+      EpochLedger.mark(host, port, ledger, queryId, epochId, sasl)
 
   /** No marker is written: Spark will replay the epoch. Records already
     * produced by succeeded tasks remain (at-least-once inside an
@@ -313,15 +322,17 @@ class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
 
 private case class KafkaEpochWriterFactory(host: String, port: Int,
     topic: String, ledger: String, queryId: String, valueIdx: Int,
-    keyIdx: Int, tsIdx: Int, valueIsString: Boolean, keyIsString: Boolean)
+    keyIdx: Int, tsIdx: Int, valueIsString: Boolean, keyIsString: Boolean,
+    sasl: Option[KafkaProtocol.Sasl] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // one ledger probe per task; positive results are JVM-cached so a
     // 1000-task epoch costs one fetch per executor, not per task
-    val skip = EpochLedger.isCommitted(host, port, ledger, queryId, epochId)
-    val parts = KafkaProtocol.metadata(host, port, topic)
+    val skip = EpochLedger.isCommitted(host, port, ledger, queryId, epochId,
+      sasl)
+    val parts = KafkaProtocol.metadata(host, port, topic, sasl)
     val byPartition = parts.map(p => p.partition -> p).toMap
     val n = parts.size
     new DataWriter[InternalRow] {
@@ -334,7 +345,7 @@ private case class KafkaEpochWriterFactory(host: String, port: Int,
         if (rows.nonEmpty) {
           val m = byPartition(p)
           KafkaProtocol.produce(m.leaderHost, m.leaderPort, topic, p,
-            rows.toSeq)
+            rows.toSeq, sasl = sasl)
         }
       }
 
@@ -382,7 +393,7 @@ class KafkaReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         while (!page.hasNext && off < r.end) {
           val (recs, hw) = KafkaProtocol.fetch(
-            r.host, r.port, r.topic, r.partition, off, r.maxBytes)
+            r.host, r.port, r.topic, r.partition, off, r.maxBytes, r.sasl)
           if (recs.isEmpty) {
             if (off < math.min(r.end, hw)) throw new RuntimeException(
               s"kafka fetch returned no complete message at offset $off of" +

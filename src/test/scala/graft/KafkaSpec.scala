@@ -26,6 +26,13 @@ class KafkaSpec extends SparkSpec {
   // when nonzero, Fetch responses ship as compressed wrappers with this
   // codec id — exercising the consumer-side decompression path
   private val fetchCodec = new java.util.concurrent.atomic.AtomicInteger(0)
+  // when set to (user, pass), connections must SASL/PLAIN-authenticate
+  // before anything but ApiVersions — unauthenticated requests get the
+  // connection killed, like a real broker
+  private val requireSasl =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+  private final class ConnState { var authed = false }
+  private final class KillConnection extends RuntimeException
 
   private def defineTopic(name: String, partitions: Int): Unit =
     topics.put(name, Array.fill(partitions)(
@@ -41,14 +48,37 @@ class KafkaSpec extends SparkSpec {
     val bytes = s.getBytes(UTF_8); b.putShort(bytes.length.toShort); b.put(bytes)
   }
 
-  private def handle(req: ByteBuffer): ByteBuffer = {
+  private def handle(req: ByteBuffer, conn: ConnState): ByteBuffer = {
     val apiKey = req.getShort
     val apiVersion = req.getShort
     val corr = req.getInt
     readStr(req) // clientId
     val resp = ByteBuffer.allocate(1 << 22)
     resp.putInt(corr)
+    val creds = requireSasl.get()
+    if (creds != null && !conn.authed &&
+        apiKey != 18 && apiKey != 17 && apiKey != 36)
+      throw new KillConnection // real brokers drop unauthenticated conns
     (apiKey, apiVersion) match {
+      case (17, 1) => // SaslHandshake
+        val mech = readStr(req)
+        if (mech == "PLAIN") { resp.putShort(0) }
+        else resp.putShort(33) // UNSUPPORTED_SASL_MECHANISM
+        resp.putInt(1); putStr(resp, "PLAIN")
+      case (36, 0) => // SaslAuthenticate
+        val n = req.getInt
+        val tok = new Array[Byte](n); req.get(tok)
+        val parts = new String(tok, UTF_8).split("\u0000", -1)
+        val ok = creds != null && parts.length == 3 &&
+          parts(1) == creds._1 && parts(2) == creds._2
+        if (ok) {
+          conn.authed = true
+          resp.putShort(0); resp.putShort(-1); resp.putInt(0)
+        } else {
+          resp.putShort(58) // SASL_AUTHENTICATION_FAILED
+          putStr(resp, "Authentication failed: invalid credentials")
+          resp.putInt(0)
+        }
       case (3, 0) => // Metadata
         val nTopics = req.getInt
         val names =
@@ -157,7 +187,8 @@ class KafkaSpec extends SparkSpec {
       case (18, 0) => // ApiVersions
         resp.putShort(0)
         val supported = Seq[(Short, Short, Short)](
-          (0, 0, 2), (1, 1, 2), (2, 1, 1), (3, 0, 0), (18, 0, 0))
+          (0, 0, 2), (1, 1, 2), (2, 1, 1), (3, 0, 0), (17, 0, 1),
+          (18, 0, 0), (36, 0, 1))
         resp.putInt(supported.size)
         supported.foreach { case (k, lo, hi) =>
           resp.putShort(k); resp.putShort(lo); resp.putShort(hi)
@@ -187,11 +218,12 @@ class KafkaSpec extends SparkSpec {
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
+      val conn = new ConnState
       while (true) {
         val size = in.readInt()
         val raw = new Array[Byte](size)
         in.readFully(raw)
-        val resp = handle(ByteBuffer.wrap(raw))
+        val resp = handle(ByteBuffer.wrap(raw), conn)
         out.writeInt(resp.remaining())
         out.write(resp.array(), 0, resp.remaining())
         out.flush()
@@ -327,6 +359,39 @@ class KafkaSpec extends SparkSpec {
       assert(batches >= 3, s"got $batches batches")
       assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 15)
     } finally q.stop()
+  }
+
+  test("SASL/PLAIN flows through the streaming source and sink") {
+    import spark.implicits._
+    defineTopic("sasl-in", 1)
+    defineTopic("sasl-out", 1)
+    defineTopic("sasl-out__epochs", 1)
+    requireSasl.set(("svc-stream", "pw"))
+    try {
+      ConnectorRegistry.write(
+        (0 until 25).map(i => Tuple1(s"s-$i")).toDF("value"),
+        url(";topic=sasl-in;user=svc-stream;pass=pw"))
+      // source -> transform -> DSv2 sink, every hop authenticated
+      val q = spark.readStream.format("graft-kafka")
+        .option("bootstrap", s"127.0.0.1:$port")
+        .option("topic", "sasl-in")
+        .option("user", "svc-stream").option("pass", "pw")
+        .load()
+        .select(concat(col("value").cast("string"), lit("!")).as("value"))
+        .writeStream.format("graft-kafka")
+        .option("bootstrap", s"127.0.0.1:$port")
+        .option("topic", "sasl-out")
+        .option("user", "svc-stream").option("pass", "pw")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sasl-ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = ConnectorRegistry.read(spark,
+        url(";topic=sasl-out;user=svc-stream;pass=pw"))
+      assert(out.count() == 25)
+      assert(out.select(col("value").cast("string")).as[String].collect()
+        .toSet == (0 until 25).map(i => s"s-$i!").toSet)
+    } finally requireSasl.set(null)
   }
 
   test("message-set codec: CRC corruption detected, null keys round-trip") {
@@ -471,6 +536,36 @@ class KafkaSpec extends SparkSpec {
           s"fetch codec $codec mangled values")
       } finally fetchCodec.set(0)
     }
+  }
+
+  test("SASL/PLAIN: credentialed round-trip; bad or missing creds fail loudly") {
+    import spark.implicits._
+    defineTopic("locked", 2)
+    requireSasl.set(("svc-graft", "hunter2"))
+    try {
+      // every connection (driver metadata/offsets AND executor
+      // fetch/produce) re-authenticates: full write + read round-trip
+      val df = (0 until 60).map(i => Tuple1(s"m-$i")).toDF("value")
+        .select(col("value").cast("binary").as("value"))
+      ConnectorRegistry.write(df,
+        url(";topic=locked;user=svc-graft;pass=hunter2"))
+      val back = ConnectorRegistry.read(spark,
+        url(";topic=locked;user=svc-graft;pass=hunter2"))
+      assert(back.count() == 60)
+      // wrong password: the broker's SASL error text surfaces
+      val e = intercept[Exception](
+        ConnectorRegistry.read(spark,
+          url(";topic=locked;user=svc-graft;pass=wrong")).count())
+      assert(e.getMessage.contains("SASL authentication failed"),
+        e.getMessage)
+      // no credentials at all: the broker kills the connection — a loud
+      // failure, never an empty DataFrame
+      intercept[Exception](
+        ConnectorRegistry.read(spark, url(";topic=locked")).count())
+      // credentials still work after the failures (no poisoned state)
+      assert(ConnectorRegistry.read(spark,
+        url(";topic=locked;user=svc-graft;pass=hunter2")).count() == 60)
+    } finally requireSasl.set(null)
   }
 
   test("checkVersions treats an unlisted api key as unsupported") {
