@@ -331,19 +331,24 @@ final class KafkaConnector extends Connector {
       case Array(h) => (h, 9092)
     }
 
-  /** `;user=`/`;pass=` → SASL/PLAIN on every connection (handshake +
-    * authenticate before each request, driver and executor side alike).
+  /** `;user=`/`;pass=` → SASL/PLAIN, `;tls=true`/`;cacert=` → TLS —
+    * composing to all four broker listener flavors (PLAINTEXT, SSL,
+    * SASL_PLAINTEXT, SASL_SSL), applied on every connection, driver and
+    * executor side alike.
     */
-  private def saslOf(url: EngineUrl): Option[KafkaProtocol.Sasl] =
-    url.option("user").map(u =>
-      KafkaProtocol.Sasl(u, url.option("pass").getOrElse("")))
+  private def secOf(url: EngineUrl): KafkaProtocol.Security =
+    KafkaProtocol.Security(
+      url.option("user").map(u =>
+        KafkaProtocol.Sasl(u, url.option("pass").getOrElse(""))),
+      url.option("cacert"),
+      url.option("tls").exists(_.toBoolean))
 
   def read(spark: SparkSession, url: EngineUrl): DataFrame = {
     import KafkaProtocol._
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
-    val sasl = saslOf(url)
+    val sasl = secOf(url)
     checkVersions(host, port, sasl) // fail fast if the broker dropped our versions
     val parts = metadata(host, port, topic, sasl)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")
@@ -427,7 +432,7 @@ final class KafkaConnector extends Connector {
     val topic = url.option("topic").getOrElse(
       throw new IllegalArgumentException("kafka needs ;topic="))
     val (host, port) = hostPort(url)
-    val sasl = saslOf(url)
+    val sasl = secOf(url)
     checkVersions(host, port, sasl) // fail fast if the broker dropped our versions
     val parts = metadata(host, port, topic, sasl)
     require(parts.nonEmpty, s"kafka topic $topic has no partitions")

@@ -56,6 +56,38 @@ object KafkaProtocol {
   /** SASL/PLAIN credentials (RFC 4616 over the Kafka SASL frames). */
   final case class Sasl(user: String, pass: String)
 
+  /** Per-connection security config — the four real broker listener
+    * flavors: PLAINTEXT (neither), SSL (`tls`/`cacert`), SASL_PLAINTEXT
+    * (`sasl`), SASL_SSL (both). `cacert` is a private-CA PEM path (the
+    * self-managed-cluster norm); `tls` without it uses the JVM's default
+    * trust anchors (public-CA listeners).
+    */
+  final case class Security(sasl: Option[Sasl] = None,
+      cacert: Option[String] = None, tls: Boolean = false) {
+    def useTls: Boolean = tls || cacert.nonEmpty
+  }
+  object Security { val none: Security = Security() }
+
+  private def connect(host: String, port: Int, sec: Security): Socket =
+    if (!sec.useTls) new Socket(host, port)
+    else {
+      val factory = sec.cacert match {
+        case Some(pem) => Http.caTrustContext(pem).getSocketFactory
+        case None => javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+      }
+      val sock = factory.createSocket(host, port)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      // verify the peer's identity against its certificate (SAN), the
+      // HTTPS endpoint-identification algorithm — without this a
+      // man-in-the-middle with ANY valid cert would pass
+      val params = sock.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      sock.setSSLParameters(params)
+      sock.startHandshake()
+      sock
+    }
+
   /** One framed request/response on an open connection. */
   private def exchange(socket: Socket, apiKey: Short, apiVersion: Short,
       corrId: Int, writeBody: ByteBuffer => Unit, capacity: Int): ByteBuffer = {
@@ -117,11 +149,11 @@ object KafkaProtocol {
     */
   private def roundTrip(host: String, port: Int, apiKey: Short,
       apiVersion: Short, writeBody: ByteBuffer => Unit,
-      capacity: Int = 1 << 16, sasl: Option[Sasl] = None): ByteBuffer = {
-    val socket = new Socket(host, port)
+      capacity: Int = 1 << 16, sec: Security = Security.none): ByteBuffer = {
+    val socket = connect(host, port, sec)
     try {
       socket.setSoTimeout(30000)
-      sasl.foreach(authenticate(socket, _))
+      sec.sasl.foreach(authenticate(socket, _))
       exchange(socket, apiKey, apiVersion, corrId = 7, writeBody, capacity)
     } finally socket.close()
   }
@@ -132,9 +164,9 @@ object KafkaProtocol {
     * frame-decode error mid-read.
     */
   def apiVersions(host: String, port: Int,
-      sasl: Option[Sasl] = None): Map[Short, (Short, Short)] = {
+      sec: Security = Security.none): Map[Short, (Short, Short)] = {
     val b = roundTrip(host, port, apiKey = 18, apiVersion = 0, _ => (),
-      sasl = sasl)
+      sec = sec)
     val err = b.getShort
     require(err == 0, s"ApiVersions error $err")
     (0 until b.getInt).map { _ =>
@@ -162,8 +194,8 @@ object KafkaProtocol {
 
   /** Assert the broker still serves every pinned version. */
   def checkVersions(host: String, port: Int,
-      sasl: Option[Sasl] = None): Unit = {
-    val ranges = apiVersions(host, port, sasl)
+      sec: Security = Security.none): Unit = {
+    val ranges = apiVersions(host, port, sec)
     val unsupported = unsupportedVersions(ranges)
     require(unsupported.isEmpty,
       s"broker $host:$port no longer serves pinned api versions: " +
@@ -173,10 +205,10 @@ object KafkaProtocol {
 
   /** Metadata v0: partition list with the leader broker of each. */
   def metadata(host: String, port: Int, topic: String,
-      sasl: Option[Sasl] = None): Seq[PartitionMeta] = {
+      sec: Security = Security.none): Seq[PartitionMeta] = {
     val b = roundTrip(host, port, apiKey = 3, apiVersion = 0, body => {
       body.putInt(1); str(body, topic)
-    }, sasl = sasl)
+    }, sec = sec)
     val brokers = (0 until b.getInt).map { _ =>
       val nodeId = b.getInt; val h = readStr(b); val p = b.getInt
       nodeId -> (h, p)
@@ -199,12 +231,12 @@ object KafkaProtocol {
     * -2 = log start. Returns -1 when no offset satisfies the timestamp.
     */
   def listOffset(host: String, port: Int, topic: String, partition: Int,
-      ts: Long, sasl: Option[Sasl] = None): Long = {
+      ts: Long, sec: Security = Security.none): Long = {
     val b = roundTrip(host, port, apiKey = 2, apiVersion = 1, body => {
       body.putInt(-1) // replicaId
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition); body.putLong(ts)
-    }, sasl = sasl)
+    }, sec = sec)
     val nTopics = b.getInt
     require(nTopics == 1, s"unexpected ListOffsets topic count $nTopics")
     readStr(b)
@@ -446,7 +478,7 @@ object KafkaProtocol {
     */
   def produce(host: String, port: Int, topic: String, partition: Int,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      codec: Int = NoCodec, sasl: Option[Sasl] = None): Long = {
+      codec: Int = NoCodec, sec: Security = Security.none): Long = {
     val set = encodeMessageSet(records, codec)
     val b = roundTrip(host, port, apiKey = 0, apiVersion = 2, body => {
       body.putShort(-1) // acks: full ISR
@@ -454,7 +486,7 @@ object KafkaProtocol {
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition)
       body.putInt(set.length); body.put(set)
-    }, capacity = set.length + 1024, sasl = sasl)
+    }, capacity = set.length + 1024, sec = sec)
     val nTopics = b.getInt; require(nTopics == 1, s"produce topics $nTopics")
     readStr(b)
     val nParts = b.getInt; require(nParts == 1, s"produce partitions $nParts")
@@ -472,7 +504,7 @@ object KafkaProtocol {
     */
   def fetch(host: String, port: Int, topic: String, partition: Int,
       offset: Long, maxBytes: Int = 1 << 20,
-      sasl: Option[Sasl] = None): (Seq[Record], Long) = {
+      sec: Security = Security.none): (Seq[Record], Long) = {
     val b = roundTrip(host, port, apiKey = 1, apiVersion = 2, body => {
       body.putInt(-1) // replicaId
       body.putInt(500) // maxWaitMs
@@ -480,7 +512,7 @@ object KafkaProtocol {
       body.putInt(1); str(body, topic)
       body.putInt(1); body.putInt(partition)
       body.putLong(offset); body.putInt(maxBytes)
-    }, sasl = sasl)
+    }, sec = sec)
     b.getInt // throttle
     val nTopics = b.getInt; require(nTopics == 1, s"fetch topics $nTopics")
     readStr(b)

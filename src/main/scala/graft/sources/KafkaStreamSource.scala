@@ -59,14 +59,17 @@ class KafkaStreamProvider extends TableProvider with DataSourceRegister {
       Option(opts.get("startingoffsets")).getOrElse("earliest"),
       Option(opts.get("maxoffsetspertrigger")).map(_.toLong),
       Option(opts.get("epochledger")),
-      Option(opts.get("user")).map(u => KafkaProtocol.Sasl(u,
-        Option(opts.get("pass")).getOrElse(""))))
+      KafkaProtocol.Security(
+        Option(opts.get("user")).map(u => KafkaProtocol.Sasl(u,
+          Option(opts.get("pass")).getOrElse(""))),
+        Option(opts.get("cacert")),
+        Option(opts.get("tls")).exists(_.toBoolean)))
   }
 }
 
 class KafkaStreamTable(bootstrap: String, topic: String, startingOffsets: String,
     maxPerTrigger: Option[Long], epochLedger: Option[String],
-    sasl: Option[KafkaProtocol.Sasl] = None)
+    sasl: KafkaProtocol.Security = KafkaProtocol.Security.none)
     extends Table with SupportsRead with SupportsWrite {
   require(bootstrap != null, "graft-kafka needs option bootstrap=host:port")
   require(topic != null, "graft-kafka needs option topic=")
@@ -106,11 +109,11 @@ object KafkaOffsets {
 
 case class KafkaRange(host: String, port: Int, topic: String, partition: Int,
     start: Long, end: Long, maxBytes: Int,
-    sasl: Option[KafkaProtocol.Sasl] = None) extends InputPartition
+    sasl: KafkaProtocol.Security = KafkaProtocol.Security.none) extends InputPartition
 
 class KafkaScan(bootstrap: String, topic: String, startingOffsets: String,
     maxPerTrigger: Option[Long],
-    sasl: Option[KafkaProtocol.Sasl] = None) extends Scan {
+    sasl: KafkaProtocol.Security = KafkaProtocol.Security.none) extends Scan {
 
   private val (host, port) = bootstrap.split(":", 2) match {
     case Array(h, p) => (h, p.toInt)
@@ -220,7 +223,7 @@ private[graft] object EpochLedger {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Long)]()
 
   private def leaderOf(host: String, port: Int, ledger: String,
-      sasl: Option[KafkaProtocol.Sasl]): PartitionMeta =
+      sasl: KafkaProtocol.Security): PartitionMeta =
     KafkaProtocol.metadata(host, port, ledger, sasl).find(_.partition == 0)
       .getOrElse(throw new IllegalStateException(
         s"epoch-ledger topic '$ledger' does not exist on $host:$port — " +
@@ -229,7 +232,7 @@ private[graft] object EpochLedger {
 
   /** All (queryId, epochId) markers currently in the ledger. */
   def committed(host: String, port: Int, ledger: String,
-      sasl: Option[KafkaProtocol.Sasl] = None): Set[(String, Long)] = {
+      sasl: KafkaProtocol.Security = KafkaProtocol.Security.none): Set[(String, Long)] = {
     val p0 = leaderOf(host, port, ledger, sasl)
     val end = KafkaProtocol.listOffset(p0.leaderHost, p0.leaderPort, ledger, 0,
       KafkaProtocol.LatestTs, sasl)
@@ -237,7 +240,7 @@ private[graft] object EpochLedger {
     var off = 0L
     while (off < end) {
       val (recs, _) = KafkaProtocol.fetch(
-        p0.leaderHost, p0.leaderPort, ledger, 0, off, sasl = sasl)
+        p0.leaderHost, p0.leaderPort, ledger, 0, off, sec = sasl)
       if (recs.isEmpty) off = end
       else {
         recs.foreach { r =>
@@ -253,7 +256,7 @@ private[graft] object EpochLedger {
 
   def isCommitted(host: String, port: Int, ledger: String,
       queryId: String, epochId: Long,
-      sasl: Option[KafkaProtocol.Sasl] = None): Boolean = {
+      sasl: KafkaProtocol.Security = KafkaProtocol.Security.none): Boolean = {
     val k = (s"$host:$port/$ledger", queryId, epochId)
     known.contains(k) || {
       val hit = committed(host, port, ledger, sasl).contains((queryId, epochId))
@@ -264,11 +267,11 @@ private[graft] object EpochLedger {
 
   def mark(host: String, port: Int, ledger: String,
       queryId: String, epochId: Long,
-      sasl: Option[KafkaProtocol.Sasl] = None): Unit = {
+      sasl: KafkaProtocol.Security = KafkaProtocol.Security.none): Unit = {
     val p0 = leaderOf(host, port, ledger, sasl)
     KafkaProtocol.produce(p0.leaderHost, p0.leaderPort, ledger, 0,
       Seq((System.currentTimeMillis(), queryId.getBytes("UTF-8"),
-        epochId.toString.getBytes("UTF-8"))), sasl = sasl)
+        epochId.toString.getBytes("UTF-8"))), sec = sasl)
     known.add((s"$host:$port/$ledger", queryId, epochId))
   }
 }
@@ -285,7 +288,7 @@ private case class KafkaWriteSummary(records: Long) extends WriterCommitMessage
   */
 class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
     queryId: String, schema: StructType,
-    sasl: Option[KafkaProtocol.Sasl] = None) extends StreamingWrite {
+    sasl: KafkaProtocol.Security = KafkaProtocol.Security.none) extends StreamingWrite {
 
   private val (host, port) = bootstrap.split(":", 2) match {
     case Array(h, p) => (h, p.toInt)
@@ -323,7 +326,7 @@ class KafkaStreamingWrite(bootstrap: String, topic: String, ledger: String,
 private case class KafkaEpochWriterFactory(host: String, port: Int,
     topic: String, ledger: String, queryId: String, valueIdx: Int,
     keyIdx: Int, tsIdx: Int, valueIsString: Boolean, keyIsString: Boolean,
-    sasl: Option[KafkaProtocol.Sasl] = None)
+    sasl: KafkaProtocol.Security = KafkaProtocol.Security.none)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -345,7 +348,7 @@ private case class KafkaEpochWriterFactory(host: String, port: Int,
         if (rows.nonEmpty) {
           val m = byPartition(p)
           KafkaProtocol.produce(m.leaderHost, m.leaderPort, topic, p,
-            rows.toSeq, sasl = sasl)
+            rows.toSeq, sec = sasl)
         }
       }
 
@@ -393,7 +396,7 @@ class KafkaReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         while (!page.hasNext && off < r.end) {
           val (recs, hw) = KafkaProtocol.fetch(
-            r.host, r.port, r.topic, r.partition, off, r.maxBytes, r.sasl)
+            r.host, r.port, r.topic, r.partition, off, r.maxBytes, sec = r.sasl)
           if (recs.isEmpty) {
             if (off < math.min(r.end, hw)) throw new RuntimeException(
               s"kafka fetch returned no complete message at offset $off of" +

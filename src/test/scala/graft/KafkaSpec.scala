@@ -22,6 +22,9 @@ class KafkaSpec extends SparkSpec {
     Array[java.util.List[(Long, Array[Byte], Array[Byte])]]]()
   private var server: ServerSocket = _
   private var port: Int = _
+  private var tlsServer: java.net.ServerSocket = _
+  private var tlsPort: Int = _
+  private var caPem: String = _
   @volatile private var running = true
   // when nonzero, Fetch responses ship as compressed wrappers with this
   // codec id — exercising the consumer-side decompression path
@@ -48,7 +51,8 @@ class KafkaSpec extends SparkSpec {
     val bytes = s.getBytes(UTF_8); b.putShort(bytes.length.toShort); b.put(bytes)
   }
 
-  private def handle(req: ByteBuffer, conn: ConnState): ByteBuffer = {
+  private def handle(req: ByteBuffer, conn: ConnState,
+      advertisePort: Int): ByteBuffer = {
     val apiKey = req.getShort
     val apiVersion = req.getShort
     val corr = req.getInt
@@ -85,7 +89,7 @@ class KafkaSpec extends SparkSpec {
           if (nTopics == 0) topics.keySet().toArray(Array.empty[String]).toSeq
           else (0 until nTopics).map(_ => readStr(req))
         resp.putInt(1) // one broker
-        resp.putInt(0); putStr(resp, "127.0.0.1"); resp.putInt(port)
+        resp.putInt(0); putStr(resp, "127.0.0.1"); resp.putInt(advertisePort)
         resp.putInt(names.size)
         names.foreach { name =>
           val parts = topics.get(name)
@@ -200,6 +204,12 @@ class KafkaSpec extends SparkSpec {
     resp
   }
 
+  private def runCmd(cmd: String*): Unit = {
+    val pr = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+    require(pr.waitFor() == 0, s"${cmd.head} failed: $out")
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     server = new ServerSocket(0)
@@ -208,13 +218,43 @@ class KafkaSpec extends SparkSpec {
       while (running) {
         try {
           val sock = server.accept()
-          new Thread(() => serve(sock)).start()
+          new Thread(() => serve(sock, port)).start()
         } catch { case _: Throwable => () }
       }
     }, "kafka-emulator-accept").start()
+    // TLS listener: self-signed server cert (keytool, SAN IP:127.0.0.1),
+    // same protocol handler behind an SSLServerSocket — the broker's SSL /
+    // SASL_SSL listener flavor
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-tls")
+    val ksPath = dir.resolve("broker.p12").toString
+    caPem = dir.resolve("ca.pem").toString
+    runCmd("keytool", "-genkeypair", "-alias", "broker", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-keystore", ksPath,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=graft-kafka", "-ext", "SAN=IP:127.0.0.1")
+    runCmd("keytool", "-exportcert", "-alias", "broker", "-keystore", ksPath,
+      "-storepass", "changeit", "-rfc", "-file", caPem)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fin = new java.io.FileInputStream(ksPath)
+    try ks.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ssl = javax.net.ssl.SSLContext.getInstance("TLS")
+    ssl.init(kmf.getKeyManagers, null, null)
+    tlsServer = ssl.getServerSocketFactory.createServerSocket(0)
+    tlsPort = tlsServer.getLocalPort
+    new Thread(() => {
+      while (running) {
+        try {
+          val sock = tlsServer.accept()
+          new Thread(() => serve(sock, tlsPort)).start()
+        } catch { case _: Throwable => () }
+      }
+    }, "kafka-emulator-tls-accept").start()
   }
 
-  private def serve(sock: Socket): Unit =
+  private def serve(sock: Socket, advertisePort: Int): Unit =
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -223,7 +263,7 @@ class KafkaSpec extends SparkSpec {
         val size = in.readInt()
         val raw = new Array[Byte](size)
         in.readFully(raw)
-        val resp = handle(ByteBuffer.wrap(raw), conn)
+        val resp = handle(ByteBuffer.wrap(raw), conn, advertisePort)
         out.writeInt(resp.remaining())
         out.write(resp.array(), 0, resp.remaining())
         out.flush()
@@ -233,6 +273,7 @@ class KafkaSpec extends SparkSpec {
   override def afterAll(): Unit = {
     running = false
     server.close()
+    tlsServer.close()
     super.afterAll()
   }
 
@@ -391,6 +432,56 @@ class KafkaSpec extends SparkSpec {
       assert(out.count() == 25)
       assert(out.select(col("value").cast("string")).as[String].collect()
         .toSet == (0 until 25).map(i => s"s-$i!").toSet)
+    } finally requireSasl.set(null)
+  }
+
+  test("TLS listener: ;tls=true;cacert= round-trips; untrusted fails the handshake") {
+    import spark.implicits._
+    defineTopic("tls-pipe", 2)
+    val tlsUrl = s"kafka://127.0.0.1:$tlsPort;topic=tls-pipe" +
+      s";tls=true;cacert=$caPem"
+    val df = (0 until 80).map(i => (s"k$i", s"enc-$i")).toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    ConnectorRegistry.write(df, tlsUrl)
+    val back = ConnectorRegistry.read(spark, tlsUrl)
+    assert(back.count() == 80)
+    assert(back.select(col("value").cast("string")).as[String].collect()
+      .toSet == (0 until 80).map(i => s"enc-$i").toSet)
+    // default trust anchors don't know our private CA: loud handshake
+    // failure, never an unverified connection
+    val e = intercept[Exception] {
+      KafkaProtocol.metadata("127.0.0.1", tlsPort, "tls-pipe",
+        KafkaProtocol.Security(tls = true))
+    }
+    val names = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getClass.getSimpleName).mkString(" | ")
+    assert(names.contains("SSL") || names.contains("Certificate"),
+      s"wanted a TLS trust failure: $names / ${e.getMessage}")
+    // a plaintext client talking to the TLS port dies loudly too
+    intercept[Exception] {
+      KafkaProtocol.metadata("127.0.0.1", tlsPort, "tls-pipe")
+    }
+  }
+
+  test("SASL_SSL: authentication inside the TLS channel") {
+    import spark.implicits._
+    defineTopic("vault", 1)
+    requireSasl.set(("svc-vault", "pw2"))
+    try {
+      val u = s"kafka://127.0.0.1:$tlsPort;topic=vault" +
+        s";tls=true;cacert=$caPem;user=svc-vault;pass=pw2"
+      ConnectorRegistry.write(
+        (0 until 30).map(i => Tuple1(s"v-$i")).toDF("value"), u)
+      assert(ConnectorRegistry.read(spark, u).count() == 30)
+      // right cert, wrong password: SASL error arrives through TLS
+      val e = intercept[Exception] {
+        ConnectorRegistry.read(spark,
+          s"kafka://127.0.0.1:$tlsPort;topic=vault" +
+            s";tls=true;cacert=$caPem;user=svc-vault;pass=nope").count()
+      }
+      assert(e.getMessage.contains("SASL authentication failed"),
+        e.getMessage)
     } finally requireSasl.set(null)
   }
 
