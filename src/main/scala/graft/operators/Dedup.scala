@@ -1282,9 +1282,96 @@ object Dedup {
       |  MAX(jw) AS best_jw
       |FROM pr GROUP BY sz ORDER BY p_size""".stripMargin)
 
+  // -- q355: exact substring dedup (maximal cross-doc duplicated spans) -----
+  /** The distributed formulation of exact substring deduplication (the
+    * "dedup repeated passages" setting of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): a character
+    * position is duplicated when the L-gram (L=20) starting there occurs
+    * in at least two distinct documents; overlapping/adjacent duplicated
+    * starts merge into MAXIMAL spans (equal-length intervals make the
+    * merge a simple lag-gap test — interval ends are monotone in start,
+    * so `pos <= prev_pos + L` is exact). Output per doc: span count,
+    * duplicated-character coverage, longest span.
+    *
+    * Scale design (100 TB): the single-machine method is a suffix array;
+    * the distributed equivalent is exactly this hash-partitioned L-gram
+    * shuffle (each gram travels once, grouped by content), then per-doc
+    * partitioned windows for the span merge — no global window, no
+    * all-pairs. The gram shuffle is the dominant cost and is the known
+    * price of exact (not approximate) substring dedup at scale; MinHash
+    * (q43) and SimHash (q117) are the cheap approximate tier above it.
+    */
+  val q355 = Query.sql(
+    "q355_exact_substring_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      val grams = d.where(col("n_chars") >= 20)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("n_chars") - 19L)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, cast(pos as int), 20)").as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).select("gram")
+      val marked = grams.join(dup, "gram").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = marked
+        .withColumn("brk",
+          when(col("pos") <= lag("pos", 1).over(w) + 20L, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("island", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + 19L).as("e"))
+      val perDoc = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1L).as("dup_chars"),
+        max(col("e") - col("s") + 1L).as("max_span"))
+      d.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"))
+        .orderBy("doc_id")
+    },
+    """WITH grams AS (
+      |  SELECT d.doc_id, g.i AS pos,
+      |    substr(d.text, CAST(g.i AS INTEGER), 20) AS gram
+      |  FROM documents d
+      |  JOIN generate_series(1, 65536) g(i) ON g.i <= d.n_chars - 19
+      |),
+      |dup AS (
+      |  SELECT gram FROM grams GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      + 20 THEN 0 ELSE 1 END AS brk
+      |  FROM marked),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS dup_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+      |    MAX(e - s + 1) AS max_span
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(p.dup_spans, 0) AS dup_spans,
+      |  COALESCE(p.dup_chars, 0) AS dup_chars,
+      |  COALESCE(p.max_span, 0) AS max_span
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319, q328, q332)
+      q319, q328, q332, q355)
 
 }
