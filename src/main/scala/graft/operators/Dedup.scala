@@ -1369,9 +1369,136 @@ object Dedup {
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin)
 
+  // -- q356: APPLY exact substring dedup — emit the cleaned corpus ----------
+  /** q355 reports duplicated spans; this one performs the dedup: every
+    * cross-doc duplicated 20-gram occurrence EXCEPT the corpus-first
+    * (minimal (doc_id, pos) — Lee et al.'s keep-one-copy rule) marks its
+    * 20 characters for removal; marks merge into maximal spans; the spans
+    * are cut out and the kept segments re-stitched in order. Output is
+    * (doc_id, kept length, md5 of the cleaned text) so the oracle compares
+    * the exact reconstructed strings without shipping them.
+    *
+    * Scale design (100 TB): ONE gram shuffle — keeper election and the
+    * cross-doc test both ride a single window over `gram` (row_number for
+    * corpus-first; min!=max doc_id stands in for COUNT(DISTINCT)>=2, which
+    * Spark windows don't support), so unlike q355's agg+join the grams
+    * never travel twice. Everything after is doc-partitioned windows and
+    * a per-doc segment stitch (array_sort over at most n_chars/20 pieces,
+    * map-side). Whole docs never collect anywhere.
+    */
+  val q356 = Query.sql(
+    "q356_substring_dedup_apply",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      val grams = d.where(col("n_chars") >= 20)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("n_chars") - 19L)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, cast(pos as int), 20)").as("gram"))
+      val wg = Window.partitionBy("gram")
+      val marked = grams
+        .withColumn("rk", row_number().over(wg.orderBy("doc_id", "pos")))
+        .withColumn("mn", min("doc_id").over(wg))
+        .withColumn("mx", max("doc_id").over(wg))
+        .where(col("mn") =!= col("mx") && col("rk") > 1)
+        .select("doc_id", "pos")
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val rem = marked
+        .withColumn("brk",
+          when(col("pos") <= lag("pos", 1).over(wd) + 20L, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("island", sum("brk").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + 19L).as("e"))
+      // kept segments: before/between removal spans, plus the tail
+      val ws = Window.partitionBy("doc_id").orderBy("s")
+      val mid = rem.select(col("doc_id"),
+        (coalesce(lag("e", 1).over(ws), lit(0L)) + 1L).as("ks"),
+        (col("s") - 1L).as("ke"))
+      val tail = rem.groupBy("doc_id").agg(max("e").as("me"))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"), (col("me") + 1L).as("ks"),
+          col("n_chars").as("ke"))
+      val seg = mid.unionByName(tail).where(col("ke") >= col("ks"))
+      val stitched = seg.join(d.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("ks"),
+          expr("substring(text, cast(ks as int), cast(ke - ks + 1 as int))")
+            .as("piece"))
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("ks"), col("piece")))),
+            x => x.getField("piece")), "").as("cleaned"))
+      val remDocs = rem.select("doc_id").distinct()
+        .withColumn("had_rem", lit(1))
+      d.join(stitched, Seq("doc_id"), "left")
+        .join(remDocs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(length(col("cleaned")).cast("long"),
+            when(col("had_rem").isNull, col("n_chars")).otherwise(lit(0L)))
+            .as("n_kept"),
+          md5(coalesce(col("cleaned"),
+            when(col("had_rem").isNull, col("text")).otherwise(lit(""))))
+            .as("cleaned_hash"))
+        .orderBy("doc_id")
+    },
+    """WITH grams AS (
+      |  SELECT d.doc_id, g.i AS pos,
+      |    substr(d.text, CAST(g.i AS INTEGER), 20) AS gram
+      |  FROM documents d
+      |  JOIN generate_series(1, 65536) g(i) ON g.i <= d.n_chars - 19
+      |),
+      |occ AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+      |    MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+      |    MAX(doc_id) OVER (PARTITION BY gram) AS mx
+      |  FROM grams),
+      |marked AS (SELECT doc_id, pos FROM occ WHERE mn <> mx AND rk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      + 20 THEN 0 ELSE 1 END AS brk
+      |  FROM marked),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |rem AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |seg0 AS (
+      |  SELECT doc_id,
+      |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+      |    s - 1 AS ke
+      |  FROM rem
+      |  UNION ALL
+      |  SELECT r.doc_id, MAX(r.e) + 1 AS ks, MAX(d.n_chars) AS ke
+      |  FROM rem r JOIN documents d USING (doc_id) GROUP BY r.doc_id
+      |),
+      |seg AS (SELECT * FROM seg0 WHERE ke >= ks),
+      |stitched AS (
+      |  SELECT s.doc_id,
+      |    string_agg(substr(d.text, CAST(s.ks AS INTEGER),
+      |      CAST(s.ke - s.ks + 1 AS INTEGER)), '' ORDER BY s.ks) AS cleaned
+      |  FROM seg s JOIN documents d USING (doc_id)
+      |  GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(length(st.cleaned),
+      |    CASE WHEN r.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  md5(COALESCE(st.cleaned,
+      |    CASE WHEN r.doc_id IS NULL THEN d.text ELSE '' END))
+      |    AS cleaned_hash
+      |FROM documents d
+      |LEFT JOIN stitched st USING (doc_id)
+      |LEFT JOIN (SELECT DISTINCT doc_id FROM rem) r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319, q328, q332, q355)
+      q319, q328, q332, q355, q356)
 
 }
