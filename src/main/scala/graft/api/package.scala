@@ -186,6 +186,24 @@ package object api {
         num: Int = 3, den: Int = 5): DataFrame =
       graft.operators.Dedup.prefixSimJoin(df, idCol, toksCol, num, den)
 
+    /** EXACT substring-dedup report: per-doc maximal cross-doc
+      * duplicated L-gram spans (count / char coverage / longest) — the
+      * Lee et al. 2022 repeated-passage detector; see
+      * [[graft.operators.Dedup.duplicatedSpans]] and q355's scale notes.
+      */
+    def duplicatedSpans(idCol: String = "doc_id",
+        textCol: String = "text", L: Int = 20): DataFrame =
+      graft.operators.Dedup.duplicatedSpans(df, idCol, textCol, L)
+
+    /** APPLY exact substring dedup: cut every non-corpus-first
+      * duplicated span and return (id, cleaned) — the deduplicated
+      * corpus; see [[graft.operators.Dedup.removeDuplicatedSpans]] and
+      * q356's scale notes.
+      */
+    def removeDuplicatedSpans(idCol: String = "doc_id",
+        textCol: String = "text", L: Int = 20): DataFrame =
+      graft.operators.Dedup.removeDuplicatedSpans(df, idCol, textCol, L)
+
     /** Pareto frontier on (maximize xCol, maximize yCol) — exact
       * sort-sweep, one shuffle plus a distinct-value sweep; see
       * [[graft.operators.Warehouse.skyline2D]] and q149's scale notes.

@@ -1282,6 +1282,123 @@ object Dedup {
       |  MAX(jw) AS best_jw
       |FROM pr GROUP BY sz ORDER BY p_size""".stripMargin)
 
+  // -- exact substring dedup: reusable library surface ----------------------
+
+  /** (id, pos, gram) for every L-gram start of every doc (1-based).
+    * Docs shorter than L are filtered BEFORE the sequence: Spark's
+    * `sequence(1, negative)` infers a descending step and would emit
+    * nonsense positions instead of an empty array.
+    */
+  private def lgrams(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame =
+    df.where(length(col(textCol)) >= L)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1L),
+          length(col(textCol)).cast("long") - (L - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        expr(s"substring($textCol, cast(pos as int), $L)").as("gram"))
+
+  /** Merge duplicated L-gram START positions into maximal spans
+    * [s, e]: equal-length intervals make the merge a lag-gap test
+    * (interval ends are monotone in start, so `pos <= prev + L` is
+    * exact). Input (id, pos) → output (id, island, s, e).
+    */
+  private def mergeStarts(marked: DataFrame, idCol: String,
+      L: Int): DataFrame = {
+    val wd = Window.partitionBy(idCol).orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") <= lag("pos", 1).over(wd) + L.toLong, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("s"), (max("pos") + (L - 1).toLong).as("e"))
+  }
+
+  /** EXACT substring-dedup report (the repeated-passage setting of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): a position is duplicated when its L-gram occurs in at
+    * least two distinct documents; overlapping starts merge into MAXIMAL
+    * spans. Output per doc: `dup_spans`, `dup_chars` (character
+    * coverage), `max_span` — 0s for clean docs.
+    *
+    * Scale design (100 TB): the single-machine method is a suffix array;
+    * the distributed equivalent is this hash-partitioned L-gram shuffle
+    * (map-side partial aggregation, grams travel once for the dup-set
+    * build), then per-doc partitioned windows — no global window, no
+    * all-pairs. MinHash (q43) / SimHash (q117) are the cheap approximate
+    * tier above this exact one.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", L: Int = 20): DataFrame = {
+    val grams = lgrams(df, idCol, textCol, L)
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val marked = grams.join(dup, "gram").select(col(idCol), col("pos"))
+    val spans = mergeStarts(marked, idCol, L)
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("dup_spans"),
+      sum(col("e") - col("s") + 1L).as("dup_chars"),
+      max(col("e") - col("s") + 1L).as("max_span"))
+    df.select(idCol).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
+  /** APPLY exact substring dedup: every cross-doc duplicated L-gram
+    * occurrence except the corpus-first (minimal (id, pos) — the
+    * keep-one-copy rule) marks its characters for removal; marks merge
+    * into maximal spans; spans are cut and the kept segments re-stitched
+    * in order. Output: (id, cleaned) — the deduplicated corpus.
+    *
+    * Scale design: ONE gram shuffle total — keeper election (row_number)
+    * and the cross-doc test (min != max id, standing in for the windowed
+    * COUNT(DISTINCT) Spark lacks) ride the same window partitioned by
+    * gram; the stitch is doc-partitioned, sorting at most |text|/L
+    * pieces map-side. Whole documents never collect anywhere.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", L: Int = 20): DataFrame = {
+    val d = df.select(col(idCol), col(textCol),
+      length(col(textCol)).cast("long").as("__n"))
+    val grams = lgrams(d, idCol, textCol, L)
+    val wg = Window.partitionBy("gram")
+    val marked = grams
+      .withColumn("rk", row_number().over(wg.orderBy(idCol, "pos")))
+      .withColumn("mn", min(idCol).over(wg))
+      .withColumn("mx", max(idCol).over(wg))
+      .where(col("mn") =!= col("mx") && col("rk") > 1)
+      .select(col(idCol), col("pos"))
+    val rem = mergeStarts(marked, idCol, L)
+    val ws = Window.partitionBy(idCol).orderBy("s")
+    val mid = rem.select(col(idCol),
+      (coalesce(lag("e", 1).over(ws), lit(0L)) + 1L).as("ks"),
+      (col("s") - 1L).as("ke"))
+    val tail = rem.groupBy(idCol).agg(max("e").as("me"))
+      .join(d.select(col(idCol), col("__n")), idCol)
+      .select(col(idCol), (col("me") + 1L).as("ks"), col("__n").as("ke"))
+    val seg = mid.unionByName(tail).where(col("ke") >= col("ks"))
+    val stitched = seg.join(d.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col("ks"),
+        expr(s"substring($textCol, cast(ks as int), cast(ke - ks + 1 as int))")
+          .as("piece"))
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ks"), col("piece")))),
+          x => x.getField("piece")), "").as("cleaned"))
+    val remDocs = rem.select(idCol).distinct().withColumn("__had_rem", lit(1))
+    d.join(stitched, Seq(idCol), "left")
+      .join(remDocs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"),
+          when(col("__had_rem").isNull, col(textCol)).otherwise(lit("")))
+          .as("cleaned"))
+  }
+
   // -- q355: exact substring dedup (maximal cross-doc duplicated spans) -----
   /** The distributed formulation of exact substring deduplication (the
     * "dedup repeated passages" setting of Lee et al., "Deduplicating
@@ -1303,37 +1420,7 @@ object Dedup {
     */
   val q355 = Query.sql(
     "q355_exact_substring_dedup",
-    (s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
-      val grams = d.where(col("n_chars") >= 20)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1L), col("n_chars") - 19L)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, cast(pos as int), 20)").as("gram"))
-      val dup = grams.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") >= 2).select("gram")
-      val marked = grams.join(dup, "gram").select("doc_id", "pos")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val spans = marked
-        .withColumn("brk",
-          when(col("pos") <= lag("pos", 1).over(w) + 20L, lit(0L))
-            .otherwise(lit(1L)))
-        .withColumn("island", sum("brk").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("s"), (max("pos") + 19L).as("e"))
-      val perDoc = spans.groupBy("doc_id").agg(
-        count(lit(1)).as("dup_spans"),
-        sum(col("e") - col("s") + 1L).as("dup_chars"),
-        max(col("e") - col("s") + 1L).as("max_span"))
-      d.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-          coalesce(col("max_span"), lit(0L)).as("max_span"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => duplicatedSpans(docs(s, dir)).orderBy("doc_id"),
     """WITH grams AS (
       |  SELECT d.doc_id, g.i AS pos,
       |    substr(d.text, CAST(g.i AS INTEGER), 20) AS gram
@@ -1388,60 +1475,10 @@ object Dedup {
     */
   val q356 = Query.sql(
     "q356_substring_dedup_apply",
-    (s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
-      val grams = d.where(col("n_chars") >= 20)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1L), col("n_chars") - 19L)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, cast(pos as int), 20)").as("gram"))
-      val wg = Window.partitionBy("gram")
-      val marked = grams
-        .withColumn("rk", row_number().over(wg.orderBy("doc_id", "pos")))
-        .withColumn("mn", min("doc_id").over(wg))
-        .withColumn("mx", max("doc_id").over(wg))
-        .where(col("mn") =!= col("mx") && col("rk") > 1)
-        .select("doc_id", "pos")
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val rem = marked
-        .withColumn("brk",
-          when(col("pos") <= lag("pos", 1).over(wd) + 20L, lit(0L))
-            .otherwise(lit(1L)))
-        .withColumn("island", sum("brk").over(
-          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("s"), (max("pos") + 19L).as("e"))
-      // kept segments: before/between removal spans, plus the tail
-      val ws = Window.partitionBy("doc_id").orderBy("s")
-      val mid = rem.select(col("doc_id"),
-        (coalesce(lag("e", 1).over(ws), lit(0L)) + 1L).as("ks"),
-        (col("s") - 1L).as("ke"))
-      val tail = rem.groupBy("doc_id").agg(max("e").as("me"))
-        .join(d.select("doc_id", "n_chars"), "doc_id")
-        .select(col("doc_id"), (col("me") + 1L).as("ks"),
-          col("n_chars").as("ke"))
-      val seg = mid.unionByName(tail).where(col("ke") >= col("ks"))
-      val stitched = seg.join(d.select("doc_id", "text"), "doc_id")
-        .select(col("doc_id"), col("ks"),
-          expr("substring(text, cast(ks as int), cast(ke - ks + 1 as int))")
-            .as("piece"))
-        .groupBy("doc_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("ks"), col("piece")))),
-            x => x.getField("piece")), "").as("cleaned"))
-      val remDocs = rem.select("doc_id").distinct()
-        .withColumn("had_rem", lit(1))
-      d.join(stitched, Seq("doc_id"), "left")
-        .join(remDocs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(length(col("cleaned")).cast("long"),
-            when(col("had_rem").isNull, col("n_chars")).otherwise(lit(0L)))
-            .as("n_kept"),
-          md5(coalesce(col("cleaned"),
-            when(col("had_rem").isNull, col("text")).otherwise(lit(""))))
-            .as("cleaned_hash"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => removeDuplicatedSpans(docs(s, dir))
+      .select(col("doc_id"), length(col("cleaned")).cast("long").as("n_kept"),
+        md5(col("cleaned")).as("cleaned_hash"))
+      .orderBy("doc_id"),
     """WITH grams AS (
       |  SELECT d.doc_id, g.i AS pos,
       |    substr(d.text, CAST(g.i AS INTEGER), 20) AS gram

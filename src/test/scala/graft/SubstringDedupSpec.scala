@@ -1,0 +1,99 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** Behavioral verification of the exact substring-dedup pair
+  * (Dedup.duplicatedSpans / removeDuplicatedSpans) beyond the q355/q356
+  * oracles: a brute-force reference at a non-default L on a handcrafted
+  * corpus, the keep-one-copy guarantee, and near-idempotence of the
+  * removal on real synthetic docs.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute-force reference: per-doc maximal cross-doc duplicated spans. */
+  private def bruteSpans(docs: Seq[(Long, String)],
+      L: Int): Map[Long, (Long, Long, Long)] = {
+    val occ = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- docs; p <- 0 to t.length - L)
+      occ.getOrElseUpdate(t.substring(p, p + L),
+        scala.collection.mutable.Set.empty) += id
+    val dup = occ.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+    docs.map { case (id, t) =>
+      val starts = (1 to t.length - L + 1)
+        .filter(p => dup(t.substring(p - 1, p - 1 + L)))
+      val merged = scala.collection.mutable.ListBuffer.empty[Array[Int]]
+      for (p <- starts) {
+        if (merged.nonEmpty && p <= merged.last(1) + 1)
+          merged.last(1) = math.max(merged.last(1), p + L - 1)
+        else merged += Array(p, p + L - 1)
+      }
+      val lens = merged.map(a => (a(1) - a(0) + 1).toLong)
+      id -> ((merged.size.toLong, lens.sum, lens.maxOption.getOrElse(0L)))
+    }.toMap
+  }
+
+  test("duplicatedSpans matches a brute-force reference at L=5") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a quick brown fox appeared at dawn, lazy dog too",
+      3L -> "completely unrelated text with zero overlap here",
+      4L -> "xy" /* shorter than L: must come back all-zero, not crash */ )
+    val df = corpus.toDF("doc_id", "text")
+    val got = df.duplicatedSpans(L = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = bruteSpans(corpus, 5)
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got(4L) == ((0L, 0L, 0L)))
+    // doc 3 shares only the isolated 5-gram " over" with doc 1 ("jumps
+    // over" / "zero overlap") — exactly one L-length span
+    assert(got(3L) == ((1L, 5L, 5L)))
+    assert(got(1L)._1 > 0, "shared passages not detected")
+  }
+
+  test("removeDuplicatedSpans keeps the corpus-first copy, cuts the rest") {
+    val p = "SHARED-PASSAGE-OF-THIRTY-CHARS!!"
+    val a = s"aleph unique prefix $p unique suffix omega"
+    val b = s"beth other opening $p different closing taw"
+    val cleaned = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+      .removeDuplicatedSpans(L = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is corpus-first for every shared gram: byte-identical
+    assert(cleaned(1L) == a)
+    // doc 2 loses the shared passage INCLUDING its surrounding spaces —
+    // " P " with both spaces is itself a shared substring, so grams
+    // starting one char left of P extend the removal span
+    assert(cleaned(2L) == "beth other opening" + "different closing taw",
+      cleaned(2L))
+  }
+
+  test("removal is near-idempotent on the synthetic corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val before = docs.duplicatedSpans()
+      .agg(sum("dup_chars")).first().getLong(0)
+    assert(before > 0, "synthetic corpus should carry duplicated spans")
+    val cleaned = docs.removeDuplicatedSpans()
+      .select(col("doc_id"), col("cleaned").as("text"))
+    // conservation: cleaned never grows, and something was removed
+    val (orig, kept) = (
+      docs.agg(sum(length(col("text")))).first().getLong(0),
+      cleaned.agg(sum(length(col("text")))).first().getLong(0))
+    assert(kept < orig, s"nothing removed: $kept of $orig")
+    // re-detecting on the cleaned corpus finds (almost) nothing: only
+    // stitch-boundary grams can coincidentally duplicate
+    val after = cleaned.duplicatedSpans()
+      .agg(sum("dup_chars")).first().getLong(0)
+    assert(after * 20 < before,
+      s"dedup left ${after} of ${before} duplicated chars")
+    // determinism: a second run is byte-identical
+    val again = docs.removeDuplicatedSpans()
+      .select(col("doc_id"), col("cleaned").as("text"))
+    assert(cleaned.exceptAll(again).isEmpty && again.exceptAll(cleaned).isEmpty)
+  }
+}
