@@ -1355,10 +1355,15 @@ object Dedup {
     * into maximal spans; spans are cut and the kept segments re-stitched
     * in order. Output: (id, cleaned) — the deduplicated corpus.
     *
-    * Scale design: ONE gram shuffle total — keeper election (row_number)
-    * and the cross-doc test (min != max id, standing in for the windowed
-    * COUNT(DISTINCT) Spark lacks) ride the same window partitioned by
-    * gram; the stitch is doc-partitioned, sorting at most |text|/L
+    * Scale design: keeper election needs only each gram's MINIMUM
+    * (id, pos) occurrence and whether it spans ≥2 docs, so it runs as a
+    * `groupBy(gram)` aggregate (min-struct + distinct-doc count) — and
+    * map-side partial aggregation is what survives the monster-gram
+    * case: a boilerplate gram occurring millions of times collapses to
+    * one row per map task instead of one giant sorted window group (a
+    * `row_number() OVER (PARTITION BY gram)` would put the whole group
+    * in one task). Non-keeper occurrences then come from one gram-keyed
+    * join; the stitch is doc-partitioned, sorting at most |text|/L
     * pieces map-side. Whole documents never collect anywhere.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String = "doc_id",
@@ -1366,14 +1371,19 @@ object Dedup {
     val d = df.select(col(idCol), col(textCol),
       length(col(textCol)).cast("long").as("__n"))
     val grams = lgrams(d, idCol, textCol, L)
-    val wg = Window.partitionBy("gram")
-    val marked = grams
-      .withColumn("rk", row_number().over(wg.orderBy(idCol, "pos")))
-      .withColumn("mn", min(idCol).over(wg))
-      .withColumn("mx", max(idCol).over(wg))
-      .where(col("mn") =!= col("mx") && col("rk") > 1)
+    val gramStats = grams.groupBy("gram").agg(
+        min(struct(col(idCol), col("pos"))).as("first_occ"),
+        countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("gram"), col("first_occ"))
+    val marked = grams.join(gramStats, "gram")
+      .where(struct(col(idCol), col("pos")) =!= col("first_occ"))
       .select(col(idCol), col("pos"))
-    val rem = mergeStarts(marked, idCol, L)
+    // barrier: rem is tiny (one row per removal span) but its lineage is
+    // the whole gram shuffle — the stitch below reads it three times
+    // (mid, tail, remDocs) and would otherwise recompute that shuffle
+    // three times over (measured 134 s vs 50 s on a 28M-gram corpus)
+    val rem = mergeStarts(marked, idCol, L).barrier()
     val ws = Window.partitionBy(idCol).orderBy("s")
     val mid = rem.select(col(idCol),
       (coalesce(lag("e", 1).over(ws), lit(0L)) + 1L).as("ks"),
@@ -1465,13 +1475,12 @@ object Dedup {
     * (doc_id, kept length, md5 of the cleaned text) so the oracle compares
     * the exact reconstructed strings without shipping them.
     *
-    * Scale design (100 TB): ONE gram shuffle — keeper election and the
-    * cross-doc test both ride a single window over `gram` (row_number for
-    * corpus-first; min!=max doc_id stands in for COUNT(DISTINCT)>=2, which
-    * Spark windows don't support), so unlike q355's agg+join the grams
-    * never travel twice. Everything after is doc-partitioned windows and
-    * a per-doc segment stitch (array_sort over at most n_chars/20 pieces,
-    * map-side). Whole docs never collect anywhere.
+    * Scale notes live on [[removeDuplicatedSpans]] (groupBy-gram keeper
+    * election with map-side partial aggregation — monster boilerplate
+    * grams collapse in the map tasks instead of landing in one window
+    * group). The oracle's window formulation (row_number + min/max over
+    * gram) is semantically identical: rk > 1 ∧ cross-doc ⟺ occurrence
+    * differs from the gram's minimal (doc_id, pos) with ≥2 docs.
     */
   val q356 = Query.sql(
     "q356_substring_dedup_apply",

@@ -161,6 +161,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: exact substring dedup over 50k docs with pathological gram collisions") {
+    // The synth source draws 30-80 tokens from a 25-WORD vocabulary, so
+    // 20-char grams collide across documents massively — every frequent
+    // gram is a "monster" group occurring tens of thousands of times.
+    // This is exactly the shape that melts a window-based keeper
+    // election (one giant sorted group per boilerplate gram); the
+    // groupBy-gram min-struct election must collapse those groups
+    // map-side and finish inside a hard wall-time budget. ~14M grams.
+    import graft.api._
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 50000).option("partitions", 32).option("seed", 7)
+      .load().select(col("doc_id"), col("text"))
+    val report = docs.duplicatedSpans()
+      .agg(count(lit(1)).as("n"), sum("dup_chars").as("dup"),
+        max("max_span").as("worst"))
+      .collect().head
+    assert(report.getLong(0) == 50000)
+    // with a 25-word vocab nearly every doc shares grams
+    assert(report.getLong(1) > 0L)
+    val cleaned = docs.removeDuplicatedSpans()
+    val kept = cleaned.agg(
+        count(lit(1)).as("n"), sum(length(col("cleaned"))).as("kept"))
+      .collect().head
+    assert(kept.getLong(0) == 50000)
+    val orig = docs.agg(sum(length(col("text")))).first().getLong(0)
+    // almost everything is a duplicate here: the cleaner must strip the
+    // bulk of the corpus, and never grow it
+    assert(kept.getLong(1) < orig / 2,
+      s"kept ${kept.getLong(1)} of $orig chars — dedup did not bite")
+    val took = (System.nanoTime() - t0) / 1e9
+    // generous: the suite shares one JVM with earlier soaks' cached blocks
+    val budgetSec = 240
+    assert(took < budgetSec,
+      f"substring-dedup soak took $took%.1f s (budget $budgetSec s)")
+  }
+
   test("soak: Zipf-skewed 1M-row synth join — skew handling fires within budget") {
     // sf0.1-equivalent volume (1M rows ≈ lineitem at sf0.17) with a
     // DELIBERATE Zipf key: u^(-1/s) inverse-transform over the synth
