@@ -1329,6 +1329,14 @@ object Dedup {
     * build), then per-doc partitioned windows — no global window, no
     * all-pairs. MinHash (q43) / SimHash (q117) are the cheap approximate
     * tier above this exact one.
+    *
+    * Note on `count()`-only actions (the bench shape): the final
+    * assembly is a left join from the doc list onto a groupBy aggregate
+    * (unique key, cannot change row count), so Catalyst's join
+    * elimination legally prunes the ENTIRE gram pipeline — the count is
+    * just the doc count. That is the optimizer working, not a missing
+    * computation; any action that reads the span columns (Verify writes
+    * all of them) runs the full pipeline.
     */
   def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", L: Int = 20): DataFrame = {
