@@ -361,6 +361,50 @@ class MaintainDimension(baseUrl: String, changesUrl: String,
   * MinHash-LSH banding (bands x rowsPerBand signature), verified exactly on
   * the candidate pairs so LSH false positives cannot merge clusters.
   */
+/** Exact substring dedup as a pipeline stage: cut every non-corpus-first
+  * cross-doc duplicated L-gram span ([[graft.operators.Dedup
+  * .removeDuplicatedSpans]], the Lee et al. 2022 keep-one-copy rule) and
+  * write the cleaned corpus, dropping docs the cut emptied below
+  * `minChars`. Complements [[NearDedupDocs]]: near-dedup drops whole
+  * near-identical documents; this removes repeated PASSAGES inside
+  * otherwise-distinct documents. Stats record docs/chars in and out so a
+  * run's reclaim is visible in the lock manifest.
+  */
+class SubstringDedupDocs(inUrl: String, outUrl: String,
+    L: Int = 20, minChars: Int = 20) extends Model {
+  override def name = "SubstringDedupDocs"
+  val connects = Map(
+    "raw" -> Connect(inUrl, AccessMode.Read),
+    "passage_deduped" -> Connect(outUrl, AccessMode.Write))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("raw"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val raw = io.read("raw")
+    stat(s, "docs_in").add(raw.count())
+    stat(s, "chars_in").add(
+      raw.agg(sum(length(col("text")))).first().getLong(0))
+    val cleaned = raw.removeDuplicatedSpans(L = L)
+      .where(length(col("cleaned")) >= minChars)
+      .join(raw.drop("text", "n_chars"), Seq("doc_id"))
+      .withColumn("n_chars", length(col("cleaned")).cast("long"))
+      .withColumnRenamed("cleaned", "text")
+    io.write("passage_deduped", cleaned)
+    val back = io.readBack("passage_deduped")
+    stat(s, "docs_out").add(back.count())
+    stat(s, "chars_out").add(
+      back.agg(sum(length(col("text")))).first().getLong(0))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val out = io.readBack("passage_deduped")
+    Checks.noNulls(out, Seq("doc_id", "text")) &&
+      Checks.unique(out, Seq("doc_id"))
+  }
+}
+
 class NearDedupDocs(inUrl: String, outUrl: String,
     bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.8)
   extends Model {
