@@ -424,13 +424,114 @@ object KafkaProtocol {
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
+  // -- record-batch v2 (magic 2) varint plumbing ----------------------------
+  // Kafka's v2 records encode ints as ZIGZAG VARINTS (protobuf wire style):
+  // the modern batch format every 0.11+ producer writes. Brokers serve
+  // magic-1 message sets to our pinned Fetch v2, but proxies and
+  // log-segment readers hand over v2 batches verbatim — the decoder below
+  // accepts both so a v2 batch is data, not a decode error.
+  private def readVarint(b: ByteBuffer): Int = {
+    var value = 0
+    var shift = 0
+    var byte = 0
+    do {
+      byte = b.get() & 0xff
+      value |= (byte & 0x7f) << shift
+      shift += 7
+      require(shift <= 35, "varint too long — corrupted record batch")
+    } while ((byte & 0x80) != 0)
+    (value >>> 1) ^ -(value & 1) // zigzag decode
+  }
+
+  private def readVarlong(b: ByteBuffer): Long = {
+    var value = 0L
+    var shift = 0
+    var byte = 0
+    do {
+      byte = b.get() & 0xff
+      value |= (byte & 0x7fL) << shift
+      shift += 7
+      require(shift <= 70, "varlong too long — corrupted record batch")
+    } while ((byte & 0x80) != 0)
+    (value >>> 1) ^ -(value & 1)
+  }
+
+  /** Decode ONE v2 record batch whose header starts at `buf`'s position
+    * (after baseOffset and batchLength were consumed): CRC32C-verified,
+    * per-batch compression (gzip/snappy/lz4/zstd — zstd is legal from
+    * v2 on), log-append-time stamping, control batches (transaction
+    * markers) skipped. Returns the data records with absolute offsets.
+    */
+  private def decodeBatchV2(buf: ByteBuffer, baseOffset: Long,
+      size: Int): Seq[Record] = {
+    val batchStart = buf.position()
+    buf.getInt // partitionLeaderEpoch
+    val magic = buf.get()
+    require(magic == 2, s"decodeBatchV2 called on magic $magic")
+    val crc = buf.getInt
+    val crcFrom = buf.position()
+    val crc32c = new java.util.zip.CRC32C
+    crc32c.update(buf.array(), crcFrom, batchStart + size - crcFrom)
+    require(crc == crc32c.getValue.toInt,
+      s"record batch CRC32C mismatch at base offset $baseOffset")
+    val attributes = buf.getShort
+    val codec = attributes & 0x07
+    val logAppendTime = (attributes & 0x08) != 0
+    val isControl = (attributes & 0x20) != 0
+    buf.getInt // lastOffsetDelta
+    val baseTs = buf.getLong
+    val maxTs = buf.getLong
+    buf.getLong // producerId
+    buf.getShort // producerEpoch
+    buf.getInt // baseSequence
+    val numRecords = buf.getInt
+    val payload = new Array[Byte](batchStart + size - buf.position())
+    buf.get(payload)
+    if (isControl) return Seq.empty // transaction markers, not data
+    val records = ByteBuffer.wrap(codec match {
+      case NoCodec => payload
+      case 4 => // zstd: legal in v2 batches (zstd-jni ships with Spark)
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try in.readAllBytes()
+        catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"zstd-compressed record batch is corrupted: ${e.getMessage}", e)
+        } finally in.close()
+      case c => decompress(c, payload)
+    })
+    val out = Seq.newBuilder[Record]
+    var i = 0
+    while (i < numRecords) {
+      val len = readVarint(records)
+      val end = records.position() + len
+      records.get() // record attributes (unused)
+      val tsDelta = readVarlong(records)
+      val offDelta = readVarint(records)
+      def readVarBytes(): Array[Byte] = {
+        val n = readVarint(records)
+        if (n < 0) null else { val a = new Array[Byte](n); records.get(a); a }
+      }
+      val k = readVarBytes()
+      val v = readVarBytes()
+      records.position(end) // skip headers
+      out += Record(baseOffset + offDelta,
+        if (logAppendTime) maxTs else baseTs + tsDelta, k, v)
+      i += 1
+    }
+    out.result()
+  }
+
   /** Parse a v1 message set, dropping a trailing partial message (the
     * protocol allows brokers to cut the last message at maxBytes).
     * Compressed wrappers (gzip/snappy/lz4, attribute bits 0-2) are
     * decompressed and their inner messages rebased to absolute offsets
     * (wrapper offset = last inner offset, the magic-1 broker convention);
     * the log-append-time bit (0x08) stamps the wrapper timestamp onto
-    * every inner record, as the broker would.
+    * every inner record, as the broker would. v2 RECORD BATCHES (magic 2,
+    * the 0.11+ format) are detected by the magic byte — at the same
+    * position in both layouts, by protocol design — and routed to
+    * [[decodeBatchV2]].
     */
   private[graft] def decodeMessageSet(raw: Array[Byte],
       inner: Boolean = false): Seq[Record] = {
@@ -440,6 +541,11 @@ object KafkaProtocol {
       val offset = buf.getLong
       val size = buf.getInt
       if (buf.remaining() < size) { buf.position(buf.limit()) }
+      else if (buf.get(buf.position() + 4) == 2) {
+        // v2 record batch: magic sits at the same byte position as in a
+        // v1 message (by protocol design), so one peek dispatches
+        out ++= decodeBatchV2(buf, offset, size)
+      }
       else {
         val crc = buf.getInt
         val computed = crcOf(raw, buf.position(), size - 4)

@@ -485,6 +485,113 @@ class KafkaSpec extends SparkSpec {
     } finally requireSasl.set(null)
   }
 
+  // -- test-side v2 record-batch encoder (broker/log-segment simulation) ----
+  private def putVarint(b: ByteBuffer, v: Int): Unit = {
+    var z = (v << 1) ^ (v >> 31)
+    while ((z & ~0x7f) != 0) { b.put(((z & 0x7f) | 0x80).toByte); z >>>= 7 }
+    b.put(z.toByte)
+  }
+  private def putVarlong(b: ByteBuffer, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0) { b.put(((z & 0x7f) | 0x80).toByte); z >>>= 7 }
+    b.put(z.toByte)
+  }
+
+  /** Encode a v2 record batch the way a 0.11+ broker lays it out. */
+  private def encodeBatchV2(baseOffset: Long,
+      records: Seq[(Long, Array[Byte], Array[Byte])], codec: Int = 0,
+      logAppendTime: Boolean = false, control: Boolean = false): Array[Byte] = {
+    val baseTs = if (records.isEmpty) 0L else records.map(_._1).min
+    val maxTs = if (records.isEmpty) 0L else records.map(_._1).max
+    val recBuf = ByteBuffer.allocate(1 << 20)
+    records.zipWithIndex.foreach { case ((ts, k, v), i) =>
+      val one = ByteBuffer.allocate(1 << 16)
+      one.put(0.toByte) // record attributes
+      putVarlong(one, ts - baseTs)
+      putVarint(one, i)
+      if (k == null) putVarint(one, -1)
+      else { putVarint(one, k.length); one.put(k) }
+      if (v == null) putVarint(one, -1)
+      else { putVarint(one, v.length); one.put(v) }
+      putVarint(one, 0) // headers
+      one.flip()
+      putVarint(recBuf, one.remaining())
+      recBuf.put(one)
+    }
+    recBuf.flip()
+    val plain = new Array[Byte](recBuf.remaining()); recBuf.get(plain)
+    val payload = codec match {
+      case 0 => plain
+      case 4 => com.github.luben.zstd.Zstd.compress(plain)
+      case c => KafkaProtocol.compress(c, plain)
+    }
+    var attrs = codec & 0x07
+    if (logAppendTime) attrs |= 0x08
+    if (control) attrs |= 0x20
+    val body = ByteBuffer.allocate(payload.length + 64)
+    body.putShort(attrs.toShort)
+    body.putInt(if (records.isEmpty) 0 else records.size - 1) // lastOffsetDelta
+    body.putLong(baseTs); body.putLong(maxTs)
+    body.putLong(-1L); body.putShort(-1) // producerId, producerEpoch
+    body.putInt(-1) // baseSequence
+    body.putInt(records.size)
+    body.put(payload)
+    body.flip()
+    val bodyBytes = new Array[Byte](body.remaining()); body.get(bodyBytes)
+    val crc = new java.util.zip.CRC32C
+    crc.update(bodyBytes)
+    val out = ByteBuffer.allocate(bodyBytes.length + 21)
+    out.putLong(baseOffset)
+    out.putInt(bodyBytes.length + 9) // batchLength: ple + magic + crc + body
+    out.putInt(0) // partitionLeaderEpoch
+    out.put(2.toByte) // magic
+    out.putInt(crc.getValue.toInt)
+    out.put(bodyBytes)
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  test("v2 record batches (magic 2) decode: offsets, timestamps, null keys") {
+    val recs = Seq((5000L, "ka".getBytes, "va".getBytes),
+      (5007L, null, "vb".getBytes), (5011L, "kc".getBytes, null))
+    val batch = encodeBatchV2(42L, recs)
+    val decoded = KafkaProtocol.decodeMessageSet(batch)
+    assert(decoded.map(_.offset) == Seq(42L, 43L, 44L))
+    assert(decoded.map(_.timestamp) == Seq(5000L, 5007L, 5011L))
+    assert(decoded(1).key == null && decoded(2).value == null)
+    assert(new String(decoded(0).value) == "va")
+    // two batches back to back in one fetch payload
+    val two = batch ++ encodeBatchV2(45L, Seq((6000L, null, "vd".getBytes)))
+    assert(KafkaProtocol.decodeMessageSet(two).map(_.offset) ==
+      Seq(42L, 43L, 44L, 45L))
+    // log-append-time: the batch max timestamp stamps every record
+    val lat = encodeBatchV2(0L, recs, logAppendTime = true)
+    assert(KafkaProtocol.decodeMessageSet(lat).map(_.timestamp) ==
+      Seq(5011L, 5011L, 5011L))
+    // control batches (transaction markers) are data-invisible
+    val ctl = encodeBatchV2(90L, Seq((1L, "k".getBytes, "v".getBytes)),
+      control = true)
+    assert(KafkaProtocol.decodeMessageSet(ctl).isEmpty)
+  }
+
+  test("v2 batches decode under every codec including zstd; CRC32C enforced") {
+    val recs = (0 until 40).map(i =>
+      (7000L + i, s"k$i".getBytes, (s"value-$i" * 6).getBytes))
+    for (codec <- Seq(1, 2, 3, 4)) { // gzip, snappy, lz4, zstd
+      val batch = encodeBatchV2(100L, recs, codec = codec)
+      val decoded = KafkaProtocol.decodeMessageSet(batch)
+      assert(decoded.map(_.offset) == (100L until 140L), s"codec $codec")
+      assert(decoded.map(r => new String(r.value)) ==
+        recs.map(r => new String(r._3)), s"codec $codec")
+    }
+    // flip one payload byte: CRC32C must refuse the batch loudly
+    val batch = encodeBatchV2(100L, recs)
+    val corrupted = batch.clone()
+    corrupted(corrupted.length - 3) = (corrupted.last ^ 0x3c).toByte
+    val e = intercept[IllegalArgumentException](
+      KafkaProtocol.decodeMessageSet(corrupted))
+    assert(e.getMessage.contains("CRC32C"), e.getMessage)
+  }
+
   test("message-set codec: CRC corruption detected, null keys round-trip") {
     val set = KafkaProtocol.encodeMessageSet(Seq(
       (111L, null, "v".getBytes), (222L, "k".getBytes, null)))
