@@ -150,10 +150,26 @@ object BigQuery {
         // rows ride getQueryResults pages, not this reply
         "maxResults" -> JInt(0))))),
       c.token)
-    val parsed = JsonMethods.parse(first)
-    if ((parsed \ "jobComplete") == JBool(false))
-      throw new RuntimeException("BigQuery job did not complete synchronously" +
-        " — raise timeoutMs / poll jobs.getQueryResults")
+    var parsed = JsonMethods.parse(first)
+    // jobComplete=false is a NORMAL reply for a slow query (the synchronous
+    // wait in jobs.query timed out): poll jobs.getQueryResults — which
+    // long-polls server-side via timeoutMs — until the job lands. Bounded:
+    // a wedged job becomes a loud timeout, not an infinite loop.
+    var waitedMs = 0L
+    val maxWaitMs = url.option("maxWaitMs").map(_.toLong).getOrElse(600000L)
+    while ((parsed \ "jobComplete") == JBool(false)) {
+      require(waitedMs < maxWaitMs,
+        s"BigQuery job still incomplete after ${waitedMs / 1000}s — raise " +
+          ";maxWaitMs= or investigate the job")
+      val pollJob = str(parsed \ "jobReference" \ "jobId").getOrElse(
+        throw new RuntimeException(
+          "BigQuery incomplete reply without jobReference.jobId — cannot poll"))
+      Thread.sleep(500)
+      waitedMs += 500 + 10000 // sleep + server-side long-poll budget
+      parsed = JsonMethods.parse(call(client, "GET",
+        s"${c.endpoint}/projects/${c.projectId}/queries/$pollJob" +
+          "?timeoutMs=10000&maxResults=0", None, c.token))
+    }
     val schema = schemaOf(parsed)
     val totalRows = str(parsed \ "totalRows").map(_.toLong).getOrElse(0L)
     val jobId = str(parsed \ "jobReference" \ "jobId").getOrElse(

@@ -173,6 +173,11 @@ object Elasticsearch {
     val firstBody = postJson(client, s"$base/$index/_search?scroll=2m",
       s"""{$sliceClause $query $source "size": $batch, "sort": ["_doc"]}""", w)
     val (firstSid, firstHits) = parsePage(firstBody, s"slice $sliceId _search")
+    def clearScroll(s: String): Unit =
+      try send(client, "DELETE", s"$base/_search/scroll",
+        s"""{"scroll_id": ${JsonText.jstr(s)}}""", w)
+      catch { case _: Exception => () } // context self-expires; best-effort
+    if (firstHits.isEmpty) firstSid.foreach(clearScroll)
     new Iterator[Seq[String]] {
       private var page = firstHits
       private var sid = firstSid
@@ -187,7 +192,14 @@ object Elasticsearch {
             val (nsid, nhits) = parsePage(resp, s"slice $sliceId scroll")
             page = nhits
             sid = nsid
-            if (page.isEmpty) done = true
+            if (page.isEmpty) {
+              done = true
+              // clear the server-side scroll context eagerly instead of
+              // letting it pin heap until the 2m keep-alive lapses — at
+              // real scale, thousands of task cursors left to time out
+              // is an ES cluster incident
+              nsid.foreach(clearScroll)
+            }
           case None if out.nonEmpty =>
             // a non-final page without a scroll id cannot be continued —
             // stopping here would drop the rest of the slice

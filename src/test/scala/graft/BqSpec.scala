@@ -34,6 +34,9 @@ class BqSpec extends SparkSpec {
   private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
   private val corruptNext = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val emptyNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // when set, the next jobs.query reply is jobComplete=false (the real
+  // API's slow-query shape) — the connector must poll getQueryResults
+  private val incompleteFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val lastSql = new java.util.concurrent.atomic.AtomicReference[String]("")
   // when set, every request must carry `Authorization: Bearer <this>`
   private val requiredToken =
@@ -141,7 +144,13 @@ class BqSpec extends SparkSpec {
                 }
               val jobId = s"job-${jobSeq.incrementAndGet()}"
               jobs.put(jobId, (outSchema, snapshot))
-              reply(ex, 200,
+              if (incompleteFirst.getAndSet(false))
+                // the real API's slow-query shape: job registered, no
+                // schema/rows yet — the client must poll getQueryResults
+                reply(ex, 200,
+                  s"""{"jobComplete": false,
+                      | "jobReference": {"jobId": "$jobId"}}""".stripMargin)
+              else reply(ex, 200,
                 s"""{"jobComplete": true,
                     | "jobReference": {"jobId": "$jobId"},
                     | "schema": ${schemaJson(outSchema)},
@@ -173,6 +182,7 @@ class BqSpec extends SparkSpec {
                   else rows.slice(start, start + n)
                 reply(ex, 200,
                   s"""{"jobComplete": true,
+                      | "jobReference": {"jobId": "$jobId"},
                       | "schema": ${schemaJson(schema)},
                       | "totalRows": "${rows.size}",
                       | "rows": ${rowsJson(page)}}""".stripMargin)
@@ -346,6 +356,22 @@ class BqSpec extends SparkSpec {
         .mkString(" | ")
       assert(msgs.contains("refusing to silently drop data"), msgs)
     } finally emptyNext.set(false)
+  }
+
+  test("a jobComplete=false reply is polled to completion, not an error") {
+    import spark.implicits._
+    defineTable("corpus.slow", Seq("v" -> "INTEGER"))
+    ConnectorRegistry.write((0L until 33L).toDF("v"),
+      bqUrl(";datasetId=corpus;tableId=slow"))
+    incompleteFirst.set(true)
+    try {
+      // the first jobs.query reply carries no schema/rows — the connector
+      // must poll getQueryResults (maxResults=0) and then read normally
+      val back = ConnectorRegistry.read(spark,
+        bqUrl(";datasetId=corpus;tableId=slow;slices=2;batch=10"))
+      assert(back.count() == 33)
+      assert(back.agg(sum("v")).first().getLong(0) == (0L until 33L).sum)
+    } finally incompleteFirst.set(false)
   }
 
   test("reading a missing table surfaces the server error") {

@@ -22,6 +22,7 @@ class EsSpec extends SparkSpec {
   private val store =
     new ConcurrentHashMap[String, java.util.List[(String, String)]]()
   private val searchCalls = new java.util.concurrent.atomic.AtomicInteger()
+  private val scrollsCleared = new java.util.concurrent.atomic.AtomicInteger()
 
   private def docsOf(index: String): java.util.List[(String, String)] =
     store.computeIfAbsent(index,
@@ -159,6 +160,14 @@ class EsSpec extends SparkSpec {
           }
           reply(ex, 200,
             page(s"$index|$slice|$max|$size|0|$tf|$tv|$rf|$lo|$hi|$cols")._1)
+        // DELETE /_search/scroll   (eager context cleanup)
+        case ("DELETE", "_search" :: "scroll" :: Nil) =>
+          JsonMethods.parse(body) \ "scroll_id" match {
+            case JString(_) =>
+              scrollsCleared.incrementAndGet()
+              reply(ex, 200, """{"succeeded": true, "num_freed": 1}""")
+            case _ => reply(ex, 400, """{"error": "missing scroll_id"}""")
+          }
         // POST /_search/scroll   (subsequent pages)
         case ("POST", "_search" :: "scroll" :: Nil) =>
           if (failScrolls.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -252,6 +261,20 @@ class EsSpec extends SparkSpec {
     // exactly one _search per slice per read pass (the rest ride the
     // scroll endpoint); schema inference + count = 2 passes, 1 slice each
     assert(searchCalls.get() == 2, s"got ${searchCalls.get()} _search calls")
+  }
+
+  test("every drained slice clears its server-side scroll context") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => Tuple1(i)).toDF("v")
+    ConnectorRegistry.write(df, esUrl("tidy", ";id=v"))
+    scrollsCleared.set(0)
+    // 4 slices, one read pass (explicit schema skips inference): each
+    // slice's cursor must be DELETEd when its scroll drains, not left to
+    // pin server heap until the keep-alive lapses
+    assert(ConnectorRegistry.read(spark,
+      esUrl("tidy", ";slices=4;batch=5;schema=v BIGINT")).count() == 40)
+    assert(scrollsCleared.get() == 4,
+      s"expected 4 cleared scroll contexts, got ${scrollsCleared.get()}")
   }
 
   test("single-document add and fetch mirror the reference API") {
