@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training batches — shortest-pack-first
+  * histogram-packing (SPFHP) from Krell, Kosec, Perez & Fitzgibbon,
+  * "Efficient Sequence Packing without Cross-contamination" (arXiv:
+  * 2107.02027): pack variable-length documents into fixed-capacity context
+  * windows so almost no token is padding, using only the LENGTH HISTOGRAM
+  * as driver state.
+  *
+  * Why this shape survives 100 TB: bin packing is inherently sequential,
+  * but the packing DECISION only needs the histogram — at most `capacity`
+  * distinct lengths, regardless of corpus size (the paper's key
+  * observation). So the cluster computes the histogram (one map-side-
+  * combined aggregation), the driver solves packing on ≤ `capacity`
+  * counters (the same bounded-driver-state pattern as BpeTrainer's merge
+  * loop and api.pcaTop's power iteration), and the resulting strategy
+  * table — (length → run of bin ids) — broadcasts back for a map-side
+  * assignment join. No document ever moves for the solve itself.
+  *
+  * The reference engine has no packing operator (its examples stop at
+  * row-level ETL); this is part of the training-data superset, next to
+  * q39's concat-and-chunk and q358's length-grouped batching.
+  */
+object Packing {
+
+  /** One assignment run: docs of length `len` with per-length rank in
+    * `[offset, offset + bins * mult)` map to bins `base + (rank - offset)
+    * div mult` — i.e. `bins` consecutive bin ids, each taking `mult`
+    * consecutive docs of this length. */
+  final case class Run(len: Int, base: Long, bins: Long, mult: Int,
+      offset: Long)
+
+  /** Driver-side SPFHP over a length histogram (Krell et al. §4.1).
+    * Processes lengths longest-first; each item goes into the open pack
+    * with the SMALLEST residual space that still fits ("shortest-pack-
+    * first"), bulk-moving histogram counts instead of single items.
+    * Returns strategies: (lengths in descending order, instance count),
+    * deterministically ordered. State is O(capacity) residual classes —
+    * independent of Σ counts.
+    */
+  def packHistogram(hist: Map[Int, Long],
+      capacity: Int): Seq[(Vector[Int], Long)] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    hist.foreach { case (l, n) =>
+      require(l >= 1 && l <= capacity,
+        s"length $l outside [1, $capacity] — cap or filter lengths first")
+      require(n >= 0, s"negative count for length $l")
+    }
+    import scala.collection.mutable
+    import scala.math.Ordering.Implicits.seqOrdering
+    // open packs: residual space -> (strategy-so-far -> pack count)
+    val open = mutable.TreeMap.empty[Int, mutable.Map[Vector[Int], Long]]
+    def add(residual: Int, strat: Vector[Int], n: Long): Unit =
+      if (n > 0) {
+        val m = open.getOrElseUpdate(residual, mutable.Map.empty)
+        m(strat) = m.getOrElse(strat, 0L) + n
+      }
+    for (l <- hist.keys.toSeq.sorted(Ordering[Int].reverse)) {
+      var n = hist(l)
+      while (n > 0) {
+        // smallest residual that still fits l; among equal residuals the
+        // lexicographically smallest strategy — a pure tie-break for
+        // determinism, any pack in the class is equivalent
+        val fit = open.iteratorFrom(l).buffered.headOption
+        fit match {
+          case Some((r, strats)) =>
+            val strat = strats.keys.min
+            val cnt = strats(strat)
+            val m = math.min(n, cnt)
+            if (m == cnt) strats.remove(strat) else strats(strat) = cnt - m
+            if (strats.isEmpty) open.remove(r)
+            add(r - l, strat :+ l, m)
+            n -= m
+          case None => // no open pack fits: start n new packs of [l]
+            add(capacity - l, Vector(l), n)
+            n = 0
+        }
+      }
+    }
+    // close every open pack; merge identical strategies across residuals
+    // (a strategy's residual is determined by its lengths, so none merge —
+    // the groupBy is defensive) and order deterministically
+    open.values.flatten.toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .filter(_._2 > 0)
+      .sortBy(_._1)
+  }
+
+  /** Expand strategies into per-length assignment [[Run]]s plus the total
+    * bin count. Bin ids are dense `0 until totalBins`, allocated to
+    * strategies in their deterministic order. */
+  def strategyRuns(strategies: Seq[(Vector[Int], Long)])
+      : (Seq[Run], Long) = {
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    var base = 0L
+    val runs = Seq.newBuilder[Run]
+    for ((strat, m) <- strategies) {
+      for ((len, mult) <- strat.groupBy(identity).view
+          .mapValues(_.size).toSeq.sortBy(-_._1)) {
+        val off = offsets.getOrElse(len, 0L)
+        runs += Run(len, base, m, mult, off)
+        offsets(len) = off + m * mult
+      }
+      base += m
+    }
+    (runs.result(), base)
+  }
+
+  /** Pack a corpus: returns the input plus `bin_id` (dense 0..bins-1),
+    * such that each bin's Σ `lenCol` ≤ `capacity`, with the bin count
+    * chosen by SPFHP over the length histogram. `lenCol` values must be
+    * in `[1, capacity]` (cap upstream with `least(len, capacity)`);
+    * `idCol` must be unique — it fixes which doc lands in which bin.
+    *
+    * Cluster work: one histogram aggregation, one per-length rank window
+    * (shuffles (length) keys — a pathological single-length monoculture
+    * would salt this key, same playbook as SkewJoin), one broadcast range
+    * join against the O(histogram) run table. The driver never holds
+    * more than `capacity` counters.
+    */
+  def packSequences(df: DataFrame, lenCol: String, idCol: String,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bounded collect: the histogram has ≤ capacity rows by the length
+    // precondition checked in packHistogram
+    val hist = df.groupBy(col(lenCol).cast("int").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(Int, Long)].collect().toMap
+    val (runs, _) = strategyRuns(packHistogram(hist, capacity))
+    val runsDf = broadcast(
+      spark.createDataFrame(runs).withColumnRenamed("len", "__rlen"))
+    val ranked = df
+      .withColumn("__len", col(lenCol).cast("int"))
+      .withColumn("__rk",
+        row_number().over(
+          Window.partitionBy(col("__len")).orderBy(col(idCol)))
+          .cast("long") - 1L)
+    ranked
+      .join(runsDf,
+        col("__len") === col("__rlen") &&
+          col("__rk") >= col("offset") &&
+          col("__rk") < col("offset") + col("bins") * col("mult"))
+      .withColumn("bin_id", col("base") + expr("(__rk - offset) div mult"))
+      .drop("__len", "__rk", "__rlen", "base", "bins", "mult", "offset")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** SPFHP sequence packing: driver-solve properties on hand histograms,
+  * end-to-end invariants on the documents corpus, determinism under
+  * repartitioning. */
+class PackingSpec extends SparkSpec {
+
+  test("packHistogram: perfect complements pack pairwise") {
+    // 10 docs of 300 + 10 of 724 → 10 bins of exactly 1024
+    val strategies = Packing.packHistogram(Map(300 -> 10L, 724 -> 10L), 1024)
+    assert(strategies == Seq((Vector(724, 300), 10L)))
+  }
+
+  test("packHistogram: full-capacity docs go one per bin") {
+    val strategies = Packing.packHistogram(Map(1024 -> 7L), 1024)
+    assert(strategies == Seq((Vector(1024), 7L)))
+  }
+
+  test("packHistogram: shortest-pack-first chooses the tighter residual") {
+    // lengths 6,5,3 with capacity 10: 6 opens (residual 4), 5 opens
+    // (residual 5), then 3 must land in the SMALLER residual 4 (pack [6])
+    val strategies =
+      Packing.packHistogram(Map(6 -> 1L, 5 -> 1L, 3 -> 1L), 10)
+    assert(strategies.toSet == Set((Vector(6, 3), 1L), (Vector(5), 1L)))
+  }
+
+  test("packHistogram: rejects lengths outside [1, capacity]") {
+    intercept[IllegalArgumentException] {
+      Packing.packHistogram(Map(11 -> 1L), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packHistogram(Map(0 -> 1L), 10)
+    }
+  }
+
+  test("packHistogram: strategy counts conserve the histogram") {
+    val hist = Map(9 -> 13L, 7 -> 5L, 4 -> 21L, 2 -> 40L, 1 -> 17L)
+    val strategies = Packing.packHistogram(hist, 16)
+    val placed = scala.collection.mutable.Map.empty[Int, Long]
+    strategies.foreach { case (strat, m) =>
+      assert(strat.sum <= 16, s"overfull strategy $strat")
+      assert(strat == strat.sorted.reverse, s"unsorted strategy $strat")
+      strat.foreach(l => placed(l) = placed.getOrElse(l, 0L) + m)
+    }
+    assert(placed.toMap == hist)
+  }
+
+  test("packSequences: corpus invariants — complete, capacity-safe, dense") {
+    val cap = 256
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(cap)).cast("int").as("tok"))
+    val packed = Packing.packSequences(docs, "tok", "doc_id", cap)
+    assert(packed.count() == docs.count(), "every doc packed exactly once")
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("tok").as("fill"), count(lit(1)).as("n"))
+    assert(bins.filter(col("fill") > cap).isEmpty, "no bin over capacity")
+    // dense ids 0..nbins-1
+    val ids = bins.select("bin_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(ids.indices.map(_.toLong)))
+    // efficiency sanity: SPFHP must beat one-doc-per-bin by a wide margin
+    // and cannot beat the volume lower bound
+    val total = docs.agg(sum("tok")).head().getLong(0)
+    val lower = (total + cap - 1) / cap
+    assert(ids.length >= lower)
+    assert(ids.length < docs.count(),
+      "packing produced no consolidation at all")
+  }
+
+  test("packSequences: deterministic under repartitioning") {
+    val cap = 128
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(cap)).cast("int").as("tok"))
+    def fp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id", "bin_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val a = fp(Packing.packSequences(docs, "tok", "doc_id", cap))
+    val b = fp(Packing.packSequences(docs.repartition(13), "tok", "doc_id",
+      cap))
+    assert(a == b)
+  }
+}
