@@ -816,6 +816,51 @@ package object api {
       assign(centroids)
     }
 
+    /** SPFHP sequence packing (Krell et al. 2021, arXiv:2107.02027):
+      * assign each row to a fixed-capacity context window (`bin_id`) such
+      * that every bin's Σ `lenCol` ≤ `capacity`, with near-optimal bin
+      * count. The solve runs on the driver over the LENGTH HISTOGRAM only
+      * (≤ `capacity` counters — corpus-size-independent, the paper's key
+      * trick); assignment is a broadcast join. See
+      * [[graft.operators.Packing]].
+      */
+    def packSequences(lenCol: String, idCol: String,
+        capacity: Int): DataFrame =
+      graft.operators.Packing.packSequences(df, lenCol, idCol, capacity)
+
+    /** SemDeDup (Abbas et al. 2023, arXiv:2303.03540): k-means-cluster the
+      * embedding column with [[kmeansFit]], then mark near-duplicates by
+      * cosine similarity WITHIN each cluster only — greedy keep-first
+      * (lowest `idCol`). Returns the input plus `cluster` and a nullable
+      * `kept_as` (null ⇒ the row is kept; otherwise the id it duplicates).
+      * Filter `kept_as IS NULL` for the deduplicated corpus.
+      *
+      * Scale: the clustering bound turns all-pairs O(n²) cosine work into
+      * O(n²/k); the only quadratic runs inside a per-cluster shuffle
+      * bucket, so with k grown proportionally to the corpus (the paper
+      * uses k ≈ n/10⁴) per-bucket work is constant. One-step oracle pin:
+      * q357 (Dedup.scala).
+      */
+    def semDedup(vecCol: String, idCol: String, k: Int = 8, iters: Int = 3,
+        threshold: Double = 0.4): DataFrame = {
+      graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+      // barrier: the assignment fold is k distance evaluations per row and
+      // feeds BOTH sides of the intra-cluster self-join below — without it
+      // the join recomputes the full assignment twice.
+      val assigned = df.kmeansFit(vecCol, idCol, k, iters).barrier()
+      val a = assigned.select(col("cluster").as("__cl"),
+        col(idCol).as("__id_keep"), col(vecCol).as("__ea"))
+      val b = assigned.select(col("cluster").as("__cl"),
+        col(idCol).as("__id_dup"), col(vecCol).as("__eb"))
+      val dups = a.join(b, Seq("__cl"))
+        .filter(col("__id_keep") < col("__id_dup") &&
+          expr(s"cosine_similarity(__ea, __eb)") > threshold)
+        .groupBy("__id_dup")
+        .agg(min(col("__id_keep")).as("kept_as"))
+      assigned.join(dups, assigned(idCol) === dups("__id_dup"), "left")
+        .drop("__id_dup")
+    }
+
     /** Exact covariance matrix of an `Array[Float]` embedding column in ONE
       * pass: per-row outer products floor-scaled to BIGINT (partition-order
       * invariant, q146's math at full dimension), map-side-combined into

@@ -1550,9 +1550,103 @@ object Dedup {
       |LEFT JOIN (SELECT DISTINCT doc_id FROM rem) r USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin)
 
+  // -- q357: SemDeDup — cluster-then-dedup semantic deduplication -----------
+  /** Semantic dedup in the SemDeDup setting (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.03540): k-means-cluster the embeddings FIRST, then compare
+    * cosine similarity only WITHIN each cluster, keeping the first (lowest
+    * id) member of every near-duplicate relation — the clustering turns the
+    * all-pairs O(n²) of q45 into O(n²/k) with no recall loss for duplicates
+    * that land in the same cluster (near-identical vectors share a nearest
+    * centroid except exactly on Voronoi boundaries, the paper's accepted
+    * approximation).
+    *
+    * Determinism / oracle-exactness: one assignment step against the k
+    * deterministic seed centroids (vec_id < k), with distances floor-scaled
+    * to BIGINT before the argmin and ties broken toward the lowest cluster
+    * id — q135's machinery, so DuckDB's `row_number() OVER (ORDER BY dsp,
+    * cl)` reproduces the assignment bit-for-bit. The iterated production
+    * fit is `api.semDedup` (built on `api.kmeansFit`); this pins the
+    * one-step composition to the oracle.
+    *
+    * Scale design (100 TB): the assignment is map-side (centroids travel
+    * broadcast, no row expansion); the only shuffle keys rows by cluster
+    * id, and the quadratic comparison runs inside clusters only — with
+    * k ∝ corpus size (the paper uses k ≈ n/10⁴) per-cluster work stays
+    * bounded. Hot whale clusters would be capped per-key the same way
+    * q248 caps suppliers-per-part.
+    */
+  val q357 = {
+    val k = 8
+    def dspExpr(e: String, c: String): String =
+      s"""CAST(FLOOR(1e9 * aggregate(zip_with($e, $c,
+         |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+         |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin
+    Query.sql(
+      "q357_semdedup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val e = Tables.loadBalanced(s, dir, "embeddings")
+        val seeds = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("scl"), col("embedding").as("c"))
+          .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
+            .as("seeds"))
+        // map-side argmin against the broadcast seed set (q135's fold:
+        // strict < keeps the lowest cluster id on ties).
+        val assigned = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"),
+            col("embedding"),
+            expr(
+              s"""aggregate(seeds,
+                 |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+                 |               'cl', CAST(-1 AS BIGINT)),
+                 |  (acc, sd) -> CASE WHEN ${dspExpr("embedding", "sd.c")} < acc.dsp
+                 |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
+                 |                      'cl', sd.cl)
+                 |    ELSE acc END).cl""".stripMargin).as("cl"))
+        val a = assigned.select(col("cl"), col("vec_id").as("id_keep"),
+          col("embedding").as("ea"))
+        val b = assigned.select(col("cl"), col("vec_id").as("id_dup"),
+          col("embedding").as("eb"))
+        // shuffle keys on the cluster id; the quadratic stays inside it.
+        a.join(b, Seq("cl"))
+          .filter(col("id_keep") < col("id_dup") &&
+            expr("cosine_similarity(ea, eb)") > 0.4)
+          .groupBy("cl", "id_dup")
+          .agg(min(col("id_keep")).as("kept_as"))
+          .select(col("cl").as("cluster"), col("id_dup"), col("kept_as"))
+          .orderBy("id_dup")
+      },
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT e.vec_id, e.embedding, s.cl,
+         |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, s.c),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+         |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+         |      AS BIGINT) AS dsp
+         |  FROM embeddings e, seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsp, cl)
+         |      AS rn FROM dists)
+         |  WHERE rn = 1)
+         |SELECT a.cl AS cluster, b.vec_id AS id_dup, MIN(a.vec_id) AS kept_as
+         |FROM assigned a JOIN assigned b
+         |  ON a.cl = b.cl AND a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) > 0.4
+         |GROUP BY a.cl, b.vec_id ORDER BY id_dup""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319, q328, q332, q355, q356)
+      q319, q328, q332, q355, q356, q357)
 
 }

@@ -72,4 +72,57 @@ class QuantSpec extends SparkSpec {
         s"label ${r.get(0)}: max_sqerr ${r.getDouble(3)} > bound $bound")
     }
   }
+
+  test("semDedup: greedy keep-first within clusters, verified brute-force") {
+    val tau = 0.4
+    val out = emb.semDedup("embedding", "vec_id", k = 8, iters = 2,
+      threshold = tau)
+    assert(out.count() == emb.count(), "semDedup must not add or drop rows")
+    val rows = out.select("vec_id", "cluster", "kept_as", "embedding")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getSeq[Float](3).toArray)
+      }.sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the exact greedy keep-first relation: dup iff ANY smaller same-cluster
+    // id is above threshold, kept_as = the smallest such id
+    var dupCount = 0
+    rows.foreach { case (id, cl, keptAs, vec) =>
+      val expected = rows
+        .filter(o => o._1 < id && o._2 == cl && cos(o._4, vec) > tau)
+        .map(_._1).headOption // rows sorted by id → head is the min
+      assert(keptAs == expected,
+        s"vec $id (cluster $cl): kept_as=$keptAs, brute-force=$expected")
+      if (expected.nonEmpty) dupCount += 1
+    }
+    assert(dupCount > 0, "vacuous test: no semantic duplicates found")
+    // cluster restriction only ever REMOVES pairs vs q45's all-pairs scan
+    val allPairsDups = rows.count { case (id, _, _, vec) =>
+      rows.exists(o => o._1 < id && cos(o._4, vec) > tau)
+    }
+    assert(dupCount <= allPairsDups)
+  }
+
+  test("semDedup: deterministic under repartitioning") {
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Option[Long])] =
+      df.select("vec_id", "cluster", "kept_as").collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }.toSeq.sortBy(_._1)
+    val a = fingerprint(emb.semDedup("embedding", "vec_id", k = 8, iters = 2))
+    val b = fingerprint(emb.repartition(7)
+      .semDedup("embedding", "vec_id", k = 8, iters = 2))
+    assert(a == b)
+  }
 }
