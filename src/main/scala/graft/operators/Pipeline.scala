@@ -1819,9 +1819,77 @@ object Pipeline {
       |    AS alloc
       |FROM c ORDER BY seg""".stripMargin)
 
+  // -- q358: length-grouped batching padding audit ---------------------------
+  //   Sorted batching (HuggingFace `LengthGroupedSampler` / "sorted
+  //   batching" for dynamic padding): batch size B consecutive docs after a
+  //   GLOBAL sort by token length, so each batch pads only to its own local
+  //   maximum; compared against arrival-order batching, whose batches mix
+  //   long and short docs and pay `Σ(batch_max − len)` in padding. Reports
+  //   per policy: batch count, total padded tokens, worst single-batch
+  //   padding — the audit a training-data team runs before choosing a
+  //   sampler.
+  //
+  //   Scale design (100 TB): the global length sort is the q148 scale path
+  //   (api.globalRowNumber: repartitionByRange + sortWithinPartitions +
+  //   two-phase zipWithIndex offsets — no single-partition window); the
+  //   padding rollup aggregates one row per BATCH, then three numbers per
+  //   policy. Token counts are integer-exact (q30's whitespace convention),
+  //   so both policies hash-exactly against the oracle.
+  val q358 = Query.sql(
+    "q358_length_batching",
+    (s, dir) => {
+      import graft.api._
+      val b = 32
+      // reused by both policies — one tokenize pass, not two
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .barrier()
+      def padAudit(ordered: DataFrame, policy: String): DataFrame =
+        ordered
+          .withColumn("batch", expr(s"(rn - 1) div $b"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"), max("tok").as("mx"),
+            sum("tok").as("st"))
+          .agg(count(lit(1)).cast("long").as("n_batches"),
+            sum(expr("n * mx - st")).as("pad_tokens"),
+            max(expr("n * mx - st")).as("max_batch_pad"))
+          .select(lit(policy).as("policy"), col("n_batches"),
+            col("pad_tokens"), col("max_batch_pad"))
+      val bySorted =
+        padAudit(toks.globalRowNumber("rn", col("tok").desc, col("doc_id")),
+          "length_sorted")
+      val byArrival =
+        padAudit(toks.globalRowNumber("rn", col("doc_id")), "arrival")
+      bySorted.unionByName(byArrival).orderBy("policy")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |srt AS (
+      |  SELECT tok, (row_number() OVER (ORDER BY tok DESC, doc_id) - 1) // 32
+      |    AS batch FROM toks),
+      |arr AS (
+      |  SELECT tok, (row_number() OVER (ORDER BY doc_id) - 1) // 32
+      |    AS batch FROM toks),
+      |ps AS (SELECT batch, COUNT(*) AS n, MAX(tok) AS mx,
+      |         CAST(SUM(tok) AS BIGINT) AS st FROM srt GROUP BY batch),
+      |pa AS (SELECT batch, COUNT(*) AS n, MAX(tok) AS mx,
+      |         CAST(SUM(tok) AS BIGINT) AS st FROM arr GROUP BY batch)
+      |SELECT 'arrival' AS policy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |  CAST(SUM(n * mx - st) AS BIGINT) AS pad_tokens,
+      |  CAST(MAX(n * mx - st) AS BIGINT) AS max_batch_pad
+      |FROM pa
+      |UNION ALL
+      |SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n * mx - st) AS BIGINT), CAST(MAX(n * mx - st) AS BIGINT)
+      |FROM ps
+      |ORDER BY policy""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
       q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
-      q333, q334, q335, q342, q352)
+      q333, q334, q335, q342, q352, q358)
 }
