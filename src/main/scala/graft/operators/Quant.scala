@@ -787,6 +787,157 @@ object Quant {
       |  CAST(l + 7 * b AS DOUBLE) / 100.0 AS forecast_7d
       |FROM fin ORDER BY event_type""".stripMargin)
 
+  // -- q359: distributed batch perceptron (integer-exact linear classifier) -
+  //   Trains a linear quality/domain classifier ON the cluster — the
+  //   synchronous batch variant of the distributed perceptron (McDonald,
+  //   Hall & Mann, NAACL 2010: parallel perceptron training by parameter
+  //   mixing): each round computes every row's margin against the broadcast
+  //   weight vector, and all misclassified rows contribute `y·x` to one
+  //   global update (Rosenblatt's rule applied batch-synchronously).
+  //   Binary task on the labelled embeddings table: y = +1 ⇔ label < 5.
+  //   Output per round: misclassified count, post-update ‖w‖₁ and bias,
+  //   plus a final eval row under the trained weights.
+  //
+  //   Integer-exactness: coordinates floor-scale to BIGINT (×1e6) once;
+  //   margins, updates and norms are then pure BIGINT sums — partition-
+  //   order invariant and bit-identical to the oracle's unrolled rounds.
+  //   Overflow headroom at sf0.1 (n=2000, |x|≤0.58): |w_d| ≤ n·max|xq|
+  //   ≈ 1.2e9 per round, so margins stay ≤ 64·3.6e9·5.8e5 ≈ 1.3e17 ≪ 2⁶³
+  //   even at sf1.
+  //
+  //   Scale design (100 TB): weights travel as ONE broadcast row (no row
+  //   expansion); each round is one corpus pass — margins map-side, the
+  //   64-row update via a map-side-combined (pos) aggregation, the new
+  //   state a one-row barrier. At web scale the update magnitude grows
+  //   with n — production would switch to McDonald et al.'s per-shard
+  //   averaging (same machinery, one extra divide); the synchronous-batch
+  //   form keeps the oracle exact here.
+  val q359 = {
+    // margin numerator: w·x + b, all BIGINT
+    val dot = "aggregate(zip_with(x, w, (xd, wd) -> xd * wd), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    Query.sql(
+      "q359_perceptron_train",
+      (s, dir) => {
+        val xq = emb(s, dir)
+          .select(col("vec_id"),
+            expr("CAST(CASE WHEN label < 5 THEN 1 ELSE -1 END AS BIGINT)")
+              .as("y"),
+            expr("transform(embedding, " +
+              "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT))").as("x"))
+          .barrier() // quantize once; re-read by each round + the eval
+        // w₀ = 0 (the testdata embedding dim is 64, cf. q323's subspaces)
+        val w0 = s.range(1).select(
+          expr("transform(sequence(1, 64), i -> CAST(0 AS BIGINT))").as("w"),
+          expr("CAST(0 AS BIGINT)").as("b"))
+        def step(w: DataFrame, round: Int): (DataFrame, DataFrame) = {
+          val scored = xq.crossJoin(broadcast(w))
+            .select(col("y"), col("x"), expr(s"y * ($dot + b)").as("margin"))
+          // ONE corpus pass: the posexplode carries the margin, so the
+          // 64 per-dimension update sums, the bias delta and the
+          // misclassified count come out of a single (pos) aggregation.
+          val upd = scored
+            .select(col("y"), col("margin"),
+              posexplode(col("x")).as(Seq("pos", "xv")))
+            .groupBy("pos")
+            .agg(
+              sum(expr("CASE WHEN margin <= 0 THEN y * xv " +
+                "ELSE CAST(0 AS BIGINT) END")).as("dw"),
+              sum(expr("CASE WHEN margin <= 0 THEN y " +
+                "ELSE CAST(0 AS BIGINT) END")).as("dy"),
+              sum(expr("CASE WHEN margin <= 0 THEN 1 " +
+                "ELSE CAST(0 AS BIGINT) END")).as("nm"))
+          // dy/nm are pos-independent (the same global sums land on every
+          // dimension row) — max() just picks the shared value.
+          val st = upd.agg(
+              expr("transform(array_sort(collect_list(" +
+                "named_struct('pos', pos, 'dw', dw))), d -> d.dw)").as("dwa"),
+              max("dy").as("dy"), max("nm").as("nm"))
+            .crossJoin(broadcast(w))
+            .select(expr("zip_with(w, dwa, (a, c) -> a + c)").as("w"),
+              (col("b") + col("dy")).as("b"), col("nm"))
+            .barrier() // one row: the round's full state, cuts recompute
+          val stats = st.select(lit(round.toLong).as("rnd"),
+            col("nm").as("miscls"),
+            expr("aggregate(w, CAST(0 AS BIGINT), " +
+              "(acc, v) -> acc + abs(v))").as("weight_l1"),
+            col("b").as("bias"))
+          (stats, st.select("w", "b"))
+        }
+        val (s1, w1) = step(w0, 1)
+        val (s2, w2) = step(w1, 2)
+        val eval = xq.crossJoin(broadcast(w2))
+          .agg(sum(expr(s"CASE WHEN y * ($dot + b) <= 0 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("miscls"))
+          .crossJoin(broadcast(w2))
+          .select(lit(3L).as("rnd"), col("miscls"),
+            expr("aggregate(w, CAST(0 AS BIGINT), " +
+              "(acc, v) -> acc + abs(v))").as("weight_l1"),
+            col("b").as("bias"))
+        s1.unionByName(s2).unionByName(eval).orderBy("rnd")
+      },
+      """WITH xq AS (
+        |  SELECT vec_id,
+        |    CAST(CASE WHEN label < 5 THEN 1 ELSE -1 END AS BIGINT) AS y,
+        |    list_transform(embedding,
+        |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |-- round 1: w = 0, b = 0 ⇒ every margin is 0 ⇒ every row updates
+        |u1 AS (
+        |  SELECT pos, CAST(SUM(y * xv) AS BIGINT) AS dw
+        |  FROM (SELECT y, unnest(x) AS xv, generate_subscripts(x, 1) AS pos
+        |        FROM xq)
+        |  GROUP BY pos),
+        |w1 AS (
+        |  SELECT (SELECT list(dw ORDER BY pos) FROM u1) AS w,
+        |         (SELECT CAST(SUM(y) AS BIGINT) FROM xq) AS b),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS rnd,
+        |    (SELECT COUNT(*) FROM xq) AS miscls,
+        |    (SELECT CAST(list_sum(list_transform(w, v -> abs(v))) AS BIGINT)
+        |     FROM w1) AS weight_l1,
+        |    (SELECT b FROM w1) AS bias),
+        |m2 AS (
+        |  SELECT q.y, q.x,
+        |    q.y * (CAST(list_sum(list_transform(list_zip(q.x, w1.w),
+        |      z -> z[1] * z[2])) AS BIGINT) + w1.b) AS margin
+        |  FROM xq q, w1),
+        |u2 AS (
+        |  SELECT pos,
+        |    CAST(SUM(CASE WHEN margin <= 0 THEN y * xv ELSE 0 END) AS BIGINT)
+        |      AS dw,
+        |    CAST(SUM(CASE WHEN margin <= 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS dy,
+        |    CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm
+        |  FROM (SELECT y, margin, unnest(x) AS xv,
+        |          generate_subscripts(x, 1) AS pos FROM m2)
+        |  GROUP BY pos),
+        |w2 AS (
+        |  SELECT list_transform(list_zip((SELECT w FROM w1),
+        |      (SELECT list(dw ORDER BY pos) FROM u2)), z -> z[1] + z[2]) AS w,
+        |    (SELECT b FROM w1) + (SELECT MAX(dy) FROM u2) AS b),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS rnd,
+        |    (SELECT MAX(nm) FROM u2) AS miscls,
+        |    (SELECT CAST(list_sum(list_transform(w, v -> abs(v))) AS BIGINT)
+        |     FROM w2) AS weight_l1,
+        |    (SELECT b FROM w2) AS bias),
+        |m3 AS (
+        |  SELECT q.y * (CAST(list_sum(list_transform(list_zip(q.x, w2.w),
+        |      z -> z[1] * z[2])) AS BIGINT) + w2.b) AS margin
+        |  FROM xq q, w2),
+        |s3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS rnd,
+        |    (SELECT CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM m3) AS miscls,
+        |    (SELECT CAST(list_sum(list_transform(w, v -> abs(v))) AS BIGINT)
+        |     FROM w2) AS weight_l1,
+        |    (SELECT b FROM w2) AS bias)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |ORDER BY rnd""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(q132, q133, q135, q138, q139, q146, q241, q245,
-    q281, q323, q346)
+    q281, q323, q346, q359)
 }
