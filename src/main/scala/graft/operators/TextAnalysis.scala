@@ -1557,8 +1557,89 @@ object TextAnalysis {
       |  CAST(SUM(f * r) AS DOUBLE) / 10.0 AS c_avg
       |FROM ranked WHERE r <= 100 GROUP BY 1 ORDER BY decile""".stripMargin)
 
+  // -- q360: Kneser–Ney smoothed bigram LM scoring ---------------------------
+  //   q118's MLE scorer upgraded to the smoothing real LM-based curation
+  //   filters use: interpolated Kneser–Ney (Kneser & Ney 1995; the
+  //   Chen & Goodman 1998 formulation) with absolute discount d = 0.75 —
+  //   P(w₂|w₁) = (c(w₁w₂) − d)/c(w₁•) + d·N₁₊(w₁,•)/c(w₁•) · N₁₊(•,w₂)/B,
+  //   where N₁₊ are distinct-continuation counts and B the distinct-bigram
+  //   total. KN's continuation probability is what separates it from
+  //   naive backoff: a word seen in MANY contexts ("York" vs "Francisco")
+  //   scores differently even at equal unigram frequency.
+  //
+  //   Exactness: with d = 3/4 every term is rational, so the whole
+  //   probability collapses to ONE integer fraction
+  //     [(4·c₂ − 3)·B + 3·N₁₊(w₁,•)·N₁₊(•,w₂)] / (4·c₁·B)
+  //   — numerator and denominator exact BIGINTs (≤ ~4e12 at sf1, far under
+  //   2⁵³, so the single IEEE division + floor-scale is bit-identical in
+  //   both engines), and the per-doc sum is order-free integer math.
+  //
+  //   Scale design (100 TB): one tokenize pass (the q118 bc frame reused by
+  //   model and scoring); the KN model adds only aggregations OVER THE
+  //   DISTINCT-BIGRAM table (c₁/N₁₊-forward share one w₁ aggregation;
+  //   N₁₊-backward is one w₂ aggregation; B one broadcast row) — model
+  //   cost scales with vocabulary², not corpus size; scoring joins stay
+  //   co-partitioned on the bigram/w₁/w₂ keys.
+  val q360 = Query.sql(
+    "q360_kn_lm_score",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bn"))
+        .barrier() // one tokenize pass feeds model AND scoring (q118)
+      val c2 = bc.groupBy("w1", "w2").agg(sum(col("bn")).as("c2")).barrier()
+      // c(w1•) and N1+(w1,•) out of ONE aggregation over distinct bigrams
+      val byW1 = c2.groupBy("w1")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+      val byW2 = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val btot = c2.agg(count(lit(1)).as("bt"))
+      bc.join(c2, Seq("w1", "w2")).join(byW1, Seq("w1"))
+        .join(byW2, Seq("w2")).crossJoin(broadcast(btot))
+        .select(col("doc_id"), col("bn"),
+          expr("""bn * CAST(FLOOR(
+            |  CAST((4 * c2 - 3) * bt + 3 * n1f * n1b AS DOUBLE)
+            |  / CAST(4 * c1 * bt AS DOUBLE) * 1e15) AS BIGINT)"""
+            .stripMargin).as("sp"))
+        .groupBy("doc_id")
+        .agg(sum(col("bn")).as("n_bigrams"), sum(col("sp")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST(ssum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e15")
+            .as("avg_p_kn"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |biu AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg
+      |  FROM toks),
+      |bi AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM biu),
+      |c2t AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |        FROM bi GROUP BY w1, w2),
+      |w1t AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |          CAST(COUNT(*) AS BIGINT) AS n1f
+      |        FROM c2t GROUP BY w1),
+      |w2t AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+      |        FROM c2t GROUP BY w2),
+      |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c2t),
+      |scored AS (
+      |  SELECT doc_id, CAST(FLOOR(
+      |    CAST((4 * c2 - 3) * bt + 3 * n1f * n1b AS DOUBLE)
+      |    / CAST(4 * c1 * bt AS DOUBLE) * 1e15) AS BIGINT) AS sp
+      |  FROM bi JOIN c2t USING (w1, w2) JOIN w1t USING (w1)
+      |    JOIN w2t USING (w2) CROSS JOIN bt)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e15 AS avg_p_kn
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
-      q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324)
+      q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324,
+      q360)
 }
