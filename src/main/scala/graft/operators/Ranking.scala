@@ -247,5 +247,56 @@ object Ranking {
        |FROM bm_rank FULL OUTER JOIN d_rank USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
 
-  val all: Seq[Query] = Seq(q131, q136, q137)
+  // -- q361: unbiased pass@k estimation (code-gen eval harness math) --------
+  //   The standard LLM eval estimator (Chen et al. 2021, "Evaluating Large
+  //   Language Models Trained on Code", arXiv:2107.03374, eq. 1): with n
+  //   samples per task of which c pass, the unbiased estimate of the
+  //   probability that at least one of k drawn samples passes is
+  //     pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{j=0}^{k−1} (n−c−j)/(n−j).
+  //   Computed per task group (source) for k ∈ {1, 5, 10}, with "pass"
+  //   standing in for a unit-test verdict via a deterministic per-doc
+  //   gate. When n − c < k the numerator product crosses zero, so the
+  //   estimate collapses to exactly 1 — the estimator's own boundary
+  //   case, no special-casing needed.
+  //
+  //   Exactness: both products are BIGINT chains over per-group integers
+  //   (n ≤ group size, so Π(n−j) ≤ 25·24·…·16 ≈ 1.2e13 — far inside
+  //   BIGINT), built from the SAME Scala-generated factor text in Spark
+  //   and DuckDB; the single final division is one IEEE op.
+  //
+  //   Scale design: one count/sum aggregation per task group, then a
+  //   3-row-per-group explode of the k values — model-eval rollups are
+  //   aggregation-shaped, never per-sample quadratic.
+  val q361 = {
+    val ks = Seq(1, 5, 10)
+    def num(k: Int) = (0 until k).map(j => s"(n - c - $j)").mkString(" * ")
+    def den(k: Int) = (0 until k).map(j => s"(n - $j)").mkString(" * ")
+    def passExpr(k: Int) =
+      s"1.0 - CAST(${num(k)} AS DOUBLE) / CAST(${den(k)} AS DOUBLE)"
+    Query.sql(
+      "q361_pass_at_k",
+      (s, dir) => {
+        val per = docs(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN n_chars > 300 THEN 1 ELSE 0 END")).as("c"))
+        per.select(col("source"), col("n"), col("c"),
+            explode(expr(s"array(${ks.mkString(", ")})")).as("k"))
+          .select(col("source"), col("k").cast("long").as("k"),
+            col("n"), col("c"),
+            expr(ks.map(k => s"WHEN k = $k THEN ${passExpr(k)}")
+              .mkString("CASE ", " ", " END")).as("pass_at_k"))
+          .orderBy("source", "k")
+      },
+      ks.map { k =>
+        s"""SELECT source, CAST($k AS BIGINT) AS k, n, c, ${passExpr(k)}
+           |  AS pass_at_k
+           |FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS c
+           |      FROM documents GROUP BY source)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY source, k"))
+  }
+
+  val all: Seq[Query] = Seq(q131, q136, q137, q361)
 }
