@@ -1887,9 +1887,109 @@ object Pipeline {
       |FROM ps
       |ORDER BY policy""".stripMargin)
 
+  // -- q362: deterministic span-corruption masking (T5/UL2 denoising prep) --
+  //   The data-side half of span-corruption pretraining (Raffel et al.
+  //   2020, T5 §3.1.4; UL2's denoiser mixtures build on the same op):
+  //   choose corruption spans over each document's token stream, merge
+  //   overlaps, and report the per-doc mask profile (span count, masked
+  //   tokens, corruption rate). Span choice is HASH-derived, not RNG —
+  //   position i opens a span iff md5(doc:i) % 16 = 0 (6.25% starts) with
+  //   length 2 + (h/16) % 3 ∈ {2,3,4} (mean 3, the T5 default; 6.25%·3
+  //   ≈ T5's 15% corruption budget before overlap merging) — so the
+  //   mask is reproducible across runs, partitionings and cluster sizes,
+  //   the same contract as q48's sampling.
+  //
+  //   The overlap merge is the standard interval union: per doc, a span
+  //   start breaks a run iff it exceeds the running max of previous span
+  //   ends (variable lengths mean ends are NOT monotone in starts, so
+  //   this needs the running-max formulation, not q355's lag-gap
+  //   shortcut).
+  //
+  //   Scale design (100 TB): the candidate explode is one corpus-token
+  //   pass filtered to ~1/8 of positions map-side; the merge windows are
+  //   partitioned BY DOC (never global); the rollup is one row per doc.
+  val q362 = Query.sql(
+    "q362_span_corruption",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .barrier() // reused: candidate fanout + the per-doc left join
+      val cand = toks
+        .select(col("doc_id"), col("n_tokens"),
+          explode(expr("sequence(0, n_tokens - 1)")).as("i"))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        .filter(col("h") % 16 === 0)
+        .select(col("doc_id"), col("i"),
+          least(col("i") + 1L + expr("(h div 16) % 3"),
+            col("n_tokens") - 1).as("e"))
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val merged = cand
+        .withColumn("pmax",
+          max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min(col("i")).as("s"), max(col("e")).as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("masked"))
+      toks.join(merged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("masked"), lit(0L)).as("masked_tokens"),
+          (coalesce(col("masked"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("corruption_rate"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents),
+      |cand AS (
+      |  SELECT doc_id, n_tokens, i, h,
+      |    LEAST(i + 1 + (h // 16) % 3, n_tokens - 1) AS e
+      |  FROM (
+      |    SELECT t.doc_id, t.n_tokens, g.i,
+      |      ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR) || ':'
+      |        || CAST(g.i AS VARCHAR)), 1, 6))::BIGINT AS h
+      |    FROM toks t JOIN generate_series(0, 65536) g(i)
+      |      ON g.i <= t.n_tokens - 1)
+      |  WHERE h % 16 = 0),
+      |runs AS (
+      |  SELECT doc_id, i, e,
+      |    MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM cand),
+      |isl AS (
+      |  SELECT doc_id, i, e,
+      |    SUM(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM runs),
+      |spans AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(e) AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS masked
+      |  FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tokens,
+      |  COALESCE(p.n_spans, 0) AS n_spans,
+      |  COALESCE(p.masked, 0) AS masked_tokens,
+      |  CAST(COALESCE(p.masked, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+      |    AS corruption_rate
+      |FROM toks t LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q48, q49, q57, q58, q68, q69, q73, q74, q77, q78, q96, q102, q111,
       q113, q120, q121, q124, q125, q134, q140, q148, q153, q160, q162,
       q176, q196, q198, q261, q269, q274, q277, q294, q297, q299, q302,
-      q333, q334, q335, q342, q352, q358)
+      q333, q334, q335, q342, q352, q358, q362)
 }
