@@ -180,5 +180,78 @@ object Causal {
       |    / 100.0 AS att_per_match
       |FROM m""".stripMargin)
 
-  val all: Seq[Query] = Seq(q353, q354)
+  // -- q363: Welch's unequal-variance t-test (A/B metric readout) -----------
+  //   The default two-sample test an experimentation platform reports when
+  //   group variances differ (Welch 1947): t² = (m₁−m₂)² / (s₁²/n₁ + s₂²/n₂)
+  //   with the Welch–Satterthwaite degrees of freedom. Groups are q353's
+  //   deterministic split (user_id parity), outcome = purchase value.
+  //
+  //   Exactness: the aggregation layer is pure BIGINT — n, Σv, Σv² in
+  //   cents (Σv² ≤ ~1.2e16 at sf1, inside BIGINT) — and every double that
+  //   follows comes from ONE shared scalar-expression string evaluated by
+  //   both engines: identical parse tree + IEEE ops on exactly-represented
+  //   inputs ⇒ bit-identical t²/df (the q129/Ranking discipline; no
+  //   transcendentals — t² is reported instead of t, so no sqrt).
+  //
+  //   Scale design: one map-side-combined scan → 2 rows of 3 BIGINTs;
+  //   nothing downstream grows with events or users.
+  val q363 = {
+    def nd(g: String) = s"CAST(n$g AS DOUBLE)"
+    def m(g: String) = s"(CAST(s$g AS DOUBLE) / ${nd(g)})"
+    // unbiased sample variance via the computational formula, as doubles
+    def va(g: String) =
+      s"((CAST(q$g AS DOUBLE) / ${nd(g)} - ${m(g)} * ${m(g)})" +
+        s" * (${nd(g)} / (${nd(g)} - 1.0)))"
+    val se2 = s"(${va("1")} / ${nd("1")} + ${va("2")} / ${nd("2")})"
+    val t2 = s"((${m("1")} - ${m("2")}) * (${m("1")} - ${m("2")}) / $se2)"
+    val df = s"($se2 * $se2 / " +
+      s"((${va("1")} / ${nd("1")}) * (${va("1")} / ${nd("1")}) / (${nd("1")} - 1.0)" +
+      s" + (${va("2")} / ${nd("2")}) * (${va("2")} / ${nd("2")}) / (${nd("2")} - 1.0)))"
+    Query.sql(
+      "q363_welch_ttest",
+      (s, dir) => {
+        val moments = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select((col("user_id") % 2 === 0).as("treated"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .groupBy("treated")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(expr("v * v")).as("qv"))
+        moments.groupBy()
+          .agg(
+            max(when(col("treated"), col("n"))).as("n1"),
+            max(when(col("treated"), col("sv"))).as("s1"),
+            max(when(col("treated"), col("qv"))).as("q1"),
+            max(when(!col("treated"), col("n"))).as("n2"),
+            max(when(!col("treated"), col("sv"))).as("s2"),
+            max(when(!col("treated"), col("qv"))).as("q2"))
+          .select(col("n1").as("n_treated"), col("n2").as("n_control"),
+            expr(m("1")).as("mean_t_cents"), expr(m("2")).as("mean_c_cents"),
+            expr(t2).as("welch_t2"), expr(df).as("welch_df"))
+      },
+      s"""WITH cells AS (
+         |  SELECT user_id % 2 = 0 AS treated,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)
+         |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS qv
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT
+         |    CAST(MAX(CASE WHEN treated THEN n END) AS BIGINT) AS n1,
+         |    CAST(MAX(CASE WHEN treated THEN sv END) AS BIGINT) AS s1,
+         |    CAST(MAX(CASE WHEN treated THEN qv END) AS BIGINT) AS q1,
+         |    CAST(MAX(CASE WHEN NOT treated THEN n END) AS BIGINT) AS n2,
+         |    CAST(MAX(CASE WHEN NOT treated THEN sv END) AS BIGINT) AS s2,
+         |    CAST(MAX(CASE WHEN NOT treated THEN qv END) AS BIGINT) AS q2
+         |  FROM cells)
+         |SELECT n1 AS n_treated, n2 AS n_control,
+         |  ${m("1")} AS mean_t_cents, ${m("2")} AS mean_c_cents,
+         |  $t2 AS welch_t2, $df AS welch_df
+         |FROM p""".stripMargin)
+  }
+
+  val all: Seq[Query] = Seq(q353, q354, q363)
 }
