@@ -1914,6 +1914,101 @@ object Stats {
       |         CAST(kth AS DOUBLE) END AS est_kmv
       |FROM uni ORDER BY prio""".stripMargin)
 
+  // -- q364: KMV theta-intersection (set-overlap estimate from sketches) ----
+  //   What HLL cannot do and theta/KMV sketches exist for (Beyer et al.
+  //   2007, "On synopses for distinct-value estimation under multiset
+  //   operations"; the Apache DataSketches theta design): estimate the
+  //   DISTINCT-USER OVERLAP of two audiences from their k=64-minimum-value
+  //   sketches alone. Combined union sketch = k smallest of the two
+  //   sketches' union, θ its k-th value; K∩ = common hashes ≤ θ;
+  //   |A∩B| ≈ (K∩/k) · (k−1)·2⁶⁰/θ. The exact overlap rides along as the
+  //   audit column (at 100 TB the exact path is the expensive semi-join
+  //   this sketch replaces — two sketches are 128 longs, mergeable
+  //   executor-side, q343's contract).
+  //
+  //   Determinism: hashes are salted md5 (no RNG), ranks integer, the two
+  //   estimates a fixed chain of IEEE ops — so even the ESTIMATES are
+  //   hash-exact vs the oracle. Degenerate small-set branch (union sketch
+  //   below k) collapses to the exact values, mirrored in both engines.
+  val q364 = Query.sql(
+    "q364_kmv_intersection",
+    (s, dir) => {
+      val k = 64
+      val M = "1.152921504606846976e18" // 2^60 as an exact double literal
+      // audience A: viewers; audience B: high-value purchasers — a proper
+      // partial overlap, the audience-overlap question as marketed
+      val d = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "view" ||
+          (col("event_type") === "purchase" && col("value") > 90))
+        .select(when(col("event_type") === "view", "A").otherwise("B").as("t"),
+          expr("CAST(conv(substring(md5('s42:' || CAST(user_id AS STRING)" +
+            "), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+        .barrier() // feeds both sketches and the exact audit
+      val sk = d
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("t").orderBy("h")))
+        .filter(col("rn") <= k)
+        .select("t", "h")
+        .barrier() // ≤ 2k rows: the union sketch + K∩ both reuse it
+      // union sketch built ONLY from the per-set sketches (mergeability);
+      // bounded input: ≤ 2k rows, so the global rank window is fine
+      val comb = sk.select("h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .filter(col("rn") <= k)
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
+      val both = sk.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+      val kcap = both.crossJoin(broadcast(comb))
+        .filter(col("h") <= col("theta"))
+        .agg(count(lit(1)).as("k_cap"))
+      val exact = d.groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_exact_int"),
+          count(lit(1)).as("n_exact_union"))
+      comb.crossJoin(broadcast(kcap)).crossJoin(broadcast(exact))
+        .select(col("n_exact_union"), col("n_exact_int"), col("k_cap"),
+          when(col("n_sk") < k, col("n_sk").cast("double"))
+            .otherwise(
+              expr(s"CAST(${k - 1} AS DOUBLE) * $M / CAST(theta AS DOUBLE)"))
+            .as("est_union"),
+          when(col("n_sk") < k, col("k_cap").cast("double"))
+            .otherwise(expr(s"(CAST(k_cap AS DOUBLE) / CAST($k AS DOUBLE))" +
+              s" * (CAST(${k - 1} AS DOUBLE) * $M / CAST(theta AS DOUBLE))"))
+            .as("est_intersection"))
+    },
+    """WITH d AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END AS t,
+      |    ('0x' || substring(md5('s42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |  WHERE event_type = 'view'
+      |     OR (event_type = 'purchase' AND value > 90)),
+      |sk AS (
+      |  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+      |  FROM d QUALIFY rn <= 64),
+      |comb AS (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT h FROM sk) QUALIFY rn <= 64),
+      |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS theta
+      |       FROM comb),
+      |bo AS (SELECT h FROM sk GROUP BY h HAVING COUNT(*) = 2),
+      |kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cap
+      |       FROM bo, cs WHERE bo.h <= cs.theta),
+      |ex AS (
+      |  SELECT CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_exact_int,
+      |    CAST(COUNT(*) AS BIGINT) AS n_exact_union
+      |  FROM (SELECT h, COUNT(*) AS c FROM d GROUP BY h))
+      |SELECT n_exact_union, n_exact_int, k_cap,
+      |  CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+      |    ELSE CAST(63 AS DOUBLE) * 1.152921504606846976e18
+      |         / CAST(theta AS DOUBLE) END AS est_union,
+      |  CASE WHEN n_sk < 64 THEN CAST(k_cap AS DOUBLE)
+      |    ELSE (CAST(k_cap AS DOUBLE) / CAST(64 AS DOUBLE))
+      |         * (CAST(63 AS DOUBLE) * 1.152921504606846976e18
+      |            / CAST(theta AS DOUBLE)) END AS est_intersection
+      |FROM cs, kc, ex""".stripMargin)
+
   // -- q348: pairwise Kolmogorov–Smirnov drift MATRIX -----------------------
   //   q151 tests ONE pre-named pair; this computes D for EVERY pair of
   //   event types in one plan — the drift dashboard a multi-source corpus
@@ -1993,5 +2088,5 @@ object Stats {
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
       q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341,
-      q343, q348)
+      q343, q348, q364)
 }
