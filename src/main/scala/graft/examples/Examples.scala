@@ -405,6 +405,48 @@ class SubstringDedupDocs(inUrl: String, outUrl: String,
   }
 }
 
+/** Sequence packing as a pipeline stage: assign every document to a
+  * fixed-capacity training context window with SPFHP
+  * ([[graft.operators.Packing]], Krell et al. 2021 — histogram solve on
+  * the driver, broadcast assignment join) and write the doc→window map
+  * with per-doc token counts. Stats record window count and padding so a
+  * run's packing efficiency is visible in the lock manifest.
+  */
+class PackTrainingWindows(inUrl: String, outUrl: String,
+    capacity: Int = 256) extends Model {
+  override def name = "PackTrainingWindows"
+  val connects = Map(
+    "docs" -> Connect(inUrl, AccessMode.Read),
+    "packed" -> Connect(outUrl, AccessMode.Write))
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("docs"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.api._
+    val docs = io.read("docs")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(capacity)).cast("int")
+          .as("tok"))
+    stat(s, "docs_in").add(docs.count())
+    io.write("packed", docs.packSequences("tok", "doc_id", capacity))
+    val back = io.readBack("packed")
+    val agg = back
+      .agg(sum(col("tok")).as("t"), countDistinct(col("bin_id")).as("w"))
+      .first()
+    stat(s, "total_tokens").add(agg.getLong(0))
+    stat(s, "windows").add(agg.getLong(1))
+    stat(s, "padding_tokens").add(agg.getLong(1) * capacity - agg.getLong(0))
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val out = io.readBack("packed")
+    Checks.unique(out, Seq("doc_id")) &&
+      out.groupBy("bin_id").agg(sum(col("tok")).as("fill"))
+        .filter(col("fill") > capacity).isEmpty
+  }
+}
+
 class NearDedupDocs(inUrl: String, outUrl: String,
     bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.8)
   extends Model {
