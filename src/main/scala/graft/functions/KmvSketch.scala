@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct sketch as a typed Aggregator: state is
+  * the ≤ k smallest DISTINCT hash values seen — ~8k bytes however many
+  * rows flow past — and merge is "union, dedup, keep k smallest", which is
+  * associative, commutative and idempotent-per-hash. That makes the sketch
+  * value ORDER- AND PARTITIONING-INVARIANT (bit-identical under any
+  * micro-batch split or shuffle plan), unlike HLL's register layout — the
+  * property q343 exploits for oracle-exact estimates and
+  * [[graft.streaming.Streams.kmvDistinctStream]] exploits for
+  * streaming==batch equality specs.
+  *
+  * Inputs must already be uniform hashes (salted md5 prefixes, the q343
+  * convention); the estimator (k−1)·M/h_(k) with M the hash range lives at
+  * the call site, where the n<k degenerate branch collapses to the exact
+  * count.
+  */
+final class KMinAggregator(k: Int)
+  extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.length >= k && h >= buf.last) buf
+    else if (buf.contains(h)) buf // KMV counts DISTINCT values: k is small
+    else ((buf :+ h).sorted).take(k)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object KmvSketch {
+  /** Aggregate a BIGINT hash column into its ≤ k smallest distinct values.
+    * Usage: `df.agg(KmvSketch.sketch(64)($"h"))`.
+    */
+  def sketch(k: Int): Column => Column = {
+    val agg = udaf(new KMinAggregator(k))
+    (hash: Column) => agg(hash)
+  }
+}

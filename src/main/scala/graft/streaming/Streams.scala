@@ -476,6 +476,35 @@ object Streams {
       .select(col("window.start").as("hour"), explode(col("sketch")))
       .toDF("hour", "item", "weight")
 
+  /** Live distinct-users monitor per tumbling hour — the streaming twin of
+    * q343's KMV sketch (and the distinct-count sibling of [[trendingTopK]]):
+    * the [[graft.functions.KmvSketch]] typed aggregator IS the streaming
+    * aggregation, so per-window state is ≤ k longs however many users flow
+    * past, and the watermark retires whole windows. Because the KMV state
+    * is order- and partitioning-invariant (k smallest distinct salted
+    * hashes), the streaming estimate is BIT-IDENTICAL to the batch
+    * computation on the same data — pinned by the spec — while HLL's
+    * engine-private registers could only be compared approximately.
+    * Emits (hour, n_sk, est_distinct) with q343's estimator:
+    * (k−1)·2⁶⁰/h_(k), collapsing to the exact count while n_sk < k.
+    */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.KmvSketch.sketch(k)(
+        expr("CAST(conv(substring(md5('s42:' || CAST(user_id AS STRING))" +
+          ", 1, 15), 16, 10) AS BIGINT)")).as("mins"))
+      .select(col("window.start").as("hour"),
+        size(col("mins")).cast("long").as("n_sk"),
+        when(size(col("mins")) < k,
+          size(col("mins")).cast("double"))
+          .otherwise(expr(s"CAST(${k - 1} AS DOUBLE)" +
+            s" * 1.152921504606846976e18" +
+            s" / CAST(element_at(mins, $k) AS DOUBLE)"))
+          .as("est_distinct"))
+
   /** Per-window value-distribution monitor: p50/p90 via the KLL-style
     * percentile_approx sketch AS the streaming aggregation (mergeable
     * state, constant size per open window — the same swap q159 documents

@@ -610,6 +610,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV distinct estimate equals the batch sketch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4 // sf0.001 hours hold 1..6 distinct users: BOTH branches run
+    val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
+      .collect().toSeq
+    val mem = MemoryStream[Streams.Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val q = Streams.kmvDistinctStream(mem.toDS().toDF(), k)
+      .writeStream.format("memory").queryName("kmv_test")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    // two micro-batches so sketch state round-trips the state store and
+    // merges across the boundary
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_test").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // batch twin: same hash, same rank-k cut, same estimator text
+    val batch = Tables.load(spark, sf0001, "events")
+      .select(window(col("ts"), "1 hour")("start").as("hour"),
+        expr("CAST(conv(substring(md5('s42:' || CAST(user_id AS STRING))" +
+          ", 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hour")
+          .orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .select(col("hour"), col("n_sk"),
+        when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise(expr(s"CAST(${k - 1} AS DOUBLE)" +
+            " * 1.152921504606846976e18 / CAST(kth AS DOUBLE)"))
+          .as("est"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    assert(got.nonEmpty)
+    for ((w, (nSk, est)) <- got) {
+      assert((nSk, est) == batch(w),
+        s"window $w: streaming ($nSk, $est) != batch ${batch(w)}")
+    }
+    // both estimator branches actually ran
+    assert(got.values.exists(_._1 < k), "no degenerate (n<k) window")
+    assert(got.values.exists(_._1 == k), "no saturated (n=k) window")
+    // and the saturated estimates land near the exact distinct counts
+    val exact = Tables.load(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "1 hour")("start").as("hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    for ((w, (nSk, est)) <- got if nSk == k) {
+      val n = exact(w).toDouble
+      assert(est > n * 0.4 && est < n * 2.5,
+        s"window $w: estimate $est implausible vs exact $n")
+    }
+  }
+
   test("streaming trending top-k honors the Misra–Gries guarantees per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
