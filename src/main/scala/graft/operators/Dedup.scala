@@ -1644,9 +1644,104 @@ object Dedup {
          |GROUP BY a.cl, b.vec_id ORDER BY id_dup""".stripMargin)
   }
 
+  // -- q365: winnowing fingerprints (MOSS local document fingerprinting) ----
+  /** Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    * plagiarism detector's algorithm): hash every char 8-gram, slide a
+    * window of w=4 consecutive gram hashes, and select each window's
+    * minimum (ties → RIGHTMOST position, the paper's robust-winnowing
+    * rule). The selected set is a position-stable fingerprint with
+    * guaranteed coverage — any shared substring of length ≥ w+k−1 = 11
+    * yields a shared fingerprint — at expected density 2/(w+1), the local
+    * guarantee MinHash (q43) and SimHash (q44) cannot give. Output per
+    * doc: gram count, fingerprint count, fingerprints whose hash also
+    * appears in another doc's fingerprint set (the dedup signal).
+    *
+    * Determinism: the rightmost-min tie rule is packed into ONE BIGINT
+    * key per gram — h·2²¹ + (2²¹−1−i) — so the frame MIN selects
+    * (min hash, max position) in a single integer compare; 40-bit md5
+    * hash · 2²¹ stays ≪ 2⁶³. Identical expression text in both engines.
+    *
+    * Scale design (100 TB): grams explode map-side and the window frames
+    * are PER-DOC (partitioned, w rows deep — never global); the cross-doc
+    * sharing join shuffles one row per DISTINCT fingerprint hash, the
+    * same 16-byte-digest discipline as q43/q355.
+    */
+  val q365 = {
+    val k = 8; val w = 4
+    Query.sql(
+      "q365_winnowing",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr(s"sequence(1, greatest(n_chars - ${k - 1}, 1))"))
+              .as("i"),
+            col("text"))
+          .filter(col("i") <= col("n_chars") - (k - 1))
+          .select(col("doc_id"), col("i"),
+            expr(s"CAST(conv(substring(md5(substring(text, CAST(i AS INT)" +
+              s", $k)), 1, 10), 16, 10) AS BIGINT)").as("h"))
+          .withColumn("ck", expr("h * 2097152 + (2097151 - i)"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("i")
+        // per-window argmin (rightmost tie) via the packed key; only real
+        // window starts count (the last w-1 grams begin no window)
+        val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val fp = grams
+          .withColumn("sel",
+            min(col("ck")).over(byDoc.rowsBetween(Window.currentRow, w - 1)))
+          .join(ng, "doc_id")
+          .filter(col("i") <= col("n_grams") - (w - 1))
+          .select(col("doc_id"),
+            (lit(2097151L) - (col("sel") % 2097152L)).as("pos"),
+            expr("sel div 2097152").as("fh"))
+          .distinct()
+          .barrier() // fingerprint set: per-doc rollup + sharing join reuse it
+        val docsPerHash = fp.groupBy("fh")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        fp.join(docsPerHash, "fh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_fp"))
+          .join(ng, "doc_id")
+          .select(col("doc_id"), col("n_grams"), col("n_fp"),
+            col("shared_fp"),
+            (col("n_fp").cast("double") / col("n_grams").cast("double"))
+              .as("density"))
+          .orderBy("doc_id")
+      },
+      s"""WITH grams AS (
+         |  SELECT d.doc_id, g.i,
+         |    ('0x' || substring(md5(substring(d.text, CAST(g.i AS INTEGER)
+         |      , $k)), 1, 10))::BIGINT AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, 65536) g(i) ON g.i <= d.n_chars - ${k - 1}),
+         |ck AS (
+         |  SELECT doc_id, i, h * 2097152 + (2097151 - i) AS ck FROM grams),
+         |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |       FROM grams GROUP BY doc_id),
+         |sel AS (
+         |  SELECT c.doc_id, c.i,
+         |    MIN(ck) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+         |  FROM ck c),
+         |fp AS (
+         |  SELECT DISTINCT s.doc_id,
+         |    2097151 - (s.sel % 2097152) AS pos, s.sel // 2097152 AS fh
+         |  FROM sel s JOIN ng USING (doc_id)
+         |  WHERE s.i <= ng.n_grams - ${w - 1}),
+         |dph AS (SELECT fh, COUNT(DISTINCT doc_id) AS nd FROM fp GROUP BY fh)
+         |SELECT f.doc_id, ng.n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_fp,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(ng.n_grams AS DOUBLE) AS density
+         |FROM fp f JOIN dph d USING (fh) JOIN ng ON ng.doc_id = f.doc_id
+         |GROUP BY f.doc_id, ng.n_grams
+         |ORDER BY f.doc_id""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q88, q110, q114, q115, q117,
       q130, q147, q184, q190, q192, q197, q231, q235, q242, q256, q273,
-      q319, q328, q332, q355, q356, q357)
+      q319, q328, q332, q355, q356, q357, q365)
 
 }
