@@ -2009,6 +2009,80 @@ object Stats {
       |            / CAST(theta AS DOUBLE)) END AS est_intersection
       |FROM cs, kc, ex""".stripMargin)
 
+  // -- q366: CUSUM change-point detection (drift alarms per event type) -----
+  //   Page's cumulative-sum control chart (Page 1954), the sequential
+  //   change-point detector data-quality monitors run on ingest volumes:
+  //   one-sided upper CUSUM of hourly counts against the series' own mean,
+  //   S_t = max(0, S_{t−1} + (x_t − μ − ν)), alarm when S_t > hμ. The
+  //   sequential recurrence has the classic closed form S_t = C_t −
+  //   min(0, min_{j≤t} C_j) with C the plain cumulative sum of
+  //   (x_t − μ − ν) — two ordered windows, no recursion.
+  //
+  //   Exactness: with ν = μ/10 and h = 3μ everything clears denominators —
+  //   per-type totals T over H hours give the ×10H-scaled deviation
+  //   y_t = 10·H·x_t − 11·T, alarm gate S_t > 30·T — all BIGINT; the
+  //   reported max is one final division. Scale: windows are PER TYPE over
+  //   the HOURLY rollup (cardinality = hours × types, not events); the
+  //   one-row-per-type stats broadcast back via a co-keyed join.
+  val q366 = Query.sql(
+    "q366_cusum_changepoint",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .barrier() // per-type stats + the windowed scan both read it
+      val stats = hourly.groupBy("event_type")
+        .agg(sum(col("x")).as("t_total"), count(lit(1)).as("n_hours"))
+      val byType = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.join(stats, "event_type")
+        .withColumn("c",
+          sum(expr("10 * n_hours * x - 11 * t_total")).over(byType))
+        .withColumn("s",
+          col("c") - least(lit(0L), min(col("c")).over(byType)))
+        .groupBy("event_type", "n_hours", "t_total")
+        .agg(
+          sum(when(col("s") > col("t_total") * 30, 1L).otherwise(0L))
+            .as("n_alarms"),
+          date_format(
+            min(when(col("s") > col("t_total") * 30, col("hour"))),
+            "yyyy-MM-dd HH:mm:ss").as("first_alarm_hour"),
+          (max(col("s")).cast("double") /
+            (lit(10.0) * col("n_hours").cast("double"))).as("max_cusum"))
+        .select(col("event_type"), col("n_hours"), col("n_alarms"),
+          col("first_alarm_hour"), col("max_cusum"))
+        .orderBy("event_type")
+    },
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS t_total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hours
+      |  FROM hourly GROUP BY event_type),
+      |cum AS (
+      |  SELECT h.event_type, h.hour, st.n_hours, st.t_total,
+      |    CAST(SUM(10 * st.n_hours * h.x - 11 * st.t_total)
+      |      OVER (PARTITION BY h.event_type ORDER BY h.hour
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      |  FROM hourly h JOIN st USING (event_type)),
+      |cs AS (
+      |  SELECT event_type, hour, n_hours, t_total,
+      |    c - LEAST(0, MIN(c) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS UNBOUNDED PRECEDING)) AS s
+      |  FROM cum)
+      |SELECT event_type, n_hours,
+      |  CAST(SUM(CASE WHEN s > t_total * 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarms,
+      |  strftime(MIN(CASE WHEN s > t_total * 30 THEN hour END),
+      |    '%Y-%m-%d %H:%M:%S') AS first_alarm_hour,
+      |  CAST(MAX(s) AS DOUBLE) / (10.0 * CAST(n_hours AS DOUBLE))
+      |    AS max_cusum
+      |FROM cs GROUP BY event_type, n_hours, t_total
+      |ORDER BY event_type""".stripMargin)
+
   // -- q348: pairwise Kolmogorov–Smirnov drift MATRIX -----------------------
   //   q151 tests ONE pre-named pair; this computes D for EVERY pair of
   //   event types in one plan — the drift dashboard a multi-source corpus
@@ -2088,5 +2162,5 @@ object Stats {
     Seq(q27, q28, q29, q99, q142, q143, q151, q152, q155, q161, q164, q165,
       q174, q177, q178, q179, q180, q182, q210, q218, q219, q221, q239,
       q249, q263, q270, q282, q303, q311, q321, q329, q339, q340, q341,
-      q343, q348, q364)
+      q343, q348, q364, q366)
 }
