@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Checkpoints._
 import graft.{Query, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -1637,9 +1638,213 @@ object TextAnalysis {
       |  CAST(SUM(sp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e15 AS avg_p_kn
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // -- q367: feature hashing (the hashing trick) -----------------------------
+  //   Weinberger et al. 2009 ("Feature Hashing for Large Scale Multitask
+  //   Learning") / Vowpal-Wabbit-style text features: every token maps to
+  //   bucket md5('fh:'·tok) % 64 with a ±1 sign from an independent hash
+  //   bit, and the doc's feature vector is the signed count per bucket —
+  //   FIXED dimensionality with no vocabulary table, the property that
+  //   makes it the standard featurizer when the vocab would not fit
+  //   anywhere. The sign makes bucket collisions cancel in expectation
+  //   (the paper's unbiasedness trick). Emits per doc: nnz, ‖φ‖₁ and the
+  //   sparse vector as a canonical "b:φ" string (list columns cannot ride
+  //   the hash compare).
+  //
+  //   Scale: one explode + one (doc, bucket) map-side-combined sum; no
+  //   vocabulary state anywhere — the featurizer is embarrassingly
+  //   map-side however large the corpus.
+  val q367 = Query.sql(
+    "q367_feature_hashing",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(concat('fh:', tok)), 1, 6), 16, 10)" +
+            " AS BIGINT) % 64").as("b"),
+          expr("CASE WHEN CAST(conv(substring(md5(concat('sg:', tok)), 1, 1)" +
+            ", 16, 10) AS BIGINT) % 2 = 0 THEN CAST(1 AS BIGINT)" +
+            " ELSE CAST(-1 AS BIGINT) END").as("sg"))
+      tf.groupBy("doc_id", "b").agg(sum(col("sg")).as("phi"))
+        .filter(col("phi") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum(abs(col("phi"))).as("l1"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "named_struct('b', b, 'phi', phi))), " +
+            "s -> concat(CAST(s.b AS STRING), ':', CAST(s.phi AS STRING)))" +
+            ", ',')").as("features"))
+        .orderBy("doc_id")
+    },
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5('fh:' || tok), 1, 6))::BIGINT % 64 AS b,
+      |    CASE WHEN ('0x' || substring(md5('sg:' || tok), 1, 1))::BIGINT
+      |      % 2 = 0 THEN 1 ELSE -1 END AS sg
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |feats AS (
+      |  SELECT doc_id, b, CAST(SUM(sg) AS BIGINT) AS phi
+      |  FROM tf GROUP BY doc_id, b HAVING SUM(sg) <> 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+      |  CAST(SUM(abs(phi)) AS BIGINT) AS l1,
+      |  string_agg(CAST(b AS VARCHAR) || ':' || CAST(phi AS VARCHAR), ','
+      |    ORDER BY b) AS features
+      |FROM feats GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  // -- q368: fastText-style text classifier (perceptron on hashed features) -
+  //   q359's distributed batch perceptron composed with q367's hashing
+  //   trick — the full shape of a trained-from-scratch text quality/domain
+  //   classifier (fastText / DCLM-style linear model over hashed
+  //   bag-of-words). Target: the fastText sanity task — recover a
+  //   token-content rule ("mentions spark/query/join ≥ 3 times", a
+  //   topicality gate) THROUGH the hashed features, where sign collisions
+  //   are the only obstacle; the synthetic corpus shares one vocabulary
+  //   across langs, so a metadata label would have no linear signal at
+  //   all. Features: 64 signed-count buckets plus a constant bias bucket
+  //   (b = 64, φ = 1 on every doc). Two synchronous batch rounds + a
+  //   final eval row, all BIGINT (the features are already integers — no
+  //   scaling step at all).
+  //
+  //   This table is the oracle-pinned MONITORING readout of the training
+  //   machinery (the round-t miscls column evaluates w_{t−1}); the batch
+  //   update is known to oscillate at the majority class on imbalanced
+  //   data, which is exactly why production fits use per-shard ONLINE
+  //   epochs with cross-shard weight mixing —
+  //   [[graft.operators.TextClassifier.ipmFit]] (McDonald et al. 2010),
+  //   spec-verified to learn this same rule to ≥ 0.85 accuracy. The
+  //   sequential within-shard pass is not ANSI-SQL-expressible, so the
+  //   oracle pins the synchronous form and the spec pins the IPM fit —
+  //   the same split as kmeansFit (q135 pins one Lloyd step).
+  //
+  //   Scale design: weights live as a 64-row table joined on the bucket
+  //   id, so each round's margin pass is a SPARSE dot product — one
+  //   (doc, bucket) join + per-doc sum, never a dense per-row array — and
+  //   the update aggregates misclassified docs by bucket. State per round:
+  //   65 rows.
+  val q368 = {
+    Query.sql(
+      "q368_fasttext_classifier",
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(conv(substring(md5(concat('fh:', tok)), 1, 6), 16, " +
+              "10) AS BIGINT) % 64").as("b"),
+            expr("CASE WHEN CAST(conv(substring(md5(concat('sg:', tok)), 1," +
+              " 1), 16, 10) AS BIGINT) % 2 = 0 THEN CAST(1 AS BIGINT)" +
+              " ELSE CAST(-1 AS BIGINT) END").as("sg"))
+        val yd = docs(s, dir).select(col("doc_id"),
+          expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+            "w -> w IN ('spark', 'query', 'join'))) >= 3 " +
+            "THEN 1 ELSE -1 END AS BIGINT)").as("y"))
+        val xf = tf.groupBy("doc_id", "b").agg(sum(col("sg")).as("phi"))
+          .filter(col("phi") =!= 0)
+          .join(yd, "doc_id")
+          .unionByName(yd.select(col("doc_id"), lit(64L).as("b"),
+            lit(1L).as("phi"), col("y")))
+          .barrier() // featurize once; every round + the eval re-reads it
+        val w0 = s.range(65).select(col("id").as("b"), lit(0L).as("w"))
+        def step(w: DataFrame, round: Int): (DataFrame, DataFrame) = {
+          val margins = xf.join(broadcast(w), Seq("b"))
+            .groupBy("doc_id", "y")
+            .agg(sum(col("phi") * col("w")).as("m"))
+            .select(col("doc_id"), col("y"), (col("y") * col("m")).as("margin"))
+          val upd = margins.filter(col("margin") <= 0)
+            .select("doc_id", "y")
+            .join(xf.select("doc_id", "b", "phi"), Seq("doc_id"))
+            .groupBy("b").agg(sum(col("y") * col("phi")).as("dw"))
+          val nw = w.join(upd, Seq("b"), "left")
+            .select(col("b"),
+              (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+            .barrier() // 65 rows: the round's state
+          val stats = nw
+            .agg(sum(abs(col("w"))).as("weight_l1"),
+              max(when(col("b") === 64, col("w"))).as("bias"))
+            .crossJoin(broadcast(
+              margins.filter(col("margin") <= 0)
+                .agg(count(lit(1)).as("miscls"))))
+            .select(lit(round.toLong).as("rnd"), col("miscls"),
+              col("weight_l1"), col("bias"))
+          (stats, nw)
+        }
+        val (s1, w1) = step(w0, 1)
+        val (s2, w2) = step(w1, 2)
+        val eval = xf.join(broadcast(w2), Seq("b"))
+          .groupBy("doc_id", "y")
+          .agg(sum(col("phi") * col("w")).as("m"))
+          .agg(sum(when(col("y") * col("m") <= 0, 1L).otherwise(0L))
+            .as("miscls"))
+          .crossJoin(broadcast(w2.agg(
+            sum(abs(col("w"))).as("weight_l1"),
+            max(when(col("b") === 64, col("w"))).as("bias"))))
+          .select(lit(3L).as("rnd"), col("miscls"), col("weight_l1"),
+            col("bias"))
+        s1.unionByName(s2).unionByName(eval).orderBy("rnd")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('fh:' || tok), 1, 6))::BIGINT % 64 AS b,
+        |    CASE WHEN ('0x' || substring(md5('sg:' || tok), 1, 1))::BIGINT
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |yd AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('spark', 'query', 'join'))) >= 3
+        |      THEN 1 ELSE -1 END AS BIGINT) AS y
+        |  FROM documents),
+        |xf AS (
+        |  SELECT f.doc_id, y.y, f.b, f.phi
+        |  FROM (SELECT doc_id, b, CAST(SUM(sg) AS BIGINT) AS phi
+        |        FROM tf GROUP BY doc_id, b HAVING SUM(sg) <> 0) f
+        |  JOIN yd y USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, y, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM yd),
+        |-- round 1: w = 0 ⇒ every margin is 0 ⇒ every doc updates
+        |u1 AS (SELECT b, CAST(SUM(y * phi) AS BIGINT) AS w
+        |       FROM xf GROUP BY b),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS rnd,
+        |    (SELECT COUNT(*) FROM yd) AS miscls,
+        |    (SELECT CAST(SUM(abs(w)) AS BIGINT) FROM u1) AS weight_l1,
+        |    (SELECT CAST(MAX(CASE WHEN b = 64 THEN w END) AS BIGINT)
+        |     FROM u1) AS bias),
+        |m2 AS (
+        |  SELECT x.doc_id, x.y,
+        |    x.y * CAST(SUM(x.phi * u1.w) AS BIGINT) AS margin
+        |  FROM xf x JOIN u1 USING (b) GROUP BY x.doc_id, x.y),
+        |u2 AS (
+        |  SELECT x.b, CAST(SUM(x.y * x.phi) AS BIGINT) AS dw
+        |  FROM xf x JOIN (SELECT doc_id FROM m2 WHERE margin <= 0) mm
+        |    USING (doc_id)
+        |  GROUP BY x.b),
+        |w2 AS (
+        |  SELECT u1.b, u1.w + COALESCE(u2.dw, 0) AS w
+        |  FROM u1 LEFT JOIN u2 USING (b)),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS rnd,
+        |    (SELECT COUNT(*) FROM m2 WHERE margin <= 0) AS miscls,
+        |    (SELECT CAST(SUM(abs(w)) AS BIGINT) FROM w2) AS weight_l1,
+        |    (SELECT CAST(MAX(CASE WHEN b = 64 THEN w END) AS BIGINT)
+        |     FROM w2) AS bias),
+        |m3 AS (
+        |  SELECT x.doc_id, x.y,
+        |    x.y * CAST(SUM(x.phi * w2.w) AS BIGINT) AS margin
+        |  FROM xf x JOIN w2 USING (b) GROUP BY x.doc_id, x.y),
+        |s3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS rnd,
+        |    (SELECT COUNT(*) FROM m3 WHERE margin <= 0) AS miscls,
+        |    (SELECT CAST(SUM(abs(w)) AS BIGINT) FROM w2) AS weight_l1,
+        |    (SELECT CAST(MAX(CASE WHEN b = 64 THEN w END) AS BIGINT)
+        |     FROM w2) AS bias)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |ORDER BY rnd""".stripMargin)
+  }
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
       q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324,
-      q360)
+      q360, q367, q368)
 }
