@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed text-classifier training: the hashing trick (q367) feeding
+  * iterative parameter mixing for the structured perceptron (McDonald,
+  * Hall & Mann, NAACL 2010, "Distributed Training Strategies for the
+  * Structured Perceptron", §IPM) — the published distributed form of
+  * online perceptron training, and the piece the oracle-checked
+  * synchronous-batch readout (q368) points at for production fits: batch
+  * rounds are provably oracle-exact but oscillate on imbalanced data,
+  * while per-shard ONLINE epochs + cross-shard weight mixing converge
+  * (the paper's point).
+  *
+  * Scale design (100 TB): docs hash-assign to `shards` deterministically;
+  * one `repartition(shards, shard)` + `sortWithinPartitions(shard,
+  * doc_id)` gives each shard a deterministic scan order with Spark's
+  * EXTERNAL sort (spill-safe — nothing doc-sized is ever collected); the
+  * online epoch runs iterator-style in `mapPartitions` holding only the
+  * O(buckets) weight array; mixed weights are a ≤ buckets+1-row aggregate
+  * broadcast back each round (bounded driver state, the BpeTrainer/SPFHP
+  * discipline). Weight mixing uses the SUM of shard weights — sign
+  * decisions are scale-invariant, so summing is the integer-exact stand-in
+  * for the paper's average.
+  */
+object TextClassifier {
+
+  /** q367's feature map as a reusable frame: (id, b, phi) signed hashed
+    * token counts over `buckets` buckets, plus the constant bias feature
+    * (b = buckets, phi = 1) on every row of `df`.
+    */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 64): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol),
+        expr(s"CAST(conv(substring(md5(concat('fh:', tok)), 1, 6), 16, 10)" +
+          s" AS BIGINT) % $buckets").as("b"),
+        expr("CASE WHEN CAST(conv(substring(md5(concat('sg:', tok)), 1, 1)" +
+          ", 16, 10) AS BIGINT) % 2 = 0 THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(-1 AS BIGINT) END").as("sg"))
+    tf.groupBy(col(idCol), col("b")).agg(sum(col("sg")).as("phi"))
+      .filter(col("phi") =!= 0)
+      .unionByName(df.select(col(idCol), lit(buckets.toLong).as("b"),
+        lit(1L).as("phi")))
+  }
+
+  /** Fit a binary linear classifier by iterative parameter mixing.
+    *
+    * @param feats  (idCol, b, phi) sparse features, e.g. [[hashedFeatures]]
+    * @param labels (idCol, y) with y ∈ {+1, −1} as LongType
+    * @return (b, w) weight rows, b ∈ [0, buckets]; predict with
+    *         sign(Σ phi·w) via a join on b (see [[predict]])
+    */
+  def ipmFit(feats: DataFrame, labels: DataFrame, idCol: String,
+      buckets: Int = 64, shards: Int = 8, rounds: Int = 3): DataFrame = {
+    val spark = feats.sparkSession
+    val rows = feats.join(labels, idCol)
+      .select(col(idCol).as("id"), col("y"), col("b"), col("phi"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(md5(concat('sh:', CAST(id AS STRING)))" +
+          s", 1, 6), 16, 10) AS BIGINT) % $shards"))
+      // one externally-sorted shuffle: every shard contiguous, docs in
+      // deterministic id order, features in b order within a doc
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "id", "b")
+      .persist()
+    rows.count() // materialize once; every round rescans the same layout
+    val dim = buckets + 1
+    var w = new Array[Long](dim)
+    for (_ <- 1 to rounds) {
+      val wb = spark.sparkContext.broadcast(w.clone())
+      val mixed = rows.rdd.mapPartitions { it =>
+        // weights-only state: O(buckets) per shard, docs stream through
+        var shard = -1L
+        var lw: Array[Long] = null
+        var docId = Long.MinValue
+        var y = 0L
+        val bs = new scala.collection.mutable.ArrayBuffer[Int]()
+        val ps = new scala.collection.mutable.ArrayBuffer[Long]()
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+        def flushDoc(): Unit = if (bs.nonEmpty) {
+          var m = 0L; var i = 0
+          while (i < bs.length) { m += ps(i) * lw(bs(i)); i += 1 }
+          if (y * m <= 0) {
+            i = 0
+            while (i < bs.length) { lw(bs(i)) += y * ps(i); i += 1 }
+          }
+          bs.clear(); ps.clear()
+        }
+        def flushShard(): Unit = if (lw != null) {
+          flushDoc()
+          var i = 0
+          while (i < lw.length) { out += ((i, lw(i))); i += 1 }
+        }
+        it.foreach { r =>
+          val s = r.getLong(4) // shard
+          if (s != shard) { flushShard(); shard = s
+            lw = wb.value.clone(); docId = Long.MinValue }
+          val id = r.getLong(0)
+          if (id != docId) { flushDoc(); docId = id; y = r.getLong(1) }
+          bs += r.getLong(2).toInt; ps += r.getLong(3)
+        }
+        flushShard()
+        out.iterator
+      }.reduceByKey(_ + _).collect() // bounded: ≤ (buckets+1) pairs
+      val nw = new Array[Long](dim)
+      mixed.foreach { case (b, v) => nw(b) = v }
+      w = nw
+      wb.destroy()
+    }
+    rows.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        w.toSeq.zipWithIndex.map { case (v, b) => Row(b.toLong, v) }, 1),
+      StructType(Seq(StructField("b", LongType, nullable = false),
+        StructField("w", LongType, nullable = false))))
+  }
+
+  /** Score rows under a fitted weight table: returns (idCol, y?, margin,
+    * predicted) via one broadcast join + per-id sum. */
+  def predict(feats: DataFrame, weights: DataFrame,
+      idCol: String): DataFrame =
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("phi") * col("w")).as("margin"))
+      .select(col(idCol), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextClassifier
+import org.apache.spark.sql.functions._
+
+/** Iterative-parameter-mixing perceptron: learns a token rule through
+  * hashed features (beats the majority baseline the synchronous batch
+  * rounds of q368 oscillate at), deterministically. */
+class TextClassifierSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet")
+  private lazy val labels = docs.select(col("doc_id"),
+    expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+      "w -> w IN ('spark', 'query', 'join'))) >= 3 " +
+      "THEN 1 ELSE -1 END AS BIGINT)").as("y"))
+
+  test("ipmFit learns the token rule well past the majority baseline") {
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    val w = TextClassifier.ipmFit(feats, labels, "doc_id")
+    val scored = TextClassifier.predict(feats, w, "doc_id")
+      .join(labels, "doc_id")
+    val n = labels.count().toDouble
+    val correct = scored.filter(col("predicted") === col("y")).count()
+    val majority = labels.groupBy("y").count()
+      .agg(max("count")).head().getLong(0)
+    assert(majority / n < 0.85, "fixture drifted: baseline too easy")
+    assert(correct / n > majority / n + 0.05,
+      s"accuracy ${correct / n} not past baseline ${majority / n}")
+    assert(correct / n >= 0.85, s"accuracy ${correct / n} below 0.85")
+  }
+
+  test("ipmFit is deterministic under input repartitioning") {
+    def fit(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val feats = TextClassifier.hashedFeatures(d, "text", "doc_id")
+      TextClassifier.ipmFit(feats, labels, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    }
+    assert(fit(docs) == fit(docs.repartition(11)))
+  }
+
+  test("hashedFeatures matches q367's featurization contract") {
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    // bias feature on every doc, exactly once
+    val bias = feats.filter(col("b") === 64)
+    assert(bias.count() == docs.count())
+    assert(bias.filter(col("phi") =!= 1).isEmpty)
+    // no zero features survive, buckets in range
+    assert(feats.filter(col("phi") === 0).isEmpty)
+    assert(feats.filter(col("b") < 0 || col("b") > 64).isEmpty)
+  }
+}
