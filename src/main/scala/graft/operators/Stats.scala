@@ -2009,9 +2009,10 @@ object Stats {
       |            / CAST(theta AS DOUBLE)) END AS est_intersection
       |FROM cs, kc, ex""".stripMargin)
 
-  // -- q366: CUSUM change-point detection (drift alarms per event type) -----
-  //   Page's cumulative-sum control chart (Page 1954), the sequential
-  //   change-point detector data-quality monitors run on ingest volumes:
+  // -- q366: CUSUM control chart (sequential drift ALARMS per event type) ---
+  //   Page's cumulative-sum control chart (Page 1954) — the SEQUENTIAL
+  //   monitor that raises alarms as data arrives, complementing q221's
+  //   retrospective argmax-|S_k| changepoint LOCATOR:
   //   one-sided upper CUSUM of hourly counts against the series' own mean,
   //   S_t = max(0, S_{t−1} + (x_t − μ − ν)), alarm when S_t > hμ. The
   //   sequential recurrence has the classic closed form S_t = C_t −
@@ -2025,7 +2026,7 @@ object Stats {
   //   the HOURLY rollup (cardinality = hours × types, not events); the
   //   one-row-per-type stats broadcast back via a co-keyed join.
   val q366 = Query.sql(
-    "q366_cusum_changepoint",
+    "q366_cusum_control_chart",
     (s, dir) => {
       val hourly = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),

@@ -386,4 +386,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SPFHP packing: conservation, capacity and near-optimality laws") {
+    import graft.operators.Packing
+    // pure driver algorithm → full ScalaCheck budget is cheap
+    val genHist = for {
+      cap <- Gen.chooseNum(4, 512)
+      nLens <- Gen.chooseNum(1, 40)
+      lens <- Gen.listOfN(nLens, Gen.chooseNum(1, cap))
+      counts <- Gen.listOfN(nLens, Gen.chooseNum(1L, 5000L))
+    } yield (cap, lens.zip(counts).toMap)
+    check(Prop.forAll(genHist) { case (cap, hist) =>
+      val strategies = Packing.packHistogram(hist, cap)
+      val placed = scala.collection.mutable.Map.empty[Int, Long]
+      var bins = 0L
+      strategies.foreach { case (strat, m) =>
+        require(strat.sum <= cap, s"overfull $strat for cap $cap")
+        require(m > 0)
+        bins += m
+        strat.foreach(l => placed(l) = placed.getOrElse(l, 0L) + m)
+      }
+      val total = hist.map { case (l, n) => l.toLong * n }.sum
+      val lower = (total + cap - 1) / cap
+      // every item placed exactly once; bin count at least the volume
+      // bound and never above one-item-per-bin
+      placed.toMap == hist && bins >= lower && bins <= hist.values.sum
+    })
+  }
 }
