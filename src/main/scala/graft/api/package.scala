@@ -816,6 +816,16 @@ package object api {
       assign(centroids)
     }
 
+    /** Isotonic score calibration (PAV, Zadrozny & Elkan 2002): appends
+      * `calibrated` = the isotonic estimate of P(label=1 | bucket).
+      * `bucketCol` must be an integral quantized score (e.g.
+      * `floor(margin / step)`) with bounded cardinality — the driver PAV
+      * runs over one (n, Σy) counter pair per bucket. See
+      * [[graft.operators.Calibration]].
+      */
+    def isotonicCalibrate(bucketCol: String, labelCol: String): DataFrame =
+      graft.operators.Calibration.isotonicCalibrate(df, bucketCol, labelCol)
+
     /** SPFHP sequence packing (Krell et al. 2021, arXiv:2107.02027):
       * assign each row to a fixed-capacity context window (`bin_id`) such
       * that every bin's Σ `lenCol` ≤ `capacity`, with near-optimal bin

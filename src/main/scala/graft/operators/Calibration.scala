@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Classifier-score calibration by isotonic regression — pool adjacent
+  * violators (PAV) fit to the empirical label rate, the standard
+  * post-training calibration step for margin-based classifiers (Zadrozny
+  * & Elkan, KDD 2002, "Transforming classifier scores into accurate
+  * multiclass probability estimates"); the natural consumer here is
+  * [[TextClassifier]]'s margins, whose sign is trained but whose scale
+  * means nothing.
+  *
+  * Scale design (100 TB): the cluster reduces (score-bucket → n, Σy) —
+  * one map-side-combined aggregation over ≤ `buckets` keys — and PAV runs
+  * on the driver over those counters (the SPFHP/BpeTrainer bounded-state
+  * discipline: isotonic regression is inherently sequential, but only in
+  * the NUMBER OF DISTINCT BUCKETS, never in rows). The fitted step
+  * function broadcasts back as a range table; applying it is one
+  * broadcast join.
+  *
+  * Exactness: pool means stay exact rationals (Σy, n) — violator
+  * comparisons are integer cross-multiplications, so the fit is
+  * bit-reproducible under any partitioning; the only double is the
+  * reported probability (one division per block).
+  */
+object Calibration {
+
+  /** One fitted block: scores with bucket in [lo, hi] calibrate to
+    * probability sumY/n. */
+  final case class IsoBlock(lo: Long, hi: Long, n: Long, sumY: Long)
+
+  /** Driver-side PAV over per-bucket (count, positive-count) pairs,
+    * ordered by bucket. Returns maximal blocks with nondecreasing means.
+    */
+  def pav(hist: Seq[(Long, Long, Long)]): Seq[IsoBlock] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[IsoBlock]
+    hist.sortBy(_._1).foreach { case (b, n, y) =>
+      require(n > 0 && y >= 0 && y <= n, s"bad bucket ($b, $n, $y)")
+      var blk = IsoBlock(b, b, n, y)
+      // pool while the previous block's mean exceeds this one's:
+      // yPrev/nPrev > y/n  ⇔  yPrev·n > y·nPrev (exact integers)
+      while (stack.nonEmpty &&
+          stack.last.sumY * blk.n > blk.sumY * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        blk = IsoBlock(p.lo, blk.hi, p.n + blk.n, p.sumY + blk.sumY)
+      }
+      stack += blk
+    }
+    stack.toSeq
+  }
+
+  /** Fit PAV on `df` and return the input plus `calibrated` — the
+    * isotonic estimate of P(label=1 | score). `bucketCol` must be an
+    * integral column with bounded cardinality (quantize upstream, e.g.
+    * `floor(margin / step)`); `labelCol` must be 0/1.
+    */
+  def isotonicCalibrate(df: DataFrame, bucketCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // bounded collect: one row per DISTINCT score bucket by contract
+    val hist = df.groupBy(col(bucketCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val blocks = pav(hist)
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(blocks.map(b =>
+        Row(b.lo, b.hi, b.sumY.toDouble / b.n.toDouble)), 1),
+      StructType(Seq(StructField("__lo", LongType, nullable = false),
+        StructField("__hi", LongType, nullable = false),
+        StructField("calibrated", DoubleType, nullable = false))))
+    df.join(broadcast(table),
+        col(bucketCol).cast("long") >= col("__lo") &&
+          col(bucketCol).cast("long") <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Calibration, TextClassifier}
+import graft.operators.Calibration.IsoBlock
+import org.apache.spark.sql.functions._
+
+/** PAV isotonic calibration: textbook pooling on hand inputs, invariant
+  * laws, and the end-to-end classifier-margin use. */
+class CalibrationSpec extends SparkSpec {
+
+  test("pav pools textbook violators exactly") {
+    // rates 0.5, 1.0, 0.0 → last two pool to 0.5; then no violation
+    val blocks = Calibration.pav(Seq((0L, 2L, 1L), (1L, 2L, 2L), (2L, 2L, 0L)))
+    assert(blocks == Seq(IsoBlock(0, 0, 2, 1), IsoBlock(1, 2, 4, 2)))
+    // already isotonic input is untouched
+    val iso = Seq((0L, 4L, 0L), (1L, 4L, 2L), (2L, 4L, 4L))
+    assert(Calibration.pav(iso) ==
+      Seq(IsoBlock(0, 0, 4, 0), IsoBlock(1, 1, 4, 2), IsoBlock(2, 2, 4, 4)))
+    // global violator pools everything: means collapse to the grand rate
+    val all = Calibration.pav(Seq((0L, 1L, 1L), (1L, 1L, 0L)))
+    assert(all == Seq(IsoBlock(0, 1, 2, 1)))
+  }
+
+  test("pav laws: monotone means, conserved counts, cascade pooling") {
+    // cascade: a low rate at the end must pool back through the stack
+    val hist = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L), (3L, 30L, 3L))
+    val blocks = Calibration.pav(hist)
+    assert(blocks.map(b => b.n).sum == 60L)
+    assert(blocks.map(_.sumY).sum == 18L)
+    val means = blocks.map(b => b.sumY.toDouble / b.n)
+    assert(means == means.sorted, s"non-monotone $means")
+    // block ranges tile the bucket domain in order
+    assert(blocks.head.lo == 0L && blocks.last.hi == 3L)
+    assert(blocks.sliding(2).forall {
+      case Seq(a, b) => a.hi < b.lo
+      case _ => true
+    })
+  }
+
+  test("isotonicCalibrate: monotone, mean-preserving, deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val labels = docs.select(col("doc_id"),
+      expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+        "w -> w IN ('spark', 'query', 'join'))) >= 3 " +
+        "THEN 1 ELSE 0 END AS BIGINT)").as("label"))
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    val w = TextClassifier.ipmFit(feats,
+      labels.select(col("doc_id"), (col("label") * 2 - 1).as("y")), "doc_id")
+    val scored = TextClassifier.predict(feats, w, "doc_id")
+      .join(labels, "doc_id")
+      .withColumn("bucket", expr("CAST(floor(margin / 1000000) AS BIGINT)"))
+    val cal = Calibration.isotonicCalibrate(scored, "bucket", "label")
+    assert(cal.count() == scored.count(), "calibration must not drop rows")
+    // calibrated probability is a nondecreasing function of the bucket
+    val byBucket = cal.groupBy("bucket").agg(max("calibrated").as("p"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    assert(byBucket.sameElements(byBucket.sorted))
+    // mean calibrated probability == base rate (PAV conserves mass)
+    val Array(meanCal, baseRate) = cal
+      .agg(avg("calibrated"), avg(col("label").cast("double")))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(meanCal - baseRate) < 1e-9,
+      s"mass not conserved: $meanCal vs $baseRate")
+    // deterministic under repartitioning
+    def fp(d: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      Calibration.isotonicCalibrate(d, "bucket", "label")
+        .select("doc_id", "calibrated").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(fp(scored) == fp(scored.repartition(9)))
+  }
+}
