@@ -1842,9 +1842,73 @@ object TextAnalysis {
         |ORDER BY rnd""".stripMargin)
   }
 
+  // -- q369: Good–Turing frequency re-estimation ------------------------------
+  //   The classic unseen-mass estimator (Good 1953; the smoothing KN built
+  //   on): from the corpus word-TRIGRAM counts (the synthetic corpus'
+  //   closed 32-word vocabulary has no rare unigrams; its trigram space
+  //   shows the real Zipf tail — N₁ ≈ 9.4k at sf0.01), the frequency-of-
+  //   frequencies table N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r,
+  //   and the leave-one-out unseen probability mass P₀ = N₁/N — what a
+  //   curation pipeline reports as "how much of this corpus' n-gram space
+  //   have we NOT seen yet" (q106's OOV rate is the downstream symptom;
+  //   this is the estimate ahead of time).
+  //
+  //   Exactness: counts-of-counts are two exact aggregations; r* and P₀
+  //   are single divisions of exact BIGINTs. The N_{r+1} lookup joins on
+  //   r+1 (NOT a lead window — rows are absent for empty frequency
+  //   classes, where r* is genuinely undefined → NULL in both engines).
+  //   Scale: token counts shuffle one row per distinct token with map-side
+  //   combine; everything after is ≤ max-count rows.
+  val q369 = Query.sql(
+    "q369_good_turing",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 3), " +
+            "i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .barrier() // N_r table + the N total both fold this
+      val nr = counts.groupBy(col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val tot = counts.agg(sum(col("c")).as("n_tokens"))
+      val n1 = nr.filter(col("r") === 1)
+        .select(col("n_r").as("n_1"))
+      nr.join(nr.select(col("r").as("r1"), col("n_r").as("n_r1")),
+          col("r") + 1 === col("r1"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+        .filter(col("r") <= 10)
+        .select(col("r"), col("n_r"),
+          ((col("r") + 1).cast("double") * col("n_r1").cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+          (col("n_1").cast("double") / col("n_tokens").cast("double"))
+            .as("p0"))
+        .orderBy("r")
+    },
+    """WITH counts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+      |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS tok
+      |    FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+      |    WHERE len(ts) >= 3)
+      |  GROUP BY tok),
+      |nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      |       FROM counts GROUP BY c),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM counts),
+      |n1 AS (SELECT n_r AS n_1 FROM nr WHERE r = 1)
+      |SELECT a.r, a.n_r,
+      |  CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+      |    / CAST(a.n_r AS DOUBLE) AS r_star,
+      |  CAST(n_1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p0
+      |FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
+      |CROSS JOIN tot CROSS JOIN n1
+      |WHERE a.r <= 10
+      |ORDER BY a.r""".stripMargin)
+
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
       q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324,
-      q360, q367, q368)
+      q360, q367, q368, q369)
 }
