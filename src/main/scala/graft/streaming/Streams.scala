@@ -246,6 +246,68 @@ object Streams {
       }
   }
 
+  final case class CusumState(s: Long, lastFinalized: Long,
+      hours: Map[Long, Long])
+  final case class CusumPoint(event_type: String, hourMs: Long, x: Long,
+      s: Long, alarm: Boolean)
+
+  /** Streaming CUSUM control chart — the live twin of batch q366 (Page
+    * 1954): per event type, hourly counts accumulate in state until the
+    * watermark passes the hour's end, then finalize IN HOUR ORDER into the
+    * sequential statistic S ← max(0, S + y) with q366's integer scaling
+    * (y = 10·tDen·x − 11·tNum for a target mean tNum/tDen; alarm when
+    * S > 30·tNum, i.e. 3× the target). Unlike the funnel/transition ops,
+    * this needs NO per-event ordering contract: counts are order-free and
+    * hours finalize watermark-driven, so the emitted series is exact under
+    * any micro-batch split (the spec pins streaming == batch replay).
+    *
+    * The target mean is a PARAMETER (rational tNum/tDen per type): a live
+    * monitor tests against a reference level; the batch op can afford the
+    * series' own mean because it sees the whole series. State per type:
+    * S + one long per OPEN hour (bounded by the watermark horizon).
+    * Events at or before an already-finalized hour are dropped (counted
+    * nowhere) — the same late-data contract as the windowed aggs.
+    */
+  def cusumStream(events: Dataset[Event],
+      targets: Map[String, (Long, Long)],
+      watermark: String = "2 hours"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    val hourMsLen = 3600000L
+    events
+      .filter((e: Event) => e.ts != null && targets.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, batch: Iterator[Event], state: GroupState[CusumState]) =>
+          val (tNum, tDen) = targets(tpe)
+          var st = state.getOption
+            .getOrElse(CusumState(0L, Long.MinValue, Map.empty))
+          val hours = scala.collection.mutable.Map(st.hours.toSeq: _*)
+          batch.foreach { e =>
+            val h = (e.ts.getTime / hourMsLen) * hourMsLen
+            if (h > st.lastFinalized)
+              hours(h) = hours.getOrElse(h, 0L) + 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = hours.toSeq.partition(_._1 + hourMsLen <= wm)
+          var s = st.s
+          var last = st.lastFinalized
+          val out = done.sortBy(_._1).map { case (h, x) =>
+            val y = 10L * tDen * x - 11L * tNum
+            s = math.max(0L, s + y)
+            last = h
+            CusumPoint(tpe, h, x, s, s > 30L * tNum)
+          }
+          st = CusumState(s, last, open.toMap)
+          state.update(st)
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(wm + 1L, open.map(_._1).min + hourMsLen))
+          out.iterator
+      }
+  }
+
   final case class FirstSeen(user_id: Long, ts: Timestamp)
 
   /** New-user detection — the streaming half of the batch q209 growth
