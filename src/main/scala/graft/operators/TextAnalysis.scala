@@ -1907,92 +1907,9 @@ object TextAnalysis {
       |WHERE a.r <= 10
       |ORDER BY a.r""".stripMargin)
 
-  // -- q370: vocabulary growth curve (Heaps'-law audit) ----------------------
-  //   Heaps' law (V(n) ∝ n^β) is the companion diagnostic to q324's Zipf
-  //   fit: how fast does the distinct-trigram space grow as the corpus
-  //   grows? Each trigram type is attributed to the DECILE of the corpus
-  //   (by doc order) where it first appears; per decile: new types,
-  //   cumulative types, cumulative trigram tokens and the type/token
-  //   ratio. A generated or heavily-duplicated corpus flattens early —
-  //   the growth-curve red flag dataset datasheets report.
-  //
-  //   Scale design (100 TB): doc deciles come from the q148 range-
-  //   partitioned global row number (no single-partition window);
-  //   first-occurrence is one min-aggregation per distinct trigram (the
-  //   16-byte-key discipline); the cumulative windows run over the
-  //   10-row decile rollup — bounded by construction.
-  val q370 = Query.sql(
-    "q370_heaps_law",
-    (s, dir) => {
-      import graft.api._
-      val d = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .globalRowNumber("rn", col("doc_id"))
-        .barrier() // decile map + trigram fanout both read it
-      val nd = d.agg(count(lit(1)).as("n_docs"))
-      val dec = d.crossJoin(broadcast(nd))
-        .select(col("doc_id"), col("ts"),
-          least(expr("((rn - 1) * 10) div n_docs"), lit(9L)).as("decile"))
-      val toksPerDecile = dec.groupBy("decile")
-        .agg(sum(size(col("ts")).cast("long") - 2).as("tri_tokens"))
-      val firstSeen = dec
-        .select(col("decile"), explode(expr(
-          "transform(sequence(0, size(ts) - 3), " +
-            "i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))")).as("g"))
-        .groupBy("g").agg(min(col("decile")).as("decile"))
-        .groupBy("decile").agg(count(lit(1)).as("new_types"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      // 10-row frame: the no-partition window is bounded by construction
-      toksPerDecile.join(firstSeen, Seq("decile"), "left")
-        .select(col("decile"),
-          coalesce(col("new_types"), lit(0L)).as("new_types"),
-          col("tri_tokens"))
-        .withColumn("cum_types", sum(col("new_types")).over(w))
-        .withColumn("cum_tokens", sum(col("tri_tokens")).over(w))
-        .withColumn("type_token_ratio",
-          col("cum_types").cast("double") / col("cum_tokens").cast("double"))
-        .orderBy("decile")
-    },
-    """WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ts,
-      |    row_number() OVER (ORDER BY doc_id) AS rn
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
-      |dec AS (
-      |  SELECT doc_id, ts,
-      |    LEAST(((rn - 1) * 10) // n_docs, 9) AS decile
-      |  FROM d, nd),
-      |tpd AS (
-      |  SELECT decile, CAST(SUM(len(ts) - 2) AS BIGINT) AS tri_tokens
-      |  FROM dec GROUP BY decile),
-      |fs AS (
-      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
-      |    SELECT g, MIN(decile) AS decile FROM (
-      |      SELECT decile, unnest(list_transform(
-      |        generate_series(1, len(ts) - 2),
-      |        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
-      |      FROM dec) GROUP BY g)
-      |  GROUP BY decile),
-      |j AS (
-      |  SELECT t.decile, COALESCE(f.new_types, 0) AS new_types, t.tri_tokens
-      |  FROM tpd t LEFT JOIN fs f USING (decile))
-      |SELECT decile, new_types, tri_tokens,
-      |  CAST(SUM(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-      |    AS BIGINT) AS cum_types,
-      |  CAST(SUM(tri_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-      |    AS BIGINT) AS cum_tokens,
-      |  CAST(SUM(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-      |      AS DOUBLE)
-      |    / CAST(SUM(tri_tokens) OVER (ORDER BY decile
-      |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS type_token_ratio
-      |FROM j ORDER BY decile""".stripMargin)
-
   val all: Seq[Query] =
     Seq(q26, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q75, q76, q79,
       q87, q98, q106, q116, q118, q144, q171, q172, q183, q188, q189,
       q193, q194, q204, q212, q222, q224, q228, q240, q262, q268, q324,
-      q360, q367, q368, q369, q370)
+      q360, q367, q368, q369)
 }
