@@ -75,8 +75,18 @@ object Packing {
             if (strats.isEmpty) open.remove(r)
             add(r - l, strat :+ l, m)
             n -= m
-          case None => // no open pack fits: start n new packs of [l]
-            add(capacity - l, Vector(l), n)
+          case None =>
+            // No open pack fits, so a fresh pack of length-l items holds
+            // m = capacity/l of them — faithful bulk first-fit on identical
+            // items: floor(n/m) full packs plus one remainder pack. (The
+            // earlier one-singleton-per-item branch never co-packed
+            // same-length items, inflating the bin count up to m× for
+            // l ≤ capacity/2 — e.g. {100→4} at capacity 256 gave 4 bins
+            // instead of 2.)
+            val m = capacity / l // ≥ 1 by the length precondition
+            add(capacity - m * l, Vector.fill(m)(l), n / m)
+            val rem = (n % m).toInt
+            if (rem > 0) add(capacity - rem * l, Vector.fill(rem)(l), 1L)
             n = 0
         }
       }

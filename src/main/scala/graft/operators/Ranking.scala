@@ -257,7 +257,10 @@ object Ranking {
   //   standing in for a unit-test verdict via a deterministic per-doc
   //   gate. When n − c < k the numerator product crosses zero, so the
   //   estimate collapses to exactly 1 — the estimator's own boundary
-  //   case, no special-casing needed.
+  //   case, no special-casing needed. When n < k the estimator itself is
+  //   undefined (the denominator product crosses zero too → 0/0), so the
+  //   shared expression guards n < k → NULL rather than letting both
+  //   engines agree on NaN garbage.
   //
   //   Exactness: both products are BIGINT chains over per-group integers
   //   (n ≤ group size, so Π(n−j) ≤ 25·24·…·16 ≈ 1.2e13 — far inside
@@ -272,7 +275,8 @@ object Ranking {
     def num(k: Int) = (0 until k).map(j => s"(n - c - $j)").mkString(" * ")
     def den(k: Int) = (0 until k).map(j => s"(n - $j)").mkString(" * ")
     def passExpr(k: Int) =
-      s"1.0 - CAST(${num(k)} AS DOUBLE) / CAST(${den(k)} AS DOUBLE)"
+      s"CASE WHEN n < $k THEN NULL ELSE " +
+        s"1.0 - CAST(${num(k)} AS DOUBLE) / CAST(${den(k)} AS DOUBLE) END"
     Query.sql(
       "q361_pass_at_k",
       (s, dir) => {

@@ -21,9 +21,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * online epoch runs iterator-style in `mapPartitions` holding only the
   * O(buckets) weight array; mixed weights are a ≤ buckets+1-row aggregate
   * broadcast back each round (bounded driver state, the BpeTrainer/SPFHP
-  * discipline). Weight mixing uses the SUM of shard weights — sign
-  * decisions are scale-invariant, so summing is the integer-exact stand-in
-  * for the paper's average.
+  * discipline). Weight mixing is the paper's UNIFORM AVERAGE kept
+  * integer-exact by carrying a scale factor: round r's weights are stored
+  * ×shards^r, shards emit their update deltas at the incoming scale, and
+  * the mix is `shards·w_prev + Σ deltas` — algebraically identical to
+  * `avg_s(w_prev + u_s)` scaled, so mid-epoch margins see updates at the
+  * SAME relative magnitude every round (a plain sum of absolute weights
+  * would shrink the effective learning rate by 1/shards per round). Sign
+  * decisions are scale-invariant, so prediction is unaffected by the
+  * final ×shards^rounds scale.
   */
 object TextClassifier {
 
@@ -51,11 +57,16 @@ object TextClassifier {
     *
     * @param feats  (idCol, b, phi) sparse features, e.g. [[hashedFeatures]]
     * @param labels (idCol, y) with y ∈ {+1, −1} as LongType
-    * @return (b, w) weight rows, b ∈ [0, buckets]; predict with
-    *         sign(Σ phi·w) via a join on b (see [[predict]])
+    * @return (b, w) weight rows, b ∈ [0, buckets], scaled by
+    *         shards^rounds (exact uniform mixing without division);
+    *         predict with sign(Σ phi·w) via a join on b (see [[predict]])
     */
   def ipmFit(feats: DataFrame, labels: DataFrame, idCol: String,
       buckets: Int = 64, shards: Int = 8, rounds: Int = 3): DataFrame = {
+    // the carried scale shards^rounds multiplies every weight; keep it
+    // small enough that margins (Σ phi·w) stay far inside Long
+    require(BigInt(shards).pow(rounds) <= (1L << 20),
+      s"shards^rounds = $shards^$rounds overflows the integer weight scale")
     val spark = feats.sparkSession
     val rows = feats.join(labels, idCol)
       .select(col(idCol).as("id"), col("y"), col("b"), col("phi"))
@@ -70,8 +81,10 @@ object TextClassifier {
     rows.count() // materialize once; every round rescans the same layout
     val dim = buckets + 1
     var w = new Array[Long](dim)
+    var scale = 1L // w is the true averaged weight vector × scale
     for (_ <- 1 to rounds) {
       val wb = spark.sparkContext.broadcast(w.clone())
+      val upScale = scale // updates must match the incoming weight scale
       val mixed = rows.rdd.mapPartitions { it =>
         // weights-only state: O(buckets) per shard, docs stream through
         var shard = -1L
@@ -86,14 +99,22 @@ object TextClassifier {
           while (i < bs.length) { m += ps(i) * lw(bs(i)); i += 1 }
           if (y * m <= 0) {
             i = 0
-            while (i < bs.length) { lw(bs(i)) += y * ps(i); i += 1 }
+            while (i < bs.length) { lw(bs(i)) += y * ps(i) * upScale; i += 1 }
           }
           bs.clear(); ps.clear()
         }
         def flushShard(): Unit = if (lw != null) {
           flushDoc()
+          // emit the shard's update DELTA, not its absolute weights: the
+          // mix shards·w_prev + Σ deltas is exactly avg_s(w_prev + u_s)
+          // × (shards·scale), and an empty shard contributes the correct
+          // zero delta instead of silently dropping one w_prev term
           var i = 0
-          while (i < lw.length) { out += ((i, lw(i))); i += 1 }
+          while (i < lw.length) {
+            val d = lw(i) - wb.value(i)
+            if (d != 0L) out += ((i, d))
+            i += 1
+          }
         }
         it.foreach { r =>
           val s = r.getLong(4) // shard
@@ -106,9 +127,10 @@ object TextClassifier {
         flushShard()
         out.iterator
       }.reduceByKey(_ + _).collect() // bounded: ≤ (buckets+1) pairs
-      val nw = new Array[Long](dim)
-      mixed.foreach { case (b, v) => nw(b) = v }
+      val nw = w.map(_ * shards)
+      mixed.foreach { case (b, d) => nw(b) += d }
       w = nw
+      scale *= shards
       wb.destroy()
     }
     rows.unpersist()

@@ -36,6 +36,20 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packHistogram: monoculture co-packs same-length items") {
+    // single length ≤ capacity/2: n identical items pack m = cap/l per
+    // bin, so bins ≈ ceil(n/m) — the no-fit branch must bulk-pack, not
+    // open one singleton per item
+    val strategies = Packing.packHistogram(Map(100 -> 4L), 256)
+    val bins = strategies.map(_._2).sum
+    assert(bins == 2L, s"expected 2 bins for {100→4} at cap 256, got $bins")
+    assert(strategies.toSet == Set((Vector(100, 100), 2L)))
+    // a remainder that doesn't divide evenly: 7 items, 2 per bin → 4 bins
+    val s2 = Packing.packHistogram(Map(100 -> 7L), 256)
+    assert(s2.map(_._2).sum == 4L)
+    assert(s2.toSet == Set((Vector(100, 100), 3L), (Vector(100), 1L)))
+  }
+
   test("packHistogram: strategy counts conserve the histogram") {
     val hist = Map(9 -> 13L, 7 -> 5L, 4 -> 21L, 2 -> 40L, 1 -> 17L)
     val strategies = Packing.packHistogram(hist, 16)
