@@ -795,12 +795,19 @@ object Events {
   //   [start, end] intervals, each contributing +1/−1 boundary events; a
   //   running sum over the boundary timeline, with ends sorting BEFORE
   //   coincident starts (back-to-back sessions don't overlap), peaks at
-  //   the answer. The boundary table is 2 rows per session — the sweep's
-  //   global window runs over sessions, not events; at larger scale the
-  //   same sweep shards by day with per-shard carry-in.
+  //   the answer. The boundary table is 2 rows per session and GROWS with
+  //   SF, so the sweep is api.histCumSum over the distinct-(t, d) boundary
+  //   histogram (repartitionByRange + per-partition carry-in offsets —
+  //   the sharded sweep, never a single-partition window). Grouping by
+  //   (t, d) first makes the order total (the histCumSum precondition)
+  //   and is peak-preserving: within a key every row carries the same
+  //   delta, so the row-level running sum is monotone inside a key and
+  //   its global max is attained at the inclusive end of some +1 key —
+  //   exactly max(cum_sd + sd) over the histogram.
   val q175 = Query.sql(
     "q175_max_concurrency",
     (s, dir) => {
+      import graft.api._
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"))
@@ -814,12 +821,11 @@ object Events {
         .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
       val bounds = sess.select(col("t0").as("t"), lit(1L).as("d"))
         .unionAll(sess.select(col("t1").as("t"), lit(-1L).as("d")))
-      val ws = Window.orderBy(col("t"), col("d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bounds
-        .withColumn("open", sum(col("d")).over(ws))
-        .agg(max(col("open")).as("peak_concurrency"),
-          expr("count(1) DIV 2").as("n_sessions"))
+      val hist = bounds.groupBy(col("t"), col("d"))
+        .agg(sum(col("d")).as("sd"), count(lit(1)).as("n"))
+      hist.histCumSum(Seq(col("t"), col("d")), Seq("sd"))
+        .agg(max(col("cum_sd") + col("sd")).as("peak_concurrency"),
+          expr("CAST(sum(n) AS BIGINT) DIV 2").as("n_sessions"))
     },
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
@@ -1884,23 +1890,25 @@ object Events {
   //   how many events arrived behind the watermark (with the worst
   //   lateness). On in-order feeds the late columns read zero and the span
   //   column sizes the state-retention window; on disordered feeds they
-  //   size the watermark. Per-batch rollup is metadata-sized (1 row /
-  //   1000 events), its running max runs over that bounded frame, and the
-  //   broadcast back to events is map-only: one scan, one tiny window.
+  //   size the watermark. The per-batch rollup is 1 row / 1000 events —
+  //   small but SF-GROWING, so its running max is api.histCumMax (the
+  //   two-pass repartitionByRange prefix sweep, not a single-partition
+  //   window) and it joins back to events on batch as an ordinary shuffle
+  //   join (a broadcast of a growing rollup dies at 100×).
   val q247 = Query.sql(
     "q247_lateness_audit",
     (s, dir) => {
+      import graft.api._
       val e = ev(s, dir).select(col("event_id"), col("ts"))
         .withColumn("batch", expr("event_id DIV 1000"))
         .withColumn("us", expr("unix_micros(ts)"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("batch")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val wm = e.groupBy("batch").agg(max(col("us")).as("bmax"))
-        .withColumn("wm_us", max(col("bmax")).over(w))
+        .histCumMax(Seq(col("batch")), "bmax", "wm_us")
         .select(col("batch"), col("wm_us"))
       // first batch has no preceding watermark → lateness 0 (explicit
-      // coalesce: the engines disagree on GREATEST's null semantics)
-      e.join(broadcast(wm), Seq("batch"))
+      // coalesce: the engines disagree on GREATEST's null semantics;
+      // histCumMax emits null there by contract)
+      e.join(wm, Seq("batch"))
         .withColumn("late_us", greatest(lit(0L),
           coalesce(col("wm_us") - col("us"), lit(0L))))
         .groupBy("batch")

@@ -1365,19 +1365,20 @@ object Pipeline {
   //   LPT greedy: big items spread first, the zig-zag cancels the
   //   first-pick advantage. Output: per-worker totals and the global
   //   imbalance ratio max/mean — the pre-flight report before a static
-  //   partition assignment. Rank is a single-ordered window over the
-  //   INVENTORY (q148's caveat); all math integer until the final ratio.
+  //   partition assignment. The INVENTORY grows with SF (1 row per 100
+  //   docs), so the size rank is api.globalRowNumber (q148's
+  //   repartitionByRange + per-partition offsets, no single-partition
+  //   window); all math integer until the final ratio.
   val q299 = Query.sql(
     "q299_task_balance",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.api._
       val k = 8
       val inv = docs(s, dir)
         .groupBy(expr("doc_id div 100").as("fid"))
         .agg(sum(col("n_chars")).as("sz"))
-      val w = Window.orderBy(desc("sz"), asc("fid"))
       val assigned = inv
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .globalRowNumber("rk", desc("sz"), asc("fid"))
         .withColumn("rd", expr(s"(rk - 1) div $k"))
         .withColumn("pos", expr(s"(rk - 1) % $k"))
         .withColumn("worker",

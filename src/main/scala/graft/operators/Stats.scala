@@ -1361,19 +1361,20 @@ object Stats {
   //
   //   Exactness: spend sums are DECIMAL-exact; shares are a decimal→
   //   double cast then one division, same expression both engines. Plan:
-  //   one customer rollup, a single-ordered window over the rollup (the
-  //   q271/q148 scale caveat), a 10-row cumulative.
+  //   one customer rollup; the global spend rank is api.globalRowNumber
+  //   (the rollup GROWS with SF — repartitionByRange + per-partition
+  //   offsets, never a single-partition window); then a 10-row cumulative.
   val q282 = Query.sql(
     "q282_lorenz_curve",
     (s, dir) => {
+      import graft.api._
       val per = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey").as("c"))
         .agg(sum(col("o_totalprice").cast(D)).as("spend"))
         .barrier()
       val n = per.count()
-      val w = Window.orderBy(col("spend").asc, col("c").asc)
       val dec = per
-        .withColumn("rn", row_number().over(w).cast("long"))
+        .globalRowNumber("rn", col("spend").asc, col("c").asc)
         .select(expr(s"(rn - 1) * 10 div ${n}L + 1").as("decile"), col("spend"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("dspend"))

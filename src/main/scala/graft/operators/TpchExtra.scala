@@ -741,15 +741,15 @@ object TpchExtra {
   //   broken on custkey so the ranking is total. Output: the populated
   //   (r,f,m) cells with their sizes and exact mean spend.
   //
-  //   Scale note: the three quintile ranks are single-ordered windows over
-  //   the CUSTOMER rollup (one row per customer, not per order). At true
-  //   100 TB the rank comes from q148's repartitionByRange + partition
-  //   offsets, or boundaries from q121's equi-depth machinery; the
-  //   segment assignment is unchanged either way.
+  //   Scale note: the three quintile ranks run over the CUSTOMER rollup,
+  //   which GROWS with SF — so each is api.globalRowNumber (q148's
+  //   repartitionByRange + per-partition offsets), three distributed
+  //   sorts instead of three single-partition windows; the integer
+  //   segment assignment is unchanged.
   val q271 = Query.sql(
     "q271_rfm_segments",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.api._
       val asOf = to_date(lit("2001-08-02"))
       val per = t(s, dir, "orders")
         .groupBy(col("o_custkey").as("c"))
@@ -761,14 +761,12 @@ object TpchExtra {
       // baked in as a literal like q55's centroids.
       val n = per.count()
       // recency: LOW days = best → rank ascending puts freshest first;
-      // frequency/monetary: HIGH = best → rank descending.
-      val wr = Window.orderBy(col("rec").asc, col("c").asc)
-      val wf = Window.orderBy(col("freq").desc, col("c").asc)
-      val wm = Window.orderBy(col("mon").desc, col("c").asc)
+      // frequency/monetary: HIGH = best → rank descending. (c tiebreak
+      // makes each ordering total, the globalRowNumber precondition.)
       per
-        .withColumn("rn_r", row_number().over(wr).cast("long"))
-        .withColumn("rn_f", row_number().over(wf).cast("long"))
-        .withColumn("rn_m", row_number().over(wm).cast("long"))
+        .globalRowNumber("rn_r", col("rec").asc, col("c").asc)
+        .globalRowNumber("rn_f", col("freq").desc, col("c").asc)
+        .globalRowNumber("rn_m", col("mon").desc, col("c").asc)
         .select(col("mon"),
           expr(s"(rn_r - 1) * 5 div ${n}L + 1").as("r_q"),
           expr(s"(rn_f - 1) * 5 div ${n}L + 1").as("f_q"),

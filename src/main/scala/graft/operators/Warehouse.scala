@@ -997,21 +997,22 @@ object Warehouse {
   //   scan set to ~1 file per probe — the measured argument for paying a
   //   sort/cluster at write time.
   //
-  //   Plan: two inventory aggregations (the sorted layout ranks globally —
-  //   single-ordered-window over file-count rows at test SF; the full-
-  //   export path is q148's repartitionByRange + per-partition offsets),
-  //   probes broadcast into a range-condition join against the TINY file
-  //   inventory, never the data. Counts exact; one final division.
+  //   Plan: two inventory aggregations; the sorted layout ranks EVERY
+  //   documents row, so the rank is api.globalRowNumber (q148's
+  //   repartitionByRange + per-partition offsets — no single-partition
+  //   window over an SF-growing row stream); probes broadcast into a
+  //   range-condition join against the TINY file inventory, never the
+  //   data. Counts exact; one final division.
   val q266 = Query.sql(
     "q266_zonemap_pruning",
     (s, dir) => {
+      import graft.api._
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .barrier() // feeds both layouts + the probe set
       val nat = d.groupBy(expr("doc_id div 100").as("fid"))
         .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
         .select(lit("natural").as("layout"), col("fid"), col("mn"), col("mx"))
-      val w = Window.orderBy("n_chars", "doc_id")
-      val srt = d.withColumn("rn", row_number().over(w))
+      val srt = d.globalRowNumber("rn", col("n_chars"), col("doc_id"))
         .groupBy(expr("(rn - 1) div 100").as("fid"))
         .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
         .select(lit("sorted").as("layout"), col("fid"), col("mn"), col("mx"))
