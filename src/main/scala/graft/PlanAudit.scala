@@ -1,7 +1,11 @@
 package graft
 
+import graft.core.BarrierLedger
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Plan hygiene audit: `runMain graft.PlanAudit <name>[,<name>…] [sfDir]`
@@ -43,32 +47,114 @@ object PlanAudit {
       case _ => None
     }
 
-  /** An unbounded growing scan: subtree reaches a growing table and nothing
-    * in the subtree (Aggregate / limit) bounds its size to o(SF). Conservative
-    * in the safe direction for CI: an Aggregate anywhere in the subtree counts
-    * as bounded — UNLESS it groups on a continuous metric (any grouping key
-    * referencing a float/double/decimal attribute). A distinct-value
-    * histogram of a continuous measurement is only small when the data is
-    * quantized; on a 100 TB corpus with a genuinely continuous metric it
-    * scales with the corpus, so it cannot bound a broadcast or a
-    * single-partition window (the q263/q174 class).
+  /** Column names that identify a ROW of a growing table (entity ids).
+    * Grouping on one — or on anything computed from one, tracked through
+    * aliases below — has cardinality that scales with the corpus, so it
+    * cannot bound a broadcast or a single-partition window (the
+    * q266/q271/q282 class from VERDICT r8). nation/region keys are
+    * fixed-cardinality dims and exempt.
     */
-  private def unboundedGrowing(p: LogicalPlan): Option[String] = {
+  private def entityName(n: String): Boolean = {
+    val l = n.toLowerCase
+    l == "doc_id" || l == "user_id" || l == "event_id" || l == "vec_id" ||
+      l.endsWith("custkey") || l.endsWith("orderkey") ||
+      l.endsWith("partkey") || l.endsWith("suppkey")
+  }
+
+  /** Columns with O(1) rows PER VALUE in their growing table (the pk, or
+    * a key with constant multiplicity like l_orderkey's ≤ 7 lines): a
+    * literal UPPER bound on one bounds the subtree to O(constant) rows.
+    * user_id/custkey-style foreign keys are absent on purpose — filtering
+    * events to user_id < k still grows with SF.
+    */
+  private def pkName(n: String): Boolean = Set(
+    "doc_id", "vec_id", "event_id", "o_orderkey", "c_custkey", "p_partkey",
+    "s_suppkey", "l_orderkey", "ps_partkey")(n.toLowerCase)
+
+  /** Does this filter condition pin a pk-multiplicity column under a
+    * foldable literal (`pk < k`, `pk <= k`, `pk = k`, or the mirrored
+    * forms)? AND needs one bounding side; OR needs both. */
+  private def pkBound(cond: Expression): Boolean = cond match {
+    case And(l, r) => pkBound(l) || pkBound(r)
+    case Or(l, r) => pkBound(l) && pkBound(r)
+    case LessThan(a: AttributeReference, l) if l.foldable => pkName(a.name)
+    case LessThanOrEqual(a: AttributeReference, l) if l.foldable => pkName(a.name)
+    case EqualTo(a: AttributeReference, l) if l.foldable => pkName(a.name)
+    case EqualTo(l, a: AttributeReference) if l.foldable => pkName(a.name)
+    case GreaterThan(l, a: AttributeReference) if l.foldable => pkName(a.name)
+    case GreaterThanOrEqual(l, a: AttributeReference) if l.foldable => pkName(a.name)
+    case _ => false
+  }
+
+  /** An unbounded growing scan: subtree reaches a growing source and no
+    * node ON THE PATH to it (Aggregate / Deduplicate / limit) bounds its
+    * size to o(SF) — recursive per-branch, so a bounding aggregate on a
+    * SIBLING branch no longer launders a raw scan next to it. A bounding
+    * node must group on SAFE keys only: not a continuous metric (a
+    * distinct-value histogram of a float/double/decimal scales with a
+    * genuinely continuous 100 TB corpus — the q263/q174 class) and not a
+    * growing-table entity id or anything alias-derived from one (a
+    * per-customer/per-doc rollup scales with the corpus even though it is
+    * an Aggregate — VERDICT r8 loophole b). `LogicalRDD` leaves (barriers,
+    * two-pass sweeps, wire-protocol scans) carry their producer's verdict
+    * via [[BarrierLedger]]; unregistered ones count as growing — loophole
+    * a closed in the conservative direction. Lineage through an RDD
+    * boundary is name-based (exprIds don't survive a checkpoint), plus
+    * whatever entity columns the producer registered.
+    */
+  private[graft] def unboundedGrowing(p: LogicalPlan): Option[String] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
-    def continuousKeyed(a: Aggregate): Boolean =
-      a.groupingExpressions.exists(_.references.exists(_.dataType match {
-        case DoubleType | FloatType | _: DecimalType => true
-        case _ => false
-      }))
-    val bounded = p.exists {
-      case a: Aggregate => !continuousKeyed(a)
-      case _: GlobalLimit => true
-      case _ => false
+    // entity-derived attributes, propagated bottom-up through aliases
+    val ents = {
+      var set = Set.empty[ExprId]
+      p.foreachUp { node =>
+        node match {
+          case l: LogicalRelation if tableOf(l).exists(growingTables) =>
+            set ++= l.output.filter(a => entityName(a.name)).map(_.exprId)
+          case l: LogicalRDD =>
+            val extra = BarrierLedger.entityCols(l.rdd.id)
+            set ++= l.output
+              .filter(a => entityName(a.name) || extra(a.name))
+              .map(_.exprId)
+          case _ =>
+        }
+        // taint flows through an alias only via VALUE-carrying refs: a
+        // window function's partition/order spec shapes WHICH rows it
+        // sees, not what it returns (min(week) OVER (PARTITION BY
+        // user_id) is a bounded week, not a user id), so spec refs are
+        // excluded
+        def taintRefs(e: Expression): Seq[ExprId] = e match {
+          case a: AttributeReference => Seq(a.exprId)
+          case we: WindowExpression => taintRefs(we.windowFunction)
+          case other => other.children.flatMap(taintRefs)
+        }
+        node.expressions.foreach(_.foreach {
+          case al: Alias if taintRefs(al.child).exists(set) =>
+            set += al.exprId
+          case _ =>
+        })
+      }
+      set
     }
-    if (bounded) None
-    else p.collectFirst {
-      case l: LogicalRelation if tableOf(l).exists(growingTables) => tableOf(l).get
+    def unsafeRef(e: Expression): Boolean =
+      e.references.exists { r =>
+        ents(r.exprId) || (r.dataType match {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        })
+      }
+    def grow(q: LogicalPlan): Option[String] = q match {
+      case _: GlobalLimit => None
+      case a: Aggregate if !a.groupingExpressions.exists(unsafeRef) => None
+      case d: Deduplicate if !d.keys.exists(unsafeRef) => None
+      case d: Distinct if !d.output.exists(a => unsafeRef(a)) => None
+      case f: Filter if pkBound(f.condition) => None
+      case l: LogicalRelation => tableOf(l).filter(growingTables)
+      case l: LogicalRDD => BarrierLedger.verdict(l.rdd.id)
+      case other =>
+        other.children.iterator.map(grow).collectFirst { case Some(t) => t }
     }
+    grow(p)
   }
 
   /** Findings for one query's analyzed plan; empty = clean. */

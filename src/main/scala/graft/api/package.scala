@@ -230,7 +230,13 @@ package object api {
       val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (i + 1L))
       }
-      df.sparkSession.createDataFrame(rdd, schema)
+      // classify the RDD leaf for PlanAudit: the input's growth verdict
+      // carries through, and the row number itself is a per-row entity id
+      // over a growing input (grouping on it downstream bounds nothing)
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      graft.core.BarrierLedger.register(
+        df.sparkSession.createDataFrame(rdd, schema), verdict,
+        if (verdict.nonEmpty) Set(out) else Set.empty)
     }
 
     /** Exclusive prefix sums of LongType `sumCols` in `(orderCols)` total
@@ -288,7 +294,13 @@ package object api {
           Row.fromSeq(r.toSeq ++ cums)
         }
       }
-      val base = df.sparkSession.createDataFrame(out, schema0)
+      // PlanAudit classification: growth carries through; a cumulative sum
+      // over a growing input is per-row-indexed, so the cum columns count
+      // as entity ids downstream (the grand totals are constants — safe)
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      val base = graft.core.BarrierLedger.register(
+        df.sparkSession.createDataFrame(out, schema0), verdict,
+        if (verdict.nonEmpty) sumCols.map(prefix + _).toSet else Set.empty)
       if (!withTotals) base
       else sumCols.zipWithIndex.foldLeft(base) { case (d, (c, j)) =>
         d.withColumn(totalPrefix + c, lit(grand(j)))
@@ -389,7 +401,64 @@ package object api {
           Row.fromSeq(r.toSeq ++ cums)
         }
       }
-      df.sparkSession.createDataFrame(out, schema0)
+      // PlanAudit classification — same contract as histCumSum above
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      graft.core.BarrierLedger.register(
+        df.sparkSession.createDataFrame(out, schema0), verdict,
+        if (verdict.nonEmpty) sumCols.map(prefix + _).toSet else Set.empty)
+    }
+
+    /** Exclusive prefix sum of ONE DecimalType `sumCol` in `(orderCols)`
+      * total order — [[histCumSum]]'s decimal sibling for money-exact
+      * cumulatives (ABC/Pareto heads, Lorenz shares) where scaling to
+      * BIGINT would overflow at large SF. Same two-phase plan; the driver
+      * holds one java.math.BigDecimal per partition (exact, unbounded
+      * precision — bounded STATE, O(partitions)). Appends
+      * `<prefix><sumCol>` as DECIMAL(38, s) = sum over all STRICTLY
+      * PRECEDING rows, and with `withTotal` the grand total
+      * `<totalPrefix><sumCol>` as a constant column. Same total-order
+      * precondition as histCumSum.
+      */
+    def histCumSumDecimal(orderCols: Seq[Column], sumCol: String,
+        prefix: String = "cum_", withTotal: Boolean = false,
+        totalPrefix: String = "tot_"): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.DecimalType
+      val vi = df.schema.fieldIndex(sumCol)
+      val scale = df.schema(vi).dataType match {
+        case d: DecimalType => d.scale
+        case other => throw new IllegalArgumentException(
+          s"histCumSumDecimal needs DecimalType for '$sumCol', got $other")
+      }
+      val zero = java.math.BigDecimal.ZERO.setScale(scale)
+      val sorted = df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+      val rdd = sorted.rdd // shared by both passes: one partitioner
+      // bounded collect: one BigDecimal per partition
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = zero
+        it.foreach { r => if (!r.isNullAt(vi)) acc = acc.add(r.getDecimal(vi)) }
+        Iterator.single(pid -> acc)
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(zero)(_.add(_))
+      val grand = offsets.lastOption.getOrElse(zero)
+      val outType = DecimalType(38, scale)
+      val schema = sorted.schema.add(prefix + sumCol, outType, nullable = false)
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = offsets(pid)
+        it.map { r =>
+          val cum = run
+          if (!r.isNullAt(vi)) run = run.add(r.getDecimal(vi))
+          Row.fromSeq(r.toSeq :+ cum)
+        }
+      }
+      // PlanAudit classification — same contract as histCumSum above
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      val base = graft.core.BarrierLedger.register(
+        df.sparkSession.createDataFrame(out, schema), verdict,
+        if (verdict.nonEmpty) Set(prefix + sumCol) else Set.empty)
+      if (!withTotal) base
+      else base.withColumn(totalPrefix + sumCol, lit(grand).cast(outType))
     }
 
     /** Exclusive prefix MAX of `valCol` in `(orderCols)` total order —
@@ -428,7 +497,14 @@ package object api {
           Row.fromSeq(r.toSeq :+ prev)
         }
       }
-      df.sparkSession.createDataFrame(outRdd, schema)
+      // PlanAudit classification: growth carries through; the running max
+      // over a growing input is row-indexed, so `out` counts as an entity
+      // id downstream (conservative — its distinct count can reach the
+      // input's row count)
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      graft.core.BarrierLedger.register(
+        df.sparkSession.createDataFrame(outRdd, schema), verdict,
+        if (verdict.nonEmpty) Set(out) else Set.empty)
     }
 
     /** Explode `textCol` into overlapping token chunks (cf. q79): one row

@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Scale classification for RDD-backed DataFrames ([[Checkpoints]]
+  * barriers, `api.globalRowNumber`/`histCumSum` two-pass sweeps, the
+  * Kafka/BigQuery wire-protocol scans): a `localCheckpoint`/`checkpoint`
+  * or `createDataFrame(rdd, …)` replaces its subtree with a [[LogicalRDD]]
+  * leaf, making the input's growth invisible to plan-shape audits — any
+  * SF-growing scan hidden behind a barrier would silently pass
+  * [[graft.PlanAudit]]'s unbounded-growing detector (VERDICT r8 "what's
+  * wrong" #1a). Every producer of such a leaf therefore registers its
+  * verdict here at creation time, keyed by the wrapped RDD's id;
+  * [[graft.PlanAudit]] treats an UNREGISTERED LogicalRDD as growing — the
+  * conservative default, so forgetting to register fails loud in
+  * PlanAuditSpec rather than opening the loophole again.
+  *
+  * Entries are a few words per barrier; a session registers at most a few
+  * per query, so the map stays trivially small for the JVM's life.
+  */
+object BarrierLedger {
+
+  private final case class Entry(growing: Option[String],
+      entityCols: Set[String])
+
+  private val ledger =
+    new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
+
+  /** Record the classification of an RDD-backed DataFrame and return it.
+    *
+    * @param growing    the SF-growing source its input reaches with
+    *                   nothing bounding it (None = bounded input)
+    * @param entityCols output columns that are per-ROW ids over a growing
+    *                   input (e.g. a global row number) — grouping on one
+    *                   downstream cannot bound a broadcast/window
+    */
+  def register(df: DataFrame, growing: Option[String],
+      entityCols: Set[String] = Set.empty): DataFrame = {
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD =>
+      l.rdd.id
+    }.foreach(id => ledger.put(id, Entry(growing, entityCols)))
+    df
+  }
+
+  /** Growing-source verdict for a LogicalRDD leaf; unregistered RDDs are
+    * conservatively growing (see class doc). */
+  def verdict(rddId: Long): Option[String] =
+    Option(ledger.get(rddId)) match {
+      case Some(e) => e.growing
+      case None => Some("unregistered RDD — classify it via BarrierLedger")
+    }
+
+  /** Output columns of this RDD registered as per-row entity ids. */
+  def entityCols(rddId: Long): Set[String] =
+    Option(ledger.get(rddId)).map(_.entityCols).getOrElse(Set.empty)
+}

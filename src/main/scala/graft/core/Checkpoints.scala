@@ -21,13 +21,35 @@ object Checkpoints {
   implicit final class BarrierOps(private val df: DataFrame) extends AnyVal {
     def barrier(): DataFrame = {
       val spark = df.sparkSession
-      spark.conf.getOption(Checkpoints.DirKey).filter(_.nonEmpty) match {
+      // classify the INPUT before it disappears behind the checkpoint's
+      // LogicalRDD, so PlanAudit still sees growth through the barrier
+      val verdict = graft.PlanAudit.unboundedGrowing(df.queryExecution.analyzed)
+      val res = spark.conf.getOption(Checkpoints.DirKey).filter(_.nonEmpty) match {
         case Some(dir) =>
           if (spark.sparkContext.getCheckpointDir.isEmpty)
             spark.sparkContext.setCheckpointDir(dir)
           df.checkpoint() // eager + reliable (written to the checkpoint dir)
         case None => df.localCheckpoint(true)
       }
+      BarrierLedger.register(res, verdict)
+    }
+
+    /** A [[barrier]] that DECLARES its result bounded and enforces the
+      * declaration at runtime: fails loud if the materialized row count
+      * exceeds `maxRows`, then registers the checkpoint as bounded in the
+      * [[BarrierLedger]]. This is the escape hatch for frames that are
+      * bounded BY CONSTRUCTION but not by plan shape — e.g. a decile
+      * bucket `(rank−1)·10 div n` groups on an entity-derived key that
+      * static analysis must treat as corpus-sized, yet can never exceed
+      * 10 distinct values. The declared cap makes the boundedness claim
+      * a tested contract instead of a silent assumption.
+      */
+    def boundedBarrier(maxRows: Long): DataFrame = {
+      val res = df.barrier()
+      val n = res.count() // cheap: the checkpoint just materialized it
+      require(n <= maxRows,
+        s"boundedBarrier: $n rows exceeds the declared bound of $maxRows")
+      BarrierLedger.register(res, growing = None)
     }
   }
 }

@@ -64,12 +64,15 @@ object Calibration {
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("y"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val blocks = pav(hist)
-    val table = spark.createDataFrame(
+    // bounded by construction: ≤ one row per distinct bucket — register so
+    // PlanAudit lets the broadcast below pass
+    val table = graft.core.BarrierLedger.register(spark.createDataFrame(
       spark.sparkContext.parallelize(blocks.map(b =>
         Row(b.lo, b.hi, b.sumY.toDouble / b.n.toDouble)), 1),
       StructType(Seq(StructField("__lo", LongType, nullable = false),
         StructField("__hi", LongType, nullable = false),
-        StructField("calibrated", DoubleType, nullable = false))))
+        StructField("calibrated", DoubleType, nullable = false)))),
+      growing = None)
     df.join(broadcast(table),
         col(bucketCol).cast("long") >= col("__lo") &&
           col(bucketCol).cast("long") <= col("__hi"))

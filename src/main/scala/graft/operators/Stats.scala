@@ -1378,6 +1378,10 @@ object Stats {
         .select(expr(s"(rn - 1) * 10 div ${n}L + 1").as("decile"), col("spend"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("dspend"))
+        // ≤ 10 rows BY CONSTRUCTION ((rn−1)·10 div n ∈ 0..9) — static
+        // analysis sees an entity-derived grouping key, so declare and
+        // runtime-enforce the bound before the 10-row cumulative windows
+        .boundedBarrier(10)
       val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
       val wt = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)

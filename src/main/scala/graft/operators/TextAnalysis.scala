@@ -1339,6 +1339,11 @@ object TextAnalysis {
         docStats.join(newTerms, Seq("bucket"), "left")
           .select(col("bucket"), col("n_docs"), col("tokens"),
             coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+          // ≤ 10 rows BY CONSTRUCTION (bucket = FLOOR(rel·10/range) ∈
+          // 0..9) — static analysis sees a doc_id-derived grouping key,
+          // so declare and runtime-enforce the bound before the 10-row
+          // cumulative windows
+          .boundedBarrier(10)
           .withColumn("cum_tokens", sum("tokens").over(w))
           .withColumn("cum_vocab", sum("new_terms").over(w))
           .orderBy("bucket")

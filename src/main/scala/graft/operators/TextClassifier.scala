@@ -134,11 +134,15 @@ object TextClassifier {
       wb.destroy()
     }
     rows.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        w.toSeq.zipWithIndex.map { case (v, b) => Row(b.toLong, v) }, 1),
-      StructType(Seq(StructField("b", LongType, nullable = false),
-        StructField("w", LongType, nullable = false))))
+    // bounded by construction: exactly buckets+1 weight rows — register so
+    // PlanAudit lets callers broadcast this RDD-backed table
+    graft.core.BarrierLedger.register(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          w.toSeq.zipWithIndex.map { case (v, b) => Row(b.toLong, v) }, 1),
+        StructType(Seq(StructField("b", LongType, nullable = false),
+          StructField("w", LongType, nullable = false)))),
+      growing = None)
   }
 
   /** Score rows under a fitted weight table: returns (idCol, y?, margin,

@@ -670,23 +670,25 @@ object TpchExtra {
   //   C. Revenue sums are DECIMAL(18,6)-exact per part; the class
   //   boundaries are exact decimal cross-multiplications (cum·5 ≤ tot·4,
   //   cum·20 ≤ tot·19) so no float share ever decides a boundary row.
-  //   The ordered cumulative runs over the PART-level rollup — the part
-  //   dimension is ~1/200 of the fact table (the q121 histogram
-  //   argument); the fact rows are never globally sorted.
+  //   The ordered cumulative runs over the PART-level rollup — which
+  //   GROWS with SF (~1/200 of the fact table), so it is
+  //   api.histCumSumDecimal: repartitionByRange + per-partition
+  //   BigDecimal carry-in offsets, money-exact at any magnitude, never a
+  //   single-partition window; the fact rows are never globally sorted.
   val q255 = Query.sql(
     "q255_abc_classification",
     (s, dir) => {
+      import graft.api._
       val D = org.apache.spark.sql.types.DecimalType(18, 6)
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("rev"), asc("pk"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("pk"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(D)).as("rev"))
-        .withColumn("cum", sum("rev").over(wOrd))
-        .withColumn("tot", sum("rev").over(wAll))
+        .histCumSumDecimal(Seq(desc("rev"), asc("pk")), "rev",
+          withTotal = true)
+        // inclusive ROWS-to-CURRENT frame = exclusive prefix + own value
+        .withColumn("cum", col("cum_rev") + col("rev"))
+        .withColumn("tot", col("tot_rev"))
         .withColumn("cls",
           when(col("cum") * 5 <= col("tot") * 4, lit("A"))
             .when(col("cum") * 20 <= col("tot") * 19, lit("B"))

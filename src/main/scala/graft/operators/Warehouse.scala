@@ -271,18 +271,19 @@ object Warehouse {
   //   integer fold; the only movement is the final 64-row aggregation —
   //   the production write path is `api.zorderBy` (repartitionByRange on
   //   the same value) which this query's math underlies.
-  /** Rank-normalize a column to an 8-bit equi-depth code (q121's
-    * distinct-value-histogram trick: the window runs over DISTINCT values,
-    * never rows — scale-safe for binning-grade columns). */
+  /** Rank-normalize a column to an 8-bit equi-depth code over the
+    * distinct-value histogram. The histogram of a KEY column (partkey,
+    * suppkey) grows with SF, so the cumulative is api.histCumSum —
+    * repartitionByRange + per-partition carry-in offsets, never a
+    * single-partition window (exactly the distinct-value-histogram use
+    * the helper documents). */
   private[graft] def depthCode(dfIn: DataFrame, c: String): DataFrame = {
-    val wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val wt = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    import graft.api._
     dfIn.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cb", coalesce(sum(col("cnt")).over(wb), lit(0L)))
-      .withColumn("tot", sum(col("cnt")).over(wt))
-      .select(col("v").as(c), least(lit(255L), expr("cb * 256 DIV tot"))
-        .as(s"${c}_code"))
+      .histCumSum(Seq(col("v")), Seq("cnt"), withTotals = true)
+      .select(col("v").as(c),
+        least(lit(255L), expr("cum_cnt * 256 DIV tot_cnt"))
+          .as(s"${c}_code"))
   }
 
   val q122 = Query.sql(

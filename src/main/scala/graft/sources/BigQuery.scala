@@ -213,7 +213,10 @@ object BigQuery {
           }
         }.flatten
       }
-    spark.createDataFrame(rdd, schema)
+    // a remote table scan grows with the source — PlanAudit must not let
+    // it hide behind the RDD leaf (broadcast a bounding rollup, not this)
+    graft.core.BarrierLedger.register(
+      spark.createDataFrame(rdd, schema), growing = Some("bigquery"))
   }
 
   /** Distributed write via `tabledata.insertAll`, batched per partition.

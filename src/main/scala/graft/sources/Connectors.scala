@@ -403,19 +403,23 @@ final class KafkaConnector extends Connector {
           r.key, r.value, p.topic, p.partition, r.offset,
           new java.sql.Timestamp(r.timestamp)))
       }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("key",
-        org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("topic",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("partition",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("offset",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("timestamp",
-        org.apache.spark.sql.types.TimestampType))))
+    // a broker topic scan grows with the stream — register so PlanAudit
+    // sees the growth through the RDD leaf
+    graft.core.BarrierLedger.register(
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.TimestampType)))),
+      growing = Some("kafka"))
   }
 
   /** Produce `value` (+ optional `key`) columns: keyed rows go to

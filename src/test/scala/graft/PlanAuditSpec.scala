@@ -54,6 +54,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.audit(keyed).isEmpty)
   }
 
+  test("detector sees growth THROUGH a barrier's LogicalRDD") {
+    // VERDICT r8 loophole (a): barrier() replaces its subtree with a
+    // LogicalRDD; an unregistered/growing RDD leaf must not launder a
+    // growing scan past the audit
+    import graft.core.Checkpoints._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_returnflag")
+    val hidden = li.barrier() // registered growing("lineitem")
+    val bad = hidden.withColumn("rn",
+      row_number().over(W.orderBy("l_orderkey")))
+    assert(PlanAudit.audit(bad)
+      .exists(_.contains("single-partition window over unbounded 'lineitem'")))
+    // a barrier over a bounded rollup stays clean
+    val agg = li.groupBy("l_returnflag").agg(count(lit(1)).as("n")).barrier()
+    assert(PlanAudit.audit(
+      agg.withColumn("rn", row_number().over(W.orderBy("l_returnflag")))).isEmpty)
+    // boundedBarrier: runtime-enforced declaration clears a frame whose
+    // grouping key is entity-derived but bounded by construction...
+    val deciles = li.groupBy(expr("l_orderkey % 10").as("d"))
+      .agg(count(lit(1)).as("n")).boundedBarrier(10)
+    assert(PlanAudit.audit(
+      deciles.withColumn("rn", row_number().over(W.orderBy("d")))).isEmpty)
+    // ...and fails loud when the declaration is false
+    intercept[IllegalArgumentException] { li.boundedBarrier(5) }
+  }
+
+  test("detector flags entity-keyed aggregates as unbounded") {
+    // VERDICT r8 loophole (b): a rollup keyed on a growing-table entity id
+    // (or anything alias-derived from one) scales with the corpus — it
+    // cannot bound a broadcast or a single-partition window
+    import org.apache.spark.sql.expressions.{Window => W}
+    val o = Tables.load(spark, sf0001, "orders")
+    val perCust = o.groupBy(col("o_custkey").as("c"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    assert(PlanAudit.audit(o.join(broadcast(perCust), col("o_custkey") === col("c")))
+      .exists(_.contains("forced broadcast of unbounded 'orders'")))
+    assert(PlanAudit.audit(perCust.withColumn("rn",
+        row_number().over(W.orderBy("c"))))
+      .exists(_.contains("single-partition window over unbounded 'orders'")))
+    // derived key: doc_id div 100 is still corpus-sized
+    val d = Tables.load(spark, sf0001, "documents")
+    val inv = d.groupBy(expr("doc_id div 100").as("fid"))
+      .agg(sum(col("n_chars")).as("sz"))
+    assert(PlanAudit.audit(inv.withColumn("rn",
+        row_number().over(W.orderBy("fid")))).nonEmpty)
+    // but min-over-user-partition of a bounded value is NOT entity-derived
+    // (taint flows through window-function ARGUMENTS, not the spec)
+    val e = Tables.load(spark, sf0001, "events")
+      .withColumn("wk", expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7"))
+      .withColumn("cohort", min(col("wk")).over(W.partitionBy("user_id")))
+    val sizes = e.groupBy("cohort").agg(count(lit(1)).as("n"))
+    assert(PlanAudit.audit(e.join(broadcast(sizes), "cohort")).isEmpty)
+    // and a literal pk-range filter bounds the subtree
+    val few = d.filter(col("doc_id") < 2000)
+    assert(PlanAudit.audit(d.crossJoin(broadcast(few))).isEmpty)
+  }
+
   test("query registry is consistent: unique names, oracles resolve") {
     val names = SparkEntry.allQueries.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
