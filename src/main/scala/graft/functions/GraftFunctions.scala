@@ -9,6 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (e.g. a session handed to us by an external driver). Idempotent.
   */
 object GraftFunctions {
+
+  /** `rolling_hash(text, k, b, m)` — k/b/m must be integer literals (the
+    * expression needs them at plan time for the overflow precondition). */
+  val rollingHashBuilder: Seq[Expression] => Expression = { children =>
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(children.length == 4, "rolling_hash(text, k, b, m)")
+    def asLong(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"rolling_hash: $what must be an integer literal, got $e")
+    }
+    RollingHash(children.head, asLong(children(1), "k").toInt,
+      asLong(children(2), "b"), asLong(children(3), "m"))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("cosine_similarity"),
@@ -31,5 +47,9 @@ object GraftFunctions {
         require(children.length == 2, "dot_product(arrayA, arrayB)")
         DotProduct(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      rollingHashBuilder)
   }
 }

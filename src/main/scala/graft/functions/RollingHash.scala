@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: Karp–Rabin rolling hashes of every char
+  * k-gram of a string, returned as one `ARRAY<BIGINT>` (index j = gram
+  * starting at 1-based position j+1).
+  *
+  *   h(i) = Σ_{j=0}^{k−1} char(i+j) · b^{k−1−j}  mod m
+  *
+  * computed with the O(1) slide h(i+1) = (h(i) − char(i)·b^{k−1})·b +
+  * char(i+k) mod m — ONE pass over the string instead of a full digest
+  * per character position (the winnowing paper's own hashing scheme,
+  * Schleimer, Wilkerson & Aiken, SIGMOD 2003 §1; replaces q365's
+  * md5-per-gram, a ~k× materialization + digest saving on the hottest
+  * explode in the registry). The recurrence is plain 64-bit integer math,
+  * so a DuckDB oracle can mirror it exactly as the 8-term polynomial
+  * `Σ ord(substring(text,i+j,1))·(b^{k−1−j} mod m) % m` with the power
+  * constants inlined — every product stays ≤ 2^16·m < 2^56, far inside
+  * BIGINT.
+  *
+  * Characters are UTF-16 units (`String.charAt`), which equal Unicode
+  * codepoints — and DuckDB's `ord` — for all BMP text; the synthetic
+  * corpus is ASCII. `m` must keep b·m + 2^16 inside a signed 64-bit long
+  * (the q365 caller uses the prime 2^40 − 87 so hashes also pack into the
+  * 61-bit winnowing tie-break key).
+  */
+case class RollingHash(child: Expression, k: Int, b: Long, m: Long)
+  extends UnaryExpression {
+
+  require(k >= 1, s"rolling_hash: gram size $k must be >= 1")
+  require(b > 1 && m > 1 && m <= (1L << 56) / b,
+    s"rolling_hash: need 1 < b, 1 < m <= 2^56/b for overflow-free math")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash needs a STRING input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String].toString, k, b, m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static-call codegen: the O(n) loop lives in compiled Java below and
+    // the call site stays inside whole-stage codegen (the CosineSimilarity
+    // discipline; per-ROW dispatch, not per-gram)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.compute($c.toString(), $k, ${b}L, ${m}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+
+  /** All n−k+1 k-gram hashes of `s`; empty array when s is shorter than
+    * k. Called from generated code — keep the signature stable. */
+  def compute(s: String, k: Int, b: Long, m: Long): ArrayData = {
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var pow = 1L // b^(k-1) mod m
+    var j = 1
+    while (j < k) { pow = pow * b % m; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * b + s.charAt(i)) % m; i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - s.charAt(i - 1) * pow % m + m) % m
+      h = (h * b + s.charAt(i + k - 1)) % m
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1658,8 +1658,16 @@ object Dedup {
     *
     * Determinism: the rightmost-min tie rule is packed into ONE BIGINT
     * key per gram — h·2²¹ + (2²¹−1−i) — so the frame MIN selects
-    * (min hash, max position) in a single integer compare; 40-bit md5
-    * hash · 2²¹ stays ≪ 2⁶³. Identical expression text in both engines.
+    * (min hash, max position) in a single integer compare; the hash lives
+    * below 2⁴⁰ so h·2²¹ stays ≪ 2⁶³.
+    *
+    * Hashing is the paper's own scheme: a Karp–Rabin ROLLING hash
+    * (codegen [[graft.functions.RollingHash]], base 256 mod the prime
+    * 2⁴⁰−87) — one O(n) pass emitting every gram hash as an array that
+    * posexplode unrolls, instead of a full md5 digest + substring copy
+    * per character position. The DuckDB oracle mirrors the identical
+    * integer recurrence as the inlined 8-term polynomial
+    * Σ ord(cᵢ₊ⱼ)·(256^{k−1−j} mod m) % m, every product ≤ 2⁴⁸.
     *
     * Scale design (100 TB): grams explode map-side and the window frames
     * are PER-DOC (partitioned, w rows deep — never global); the cross-doc
@@ -1668,18 +1676,23 @@ object Dedup {
     */
   val q365 = {
     val k = 8; val w = 4
+    val M = 1099511627689L // 2^40 − 87, prime
+    // 256^(k−1−j) mod M, j = 0..k−1 — inlined into the oracle polynomial
+    val pows = {
+      val arr = new Array[Long](k)
+      arr(k - 1) = 1L
+      for (j <- (0 until k - 1).reverse) arr(j) = arr(j + 1) * 256 % M
+      arr
+    }
     Query.sql(
       "q365_winnowing",
       (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
         val grams = docs(s, dir)
-          .select(col("doc_id"), col("n_chars"),
-            explode(expr(s"sequence(1, greatest(n_chars - ${k - 1}, 1))"))
-              .as("i"),
-            col("text"))
-          .filter(col("i") <= col("n_chars") - (k - 1))
-          .select(col("doc_id"), col("i"),
-            expr(s"CAST(conv(substring(md5(substring(text, CAST(i AS INT)" +
-              s", $k)), 1, 10), 16, 10) AS BIGINT)").as("h"))
+          .select(col("doc_id"),
+            posexplode(expr(s"rolling_hash(text, $k, 256, ${M}L)")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"),
+            col("col").as("h"))
           .withColumn("ck", expr("h * 2097152 + (2097151 - i)"))
         val byDoc = Window.partitionBy("doc_id").orderBy("i")
         // per-window argmin (rightmost tie) via the packed key; only real
@@ -1710,8 +1723,9 @@ object Dedup {
       },
       s"""WITH grams AS (
          |  SELECT d.doc_id, g.i,
-         |    ('0x' || substring(md5(substring(d.text, CAST(g.i AS INTEGER)
-         |      , $k)), 1, 10))::BIGINT AS h
+         |    (${(0 until k).map(j =>
+               s"ord(substring(d.text, CAST(g.i + $j AS INTEGER), 1)) * ${pows(j)}")
+               .mkString("\n         |     + ")}) % $M AS h
          |  FROM documents d
          |  JOIN generate_series(1, 65536) g(i) ON g.i <= d.n_chars - ${k - 1}),
          |ck AS (

@@ -28,6 +28,41 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_hash matches the direct polynomial at every position") {
+    GraftFunctions.ensureRegistered(spark)
+    val k = 8; val b = 256L; val m = 1099511627689L // 2^40 − 87
+    def direct(s: String, i: Int): Long = // Σ c·b^(k−1−j) mod m, by hand
+      (0 until k).foldLeft(0L)((acc, j) => (acc * b + s.charAt(i + j)) % m)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", // degenerate repeats exercise the slide
+      "exactly8", // single gram
+      "short", // below k → empty array
+      "")
+    val rows = spark.createDataFrame(texts.map(Tuple1(_))).toDF("t")
+      .select(col("t"), expr(s"rolling_hash(t, $k, $b, ${m}L)").as("hs"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val hs = r.getSeq[Long](1)
+      val expected = math.max(0, t.length - k + 1)
+      assert(hs.length == expected, s"'$t': ${hs.length} hashes != $expected")
+      hs.zipWithIndex.foreach { case (h, i) =>
+        assert(h == direct(t, i), s"'$t' pos $i: $h != ${direct(t, i)}")
+        assert(h >= 0 && h < m)
+      }
+    }
+    // O(1) slide equals recomputation on the documents corpus too (spot:
+    // hashes of equal grams collide exactly)
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val n = d.select(explode(expr(s"rolling_hash(text, $k, $b, ${m}L)")))
+      .count()
+    val expected = d.select(
+      sum(greatest(length(col("text")) - (k - 1), lit(0))).cast("long"))
+      .head().getLong(0)
+    assert(n == expected)
+  }
+
   test("native dot_product is bit-identical to the HOF fold and null-safe") {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.load(spark, sf0001, "embeddings").limit(100)
