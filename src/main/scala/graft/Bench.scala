@@ -26,6 +26,48 @@ object Bench {
     spark.catalog.clearCache()
   }
 
+  /** Contention suspects: queries whose measured time exceeds `factor`×
+    * their committed per-query reference. The trigger deliberately does
+    * NOT require an inflated calibration stamp — the scan-shaped
+    * calibration query has twice been blind to load that inflated heavy
+    * queries (block-manager pressure, time-windowed external load), so a
+    * per-query reference is the only signal that catches both. A genuine
+    * 5× regression just gets one extra measured run and keeps its honest
+    * slow time, with both numbers recorded.
+    */
+  def suspects(measured: Seq[(String, Double)],
+      reference: Map[String, Double], factor: Double = 5.0): Seq[String] =
+    measured.collect { case (n, v)
+      if v > 0 && reference.get(n).exists(r => r > 0 && v > factor * r) => n }
+
+  /** Per-query reference from a committed bench artifact, or empty when
+    * the file is absent or was measured at a DIFFERENT scale factor (an
+    * sf1 rehearsal must not compare itself to sf0.1 times). Flat regex
+    * parse of the one-line JSON this object writes — no JSON dependency.
+    */
+  def loadReference(path: String, sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val s = java.nio.file.Files.readString(p)
+    if (!"\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      .contains(sfDir)) return Map.empty
+    val qStart = s.indexOf("\"queries\":{")
+    if (qStart < 0) return Map.empty
+    val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+    "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Keep the better (smaller positive) of swept vs retried time. */
+  def merged(results: Seq[(String, Double)],
+      retried: Map[String, Double]): Seq[(String, Double)] =
+    results.map { case (n, v) =>
+      n -> (retried.get(n) match {
+        case Some(r) if r > 0 && (v <= 0 || r < v) => r
+        case _ => v
+      })
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,26 +114,38 @@ object Bench {
         only.forall(ids => ids.contains(name) ||
           ids.contains(name.split('_').head))
     }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9 // stop the clock, THEN clean
-        dropCaches(spark)
-        if (ok) dt else -1.0
-      }
-      val a = once()
-      val b = if (a < 0) -1.0 else once()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9 // stop the clock, THEN clean
+      dropCaches(spark)
+      if (ok) dt else -1.0
+    }
+    val swept = selected.map { case (name, fn) =>
+      val a = once(fn)
+      val b = if (a < 0) -1.0 else once(fn)
       val v =
         if (a < 0 || b < 0) -1.0
         else if (math.min(a, b) <= 2.0) math.min(a, b)
         else {
-          val c = once()
+          val c = once(fn)
           if (c < 0) -1.0 else Seq(a, b, c).sorted.apply(1)
         }
       name -> v
     }
+    // Self-defense against sustained contention (the BENCH_r06/r08
+    // incidents: a loaded machine wrote 5–100× garbage into the official
+    // artifact and the calib stamp could only annotate it): any query >5×
+    // its committed same-SF reference gets ONE post-sweep re-run — by then
+    // a time-windowed external load has usually passed — and the artifact
+    // keeps the better time, recording both under "retried".
+    val reference = loadReference(
+      sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_SELF.json"), sfDir)
+    val fnMap = selected.toMap
+    val retried = suspects(swept, reference)
+      .map(n => n -> once(fnMap(n))).toMap
+    val results = merged(swept, retried)
     val calibEnd = calibrate()
     // The driver captures only the last ~2.3 KB of the log, so rounds 1-2
     // produced "parsed": null — the full-name per-query map alone exceeds
@@ -104,9 +158,14 @@ object Bench {
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val ratio = if (calibStart > 0) calibEnd / calibStart else 1.0
+      val sweptMap = swept.toMap
+      val retr = retried.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + keyOf(n) + "\":[" + f3(sweptMap(n)) + "," + f3(r) + "]"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
-        s""","calib_ratio":${f3(ratio)},"queries":$qs,"sf":"$sfDir"}"""
+        s""","calib_ratio":${f3(ratio)},"contended":${retried.nonEmpty}""" +
+        s""","retried":$retr,"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

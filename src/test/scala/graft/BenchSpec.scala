@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bench self-defense against sustained contention (VERDICT r8 "what's
+  * wrong" #2 / next-round task 5): a loaded machine must not write 5–100×
+  * garbage into the official artifact. The decision (suspects), reference
+  * loading, and merge are pure and pinned exactly; a CPU-load soak then
+  * exercises the whole mechanism on a real query — sweep under load,
+  * retry after the load passes, artifact keeps the better time and
+  * records both.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("suspects: >factor× the committed same-SF reference, errors skipped") {
+    val ref = Map("q1" -> 1.0, "q2" -> 2.0, "q4" -> 0.5, "q5" -> -1.0)
+    val measured = Seq(
+      "q1" -> 5.1, // > 5× → suspect
+      "q2" -> 9.9, // < 5× → clean
+      "q3" -> 99.0, // no reference → clean (new query this round)
+      "q4" -> -1.0, // errored → never retried on time grounds
+      "q5" -> 99.0) // reference itself errored → clean
+    assert(Bench.suspects(measured, ref) == Seq("q1"))
+    assert(Bench.suspects(measured, ref, factor = 4.0) == Seq("q1", "q2"))
+    assert(Bench.suspects(measured, Map.empty) == Seq.empty)
+  }
+
+  test("loadReference: parses the artifact, rejects a different SF") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val p = dir.resolve("ref.json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":3.500,"unit":"sec","calib_start":1.000,""" +
+        """"calib_end":1.100,"calib_ratio":1.100,"contended":false,""" +
+        """"retried":{},"queries":{"q1_agg":1.250,"q2_top":2.250,""" +
+        """"q3_err":-1.000},"sf":"/root/testdata/sf0.1"}""" + "\n")
+    val ref = Bench.loadReference(p.toString, "/root/testdata/sf0.1")
+    assert(ref == Map("q1_agg" -> 1.25, "q2_top" -> 2.25, "q3_err" -> -1.0))
+    // an sf1 rehearsal must not compare itself to sf0.1 times
+    assert(Bench.loadReference(p.toString, "/root/repo/testdata-sf1").isEmpty)
+    assert(Bench.loadReference(dir.resolve("absent.json").toString,
+      "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("merged keeps the better time and rescues errored sweeps") {
+    val swept = Seq("a" -> 10.0, "b" -> 1.0, "c" -> -1.0, "d" -> 3.0)
+    val out = Bench.merged(swept,
+      Map("a" -> 2.0, "b" -> 5.0, "c" -> 4.0)).toMap
+    assert(out("a") == 2.0) // retry better → kept
+    assert(out("b") == 1.0) // retry worse (still-loaded rerun) → swept kept
+    assert(out("c") == 4.0) // swept errored, retry succeeded → retry
+    assert(out("d") == 3.0) // not retried → unchanged
+  }
+
+  test("CPU-load soak: sweep under load, retry after, artifact self-corrects") {
+    // a real query timed twice: once with every core spinning (the
+    // contended sweep), once quiet (the post-sweep retry). The mechanism
+    // must flag the query against its quiet reference and keep the better
+    // time with both recorded — the property that makes the official
+    // artifact self-correcting rather than merely self-annotating.
+    val fn: () => Double = () => {
+      val t0 = System.nanoTime()
+      Tables.load(spark, sf0001, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    fn() // warm codegen, untimed
+    val quiet = fn()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val soak = (1 to Runtime.getRuntime.availableProcessors() * 2).map { _ =>
+      val t = new Thread(() => { var x = 0L; while (!stop.get()) x += 1 })
+      t.setDaemon(true); t.start(); t
+    }
+    val loaded = try fn() finally { stop.set(true); soak.foreach(_.join(2000)) }
+    val retry = fn()
+    // drive the REAL decision path with a reference that makes the loaded
+    // sweep a suspect regardless of how hard this machine actually slowed
+    // (a 5× soak inflation is typical but not guaranteed in CI)
+    val reference = Map("q" -> quiet / 10.0)
+    val swept = Seq("q" -> loaded)
+    val sus = Bench.suspects(swept, reference)
+    assert(sus == Seq("q"), s"loaded $loaded vs ref ${reference("q")}")
+    val out = Bench.merged(swept, Map("q" -> retry)).toMap
+    assert(out("q") == math.min(loaded, retry),
+      s"kept ${out("q")}, expected min($loaded, $retry)")
+  }
+}
