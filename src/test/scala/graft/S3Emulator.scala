@@ -1,0 +1,252 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** In-process S3-compatible object store speaking the public REST
+  * protocol GraftS3FileSystem targets — the ES/BQ emulator discipline: no
+  * network egress, real wire format. Supports list-objects-v2 with
+  * prefix/delimiter/paging, GET with Range, HEAD, PUT, server-side COPY
+  * (x-amz-copy-source) and DELETE. With `secret` set, every request's
+  * SigV4 signature is INDEPENDENTLY recomputed server-side from the raw
+  * exchange (its own implementation, not the client's) and mismatches are
+  * rejected 403 — so the FS and the emulator validate each other.
+  *
+  * `pageSize` deliberately defaults tiny so listings exercise
+  * continuation-token paging in every test, not just at 1000+ keys.
+  */
+class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
+
+  // key = "bucket/objectKey" → (bytes, mtime); sorted for LIST order
+  private val objects =
+    new java.util.concurrent.ConcurrentSkipListMap[String, (Array[Byte], Instant)]()
+
+  def put(bucket: String, key: String, bytes: Array[Byte]): Unit =
+    objects.put(s"$bucket/$key", (bytes, Instant.now()))
+
+  def get(bucket: String, key: String): Option[Array[Byte]] =
+    Option(objects.get(s"$bucket/$key")).map(_._1)
+
+  def keys(bucket: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala.toSeq.filter(_.startsWith(bucket + "/"))
+      .map(_.stripPrefix(bucket + "/"))
+  }
+
+  @volatile var requests: Long = 0L
+
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  val port: Int = server.getAddress.getPort
+  val endpoint: String = s"http://127.0.0.1:$port"
+
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+      headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    if (ex.getRequestMethod == "HEAD") {
+      // JDK HttpServer computes Content-Length from the -1 sentinel on
+      // HEAD only when set explicitly
+      ex.getResponseHeaders.set("Content-Length", body.length.toString)
+      ex.sendResponseHeaders(code, -1)
+    } else if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, body.length)
+      ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    requests += 1
+    val body = ex.getRequestBody.readAllBytes()
+    secret.foreach { case (ak, sk) =>
+      if (!sigOk(ex, body, ak, sk)) {
+        respond(ex, 403, "<Error><Code>SignatureDoesNotMatch</Code></Error>"
+          .getBytes(UTF_8))
+        return
+      }
+    }
+    val path = ex.getRequestURI.getPath.stripPrefix("/")
+    val (bucket, key) = path.split("/", 2) match {
+      case Array(b, k) => (b, k)
+      case Array(b) => (b, "")
+    }
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.nonEmpty).map { p =>
+        p.split("=", 2) match {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, UTF_8)
+          case Array(k) => k -> ""
+        }
+      }.toMap
+    (ex.getRequestMethod, key) match {
+      case ("GET", "") if query.get("list-type").contains("2") =>
+        respond(ex, 200, list(bucket, query), "Content-Type" -> "application/xml")
+      case ("PUT", k) if k.nonEmpty =>
+        Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+          case Some(src) =>
+            Option(objects.get(src.stripPrefix("/"))) match {
+              case Some((bytes, _)) =>
+                objects.put(s"$bucket/$k", (bytes, Instant.now()))
+                respond(ex, 200,
+                  "<CopyObjectResult><ETag>\"copy\"</ETag></CopyObjectResult>"
+                    .getBytes(UTF_8))
+              case None => respond(ex, 404, notFound)
+            }
+          case None =>
+            objects.put(s"$bucket/$k", (body, Instant.now()))
+            respond(ex, 200, Array.emptyByteArray, "ETag" -> "\"put\"")
+        }
+      case ("GET" | "HEAD", k) if k.nonEmpty =>
+        Option(objects.get(s"$bucket/$k")) match {
+          case None => respond(ex, 404, notFound)
+          case Some((bytes, mtime)) =>
+            val lm = DateTimeFormatter.RFC_1123_DATE_TIME
+              .withZone(ZoneOffset.UTC).format(mtime)
+            Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) =>
+                val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
+                val from = m.group(1).toInt
+                val to = if (m.group(2).isEmpty) bytes.length - 1
+                  else math.min(m.group(2).toInt, bytes.length - 1)
+                val slice = bytes.slice(from, to + 1)
+                respond(ex, 206, slice, "Last-Modified" -> lm,
+                  "Content-Range" -> s"bytes $from-$to/${bytes.length}")
+              case None =>
+                respond(ex, 200, bytes, "Last-Modified" -> lm)
+            }
+        }
+      case ("DELETE", k) if k.nonEmpty =>
+        objects.remove(s"$bucket/$k")
+        respond(ex, 204, Array.emptyByteArray)
+      case _ => respond(ex, 400, "<Error><Code>BadRequest</Code></Error>"
+        .getBytes(UTF_8))
+    }
+  } catch {
+    case e: Throwable =>
+      try respond(ex, 500, e.toString.getBytes(UTF_8))
+      catch { case _: Throwable => }
+  }
+
+  private def notFound: Array[Byte] =
+    "<Error><Code>NoSuchKey</Code></Error>".getBytes(UTF_8)
+
+  /** list-objects-v2: sorted keys under prefix, delimiter grouping into
+    * CommonPrefixes, continuation token = last raw key examined. */
+  private def list(bucket: String, q: Map[String, String]): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = q.getOrElse("prefix", "")
+    val delim = q.get("delimiter").filter(_.nonEmpty)
+    val after = q.get("continuation-token")
+    val all = objects.keySet().asScala.toSeq
+      .filter(_.startsWith(s"$bucket/"))
+      .map(_.stripPrefix(s"$bucket/"))
+      .filter(_.startsWith(prefix))
+      .filter(k => after.forall(k > _))
+      .sorted
+    val contents = Seq.newBuilder[String]
+    val prefixes = scala.collection.mutable.LinkedHashSet.empty[String]
+    var taken = 0
+    var lastKey: Option[String] = None
+    var truncated = false
+    val it = all.iterator
+    while (it.hasNext && !truncated) {
+      val k = it.next()
+      val group = delim.flatMap { d =>
+        val rest = k.stripPrefix(prefix)
+        val cut = rest.indexOf(d)
+        if (cut >= 0) Some(prefix + rest.substring(0, cut + d.length)) else None
+      }
+      val isNewEntry = group match {
+        case Some(g) => prefixes.add(g)
+        case None => contents += k; true
+      }
+      if (isNewEntry) taken += 1
+      lastKey = Some(k)
+      if (taken >= pageSize && it.hasNext) truncated = true
+    }
+    val xmlContents = contents.result().map { k =>
+      val (bytes, mtime) = objects.get(s"$bucket/$k")
+      s"<Contents><Key>${xml(k)}</Key><Size>${bytes.length}</Size>" +
+        s"<LastModified>$mtime</LastModified></Contents>"
+    }.mkString
+    val xmlPrefixes = prefixes
+      .map(p => s"<CommonPrefixes><Prefix>${xml(p)}</Prefix></CommonPrefixes>")
+      .mkString
+    val token =
+      if (truncated)
+        s"<NextContinuationToken>${xml(lastKey.get)}</NextContinuationToken>"
+      else ""
+    ("<?xml version=\"1.0\" encoding=\"UTF-8\"?><ListBucketResult>" +
+      s"<IsTruncated>$truncated</IsTruncated>$xmlContents$xmlPrefixes$token" +
+      "</ListBucketResult>").getBytes(UTF_8)
+  }
+
+  private def xml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Server-side SigV4 verification, implemented INDEPENDENTLY from
+    * graft.sources.S3Signer: rebuild the canonical request from the raw
+    * exchange using the SignedHeaders the client claims, re-derive the
+    * signature with the shared secret, compare. */
+  private def sigOk(ex: HttpExchange, body: Array[Byte], ak: String,
+      sk: String): Boolean = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(return false)
+    val re = ("AWS4-HMAC-SHA256 Credential=([^/]+)/(\\d+)/([^/]+)/s3/" +
+      "aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]+)").r
+    val m = re.findFirstMatchIn(auth).getOrElse(return false)
+    if (m.group(1) != ak) return false
+    val (date, region, signedHeaders, claimed) =
+      (m.group(2), m.group(3), m.group(4), m.group(5))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    def hmac(key: Array[Byte], s: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(s.getBytes(UTF_8))
+    }
+    def enc(s: String, keepSlash: Boolean): String =
+      s.getBytes(UTF_8).map { b =>
+        val c = (b & 0xff).toChar
+        if (c.isLetterOrDigit && c < 128 || "-._~".contains(c) ||
+          (keepSlash && c == '/')) c.toString
+        else "%%%02X".format(b & 0xff)
+      }.mkString
+    val canonicalQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.nonEmpty).map { p =>
+        p.split("=", 2) match {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, UTF_8)
+          case Array(k) => k -> ""
+        }
+      }.map { case (k, v) => enc(k, false) -> enc(v, false) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val headerLines = signedHeaders.split(";").map { h =>
+      val v = Option(ex.getRequestHeaders.getFirst(h)).getOrElse("")
+      s"$h:${v.trim}\n"
+    }.mkString
+    val payloadHash =
+      Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+        .getOrElse(hex(sha.digest(body)))
+    // the signature binds the declared hash; the hash must bind the body
+    if (payloadHash != hex(sha.digest(body))) return false
+    val canonical = Seq(ex.getRequestMethod,
+      enc(ex.getRequestURI.getPath, keepSlash = true), canonicalQuery,
+      headerLines, signedHeaders, payloadHash).mkString("\n")
+    val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+      .getOrElse(return false)
+    val toSign = Seq("AWS4-HMAC-SHA256", amzDate,
+      s"$date/$region/s3/aws4_request",
+      hex(sha.digest(canonical.getBytes(UTF_8)))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(("AWS4" + sk).getBytes(UTF_8), date),
+      region), "s3"), "aws4_request")
+    hex(hmac(kSigning, toSign)) == claimed
+  }
+}
