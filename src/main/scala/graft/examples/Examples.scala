@@ -447,6 +447,89 @@ class PackTrainingWindows(inUrl: String, outUrl: String,
   }
 }
 
+/** Flagship train→calibrate→gate stage: fit a binary quality classifier
+  * with distributed iterative-parameter-mixing perceptron training
+  * ([[graft.operators.TextClassifier.ipmFit]], McDonald et al. 2010),
+  * turn its arbitrary-scale margins into probabilities with isotonic
+  * calibration ([[graft.operators.Calibration]], Zadrozny–Elkan 2002),
+  * write the scored+calibrated corpus — and GATE the build on model
+  * quality: postBuildCheck fails the run when accuracy doesn't beat the
+  * majority baseline or when expected calibration error exceeds
+  * `maxEce` (on a healthy fit-=-apply population PAV makes per-block
+  * ECE exactly 0, so any real drift shows).
+  *
+  * The target is token-derived (the synthetic corpus's only
+  * bag-of-words-separable signal): "mentions ≥ 3 query-language terms".
+  * `driftBuckets` shifts the score buckets between calibration FIT and
+  * APPLY — the fault-injection knob ExamplesSpec uses to prove the gate
+  * catches production score drift (a real deployment drifts when the
+  * corpus distribution moves under a frozen calibration table).
+  */
+class TrainQualityClassifier(inUrl: String, outUrl: String,
+    marginStep: Long = 1L << 29, maxEce: Double = 0.05,
+    driftBuckets: Long = 0L) extends Model {
+  override def name = "TrainQualityClassifier"
+  val connects = Map(
+    "docs" -> Connect(inUrl, AccessMode.Read),
+    "scored" -> Connect(outUrl, AccessMode.Write))
+
+  private val labelExpr =
+    "CAST(CASE WHEN size(filter(split(text, ' '), " +
+      "w -> w IN ('spark', 'query', 'join'))) >= 3 THEN 1 ELSE 0 END " +
+      "AS BIGINT)"
+
+  override def preBuildCheck(s: SparkSession, io: ModelIo): Boolean =
+    Checks.nonEmpty(io.read("docs"))
+
+  def build(s: SparkSession, io: ModelIo): Unit = {
+    import graft.operators.{Calibration, TextClassifier}
+    val docs = io.read("docs")
+    stat(s, "docs_in").add(docs.count())
+    val labels = docs.select(col("doc_id"), expr(labelExpr).as("label"))
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    val w = TextClassifier.ipmFit(feats,
+      labels.select(col("doc_id"), (col("label") * 2 - 1).as("y")), "doc_id")
+    val scored = TextClassifier.predict(feats, w, "doc_id")
+      .join(labels, "doc_id")
+      .withColumn("bucket",
+        expr(s"CAST(floor(margin / ${marginStep}L) AS BIGINT)"))
+    val table = Calibration.fitTable(scored, "bucket", "label")
+    // driftBuckets simulates the production gap between the population
+    // the table was fitted on and the one it is applied to
+    val applied = Calibration.applyTable(
+      scored.withColumn("bucket", col("bucket") + driftBuckets),
+      table, "bucket")
+    io.write("scored", applied.select("doc_id", "label", "margin",
+      "predicted", "bucket", "calibrated"))
+    val back = io.readBack("scored")
+    stat(s, "n_correct").add(
+      back.filter(col("predicted") === col("label") * 2 - 1).count())
+    stat(s, "n_pos").add(back.filter(col("label") === 1).count())
+  }
+
+  override def postBuildCheck(s: SparkSession, io: ModelIo): Boolean = {
+    val out = io.readBack("scored")
+    if (!Checks.unique(out, Seq("doc_id")) ||
+      !Checks.noNulls(out, Seq("doc_id", "calibrated"))) return false
+    val agg = out.agg(count(lit(1)).as("n"),
+      sum(when(col("predicted") === col("label") * 2 - 1, 1L).otherwise(0L))
+        .as("correct"),
+      sum(col("label")).as("pos")).first()
+    val (n, correct, pos) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val accuracy = correct.toDouble / n
+    val baseline = math.max(pos, n - pos).toDouble / n
+    // expected calibration error, computed distributively: per fitted
+    // probability, |empirical rate − calibrated| weighted by population
+    val ece = out.groupBy("calibrated")
+      .agg(count(lit(1)).as("nb"), sum(col("label")).as("yb"))
+      .agg(sum(abs(col("yb").cast("double") / col("nb").cast("double") -
+        col("calibrated")) * col("nb").cast("double")).as("werr"),
+        sum(col("nb")).as("tot"))
+      .select(col("werr") / col("tot").cast("double")).first().getDouble(0)
+    accuracy > baseline && ece <= maxEce
+  }
+}
+
 class NearDedupDocs(inUrl: String, outUrl: String,
     bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.8)
   extends Model {

@@ -51,12 +51,16 @@ object Calibration {
     stack.toSeq
   }
 
-  /** Fit PAV on `df` and return the input plus `calibrated` — the
-    * isotonic estimate of P(label=1 | score). `bucketCol` must be an
+  /** Fit PAV on `df` and return the fitted step function as a range
+    * table (__lo, __hi, calibrated) ready for [[applyTable]]. The first
+    * block's lower and last block's upper bound are extended to ±∞ —
+    * standard isotonic extrapolation, so a production score OUTSIDE the
+    * training range clamps to the boundary probability instead of
+    * silently dropping from the apply join. `bucketCol` must be an
     * integral column with bounded cardinality (quantize upstream, e.g.
     * `floor(margin / step)`); `labelCol` must be 0/1.
     */
-  def isotonicCalibrate(df: DataFrame, bucketCol: String,
+  def fitTable(df: DataFrame, bucketCol: String,
       labelCol: String): DataFrame = {
     val spark = df.sparkSession
     // bounded collect: one row per DISTINCT score bucket by contract
@@ -64,18 +68,36 @@ object Calibration {
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("y"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val blocks = pav(hist)
+    val extended = blocks.zipWithIndex.map { case (b, i) =>
+      IsoBlock(if (i == 0) Long.MinValue else b.lo,
+        if (i == blocks.length - 1) Long.MaxValue else b.hi, b.n, b.sumY)
+    }
     // bounded by construction: ≤ one row per distinct bucket — register so
-    // PlanAudit lets the broadcast below pass
-    val table = graft.core.BarrierLedger.register(spark.createDataFrame(
-      spark.sparkContext.parallelize(blocks.map(b =>
+    // PlanAudit lets the broadcast in applyTable pass
+    graft.core.BarrierLedger.register(spark.createDataFrame(
+      spark.sparkContext.parallelize(extended.map(b =>
         Row(b.lo, b.hi, b.sumY.toDouble / b.n.toDouble)), 1),
       StructType(Seq(StructField("__lo", LongType, nullable = false),
         StructField("__hi", LongType, nullable = false),
         StructField("calibrated", DoubleType, nullable = false)))),
       growing = None)
+  }
+
+  /** Apply a [[fitTable]] step function: one broadcast range join, no
+    * rows dropped (the table's ends are ±∞-extended). */
+  def applyTable(df: DataFrame, table: DataFrame,
+      bucketCol: String): DataFrame =
     df.join(broadcast(table),
         col(bucketCol).cast("long") >= col("__lo") &&
           col(bucketCol).cast("long") <= col("__hi"))
       .drop("__lo", "__hi")
-  }
+
+  /** Fit PAV on `df` and return the input plus `calibrated` — the
+    * isotonic estimate of P(label=1 | score); [[fitTable]] + [[applyTable]]
+    * over the same frame (split them to calibrate a held-out or
+    * production population against a training fit).
+    */
+  def isotonicCalibrate(df: DataFrame, bucketCol: String,
+      labelCol: String): DataFrame =
+    applyTable(df, fitTable(df, bucketCol, labelCol), bucketCol)
 }
