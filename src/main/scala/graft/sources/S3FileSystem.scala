@@ -115,9 +115,12 @@ object S3Signer {
   * server-side COPY+DELETE per object (no data through this host);
   * renaming onto an existing directory moves the source INTO it (HDFS
   * semantics, what FileOutputCommitter expects). create() buffers to a
-  * local temp file and uploads one PUT on close — the 5 GB single-PUT
-  * protocol cap applies per task output file; multipart upload is the
-  * documented extension point. At 1000 executors each JVM holds its own
+  * local temp file; on close an object at or under
+  * `fs.s3a.multipart.size` (default 64 MB) uploads as one PUT, anything
+  * larger goes through the MULTIPART protocol (initiate → UploadPart per
+  * chunk → complete with the part ETag manifest, abort on failure) — so
+  * a 100 TB write is never capped by the 5 GB single-PUT limit and only
+  * one part is ever in memory. At 1000 executors each JVM holds its own
   * client; LIST pages (1000 keys) stream through the driver only for
   * listStatus calls, which Spark's file index performs once per query.
   */
@@ -403,13 +406,66 @@ class GraftS3FileSystem extends FileSystem {
       override def close(): Unit = {
         super.close()
         try {
-          val body = java.nio.file.Files.readAllBytes(tmp)
-          val r = request("PUT", key, body = body)
-          if (r.statusCode() / 100 != 2) fail(s"PUT $key", r)
+          val size = java.nio.file.Files.size(tmp)
+          // getLongBytes: hadoop's bundled defaults spell this "64M"
+          val partSize = getConf.getLongBytes("fs.s3a.multipart.size",
+            64L * 1024 * 1024)
+          if (size <= partSize) {
+            val r = request("PUT", key,
+              body = java.nio.file.Files.readAllBytes(tmp))
+            if (r.statusCode() / 100 != 2) fail(s"PUT $key", r)
+          } else multipartUpload(key, tmp, partSize)
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }
     new FSDataOutputStream(upload, statistics)
+  }
+
+  /** Multipart upload: one `partSize` chunk in memory at a time; failed
+    * uploads are aborted server-side so no orphaned parts accrue. */
+  private def multipartUpload(key: String, tmp: java.nio.file.Path,
+      partSize: Long): Unit = {
+    def xmlText(body: Array[Byte], tag: String): String = {
+      val m = s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(
+        new String(body, UTF_8))
+      m.map(_.group(1)).getOrElse(
+        throw new java.io.IOException(s"S3 response missing <$tag>"))
+    }
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() / 100 != 2) fail(s"initiate multipart $key", init)
+    val uploadId = xmlText(init.body(), "UploadId")
+    try {
+      val in = java.nio.file.Files.newInputStream(tmp)
+      val etags = Seq.newBuilder[(Int, String)]
+      try {
+        val buf = new Array[Byte](partSize.toInt)
+        var partNo = 1
+        var read = in.readNBytes(buf, 0, buf.length)
+        while (read > 0) {
+          val body = if (read == buf.length) buf else buf.take(read)
+          val r = request("PUT", key,
+            query = Seq("partNumber" -> partNo.toString,
+              "uploadId" -> uploadId), body = body)
+          if (r.statusCode() / 100 != 2) fail(s"part $partNo of $key", r)
+          val etag = r.headers().firstValue("ETag").orElse("")
+          etags += ((partNo, etag))
+          partNo += 1
+          read = in.readNBytes(buf, 0, buf.length)
+        }
+      } finally in.close()
+      val manifest = etags.result().map { case (n, e) =>
+        s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+      }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+      val done = request("POST", key, query = Seq("uploadId" -> uploadId),
+        body = manifest.getBytes(UTF_8))
+      if (done.statusCode() / 100 != 2) fail(s"complete multipart $key", done)
+    } catch {
+      case e: Throwable =>
+        // best-effort abort: the emulator/real S3 reclaims the parts
+        try request("DELETE", key, query = Seq("uploadId" -> uploadId))
+        catch { case _: Throwable => }
+        throw e
+    }
   }
 
   override def append(f: Path, bufferSize: Int,

@@ -36,6 +36,12 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
   }
 
   @volatile var requests: Long = 0L
+  @volatile var multipartParts: Long = 0L
+  @volatile var multipartCompletes: Long = 0L
+
+  // uploadId → partNumber → bytes (in-flight multipart uploads)
+  private val uploads = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]]()
 
   private val server =
     HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -89,6 +95,53 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
     (ex.getRequestMethod, key) match {
       case ("GET", "") if query.get("list-type").contains("2") =>
         respond(ex, 200, list(bucket, query), "Content-Type" -> "application/xml")
+      case ("POST", k) if k.nonEmpty && query.contains("uploads") =>
+        val id = java.util.UUID.randomUUID().toString
+        uploads.put(id,
+          new java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]())
+        respond(ex, 200,
+          ("<InitiateMultipartUploadResult><Bucket>" + xml(bucket) +
+            s"</Bucket><Key>${xml(k)}</Key><UploadId>$id</UploadId>" +
+            "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+      case ("PUT", k) if k.nonEmpty && query.contains("partNumber") &&
+          query.contains("uploadId") =>
+        Option(uploads.get(query("uploadId"))) match {
+          case None => respond(ex, 404,
+            "<Error><Code>NoSuchUpload</Code></Error>".getBytes(UTF_8))
+          case Some(parts) =>
+            val n = query("partNumber").toInt
+            parts.put(n, body)
+            multipartParts += 1
+            val etag = "\"" + java.security.MessageDigest.getInstance("MD5")
+              .digest(body).map("%02x".format(_)).mkString + "\""
+            respond(ex, 200, Array.emptyByteArray, "ETag" -> etag)
+        }
+      case ("POST", k) if k.nonEmpty && query.contains("uploadId") =>
+        Option(uploads.remove(query("uploadId"))) match {
+          case None => respond(ex, 404,
+            "<Error><Code>NoSuchUpload</Code></Error>".getBytes(UTF_8))
+          case Some(parts) =>
+            import scala.jdk.CollectionConverters._
+            // the manifest must list exactly the uploaded part numbers
+            val claimed = "<PartNumber>(\\d+)</PartNumber>".r
+              .findAllMatchIn(new String(body, UTF_8)).map(_.group(1).toInt)
+              .toSeq.sorted
+            if (claimed != parts.keySet().asScala.toSeq.sorted) {
+              respond(ex, 400,
+                "<Error><Code>InvalidPart</Code></Error>".getBytes(UTF_8))
+            } else {
+              val whole = new java.io.ByteArrayOutputStream()
+              parts.values().asScala.foreach(whole.write)
+              objects.put(s"$bucket/$k", (whole.toByteArray, Instant.now()))
+              multipartCompletes += 1
+              respond(ex, 200,
+                ("<CompleteMultipartUploadResult><Key>" + xml(k) +
+                  "</Key></CompleteMultipartUploadResult>").getBytes(UTF_8))
+            }
+        }
+      case ("DELETE", _) if query.contains("uploadId") =>
+        uploads.remove(query("uploadId"))
+        respond(ex, 204, Array.emptyByteArray)
       case ("PUT", k) if k.nonEmpty =>
         Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
           case Some(src) =>

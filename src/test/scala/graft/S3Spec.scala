@@ -112,6 +112,26 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("large objects upload MULTIPART and read back byte-identical") {
+    val em = new S3Emulator(secret = Some(("GRAFTACCESSKEY", "graft/secret+key")))
+    try {
+      configure(em, creds = true)
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.s3a.multipart.size", (64 * 1024).toString) // force parts
+      try {
+        // ~1 MB of deterministic rows → >16 parts at the 64 KiB threshold
+        val df = spark.range(0, 40000L).selectExpr("id",
+          "md5(CAST(id AS STRING)) AS payload")
+        df.write.mode("overwrite").parquet("s3a://bucket/big")
+        assert(em.multipartParts > 4, s"only ${em.multipartParts} parts")
+        assert(em.multipartCompletes >= 1)
+        val back = spark.read.parquet("s3a://bucket/big")
+        assert(back.count() == 40000L)
+        assert(back.agg(sum("id")).head().getLong(0) == 40000L * 39999 / 2)
+      } finally c.unset("fs.s3a.multipart.size")
+    } finally em.stop()
+  }
+
   test("ranged reads: open/seek serve parquet footers without full GETs") {
     val em = new S3Emulator()
     try {
