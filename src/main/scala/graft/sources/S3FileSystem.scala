@@ -271,8 +271,14 @@ class GraftS3FileSystem extends FileSystem {
       }
       val trunc = texts("IsTruncated").headOption
         .exists(_.getTextContent == "true")
-      token = texts("NextContinuationToken").headOption
-        .map(_.getTextContent).filter(_ => trunc)
+      val tok = texts("NextContinuationToken").headOption.map(_.getTextContent)
+      // a truncated page without a continuation token would silently drop
+      // every following key (a partial read masquerading as complete) —
+      // fail loudly instead, the ES sliced-scroll discipline
+      if (trunc && tok.isEmpty) throw new java.io.IOException(
+        s"S3 LIST $prefix: page claims IsTruncated without a " +
+          "NextContinuationToken — refusing a silently partial listing")
+      token = tok.filter(_ => trunc)
       more = token.isDefined
     }
     Listing(files.result(), prefixes.result())

@@ -39,6 +39,16 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
   @volatile var multipartParts: Long = 0L
   @volatile var multipartCompletes: Long = 0L
 
+  /** Fault injection (the ES/BQ fuzzing discipline): fail the next N
+    * requests with HTTP 500 before recovering — exercises the client's
+    * bounded-retry path. */
+  @volatile var failNext: Int = 0
+
+  /** When set, LIST responses claim IsTruncated=true but omit the
+    * NextContinuationToken — a protocol-corrupt page the client must
+    * treat as final rather than looping or silently dropping keys. */
+  @volatile var truncatePagesSilently: Boolean = false
+
   // uploadId → partNumber → bytes (in-flight multipart uploads)
   private val uploads = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]]()
@@ -72,6 +82,12 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
 
   private def handle(ex: HttpExchange): Unit = try {
     requests += 1
+    if (failNext > 0) {
+      failNext -= 1
+      respond(ex, 500,
+        "<Error><Code>InternalError</Code></Error>".getBytes(UTF_8))
+      return
+    }
     val body = ex.getRequestBody.readAllBytes()
     secret.foreach { case (ak, sk) =>
       if (!sigOk(ex, body, ak, sk)) {
@@ -234,7 +250,7 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
       .map(p => s"<CommonPrefixes><Prefix>${xml(p)}</Prefix></CommonPrefixes>")
       .mkString
     val token =
-      if (truncated)
+      if (truncated && !truncatePagesSilently)
         s"<NextContinuationToken>${xml(lastKey.get)}</NextContinuationToken>"
       else ""
     ("<?xml version=\"1.0\" encoding=\"UTF-8\"?><ListBucketResult>" +

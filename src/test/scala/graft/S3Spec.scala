@@ -132,6 +132,40 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("fault fuzzing: transient 5xx retried, persistent 5xx and corrupt pages fail LOUD") {
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      (1 to 7).foreach { i =>
+        em.put("bucket", s"f/part-$i.csv", s"k\n$i\n".getBytes(UTF_8))
+      }
+      def readAll(): Long = ConnectorRegistry.read(spark,
+        "s3+csv://bucket/f/*.csv;header=true;schema=k BIGINT").count()
+      // transient broker blip: two 500s, then recovery — the bounded
+      // backoff retry must absorb it with no data loss
+      em.failNext = 2
+      assert(readAll() == 7)
+      // persistent outage: retries exhaust and the read fails loudly
+      em.failNext = 1000
+      val boom = intercept[Exception](readAll())
+      em.failNext = 0
+      assert(boom.toString.contains("500") ||
+        Option(boom.getCause).exists(_.toString.contains("500")),
+        boom.toString)
+      // protocol-corrupt LIST page: IsTruncated with no continuation
+      // token must refuse the silently-partial listing, never return a
+      // subset of the keys as if complete
+      em.truncatePagesSilently = true
+      val partial = intercept[Exception](readAll())
+      em.truncatePagesSilently = false
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+      assert(chain(partial).exists(_.contains("silently partial listing")),
+        chain(partial).mkString(" | "))
+      assert(readAll() == 7) // clean recovery after the faults clear
+    } finally em.stop()
+  }
+
   test("ranged reads: open/seek serve parquet footers without full GETs") {
     val em = new S3Emulator()
     try {
