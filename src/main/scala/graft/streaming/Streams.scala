@@ -518,6 +518,46 @@ object Streams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming SERVING twin of the TrainQualityClassifier pipeline
+    * (train batch, score live): apply a batch-fitted IPM weight vector
+    * ([[graft.operators.TextClassifier.ipmFit]]) and isotonic
+    * calibration table ([[graft.operators.Calibration.fitTable]]) to a
+    * document stream.
+    *
+    * Completely STATELESS: the margin Σφ_b·w_b collapses to a per-row
+    * token fold — Σ_tokens sign(tok)·w[bucket(tok)] + w[bias] — because
+    * zero-φ buckets contribute zero to the sum, so the batch path's
+    * explode → groupBy(doc, bucket) never needs streaming state; the
+    * ≤ buckets+1 weights ride along as one array literal and the
+    * calibration step function joins stream-static broadcast. Integer
+    * margins are bit-identical to the batch
+    * `hashedFeatures → predict` composition (the spec pins it), so a
+    * model trained offline serves online with zero skew.
+    */
+  def scoreDocsStream(docs: DataFrame, weights: Array[Long],
+      calTable: DataFrame, marginStep: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val buckets = weights.length - 1
+    val wl = array(weights.map(lit(_)): _*)
+    val b = "CAST(conv(substring(md5(concat('fh:', tok)), 1, 6), 16, 10) " +
+      s"AS BIGINT) % $buckets"
+    val sg = "CASE WHEN CAST(conv(substring(md5(concat('sg:', tok)), 1, 1)" +
+      ", 16, 10) AS BIGINT) % 2 = 0 THEN CAST(1 AS BIGINT) " +
+      "ELSE CAST(-1 AS BIGINT) END"
+    val scored = docs
+      .withColumn("__w", wl)
+      .withColumn("margin", expr(
+        s"""aggregate(split($textCol, ' '), CAST(0 AS BIGINT),
+           |  (acc, tok) -> acc + ($sg) * element_at(__w, CAST(($b) AS INT) + 1))
+           |+ element_at(__w, ${buckets + 1})""".stripMargin))
+      .withColumn("predicted",
+        when(col("margin") > 0, 1L).otherwise(-1L))
+      .withColumn("bucket",
+        expr(s"CAST(floor(margin / ${marginStep}L) AS BIGINT)"))
+      .drop("__w")
+    graft.operators.Calibration.applyTable(scored, calTable, "bucket")
+  }
+
   /** Trending heavy hitters per tumbling hour — the streaming twin of
     * q144's unbounded-vocabulary regime. The Misra–Gries typed aggregator
     * IS the streaming aggregation, so per-window state is its ≤ k−1

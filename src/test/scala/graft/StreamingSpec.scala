@@ -19,6 +19,42 @@ class StreamingSpec extends SparkSpec {
     out
   }
 
+  test("scoreDocsStream serves the batch-fitted classifier with zero skew") {
+    import graft.operators.{Calibration, TextClassifier}
+    // TRAIN OFFLINE: the TrainQualityClassifier pipeline's fit artifacts
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val labels = docs.select(col("doc_id"),
+      expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+        "w -> w IN ('spark', 'query', 'join'))) >= 3 THEN 1 ELSE 0 END " +
+        "AS BIGINT)").as("label"))
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    val wdf = TextClassifier.ipmFit(feats,
+      labels.select(col("doc_id"), (col("label") * 2 - 1).as("y")), "doc_id")
+    // bounded: exactly buckets+1 weight rows by ipmFit's contract
+    val weights = wdf.orderBy("b").collect().map(_.getLong(1))
+    val step = 1L << 29
+    val batch = TextClassifier.predict(feats, wdf, "doc_id")
+      .join(labels, "doc_id")
+      .withColumn("bucket", expr(s"CAST(floor(margin / ${step}L) AS BIGINT)"))
+    val table = Calibration.fitTable(batch, "bucket", "label")
+    val expected = Calibration.applyTable(batch, table, "bucket")
+      .select("doc_id", "margin", "predicted", "bucket", "calibrated")
+      .orderBy("doc_id").collect()
+    // SERVE ONLINE: the same docs as a file stream, scored statelessly
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streams.scoreDocsStream(
+      spark.readStream.schema(docs.schema).parquet(dir),
+      weights, table, step)
+      .select("doc_id", "margin", "predicted", "bucket", "calibrated")
+    Streams.runAvailableNow(stream, "scored_stream")
+    val streamed = spark.table("scored_stream").orderBy("doc_id").collect()
+    assert(streamed.length == expected.length)
+    // integer margins and table-joined probabilities must be IDENTICAL —
+    // offline training serves online with zero skew
+    assert(streamed.sameElements(expected))
+  }
+
   test("file-source stream of hourly counts equals the batch result") {
     val dir = copyEventsTo("graft-ev")
     val stream = Streams.hourlyCounts(Streams.eventFileStream(spark, dir))
