@@ -39,6 +39,39 @@ class ApiSpec extends SparkSpec {
       .histCumSum(Seq(col("v")), Seq("c")).count() == 0)
   }
 
+  test("histCumSumDecimal equals the window cumulative, money-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // decimal amounts with cents that would lose exactness as doubles;
+    // descending order + tiebreak (the q255 ABC shape), >1 range partition
+    val hist = (1 to 400).map(i =>
+        (i.toLong, BigDecimal(i * 7919 % 1000) / 100 + BigDecimal(i)))
+      .toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(18,6)").as("amt"))
+      .repartition(9)
+    val viaExt = hist.histCumSumDecimal(
+      Seq(col("amt").desc, col("k").asc), "amt", withTotal = true)
+    val w = Window.orderBy(col("amt").desc, col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = hist.withColumn("cum_amt",
+      coalesce(sum(col("amt")).over(w), lit(0).cast("decimal(18,6)")))
+    def fp(rows: Array[org.apache.spark.sql.Row]): Set[(Long, BigDecimal)] =
+      rows.map(r => (r.getLong(0), BigDecimal(r.getDecimal(2)))).toSet
+    assert(fp(viaExt.select("k", "amt", "cum_amt").collect()) ==
+      fp(viaWin.select("k", "amt", "cum_amt").collect()))
+    // grand total is the exact sum, as a constant column
+    val tot = BigDecimal(viaExt.select("tot_amt").head.getDecimal(0))
+    val expect = (1 to 400).map(i =>
+      BigDecimal(i * 7919 % 1000) / 100 + BigDecimal(i)).sum
+    assert(tot == expect)
+    // non-decimal column refuses loudly; empty input is fine
+    intercept[IllegalArgumentException] {
+      hist.histCumSumDecimal(Seq(col("k")), "k")
+    }
+    assert(hist.filter(lit(false))
+      .histCumSumDecimal(Seq(col("k")), "amt").count() == 0)
+  }
+
   test("groupedHistCumSum equals the per-group window cumulative") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
