@@ -164,10 +164,9 @@ class GraftS3FileSystem extends FileSystem {
     p.stripPrefix("/")
   }
 
-  private def request(method: String, key: String,
-      query: Seq[(String, String)] = Seq.empty,
-      headers: Seq[(String, String)] = Seq.empty,
-      body: Array[Byte] = null): HttpResponse[Array[Byte]] = {
+  private def buildRequest(method: String, key: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      body: Array[Byte]): HttpRequest = {
     val path = s"/$bucket/$key"
     val payloadHash =
       if (body == null) EmptyHash else S3Signer.hexSha256(body)
@@ -190,18 +189,45 @@ class GraftS3FileSystem extends FileSystem {
     val pub =
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body)
-    val req = b.method(method, pub)
-      .timeout(java.time.Duration.ofSeconds(60)).build()
-    // 5xx retry with backoff (the Http.sendWithRetry policy, re-done here
-    // because S3 bodies are bytes, not strings)
-    var resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    b.method(method, pub).timeout(java.time.Duration.ofSeconds(60)).build()
+  }
+
+  /** 5xx retry with backoff (the Http.sendWithRetry policy, re-done here
+    * because S3 bodies are bytes/streams, not strings). */
+  private def sendRetrying[T](req: => HttpRequest,
+      handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+    var resp = client.send(req, handler)
     var attempt = 0
     var backoffMs = 100L
     while (resp.statusCode() / 100 == 5 && attempt < 3) {
       Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
-      resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      resp = client.send(req, handler)
     }
     resp
+  }
+
+  private def request(method: String, key: String,
+      query: Seq[(String, String)] = Seq.empty,
+      headers: Seq[(String, String)] = Seq.empty,
+      body: Array[Byte] = null): HttpResponse[Array[Byte]] =
+    sendRetrying(buildRequest(method, key, query, headers, body),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  /** Streaming GET: the response body arrives as an InputStream, so a
+    * sequential read of a multi-GB object never buffers more than the
+    * HTTP client's window in memory (the positioned-read path stays
+    * byte-array-based — its ranges are caller-bounded). */
+  private def streamGet(key: String, range: String): java.io.InputStream = {
+    val resp = sendRetrying(
+      buildRequest("GET", key, Seq.empty, Seq("Range" -> range), null),
+      HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() / 100 != 2) {
+      val err = new String(resp.body().readNBytes(500), UTF_8)
+      resp.body().close()
+      throw new java.io.IOException(
+        s"S3 GET $key [$range] failed: HTTP ${resp.statusCode()} $err")
+    }
+    resp.body()
   }
 
   private def fail(what: String, r: HttpResponse[Array[Byte]]): Nothing =
@@ -339,9 +365,10 @@ class GraftS3FileSystem extends FileSystem {
     private def ensure(): java.io.InputStream = {
       if (in == null) {
         if (pos >= len) return null
-        val r = request("GET", key, headers = Seq("Range" -> s"bytes=$pos-"))
-        if (r.statusCode() / 100 != 2) fail(s"GET $key", r)
-        in = new java.io.ByteArrayInputStream(r.body())
+        // streaming body: a sequential scan of a multi-GB object flows
+        // through, never materializing the remainder in task memory
+        in = new java.io.BufferedInputStream(
+          streamGet(key, s"bytes=$pos-"), 1 << 16)
       }
       in
     }
