@@ -166,6 +166,30 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("model DAG runs end-to-end on object storage (s3+parquet urls)") {
+    // the production deployment shape: every inter-stage dataset lives in
+    // a bucket, staged through the framework's engine urls — read, write,
+    // read-back and DAG ordering all through the signed S3 protocol
+    import graft.core.RunContext
+    import graft.examples.{CleanDocuments, LangSummary}
+    import graft.model.ModelGraph
+    val em = new S3Emulator(secret = Some(("GRAFTACCESSKEY", "graft/secret+key")))
+    try {
+      configure(em, creds = true)
+      Tables.load(spark, sf0001, "documents")
+        .write.mode("overwrite").parquet("s3a://bucket/lake/documents")
+      val clean = new CleanDocuments(
+        "s3+parquet://bucket/lake/documents", "s3+parquet://bucket/lake/clean")
+      val summary = new LangSummary(
+        "s3+parquet://bucket/lake/clean", "s3+parquet://bucket/lake/summary")
+      new ModelGraph(Seq(summary, clean)).run(spark, RunContext())
+      val out = spark.read.parquet("s3a://bucket/lake/summary")
+      assert(out.count() == 5) // en/es/de/fr/zh
+      assert(!em.keys("bucket").exists(_.contains("_temporary/")),
+        "committer litter left in the bucket")
+    } finally em.stop()
+  }
+
   test("ranged reads: open/seek serve parquet footers without full GETs") {
     val em = new S3Emulator()
     try {
