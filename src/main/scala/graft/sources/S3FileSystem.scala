@@ -341,7 +341,10 @@ class GraftS3FileSystem extends FileSystem {
     val files = l.files.filterNot(_._1 == prefix).map { case (k, len, mt) =>
       new FileStatus(len, false, 1, BlockSize, mt, new Path(fsUri + "/" + k))
     }
-    val dirs = l.prefixes.map(dirStatus)
+    // distinct: defensive against a server that resumes paging inside a
+    // rolled-up prefix group and re-emits the CommonPrefix — a duplicate
+    // dir entry would double-count every file under it downstream
+    val dirs = l.prefixes.distinct.map(dirStatus)
     (files ++ dirs).toArray
   }
 

@@ -213,7 +213,11 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
     import scala.jdk.CollectionConverters._
     val prefix = q.getOrElse("prefix", "")
     val delim = q.get("delimiter").filter(_.nonEmpty)
-    val after = q.get("continuation-token")
+    // tokens are OPAQUE base64 (the real protocol's shape): the resume
+    // key may contain the U+FFFF after-this-group sentinel, which is not
+    // a legal XML character
+    val after = q.get("continuation-token").map(t =>
+      new String(java.util.Base64.getDecoder.decode(t), UTF_8))
     val all = objects.keySet().asScala.toSeq
       .filter(_.startsWith(s"$bucket/"))
       .map(_.stripPrefix(s"$bucket/"))
@@ -238,7 +242,11 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
         case None => contents += k; true
       }
       if (isNewEntry) taken += 1
-      lastKey = Some(k)
+      // the real protocol's continuation token positions AFTER the whole
+      // rolled-up prefix group, never inside it — resuming mid-group would
+      // re-emit the same CommonPrefix on the next page (duplicate dir
+      // entries → double-counted files in a client's listing)
+      lastKey = Some(group.map(_ + "\uffff").getOrElse(k))
       if (taken >= pageSize && it.hasNext) truncated = true
     }
     val xmlContents = contents.result().map { k =>
@@ -251,7 +259,9 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
       .mkString
     val token =
       if (truncated && !truncatePagesSilently)
-        s"<NextContinuationToken>${xml(lastKey.get)}</NextContinuationToken>"
+        "<NextContinuationToken>" + java.util.Base64.getEncoder
+          .encodeToString(lastKey.get.getBytes(UTF_8)) +
+          "</NextContinuationToken>"
       else ""
     ("<?xml version=\"1.0\" encoding=\"UTF-8\"?><ListBucketResult>" +
       s"<IsTruncated>$truncated</IsTruncated>$xmlContents$xmlPrefixes$token" +

@@ -166,6 +166,25 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("prefix groups spanning LIST pages never duplicate dir entries") {
+    // resuming pagination inside a rolled-up prefix group must not
+    // re-emit its CommonPrefix — a duplicate dir entry would double-count
+    // every file under it in a recursive listing
+    val em = new S3Emulator(pageSize = 2)
+    try {
+      configure(em, creds = false)
+      for ((d, i) <- Seq("a" -> 3, "b" -> 3, "c" -> 1))
+        (1 to i).foreach(j => em.put("bucket", s"root/$d/f$j", Array[Byte](1)))
+      val fs = new org.apache.hadoop.fs.Path("s3a://bucket/root")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path("s3a://bucket/root"))
+      val names = entries.map(_.getPath.getName).toSeq
+      assert(names.sorted == Seq("a", "b", "c"),
+        s"duplicate or missing dir entries: $names")
+      assert(entries.forall(_.isDirectory))
+    } finally em.stop()
+  }
+
   test("model DAG runs end-to-end on object storage (s3+parquet urls)") {
     // the production deployment shape: every inter-stage dataset lives in
     // a bucket, staged through the framework's engine urls — read, write,
