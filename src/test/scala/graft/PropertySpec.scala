@@ -19,6 +19,29 @@ class PropertySpec extends SparkSpec {
   private val genName: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
 
+  test("rolling hash: O(1) slide equals the direct polynomial, any k") {
+    // pure driver math — the codegen expression delegates to the same
+    // static compute, so this law covers both eval paths
+    import graft.functions.RollingHash
+    val m = 1099511627689L // 2^40 − 87, the q365 modulus
+    val b = 256L
+    def direct(s: String, i: Int, k: Int): Long =
+      (0 until k).foldLeft(0L)((acc, j) => (acc * b + s.charAt(i + j)) % m)
+    val gen = for {
+      k <- Gen.chooseNum(1, 12)
+      s <- Gen.listOf(Gen.oneOf(Gen.asciiPrintableChar,
+        Gen.oneOf('é', 'ß', '中', '\n'))).map(_.mkString)
+    } yield (k, s)
+    check(Prop.forAll(gen) { case (k, s) =>
+      val arr = RollingHash.compute(s, k, b, m)
+      val n = math.max(0, s.length - k + 1)
+      arr.numElements() == n && (0 until n).forall { i =>
+        val h = arr.getLong(i)
+        h == direct(s, i, k) && h >= 0 && h < m
+      }
+    })
+  }
+
   test("EngineUrl: parse is inverse of toString") {
     check(Prop.forAll(
       genName, Gen.listOf(genName), genName,
