@@ -26,16 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Characters are UTF-16 units (`String.charAt`), which equal Unicode
   * codepoints — and DuckDB's `ord` — for all BMP text; the synthetic
-  * corpus is ASCII. `m` must keep b·m + 2^16 inside a signed 64-bit long
-  * (the q365 caller uses the prime 2^40 − 87 so hashes also pack into the
-  * 61-bit winnowing tie-break key).
+  * corpus is ASCII. Two overflow sites bound `m`: the multiply-accumulate
+  * `h·b + char` needs `b·m + 2^16 < 2^63` (enforced as m ≤ 2^56/b), and
+  * the slide's subtraction term `char(i)·b^{k−1} mod m` can reach
+  * 65535·(m−1), which needs m ≤ 2^47 — for any permitted b, not just
+  * small ones (the q365 caller uses the prime 2^40 − 87 so hashes also
+  * pack into the 61-bit winnowing tie-break key).
   */
 case class RollingHash(child: Expression, k: Int, b: Long, m: Long)
   extends UnaryExpression {
 
   require(k >= 1, s"rolling_hash: gram size $k must be >= 1")
-  require(b > 1 && m > 1 && m <= (1L << 56) / b,
-    s"rolling_hash: need 1 < b, 1 < m <= 2^56/b for overflow-free math")
+  require(b > 1 && m > 1 && m <= math.min((1L << 56) / b, 1L << 47),
+    s"rolling_hash: need 1 < b, 1 < m <= min(2^56/b, 2^47) for " +
+      "overflow-free math (the slide term char*b^(k-1) can reach " +
+      "65535*(m-1), which must fit in a signed long)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess

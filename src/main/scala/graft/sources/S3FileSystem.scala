@@ -112,17 +112,44 @@ object S3Signer {
   *
   * Semantics: S3 has no directories — a path is a dir iff a `key/`
   * marker object exists or any key lives under `key/`. rename() is
-  * server-side COPY+DELETE per object (no data through this host);
-  * renaming onto an existing directory moves the source INTO it (HDFS
-  * semantics, what FileOutputCommitter expects). create() buffers to a
-  * local temp file; on close an object at or under
-  * `fs.s3a.multipart.size` (default 64 MB) uploads as one PUT, anything
-  * larger goes through the MULTIPART protocol (initiate → UploadPart per
-  * chunk → complete with the part ETag manifest, abort on failure) — so
-  * a 100 TB write is never capped by the 5 GB single-PUT limit and only
-  * one part is ever in memory. At 1000 executors each JVM holds its own
-  * client; LIST pages (1000 keys) stream through the driver only for
-  * listStatus calls, which Spark's file index performs once per query.
+  * server-side COPY+DELETE per object (no data through this host;
+  * objects above the 5 GB single-COPY cap go through multipart
+  * UploadPartCopy ranges) and follows the HDFS contract: onto an
+  * existing directory moves the source INTO it (what FileOutputCommitter
+  * expects), onto an existing FILE returns false — a caller using
+  * rename-as-atomic-claim (lock/marker files, checkpoint dirs) must
+  * never silently lose the incumbent. create() buffers to a local temp
+  * file; on close an object at or under `fs.s3a.multipart.size`
+  * (default 64 MB) uploads as one PUT, anything larger goes through the
+  * MULTIPART protocol (initiate → UploadPart per chunk → complete with
+  * the part ETag manifest, abort on failure) — so a 100 TB write is
+  * never capped by the 5 GB single-PUT limit and only one part is ever
+  * in memory. At 1000 executors each JVM holds its own client; LIST
+  * pages (1000 keys) stream through the driver only for listStatus
+  * calls, which Spark's file index performs once per query.
+  *
+  * == Zero-rename commit path (the Hadoop S3A "magic committer" design,
+  * re-derived for this FS) ==
+  * The stock FileOutputCommitter dance — task write to
+  * `dest/_temporary/app/_temporary/attempt/rel`, task-commit rename,
+  * job-commit rename to `dest/rel` — costs a server-side COPY of every
+  * output byte at commit: at 100 TB that is hours of pure data movement
+  * AND a non-atomic visibility window. With
+  * `fs.s3a.committer.magic.enabled` (default true) this FS intercepts
+  * creates under the task-attempt layout: the stream uploads multipart
+  * parts DIRECTLY against the final key `dest/rel` (invisible until
+  * completed — S3 multipart semantics) and on close writes a ~300-byte
+  * pending manifest (uploadId + part ETags + length) at the temp path
+  * in the data's place. The committer's renames then move only
+  * manifests; the rename that would land a manifest OUTSIDE
+  * `_temporary` instead issues CompleteMultipartUpload — zero data
+  * bytes copied at commit, and each output object appears atomically.
+  * delete() of an uncommitted manifest (task abort / job cleanup)
+  * aborts its upload server-side. getFileStatus on a manifest reports
+  * the DATA length from the manifest so write-metrics stay truthful.
+  * Crash-orphaned uploads (JVM death between part upload and abort) are
+  * the same residue real S3A magic commits leave — reclaimed by a
+  * bucket lifecycle rule on incomplete multipart uploads.
   */
 class GraftS3FileSystem extends FileSystem {
 
@@ -133,6 +160,7 @@ class GraftS3FileSystem extends FileSystem {
   private var creds: Option[(String, String)] = None
   private var client: HttpClient = _
   private var workDir: Path = _
+  private var magicEnabled: Boolean = true
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -147,6 +175,7 @@ class GraftS3FileSystem extends FileSystem {
       s <- Option(conf.get("fs.s3a.secret.key"))
     } yield (a, s)
     client = Http.newClient(Option(conf.get("fs.s3a.cacert")))
+    magicEnabled = conf.getBoolean("fs.s3a.committer.magic.enabled", true)
     workDir = new Path(fsUri.toString + "/")
   }
 
@@ -200,6 +229,13 @@ class GraftS3FileSystem extends FileSystem {
     var attempt = 0
     var backoffMs = 100L
     while (resp.statusCode() / 100 == 5 && attempt < 3) {
+      // a streamed (ofInputStream) 5xx body holds its connection until
+      // closed — discard it before re-sending or each retry leaks one
+      resp.body() match {
+        case s: java.io.InputStream =>
+          try s.close() catch { case _: Exception => }
+        case _ =>
+      }
       Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
       resp = client.send(req, handler)
     }
@@ -314,14 +350,33 @@ class GraftS3FileSystem extends FileSystem {
     new FileStatus(0, true, 1, BlockSize, 0,
       new Path(fsUri + "/" + key.stripSuffix("/")))
 
+  /** Directory-existence probe: ONE `max-keys=1` LIST page, never
+    * following continuation tokens — Spark's file index calls
+    * getFileStatus constantly, and paging a 100 TB prefix's full listing
+    * (N/1000 requests) just to learn "at least one key exists" was the
+    * repo's most request-amplifying path. */
+  private def anyKeyUnder(prefix: String): Boolean = {
+    val r = request("GET", "",
+      Seq("list-type" -> "2", "prefix" -> prefix, "max-keys" -> "1"))
+    if (r.statusCode() != 200) fail(s"LIST $prefix", r)
+    // keys are XML-escaped, so a literal '<Contents>' can only be a tag
+    new String(r.body(), UTF_8).contains("<Contents>")
+  }
+
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatus("")
     headObject(key) match {
-      case Some(st) => st
+      case Some(st) =>
+        // a pending-MPU manifest stands in for its data file: report the
+        // DATA length so write-metrics (BasicWriteStatsTracker) and any
+        // size-based planning see the real object, not the ~300-byte stub
+        pendingManifest(key)
+          .map(m => new FileStatus(m.length, false, 1, BlockSize,
+            st.getModificationTime, st.getPath))
+          .getOrElse(st)
       case None =>
-        val l = listAll(key + "/", delimiter = Some("/"))
-        if (l.files.nonEmpty || l.prefixes.nonEmpty) dirStatus(key)
+        if (anyKeyUnder(key + "/")) dirStatus(key)
         else throw new java.io.FileNotFoundException(f.toString)
     }
   }
@@ -433,6 +488,14 @@ class GraftS3FileSystem extends FileSystem {
     val key = keyOf(f)
     if (!overwrite && headObject(key).isDefined)
       throw new FileAlreadyExistsException(f.toString)
+    // getLongBytes: hadoop's bundled defaults spell this "64M"
+    val mpSize = getConf.getLongBytes("fs.s3a.multipart.size",
+      64L * 1024 * 1024)
+    magicFinalKey(key).foreach { finalKey =>
+      val partSize = math.min(mpSize, Int.MaxValue.toLong - 8).toInt
+      return new FSDataOutputStream(
+        new MagicOutputStream(key, finalKey, partSize), statistics)
+    }
     val tmp = java.nio.file.Files.createTempFile("graft-s3-", ".part")
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(tmp))
@@ -443,9 +506,7 @@ class GraftS3FileSystem extends FileSystem {
         super.close()
         try {
           val size = java.nio.file.Files.size(tmp)
-          // getLongBytes: hadoop's bundled defaults spell this "64M"
-          val partSize = getConf.getLongBytes("fs.s3a.multipart.size",
-            64L * 1024 * 1024)
+          val partSize = mpSize
           if (size <= partSize) {
             val r = request("PUT", key,
               body = java.nio.file.Files.readAllBytes(tmp))
@@ -457,19 +518,38 @@ class GraftS3FileSystem extends FileSystem {
     new FSDataOutputStream(upload, statistics)
   }
 
+  private def xmlText(body: Array[Byte], tag: String): String = {
+    val m = s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(
+      new String(body, UTF_8))
+    m.map(_.group(1)).getOrElse(
+      throw new java.io.IOException(s"S3 response missing <$tag>"))
+  }
+
+  private def initiateMultipart(key: String): String = {
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() / 100 != 2) fail(s"initiate multipart $key", init)
+    xmlText(init.body(), "UploadId")
+  }
+
+  private def completeMultipart(key: String, uploadId: String,
+      etags: Seq[(Int, String)]): Unit = {
+    val manifest = etags.map { case (n, e) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val done = request("POST", key, query = Seq("uploadId" -> uploadId),
+      body = manifest.getBytes(UTF_8))
+    if (done.statusCode() / 100 != 2) fail(s"complete multipart $key", done)
+  }
+
+  private def abortMultipart(key: String, uploadId: String): Unit =
+    try request("DELETE", key, query = Seq("uploadId" -> uploadId))
+    catch { case _: Throwable => } // best effort: S3 reclaims the parts
+
   /** Multipart upload: one `partSize` chunk in memory at a time; failed
     * uploads are aborted server-side so no orphaned parts accrue. */
   private def multipartUpload(key: String, tmp: java.nio.file.Path,
       partSize: Long): Unit = {
-    def xmlText(body: Array[Byte], tag: String): String = {
-      val m = s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(
-        new String(body, UTF_8))
-      m.map(_.group(1)).getOrElse(
-        throw new java.io.IOException(s"S3 response missing <$tag>"))
-    }
-    val init = request("POST", key, query = Seq("uploads" -> ""))
-    if (init.statusCode() / 100 != 2) fail(s"initiate multipart $key", init)
-    val uploadId = xmlText(init.body(), "UploadId")
+    val uploadId = initiateMultipart(key)
     try {
       val in = java.nio.file.Files.newInputStream(tmp)
       val etags = Seq.newBuilder[(Int, String)]
@@ -489,18 +569,125 @@ class GraftS3FileSystem extends FileSystem {
           read = in.readNBytes(buf, 0, buf.length)
         }
       } finally in.close()
-      val manifest = etags.result().map { case (n, e) =>
-        s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
-      }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-      val done = request("POST", key, query = Seq("uploadId" -> uploadId),
-        body = manifest.getBytes(UTF_8))
-      if (done.statusCode() / 100 != 2) fail(s"complete multipart $key", done)
+      completeMultipart(key, uploadId, etags.result())
     } catch {
-      case e: Throwable =>
-        // best-effort abort: the emulator/real S3 reclaims the parts
-        try request("DELETE", key, query = Seq("uploadId" -> uploadId))
-        catch { case _: Throwable => }
-        throw e
+      case e: Throwable => abortMultipart(key, uploadId); throw e
+    }
+  }
+
+  // -- zero-rename commit path -------------------------------------------------
+
+  private val ManifestMagic = "GRAFT-PENDING-MPU-V1"
+
+  private case class PendingUpload(finalKey: String, uploadId: String,
+      length: Long, parts: Seq[(Int, String)])
+
+  private def manifestBytes(m: PendingUpload): Array[Byte] = {
+    val parts = m.parts.map { case (n, e) => s"$n:$e" }.mkString(",")
+    (s"$ManifestMagic\nfinalKey=${m.finalKey}\nuploadId=${m.uploadId}\n" +
+      s"length=${m.length}\nparts=$parts\n").getBytes(UTF_8)
+  }
+
+  private def parseManifest(body: Array[Byte]): PendingUpload = {
+    val lines = new String(body, UTF_8).linesIterator.toSeq
+    def field(k: String): String = lines.collectFirst {
+      case l if l.startsWith(k + "=") => l.substring(k.length + 1)
+    }.getOrElse(throw new java.io.IOException(
+      s"pending-MPU manifest missing '$k='"))
+    val parts = field("parts").split(",").filter(_.nonEmpty).toSeq.map { p =>
+      val i = p.indexOf(':')
+      p.substring(0, i).toInt -> p.substring(i + 1)
+    }
+    PendingUpload(field("finalKey"), field("uploadId"),
+      field("length").toLong, parts)
+  }
+
+  /** FileOutputCommitter's task-attempt layout
+    * `dest/_temporary/<app>/_temporary/<attempt>/rel` → the final key
+    * `dest/rel` its output will commit to. None for any other shape —
+    * unknown layouts keep plain buffered-PUT semantics. */
+  private def magicFinalKey(key: String): Option[String] = {
+    if (!magicEnabled) return None
+    val segs = key.split("/")
+    val i = segs.indexOf("_temporary")
+    if (i >= 0 && segs.length > i + 4 && segs(i + 2) == "_temporary")
+      Some((segs.take(i) ++ segs.drop(i + 4)).mkString("/"))
+    else None
+  }
+
+  /** The parsed pending manifest at `key`, or None when the object is
+    * absent or ordinary data. Only keys under a `_temporary` segment are
+    * ever probed (one 256-byte ranged GET), so the hot read path never
+    * pays for the check. */
+  private def pendingManifest(key: String): Option[PendingUpload] = {
+    if (!magicEnabled || !key.split("/").contains("_temporary")) return None
+    val probe = request("GET", key, headers = Seq("Range" -> "bytes=0-255"))
+    if (probe.statusCode() / 100 != 2) return None
+    if (!new String(probe.body(), UTF_8).startsWith(ManifestMagic)) return None
+    val r = request("GET", key)
+    if (r.statusCode() / 100 != 2) fail(s"GET manifest $key", r)
+    Some(parseManifest(r.body()))
+  }
+
+  /** Task-side magic write: streams `partSize` chunks as multipart
+    * parts against the FINAL key while the task produces them (the
+    * upload is invisible until completed), then drops a pending
+    * manifest at the temp path. One part buffer in memory; nothing on
+    * local disk — a 1000-executor job writes 100 TB with zero
+    * commit-time data movement. */
+  private class MagicOutputStream(tempKey: String, finalKey: String,
+      partSize: Int) extends java.io.OutputStream {
+    private val buf = new Array[Byte](partSize)
+    private var n = 0
+    private var total = 0L
+    private var partNo = 1
+    private var uploadId: Option[String] = None
+    private val etags = Seq.newBuilder[(Int, String)]
+    private var closed = false
+
+    private def id(): String = uploadId.getOrElse {
+      val u = initiateMultipart(finalKey); uploadId = Some(u); u
+    }
+
+    private def flushPart(): Unit = {
+      val body = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+      val r = request("PUT", finalKey,
+        query = Seq("partNumber" -> partNo.toString, "uploadId" -> id()),
+        body = body)
+      if (r.statusCode() / 100 != 2) fail(s"part $partNo of $finalKey", r)
+      etags += ((partNo, r.headers().firstValue("ETag").orElse("")))
+      partNo += 1
+      n = 0
+    }
+
+    override def write(b: Int): Unit = {
+      buf(n) = b.toByte; n += 1; total += 1
+      if (n == buf.length) flushPart()
+    }
+
+    override def write(bytes: Array[Byte], off: Int, len: Int): Unit = {
+      var done = 0
+      while (done < len) {
+        val take = math.min(len - done, buf.length - n)
+        System.arraycopy(bytes, off + done, buf, n, take)
+        n += take; done += take; total += take
+        if (n == buf.length) flushPart()
+      }
+    }
+
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      try {
+        // always at least one part (possibly empty) so complete is legal
+        if (n > 0 || partNo == 1) flushPart()
+        val m = PendingUpload(finalKey, id(), total, etags.result())
+        val r = request("PUT", tempKey, body = manifestBytes(m))
+        if (r.statusCode() / 100 != 2) fail(s"PUT manifest $tempKey", r)
+      } catch {
+        case e: Throwable =>
+          uploadId.foreach(abortMultipart(finalKey, _)); throw e
+      }
     }
   }
 
@@ -516,10 +703,42 @@ class GraftS3FileSystem extends FileSystem {
     true
   }
 
-  private def copyObject(srcKey: String, dstKey: String): Unit = {
-    val r = request("PUT", dstKey,
-      headers = Seq("x-amz-copy-source" -> s"/$bucket/$srcKey"))
-    if (r.statusCode() / 100 != 2) fail(s"COPY $srcKey -> $dstKey", r)
+  /** Server-side copy. Real S3 caps a single COPY at 5 GB — above the
+    * cap this switches to multipart UploadPartCopy ranges (still zero
+    * data bytes through this host; `fs.s3a.copy.part.size` exists so
+    * tests can force the multipart path on small objects). */
+  private def copyObject(srcKey: String, dstKey: String, size: Long): Unit = {
+    val cap = math.min(5L * 1024 * 1024 * 1024,
+      getConf.getLongBytes("fs.s3a.copy.part.size", 5L * 1024 * 1024 * 1024))
+    if (size <= cap) {
+      val r = request("PUT", dstKey,
+        headers = Seq("x-amz-copy-source" -> s"/$bucket/$srcKey"))
+      if (r.statusCode() / 100 != 2) fail(s"COPY $srcKey -> $dstKey", r)
+    } else {
+      val uploadId = initiateMultipart(dstKey)
+      try {
+        val etags = Seq.newBuilder[(Int, String)]
+        var off = 0L
+        var partNo = 1
+        while (off < size) {
+          val end = math.min(size - 1, off + cap - 1)
+          val r = request("PUT", dstKey,
+            query = Seq("partNumber" -> partNo.toString,
+              "uploadId" -> uploadId),
+            headers = Seq("x-amz-copy-source" -> s"/$bucket/$srcKey",
+              "x-amz-copy-source-range" -> s"bytes=$off-$end"))
+          if (r.statusCode() / 100 != 2)
+            fail(s"UploadPartCopy $srcKey[$off-$end] -> $dstKey", r)
+          // UploadPartCopy returns the ETag in an XML body, not a header
+          etags += ((partNo, xmlText(r.body(), "ETag")))
+          partNo += 1
+          off = end + 1
+        }
+        completeMultipart(dstKey, uploadId, etags.result())
+      } catch {
+        case e: Throwable => abortMultipart(dstKey, uploadId); throw e
+      }
+    }
   }
 
   private def deleteObject(key: String): Unit = {
@@ -528,32 +747,68 @@ class GraftS3FileSystem extends FileSystem {
       fail(s"DELETE $key", r)
   }
 
+  /** Move one object as part of a rename. A pending-MPU manifest moving
+    * OUT of `_temporary` is the commit instant: issue
+    * CompleteMultipartUpload at its final key (which the committer's
+    * rename target must equal — the layout preserves relative paths) and
+    * the data appears atomically, zero bytes copied. A manifest staying
+    * under `_temporary` (task commit) moves as the ~300-byte stub it is.
+    */
+  private def moveObject(srcKey: String, dstKey: String, size: Long): Unit = {
+    pendingManifest(srcKey) match {
+      case Some(m) if !dstKey.split("/").contains("_temporary") =>
+        if (dstKey != m.finalKey) throw new java.io.IOException(
+          s"pending upload for ${m.finalKey} cannot commit to $dstKey — " +
+            "refusing a rename that would detach a magic manifest from " +
+            "its in-flight upload")
+        completeMultipart(m.finalKey, m.uploadId, m.parts)
+        deleteObject(srcKey)
+      case _ =>
+        copyObject(srcKey, dstKey, size)
+        deleteObject(srcKey)
+    }
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     val srcKey = keyOf(src)
     val st =
       try getFileStatus(src)
       catch { case _: java.io.FileNotFoundException => return false }
-    // HDFS semantics: renaming onto an existing directory moves INTO it
+    // HDFS semantics: onto an existing directory moves INTO it; onto an
+    // existing FILE fails (return false) — rename-as-atomic-claim callers
+    // (lock/marker files, checkpoint dirs) rely on not losing the incumbent
     val dstKey = {
       val k = keyOf(dst)
-      val intoDir =
-        try getFileStatus(dst).isDirectory
-        catch { case _: java.io.FileNotFoundException => false }
-      if (intoDir) s"$k/${src.getName}".stripPrefix("/") else k
+      val existing =
+        try Some(getFileStatus(dst))
+        catch { case _: java.io.FileNotFoundException => None }
+      existing match {
+        case Some(d) if d.isDirectory => s"$k/${src.getName}".stripPrefix("/")
+        case Some(_) => return false
+        case None => k
+      }
     }
     if (!st.isDirectory) {
-      copyObject(srcKey, dstKey)
-      deleteObject(srcKey)
+      moveObject(srcKey, dstKey, st.getLen)
     } else {
-      // per-object server-side copy: no data moves through this host
+      // per-object server-side move: no data through this host, and any
+      // pending manifest landing outside _temporary completes its upload
       val l = listAll(srcKey + "/", delimiter = None)
-      l.files.foreach { case (k, _, _) =>
-        copyObject(k, dstKey + "/" + k.stripPrefix(srcKey + "/"))
-        deleteObject(k)
+      l.files.foreach { case (k, size, _) =>
+        moveObject(k, dstKey + "/" + k.stripPrefix(srcKey + "/"), size)
       }
       deleteObject(srcKey + "/") // the marker, if any
     }
     true
+  }
+
+  /** Delete one object; an uncommitted pending-MPU manifest (task abort,
+    * speculative duplicate, job cleanup of a failed attempt) aborts its
+    * in-flight upload server-side first, so no orphaned parts accrue on
+    * the normal failure paths. */
+  private def deleteMaybePending(key: String): Unit = {
+    pendingManifest(key).foreach(m => abortMultipart(m.finalKey, m.uploadId))
+    deleteObject(key)
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
@@ -561,11 +816,11 @@ class GraftS3FileSystem extends FileSystem {
     val st =
       try getFileStatus(f)
       catch { case _: java.io.FileNotFoundException => return false }
-    if (!st.isDirectory) { deleteObject(key); return true }
+    if (!st.isDirectory) { deleteMaybePending(key); return true }
     val l = listAll(key + "/", delimiter = None)
     if (!recursive && l.files.exists(_._1 != key + "/"))
       throw new java.io.IOException(s"$f is a non-empty directory")
-    l.files.foreach { case (k, _, _) => deleteObject(k) }
+    l.files.foreach { case (k, _, _) => deleteMaybePending(k) }
     deleteObject(key + "/")
     true
   }

@@ -42,6 +42,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("rolling hash: overflow-free at the m = 2^47 bound with max chars") {
+    // the slide's subtraction term char(i)·b^{k−1} mod m reaches
+    // 65535·(m−1) — with m just under 2^47 that is within 2^16 of
+    // Long.MaxValue, so any missed bound wraps negative here. Truth is
+    // BigInt polynomial arithmetic, immune to 64-bit wrap by construction.
+    import graft.functions.RollingHash
+    val m = (1L << 47) - 115L // largest prime below 2^47
+    val b = 256L
+    def direct(s: String, i: Int, k: Int): Long =
+      (0 until k).foldLeft(BigInt(0))((acc, j) =>
+        (acc * b + s.charAt(i + j).toInt) mod BigInt(m)).toLong
+    val gen = for {
+      k <- Gen.chooseNum(1, 8)
+      s <- Gen.listOf(Gen.oneOf(Gen.asciiPrintableChar,
+        Gen.const('\uffff'), Gen.const('\ufffe'), Gen.const('\u4e2d')))
+        .map(_.mkString)
+    } yield (k, s)
+    check(Prop.forAll(gen) { case (k, s) =>
+      val arr = RollingHash.compute(s, k, b, m)
+      val n = math.max(0, s.length - k + 1)
+      arr.numElements() == n && (0 until n).forall { i =>
+        val h = arr.getLong(i)
+        h == direct(s, i, k) && h >= 0 && h < m
+      }
+    })
+    // m above 2^47 must be rejected even when b is small enough that the
+    // old 2^56/b bound alone would have (wrongly) admitted it
+    intercept[IllegalArgumentException] {
+      graft.functions.RollingHash(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        4, 4L, (1L << 48) - 59L)
+    }
+  }
+
   test("EngineUrl: parse is inverse of toString") {
     check(Prop.forAll(
       genName, Gen.listOf(genName), genName,

@@ -38,6 +38,17 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
   @volatile var requests: Long = 0L
   @volatile var multipartParts: Long = 0L
   @volatile var multipartCompletes: Long = 0L
+  @volatile var multipartAborts: Long = 0L
+
+  /** Bytes moved by server-side COPY / UploadPartCopy, EXCLUDING the
+    * ~300-byte pending-MPU manifests the magic commit path shuffles
+    * between `_temporary` dirs — so a test asserting "zero data bytes
+    * copied at commit" counts exactly the committer's data movement. */
+  @volatile var copiedDataBytes: Long = 0L
+
+  private def countCopy(bytes: Array[Byte]): Unit =
+    if (!new String(bytes.take(24), UTF_8).startsWith("GRAFT-PENDING-MPU"))
+      copiedDataBytes += bytes.length
 
   /** Fault injection (the ES/BQ fuzzing discipline): fail the next N
     * requests with HTTP 500 before recovering — exercises the client's
@@ -126,11 +137,33 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
             "<Error><Code>NoSuchUpload</Code></Error>".getBytes(UTF_8))
           case Some(parts) =>
             val n = query("partNumber").toInt
-            parts.put(n, body)
-            multipartParts += 1
-            val etag = "\"" + java.security.MessageDigest.getInstance("MD5")
-              .digest(body).map("%02x".format(_)).mkString + "\""
-            respond(ex, 200, Array.emptyByteArray, "ETag" -> etag)
+            def md5(b: Array[Byte]): String =
+              "\"" + java.security.MessageDigest.getInstance("MD5")
+                .digest(b).map("%02x".format(_)).mkString + "\""
+            Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+              case Some(src) => // UploadPartCopy: ETag rides in an XML BODY
+                Option(objects.get(src.stripPrefix("/"))) match {
+                  case None => respond(ex, 404, notFound)
+                  case Some((bytes, _)) =>
+                    val slice = Option(ex.getRequestHeaders
+                      .getFirst("x-amz-copy-source-range")) match {
+                      case Some(r) =>
+                        val m = "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r).get
+                        bytes.slice(m.group(1).toInt, m.group(2).toInt + 1)
+                      case None => bytes
+                    }
+                    parts.put(n, slice)
+                    multipartParts += 1
+                    countCopy(slice)
+                    respond(ex, 200,
+                      (s"<CopyPartResult><ETag>${md5(slice)}</ETag>" +
+                        "</CopyPartResult>").getBytes(UTF_8))
+                }
+              case None =>
+                parts.put(n, body)
+                multipartParts += 1
+                respond(ex, 200, Array.emptyByteArray, "ETag" -> md5(body))
+            }
         }
       case ("POST", k) if k.nonEmpty && query.contains("uploadId") =>
         Option(uploads.remove(query("uploadId"))) match {
@@ -156,7 +189,7 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
             }
         }
       case ("DELETE", _) if query.contains("uploadId") =>
-        uploads.remove(query("uploadId"))
+        if (uploads.remove(query("uploadId")) != null) multipartAborts += 1
         respond(ex, 204, Array.emptyByteArray)
       case ("PUT", k) if k.nonEmpty =>
         Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
@@ -164,6 +197,7 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
             Option(objects.get(src.stripPrefix("/"))) match {
               case Some((bytes, _)) =>
                 objects.put(s"$bucket/$k", (bytes, Instant.now()))
+                countCopy(bytes)
                 respond(ex, 200,
                   "<CopyObjectResult><ETag>\"copy\"</ETag></CopyObjectResult>"
                     .getBytes(UTF_8))
@@ -213,6 +247,11 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
     import scala.jdk.CollectionConverters._
     val prefix = q.getOrElse("prefix", "")
     val delim = q.get("delimiter").filter(_.nonEmpty)
+    // the client's existence probes send max-keys=1; honor it so the
+    // "one page, never paginates" property is actually exercised
+    val effectivePage =
+      math.min(pageSize, q.get("max-keys").flatMap(_.toIntOption)
+        .getOrElse(Int.MaxValue))
     // tokens are OPAQUE base64 (the real protocol's shape): the resume
     // key may contain the U+FFFF after-this-group sentinel, which is not
     // a legal XML character
@@ -247,7 +286,7 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
       // re-emit the same CommonPrefix on the next page (duplicate dir
       // entries → double-counted files in a client's listing)
       lastKey = Some(group.map(_ + "\uffff").getOrElse(k))
-      if (taken >= pageSize && it.hasNext) truncated = true
+      if (taken >= effectivePage && it.hasNext) truncated = true
     }
     val xmlContents = contents.result().map { k =>
       val (bytes, mtime) = objects.get(s"$bucket/$k")

@@ -206,6 +206,119 @@ class S3Spec extends SparkSpec {
       assert(out.count() == 5) // en/es/de/fr/zh
       assert(!em.keys("bucket").exists(_.contains("_temporary/")),
         "committer litter left in the bucket")
+      // three staged writes (lake/documents + two model outputs), ZERO
+      // server-side data-byte copies: every commit completed an in-flight
+      // multipart upload instead of COPYing task output into place
+      assert(em.copiedDataBytes == 0L,
+        s"DAG commits copied ${em.copiedDataBytes} data bytes")
+    } finally em.stop()
+  }
+
+  test("magic commit: a full write job copies ZERO data bytes at commit") {
+    // the whole point of the zero-rename path: task output streams
+    // multipart parts straight to the final keys, commit completes the
+    // uploads — the only server-side copies are the ~300-byte manifests
+    // hopping between _temporary dirs, which the emulator's counter
+    // excludes. Before this committer, every output byte was COPYed at
+    // job commit (at 100 TB: hours of pure data movement).
+    val em = new S3Emulator(secret = Some(("GRAFTACCESSKEY", "graft/secret+key")))
+    try {
+      configure(em, creds = true)
+      val df = Tables.load(spark, sf0001, "customer")
+      df.write.mode("overwrite").parquet("s3a://bucket/zero/customer")
+      assert(em.copiedDataBytes == 0L,
+        s"commit copied ${em.copiedDataBytes} data bytes")
+      assert(em.multipartCompletes >= 1, "no multipart upload was completed")
+      assert(!em.keys("bucket").exists(_.contains("_temporary/")))
+      val back = spark.read.parquet("s3a://bucket/zero/customer")
+      assert(back.count() == df.count())
+      assert(back.agg(sum("c_acctbal")).head().getDouble(0) ==
+        df.agg(sum("c_acctbal")).head().getDouble(0))
+    } finally em.stop()
+  }
+
+  test("magic commit: deleting an uncommitted attempt aborts its upload") {
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate a task attempt that wrote output but never committed
+      // (speculative duplicate / failed task): FileOutputCommitter layout
+      val attempt = new org.apache.hadoop.fs.Path(
+        "s3a://bucket/out/_temporary/0/_temporary/attempt_1_m_0_0/part-0")
+      val out = fs.create(attempt, true)
+      out.write(Array.fill[Byte](1000)(7)); out.close()
+      // parts are uploaded against the final key but NOT visible yet
+      assert(em.multipartParts >= 1)
+      assert(em.get("bucket", "out/part-0").isEmpty,
+        "uncommitted output became visible")
+      // task/job abort path: recursive delete of _temporary
+      fs.delete(new org.apache.hadoop.fs.Path("s3a://bucket/out/_temporary"),
+        true)
+      assert(em.multipartAborts >= 1, "in-flight upload was not aborted")
+      assert(em.get("bucket", "out/part-0").isEmpty)
+      assert(!em.keys("bucket").exists(_.contains("_temporary/")))
+    } finally em.stop()
+  }
+
+  test("rename above the single-COPY cap goes through UploadPartCopy") {
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.s3a.copy.part.size", (64 * 1024).toString) // force the path
+      try {
+        val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+          .getFileSystem(c)
+        val payload = Array.tabulate[Byte](300 * 1024)(i => (i * 31 + 7).toByte)
+        em.put("bucket", "mv/src.bin", payload)
+        val partsBefore = em.multipartParts
+        assert(fs.rename(new org.apache.hadoop.fs.Path("s3a://bucket/mv/src.bin"),
+          new org.apache.hadoop.fs.Path("s3a://bucket/mv/dst.bin")))
+        assert(em.multipartParts - partsBefore >= 4,
+          s"expected ranged UploadPartCopy parts, got ${em.multipartParts - partsBefore}")
+        assert(em.get("bucket", "mv/src.bin").isEmpty)
+        assert(em.get("bucket", "mv/dst.bin").exists(_.sameElements(payload)),
+          "multipart-copied object is not byte-identical")
+      } finally c.unset("fs.s3a.copy.part.size")
+    } finally em.stop()
+  }
+
+  test("rename onto an existing file returns false (HDFS contract)") {
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      em.put("bucket", "claim/a", "alpha".getBytes(UTF_8))
+      em.put("bucket", "claim/b", "beta".getBytes(UTF_8))
+      // rename-as-atomic-claim: the incumbent must survive
+      assert(!fs.rename(new org.apache.hadoop.fs.Path("s3a://bucket/claim/a"),
+        new org.apache.hadoop.fs.Path("s3a://bucket/claim/b")))
+      assert(em.get("bucket", "claim/b").map(new String(_, UTF_8))
+        .contains("beta"))
+      assert(em.get("bucket", "claim/a").isDefined)
+    } finally em.stop()
+  }
+
+  test("existence probes stay one max-keys=1 page on huge prefixes") {
+    // getFileStatus on a directory must not page the whole listing just
+    // to learn one key exists — at pageSize=2, 40 keys would be 20 LIST
+    // requests per probe without the max-keys=1 early exit
+    val em = new S3Emulator(pageSize = 2)
+    try {
+      configure(em, creds = false)
+      (1 to 40).foreach(i =>
+        em.put("bucket", f"wide/f$i%03d", Array[Byte](1)))
+      val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = em.requests
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path("s3a://bucket/wide"))
+      assert(st.isDirectory)
+      // one failed HEAD + one single-page LIST
+      assert(em.requests - before <= 2,
+        s"existence probe cost ${em.requests - before} requests")
     } finally em.stop()
   }
 
