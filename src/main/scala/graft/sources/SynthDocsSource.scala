@@ -24,6 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * splitmix64 hash of its id, so a 10-billion-row corpus generates fully
   * parallel, deterministic, and identical regardless of partition count —
   * the load generator for soak-testing pipeline operators without storage.
+  *
+  * Two vocabulary modes:
+  *  - `vocab=closed` (default): the driver testdata's ~25-word closed
+  *    vocabulary — matches `/root/testdata` documents, so operators
+  *    golden-tested there behave identically here.
+  *  - `vocab=longtail`: a Zipf(s=1) draw over `vocabSize` (default
+  *    50 000) distinct types — head ranks keep the closed-vocab words,
+  *    tail ranks are fixed-width consonant-vowel syllable codes (unique
+  *    by construction: fixed 2-char syllables decode unambiguously).
+  *    Sampling is the exact inverse-CDF of the continuous 1/x density:
+  *    rank = ⌊(V+1)^u⌋, so P(rank=r) = ln(1+1/r)/ln(V+1) ≈ 1/(r·ln V) —
+  *    a true −1 log-log rank-frequency slope with a hapax tail, which
+  *    the closed vocabulary cannot produce (its unigram tail is empty;
+  *    Good–Turing/Heaps/Zipf operators there only exercise the head).
   */
 object SynthDocs {
   val schema: StructType = StructType(Seq(
@@ -39,6 +53,29 @@ object SynthDocs {
     "shard", "token", "vector", "stream", "state", "plan", "graph", "byte")
   private val langs = Array("en", "de", "fr", "es", "zh")
 
+  // fixed-width 2-char consonant-vowel syllables: concatenations decode
+  // uniquely (fixed width ⇒ prefix-free), and no 2-char syllable string
+  // collides with the ≥3-char closed-vocab head words
+  private val syllables: Array[String] = {
+    val cons = "bcdfghjklmnpqrstvwxz" // 20
+    val vows = "aeiou" // 5 → 100 pairs; take the first 40
+    (for (c <- cons; v <- vows) yield s"$c$v").take(40).toArray
+  }
+
+  /** The unique word for a Zipf rank (0-based): head ranks reuse the
+    * closed vocabulary, tail ranks are base-40 syllable codes. */
+  def word(rank: Int): String = {
+    if (rank < vocab.length) return vocab(rank)
+    var r = rank - vocab.length
+    val sb = new java.lang.StringBuilder(6)
+    while ({
+      sb.append(syllables(r % syllables.length))
+      r /= syllables.length
+      r > 0
+    }) ()
+    sb.toString
+  }
+
   private def mix(z0: Long): Long = { // splitmix64
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -46,8 +83,16 @@ object SynthDocs {
     z ^ (z >>> 31)
   }
 
+  /** Zipf(s=1) rank draw over 1..v by exact inverse CDF of the 1/x
+    * density: u uniform in [0,1) → ⌊(v+1)^u⌋. */
+  private def zipfRank(h: Long, v: Int): Int = {
+    val u = (h >>> 11).toDouble / (1L << 53).toDouble
+    val r = math.pow((v + 1).toDouble, u).toLong
+    math.min(v, math.max(1L, r)).toInt
+  }
+
   /** Deterministic row for an id: same output for any partitioning. */
-  def row(id: Long, seed: Long): InternalRow = {
+  def row(id: Long, seed: Long, vocabSize: Int): InternalRow = {
     val h = mix(id ^ mix(seed))
     val nTokens = 30 + (Math.floorMod(h, 51L)).toInt // 30..80 tokens
     val sb = new java.lang.StringBuilder(nTokens * 6)
@@ -56,7 +101,10 @@ object SynthDocs {
     while (i < nTokens) {
       s = mix(s)
       if (i > 0) sb.append(' ')
-      sb.append(vocab(Math.floorMod(s, vocab.length.toLong).toInt))
+      if (vocabSize <= 0)
+        sb.append(vocab(Math.floorMod(s, vocab.length.toLong).toInt))
+      else
+        sb.append(word(zipfRank(s, vocabSize) - 1))
       i += 1
     }
     val text = sb.toString
@@ -86,22 +134,32 @@ class SynthTable extends Table with SupportsRead {
     new SynthScanBuilder(
       options.getLong("rows", 1000L),
       options.getInt("partitions", 4),
-      options.getLong("seed", 42L))
+      options.getLong("seed", 42L),
+      Option(options.get("vocab")).getOrElse("closed") match {
+        case "closed" => 0
+        case "longtail" => options.getInt("vocabSize", 50000)
+        case other => throw new IllegalArgumentException(
+          s"graft-synth: vocab must be 'closed' or 'longtail', got '$other'")
+      })
 }
 
-class SynthScanBuilder(rows: Long, partitions: Int, seed: Long) extends ScanBuilder {
-  override def build(): Scan = new SynthScan(rows, partitions, seed)
+class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
+    vocabSize: Int) extends ScanBuilder {
+  override def build(): Scan = new SynthScan(rows, partitions, seed, vocabSize)
 }
 
-case class SynthRange(start: Long, end: Long, seed: Long) extends InputPartition
+case class SynthRange(start: Long, end: Long, seed: Long, vocabSize: Int)
+  extends InputPartition
 
-class SynthScan(rows: Long, partitions: Int, seed: Long) extends Scan with Batch {
+class SynthScan(rows: Long, partitions: Int, seed: Long, vocabSize: Int)
+  extends Scan with Batch {
   override def readSchema(): StructType = SynthDocs.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + partitions - 1) / partitions)
     (0L until rows by per)
-      .map(s => SynthRange(s, math.min(s + per, rows), seed): InputPartition)
+      .map(s => SynthRange(s, math.min(s + per, rows), seed,
+        vocabSize): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -110,11 +168,12 @@ class SynthScan(rows: Long, partitions: Int, seed: Long) extends Scan with Batch
 
 class SynthReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val SynthRange(start, end, seed) = partition.asInstanceOf[SynthRange]
+    val SynthRange(start, end, seed, vocabSize) =
+      partition.asInstanceOf[SynthRange]
     new PartitionReader[InternalRow] {
       private var id = start - 1
       override def next(): Boolean = { id += 1; id < end }
-      override def get(): InternalRow = SynthDocs.row(id, seed)
+      override def get(): InternalRow = SynthDocs.row(id, seed, vocabSize)
       override def close(): Unit = ()
     }
   }

@@ -51,4 +51,90 @@ class SynthSourceSpec extends SparkSpec {
       .count()
     assert(sampled > 300 && sampled < 700, s"~25% expected, got $sampled")
   }
+
+  // -- longtail vocabulary: the driver testdata's ~32-type closed vocab has
+  // an EMPTY unigram tail (Good–Turing had to run on trigrams; Heaps/Zipf
+  // fits only exercised the head). vocab=longtail draws Zipf(s=1) over 50k
+  // types so the frequency-spectrum operators see their real shapes.
+
+  private def longtail(rows: Long, seed: Long = 11) =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("partitions", 16)
+      .option("seed", seed).option("vocab", "longtail").load()
+
+  private def unigramCounts(rows: Long) =
+    longtail(rows)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  test("longtail is deterministic, partition-invariant, and ≥50k types at depth") {
+    def digest(parts: Int): String =
+      spark.read.format("graft-synth")
+        .option("rows", 300).option("partitions", parts).option("seed", 5)
+        .option("vocab", "longtail").load()
+        .agg(sum(crc32(concat_ws("|", col("doc_id"), col("text"))))).
+        collect()(0).get(0).toString
+    assert(digest(2) == digest(16))
+    // a deep corpus visits most of the 50k-type vocabulary, far past the
+    // closed vocab's 25 — the tail genuinely exists
+    val types = unigramCounts(30000).count()
+    assert(types > 40000L && types <= 50000L, s"type count $types")
+  }
+
+  test("longtail rank-frequency follows Zipf: log-log slope ≈ -1") {
+    // rank the types by frequency and least-squares fit log(freq) on
+    // log(rank) over mid ranks (head ranks quantize, deep tail is noisy)
+    val byFreq = unigramCounts(20000)
+      .orderBy(col("c").desc).limit(600).collect().map(_.getLong(1))
+    val pts = byFreq.zipWithIndex.drop(19)
+      .map { case (c, i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(slope > -1.2 && slope < -0.85, s"Zipf slope $slope, want ≈ -1")
+  }
+
+  test("longtail gives Good–Turing its unigram tail: hapaxes exist in bulk") {
+    // the round-8 finding this mode exists to fix: on the closed vocab,
+    // N₁(unigrams) = 0 at every corpus size. Here the spectrum is full.
+    val nr = unigramCounts(2000)
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      .filter(col("r") <= 3).orderBy("r").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val n1 = nr.getOrElse(1L, 0L)
+    assert(n1 > 3000L, s"hapax count $n1 — unigram tail missing")
+    // frequency-of-frequencies must DECREASE across the tail classes
+    assert(n1 > nr.getOrElse(2L, 0L), s"N1 $n1 <= N2 ${nr.get(2L)}")
+    assert(nr.getOrElse(2L, 0L) > nr.getOrElse(3L, 0L), s"N2 <= N3: $nr")
+  }
+
+  test("q240/q369 frequency-spectrum operators see the right shapes on longtail") {
+    // stage the synth corpus as a documents table and run the REAL
+    // registry operators over it — the spec-level scale rehearsal the
+    // closed-vocab testdata cannot provide
+    val dir = java.nio.file.Files.createTempDirectory("synth-lt").toString
+    longtail(4000).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Heaps: vocabulary keeps growing across deciles (closed vocab
+    // saturates in decile 0) and growth is sublinear in tokens
+    val heaps = operators.TextAnalysis.q240.run(spark, dir)
+      .orderBy("bucket").collect()
+    val v = heaps.map(r => r.getAs[Long]("cum_vocab").toDouble)
+    val t = heaps.map(r => r.getAs[Long]("cum_tokens").toDouble)
+    assert(v.length == 10)
+    assert(v.sliding(2).forall(p => p(1) > p(0)),
+      s"vocab growth stalled: ${v.toSeq}")
+    val beta = math.log(v(9) / v(1)) / math.log(t(9) / t(1))
+    assert(beta > 0.3 && beta < 0.95, s"Heaps beta $beta, want sublinear growth")
+    // Good–Turing over the operator's trigram spectrum: unseen mass is
+    // large on an open vocabulary, N_r decreases, r* stays positive
+    val gt = operators.TextAnalysis.q369.run(spark, dir)
+      .orderBy("r").collect()
+    assert(gt.nonEmpty)
+    val p0 = gt.head.getAs[Double]("p0")
+    assert(p0 > 0.5 && p0 < 1.0, s"trigram unseen mass p0=$p0")
+    val nrs = gt.map(r => r.getAs[Long]("n_r"))
+    assert(nrs.head == nrs.max, s"N_r not head-heavy: ${nrs.toSeq}")
+  }
 }
