@@ -157,6 +157,45 @@ object PlanAudit {
     grow(p)
   }
 
+  /** Per-table scan profile of the physical plan: how many times each
+    * parquet table is scanned and the UNION of columns those scans read
+    * (from the `ReadSchema` each `FileScan` prints). This is the CI pin
+    * surface for column pruning: a refactor that silently drops pruning —
+    * or re-computes a subtree into a second corpus scan — changes this
+    * profile and fails the pinned assertion in PlanAuditSpec, long before
+    * anyone notices the extra terabytes read at real SF.
+    */
+  def scanProfile(df: DataFrame): Map[String, (Int, Set[String])] = {
+    val perScan = fileScans(df.queryExecution.executedPlan).flatMap { f =>
+      f.relation.location.rootPaths
+        .flatMap(p => "/(\\w+)\\.parquet".r.findFirstMatchIn(p.toString)
+          .map(_.group(1))).headOption
+        .map(t => t -> f.requiredSchema.fieldNames.toSet)
+    }
+    perScan.groupBy(_._1).map { case (t, scans) =>
+      t -> (scans.size, scans.iterator.flatMap(_._2).toSet)
+    }
+  }
+
+  /** All parquet scans in a physical plan — walked node-by-node (the
+    * plan STRING truncates ReadSchema at maxMetadataStringLength, so
+    * string parsing under-reports wide scans), recursing into the AQE
+    * wrapper and subquery expressions. ReusedExchange is a leaf: a reused
+    * subtree is one physical scan, and counting it twice would pin the
+    * very re-computation the profile exists to catch.
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    here ++ p.subqueries.flatMap(fileScans)
+  }
+
   /** Findings for one query's analyzed plan; empty = clean. */
   def audit(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.analyzed
@@ -185,10 +224,12 @@ object PlanAudit {
   }
 
   def main(args: Array[String]): Unit = {
+    val pinsMode = args.nonEmpty && args(0) == "pins"
+    val rest = if (pinsMode) args.drop(1) else args
     val names =
-      if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
-      else args(0).split(",").toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      if (rest.isEmpty || rest(0) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else rest(0).split(",").toSeq
+    val sfDir = if (rest.length > 1) rest(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -199,6 +240,13 @@ object PlanAudit {
     for (n <- names) {
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
+        if (pinsMode) {
+          // Scala-literal pin entry ready to paste into PlanAuditSpec
+          val prof = scanProfile(df).toSeq.sortBy(_._1).map { case (t, (c, cols)) =>
+            s"""      "$t" -> ($c, Set(${cols.toSeq.sorted.map("\"" + _ + "\"").mkString(", ")}))"""
+          }
+          println(s"""    "$n" -> Map(\n${prof.mkString(",\n")}),""")
+        }
         val plan = df.queryExecution.executedPlan.toString
         val lines = plan.linesIterator.toSeq
         val broadcasts = lines.count(_.contains("BroadcastExchange"))

@@ -661,6 +661,65 @@ object Streams {
       ((knownSum + unseen.cast("double") / n) / 2.0).as("tv"))
   }
 
+  /** Streaming twin of the TrainQualityClassifier QUALITY GATE
+    * (cf. `TrainQualityClassifier.postBuildCheck`): per event-time
+    * window over a scored+labeled stream, emit accuracy, the majority
+    * baseline, expected calibration error, and a `gate_ok` verdict —
+    * the live drift monitor for a model served by [[scoreDocsStream]]
+    * under frozen batch weights. The batch gate catches calibration
+    * drift once per build; this catches it within one window of the
+    * corpus moving.
+    *
+    * Same single-aggregation trick as [[tvDriftStream]] (two-level aggs
+    * don't compose in a streaming query): ECE needs per-calibrated-value
+    * empirical rates, and the calibration table has a BOUNDED value
+    * support (≤ one per isotonic block, Calibration.fitTable's
+    * contract), so the support is collected once at stream-construction
+    * time and the window agg pivots to one conditional (count, Σlabel)
+    * pair per table value. ECE is then a projection:
+    * Σ_v |y_v/n_v − v|·n_v / N. Equality on the pivot is exact — the
+    * stream's `calibrated` doubles come from a broadcast join against
+    * this very table, bit-identical by construction. State per open
+    * window = 2·|blocks| + 3 longs, independent of stream volume.
+    *
+    * Input columns: an event-time `ts`, `label` ∈ {0,1},
+    * `predicted` ∈ {−1,1}, `calibrated` (from applyTable).
+    * Emits (hour, n, accuracy, baseline, ece, gate_ok).
+    */
+  def qualityGateStream(scored: DataFrame, calTable: DataFrame,
+      maxEce: Double = 0.05, watermark: String = "2 hours"): DataFrame = {
+    // bounded collect: ≤ one row per isotonic block by fitTable's contract
+    val support = calTable.select("calibrated").distinct().collect()
+      .map(_.getDouble(0)).sorted
+    val pivots = support.zipWithIndex.flatMap { case (v, i) =>
+      Seq(count(when(col("calibrated") === v, 1)).as(s"__n_$i"),
+        sum(when(col("calibrated") === v, col("label")).otherwise(0L))
+          .as(s"__y_$i"))
+    }
+    val counted = scored
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("predicted") === col("label") * 2 - 1, 1L)
+          .otherwise(0L)).as("correct") +: sum(col("label")).as("pos")
+          +: pivots.toSeq): _*)
+    val n = col("n").cast("double")
+    val werr = support.indices.map { i =>
+      val nb = col(s"__n_$i").cast("double")
+      when(col(s"__n_$i") > 0,
+        abs(col(s"__y_$i").cast("double") / nb - lit(support(i))) * nb)
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    counted.select(
+      col("window.start").as("hour"), col("n"),
+      (col("correct").cast("double") / n).as("accuracy"),
+      (greatest(col("pos"), col("n") - col("pos")).cast("double") / n)
+        .as("baseline"),
+      (werr / n).as("ece"))
+      .withColumn("gate_ok",
+        col("accuracy") > col("baseline") && col("ece") <= maxEce)
+  }
+
   /** foreachBatch sink: apply a batch writer per micro-batch (the streaming
     * fan-out path; batchId enables idempotent writes).
     */

@@ -1,0 +1,129 @@
+package graft.tools
+
+import graft.{Bench, SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-exponent probe: the sf1 rehearsal shows the heavy tail is
+  * sublinear at ONE 10× datapoint; this tool measures the exponent
+  * directly. `runMain graft.tools.BenchScaling` times the top-10 sf1
+  * heavies at sf0.1 / sf1 / sf3 (generate the latter two with
+  * [[GenSf]]), fits the least-squares slope of log(time) vs log(sf) per
+  * query, and writes BENCH_SCALING.json with the three timings and two
+  * exponents:
+  *
+  *  - `exp_fit`  — slope over all three points. The sf0.1 point sits on
+  *    the fixed-overhead floor (JVM/scheduler/plan time dominates sub-
+  *    second runs), which DEFLATES this fit, so it is the optimistic
+  *    bound;
+  *  - `exp_tail` — the sf1→sf3 segment slope, where both runs are
+  *    seconds-long and overhead-free. This is the honest extrapolation
+  *    base: a query that is O(SF^1.3) shows it here first.
+  *
+  * The scale gate is `exp_tail < 1.3` for every query (log-log slope
+  * 1.0 = linear in data volume; graph queries with hub caps are allowed
+  * mild superlinearity from denser neighborhoods, but ≥1.3 means the
+  * plan has a growth term that 100 TB would amplify ~40× over linear —
+  * investigate before trusting it).
+  *
+  * Timing discipline matches [[graft.Bench]]: warm table-cache + codegen
+  * per SF, median of 3 runs per query, blocking cache drop off the clock
+  * between runs, calibration stamp at start and end so a contended
+  * machine is self-evident in the artifact.
+  */
+object BenchScaling {
+
+  /** Top-10 heavies from the committed sf1 rehearsal (BENCH_SF1.json). */
+  val heavies: Seq[String] = Seq(
+    "q264_link_prediction", "q283_item_cf_recommend",
+    "q248_coshipment_similarity", "q122_zorder_stats",
+    "q305_blockhash_neardup", "q170_personalized_pagerank",
+    "q236_hits", "q119_pagerank", "q252_weighted_pagerank",
+    "q218_weighted_median")
+
+  /** Least-squares slope of log(y) vs log(x). */
+  def slope(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val lx = xs.map(math.log)
+    val ly = ys.map(math.log)
+    val n = lx.size
+    val mx = lx.sum / n
+    val my = ly.sum / n
+    val cov = lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val varx = lx.map(a => (a - mx) * (a - mx)).sum
+    cov / varx
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfs: Seq[(Double, String)] = Seq(
+      0.1 -> "/root/testdata/sf0.1",
+      1.0 -> "/root/repo/testdata-sf1",
+      3.0 -> "/root/repo/testdata-sf3")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def calibrate(sfDir: String): Double = {
+      val t0 = System.nanoTime()
+      (1 to 3).foreach { _ =>
+        Tables.load(spark, sfDir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus").count().collect()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(sfs.head._2) // untimed codegen warm
+    val calibStart = calibrate(sfs.head._2)
+
+    // per query name -> per sf -> median seconds
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    for ((sf, dir) <- sfs) {
+      Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+      for (name <- heavies) {
+        val fn = SparkEntry.queries(name)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Bench.dropCaches(spark)
+          dt
+        }.sorted
+        val med = runs(1)
+        times(name) = times.getOrElse(name, Vector.empty) :+ med
+        println(f"SCALING $name sf=$sf%.1f median=$med%.3f " +
+          f"(best=${runs.head}%.3f worst=${runs.last}%.3f)")
+      }
+    }
+    val calibEnd = calibrate(sfs.head._2)
+
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sfVals = sfs.map(_._1)
+    val entries = heavies.map { name =>
+      val ts = times(name)
+      val expFit = slope(sfVals, ts)
+      val expTail = math.log(ts(2) / ts(1)) / math.log(sfVals(2) / sfVals(1))
+      val flag = if (expTail >= 1.3) ",\"investigate\":true" else ""
+      s""""$name":{"sec":[${ts.map(f3).mkString(",")}]""" +
+        s""","exp_fit":${f3(expFit)},"exp_tail":${f3(expTail)}$flag}"""
+    }
+    val worst = heavies.map { n =>
+      val ts = times(n)
+      math.log(ts(2) / ts(1)) / math.log(sfVals(2) / sfVals(1))
+    }.max
+    val line =
+      s"""{"metric":"scaling_exponent_max","value":${f3(worst)},"unit":"exp"""" +
+        s""","sfs":[${sfVals.map(f3).mkString(",")}]""" +
+        s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
+        s""","calib_ratio":${f3(if (calibStart > 0) calibEnd / calibStart else 1.0)}""" +
+        s""","queries":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALING.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

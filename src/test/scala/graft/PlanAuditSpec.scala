@@ -112,6 +112,106 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.audit(d.crossJoin(broadcast(few))).isEmpty)
   }
 
+  test("scan-profile extraction catches a deliberately-unpruned scan") {
+    // The detector itself, exercised positively before the pin sweep
+    // trusts it: same one-column output, two plans — one prunes the scan
+    // to the single needed column, one drags every column through a
+    // struct the filter consumes, which column pruning cannot remove.
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val pruned = li.select("l_orderkey").filter(col("l_orderkey") > 0)
+    assert(PlanAudit.scanProfile(pruned) ==
+      Map("lineitem" -> (1, Set("l_orderkey"))))
+    val unpruned = li
+      .filter(to_json(struct(li.columns.map(col): _*)).isNotNull)
+      .select("l_orderkey")
+    val (n, cols) = PlanAudit.scanProfile(unpruned)("lineitem")
+    assert(n == 1 && cols.size == li.columns.length,
+      s"expected an all-column scan, got $cols")
+    // and a self-join that re-computes the subtree shows as TWO scans
+    val twice = li.select("l_orderkey").distinct()
+      .union(li.select("l_orderkey"))
+    assert(PlanAudit.scanProfile(twice)("lineitem")._1 == 2)
+  }
+
+  test("top-cost scan profiles are pinned: pruned columns and scan counts") {
+    // VERDICT r9 next-round #4: the expected-scan-schema pins for the
+    // most expensive queries (the 20 heaviest from the committed
+    // self-bench plus the heaviest scan-bearing tier below them). A
+    // future edit that drops column pruning (profile gains columns) or
+    // re-computes a subtree into an extra corpus scan (count grows)
+    // fails here, long before the extra terabytes show up at real SF.
+    //
+    // An EMPTY map is itself a pin: the iterative graph queries
+    // checkpoint their edge lists, so their FINAL plan must read no
+    // parquet at all — a residual scan appearing there would mean an
+    // un-checkpointed corpus input re-read every downstream action.
+    // Multi-scan counts >1 are the adjudicated two/three-pass designs
+    // (q356 exact substring dedup, q357 SemDeDup, q152's two-level MAD,
+    // q164/q166 fit-then-apply passes); lowering one is welcome, but
+    // RAISING one is a regression this pin refuses.
+    val pins: Map[String, Map[String, (Int, Set[String])]] = Map(
+      "q283_item_cf_recommend" -> Map(),
+      "q356_substring_dedup_apply" -> Map(
+        "documents" -> (3, Set("doc_id", "text"))),
+      "q119_pagerank" -> Map(),
+      "q257_bfs_distances" -> Map(),
+      "q170_personalized_pagerank" -> Map(),
+      "q237_label_propagation" -> Map(),
+      "q122_zorder_stats" -> Map(
+        "lineitem" -> (1, Set("l_partkey", "l_suppkey"))),
+      "q150_kcore" -> Map(),
+      "q203_clustering_coeff" -> Map(),
+      "q264_link_prediction" -> Map(
+        "lineitem" -> (2, Set("l_partkey", "l_suppkey"))),
+      "q248_coshipment_similarity" -> Map(),
+      "q236_hits" -> Map(),
+      "q123_triangle_count" -> Map(),
+      "q368_fasttext_classifier" -> Map(),
+      "q287_frequent_triples" -> Map(
+        "lineitem" -> (1, Set("l_orderkey", "l_partkey"))),
+      "q152_mad" -> Map(
+        "events" -> (4, Set("event_type", "value"))),
+      "q166_assoc_rules" -> Map(
+        "lineitem" -> (3, Set("l_orderkey", "l_partkey"))),
+      "q298_transitivity" -> Map(),
+      "q305_blockhash_neardup" -> Map(
+        "documents" -> (1, Set("doc_id", "n_chars", "text"))),
+      "q252_weighted_pagerank" -> Map(),
+      "q218_weighted_median" -> Map(
+        "lineitem" -> (1, Set("l_extendedprice", "l_quantity", "l_returnflag"))),
+      "q164_standardize" -> Map(
+        "lineitem" -> (3, Set("l_linenumber", "l_orderkey", "l_quantity", "l_returnflag"))),
+      "q255_abc_classification" -> Map(),
+      "q276_bellman_ford" -> Map(),
+      "q345_closeness_centrality" -> Map(
+        "nation" -> (2, Set("n_name", "n_nationkey"))),
+      "t18_large_orders" -> Map(
+        "customer" -> (1, Set("c_custkey", "c_name")),
+        "lineitem" -> (1, Set("l_orderkey", "l_quantity")),
+        "orders" -> (1, Set("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))),
+      "t11_important_parts" -> Map(),
+      "t07_nation_flows" -> Map(
+        "customer" -> (1, Set("c_custkey", "c_nationkey")),
+        "lineitem" -> (1, Set("l_discount", "l_extendedprice", "l_orderkey",
+          "l_shipdate", "l_suppkey")),
+        "nation" -> (2, Set("n_name", "n_nationkey")),
+        "orders" -> (1, Set("o_custkey", "o_orderkey")),
+        "supplier" -> (1, Set("s_nationkey", "s_suppkey"))),
+      "q357_semdedup" -> Map(
+        "embeddings" -> (4, Set("embedding", "vec_id"))),
+      "q365_winnowing" -> Map(
+        "documents" -> (1, Set("doc_id", "text"))))
+    val diffs = pins.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
+      val prof =
+        try PlanAudit.scanProfile(SparkEntry.queries(name)(spark, sf0001))
+        catch { case e: Throwable => Map("ERROR" -> (0, Set(e.getMessage))) }
+      if (prof == pin) None
+      else Some(s"$name:\n  pinned $pin\n  actual $prof")
+    }
+    assert(diffs.isEmpty, s"\nscan-profile drift (update the pin only if " +
+      s"the new plan is deliberate):\n${diffs.mkString("\n")}")
+  }
+
   test("query registry is consistent: unique names, oracles resolve") {
     val names = SparkEntry.allQueries.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys

@@ -55,6 +55,96 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(expected))
   }
 
+  test("qualityGateStream: live drift monitor matches the batch gate readout") {
+    import graft.operators.{Calibration, TextClassifier}
+    // TRAIN OFFLINE, exactly as the flagship TrainQualityClassifier stage
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      // two synthetic event-time hours so the monitor emits >1 window
+      .withColumn("ts", expr("timestamp'2024-03-01 00:30:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(doc_id % 2 AS INT), 0, 0)"))
+    val labels = docs.select(col("doc_id"),
+      expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+        "w -> w IN ('spark', 'query', 'join'))) >= 3 THEN 1 ELSE 0 END " +
+        "AS BIGINT)").as("label"))
+    val feats = TextClassifier.hashedFeatures(docs, "text", "doc_id")
+    val wdf = TextClassifier.ipmFit(feats,
+      labels.select(col("doc_id"), (col("label") * 2 - 1).as("y")), "doc_id")
+    // bounded: exactly buckets+1 weight rows by ipmFit's contract
+    val weights = wdf.orderBy("b").collect().map(_.getLong(1))
+    val step = 1L << 29
+    val batch = TextClassifier.predict(feats, wdf, "doc_id")
+      .join(labels, "doc_id").join(docs.select("doc_id", "ts"), "doc_id")
+      .withColumn("bucket", expr(s"CAST(floor(margin / ${step}L) AS BIGINT)"))
+    val table = Calibration.fitTable(batch, "bucket", "label")
+
+    // Independent batch readout via the postBuildCheck math (natural
+    // two-level agg), per hour — the parity target for the stream's
+    // single-agg pivot trick.
+    def batchGate(applied: org.apache.spark.sql.DataFrame) = {
+      val base = applied.withColumn("hour", window(col("ts"), "1 hour")("start"))
+      val top = base.groupBy("hour").agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label") * 2 - 1, 1L)
+          .otherwise(0L)).as("correct"),
+        sum("label").as("pos"))
+      val ece = base.groupBy("hour", "calibrated")
+        .agg(count(lit(1)).as("nb"), sum("label").as("yb"))
+        .groupBy("hour")
+        .agg(sum(abs(col("yb").cast("double") / col("nb").cast("double") -
+          col("calibrated")) * col("nb").cast("double")).as("werr"),
+          sum("nb").as("tot"))
+      top.join(ece, "hour").select(col("hour"), col("n"),
+        (col("correct").cast("double") / col("n").cast("double")).as("accuracy"),
+        (greatest(col("pos"), col("n") - col("pos")).cast("double") /
+          col("n").cast("double")).as("baseline"),
+        (col("werr") / col("tot").cast("double")).as("ece"))
+        .orderBy("hour").collect()
+    }
+    def streamGate(applied: org.apache.spark.sql.DataFrame, name: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(name).toString
+      applied.write.mode("overwrite").parquet(dir)
+      val live = Streams.qualityGateStream(
+        spark.readStream.schema(applied.schema).parquet(dir), table)
+      Streams.runAvailableNow(live, name, "complete")
+      spark.table(name).orderBy("hour").collect()
+    }
+    def assertParity(s: Array[org.apache.spark.sql.Row],
+        b: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(s.length == b.length && s.length == 2)
+      s.zip(b).foreach { case (sr, br) =>
+        assert(sr.getTimestamp(0) == br.getTimestamp(0))
+        assert(sr.getLong(1) == br.getLong(1))
+        // pivoted single-agg vs two-level agg: same sums, FP-rounding only
+        Seq(2, 3, 4).foreach(i =>
+          assert(math.abs(sr.getDouble(i) - br.getDouble(i)) < 1e-9,
+            s"col $i: ${sr.getDouble(i)} vs ${br.getDouble(i)}"))
+      }
+    }
+
+    // HEALTHY: fit == apply population — gate green in both engines
+    val healthy = Calibration.applyTable(batch, table, "bucket")
+      .select("doc_id", "ts", "label", "predicted", "calibrated")
+    val sHealthy = streamGate(healthy, "gate_healthy")
+    assertParity(sHealthy, batchGate(healthy))
+    assert(sHealthy.forall(_.getBoolean(5)), "healthy stream must pass the gate")
+
+    // DRIFTED: the driftBuckets fault injection the batch gate catches
+    // (ExamplesSpec), aimed DOWN — scores collapsing toward the low
+    // isotonic block is the production shape of quality drift (corpus
+    // degrades, frozen weights under-score), and on this ~80%-positive
+    // corpus it moves ECE far from every block's rate, so the monitor
+    // must flag EVERY window (a +shift parks rows in the top block whose
+    // rate sits near the base rate, which only the population-level
+    // batch gate resolves)
+    val drifted = Calibration.applyTable(
+      batch.withColumn("bucket", col("bucket") - 1000L), table, "bucket")
+      .select("doc_id", "ts", "label", "predicted", "calibrated")
+    val sDrifted = streamGate(drifted, "gate_drifted")
+    assertParity(sDrifted, batchGate(drifted))
+    assert(sDrifted.forall(r => !r.getBoolean(5) && r.getDouble(4) > 0.05),
+      s"drifted stream must fail the gate in every window:\n" +
+        sDrifted.mkString("\n"))
+  }
+
   test("file-source stream of hourly counts equals the batch result") {
     val dir = copyEventsTo("graft-ev")
     val stream = Streams.hourlyCounts(Streams.eventFileStream(spark, dir))
