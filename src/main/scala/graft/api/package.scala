@@ -781,14 +781,23 @@ package object api {
             h.groupBy(groupCol).agg(sum(col("__c")).as("__n"))), Seq(groupCol))
           .groupBy(groupCol)
           .agg(min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col(v))).as(out))
-      val ev = df.filter(col(valueCol).isNotNull)
-      val h1 = ev.groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
+      // ONE corpus scan: everything downstream — both medians, the
+      // deviation histogram, and the group counts — derives from the
+      // (group, value) histogram. The deviation of a row depends only on
+      // its (group, value), so the deviation histogram is a weighted
+      // re-key of h1 (carry __c), never a re-scan of the raw rows; the
+      // barrier materializes h1 once where the four consumers used to
+      // re-read the source (4 scans → 1 in the q152 plan pin).
+      val h1 = df.filter(col(valueCol).isNotNull)
+        .groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c"))
+        .barrier()
       val med = lowerMedian(h1, valueCol, "median_val")
-      val dev = ev.join(broadcast(med), Seq(groupCol))
-        .select(col(groupCol), abs(col(valueCol) - col("median_val")).as("__d"))
-      val h2 = dev.groupBy(groupCol, "__d").agg(count(lit(1)).as("__c"))
+      val h2 = h1.join(broadcast(med), Seq(groupCol))
+        .groupBy(col(groupCol),
+          abs(col(valueCol) - col("median_val")).as("__d"))
+        .agg(sum(col("__c")).as("__c"))
       val mad = lowerMedian(h2, "__d", "mad")
-      ev.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      h1.groupBy(groupCol).agg(sum(col("__c")).as("n"))
         .join(med, Seq(groupCol)).join(mad, Seq(groupCol))
     }
 

@@ -1605,6 +1605,11 @@ object Dedup {
                  |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
                  |                      'cl', sd.cl)
                  |    ELSE acc END).cl""".stripMargin).as("cl"))
+          // materialize: the a×b self-join below would otherwise
+          // re-COMPUTE the whole argmin assignment once per side — two
+          // extra corpus scans and double the map-side seed folds (the
+          // q357 plan pin holds this at 2 scans: seeds + one assignment)
+          .barrier()
         val a = assigned.select(col("cl"), col("vec_id").as("id_keep"),
           col("embedding").as("ea"))
         val b = assigned.select(col("cl"), col("vec_id").as("id_dup"),

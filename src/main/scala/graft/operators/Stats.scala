@@ -476,6 +476,10 @@ object Stats {
             .cast("double").as("sxx"))
         .select(col("l_returnflag"), expr("sx / n").as("mu"),
           expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("sd"))
+        // ≤ 3 rows (one per flag), but referenced by TWO broadcasts below —
+        // without the barrier each broadcast re-computes the moments from
+        // a fresh corpus scan (the q164 pin holds the plan at 2 scans)
+        .barrier()
       // Top-k as a partial+final AGGREGATE (functions.TopK.topKRows), not
       // a window: the tiebreak (|z| desc, orderkey, linenumber) encodes
       // losslessly as (score=|z|, id=orderkey*8+linenumber) since

@@ -19,8 +19,9 @@ import java.time.Duration
   * Spark tasks and each task pages its own disjoint `[startIndex,
   * startIndex+maxResults)` windows of `getQueryResults` — a genuinely
   * parallel read. (The very largest results belong on the Storage Read
-  * API, a gRPC surface out of scope offline; the REST range read is the
-  * same partitioning story at the protocol level.) Writes batch
+  * API — implemented in [[BqStorage]], selected with `;storage=true`:
+  * gRPC server-partitioned streams with AVRO batches and offset resume;
+  * the REST range read is the same partitioning story.) Writes batch
   * `tabledata.insertAll` per partition with `insertId`s derived from a
   * key column for idempotent retries.
   *
@@ -123,6 +124,11 @@ object BigQuery {
     * own disjoint row range via `getQueryResults?startIndex=…`.
     */
   def read(spark: SparkSession, url: EngineUrl): DataFrame = {
+    // `;storage=true` swaps the transport to the Storage Read API (gRPC
+    // bulk read, server-partitioned streams) — the path a 100 TB table
+    // scan actually takes; the REST page loop below is the query path
+    if (url.option("storage").contains("true"))
+      return BqStorage.read(spark, url)
     val c = conf(url)
     val sql = url.option("query").getOrElse {
       val ds = url.option("datasetId").getOrElse(

@@ -1,0 +1,263 @@
+package graft.sources
+
+import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
+import io.netty.buffer.{ByteBuf, Unpooled}
+import io.netty.channel._
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
+import io.netty.handler.codec.http2._
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+/** gRPC-over-HTTP/2, from frames up — the transport under
+  * [[BqStorage]]. No grpc runtime exists in the Spark distribution, so
+  * this implements the public gRPC HTTP/2 mapping directly on netty's
+  * frame codec: a unary-request / server-streaming call is one HTTP/2
+  * stream carrying `POST :path`, `content-type: application/grpc`,
+  * `te: trailers`; each message rides DATA frames as a 5-byte
+  * length-prefixed frame (1-byte compressed flag + u32 big-endian
+  * length); the server ends with an HTTP/2 trailers HEADERS frame
+  * carrying `grpc-status`/`grpc-message`.
+  *
+  * Scale/robustness posture (mirrors the S3/Kafka emulation discipline):
+  * messages may split or merge across DATA frames arbitrarily — both
+  * sides reassemble from a byte accumulator, never assume frame ==
+  * message; a truncated or overlong gRPC frame fails loudly; a non-zero
+  * grpc-status surfaces as an exception carrying the server's message.
+  */
+object GrpcH2 {
+
+  final class GrpcError(val status: Int, message: String)
+    extends RuntimeException(s"grpc-status $status: $message")
+
+  /** Length-prefix one gRPC message. */
+  def frame(msg: Array[Byte]): ByteBuf = {
+    val b = Unpooled.buffer(5 + msg.length)
+    b.writeByte(0) // uncompressed
+    b.writeInt(msg.length)
+    b.writeBytes(msg)
+    b
+  }
+
+  /** Incremental gRPC-frame reassembly over arbitrary DATA-frame splits. */
+  final class FrameAccumulator {
+    private var buf = Array.emptyByteArray
+    def add(data: ByteBuf): Seq[Array[Byte]] = {
+      val in = new Array[Byte](data.readableBytes())
+      data.readBytes(in)
+      buf = buf ++ in
+      val out = Seq.newBuilder[Array[Byte]]
+      var continue = true
+      while (continue && buf.length >= 5) {
+        require(buf(0) == 0, s"grpc: compressed flag ${buf(0)} unsupported")
+        val len = ((buf(1) & 0xff) << 24) | ((buf(2) & 0xff) << 16) |
+          ((buf(3) & 0xff) << 8) | (buf(4) & 0xff)
+        require(len >= 0 && len < (1 << 26), s"grpc: implausible frame length $len")
+        if (buf.length >= 5 + len) {
+          out += java.util.Arrays.copyOfRange(buf, 5, 5 + len)
+          buf = java.util.Arrays.copyOfRange(buf, 5 + len, buf.length)
+        } else continue = false
+      }
+      out.result()
+    }
+    def leftover: Int = buf.length
+  }
+
+  // ---------------------------------------------------------------- server
+
+  /** One RPC dispatch: (path, request message) → response messages.
+    * Streaming responses are pulled lazily so a handler can fault-inject
+    * mid-stream; throwing [[GrpcError]] (before or between messages) turns
+    * into that grpc-status in the trailers, anything else into status 13
+    * (INTERNAL). */
+  type Handler = (String, Array[Byte]) => Iterator[Array[Byte]]
+
+  final class Server(handler: Handler) extends AutoCloseable {
+    private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    private val ch = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        def initChannel(c: SocketChannel): Unit = {
+          c.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+          c.pipeline().addLast(new Http2MultiplexHandler(
+            new ChannelInitializer[Channel] {
+              def initChannel(s: Channel): Unit =
+                s.pipeline().addLast(new StreamHandler)
+            }))
+        }
+      })
+      .bind("127.0.0.1", 0).sync().channel()
+
+    val port: Int =
+      ch.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+
+    private final class StreamHandler extends ChannelInboundHandlerAdapter {
+      private val acc = new FrameAccumulator
+      private var path = ""
+      private var req = Option.empty[Array[Byte]]
+
+      private def respond(ctx: ChannelHandlerContext): Unit = {
+        val head = new DefaultHttp2Headers()
+        head.status("200")
+        head.add("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(head, false))
+        val trailers = new DefaultHttp2Headers()
+        try {
+          val msgs = handler(path, req.getOrElse(Array.emptyByteArray))
+          while (msgs.hasNext) {
+            ctx.writeAndFlush(new DefaultHttp2DataFrame(frame(msgs.next()), false))
+          }
+          trailers.add("grpc-status", "0")
+        } catch {
+          case e: GrpcError =>
+            trailers.add("grpc-status", e.status.toString)
+            trailers.add("grpc-message", Option(e.getMessage).getOrElse(""))
+          case e: Throwable =>
+            trailers.add("grpc-status", "13")
+            trailers.add("grpc-message", Option(e.getMessage).getOrElse("internal"))
+        }
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+      }
+
+      override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+        msg match {
+          case h: Http2HeadersFrame =>
+            path = Option(h.headers().path()).map(_.toString).getOrElse("")
+            if (h.isEndStream) respond(ctx)
+          case d: Http2DataFrame =>
+            val credit = d.initialFlowControlledBytes()
+            if (credit > 0)
+              ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(credit))
+            acc.add(d.content()).foreach(m => req = Some(m))
+            val end = d.isEndStream
+            d.release()
+            if (end) respond(ctx)
+          case other => ReferenceCountUtil.release(other)
+        }
+    }
+
+    def close(): Unit = {
+      ch.close().sync()
+      group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS).sync()
+    }
+  }
+  // ReferenceCountUtil lives in io.netty.util — local alias to keep the
+  // import list flat
+  private object ReferenceCountUtil {
+    def release(o: AnyRef): Unit = io.netty.util.ReferenceCountUtil.release(o)
+  }
+
+  // ---------------------------------------------------------------- client
+
+  /** Blocking gRPC client over one HTTP/2 connection; each [[call]] opens
+    * its own HTTP/2 stream, so calls may interleave. Executor tasks each
+    * build their own client (one TCP connection per task, the
+    * [[BigQuery]] REST path's discipline). */
+  final class Client(host: String, port: Int,
+      callTimeoutSec: Long = 60) extends AutoCloseable {
+    private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    private val ch = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        def initChannel(c: SocketChannel): Unit = {
+          c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+          c.pipeline().addLast(new Http2MultiplexHandler(
+            new ChannelInboundHandlerAdapter())) // no server-initiated streams
+        }
+      })
+      .connect(host, port).sync().channel()
+
+    private sealed trait Event
+    private case class Msg(bytes: Array[Byte]) extends Event
+    private case class Done(status: Int, message: String) extends Event
+    private case class Failed(e: Throwable) extends Event
+
+    /** Issue one RPC; the returned iterator yields response messages as
+      * they arrive and throws [[GrpcError]] on a non-zero grpc-status. */
+    def call(path: String, request: Array[Byte]): Iterator[Array[Byte]] = {
+      val queue = new LinkedBlockingQueue[Event]()
+      val handler = new ChannelInboundHandlerAdapter {
+        private val acc = new FrameAccumulator
+        private def grpcStatus(h: Http2Headers): Option[(Int, String)] =
+          Option(h.get("grpc-status")).map { s =>
+            (s.toString.toInt,
+              Option(h.get("grpc-message")).map(_.toString).getOrElse(""))
+          }
+        override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+          msg match {
+            case h: Http2HeadersFrame =>
+              val st = grpcStatus(h.headers())
+              if (h.isEndStream)
+                queue.put(st.map((Done.apply _).tupled).getOrElse(
+                  Done(2, "stream ended without grpc-status")))
+              else st.filter(_._1 != 0)
+                .foreach(s => queue.put((Done.apply _).tupled(s)))
+            case d: Http2DataFrame =>
+              // replenish the flow-control window for what we consumed, or
+              // any response larger than the 64 KiB initial window stalls
+              val credit = d.initialFlowControlledBytes()
+              if (credit > 0)
+                ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(credit))
+              try acc.add(d.content()).foreach(m => queue.put(Msg(m)))
+              catch { case e: Throwable => queue.put(Failed(e)) }
+              finally {
+                val end = d.isEndStream
+                d.release()
+                if (end) queue.put(Done(2, "DATA end-stream without trailers"))
+              }
+            case other => ReferenceCountUtil.release(other)
+          }
+        override def exceptionCaught(ctx: ChannelHandlerContext,
+            cause: Throwable): Unit = {
+          queue.put(Failed(cause))
+          ctx.close()
+        }
+        override def channelInactive(ctx: ChannelHandlerContext): Unit =
+          queue.put(Failed(new java.io.IOException(
+            "grpc: connection closed mid-stream")))
+      }
+      val stream = new Http2StreamChannelBootstrap(ch)
+        .handler(handler).open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+      headers.method("POST").scheme("http").path(path)
+        .authority(s"$host:$port")
+      headers.add("content-type", "application/grpc")
+      headers.add("te", "trailers")
+      stream.write(new DefaultHttp2HeadersFrame(headers, false))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(frame(request), true))
+
+      new Iterator[Array[Byte]] {
+        private var nextEvent = Option.empty[Event]
+        private var finished = false
+        private def pump(): Unit = if (nextEvent.isEmpty && !finished) {
+          val e = queue.poll(callTimeoutSec, TimeUnit.SECONDS)
+          require(e != null, s"grpc: no response within ${callTimeoutSec}s")
+          nextEvent = Some(e)
+        }
+        def hasNext: Boolean = {
+          pump()
+          nextEvent match {
+            case Some(Msg(_)) => true
+            case Some(Done(0, _)) => finished = true; false
+            case Some(Done(st, m)) => finished = true; throw new GrpcError(st, m)
+            case Some(Failed(e)) => finished = true; throw e
+            case None => false
+          }
+        }
+        def next(): Array[Byte] = {
+          if (!hasNext) throw new NoSuchElementException
+          val Msg(b) = nextEvent.get
+          nextEvent = None
+          b
+        }
+      }
+    }
+
+    def close(): Unit = {
+      ch.close().sync()
+      group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS).sync()
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Minimal protobuf wire-format codec — just the three wire types the
+  * BigQuery Storage Read API v1 messages use (varint, 64-bit is unused,
+  * length-delimited), hand-rolled because this repo links no protobuf
+  * runtime (the Spark distribution ships only shaded copies). Field
+  * numbers are written/read explicitly at the call sites against the
+  * PUBLIC `google/cloud/bigquery/storage/v1/storage.proto`, so the bytes
+  * on the wire are the genuine protocol, not a lookalike.
+  *
+  * Reference surface mirrored: `connectors/bigquery.py:10-248` reads via
+  * the REST API; this is the documented bulk-read path a 100 TB BigQuery
+  * scan would actually use.
+  */
+object Proto {
+
+  final class Writer {
+    private val out = new ByteArrayOutputStream()
+
+    private def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    private def key(field: Int, wire: Int): Unit =
+      varint((field.toLong << 3) | wire)
+
+    def int64(field: Int, v: Long): Writer = {
+      if (v != 0) { key(field, 0); varint(v) }; this
+    }
+    def int32(field: Int, v: Int): Writer = int64(field, v.toLong)
+    def string(field: Int, v: String): Writer =
+      bytes(field, v.getBytes("UTF-8"))
+    def bytes(field: Int, v: Array[Byte]): Writer = {
+      if (v.nonEmpty) { key(field, 2); varint(v.length); out.write(v) }
+      this
+    }
+    /** Nested message: always emitted, even when empty (presence bit). */
+    def message(field: Int)(f: Writer => Unit): Writer = {
+      val w = new Writer; f(w)
+      key(field, 2); val b = w.result(); varint(b.length); out.write(b)
+      this
+    }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  /** One decoded field occurrence. `data` holds length-delimited payloads;
+    * `num` holds varint values. */
+  final case class Field(field: Int, num: Long, data: Array[Byte])
+
+  /** Decode a message into its top-level fields, in order. Unknown wire
+    * types fail loudly — a corrupt frame must never half-parse. */
+  def fields(bytes: Array[Byte]): Seq[Field] = {
+    val out = Seq.newBuilder[Field]
+    var i = 0
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while ({
+        require(i < bytes.length && shift < 64, "protobuf: truncated varint")
+        val b = bytes(i); i += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+        (b & 0x80) != 0
+      }) ()
+      v
+    }
+    while (i < bytes.length) {
+      val k = varint()
+      val field = (k >>> 3).toInt
+      (k & 7) match {
+        case 0 => out += Field(field, varint(), Array.empty)
+        case 2 =>
+          val len = varint().toInt
+          require(len >= 0 && i + len <= bytes.length,
+            s"protobuf: field $field overruns the message")
+          out += Field(field, 0L, java.util.Arrays.copyOfRange(bytes, i, i + len))
+          i += len
+        case 1 => require(i + 8 <= bytes.length, "truncated fixed64"); i += 8
+        case 5 => require(i + 4 <= bytes.length, "truncated fixed32"); i += 4
+        case w => throw new IllegalArgumentException(
+          s"protobuf: unsupported wire type $w for field $field")
+      }
+    }
+    out.result()
+  }
+
+  def first(bytes: Array[Byte], field: Int): Option[Field] =
+    fields(bytes).find(_.field == field)
+  def all(bytes: Array[Byte], field: Int): Seq[Field] =
+    fields(bytes).filter(_.field == field)
+  def str(bytes: Array[Byte], field: Int): Option[String] =
+    first(bytes, field).map(f => new String(f.data, "UTF-8"))
+  def num(bytes: Array[Byte], field: Int): Option[Long] =
+    first(bytes, field).map(_.num)
+}

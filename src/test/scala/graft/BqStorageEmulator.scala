@@ -1,0 +1,179 @@
+package graft
+
+import graft.sources.{BqStorage, GrpcH2, Proto}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import java.io.ByteArrayOutputStream
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+/** In-process BigQuery Storage Read API v1 emulation: a genuine
+  * gRPC-over-HTTP/2 server ([[GrpcH2.Server]]) speaking the public
+  * `storage.proto` message layout with AVRO row batches — the storage
+  * sibling of BqSpec's REST emulator. SQL-engine work is BigQuery's job;
+  * what this emulates is the PROTOCOL: session creation with
+  * server-side stream partitioning, selected_fields/row_restriction
+  * pushdown, batched Avro row pages, and offset-addressed resume.
+  *
+  * Fault knobs (the BqSpec fuzzing discipline):
+  *  - `failAfterBatches`: every ReadRows call dies with UNAVAILABLE (14)
+  *    after that many batches until the stream's rows are exhausted —
+  *    forces the client's offset-resume path;
+  *  - `corruptAvro`: flip bytes inside serialized_binary_rows — the
+  *    client must refuse loudly, never half-decode.
+  */
+final class BqStorageEmulator(project: String, dataset: String,
+    tableId: String, fields: Seq[(String, String)], rows: Vector[Seq[Any]],
+    batchSize: Int = 4) extends AutoCloseable {
+
+  private val fqTable = s"projects/$project/datasets/$dataset/tables/$tableId"
+
+  val lastSelectedFields = new AtomicReference[Seq[String]](Nil)
+  val lastRestriction = new AtomicReference[Option[String]](None)
+  val readRowsCalls = new AtomicInteger(0)
+  val resumedOffsets = new AtomicReference[Vector[Long]](Vector.empty)
+  val failAfterBatches = new AtomicInteger(0)
+  val corruptAvro = new AtomicBoolean(false)
+
+  // session name -> (avro json, projected col idx, per-stream row slices)
+  private case class SessionState(avroJson: String, colIdx: Seq[Int],
+      slices: Vector[Vector[Seq[Any]]])
+  private val sessions = new ConcurrentHashMap[String, SessionState]()
+  private val sessionSeq = new AtomicInteger(0)
+
+  private def avroJson(cols: Seq[(String, String)]): String =
+    cols.map { case (n, t) =>
+      s"""{"name": "$n", "type": ["null", "$t"]}"""
+    }.mkString(
+      s"""{"type": "record", "name": "__root__", "fields": [""", ",", "]}")
+
+  /** The one restriction grammar the spec uses: `col > literal` over a
+    * long column — documented subset, anything else refuses loudly
+    * (INVALID_ARGUMENT) rather than silently scanning everything. */
+  private def applyRestriction(rs: Option[String],
+      data: Vector[Seq[Any]]): Vector[Seq[Any]] = rs match {
+    case None => data
+    case Some(r) =>
+      val m = "^\\s*(\\w+)\\s*>\\s*(-?\\d+)\\s*$".r.findFirstMatchIn(r)
+        .getOrElse(throw new GrpcH2.GrpcError(3,
+          s"unsupported row_restriction: $r"))
+      val idx = fields.indexWhere(_._1 == m.group(1))
+      if (idx < 0) throw new GrpcH2.GrpcError(3,
+        s"row_restriction references unknown column ${m.group(1)}")
+      val bound = m.group(2).toLong
+      data.filter(_(idx) match {
+        case l: Long => l > bound
+        case null => false
+        case other => other.toString.toLong > bound
+      })
+  }
+
+  private def encodeAvro(json: String, cols: Seq[(String, Int)],
+      batch: Seq[Seq[Any]]): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    batch.foreach { row =>
+      val rec = new GenericData.Record(schema)
+      cols.foreach { case (name, srcIdx) => rec.put(name, row(srcIdx)) }
+      writer.write(rec, enc)
+    }
+    enc.flush()
+    val bytes = out.toByteArray
+    if (corruptAvro.get() && bytes.length > 2) {
+      // the first byte is row 0 / field 0's union-index varint: xor makes
+      // it an out-of-range union branch, which Avro MUST reject — a
+      // deterministic loud failure, unlike flipping value bytes (which
+      // can decode "successfully" into garbage)
+      bytes(0) = (bytes(0) ^ 0x58).toByte
+    }
+    bytes
+  }
+
+  private def handle(path: String, req: Array[Byte]): Iterator[Array[Byte]] =
+    path match {
+      case BqStorage.CreateReadSessionPath =>
+        require(Proto.str(req, 1).contains(s"projects/$project"),
+          "wrong parent project")
+        val rs = Proto.first(req, 2).map(_.data).getOrElse(
+          throw new GrpcH2.GrpcError(3, "missing read_session"))
+        val wantTable = Proto.str(rs, 6).getOrElse("")
+        if (wantTable != fqTable)
+          throw new GrpcH2.GrpcError(5, s"table not found: $wantTable")
+        require(Proto.num(rs, 3).contains(1L),
+          "emulator serves AVRO sessions only")
+        val opts = Proto.first(rs, 8).map(_.data)
+        val selected = opts.map(o =>
+          Proto.all(o, 1).map(f => new String(f.data, "UTF-8"))).getOrElse(Nil)
+        val restriction = opts.flatMap(o => Proto.str(o, 2)).filter(_.nonEmpty)
+        lastSelectedFields.set(selected)
+        lastRestriction.set(restriction)
+        val maxStreams = math.max(1, Proto.num(req, 3).getOrElse(1L).toInt)
+        val cols = if (selected.isEmpty) fields
+          else selected.map(n => fields.find(_._1 == n).getOrElse(
+            throw new GrpcH2.GrpcError(3, s"unknown selected field $n")))
+        val colIdx = cols.map { case (n, _) => fields.indexWhere(_._1 == n) }
+        val kept = applyRestriction(restriction, rows)
+        // server-side partitioning: contiguous slices, like the real
+        // service's stream split of a table's row blocks
+        val per = math.max(1, (kept.size + maxStreams - 1) / maxStreams)
+        val slices = kept.grouped(per).map(_.toVector).toVector
+        val json = avroJson(cols)
+        val name = s"projects/$project/sessions/s${sessionSeq.incrementAndGet()}"
+        sessions.put(name, SessionState(json, colIdx, slices))
+        val reply = new Proto.Writer()
+          .string(1, name)
+          .int32(3, 1) // AVRO
+          .message(4)(_.string(1, json))
+          .string(6, fqTable)
+        slices.indices.foreach(i =>
+          reply.message(10)(_.string(1, s"$name/streams/$i")))
+        Iterator.single(reply.result())
+
+      case BqStorage.ReadRowsPath =>
+        readRowsCalls.incrementAndGet()
+        val streamName = Proto.str(req, 1).getOrElse(
+          throw new GrpcH2.GrpcError(3, "missing read_stream"))
+        val offset = Proto.num(req, 2).getOrElse(0L)
+        if (offset > 0)
+          resumedOffsets.updateAndGet(_ :+ offset)
+        val (sessionName, idx) = streamName.split("/streams/") match {
+          case Array(s, i) => (s, i.toInt)
+          case _ => throw new GrpcH2.GrpcError(3, s"bad stream $streamName")
+        }
+        val st = Option(sessions.get(sessionName)).getOrElse(
+          throw new GrpcH2.GrpcError(5, s"unknown session $sessionName"))
+        if (idx < 0 || idx >= st.slices.size)
+          throw new GrpcH2.GrpcError(5, s"unknown stream $streamName")
+        val mine = st.slices(idx).drop(offset.toInt)
+        val colNames = st.colIdx.map(i => fields(i)._1)
+        val batches = mine.grouped(batchSize).toVector
+        val failAfter = failAfterBatches.get()
+        new Iterator[Array[Byte]] {
+          private var emitted = 0
+          def hasNext: Boolean = {
+            if (failAfter > 0 && emitted >= failAfter && emitted < batches.size)
+              throw new GrpcH2.GrpcError(14,
+                "injected UNAVAILABLE mid-stream — resume at offset")
+            emitted < batches.size
+          }
+          def next(): Array[Byte] = {
+            val b = batches(emitted)
+            emitted += 1
+            new Proto.Writer()
+              .message(3)(_.bytes(1, encodeAvro(st.avroJson,
+                colNames.zip(st.colIdx), b)))
+              .int64(6, b.size.toLong)
+              .result()
+          }
+        }
+
+      case other => throw new GrpcH2.GrpcError(12, s"unimplemented: $other")
+    }
+
+  private val server = new GrpcH2.Server(handle)
+  val port: Int = server.port
+
+  def close(): Unit = server.close()
+}
