@@ -1605,11 +1605,15 @@ object Dedup {
                  |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
                  |                      'cl', sd.cl)
                  |    ELSE acc END).cl""".stripMargin).as("cl"))
-          // materialize: the a×b self-join below would otherwise
-          // re-COMPUTE the whole argmin assignment once per side — two
-          // extra corpus scans and double the map-side seed folds (the
-          // q357 plan pin holds this at 2 scans: seeds + one assignment)
-          .barrier()
+        // NOTE the a×b self-join below shows the assignment subtree (and
+        // its embeddings scan) TWICE in the initial plan — but the join
+        // keys both sides on cl, the two shuffle exchanges canonicalize
+        // equal, and runtime ReuseExchange computes the argmin once. A
+        // barrier() here was tried (round 10) and REGRESSED sf1 4.5s →
+        // 6.2s: eagerly materializing n full embedding vectors costs more
+        // than the reuse it replaces (same lesson as q166, opposite of
+        // q164 where the duplicate BROADCAST is genuinely recomputed).
+        // The q357 pin documents the 4-scan initial shape.
         val a = assigned.select(col("cl"), col("vec_id").as("id_keep"),
           col("embedding").as("ea"))
         val b = assigned.select(col("cl"), col("vec_id").as("id_dup"),

@@ -429,10 +429,14 @@ object Graph {
         .filter(col("pr.p1") < col("pr.p2"))
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("supp_pair")).filter(col("supp_pair") >= 3)
-        // the two rule directions below each reference `pairs`; without a
-        // barrier the union re-runs the whole pair build — an extra corpus
-        // scan + pair shuffle (the q166 plan pin holds lineitem at 2 scans)
-        .barrier()
+      // NOTE the two rule directions below each reference `pairs` and the
+      // INITIAL plan shows 3 lineitem scans — but at runtime ReuseExchange
+      // dedups the identical pair-build aggregate, so the third scan never
+      // executes. A barrier() here was tried (round 10) and measured
+      // strictly worse-or-equal: 1.56s → 2.98s at sf0.1 (same-condition
+      // sweeps — eager materialization replaced a reuse that was already
+      // free) and neutral at sf1 (10.5s median standalone both ways). The
+      // q166 pin documents the initial-plan shape; don't "fix" it again.
       val rules = pairs
         .select(col("p1").as("ante"), col("p2").as("cons"), col("supp_pair"))
         .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
@@ -989,17 +993,19 @@ object Graph {
   //   cap, so tested outputs are exactly the uncapped result.
   //
   //   Scaling note (BENCH_SCALING.json, sf0.1/1/3 probe): the sf1→sf3
-  //   exponent measured 1.51 — NOT an algorithmic blowup. Measured on the
-  //   probe data: capped pair OCCURRENCES grow exactly 3.00× (93M→279M,
-  //   linear — degrees are SF-constant at ~30/part), but DISTINCT (sa,sb)
-  //   groups grow 4.86× (41.7M→203M) because the pair-key space crosses
-  //   its birthday-collision saturation: at sf0.1 all C(1k,2)=500k pairs
-  //   exist (fully saturated), at sf1 83% of C(10k,2), at sf3 45% of
-  //   C(30k,2). Distinct groups are bounded above by the linear pair
-  //   occurrences, so the asymptotic slope is 1.0 — the 1.5 window is the
-  //   finite-size crossover where the aggregate's output (not its input)
-  //   is still catching up to linear. No plan change helps: the shuffle
-  //   and agg state are already occurrence-sized.
+  //   exponent measures 1.17 on a clean machine — the highest of the ten
+  //   probed heavies, and explained by output cardinality, not input
+  //   work. Measured on the probe data: capped pair OCCURRENCES grow
+  //   exactly 3.00× (93M→279M, linear — degrees are SF-constant at
+  //   ~30/part), but DISTINCT (sa,sb) groups grow 4.86× (41.7M→203M)
+  //   because the pair-key space crosses its birthday-collision
+  //   saturation: at sf0.1 all C(1k,2)=500k pairs exist (fully
+  //   saturated), at sf1 83% of C(10k,2), at sf3 45% of C(30k,2).
+  //   Distinct groups are bounded above by the linear pair occurrences,
+  //   so the asymptotic slope is 1.0 — the >1 window is the finite-size
+  //   crossover where the aggregate's output (not its input) is still
+  //   catching up to linear. No plan change helps: the shuffle and agg
+  //   state are already occurrence-sized.
   val q264 = Query.sql(
     "q264_link_prediction",
     (s, dir) => {

@@ -476,9 +476,12 @@ object Stats {
             .cast("double").as("sxx"))
         .select(col("l_returnflag"), expr("sx / n").as("mu"),
           expr("sqrt((sxx - sx * sx / n) / (n - 1.0))").as("sd"))
-        // ≤ 3 rows (one per flag), but referenced by TWO broadcasts below —
-        // without the barrier each broadcast re-computes the moments from
-        // a fresh corpus scan (the q164 pin holds the plan at 2 scans)
+        // ≤ 3 rows (one per flag), but referenced by TWO broadcasts below;
+        // unlike q166's shuffle reuse, the duplicate BROADCAST exchange is
+        // NOT deduped at runtime — measured round 10: barrier 1.68s/7.98s
+        // (sf0.1/sf1 medians) vs no-barrier 2.06s/8.62s. The q164 pin
+        // holds the plan at one visible scan (the other runs in this
+        // barrier's job).
         .barrier()
       // Top-k as a partial+final AGGREGATE (functions.TopK.topKRows), not
       // a window: the tiebreak (|z| desc, orderkey, linenumber) encodes

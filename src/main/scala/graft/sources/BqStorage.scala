@@ -36,19 +36,22 @@ object BqStorage {
   val ReadRowsPath =
     "/google.cloud.bigquery.storage.v1.BigQueryRead/ReadRows"
 
+  /** One of `avroSchemaJson` (AVRO sessions) / `arrowSchema` (ARROW
+    * sessions: the IPC-serialized schema message) is set, per the
+    * request's data_format. */
   final case class Session(name: String, avroSchemaJson: String,
-      streams: Seq[String])
+      streams: Seq[String], arrowSchema: Array[Byte] = Array.emptyByteArray)
 
   /** CreateReadSessionRequest: parent=1, read_session=2, max_stream_count=3;
-    * ReadSession: data_format=3, table=6, read_options=8
+    * ReadSession: data_format=3 (1=AVRO, 2=ARROW), table=6, read_options=8
     * (selected_fields=1, row_restriction=2). */
   def createSessionRequest(project: String, table: String,
       selectedFields: Seq[String], rowRestriction: Option[String],
-      maxStreams: Int): Array[Byte] =
+      maxStreams: Int, format: Int = 1): Array[Byte] =
     new Proto.Writer()
       .string(1, s"projects/$project")
       .message(2) { rs =>
-        rs.int32(3, 1) // DataFormat.AVRO
+        rs.int32(3, format)
         rs.string(6, table)
         if (selectedFields.nonEmpty || rowRestriction.nonEmpty)
           rs.message(8) { ro =>
@@ -60,29 +63,97 @@ object BqStorage {
       .int32(3, maxStreams)
       .result()
 
-  /** ReadSession reply: name=1, avro_schema=4 (schema=1), streams=10
-    * (ReadStream.name=1). */
+  /** ReadSession reply: name=1, avro_schema=4 (schema=1), arrow_schema=5
+    * (serialized_schema=1), streams=10 (ReadStream.name=1). */
   def parseSession(bytes: Array[Byte]): Session = {
     val name = Proto.str(bytes, 1).getOrElse(
       throw new RuntimeException("ReadSession without name"))
     val avro = Proto.first(bytes, 4).flatMap(f => Proto.str(f.data, 1))
-      .getOrElse(throw new RuntimeException(
-        "ReadSession without avro_schema (only AVRO sessions supported)"))
+    val arrow = Proto.first(bytes, 5).flatMap(f => Proto.first(f.data, 1))
+      .map(_.data)
+    if (avro.isEmpty && arrow.isEmpty)
+      throw new RuntimeException("ReadSession carries neither schema")
     val streams = Proto.all(bytes, 10)
       .flatMap(f => Proto.str(f.data, 1))
-    Session(name, avro, streams)
+    Session(name, avro.getOrElse(""), streams,
+      arrow.getOrElse(Array.emptyByteArray))
   }
 
   /** ReadRowsRequest: read_stream=1, offset=2. */
   def readRowsRequest(stream: String, offset: Long): Array[Byte] =
     new Proto.Writer().string(1, stream).int64(2, offset).result()
 
-  /** ReadRowsResponse: avro_rows=3 (serialized_binary_rows=1), row_count=6. */
+  /** ReadRowsResponse: avro_rows=3 (serialized_binary_rows=1),
+    * arrow_record_batch=4 (serialized_record_batch=1), row_count=6.
+    * Returns whichever `rows` oneof branch is present. */
   def parseReadRows(bytes: Array[Byte]): (Array[Byte], Long) = {
-    val rows = Proto.first(bytes, 3)
+    val rows = Proto.first(bytes, 3).orElse(Proto.first(bytes, 4))
       .flatMap(f => Proto.first(f.data, 1)).map(_.data)
       .getOrElse(Array.emptyByteArray)
     (rows, Proto.num(bytes, 6).getOrElse(0L))
+  }
+
+  // ------------------------------------------------------------- arrow ipc
+
+  /** IPC-deserialize the session's Arrow schema message. */
+  def arrowSchemaOf(bytes: Array[Byte]): org.apache.arrow.vector.types.pojo.Schema =
+    org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(
+      new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(bytes))))
+
+  /** Spark schema from the session's serialized Arrow schema — same type
+    * envelope as the AVRO path (long/double/boolean, everything else as
+    * text) so `;format=` is a pure transport choice. */
+  def sparkSchemaArrow(serializedSchema: Array[Byte]): StructType = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    import scala.jdk.CollectionConverters._
+    StructType(arrowSchemaOf(serializedSchema).getFields.asScala.toSeq.map { f =>
+      val t = f.getType match {
+        case _: ArrowType.Int => LongType
+        case _: ArrowType.FloatingPoint => DoubleType
+        case _: ArrowType.Bool => BooleanType
+        case _ => StringType
+      }
+      StructField(f.getName, t, nullable = true)
+    })
+  }
+
+  /** Decode one serialized_record_batch (IPC record-batch message) into
+    * Spark rows under the session schema. The allocator scope is strictly
+    * per-batch: load, copy out, close — executor memory never holds more
+    * than one batch of vectors. */
+  def decodeArrowBatch(blob: Array[Byte], serializedSchema: Array[Byte],
+      sparkSchema: StructType): Seq[Row] = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ReadChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    try {
+      val schema = arrowSchemaOf(serializedSchema)
+      val batch = MessageSerializer.deserializeRecordBatch(
+        new ReadChannel(java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(blob))), allocator)
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        new VectorLoader(root).load(batch)
+        (0 until root.getRowCount).map { i =>
+          Row.fromSeq(sparkSchema.fields.toSeq.map { f =>
+            val v = root.getVector(f.name)
+            if (v.isNull(i)) null
+            else v match {
+              case b: BigIntVector => b.get(i)
+              case d: Float8Vector => d.get(i)
+              case b: BitVector => b.get(i) == 1
+              case s: VarCharVector => new String(s.get(i), "UTF-8")
+              case other => other.getObject(i).toString
+            }
+          })
+        }
+      } finally {
+        batch.close(); root.close()
+      }
+    } finally allocator.close()
   }
 
   /** Avro writer schema → Spark schema. BigQuery's AVRO export wraps every
@@ -154,20 +225,34 @@ object BqStorage {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val where = url.option("where")
     val slices = url.option("slices").map(_.toInt).getOrElse(4)
+    val format = url.option("format").map(_.toLowerCase) match {
+      case Some("arrow") => 2
+      case Some("avro") | None => 1
+      case Some(other) => throw new IllegalArgumentException(
+        s"bigquery storage: unknown ;format=$other (avro|arrow)")
+    }
     val table = s"projects/$project/datasets/$ds/tables/$tbl"
 
-    val driver = new GrpcH2.Client(host, port.toInt)
+    // `;cacert=` (the REST connectors' private-CA discipline) switches the
+    // channel to TLS with ALPN-negotiated h2 — the only mode a production
+    // Storage endpoint speaks. The PEM path string is what ships to
+    // executors; each task rebuilds its trust material locally.
+    val cacert = url.option("cacert")
+    val driver = new GrpcH2.Client(host, port.toInt,
+      tls = cacert.map(GrpcH2.clientTls))
     val session =
       try {
         val reply = driver.call(CreateReadSessionPath,
-          createSessionRequest(project, table, cols, where, slices))
+          createSessionRequest(project, table, cols, where, slices, format))
         val msg = if (reply.hasNext) reply.next()
           else throw new RuntimeException("empty CreateReadSession reply")
         while (reply.hasNext) reply.next() // drain (unary: none expected)
         parseSession(msg)
       } finally driver.close()
-    val schema = sparkSchema(session.avroSchemaJson)
-    val (avroJson, h, p) = (session.avroSchemaJson, host, port.toInt)
+    val schema = if (format == 2) sparkSchemaArrow(session.arrowSchema)
+      else sparkSchema(session.avroSchemaJson)
+    val (avroJson, arrowSchemaBytes) = (session.avroSchemaJson, session.arrowSchema)
+    val (h, p) = (host, port.toInt)
 
     val rdd = spark.sparkContext
       .parallelize(session.streams, math.max(1, session.streams.size))
@@ -179,7 +264,8 @@ object BqStorage {
         val rows = Iterator.unfold(()) { _ =>
           if (attempts > 3) throw new RuntimeException(
             s"bigquery storage: stream $stream failed after $attempts reconnects")
-          val client = new GrpcH2.Client(h, p)
+          val client = new GrpcH2.Client(h, p,
+            tls = cacert.map(GrpcH2.clientTls))
           try {
             val it = client.call(ReadRowsPath, readRowsRequest(stream, offset))
             val batch = Seq.newBuilder[Row]
@@ -187,9 +273,11 @@ object BqStorage {
             try {
               while (it.hasNext) {
                 val (blob, n) = parseReadRows(it.next())
-                val decoded = decodeAvroRows(blob, avroJson, schema)
+                val decoded =
+                  if (format == 2) decodeArrowBatch(blob, arrowSchemaBytes, schema)
+                  else decodeAvroRows(blob, avroJson, schema)
                 require(n == 0 || decoded.size == n.toInt,
-                  s"avro_rows decoded ${decoded.size} rows, row_count said $n")
+                  s"row batch decoded ${decoded.size} rows, row_count said $n")
                 batch ++= decoded
                 offset += decoded.size
                 attempts = 0 // progress resets the reconnect budget

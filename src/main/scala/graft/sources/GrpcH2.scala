@@ -30,6 +30,32 @@ object GrpcH2 {
   final class GrpcError(val status: Int, message: String)
     extends RuntimeException(s"grpc-status $status: $message")
 
+  /** ALPN advertising h2 only — gRPC's mandatory negotiation; a peer that
+    * answers with anything else fails the handshake instead of silently
+    * downgrading. JDK provider: no native TLS dependency. */
+  private def alpnH2 = new io.netty.handler.ssl.ApplicationProtocolConfig(
+    io.netty.handler.ssl.ApplicationProtocolConfig.Protocol.ALPN,
+    io.netty.handler.ssl.ApplicationProtocolConfig.SelectorFailureBehavior.NO_ADVERTISE,
+    io.netty.handler.ssl.ApplicationProtocolConfig.SelectedListenerFailureBehavior.ACCEPT,
+    io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2)
+
+  /** Client TLS trusting a private-CA PEM (the `;cacert=` discipline the
+    * REST connectors use) — production gRPC endpoints are TLS-only. */
+  def clientTls(cacertPem: String): io.netty.handler.ssl.SslContext =
+    io.netty.handler.ssl.SslContextBuilder.forClient()
+      .sslProvider(io.netty.handler.ssl.SslProvider.JDK)
+      .trustManager(new java.io.File(cacertPem))
+      .applicationProtocolConfig(alpnH2)
+      .build()
+
+  /** Server TLS from a key manager (tests build one from a keytool
+    * PKCS12 keystore, the HttpsSpec recipe). */
+  def serverTls(kmf: javax.net.ssl.KeyManagerFactory): io.netty.handler.ssl.SslContext =
+    io.netty.handler.ssl.SslContextBuilder.forServer(kmf)
+      .sslProvider(io.netty.handler.ssl.SslProvider.JDK)
+      .applicationProtocolConfig(alpnH2)
+      .build()
+
   /** Length-prefix one gRPC message. */
   def frame(msg: Array[Byte]): ByteBuf = {
     val b = Unpooled.buffer(5 + msg.length)
@@ -72,13 +98,15 @@ object GrpcH2 {
     * (INTERNAL). */
   type Handler = (String, Array[Byte]) => Iterator[Array[Byte]]
 
-  final class Server(handler: Handler) extends AutoCloseable {
+  final class Server(handler: Handler,
+      tls: Option[io.netty.handler.ssl.SslContext] = None) extends AutoCloseable {
     private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
     private val ch = new ServerBootstrap()
       .group(group)
       .channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
         def initChannel(c: SocketChannel): Unit = {
+          tls.foreach(t => c.pipeline().addLast(t.newHandler(c.alloc())))
           c.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
           c.pipeline().addLast(new Http2MultiplexHandler(
             new ChannelInitializer[Channel] {
@@ -155,13 +183,15 @@ object GrpcH2 {
     * build their own client (one TCP connection per task, the
     * [[BigQuery]] REST path's discipline). */
   final class Client(host: String, port: Int,
-      callTimeoutSec: Long = 60) extends AutoCloseable {
+      callTimeoutSec: Long = 60,
+      tls: Option[io.netty.handler.ssl.SslContext] = None) extends AutoCloseable {
     private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
     private val ch = new Bootstrap()
       .group(group)
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
         def initChannel(c: SocketChannel): Unit = {
+          tls.foreach(t => c.pipeline().addLast(t.newHandler(c.alloc(), host, port)))
           c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
           c.pipeline().addLast(new Http2MultiplexHandler(
             new ChannelInboundHandlerAdapter())) // no server-initiated streams
@@ -221,8 +251,8 @@ object GrpcH2 {
       val stream = new Http2StreamChannelBootstrap(ch)
         .handler(handler).open().sync().getNow
       val headers = new DefaultHttp2Headers()
-      headers.method("POST").scheme("http").path(path)
-        .authority(s"$host:$port")
+      headers.method("POST").scheme(if (tls.isDefined) "https" else "http")
+        .path(path).authority(s"$host:$port")
       headers.add("content-type", "application/grpc")
       headers.add("te", "trailers")
       stream.write(new DefaultHttp2HeadersFrame(headers, false))

@@ -24,7 +24,8 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReferenc
   */
 final class BqStorageEmulator(project: String, dataset: String,
     tableId: String, fields: Seq[(String, String)], rows: Vector[Seq[Any]],
-    batchSize: Int = 4) extends AutoCloseable {
+    batchSize: Int = 4,
+    tls: Option[javax.net.ssl.KeyManagerFactory] = None) extends AutoCloseable {
 
   private val fqTable = s"projects/$project/datasets/$dataset/tables/$tableId"
 
@@ -35,9 +36,9 @@ final class BqStorageEmulator(project: String, dataset: String,
   val failAfterBatches = new AtomicInteger(0)
   val corruptAvro = new AtomicBoolean(false)
 
-  // session name -> (avro json, projected col idx, per-stream row slices)
-  private case class SessionState(avroJson: String, colIdx: Seq[Int],
-      slices: Vector[Vector[Seq[Any]]])
+  // session name -> (format, avro json, projected col idx, per-stream slices)
+  private case class SessionState(format: Int, avroJson: String,
+      colIdx: Seq[Int], slices: Vector[Vector[Seq[Any]]])
   private val sessions = new ConcurrentHashMap[String, SessionState]()
   private val sessionSeq = new AtomicInteger(0)
 
@@ -91,6 +92,82 @@ final class BqStorageEmulator(project: String, dataset: String,
     bytes
   }
 
+  // ------------------------------------------------------------- arrow side
+
+  private def arrowType(t: String): org.apache.arrow.vector.types.pojo.ArrowType =
+    t match {
+      case "long" => new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)
+      case "double" => new org.apache.arrow.vector.types.pojo.ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
+      case "boolean" => org.apache.arrow.vector.types.pojo.ArrowType.Bool.INSTANCE
+      case _ => org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE
+    }
+
+  private def arrowSchema(cols: Seq[(String, String)])
+      : org.apache.arrow.vector.types.pojo.Schema = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.vector.types.pojo.{Field, FieldType}
+    new org.apache.arrow.vector.types.pojo.Schema(
+      cols.map { case (n, t) =>
+        new Field(n, FieldType.nullable(arrowType(t)), null)
+      }.asJava)
+  }
+
+  private def serializeArrowSchema(
+      s: org.apache.arrow.vector.types.pojo.Schema): Array[Byte] = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    val out = new ByteArrayOutputStream()
+    MessageSerializer.serialize(
+      new WriteChannel(java.nio.channels.Channels.newChannel(out)), s)
+    out.toByteArray
+  }
+
+  private def encodeArrow(cols: Seq[(String, Int)],
+      batch: Seq[Seq[Any]]): Array[Byte] = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    val schema = arrowSchema(cols.map { case (n, i) => (n, fields(i)._2) })
+    val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        root.allocateNew()
+        cols.zipWithIndex.foreach { case ((name, srcIdx), _) =>
+          val vec = root.getVector(name)
+          batch.zipWithIndex.foreach { case (row, i) =>
+            row(srcIdx) match {
+              case null => vec.asInstanceOf[FieldVector] match {
+                case v: BigIntVector => v.setNull(i)
+                case v: Float8Vector => v.setNull(i)
+                case v: BitVector => v.setNull(i)
+                case v: VarCharVector => v.setNull(i)
+                case _ => ()
+              }
+              case l: Long => vec.asInstanceOf[BigIntVector].setSafe(i, l)
+              case d: Double => vec.asInstanceOf[Float8Vector].setSafe(i, d)
+              case b: Boolean =>
+                vec.asInstanceOf[BitVector].setSafe(i, if (b) 1 else 0)
+              case b: java.lang.Boolean =>
+                vec.asInstanceOf[BitVector].setSafe(i, if (b) 1 else 0)
+              case s => vec.asInstanceOf[VarCharVector]
+                .setSafe(i, s.toString.getBytes("UTF-8"))
+            }
+          }
+        }
+        root.setRowCount(batch.size)
+        val arb = new VectorUnloader(root).getRecordBatch
+        try {
+          val out = new ByteArrayOutputStream()
+          MessageSerializer.serialize(
+            new WriteChannel(java.nio.channels.Channels.newChannel(out)), arb)
+          out.toByteArray
+        } finally arb.close()
+      } finally root.close()
+    } finally allocator.close()
+  }
+
   private def handle(path: String, req: Array[Byte]): Iterator[Array[Byte]] =
     path match {
       case BqStorage.CreateReadSessionPath =>
@@ -101,8 +178,9 @@ final class BqStorageEmulator(project: String, dataset: String,
         val wantTable = Proto.str(rs, 6).getOrElse("")
         if (wantTable != fqTable)
           throw new GrpcH2.GrpcError(5, s"table not found: $wantTable")
-        require(Proto.num(rs, 3).contains(1L),
-          "emulator serves AVRO sessions only")
+        val format = Proto.num(rs, 3).getOrElse(0L).toInt
+        if (format != 1 && format != 2)
+          throw new GrpcH2.GrpcError(3, s"unsupported data_format $format")
         val opts = Proto.first(rs, 8).map(_.data)
         val selected = opts.map(o =>
           Proto.all(o, 1).map(f => new String(f.data, "UTF-8"))).getOrElse(Nil)
@@ -121,12 +199,14 @@ final class BqStorageEmulator(project: String, dataset: String,
         val slices = kept.grouped(per).map(_.toVector).toVector
         val json = avroJson(cols)
         val name = s"projects/$project/sessions/s${sessionSeq.incrementAndGet()}"
-        sessions.put(name, SessionState(json, colIdx, slices))
+        sessions.put(name, SessionState(format, json, colIdx, slices))
         val reply = new Proto.Writer()
           .string(1, name)
-          .int32(3, 1) // AVRO
-          .message(4)(_.string(1, json))
+          .int32(3, format)
           .string(6, fqTable)
+        if (format == 2)
+          reply.message(5)(_.bytes(1, serializeArrowSchema(arrowSchema(cols))))
+        else reply.message(4)(_.string(1, json))
         slices.indices.foreach(i =>
           reply.message(10)(_.string(1, s"$name/streams/$i")))
         Iterator.single(reply.result())
@@ -161,18 +241,21 @@ final class BqStorageEmulator(project: String, dataset: String,
           def next(): Array[Byte] = {
             val b = batches(emitted)
             emitted += 1
-            new Proto.Writer()
-              .message(3)(_.bytes(1, encodeAvro(st.avroJson,
+            val w = new Proto.Writer()
+            if (st.format == 2)
+              w.message(4)(_.bytes(1,
+                encodeArrow(colNames.zip(st.colIdx), b)))
+            else
+              w.message(3)(_.bytes(1, encodeAvro(st.avroJson,
                 colNames.zip(st.colIdx), b)))
-              .int64(6, b.size.toLong)
-              .result()
+            w.int64(6, b.size.toLong).result()
           }
         }
 
       case other => throw new GrpcH2.GrpcError(12, s"unimplemented: $other")
     }
 
-  private val server = new GrpcH2.Server(handle)
+  private val server = new GrpcH2.Server(handle, tls.map(GrpcH2.serverTls))
   val port: Int = server.port
 
   def close(): Unit = server.close()

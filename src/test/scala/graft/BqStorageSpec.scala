@@ -93,6 +93,34 @@ class BqStorageSpec extends SparkSpec {
     }
   }
 
+  test("ARROW sessions round-trip identically to AVRO") {
+    // data_format=2: the session carries an IPC-serialized Arrow schema
+    // and rows ride serialized record batches — BigQuery's default bulk
+    // format. The format flag must be a pure transport choice: same
+    // Spark schema, same rows, same pushdown
+    withEmulator { em =>
+      val df = graft.sources.ConnectorRegistry.read(spark,
+        url(em, ";slices=3;format=arrow"))
+      assert(df.schema.map(f => f.name -> f.dataType.simpleString) ==
+        Seq("id" -> "bigint", "score" -> "double", "flag" -> "boolean",
+          "name" -> "string"))
+      assert(df.collect().toSet == expected(data))
+    }
+  }
+
+  test("ARROW + pushdown + resume compose") {
+    withEmulator { em =>
+      em.failAfterBatches.set(1)
+      val df = graft.sources.ConnectorRegistry.read(spark,
+        url(em, ";slices=2;format=arrow;columns=id,score;where=id > 7"))
+      assert(em.lastSelectedFields.get() == Seq("id", "score"))
+      val want = data.filter(_(0).asInstanceOf[Long] > 7)
+        .map(r => Row(r(0), r(1))).toSet
+      assert(df.collect().toSet == want)
+      assert(em.resumedOffsets.get().nonEmpty)
+    }
+  }
+
   test("mid-stream UNAVAILABLE resumes at the exact offset: no dup, no loss") {
     withEmulator { em =>
       em.failAfterBatches.set(1) // every call dies after one batch
@@ -115,6 +143,53 @@ class BqStorageSpec extends SparkSpec {
       // loud failure is correct, silent misreads are the bug class
       assert(e.getMessage != null)
     }
+  }
+
+  test("TLS channel: ALPN-negotiated h2 under a private CA, wrong CA refused") {
+    // the production Storage endpoint is TLS-only; ;cacert= flips the
+    // channel to TLS + ALPN h2 (the REST connectors' private-CA recipe)
+    val dir = java.nio.file.Files.createTempDirectory("graft-grpc-tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val caPem = dir.resolve("ca.pem").toString
+    def run(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"${cmd.head} failed: $out")
+    }
+    run("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-keystore", ksPath,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=graft-grpc-test", "-ext", "SAN=IP:127.0.0.1")
+    run("keytool", "-exportcert", "-alias", "srv", "-keystore", ksPath,
+      "-storepass", "changeit", "-rfc", "-file", caPem)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+
+    val em = new BqStorageEmulator("p1", "ds", "t", fields, data,
+      tls = Some(kmf))
+    try {
+      val df = graft.sources.ConnectorRegistry.read(spark,
+        url(em, s";slices=2;cacert=$caPem"))
+      assert(df.collect().toSet == expected(data))
+      // an unrelated CA must fail the handshake, not silently trust
+      val otherCa = java.nio.file.Files.createTempDirectory("graft-grpc-tls2")
+      val ks2 = otherCa.resolve("other.p12").toString
+      val ca2 = otherCa.resolve("other.pem").toString
+      run("keytool", "-genkeypair", "-alias", "x", "-keyalg", "RSA",
+        "-keysize", "2048", "-validity", "2", "-keystore", ks2,
+        "-storetype", "PKCS12", "-storepass", "changeit",
+        "-dname", "CN=unrelated", "-ext", "SAN=IP:127.0.0.1")
+      run("keytool", "-exportcert", "-alias", "x", "-keystore", ks2,
+        "-storepass", "changeit", "-rfc", "-file", ca2)
+      intercept[Exception] {
+        graft.sources.ConnectorRegistry.read(spark,
+          url(em, s";slices=2;cacert=$ca2")).collect()
+      }
+    } finally em.close()
   }
 
   test("unknown table surfaces the server's grpc-status") {
