@@ -661,6 +661,109 @@ object Streams {
       ((knownSum + unseen.cast("double") / n) / 2.0).as("tv"))
   }
 
+  final case class AsOfIn(key: Long, ts: Timestamp, v: Double, isF: Boolean)
+  /** `pend`: feature rows (tsMicros, value) sorted ascending — the FLOOR
+    * feature (newest at-or-before every event seen so far) plus every
+    * feature still ahead of the event clock `maxEv`. */
+  final case class AsOfState(pend: Seq[(Long, Double)], maxEv: Long)
+  final case class AsOfOut(key: Long, ts: Timestamp, value: Double,
+      f_ts: Option[Timestamp], f_value: Option[Double])
+
+  /** Streaming AS-OF join — each event joined to the LATEST feature row
+    * at-or-before its timestamp, per key: the online feature-serving
+    * pattern (score events under the freshest feature snapshot that was
+    * already known at event time — never a future one, the same
+    * leakage-free contract as the batch [[graft.api.GraftOps.asofJoin]]
+    * and the NativeAsOfJoin physical operator).
+    *
+    * Structured Streaming's native stream-stream joins cannot express
+    * this: their join conditions are range predicates, and "the latest
+    * matching row" is an argmax over the match set, which would need a
+    * post-join per-event aggregation that append-mode composition
+    * forbids. So both streams union into one tagged stream (features
+    * sort BEFORE events at equal timestamps — at-or-before is inclusive)
+    * and flatMapGroupsWithState keeps exactly ONE feature row per key:
+    * state is O(active keys) × 17 bytes, versus the interval join's
+    * watermark-deep buffer of BOTH streams. Events before any feature
+    * emit with a null feature (left as-of).
+    *
+    * State is NOT just the latest feature: micro-batch boundaries on the
+    * two inputs are independent (a features-only batch can run ahead of
+    * the events' batch), so the state holds the FLOOR feature plus every
+    * feature still ahead of the event clock, compacting each time the
+    * clock advances — features behind the newest event collapse to the
+    * single floor entry. State per key is therefore
+    * O(1 + feature rows ahead of the event stream): bounded by the
+    * inter-stream skew, not by history, and a runaway skew fails loud at
+    * 65536 buffered rows instead of silently growing.
+    *
+    * Exactness contract (the funnel/transitions discipline): per-key
+    * event-time order must hold across micro-batches WITHIN each input
+    * stream — the buffer absorbs any skew BETWEEN the two streams; within
+    * a batch rows are sorted here.
+    */
+  def asofJoinStream(events: DataFrame, features: DataFrame,
+      key: String = "user_id", ts: String = "ts", valueCol: String = "value",
+      featureCol: String = "f_value"): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = events.select(col(key).cast("long").as("key"),
+        col(ts).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"), lit(false).as("isF"))
+      .unionByName(features.select(col(key).cast("long").as("key"),
+        col(ts).cast("timestamp").as("ts"),
+        col(featureCol).cast("double").as("v"), lit(true).as("isF")))
+      .as[AsOfIn]
+    // compare at MICROSECOND precision — Spark's timestamp resolution.
+    // Timestamp.getTime is milliseconds: two instants inside the same ms
+    // would collapse and a feature later in that ms would leak backward
+    // into an earlier event (caught by the parity spec on real ns-grain
+    // event times)
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def ofMicros(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          // features first at equal ts: Ordering on (tsUs, !isF) puts
+          // isF=true (false value for !isF) ahead — inclusive at-or-before
+          val sorted = rows.toSeq.sortBy(r => (micros(r.ts), !r.isF, r.v))
+          var st = state.getOption.getOrElse(AsOfState(Vector.empty, Long.MinValue))
+          val out = Seq.newBuilder[AsOfOut]
+          def compact(pend: Seq[(Long, Double)], maxEv: Long): Seq[(Long, Double)] = {
+            val (behind, ahead) = pend.partition(_._1 <= maxEv)
+            (behind.takeRight(1) ++ ahead).toVector
+          }
+          sorted.foreach { r =>
+            val t = micros(r.ts)
+            if (r.isF) {
+              // insert keeping ascending order; an equal-ts re-delivery
+              // replaces (last write wins, matching the batch sweep)
+              val kept = st.pend.filterNot(_._1 == t)
+              val (lo, hi) = kept.partition(_._1 < t)
+              val pend = (lo :+ (t, r.v)) ++ hi
+              require(pend.size <= 65536,
+                s"asofJoinStream: feature buffer for key $k exceeded 65536 " +
+                  "rows — feature stream is running unboundedly ahead of " +
+                  "the event stream")
+              st = AsOfState(compact(pend, st.maxEv), st.maxEv)
+            } else {
+              val m = st.pend.filter(_._1 <= t).lastOption
+              out += AsOfOut(k, r.ts, r.v,
+                m.map(f => ofMicros(f._1)), m.map(_._2))
+              val maxEv = math.max(st.maxEv, t)
+              st = AsOfState(compact(st.pend, maxEv), maxEv)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of the TrainQualityClassifier QUALITY GATE
     * (cf. `TrainQualityClassifier.postBuildCheck`): per event-time
     * window over a scored+labeled stream, emit accuracy, the majority

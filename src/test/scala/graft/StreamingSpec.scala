@@ -600,6 +600,64 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoinStream equals the batch as-of join across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events = all valued events; features = per-user purchase snapshots
+    // (deduped per (user, ts) so the matched row is unique on both paths)
+    val evAll = Tables.load(spark, sf0001, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+    val ftAll = Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy("user_id", "ts").agg(max(col("value")).as("f_value"))
+    import graft.api._
+    val want = evAll.asofJoin(ftAll, "user_id", "ts", "ts",
+        Map("f_value" -> "f_value"))
+      .select(col("user_id"), col("ts"), col("value"), col("f_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sorted
+
+    val evRows = evAll.as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(r => (r._2.getTime, r._1, r._3))
+    val ftRows = ftAll.as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(r => (r._2.getTime, r._1))
+    // split BOTH streams at the same event-time midpoint: per-key order
+    // holds across the batch boundary (the stateful-op contract), and an
+    // equal-ts event/feature pair can never straddle it
+    val tMid = evRows(evRows.length / 2)._2.getTime
+    val evMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ftMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = Streams.asofJoinStream(
+      evMem.toDS().toDF("user_id", "ts", "value"),
+      ftMem.toDS().toDF("user_id", "ts", "f_value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val q = stream.writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    ftMem.addData(ftRows.filter(_._2.getTime < tMid).toSeq: _*)
+    evMem.addData(evRows.filter(_._2.getTime < tMid).toSeq: _*)
+    q.processAllAvailable()
+    ftMem.addData(ftRows.filter(_._2.getTime >= tMid).toSeq: _*)
+    evMem.addData(evRows.filter(_._2.getTime >= tMid).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_test")
+      .select(col("key"), col("ts"), col("value"), col("f_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sorted
+    assert(got.length == want.length && got.nonEmpty)
+    assert(got.sameElements(want),
+      s"stream/batch as-of diverged: ${got.length} rows; first diff: " +
+        got.zip(want).find { case (a, b) => a != b }.toString)
+    // leakage check on the stream's own matched-time column
+    val fts = spark.table("asof_test").filter(col("f_ts").isNotNull)
+      .select(col("f_ts"), col("ts")).collect()
+    assert(fts.forall(r => !r.getTimestamp(0).after(r.getTimestamp(1))),
+      "matched feature time must never exceed the event time")
+  }
+
   test("ewmaStream equals batch q241 bit-for-bit across a batch boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
