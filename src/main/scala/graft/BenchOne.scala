@@ -24,14 +24,16 @@ object BenchOne {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      val raw = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Bench.dropCaches(spark)
         dt
-      }.sorted
-      println(f"BENCHONE $name best=${times.head}%.3f median=${times(1)}%.3f worst=${times(2)}%.3f")
+      }
+      val times = raw.sorted
+      println(f"BENCHONE $name best=${times.head}%.3f median=${times(1)}%.3f " +
+        f"worst=${times(2)}%.3f runs=${raw.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -838,10 +838,20 @@ object Graph {
   val q248 = Query.sql(
     "q248_coshipment_similarity",
     (s, dir) => {
+      // No barrier and no forced broadcasts (round 10): the barrier
+      // localCheckpoint of the 6M-row edge set made sf1 timings unstable
+      // (7.8s–54s across identical runs — block-manager placement of the
+      // deserialized checkpoint blocks vs the pair explode's memory);
+      // q264's shape — let runtime ReuseExchange share the distinct
+      // exchange across the three consumers — is both stable and the
+      // honest 100 TB plan. The degree joins carry no broadcast() hint:
+      // deg is one row per SUPPLIER (corpus-sized at real SF — a forced
+      // broadcast would be exactly the anti-pattern PlanAudit exists to
+      // flag); the optimizer broadcasts it at test SF from size stats on
+      // its own and falls back to a shuffle join at scale.
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-        .barrier() // feeds degrees + the pair build
       val deg = e.groupBy("sk").agg(count(lit(1)).as("deg"))
       val byPk248 = org.apache.spark.sql.expressions.Window.partitionBy("pk")
       val eCap = e
@@ -853,10 +863,8 @@ object Graph {
         .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
         .agg(count(lit(1)).as("shared"))
       pairs
-        .join(broadcast(deg.select(col("sk").as("sa"), col("deg").as("da"))),
-          "sa")
-        .join(broadcast(deg.select(col("sk").as("sb"), col("deg").as("db"))),
-          "sb")
+        .join(deg.select(col("sk").as("sa"), col("deg").as("da")), "sa")
+        .join(deg.select(col("sk").as("sb"), col("deg").as("db")), "sb")
         .select(col("sa"), col("sb"), col("shared"),
           (col("shared").cast("double") /
             sqrt(col("da").cast("double") * col("db").cast("double")))
@@ -993,19 +1001,19 @@ object Graph {
   //   cap, so tested outputs are exactly the uncapped result.
   //
   //   Scaling note (BENCH_SCALING.json, sf0.1/1/3 probe): the sf1→sf3
-  //   exponent measures 1.17 on a clean machine — the highest of the ten
-  //   probed heavies, and explained by output cardinality, not input
-  //   work. Measured on the probe data: capped pair OCCURRENCES grow
-  //   exactly 3.00× (93M→279M, linear — degrees are SF-constant at
-  //   ~30/part), but DISTINCT (sa,sb) groups grow 4.86× (41.7M→203M)
-  //   because the pair-key space crosses its birthday-collision
-  //   saturation: at sf0.1 all C(1k,2)=500k pairs exist (fully
-  //   saturated), at sf1 83% of C(10k,2), at sf3 45% of C(30k,2).
-  //   Distinct groups are bounded above by the linear pair occurrences,
-  //   so the asymptotic slope is 1.0 — the >1 window is the finite-size
-  //   crossover where the aggregate's output (not its input) is still
-  //   catching up to linear. No plan change helps: the shuffle and agg
-  //   state are already occurrence-sized.
+  //   exponent measures 1.01 on proportional file layouts (earlier
+  //   probes read 1.2–1.5, partly from sf1's then-single-row-group
+  //   parquet serializing its scans — see GenSf.save). Any residual
+  //   super-unit reading has a measured output-cardinality ceiling, not
+  //   an input-work cause: capped pair OCCURRENCES grow exactly 3.00×
+  //   (93M→279M, linear — degrees are SF-constant at ~30/part), while
+  //   DISTINCT (sa,sb) groups grow 4.86× (41.7M→203M) because the
+  //   pair-key space crosses its birthday-collision saturation (sf0.1:
+  //   all C(1k,2) pairs exist; sf1: 83% of C(10k,2); sf3: 45% of
+  //   C(30k,2)) — bounding the exponent by log(4.86)/log(3) ≈ 1.44 in
+  //   the crossover window and by 1.0 asymptotically, since distinct
+  //   groups can never exceed the linear pair occurrences. The shuffle
+  //   and agg state are already occurrence-sized; nothing to re-plan.
   val q264 = Query.sql(
     "q264_link_prediction",
     (s, dir) => {

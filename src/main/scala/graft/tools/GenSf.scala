@@ -81,10 +81,19 @@ object GenSf {
 
     // one parquet FILE per table (the driver's testdata layout, which the
     // DuckDB oracle reads by literal path): write parallel, then coalesce
-    // the part files into place via a single-file rewrite
+    // the part files into place via a single-file rewrite. The file must
+    // still be SPLITTABLE: parquet parallelism is per ROW GROUP, and the
+    // default 128 MB block size left sf1's lineitem as ONE row group —
+    // every first-stage scan ran on a single task, silently serializing
+    // the whole sf1 rehearsal's scan stages (found round 10 via q122
+    // measuring slower at sf1 than sf3, which happened to get 3 groups).
+    // 8 MB groups ≈ 13 splits at sf1 / 39 at sf3 — proportional layouts,
+    // so cross-SF timing ratios measure the PLAN, not the file geometry.
     def save(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/.tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
