@@ -258,38 +258,45 @@ object BqStorage {
       .parallelize(session.streams, math.max(1, session.streams.size))
       .flatMap { stream =>
         // Offset-resume loop: `attempts` bounds RECONNECTS, not rows — a
-        // stream that keeps making progress keeps its budget.
+        // stream that keeps making progress keeps its budget. A call that
+        // ends cleanly (trailers, grpc-status 0) IS stream completion —
+        // reconnecting to probe for emptiness would double every stream's
+        // connection + RPC count on the happy path.
         var offset = 0L
         var attempts = 0
+        var complete = false
         val rows = Iterator.unfold(()) { _ =>
-          if (attempts > 3) throw new RuntimeException(
+          if (complete) None
+          else if (attempts > 3) throw new RuntimeException(
             s"bigquery storage: stream $stream failed after $attempts reconnects")
-          val client = new GrpcH2.Client(h, p,
-            tls = cacert.map(GrpcH2.clientTls))
-          try {
-            val it = client.call(ReadRowsPath, readRowsRequest(stream, offset))
-            val batch = Seq.newBuilder[Row]
-            var ok = true
+          else {
+            val client = new GrpcH2.Client(h, p,
+              tls = cacert.map(GrpcH2.clientTls))
             try {
-              while (it.hasNext) {
-                val (blob, n) = parseReadRows(it.next())
-                val decoded =
-                  if (format == 2) decodeArrowBatch(blob, arrowSchemaBytes, schema)
-                  else decodeAvroRows(blob, avroJson, schema)
-                require(n == 0 || decoded.size == n.toInt,
-                  s"row batch decoded ${decoded.size} rows, row_count said $n")
-                batch ++= decoded
-                offset += decoded.size
-                attempts = 0 // progress resets the reconnect budget
+              val it = client.call(ReadRowsPath, readRowsRequest(stream, offset))
+              val batch = Seq.newBuilder[Row]
+              var ok = true
+              try {
+                while (it.hasNext) {
+                  val (blob, n) = parseReadRows(it.next())
+                  val decoded =
+                    if (format == 2) decodeArrowBatch(blob, arrowSchemaBytes, schema)
+                    else decodeAvroRows(blob, avroJson, schema)
+                  require(n == 0 || decoded.size == n.toInt,
+                    s"row batch decoded ${decoded.size} rows, row_count said $n")
+                  batch ++= decoded
+                  offset += decoded.size
+                  attempts = 0 // progress resets the reconnect budget
+                }
+              } catch {
+                case _: java.io.IOException => ok = false // resume at offset
+                case e: GrpcH2.GrpcError if e.status == 14 => ok = false
               }
-            } catch {
-              case _: java.io.IOException => ok = false // resume at offset
-              case e: GrpcH2.GrpcError if e.status == 14 => ok = false
-            }
-            val out = batch.result()
-            if (ok && out.isEmpty) None // stream drained cleanly
-            else { if (!ok) attempts += 1; Some((out, ())) }
-          } finally client.close()
+              val out = batch.result()
+              if (ok) { complete = true; if (out.isEmpty) None else Some((out, ())) }
+              else { attempts += 1; Some((out, ())) }
+            } finally client.close()
+          }
         }
         rows.flatten
       }

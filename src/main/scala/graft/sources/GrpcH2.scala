@@ -65,28 +65,62 @@ object GrpcH2 {
     b
   }
 
-  /** Incremental gRPC-frame reassembly over arbitrary DATA-frame splits. */
+  /** Incremental gRPC-frame reassembly over arbitrary DATA-frame splits.
+    * Chunks queue as received and each byte is copied exactly once into its
+    * materialized frame — the obvious `buf ++ in` formulation re-copies the
+    * whole accumulation per DATA frame, O(n²) for a multi-MB message split
+    * into ~16 KB frames. */
   final class FrameAccumulator {
-    private var buf = Array.emptyByteArray
+    private val chunks = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    private var headOff = 0 // bytes of chunks.head already consumed
+    private var total = 0
+
     def add(data: ByteBuf): Seq[Array[Byte]] = {
       val in = new Array[Byte](data.readableBytes())
       data.readBytes(in)
-      buf = buf ++ in
+      if (in.nonEmpty) { chunks.append(in); total += in.length }
       val out = Seq.newBuilder[Array[Byte]]
       var continue = true
-      while (continue && buf.length >= 5) {
-        require(buf(0) == 0, s"grpc: compressed flag ${buf(0)} unsupported")
-        val len = ((buf(1) & 0xff) << 24) | ((buf(2) & 0xff) << 16) |
-          ((buf(3) & 0xff) << 8) | (buf(4) & 0xff)
+      while (continue && total >= 5) {
+        val hdr = peek5()
+        require(hdr(0) == 0, s"grpc: compressed flag ${hdr(0)} unsupported")
+        val len = ((hdr(1) & 0xff) << 24) | ((hdr(2) & 0xff) << 16) |
+          ((hdr(3) & 0xff) << 8) | (hdr(4) & 0xff)
         require(len >= 0 && len < (1 << 26), s"grpc: implausible frame length $len")
-        if (buf.length >= 5 + len) {
-          out += java.util.Arrays.copyOfRange(buf, 5, 5 + len)
-          buf = java.util.Arrays.copyOfRange(buf, 5 + len, buf.length)
+        if (total >= 5 + len) {
+          take(5)
+          out += take(len)
         } else continue = false
       }
       out.result()
     }
-    def leftover: Int = buf.length
+
+    private def peek5(): Array[Byte] = {
+      val r = new Array[Byte](5)
+      var got = 0; var ci = 0; var off = headOff
+      while (got < 5) {
+        val c = chunks(ci)
+        val m = math.min(5 - got, c.length - off)
+        System.arraycopy(c, off, r, got, m)
+        got += m; ci += 1; off = 0
+      }
+      r
+    }
+
+    private def take(n: Int): Array[Byte] = {
+      val r = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val c = chunks.head
+        val m = math.min(n - got, c.length - headOff)
+        System.arraycopy(c, headOff, r, got, m)
+        got += m; headOff += m; total -= m
+        if (headOff == c.length) { chunks.removeHead(); headOff = 0 }
+      }
+      r
+    }
+
+    def leftover: Int = total
   }
 
   // ---------------------------------------------------------------- server
@@ -191,7 +225,19 @@ object GrpcH2 {
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
         def initChannel(c: SocketChannel): Unit = {
-          tls.foreach(t => c.pipeline().addLast(t.newHandler(c.alloc(), host, port)))
+          tls.foreach { t =>
+            val sh = t.newHandler(c.alloc(), host, port)
+            // newHandler(host, port) alone only seeds SNI/session cache —
+            // the JDK engine does NOT verify the peer hostname unless
+            // endpoint identification is switched on, so any cert signed
+            // by the trusted CA would pass regardless of SAN/CN (the
+            // KafkaProtocol TLS path documents the same attack).
+            val eng = sh.engine()
+            val sp = eng.getSSLParameters
+            sp.setEndpointIdentificationAlgorithm("HTTPS")
+            eng.setSSLParameters(sp)
+            c.pipeline().addLast(sh)
+          }
           c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
           c.pipeline().addLast(new Http2MultiplexHandler(
             new ChannelInboundHandlerAdapter())) // no server-initiated streams
@@ -200,9 +246,19 @@ object GrpcH2 {
       .connect(host, port).sync().channel()
 
     private sealed trait Event
-    private case class Msg(bytes: Array[Byte]) extends Event
+    // `credit` = flow-controlled bytes whose WINDOW_UPDATE is deferred
+    // until the consumer dequeues this message — the HTTP/2 window is the
+    // backpressure, so a server cannot stream an entire response into
+    // executor heap faster than the task consumes it
+    private case class Msg(bytes: Array[Byte], credit: Int) extends Event
     private case class Done(status: Int, message: String) extends Event
     private case class Failed(e: Throwable) extends Event
+
+    /** Received-but-unconsumed message bytes across this client's calls —
+      * with the deferred-WINDOW_UPDATE scheme this stays bounded by the
+      * HTTP/2 stream window (+ one message) however fast the server
+      * streams; the backpressure spec asserts exactly that. */
+    val unconsumedBytes = new java.util.concurrent.atomic.AtomicLong(0)
 
     /** Issue one RPC; the returned iterator yields response messages as
       * they arrive and throws [[GrpcError]] on a non-zero grpc-status. */
@@ -225,12 +281,25 @@ object GrpcH2 {
               else st.filter(_._1 != 0)
                 .foreach(s => queue.put((Done.apply _).tupled(s)))
             case d: Http2DataFrame =>
-              // replenish the flow-control window for what we consumed, or
-              // any response larger than the 64 KiB initial window stalls
               val credit = d.initialFlowControlledBytes()
-              if (credit > 0)
-                ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(credit))
-              try acc.add(d.content()).foreach(m => queue.put(Msg(m)))
+              try {
+                val msgs = acc.add(d.content())
+                if (msgs.isEmpty) {
+                  // mid-message: replenish now, or a single gRPC message
+                  // larger than the window deadlocks (consumer is blocked
+                  // waiting for the very bytes the window withholds) —
+                  // exposure is bounded by the frame-length sanity cap
+                  if (credit > 0)
+                    ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(credit))
+                  } else {
+                  // defer this frame's credit onto its last message; the
+                  // consumer returns it on dequeue, so the unread backlog
+                  // is bounded by the HTTP/2 window, not the heap
+                  msgs.foreach(m => unconsumedBytes.addAndGet(m.length.toLong))
+                  msgs.init.foreach(m => queue.put(Msg(m, 0)))
+                  queue.put(Msg(msgs.last, credit))
+                }
+              }
               catch { case e: Throwable => queue.put(Failed(e)) }
               finally {
                 val end = d.isEndStream
@@ -248,7 +317,13 @@ object GrpcH2 {
           queue.put(Failed(new java.io.IOException(
             "grpc: connection closed mid-stream")))
       }
+      // netty 4.2's child channels auto-replenish the stream window on
+      // readComplete by default (AUTO_STREAM_FLOW_CONTROL), which would
+      // void the deferred-credit backpressure — switch to manual mode so
+      // the WINDOW_UPDATEs this client writes are the only replenishment
       val stream = new Http2StreamChannelBootstrap(ch)
+        .option(Http2StreamChannelOption.AUTO_STREAM_FLOW_CONTROL,
+          java.lang.Boolean.FALSE)
         .handler(handler).open().sync().getNow
       val headers = new DefaultHttp2Headers()
       headers.method("POST").scheme(if (tls.isDefined) "https" else "http")
@@ -269,7 +344,7 @@ object GrpcH2 {
         def hasNext: Boolean = {
           pump()
           nextEvent match {
-            case Some(Msg(_)) => true
+            case Some(Msg(_, _)) => true
             case Some(Done(0, _)) => finished = true; false
             case Some(Done(st, m)) => finished = true; throw new GrpcError(st, m)
             case Some(Failed(e)) => finished = true; throw e
@@ -278,7 +353,13 @@ object GrpcH2 {
         }
         def next(): Array[Byte] = {
           if (!hasNext) throw new NoSuchElementException
-          val Msg(b) = nextEvent.get
+          val Msg(b, credit) = nextEvent.get
+          unconsumedBytes.addAndGet(-b.length.toLong)
+          // return the deferred flow-control credit now that the consumer
+          // has drained this message (writeAndFlush marshals to the event
+          // loop; on a closed stream the write just fails its future)
+          if (credit > 0 && stream.isActive)
+            stream.writeAndFlush(new DefaultHttp2WindowUpdateFrame(credit))
           nextEvent = None
           b
         }

@@ -202,4 +202,78 @@ class BqStorageSpec extends SparkSpec {
         s"wanted NOT_FOUND through the transport, got: ${e.getMessage}")
     }
   }
+
+  test("a cleanly drained stream is complete: one ReadRows call per stream") {
+    // trailers + grpc-status 0 IS stream completion — the client must not
+    // reconnect just to observe emptiness (that would double every
+    // stream's connection + RPC count on the happy path)
+    withEmulator { em =>
+      val df = graft.sources.ConnectorRegistry.read(spark, url(em, ";slices=3"))
+      assert(df.collect().toSet == expected(data))
+      assert(em.readRowsCalls.get() == 3,
+        s"expected exactly one ReadRows per stream, saw ${em.readRowsCalls.get()}")
+      assert(em.resumedOffsets.get().isEmpty)
+    }
+  }
+
+  test("HTTP/2 flow control backpressures an unconsumed response stream") {
+    // the client defers WINDOW_UPDATE until the consumer dequeues, so a
+    // server streaming 512 KiB at an idle consumer can land at most the
+    // 64 KiB initial stream window (+ one in-flight message) in heap —
+    // upper-bound assert only, so machine speed cannot flake it
+    val msg = Array.tabulate(8192)(i => (i * 31).toByte)
+    val server = new GrpcH2.Server((_, _) => Iterator.continually(msg).take(64))
+    try {
+      val client = new GrpcH2.Client("127.0.0.1", server.port)
+      try {
+        val it = client.call("/big", Array.emptyByteArray)
+        Thread.sleep(500)
+        val backlog = client.unconsumedBytes.get()
+        assert(backlog > 0, "no bytes arrived at all in 500 ms")
+        assert(backlog <= 100000,
+          s"client buffered $backlog bytes with nothing consumed — the " +
+            "HTTP/2 window is not providing backpressure")
+        var n = 0
+        while (it.hasNext) {
+          assert(java.util.Arrays.equals(it.next(), msg)); n += 1
+        }
+        assert(n == 64, s"deferred-credit replenishment lost messages: $n/64")
+        assert(client.unconsumedBytes.get() == 0)
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("TLS: wrong-SAN certificate refused even under a trusted CA") {
+    // endpoint identification, not just chain trust: a cert SIGNED by the
+    // CA we trust but issued for a different host/IP must fail the
+    // handshake — without it any CA-issued cert lets a MITM through
+    val dir = java.nio.file.Files.createTempDirectory("graft-grpc-san")
+    val ksPath = dir.resolve("server.p12").toString
+    val caPem = dir.resolve("ca.pem").toString
+    def run(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"${cmd.head} failed: $out")
+    }
+    run("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-keystore", ksPath,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=graft-grpc-test", "-ext", "SAN=IP:10.99.99.99")
+    run("keytool", "-exportcert", "-alias", "srv", "-keystore", ksPath,
+      "-storepass", "changeit", "-rfc", "-file", caPem)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val em = new BqStorageEmulator("p1", "ds", "t", fields, data,
+      tls = Some(kmf))
+    try {
+      intercept[Exception] {
+        graft.sources.ConnectorRegistry.read(spark,
+          url(em, s";slices=2;cacert=$caPem")).collect()
+      }
+    } finally em.close()
+  }
 }
