@@ -149,7 +149,9 @@ object S3Signer {
   * the DATA length from the manifest so write-metrics stay truthful.
   * Crash-orphaned uploads (JVM death between part upload and abort) are
   * the same residue real S3A magic commits leave — reclaimed by a
-  * bucket lifecycle rule on incomplete multipart uploads.
+  * bucket lifecycle rule on incomplete multipart uploads, or
+  * programmatically by [[abortStaleUploads]] (ListMultipartUploads +
+  * age threshold) on buckets without such a rule.
   */
 class GraftS3FileSystem extends FileSystem {
 
@@ -800,6 +802,56 @@ class GraftS3FileSystem extends FileSystem {
       deleteObject(srcKey + "/") // the marker, if any
     }
     true
+  }
+
+  /** In-flight multipart uploads under `prefix`, via ListMultipartUploads
+    * with key-marker/upload-id-marker pagination (the real service pages
+    * at 1000 uploads). Returns (key, uploadId, initiated). */
+  private def listPendingUploads(
+      prefix: String): Seq[(String, String, java.time.Instant)] = {
+    val out = Seq.newBuilder[(String, String, java.time.Instant)]
+    var keyMarker = Option.empty[String]
+    var idMarker = Option.empty[String]
+    var more = true
+    while (more) {
+      val q = Seq("uploads" -> "", "prefix" -> prefix) ++
+        keyMarker.map("key-marker" -> _) ++
+        idMarker.map("upload-id-marker" -> _)
+      val r = request("GET", "", query = q)
+      if (r.statusCode() / 100 != 2) fail(s"ListMultipartUploads $prefix", r)
+      val body = new String(r.body(), UTF_8)
+      "<Upload>(.*?)</Upload>".r.findAllMatchIn(body).foreach { m =>
+        val u = m.group(1).getBytes(UTF_8)
+        out += ((xmlText(u, "Key"), xmlText(u, "UploadId"),
+          java.time.Instant.parse(xmlText(u, "Initiated"))))
+      }
+      more = body.contains("<IsTruncated>true</IsTruncated>")
+      if (more) {
+        // a truncated page missing its markers would loop forever —
+        // xmlText fails loudly instead (the LIST-paging discipline)
+        keyMarker = Some(xmlText(r.body(), "NextKeyMarker"))
+        idMarker = Some(xmlText(r.body(), "NextUploadIdMarker"))
+      }
+    }
+    out.result()
+  }
+
+  /** Janitor for crash-orphaned multipart uploads — the one failure path
+    * abort-on-delete cannot cover: a JVM killed between part upload and
+    * task abort leaves an invisible in-flight MPU accruing storage
+    * forever. Aborts every upload under `prefix` initiated more than
+    * `olderThanMs` ago and returns how many. This is the programmatic
+    * twin of the bucket lifecycle rule real deployments set
+    * (AbortIncompleteMultipartUpload); run it from the driver before a
+    * job on the job's output prefix — any upload older than the job
+    * cannot belong to a live task attempt. The age threshold is what
+    * keeps it safe to run while OTHER jobs write nearby: their live
+    * uploads are young. */
+  def abortStaleUploads(prefix: String, olderThanMs: Long): Int = {
+    val cutoff = java.time.Instant.now().minusMillis(olderThanMs)
+    val stale = listPendingUploads(prefix).filter(_._3.isBefore(cutoff))
+    stale.foreach { case (k, id, _) => abortMultipart(k, id) }
+    stale.size
   }
 
   /** Delete one object; an uncommitted pending-MPU manifest (task abort,

@@ -699,21 +699,44 @@ object Streams {
     *
     * Exactness contract (the funnel/transitions discipline): per-key
     * event-time order must hold across micro-batches WITHIN each input
-    * stream — the buffer absorbs any skew BETWEEN the two streams; within
-    * a batch rows are sorted here.
+    * stream; within a batch rows are sorted here. The skew guarantee
+    * between the two streams is ONE-DIRECTIONAL: the buffer absorbs the
+    * feature stream running arbitrarily AHEAD of the event clock (up to
+    * the loud 65536 bound). It cannot absorb a LAGGING feature stream —
+    * if a feature at ts ≤ an already-emitted event's ts arrives in a
+    * later micro-batch, that event has already gone out with the older
+    * floor (or null) and append mode cannot retract it. The feature
+    * stream must not lag the event stream per key; a deployment with
+    * bounded feature lag should delay event delivery by that bound
+    * upstream (or accept one-sided staleness — the standard
+    * online-serving trade).
+    *
+    * `idleHorizon`: with the default None, per-key state lives forever
+    * (GroupStateTimeout.NoTimeout) — on a stream with churning keys that
+    * grows with distinct-EVER keys, not active keys. Passing a duration
+    * (e.g. "24 hours") switches to event-time timeout: a key whose
+    * newest activity (event clock or buffered feature) is more than the
+    * horizon behind the watermark drops its state; if the key reappears
+    * it starts cold (null floor until its next feature — the same answer
+    * a cold cache gives). Requires `watermarkDelay` to define the
+    * watermark on the unioned input; rows later than the watermark are
+    * then dropped per normal Structured Streaming semantics.
     */
   def asofJoinStream(events: DataFrame, features: DataFrame,
       key: String = "user_id", ts: String = "ts", valueCol: String = "value",
-      featureCol: String = "f_value"): Dataset[AsOfOut] = {
+      featureCol: String = "f_value", idleHorizon: Option[String] = None,
+      watermarkDelay: String = "1 hour"): Dataset[AsOfOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val tagged = events.select(col(key).cast("long").as("key"),
+    val taggedDf = events.select(col(key).cast("long").as("key"),
         col(ts).cast("timestamp").as("ts"),
         col(valueCol).cast("double").as("v"), lit(false).as("isF"))
       .unionByName(features.select(col(key).cast("long").as("key"),
         col(ts).cast("timestamp").as("ts"),
         col(featureCol).cast("double").as("v"), lit(true).as("isF")))
-      .as[AsOfIn]
+    val tagged = (if (idleHorizon.isDefined)
+        taggedDf.withWatermark("ts", watermarkDelay)
+      else taggedDf).as[AsOfIn]
     // compare at MICROSECOND precision — Spark's timestamp resolution.
     // Timestamp.getTime is milliseconds: two instants inside the same ms
     // would collapse and a feature later in that ms would leak backward
@@ -726,9 +749,17 @@ object Streams {
       t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
+    val timeoutConf = if (idleHorizon.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (k: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            // idle past the horizon: drop the floor feature — a
+            // reappearing key starts cold, exactly like a fresh key
+            state.remove()
+            Iterator.empty
+          } else {
           // features first at equal ts: Ordering on (tsUs, !isF) puts
           // isF=true (false value for !isF) ahead — inclusive at-or-before
           val sorted = rows.toSeq.sortBy(r => (micros(r.ts), !r.isF, r.v))
@@ -760,7 +791,18 @@ object Streams {
             }
           }
           state.update(st)
+          idleHorizon.foreach { h =>
+            // evict when the key's NEWEST activity (event clock or a
+            // buffered feature) falls `h` behind the watermark; the
+            // watermark floor keeps the call legal for keys already
+            // processed behind it
+            val newestMs = math.max(st.maxEv,
+              st.pend.lastOption.map(_._1).getOrElse(Long.MinValue)) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(newestMs, state.getCurrentWatermarkMs()), h)
+          }
           out.result().iterator
+          }
       }
   }
 

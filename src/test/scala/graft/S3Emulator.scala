@@ -63,6 +63,24 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
   // uploadId → partNumber → bytes (in-flight multipart uploads)
   private val uploads = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]]()
+  // uploadId → (bucket/key, initiated) — backs ListMultipartUploads
+  private val uploadMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Instant)]()
+  @volatile var abortedUploadIds: Vector[String] = Vector.empty
+  /** ListMultipartUploads page size — shrink to force marker pagination. */
+  @volatile var maxUploadsPerPage: Int = 1000
+
+  def inFlightUploads: Int = uploads.size
+
+  /** Shift every in-flight upload's Initiated time into the past — lets
+    * the janitor's age threshold be tested without wall-clock sleeps. */
+  def backdateUploads(ms: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    uploadMeta.keySet().asScala.foreach { id =>
+      uploadMeta.computeIfPresent(id,
+        (_, v) => (v._1, v._2.minusMillis(ms)))
+    }
+  }
 
   private val server =
     HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -122,10 +140,14 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
     (ex.getRequestMethod, key) match {
       case ("GET", "") if query.get("list-type").contains("2") =>
         respond(ex, 200, list(bucket, query), "Content-Type" -> "application/xml")
+      case ("GET", "") if query.contains("uploads") =>
+        respond(ex, 200, listUploads(bucket, query),
+          "Content-Type" -> "application/xml")
       case ("POST", k) if k.nonEmpty && query.contains("uploads") =>
         val id = java.util.UUID.randomUUID().toString
         uploads.put(id,
           new java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]())
+        uploadMeta.put(id, (s"$bucket/$k", Instant.now()))
         respond(ex, 200,
           ("<InitiateMultipartUploadResult><Bucket>" + xml(bucket) +
             s"</Bucket><Key>${xml(k)}</Key><UploadId>$id</UploadId>" +
@@ -166,6 +188,7 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
             }
         }
       case ("POST", k) if k.nonEmpty && query.contains("uploadId") =>
+        uploadMeta.remove(query("uploadId"))
         Option(uploads.remove(query("uploadId"))) match {
           case None => respond(ex, 404,
             "<Error><Code>NoSuchUpload</Code></Error>".getBytes(UTF_8))
@@ -189,7 +212,11 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
             }
         }
       case ("DELETE", _) if query.contains("uploadId") =>
-        if (uploads.remove(query("uploadId")) != null) multipartAborts += 1
+        uploadMeta.remove(query("uploadId"))
+        if (uploads.remove(query("uploadId")) != null) {
+          multipartAborts += 1
+          abortedUploadIds :+= query("uploadId")
+        }
         respond(ex, 204, Array.emptyByteArray)
       case ("PUT", k) if k.nonEmpty =>
         Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
@@ -243,6 +270,43 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
 
   /** list-objects-v2: sorted keys under prefix, delimiter grouping into
     * CommonPrefixes, continuation token = last raw key examined. */
+  /** ListMultipartUploads (GET /?uploads): in-flight uploads under
+    * `prefix`, sorted by (key, initiated) like the real service, paged
+    * by key-marker/upload-id-marker with max-uploads. */
+  private def listUploads(bucket: String, q: Map[String, String]): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = q.getOrElse("prefix", "")
+    val page = math.min(maxUploadsPerPage,
+      q.get("max-uploads").flatMap(_.toIntOption).getOrElse(1000))
+    val keyMarker = q.getOrElse("key-marker", "")
+    val idMarker = q.getOrElse("upload-id-marker", "")
+    val all = uploadMeta.entrySet().asScala.toSeq
+      .map(e => (e.getValue._1, e.getKey, e.getValue._2))
+      .filter(_._1.startsWith(s"$bucket/"))
+      .map { case (bk, id, t) => (bk.stripPrefix(s"$bucket/"), id, t) }
+      .filter(_._1.startsWith(prefix))
+      .sortBy { case (k, id, t) => (k, t, id) }
+      // markers position strictly AFTER the (key, uploadId) pair
+      .dropWhile { case (k, id, _) =>
+        keyMarker.nonEmpty &&
+          (k < keyMarker || (k == keyMarker && id <= idMarker))
+      }
+    val pageSlice = all.take(page)
+    val truncated = all.size > page
+    val entries = pageSlice.map { case (k, id, t) =>
+      s"<Upload><Key>${xml(k)}</Key><UploadId>$id</UploadId>" +
+        s"<Initiated>$t</Initiated></Upload>"
+    }.mkString
+    val markers = if (truncated) {
+      val (lk, lid, _) = pageSlice.last
+      s"<NextKeyMarker>${xml(lk)}</NextKeyMarker>" +
+        s"<NextUploadIdMarker>$lid</NextUploadIdMarker>"
+    } else ""
+    ("<ListMultipartUploadsResult>" + entries + markers +
+      s"<IsTruncated>$truncated</IsTruncated>" +
+      "</ListMultipartUploadsResult>").getBytes(UTF_8)
+  }
+
   private def list(bucket: String, q: Map[String, String]): Array[Byte] = {
     import scala.jdk.CollectionConverters._
     val prefix = q.getOrElse("prefix", "")

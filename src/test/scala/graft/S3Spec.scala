@@ -262,6 +262,85 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("magic commit: speculative attempts are fenced — loser aborts only its own upload") {
+    // two task attempts race the SAME final key, each with its own MPU;
+    // committing one and deleting the other must abort exactly the
+    // loser's uploadId (keyed from its manifest) and leave the winner's
+    // completed bytes untouched
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val attemptA = new org.apache.hadoop.fs.Path(
+        "s3a://bucket/out/_temporary/0/_temporary/attempt_a/part-0")
+      val attemptB = new org.apache.hadoop.fs.Path(
+        "s3a://bucket/out/_temporary/0/_temporary/attempt_b/part-0")
+      val bytesA = Array.fill[Byte](1500)(1)
+      val bytesB = Array.fill[Byte](1500)(2)
+      val oa = fs.create(attemptA, true); oa.write(bytesA); oa.close()
+      val ob = fs.create(attemptB, true); ob.write(bytesB); ob.close()
+      def manifestUpload(k: String): String =
+        "uploadId=(\\S+)".r.findFirstMatchIn(
+          new String(em.get("bucket", k).get, UTF_8)).get.group(1)
+      val idA = manifestUpload("out/_temporary/0/_temporary/attempt_a/part-0")
+      val idB = manifestUpload("out/_temporary/0/_temporary/attempt_b/part-0")
+      assert(idA != idB, "each attempt must own a distinct uploadId")
+      assert(em.inFlightUploads == 2)
+      // winner commits: its manifest renamed out of _temporary completes
+      // ITS upload
+      fs.rename(attemptA, new org.apache.hadoop.fs.Path("s3a://bucket/out/part-0"))
+      assert(em.get("bucket", "out/part-0").get.toSeq == bytesA.toSeq)
+      // loser cleanup (speculative kill / job abort of remaining attempts)
+      fs.delete(new org.apache.hadoop.fs.Path("s3a://bucket/out/_temporary"),
+        true)
+      assert(em.abortedUploadIds == Vector(idB),
+        s"must abort exactly the loser's upload, aborted ${em.abortedUploadIds}")
+      assert(em.inFlightUploads == 0)
+      // the winner's object survived the loser's cleanup byte-for-byte
+      assert(em.get("bucket", "out/part-0").get.toSeq == bytesA.toSeq)
+    } finally em.stop()
+  }
+
+  test("orphaned-MPU janitor aborts stale uploads only, across LIST pages") {
+    // the one failure path abort-on-delete can't cover: a killed JVM
+    // leaves parts uploaded, no manifest rename, no delete — only
+    // ListMultipartUploads + an age threshold can reclaim it
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.s3a.multipart.size", "1024") // force a part on the wire
+      try {
+        val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+          .getFileSystem(c).asInstanceOf[graft.sources.GraftS3FileSystem]
+        // three crashed attempts: part uploaded, stream abandoned
+        (0 until 3).foreach { i =>
+          val dead = fs.create(new org.apache.hadoop.fs.Path(
+            s"s3a://bucket/out/_temporary/0/_temporary/attempt_dead_$i/part-$i"),
+            true)
+          dead.write(Array.fill[Byte](2000)(9)) // > partSize: MPU initiated
+        }
+        assert(em.inFlightUploads == 3)
+        // too young: a 1h threshold spares everything
+        assert(fs.abortStaleUploads("out/", 3600L * 1000) == 0)
+        assert(em.inFlightUploads == 3)
+        em.backdateUploads(7200L * 1000)
+        // a LIVE attempt of the current job (young) must survive the sweep
+        val live = fs.create(new org.apache.hadoop.fs.Path(
+          "s3a://bucket/out/_temporary/0/_temporary/attempt_live/part-9"),
+          true)
+        live.write(Array.fill[Byte](2000)(3))
+        em.maxUploadsPerPage = 1 // force key-marker pagination
+        assert(fs.abortStaleUploads("out/", 3600L * 1000) == 3)
+        assert(em.inFlightUploads == 1, "the live upload must survive")
+        assert(em.abortedUploadIds.size == 3)
+        live.close()
+        assert(em.inFlightUploads == 1) // live attempt now has a manifest
+      } finally c.unset("fs.s3a.multipart.size")
+    } finally em.stop()
+  }
+
   test("rename above the single-COPY cap goes through UploadPartCopy") {
     val em = new S3Emulator()
     try {

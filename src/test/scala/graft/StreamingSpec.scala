@@ -658,6 +658,57 @@ class StreamingSpec extends SparkSpec {
       "matched feature time must never exceed the event time")
   }
 
+  test("asofJoinStream evicts idle-key state after the horizon; active keys exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // idleHorizon switches the join to event-time timeout: a key whose
+    // newest activity falls 2h behind the watermark drops its floor
+    // feature (state with NoTimeout would otherwise grow with
+    // distinct-EVER keys on a churning 100 TB stream)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ftMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = Streams.asofJoinStream(
+      evMem.toDS().toDF("user_id", "ts", "value"),
+      ftMem.toDS().toDF("user_id", "ts", "f_value"),
+      idleHorizon = Some("2 hours"), watermarkDelay = "1 hour")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asof-evict").toString
+    val q = stream.writeStream.format("memory").queryName("asof_evict")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // key 1 active early: feature then event, matched
+      ftMem.addData((1L, t("2024-01-01 10:00:00"), 5.0))
+      evMem.addData((1L, t("2024-01-01 10:00:30"), 1.0))
+      q.processAllAvailable()
+      // key 2 active 10h later: advances the watermark far past key 1's
+      // horizon (timeout = 10:00:30 + 2h; watermark → 19:00:30)
+      ftMem.addData((2L, t("2024-01-01 20:00:00"), 7.0))
+      evMem.addData((2L, t("2024-01-01 20:00:30"), 2.0))
+      q.processAllAvailable()
+      // one more batch: timeouts fire in the batch AFTER the watermark
+      // passes them
+      evMem.addData((2L, t("2024-01-01 20:01:00"), 3.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"idle key 1 should be evicted, state holds $stateRows keys")
+      // a revived idle key starts cold: null floor until its next feature
+      evMem.addData((1L, t("2024-01-01 20:02:00"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_evict")
+        .select(col("key"), col("ts"), col("value"), col("f_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(got == Set(
+        (1L, t("2024-01-01 10:00:30"), 1.0, Some(5.0)), // matched pre-evict
+        (2L, t("2024-01-01 20:00:30"), 2.0, Some(7.0)), // active key exact
+        (2L, t("2024-01-01 20:01:00"), 3.0, Some(7.0)), // across batches
+        (1L, t("2024-01-01 20:02:00"), 4.0, None)), // cold after eviction
+        s"unexpected rows: $got")
+    } finally q.stop()
+  }
+
   test("ewmaStream equals batch q241 bit-for-bit across a batch boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
