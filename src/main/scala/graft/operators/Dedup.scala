@@ -117,30 +117,64 @@ object Dedup {
   //   band keys → shuffle on (band, key) → bucket pairs. The shuffle
   //   carries bands × ~16 bytes per doc, never the text. md5 keeps the
   //   whole thing reproducible in the DuckDB oracle bit-for-bit.
+  private val lshBands = 8
+  private val lshRowsPerBand = 2 // k = 16
+  private val lshK = lshBands * lshRowsPerBand
+  private val lshP = 1000000007L
+  private def lshA(j: Int): Long = 1000003L * j + 12345L
+  private def lshB(j: Int): Long = 7919L * j + 271L
+
+  /** The q43 band-key pipeline over a (doc_id, text) frame: one
+    * (doc_id, band, bh) row per document per band. Grouped-min
+    * formulation (explode → groupBy(doc_id) with codegen'd flat mins +
+    * map-side combine) — the batch-optimal shape. Docs with no shingles
+    * produce no rows. */
+  def lshBandKeys(docsDf: DataFrame): DataFrame = {
+    // base < 2^28, aj < 2^25 → products < 2^53: no int64 overflow under
+    // ANSI mode, same arithmetic in DuckDB.
+    val base = expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)")
+    val minCols = (0 until lshK).map(j =>
+      min((lit(lshA(j)) * base + lit(lshB(j))) % lshP).as(s"m$j"))
+    docsDf
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until lshBands).map(b =>
+        struct(lit(b).cast("long").as("band"),
+          concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** The SAME band keys as [[lshBandKeys]] computed per-ROW (array folds,
+    * no aggregation): the shape a streaming query needs — an Aggregate
+    * before flatMapGroupsWithState is illegal in append mode. Spec-pinned
+    * row-identical to the grouped formulation, which the q43 oracle
+    * anchors. k array_min passes over the per-doc digest array trade a
+    * few traversals of a small array for statelessness. */
+  def lshBandKeysRowwise(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("__bases", expr(
+        s"""transform($shinglesExpr,
+           |  sh -> CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      // batch parity: a doc with no shingles yields no band keys (the
+      // grouped pipeline drops it at explode); without this filter every
+      // empty doc would share one degenerate bucket per band
+      .filter(size(col("__bases")) > 0)
+      .select(col("doc_id"), explode(array((0 until lshBands).map { b =>
+        def m(j: Int) = expr(
+          s"array_min(transform(__bases, x -> (${lshA(j)} * x + ${lshB(j)}) % $lshP))")
+        struct(lit(b).cast("long").as("band"),
+          concat_ws(",", m(2 * b), m(2 * b + 1)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+
   val q43 = {
-    val bands = 8
-    val rowsPerBand = 2 // k = 16
-    val k = bands * rowsPerBand
-    val P = 1000000007L
-    def aj(j: Int): Long = 1000003L * j + 12345L
-    def bj(j: Int): Long = 7919L * j + 271L
     Query.sql(
       "q43_minhash_lsh",
       (s, dir) => {
-        // base < 2^28, aj < 2^25 → products < 2^53: no int64 overflow under
-        // ANSI mode, same arithmetic in DuckDB.
-        val base = expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)")
-        val minCols = (0 until k).map(j =>
-          min((lit(aj(j)) * base + lit(bj(j))) % P).as(s"m$j"))
-        val banded = docs(s, dir)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-          .groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-          .select(col("doc_id"), explode(array((0 until bands).map(b =>
-            struct(lit(b).cast("long").as("band"),
-              concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*))
-            .as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val banded = lshBandKeys(docs(s, dir).select(col("doc_id"), col("text")))
         val cand = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -158,7 +192,7 @@ object Dedup {
          |sig AS (
          |  SELECT doc_id, j,
          |    MIN(((1000003 * j + 12345) * base + 7919 * j + 271) % 1000000007) AS m
-         |  FROM hb, (SELECT unnest(generate_series(0, ${k - 1})) AS j) jj
+         |  FROM hb, (SELECT unnest(generate_series(0, ${lshK - 1})) AS j) jj
          |  GROUP BY doc_id, j),
          |bandkeys AS (
          |  SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,

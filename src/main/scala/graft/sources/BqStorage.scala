@@ -207,9 +207,91 @@ object BqStorage {
     out.result()
   }
 
-  /** Distributed storage read: one CreateReadSession on the driver, one
-    * gRPC stream per Spark task, offset-resumed on transient transport
-    * failure. */
+  /** True when every field of the session's Arrow schema is a vector
+    * type Spark's ArrowColumnVector can serve in place (the four types
+    * the session schema envelope transports natively) — the gate for the
+    * DSv2 columnar read path. */
+  def arrowColumnarSupported(serializedSchema: Array[Byte]): Boolean = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import scala.jdk.CollectionConverters._
+    serializedSchema.nonEmpty &&
+      arrowSchemaOf(serializedSchema).getFields.asScala.forall(_.getType match {
+        case i: ArrowType.Int => i.getBitWidth == 64 && i.getIsSigned
+        case f: ArrowType.FloatingPoint =>
+          f.getPrecision == FloatingPointPrecision.DOUBLE
+        case _: ArrowType.Bool | _: ArrowType.Utf8 => true
+        case _ => false
+      })
+  }
+
+  /** Streaming iterator of (serialized rows blob, row_count) over one
+    * ReadStream, with the offset-addressed resume loop both DSv2 readers
+    * share: a transient transport failure (connection loss, UNAVAILABLE)
+    * reopens the call at the exact row offset consumed so far — retries
+    * never duplicate or drop rows. `attempts` bounds consecutive
+    * RECONNECTS without progress, not rows. Resume arithmetic rides the
+    * response's row_count (the service always sets it; a non-empty
+    * response without one fails loudly rather than mis-resuming). A
+    * cleanly-ended call (trailers, grpc-status 0) IS stream completion. */
+  final class ReadRowsBlobs(host: String, port: Int, cacert: Option[String],
+      stream: String) extends Iterator[(Array[Byte], Long)] with AutoCloseable {
+    private var offset = 0L
+    private var attempts = 0
+    private var client: GrpcH2.Client = null
+    private var call: Iterator[Array[Byte]] = null
+    private var pending: (Array[Byte], Long) = null
+    private var finished = false
+
+    private def closeClient(): Unit = {
+      if (client != null) client.close()
+      client = null; call = null
+    }
+
+    private def advance(): Unit =
+      while (pending == null && !finished) {
+        if (client == null) {
+          if (attempts > 3) throw new RuntimeException(
+            s"bigquery storage: stream $stream failed after $attempts reconnects")
+          client = new GrpcH2.Client(host, port,
+            tls = cacert.map(GrpcH2.clientTls))
+          call = client.call(ReadRowsPath, readRowsRequest(stream, offset))
+        }
+        try {
+          if (call.hasNext) {
+            val (blob, n) = parseReadRows(call.next())
+            require(blob.isEmpty || n > 0,
+              "ReadRowsResponse carries rows but no row_count — cannot " +
+                "maintain the resume offset")
+            offset += n
+            attempts = 0
+            pending = (blob, n)
+          } else { finished = true; closeClient() }
+        } catch {
+          case _: java.io.IOException => attempts += 1; closeClient()
+          case e: GrpcH2.GrpcError if e.status == 14 =>
+            attempts += 1; closeClient()
+        }
+      }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): (Array[Byte], Long) = {
+      advance()
+      if (pending == null) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+    override def close(): Unit = closeClient()
+  }
+
+  /** Distributed storage read: one CreateReadSession on the driver, then
+    * a DataSource V2 scan — one gRPC stream per Spark task,
+    * offset-resumed on transient transport failure. ARROW sessions
+    * (`;format=arrow`) serve Spark `ColumnarBatch`es of Arrow vectors
+    * directly (no row pivot — see
+    * [[graft.sources.v2.BqStorageProvider]]); AVRO decodes row-wise.
+    * A remote table scan grows with the source — the read is spec-only
+    * surface (never inside the PlanAudit-swept query registry), and the
+    * DSv2 leaf carries no boundedness claim. */
   def read(spark: SparkSession, url: EngineUrl): DataFrame = {
     val project = url.option("projectId").getOrElse(
       throw new IllegalArgumentException("bigquery storage needs ;projectId="))
@@ -251,57 +333,18 @@ object BqStorage {
       } finally driver.close()
     val schema = if (format == 2) sparkSchemaArrow(session.arrowSchema)
       else sparkSchema(session.avroSchemaJson)
-    val (avroJson, arrowSchemaBytes) = (session.avroSchemaJson, session.arrowSchema)
-    val (h, p) = (host, port.toInt)
 
-    val rdd = spark.sparkContext
-      .parallelize(session.streams, math.max(1, session.streams.size))
-      .flatMap { stream =>
-        // Offset-resume loop: `attempts` bounds RECONNECTS, not rows — a
-        // stream that keeps making progress keeps its budget. A call that
-        // ends cleanly (trailers, grpc-status 0) IS stream completion —
-        // reconnecting to probe for emptiness would double every stream's
-        // connection + RPC count on the happy path.
-        var offset = 0L
-        var attempts = 0
-        var complete = false
-        val rows = Iterator.unfold(()) { _ =>
-          if (complete) None
-          else if (attempts > 3) throw new RuntimeException(
-            s"bigquery storage: stream $stream failed after $attempts reconnects")
-          else {
-            val client = new GrpcH2.Client(h, p,
-              tls = cacert.map(GrpcH2.clientTls))
-            try {
-              val it = client.call(ReadRowsPath, readRowsRequest(stream, offset))
-              val batch = Seq.newBuilder[Row]
-              var ok = true
-              try {
-                while (it.hasNext) {
-                  val (blob, n) = parseReadRows(it.next())
-                  val decoded =
-                    if (format == 2) decodeArrowBatch(blob, arrowSchemaBytes, schema)
-                    else decodeAvroRows(blob, avroJson, schema)
-                  require(n == 0 || decoded.size == n.toInt,
-                    s"row batch decoded ${decoded.size} rows, row_count said $n")
-                  batch ++= decoded
-                  offset += decoded.size
-                  attempts = 0 // progress resets the reconnect budget
-                }
-              } catch {
-                case _: java.io.IOException => ok = false // resume at offset
-                case e: GrpcH2.GrpcError if e.status == 14 => ok = false
-              }
-              val out = batch.result()
-              if (ok) { complete = true; if (out.isEmpty) None else Some((out, ())) }
-              else { attempts += 1; Some((out, ())) }
-            } finally client.close()
-          }
-        }
-        rows.flatten
-      }
-    // a remote table scan grows with the source — PlanAudit must see it
-    graft.core.BarrierLedger.register(
-      spark.createDataFrame(rdd, schema), growing = Some("bigquery"))
+    val reader = spark.read.format("graft-bq-storage")
+      .option("schema", schema.json)
+      .option("host", host)
+      .option("port", port.toInt)
+      .option("format", format)
+      .option("streams", session.streams.mkString(","))
+      .option("avroJson", session.avroSchemaJson)
+    val withArrow = if (session.arrowSchema.nonEmpty)
+      reader.option("arrowSchema",
+        java.util.Base64.getEncoder.encodeToString(session.arrowSchema))
+      else reader
+    cacert.fold(withArrow)(withArrow.option("cacert", _)).load()
   }
 }

@@ -806,6 +806,69 @@ object Streams {
       }
   }
 
+  final case class NeardupPair(id_a: Long, id_b: Long, band: Long)
+
+  /** Streaming near-duplicate detection — incremental MinHash-LSH: new
+    * documents are checked against the ACCUMULATED corpus as they arrive,
+    * the production ingest-pipeline shape (the batch
+    * [[graft.operators.Dedup]] q43 re-scans the whole corpus per run).
+    *
+    * Per-row map side: the q43 signature pipeline recast as array folds
+    * ([[graft.operators.Dedup.lshBandKeysRowwise]], spec-pinned
+    * row-identical to the oracle-anchored grouped formulation — an
+    * Aggregate cannot precede flatMapGroupsWithState in append mode).
+    * Each doc becomes `bands` (band, bandHash) keys; state lives per
+    * OCCUPIED bucket and holds the doc_ids seen in it. A new doc emits
+    * one [[NeardupPair]] per bucket-mate — `(a, b, band)` with a < b; a
+    * pair sharing several bands emits once per shared band, so
+    * candidate-pair CONSUMERS dedup on (id_a, id_b) (exactly what the
+    * batch operator's `distinct()` does — a global streaming dedup here
+    * would need unbounded extra state for no verdict change).
+    *
+    * Scale posture: total state is ~`bands` longs per corpus document
+    * (the streaming mirror of the batch banded table), sharded across
+    * the state store by bucket key — RocksDB-backed at 100 TB. Per-bucket
+    * membership is BOUNDED: a bucket exceeding `maxBucket` docs fails
+    * loudly (the asofJoinStream discipline) — an organic bucket that hot
+    * means degenerate near-identical content that should be exact-deduped
+    * upstream, and the quadratic within-bucket pair emission would
+    * otherwise blow up silently. Re-delivered doc_ids (source replays)
+    * are ignored — membership is exactly-once per bucket.
+    */
+  def neardupStream(docs: DataFrame, maxBucket: Int = 4096): Dataset[NeardupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.lshBandKeysRowwise(docs)
+      .as[(Long, Long, String)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[Vector[Long], NeardupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, Long, String)],
+            state: GroupState[Vector[Long]]) =>
+          val seen = state.getOption.getOrElse(Vector.empty)
+          val seenSet = seen.toSet
+          val fresh = rows.map(_._1).toVector.distinct.sorted
+            .filterNot(seenSet)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[NeardupPair]
+            for (n <- fresh; o <- seen) {
+              val (a, b) = if (o < n) (o, n) else (n, o)
+              out += NeardupPair(a, b, key._1)
+            }
+            for (i <- fresh.indices; j <- (i + 1) until fresh.length)
+              out += NeardupPair(fresh(i), fresh(j), key._1)
+            val updated = seen ++ fresh
+            require(updated.size <= maxBucket,
+              s"neardupStream: LSH bucket ${key._1}/${key._2} exceeded " +
+                s"$maxBucket docs — degenerate near-identical content; " +
+                "exact-dedup upstream or raise maxBucket deliberately")
+            state.update(updated)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of the TrainQualityClassifier QUALITY GATE
     * (cf. `TrainQualityClassifier.postBuildCheck`): per event-time
     * window over a scored+labeled stream, emit accuracy, the majority

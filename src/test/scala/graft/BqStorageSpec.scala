@@ -104,7 +104,24 @@ class BqStorageSpec extends SparkSpec {
       assert(df.schema.map(f => f.name -> f.dataType.simpleString) ==
         Seq("id" -> "bigint", "score" -> "double", "flag" -> "boolean",
           "name" -> "string"))
+      // ARROW's 100 TB advantage is columnar handoff: the scan must
+      // report columnar support and serve ColumnarBatch (the row-based
+      // reader throws if Spark ever routes an ARROW partition to it)
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.supportsColumnar
+      }
+      assert(scans == Seq(true),
+        s"ARROW read must plan ONE columnar v2 scan, got $scans")
       assert(df.collect().toSet == expected(data))
+      // AVRO stays row-wise — same rows either way (pure transport choice)
+      val avro = graft.sources.ConnectorRegistry.read(spark, url(em, ";slices=3"))
+      val avroScans = avro.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.supportsColumnar
+      }
+      assert(avroScans == Seq(false))
+      assert(avro.collect().toSet == df.collect().toSet)
     }
   }
 

@@ -709,6 +709,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("neardupStream equals batch MinHash-LSH candidates across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // anchor the streaming map path: the per-row band keys must be
+    // row-identical to the grouped formulation the q43 oracle verifies
+    val grouped = graft.operators.Dedup.lshBandKeys(docsDf)
+      .as[(Long, Long, String)].collect().toSet
+    val rowwise = graft.operators.Dedup.lshBandKeysRowwise(docsDf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(rowwise == grouped && grouped.nonEmpty,
+      s"rowwise band keys diverge from the oracle-anchored grouped keys " +
+        s"(${rowwise.size} vs ${grouped.size})")
+    // batch truth: the q43 candidate-pair set
+    val byBucket = grouped.toSeq.groupBy(r => (r._2, r._3))
+    val want = byBucket.values.flatMap { ds =>
+      val ids = ds.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    assert(want.nonEmpty, "test corpus has no near-dup candidates")
+    // replay the corpus in three uneven micro-batches
+    val rows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val q = Streams.neardupStream(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val (a, rest) = rows.splitAt(rows.length / 4)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      mem.addData(c: _*); q.processAllAvailable()
+      val got = spark.table("neardup_test")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"stream/batch candidate sets diverged: ${got.size} vs ${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // replayed docs must not re-emit: feed batch a again, expect no growth
+      val before = spark.table("neardup_test").count()
+      mem.addData(a: _*); q.processAllAvailable()
+      assert(spark.table("neardup_test").count() == before,
+        "re-delivered docs re-emitted pairs — bucket membership not exactly-once")
+    } finally q.stop()
+  }
+
   test("ewmaStream equals batch q241 bit-for-bit across a batch boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
