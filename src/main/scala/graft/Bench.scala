@@ -122,6 +122,17 @@ object Bench {
       dropCaches(spark)
       if (ok) dt else -1.0
     }
+    // SPARK_GRAFT_WARM_SWEEP=true: one untimed pass over the selected
+    // queries before the timed sweep. At sf3 a cold JVM's first heavy
+    // query reads 3–4× its steady state (C2 JIT over the iterative
+    // join/agg codegen paths — q119 measured 78 s cold vs 17 s warm on
+    // identical data), so the heavy-tail rehearsals report steady-state
+    // numbers — what a long-running cluster job actually sees — instead
+    // of charging the whole JVM warmup to whichever query runs first.
+    // Off for the 385-query sf0.1 sweep, where doubling the run is not
+    // worth sub-second per-query effects.
+    if (sys.env.get("SPARK_GRAFT_WARM_SWEEP").contains("true"))
+      selected.foreach { case (_, fn) => once(fn); () }
     val swept = selected.map { case (name, fn) =>
       val a = once(fn)
       val b = if (a < 0) -1.0 else once(fn)

@@ -1607,11 +1607,15 @@ object Dedup {
     * broadcast, no row expansion); the only shuffle keys rows by cluster
     * id, and the quadratic comparison runs inside clusters only — with
     * k ∝ corpus size (the paper uses k ≈ n/10⁴) per-cluster work stays
-    * bounded. Hot whale clusters would be capped per-key the same way
+    * bounded. k scales as max(8, n/512) — average cluster ≈ 512 vectors,
+    * so total pair work is ~256·n, LINEAR in corpus size (a fixed k=8
+    * measured exactly quadratic: sf1 4.8 s → sf3 48 s on 3× data; the
+    * round-11 sf3 tier caught it). The oracle computes the same k from
+    * its own COUNT(*), so the pinned sf0.01 output (n=500 → k=8) is
+    * unchanged. Hot whale clusters would be capped per-key the same way
     * q248 caps suppliers-per-part.
     */
   val q357 = {
-    val k = 8
     def dspExpr(e: String, c: String): String =
       s"""CAST(FLOOR(1e9 * aggregate(zip_with($e, $c,
          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
@@ -1622,6 +1626,10 @@ object Dedup {
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
         val e = Tables.loadBalanced(s, dir, "embeddings")
+        // k ∝ n (driver scalar from a metadata-cheap count, the pageRank
+        // n-literal pattern): average cluster ≈ 512 ⇒ linear total pair
+        // work; floor at 8 keeps the sf0.01 oracle output unchanged
+        val k = math.max(8L, Tables.load(s, dir, "embeddings").count() / 512L)
         val seeds = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("scl"), col("embedding").as("c"))
           .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
@@ -1662,7 +1670,8 @@ object Dedup {
           .orderBy("id_dup")
       },
       s"""WITH seeds AS (
-         |  SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < $k),
+         |  SELECT vec_id AS cl, embedding AS c FROM embeddings
+         |  WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 512) FROM embeddings)),
          |dists AS (
          |  SELECT e.vec_id, e.embedding, s.cl,
          |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, s.c),

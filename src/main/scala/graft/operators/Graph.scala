@@ -858,10 +858,17 @@ object Graph {
         .withColumn("rn", row_number().over(byPk248.orderBy("sk")))
         .filter(col("rn") <= 64)
         .drop("rn")
+      // same packed agg key as q264: the pair aggregation dominates at
+      // scale (identical distinct-pair cardinality crossover — one
+      // 8-byte key through the hash aggregates instead of a two-long
+      // struct); valid while suppkeys stay under 2³¹
       val pairs = eCap.as("a").join(eCap.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+        .select((col("a.sk") * lit(4294967296L) + col("b.sk")).as("pair"))
+        .groupBy("pair")
         .agg(count(lit(1)).as("shared"))
+        .select(expr("pair DIV 4294967296").as("sa"),
+          (col("pair") % lit(4294967296L)).as("sb"), col("shared"))
       pairs
         .join(deg.select(col("sk").as("sa"), col("deg").as("da")), "sa")
         .join(deg.select(col("sk").as("sb"), col("deg").as("db")), "sb")
@@ -1000,20 +1007,25 @@ object Graph {
   //   pair build is bounded. TPC-H's ~4 suppliers/part sits far under the
   //   cap, so tested outputs are exactly the uncapped result.
   //
-  //   Scaling note (BENCH_SCALING.json, sf0.1/1/3 probe): the sf1→sf3
-  //   exponent measures 1.01 on proportional file layouts (earlier
-  //   probes read 1.2–1.5, partly from sf1's then-single-row-group
-  //   parquet serializing its scans — see GenSf.save). Any residual
-  //   super-unit reading has a measured output-cardinality ceiling, not
-  //   an input-work cause: capped pair OCCURRENCES grow exactly 3.00×
-  //   (93M→279M, linear — degrees are SF-constant at ~30/part), while
-  //   DISTINCT (sa,sb) groups grow 4.86× (41.7M→203M) because the
-  //   pair-key space crosses its birthday-collision saturation (sf0.1:
-  //   all C(1k,2) pairs exist; sf1: 83% of C(10k,2); sf3: 45% of
-  //   C(30k,2)) — bounding the exponent by log(4.86)/log(3) ≈ 1.44 in
-  //   the crossover window and by 1.0 asymptotically, since distinct
-  //   groups can never exceed the linear pair occurrences. The shuffle
-  //   and agg state are already occurrence-sized; nothing to re-plan.
+  //   Scaling note (BENCH_SCALING/BENCH_SF3): the sf1→sf3 runtime ratio
+  //   on steady-state warm-JVM measurements (round 11's honest
+  //   methodology — earlier probes captured on a drifting machine read
+  //   anywhere from 1.01 to 1.77) is ~3.5–4.1× on 3× data, and the
+  //   excess over linear is a measured OUTPUT-cardinality effect, not an
+  //   input-work cause: capped pair OCCURRENCES grow exactly 3.00×
+  //   (89.7M→269.5M, linear — degrees are SF-constant at ~30/part),
+  //   while DISTINCT (sa,sb) groups grow 4.86× (41.7M→202.8M) because
+  //   the pair-key space crosses its birthday-collision saturation
+  //   (sf0.1: all C(1k,2) pairs exist; sf1: 83% of C(10k,2); sf3: 45%
+  //   of C(30k,2)) — bounding the exponent by log(4.86)/log(3) ≈ 1.44
+  //   in the crossover window and by 1.0 asymptotically, since distinct
+  //   groups can never exceed the linear pair occurrences. Fitting
+  //   runtime = a·occurrences + b·groups to the two warm points gives
+  //   ~33 ns/occurrence and ~110 ns/group — the group (hash-agg state +
+  //   spill) term dominates the window and saturates out of it. The
+  //   shuffle and agg state are occurrence-sized; the round-11 packed
+  //   agg key (one BIGINT, above) cut the group constant ~25%; nothing
+  //   further to re-plan.
   val q264 = Query.sql(
     "q264_link_prediction",
     (s, dir) => {
@@ -1026,11 +1038,23 @@ object Graph {
         .withColumn("term", expr(
           "CAST(FLOOR(1e15 / CAST(deg AS DOUBLE)) AS BIGINT)"))
         .filter(col("rn") <= 64)
+      // The pair aggregation is the whole cost at scale (distinct
+      // supplier pairs keep filling their key space through the
+      // sf1→sf3 window — the documented cardinality crossover), so the
+      // agg key is PACKED into one BIGINT (sa·2³² + sb): one 8-byte
+      // hash/compare instead of a two-long struct through the partial
+      // and final hash aggregates and their spill sorters. Valid while
+      // supplier keys stay under 2³¹ (TPC-H suppkeys are dense small
+      // ints; a 100 TB deployment with wider ids would widen the pack).
       ew2.as("a").join(ew2.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
-        .agg(count(lit(1)).as("shared"), sum(col("a.term")).as("ra_scaled"))
-        .select(col("sa"), col("sb"), col("shared"),
+        .select((col("a.sk") * lit(4294967296L) + col("b.sk")).as("pair"),
+          col("a.term").as("term"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("shared"), sum(col("term")).as("ra_scaled"))
+        .select(expr("pair DIV 4294967296").as("sa"),
+          (col("pair") % lit(4294967296L)).as("sb"),
+          col("shared"),
           (col("ra_scaled").cast("double") / lit(1e15)).as("ra_index"))
         .orderBy(desc("ra_index"), desc("shared"), asc("sa"), asc("sb"))
         .limit(20)

@@ -34,11 +34,14 @@ import org.apache.spark.sql.SparkSession
   * sweep, any (query, sf) point that measured >2× its committed same-SF
   * rehearsal reference (BENCH_SELF / BENCH_SF1 / BENCH_SF3) is re-run
   * once — by then a time-windowed external load has usually passed — and
-  * the artifact keeps the better median, recording both under
+  * the artifact keeps the better time, recording both under
   * `retried`. The round-10 probe was captured on a drifting machine
   * (calib_ratio 0.562) and its noisy rows disagreed with the clean
   * rehearsal by >2× while the calib stamp could only annotate it; the
-  * per-point reference check catches exactly that.
+  * per-point reference check catches exactly that. Round 11 also made
+  * the measurement drift-immune by construction: each query's three SF
+  * points run ADJACENT (inner SF loop) after an untimed warm run, with
+  * a best-of-3 statistic — see the in-loop notes.
   */
 object BenchScaling {
 
@@ -90,26 +93,38 @@ object BenchScaling {
     calibrate(sfs.head._2) // untimed codegen warm
     val calibStart = calibrate(sfs.head._2)
 
-    def medianOf3(name: String, dir: String): Double = {
+    // Per point: ONE untimed warm run (C2 JIT + page cache — at sf3 a
+    // cold plan's first run reads 3–4× steady state), then best-of-3
+    // timed. BEST, not median: the noise on this host is one-sided
+    // (GC pauses, block-manager placement, external load only inflate),
+    // so the minimum is the reproducible steady-state estimator — the
+    // same reasoning as Bench's best-of-2.
+    def bestOf3(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 3).map { _ =>
+      fn(spark, dir).count()
+      Bench.dropCaches(spark)
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Bench.dropCaches(spark)
         dt
-      }.sorted
-      runs(1)
+      }.min
     }
 
-    // per query name -> per sf -> median seconds
+    // per query name -> per sf -> best seconds. SF points of one query
+    // run ADJACENT (inner loop over SFs): this host's speed drifts
+    // ±30% on the hour scale, and the round-11 probes showed separate
+    // per-SF blocks land on different machine phases — polluting the
+    // sf1→sf3 slope by up to ±0.3. Within a query's ~2-minute window
+    // the drift is flat, so the ratio is drift-immune.
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
-    for ((sf, dir) <- sfs) {
-      Tables.names.foreach(n => Tables.load(spark, dir, n).count())
-      for (name <- heavies) {
-        val med = medianOf3(name, dir)
-        times(name) = times.getOrElse(name, Vector.empty) :+ med
-        println(f"SCALING $name sf=$sf%.1f median=$med%.3f")
+    for (name <- heavies) {
+      for ((sf, dir) <- sfs) {
+        Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+        val best = bestOf3(name, dir)
+        times(name) = times.getOrElse(name, Vector.empty) :+ best
+        println(f"SCALING $name sf=$sf%.1f best=$best%.3f")
       }
     }
 
@@ -127,7 +142,7 @@ object BenchScaling {
         Tables.names.foreach(n => Tables.load(spark, dir, n).count())
         for (name <- susp) {
           val orig = times(name)(idx)
-          val retry = medianOf3(name, dir)
+          val retry = bestOf3(name, dir)
           if (retry < orig) times(name) = times(name).updated(idx, retry)
           retriedPoints += ((name, sf, orig, retry))
           println(f"SCALING-RETRY $name sf=$sf%.1f $orig%.3f -> $retry%.3f")
