@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, Gre
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Plan hygiene audit: `runMain graft.PlanAudit <name>[,<name>…] [sfDir]`
   * prints, per query, the shuffle-exchange count, broadcast count, number
@@ -116,6 +117,11 @@ object PlanAudit {
             set ++= l.output
               .filter(a => entityName(a.name) || extra(a.name))
               .map(_.exprId)
+          case r: DataSourceV2Relation if v2Verdict(r.table).isDefined =>
+            set ++= r.output.filter(a => entityName(a.name)).map(_.exprId)
+          case r: DataSourceV2ScanRelation
+              if v2Verdict(r.relation.table).isDefined =>
+            set ++= r.output.filter(a => entityName(a.name)).map(_.exprId)
           case _ =>
         }
         // taint flows through an alias only via VALUE-carrying refs: a
@@ -151,11 +157,26 @@ object PlanAudit {
       case f: Filter if pkBound(f.condition) => None
       case l: LogicalRelation => tableOf(l).filter(growingTables)
       case l: LogicalRDD => BarrierLedger.verdict(l.rdd.id)
+      case r: DataSourceV2Relation => v2Verdict(r.table)
+      case r: DataSourceV2ScanRelation => v2Verdict(r.relation.table)
       case other =>
         other.children.iterator.map(grow).collectFirst { case Some(t) => t }
     }
     grow(p)
   }
+
+  /** Growth verdict for a DataSourceV2 leaf: the table declares it via
+    * [[graft.core.V2Growth]]; one that doesn't is conservatively growing —
+    * the same closed-loophole default as an unregistered LogicalRDD (a v2
+    * relation is just as opaque to plan-shape inspection, and the BigQuery
+    * Storage scan behind one is an unbounded remote table). */
+  private def v2Verdict(
+      t: org.apache.spark.sql.connector.catalog.Table): Option[String] =
+    t match {
+      case g: graft.core.V2Growth => g.growthVerdict
+      case other => Some(
+        s"unregistered v2 source '${other.name}' — declare graft.core.V2Growth")
+    }
 
   /** Per-table scan profile of the physical plan: how many times each
     * parquet table is scanned and the UNION of columns those scans read

@@ -19,6 +19,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Entries are a few words per barrier; a session registers at most a few
   * per query, so the map stays trivially small for the JVM's life.
   */
+/** Growth verdict a DataSourceV2 `Table` declares about itself — the v2
+  * twin of [[BarrierLedger]]: a `DataSourceV2Relation` leaf is as opaque
+  * to [[graft.PlanAudit]]'s plan-shape audit as a `LogicalRDD`, so without
+  * a declaration an unbounded remote scan (BigQuery Storage, the synth
+  * longtail source) composed into an audited plan — e.g. a forced
+  * broadcast — would pass silently. PlanAudit treats a v2 table that does
+  * NOT implement this trait as growing (the same conservative default as
+  * an unregistered RDD), so forgetting to declare fails loud rather than
+  * reopening the loophole. */
+trait V2Growth {
+  /** The SF-growing source this table's scan reaches with nothing
+    * bounding it (None = bounded, e.g. a dimension snapshot). */
+  def growthVerdict: Option[String]
+}
+
 object BarrierLedger {
 
   private final case class Entry(growing: Option[String],

@@ -260,9 +260,14 @@ object BqStorage {
         try {
           if (call.hasNext) {
             val (blob, n) = parseReadRows(call.next())
-            require(blob.isEmpty || n > 0,
-              "ReadRowsResponse carries rows but no row_count — cannot " +
-                "maintain the resume offset")
+            // blob and row_count must agree in BOTH directions: rows
+            // without a count breaks resume arithmetic, and a count
+            // without rows would advance `offset` past bytes that were
+            // never delivered — n rows silently lost on the next resume
+            require(blob.isEmpty == (n == 0L),
+              s"ReadRowsResponse blob/row_count disagree (blob=" +
+                s"${blob.length}B, row_count=$n) — cannot maintain the " +
+                "resume offset")
             offset += n
             attempts = 0
             pending = (blob, n)

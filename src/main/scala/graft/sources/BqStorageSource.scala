@@ -33,7 +33,12 @@ class BqStorageProvider extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = new BqStorageTable(schema)
 }
 
-class BqStorageTable(schema: StructType) extends Table with SupportsRead {
+class BqStorageTable(schema: StructType) extends Table with SupportsRead
+    with graft.core.V2Growth {
+  /** A remote BigQuery table is unbounded — it scales with whatever the
+    * warehouse holds, so PlanAudit must refuse to broadcast it raw (the
+    * verdict the pre-DSv2 reader carried via BarrierLedger). */
+  override def growthVerdict: Option[String] = Some("bigquery")
   override def name(): String = "bq_storage"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =

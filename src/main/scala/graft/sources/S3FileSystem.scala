@@ -700,9 +700,42 @@ class GraftS3FileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val key = keyOf(f)
     if (key.isEmpty) return true
+    sweepStaleUploadsAtJobSetup(key)
     val r = request("PUT", key + "/", body = Array.emptyByteArray)
     if (r.statusCode() / 100 != 2) fail(s"PUT $key/", r)
     true
+  }
+
+  // job-output prefixes already swept this JVM: the janitor runs once per
+  // destination per FS instance, not once per task-attempt mkdirs
+  private val sweptPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[abortStaleUploads]] wired into the job lifecycle: creating a
+    * `dest/_temporary/…` directory is the committer's setupJob moment
+    * (FileOutputCommitter mkdirs its job-attempt path before any task
+    * writes), so the job that is ABOUT to write `dest` sweeps its
+    * predecessors' crash-orphaned multipart uploads under that prefix
+    * first. The age threshold (`fs.s3a.committer.stale.upload.age.ms`,
+    * default 24 h; 0 disables the sweep) is what makes this safe next to
+    * concurrent writers: their live uploads — including this very job's,
+    * started microseconds ago — are young. Idempotent per prefix per JVM;
+    * a sweep failure aborts job setup loudly rather than leaving the
+    * orphan question silently unanswered. */
+  private def sweepStaleUploadsAtJobSetup(key: String): Unit = {
+    val age = getConf.getLong("fs.s3a.committer.stale.upload.age.ms",
+      24L * 3600 * 1000)
+    if (age <= 0) return
+    val parts = key.split("/")
+    val i = parts.indexOf("_temporary")
+    if (i <= 0) return // not a committer path, or _temporary at the root
+    val dest = parts.take(i).mkString("/") + "/"
+    if (sweptPrefixes.add(dest)) {
+      val n = abortStaleUploads(dest, age)
+      if (n > 0) FileSystem.LOG.info(
+        s"aborted $n stale multipart upload(s) under s3a://$bucket/$dest " +
+          s"(older than ${age}ms) at job setup")
+    }
   }
 
   /** Server-side copy. Real S3 caps a single COPY at 5 GB — above the

@@ -125,7 +125,11 @@ class SynthDocsProvider extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = new SynthTable
 }
 
-class SynthTable extends Table with SupportsRead {
+class SynthTable extends Table with SupportsRead with graft.core.V2Growth {
+  /** The synthesized longtail corpus is a documents-class source: its
+    * size is whatever `rows` asks for — at rehearsal scale that is the
+    * growing corpus itself, so audits must treat it like one. */
+  override def growthVerdict: Option[String] = Some("synth-longtail")
   override def name(): String = "synth_docs"
   override def schema(): StructType = SynthDocs.schema
   override def capabilities(): java.util.Set[TableCapability] =

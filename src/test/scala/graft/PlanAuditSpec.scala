@@ -81,6 +81,36 @@ class PlanAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException] { li.boundedBarrier(5) }
   }
 
+  test("detector sees growth through a DataSourceV2 relation") {
+    // ADVICE r11: the DSv2 migration made BigQuery/synth scans opaque
+    // leaves — a DataSourceV2Relation must carry its V2Growth verdict,
+    // and one that doesn't must default to GROWING (same conservative
+    // rule as an unregistered LogicalRDD), or a forced broadcast of an
+    // unbounded remote scan audits clean
+    val o = Tables.load(spark, sf0001, "orders")
+    val synth = spark.read.format("graft-synth").option("rows", 500L).load()
+    // declared growing: flagged
+    assert(PlanAudit.audit(o.crossJoin(broadcast(synth)))
+      .exists(_.contains("forced broadcast of unbounded 'synth-longtail'")))
+    // bounded by a safe-keyed aggregate on the path: clean
+    val agg = synth.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(PlanAudit.audit(o.crossJoin(broadcast(agg))).isEmpty)
+    // per-doc rollup of a growing v2 source: doc_id taint must flow
+    // through the v2 leaf exactly as it does through a LogicalRelation
+    val perDoc = synth.groupBy(col("doc_id").as("d"))
+      .agg(sum(col("n_chars")).as("sz"))
+    assert(PlanAudit.audit(o.crossJoin(broadcast(perDoc)))
+      .exists(_.contains("forced broadcast of unbounded 'synth-longtail'")))
+    // a v2 table with NO V2Growth declaration: conservatively growing
+    val mystery = spark.read
+      .format(classOf[UnclassifiedV2Provider].getName).load()
+    assert(PlanAudit.audit(o.crossJoin(broadcast(mystery)))
+      .exists(_.contains("unregistered v2 source 'mystery'")))
+    // one that declares itself bounded: clean
+    val dim = spark.read.format(classOf[BoundedV2Provider].getName).load()
+    assert(PlanAudit.audit(o.crossJoin(broadcast(dim))).isEmpty)
+  }
+
   test("detector flags entity-keyed aggregates as unbounded") {
     // VERDICT r8 loophole (b): a rollup keyed on a growing-table entity id
     // (or anything alias-derived from one) scales with the corpus — it
@@ -266,4 +296,49 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(flagged.isEmpty, s"\n${flagged.mkString("\n")}")
   }
+}
+
+/** Minimal DSv2 providers for the v2-growth audit test. Analysis only —
+  * the scan builder is never invoked, so it fails loud if it ever is. */
+class UnclassifiedV2Provider
+    extends org.apache.spark.sql.connector.catalog.TableProvider {
+  import org.apache.spark.sql.connector.catalog._
+  import org.apache.spark.sql.types._
+  override def inferSchema(
+      o: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    new StructType().add("k", LongType)
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    new Table with SupportsRead {
+      override def name(): String = "mystery"
+      override def schema(): StructType = new StructType().add("k", LongType)
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          o: org.apache.spark.sql.util.CaseInsensitiveStringMap) =
+        throw new UnsupportedOperationException("analysis-only test table")
+    }
+}
+
+class BoundedV2Provider
+    extends org.apache.spark.sql.connector.catalog.TableProvider {
+  import org.apache.spark.sql.connector.catalog._
+  import org.apache.spark.sql.types._
+  override def inferSchema(
+      o: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    new StructType().add("k", LongType)
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    new Table with SupportsRead with graft.core.V2Growth {
+      override def growthVerdict: Option[String] = None // a dim snapshot
+      override def name(): String = "bounded_dim"
+      override def schema(): StructType = new StructType().add("k", LongType)
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          o: org.apache.spark.sql.util.CaseInsensitiveStringMap) =
+        throw new UnsupportedOperationException("analysis-only test table")
+    }
 }

@@ -285,7 +285,13 @@ class S3Emulator(secret: Option[(String, String)] = None, pageSize: Int = 3) {
       .filter(_._1.startsWith(s"$bucket/"))
       .map { case (bk, id, t) => (bk.stripPrefix(s"$bucket/"), id, t) }
       .filter(_._1.startsWith(prefix))
-      .sortBy { case (k, id, t) => (k, t, id) }
+      // sort order MUST match the marker comparator below: sorting by
+      // initiated-time while paginating by uploadId skips or re-lists
+      // same-key uploads across a page boundary (uploadId order is
+      // uncorrelated with initiated order — exactly the speculative-
+      // attempt race case), so this deterministic service orders by
+      // (key, uploadId), the tuple the markers advance over
+      .sortBy { case (k, id, _) => (k, id) }
       // markers position strictly AFTER the (key, uploadId) pair
       .dropWhile { case (k, id, _) =>
         keyMarker.nonEmpty &&

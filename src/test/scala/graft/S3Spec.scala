@@ -341,6 +341,64 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("job setup sweeps predecessors' stale MPUs; live uploads and zero-copy commit unchanged") {
+    // the janitor wired into the job lifecycle: the committer's setupJob
+    // mkdirs of dest/_temporary triggers abortStaleUploads(dest) — a
+    // crashed predecessor's orphaned multipart upload is reclaimed by the
+    // NEXT job writing the prefix, not by a human. The age threshold
+    // spares live uploads (including the sweeping job's own).
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.s3a.multipart.size", "1024") // force MPUs on the wire
+      c.set("fs.s3a.committer.stale.upload.age.ms", "3600000") // 1 h
+      try {
+        val fs = new org.apache.hadoop.fs.Path("s3a://bucket/")
+          .getFileSystem(c).asInstanceOf[graft.sources.GraftS3FileSystem]
+        // a predecessor job's JVM died mid-write: part uploaded, no
+        // manifest, no delete — invisible orphan accruing storage
+        val dead = fs.create(new org.apache.hadoop.fs.Path(
+          "s3a://bucket/out/data/_temporary/0/_temporary/attempt_dead/part-0"), true)
+        dead.write(Array.fill[Byte](2000)(9))
+        assert(em.inFlightUploads == 1)
+        em.backdateUploads(7200L * 1000) // crashed 2h ago
+        // a concurrent writer's LIVE young upload on the same prefix
+        val live = fs.create(new org.apache.hadoop.fs.Path(
+          "s3a://bucket/out/data/_temporary/0/_temporary/attempt_live/part-9"), true)
+        live.write(Array.fill[Byte](2000)(3))
+        assert(em.inFlightUploads == 2)
+        // the next job writing the prefix sweeps at setup
+        val df = Tables.load(spark, sf0001, "region")
+        df.write.mode("overwrite").parquet("s3a://bucket/out/data")
+        assert(em.abortedUploadIds.size == 1,
+          s"setup sweep must abort exactly the stale orphan, " +
+            s"aborted=${em.abortedUploadIds}")
+        assert(em.inFlightUploads == 1, "the live young upload must survive")
+        // the sweep changes nothing about the commit itself: still
+        // zero-rename, still byte-correct
+        assert(em.copiedDataBytes == 0L,
+          s"commit copied ${em.copiedDataBytes} data bytes")
+        assert(!em.keys("bucket").exists(_.contains("_temporary/")))
+        assert(spark.read.parquet("s3a://bucket/out/data").count() == df.count())
+        // age=0 disables: a second job sweeps nothing even with a fresh
+        // stale orphan planted
+        val dead2 = fs.create(new org.apache.hadoop.fs.Path(
+          "s3a://bucket/out/data/_temporary/0/_temporary/attempt_dead2/part-0"), true)
+        dead2.write(Array.fill[Byte](2000)(8))
+        em.backdateUploads(7200L * 1000)
+        c.set("fs.s3a.committer.stale.upload.age.ms", "0")
+        val aborted = em.abortedUploadIds.size
+        df.write.mode("overwrite").parquet("s3a://bucket/out/data")
+        assert(em.abortedUploadIds.size == aborted,
+          "age=0 must disable the setup sweep")
+      } finally {
+        c.unset("fs.s3a.multipart.size")
+        c.unset("fs.s3a.committer.stale.upload.age.ms")
+      }
+    } finally em.stop()
+  }
+
   test("rename above the single-COPY cap goes through UploadPartCopy") {
     val em = new S3Emulator()
     try {
