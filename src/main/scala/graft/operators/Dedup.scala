@@ -152,7 +152,7 @@ object Dedup {
     * row-identical to the grouped formulation, which the q43 oracle
     * anchors. k array_min passes over the per-doc digest array trade a
     * few traversals of a small array for statelessness. */
-  def lshBandKeysRowwise(docsDf: DataFrame): DataFrame =
+  def lshBandKeysRowwise(docsDf: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docsDf
       .withColumn("__bases", expr(
         s"""transform($shinglesExpr,
@@ -162,13 +162,50 @@ object Dedup {
       // grouped pipeline drops it at explode); without this filter every
       // empty doc would share one degenerate bucket per band
       .filter(size(col("__bases")) > 0)
-      .select(col("doc_id"), explode(array((0 until lshBands).map { b =>
-        def m(j: Int) = expr(
-          s"array_min(transform(__bases, x -> (${lshA(j)} * x + ${lshB(j)}) % $lshP))")
-        struct(lit(b).cast("long").as("band"),
-          concat_ws(",", m(2 * b), m(2 * b + 1)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      .select((col("doc_id") +: carry.map(col)) :+
+        explode(array((0 until lshBands).map { b =>
+          def m(j: Int) = expr(
+            s"array_min(transform(__bases, x -> (${lshA(j)} * x + ${lshB(j)}) % $lshP))")
+          struct(lit(b).cast("long").as("band"),
+            concat_ws(",", m(2 * b), m(2 * b + 1)).as("bh"))
+        }: _*)).as("bb"): _*)
+      .select(col("doc_id") +: col("bb.band") +: col("bb.bh") +:
+        carry.map(col): _*)
+
+  /** The full 16-slot MinHash signature per ROW — the q235 `sig` table
+    * pivoted to one `array<bigint>` column, computed with the SAME
+    * digest/affine-mix arithmetic as [[lshBandKeys]] (spec-pinned equal).
+    * Band `b`'s key is `concat(sig[2b], ",", sig[2b+1])` by construction,
+    * so a consumer holding the signature can derive every band key — the
+    * shape [[graft.streaming.Streams.neardupVerifyStream]] needs to judge
+    * candidates (slot-agreement fraction, q235's estimator) in the same
+    * stateful pass that finds them. Docs with no shingles yield no row. */
+  def lshSignatureRowwise(docsDf: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docsDf
+      .withColumn("__bases", expr(
+        s"""transform($shinglesExpr,
+           |  sh -> CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .filter(size(col("__bases")) > 0)
+      .select(col("doc_id") +: array((0 until lshK).map { j =>
+        expr(s"array_min(transform(__bases, x -> (${lshA(j)} * x + ${lshB(j)}) % $lshP))")
+      }: _*).as("sig") +: carry.map(col): _*)
+
+  /** Band keys derived from [[lshSignatureRowwise]]'s `sig` column —
+    * `(doc_id, band, bh, sig, carried…)`, one row per band, keeping the
+    * full signature alongside each band key. `bh` is the SAME
+    * `concat(m_{2b}, ",", m_{2b+1})` string as [[lshBandKeys]] (bands are
+    * contiguous 2-slot slices of the signature by construction). */
+  def lshBandsFromSignature(sigDf: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    sigDf
+      .select((col("doc_id") +: col("sig") +: carry.map(col)) :+
+        explode(array((0 until lshBands).map { b =>
+          struct(lit(b).cast("long").as("band"),
+            concat_ws(",", element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("bh"))
+        }: _*)).as("bb"): _*)
+      .select(col("doc_id") +: col("bb.band") +: col("bb.bh") +: col("sig") +:
+        carry.map(col): _*)
 
   val q43 = {
     Query.sql(

@@ -835,38 +835,218 @@ object Streams {
     * otherwise blow up silently. Re-delivered doc_ids (source replays)
     * are ignored — membership is exactly-once per bucket.
     */
-  def neardupStream(docs: DataFrame, maxBucket: Int = 4096): Dataset[NeardupPair] = {
+  def neardupStream(docs: DataFrame, maxBucket: Int = 4096,
+      retention: Option[String] = None, tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): Dataset[NeardupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.Dedup.lshBandKeysRowwise(docs)
-      .as[(Long, Long, String)]
-      .groupByKey { case (_, band, bh) => (band, bh) }
-      .flatMapGroupsWithState[Vector[Long], NeardupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Long, String), rows: Iterator[(Long, Long, String)],
-            state: GroupState[Vector[Long]]) =>
-          val seen = state.getOption.getOrElse(Vector.empty)
-          val seenSet = seen.toSet
-          val fresh = rows.map(_._1).toVector.distinct.sorted
-            .filterNot(seenSet)
-          if (fresh.isEmpty) Iterator.empty
-          else {
-            val out = Seq.newBuilder[NeardupPair]
-            for (n <- fresh; o <- seen) {
-              val (a, b) = if (o < n) (o, n) else (n, o)
-              out += NeardupPair(a, b, key._1)
+    retention match {
+      case None =>
+        graft.operators.Dedup.lshBandKeysRowwise(docs)
+          .as[(Long, Long, String)]
+          .groupByKey { case (_, band, bh) => (band, bh) }
+          .flatMapGroupsWithState[Vector[Long], NeardupPair](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (key: (Long, String), rows: Iterator[(Long, Long, String)],
+                state: GroupState[Vector[Long]]) =>
+              val seen = state.getOption.getOrElse(Vector.empty)
+              val seenSet = seen.toSet
+              val fresh = rows.map(_._1).toVector.distinct.sorted
+                .filterNot(seenSet)
+              if (fresh.isEmpty) Iterator.empty
+              else {
+                val out = Seq.newBuilder[NeardupPair]
+                for (n <- fresh; o <- seen) {
+                  val (a, b) = if (o < n) (o, n) else (n, o)
+                  out += NeardupPair(a, b, key._1)
+                }
+                for (i <- fresh.indices; j <- (i + 1) until fresh.length)
+                  out += NeardupPair(fresh(i), fresh(j), key._1)
+                val updated = seen ++ fresh
+                require(updated.size <= maxBucket,
+                  s"neardupStream: LSH bucket ${key._1}/${key._2} exceeded " +
+                    s"$maxBucket docs — degenerate near-identical content; " +
+                    "exact-dedup upstream or raise maxBucket deliberately")
+                state.update(updated)
+                out.result().iterator
+              }
+          }
+      case Some(horizon) =>
+        // windowed corpus: docs carry event time in `tsCol`; a pair is a
+        // candidate iff the two docs share a bucket AND their event times
+        // are within `horizon` of each other — batch LSH over the sliding
+        // corpus window. The pair filter alone defines the output (exact
+        // regardless of GC laxness); per-MEMBER eviction at
+        // ts < watermark − horizon is pure state GC and is exact because
+        // every future row has ts ≥ watermark (later rows are dropped by
+        // the watermark), so an evicted member can never pair again. A
+        // bucket whose members ALL expire drops its key via event-time
+        // timeout (armed at newest member + horizon — the idleHorizon
+        // pattern per-member); a re-ingested doc id whose membership
+        // expired is genuinely fresh, exactly as a windowed corpus
+        // re-admits returning content.
+        val rMs = durationMs(horizon)
+        graft.operators.Dedup.lshBandKeysRowwise(
+            docs.withColumn("__ts", col(tsCol).cast("timestamp")),
+            carry = Seq("__ts"))
+          .withWatermark("__ts", watermarkDelay)
+          .as[(Long, Long, String, Timestamp)]
+          .groupByKey { case (_, band, bh, _) => (band, bh) }
+          .flatMapGroupsWithState[Vector[(Long, Long)], NeardupPair](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (key: (Long, String), rows: Iterator[(Long, Long, String, Timestamp)],
+                state: GroupState[Vector[(Long, Long)]]) =>
+              val wm = state.getCurrentWatermarkMs()
+              val live = state.getOption.getOrElse(Vector.empty)
+                .filter(_._2 + rMs >= wm)
+              def persist(members: Vector[(Long, Long)]): Unit =
+                if (members.isEmpty) state.remove()
+                else {
+                  state.update(members)
+                  // re-arm at the newest member's expiry, floored at the
+                  // watermark so the call stays legal behind it
+                  state.setTimeoutTimestamp(
+                    math.max(members.map(_._2).max, wm), horizon)
+                }
+              if (state.hasTimedOut) { persist(live); Iterator.empty }
+              else {
+                val fresh = rows.map(r => (r._1, r._4.getTime)).toVector
+                  .sortBy { case (id, t) => (t, id) }
+                var members = live
+                var ids = members.map(_._1).toSet
+                val out = Seq.newBuilder[NeardupPair]
+                fresh.foreach { case (id, t) =>
+                  if (!ids(id)) {
+                    members.foreach { case (oid, ot) =>
+                      if (math.abs(t - ot) <= rMs) {
+                        val (a, b) = if (oid < id) (oid, id) else (id, oid)
+                        out += NeardupPair(a, b, key._1)
+                      }
+                    }
+                    members :+= ((id, t)); ids += id
+                  }
+                }
+                require(members.size <= maxBucket,
+                  s"neardupStream: LSH bucket ${key._1}/${key._2} exceeded " +
+                    s"$maxBucket docs within the retention window — " +
+                    "degenerate near-identical content; exact-dedup " +
+                    "upstream or raise maxBucket deliberately")
+                persist(members)
+                out.result().iterator
+              }
+          }
+    }
+  }
+
+  final case class NeardupVerdict(id_a: Long, id_b: Long, band: Long,
+      m16: Long, est: Double)
+
+  /** Streaming verify stage for near-duplicate candidates — the batch
+    * pipeline's downstream verdict (q235's slot-agreement estimator over
+    * q43's candidates) fused into the candidate-finding pass: without it
+    * a streaming consumer acts on raw band-collision noise. Each emitted
+    * pair carries `m16` (agreeing signature slots, integer-exact) and
+    * `est = m16/16` — the calibrated Jaccard estimate the batch
+    * calibration table (q235) maps to a dedup verdict; the consumer
+    * thresholds on it exactly as the batch pipeline does.
+    *
+    * Design: ONE flatMapGroupsWithState keyed by (band, bucket) whose
+    * members carry the full 16-slot signature — the candidate and its
+    * verdict are produced atomically. The alternative shapes both lose:
+    * chaining a second stateful operator (a doc_id-keyed signature store
+    * or a stream-stream join) after flatMapGroupsWithState is unsupported
+    * in append mode, and would in any case re-shuffle every candidate
+    * twice. The price is state: ~`bands × (sigLen + 2)` longs per corpus
+    * doc (≈1.2 KB at 8×16) versus neardupStream's ~`bands` — bounded by
+    * `retention` (the sliding-corpus window most verify deployments run)
+    * or accepted as the corpus index when dedup history IS the corpus.
+    * Same contracts as [[neardupStream]]: per-band emission (consumers
+    * dedup on (id_a, id_b); m16 is identical across shared bands),
+    * exactly-once membership under replay, loud per-bucket overflow,
+    * per-member window eviction behind the watermark when `retention` is
+    * set. */
+  def neardupVerifyStream(docs: DataFrame, maxBucket: Int = 4096,
+      retention: Option[String] = None, tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): Dataset[NeardupVerdict] = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rMs = retention.map(durationMs)
+    val banded = retention match {
+      case Some(_) =>
+        Dedup.lshBandsFromSignature(
+            Dedup.lshSignatureRowwise(
+              docs.withColumn("__ts", col(tsCol).cast("timestamp")),
+              carry = Seq("__ts")),
+            carry = Seq("__ts"))
+          .withWatermark("__ts", watermarkDelay)
+      case None =>
+        Dedup.lshBandsFromSignature(Dedup.lshSignatureRowwise(docs))
+          .withColumn("__ts", lit(new Timestamp(0L)))
+    }
+    val timeoutConf = if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.as[(Long, Long, String, Seq[Long], Timestamp)]
+      .groupByKey { case (_, band, bh, _, _) => (band, bh) }
+      .flatMapGroupsWithState[Vector[(Long, Long, Seq[Long])], NeardupVerdict](
+        OutputMode.Append, timeoutConf) {
+        (key: (Long, String),
+            rows: Iterator[(Long, Long, String, Seq[Long], Timestamp)],
+            state: GroupState[Vector[(Long, Long, Seq[Long])]]) =>
+          // legal only under EventTimeTimeout (a watermark exists then)
+          val wm = if (retention.isDefined) state.getCurrentWatermarkMs() else 0L
+          val prior = state.getOption.getOrElse(Vector.empty)
+          val live = rMs match {
+            case Some(r) => prior.filter(_._2 + r >= wm)
+            case None => prior
+          }
+          def persist(members: Vector[(Long, Long, Seq[Long])]): Unit =
+            if (members.isEmpty && retention.isDefined) state.remove()
+            else {
+              state.update(members)
+              if (retention.isDefined) state.setTimeoutTimestamp(
+                math.max(members.map(_._2).max, wm), retention.get)
             }
-            for (i <- fresh.indices; j <- (i + 1) until fresh.length)
-              out += NeardupPair(fresh(i), fresh(j), key._1)
-            val updated = seen ++ fresh
-            require(updated.size <= maxBucket,
-              s"neardupStream: LSH bucket ${key._1}/${key._2} exceeded " +
-                s"$maxBucket docs — degenerate near-identical content; " +
-                "exact-dedup upstream or raise maxBucket deliberately")
-            state.update(updated)
+          if (state.hasTimedOut) { persist(live); Iterator.empty }
+          else {
+            val fresh = rows.map(r => (r._1, r._5.getTime, r._4)).toVector
+              .sortBy { case (id, t, _) => (t, id) }
+            var members = live
+            var ids = members.map(_._1).toSet
+            val out = Seq.newBuilder[NeardupVerdict]
+            fresh.foreach { case (id, t, sig) =>
+              if (!ids(id)) {
+                members.foreach { case (oid, ot, osig) =>
+                  if (rMs.forall(r => math.abs(t - ot) <= r)) {
+                    val m16 = sig.iterator.zip(osig.iterator)
+                      .count { case (a, b) => a == b }.toLong
+                    val (a, b) = if (oid < id) (oid, id) else (id, oid)
+                    out += NeardupVerdict(a, b, key._1, m16, m16 / 16.0)
+                  }
+                }
+                members :+= ((id, t, sig)); ids += id
+              }
+            }
+            require(members.size <= maxBucket,
+              s"neardupVerifyStream: LSH bucket ${key._1}/${key._2} " +
+                s"exceeded $maxBucket docs — degenerate near-identical " +
+                "content; exact-dedup upstream or raise maxBucket " +
+                "deliberately")
+            persist(members)
             out.result().iterator
           }
       }
+  }
+
+  /** Exact-duration string ("2 hours", "90 days") → milliseconds; months
+    * are refused (not a fixed span, and member-expiry arithmetic needs
+    * one). */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0,
+      s"retention '$s' must be an exact duration (days or smaller)")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** Streaming twin of the TrainQualityClassifier QUALITY GATE
