@@ -169,13 +169,22 @@ object Bench {
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val ratio = if (calibStart > 0) calibEnd / calibStart else 1.0
+      // calibration-normalized total: seconds of bench work per second of
+      // the fixed-shape calibration job on the same data, i.e. host-speed
+      // units divided out. Cross-round comparisons of the SAME artifact
+      // use this, not raw totals — this host drifts ±30% on the hour
+      // scale (r11's driver bench read 1.17× median vs r10 purely from a
+      // slow host window).
+      val calibMean = (calibStart + calibEnd) / 2
+      val totalNorm = if (calibMean > 0) total / calibMean else total
       val sweptMap = swept.toMap
       val retr = retried.toSeq.sortBy(_._1).map { case (n, r) =>
         "\"" + keyOf(n) + "\":[" + f3(sweptMap(n)) + "," + f3(r) + "]"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
-        s""","calib_ratio":${f3(ratio)},"contended":${retried.nonEmpty}""" +
+        s""","calib_ratio":${f3(ratio)},"calib_mean":${f3(calibMean)}""" +
+        s""","total_norm":${f3(totalNorm)},"contended":${retried.nonEmpty}""" +
         s""","retried":$retr,"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(

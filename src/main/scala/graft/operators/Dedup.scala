@@ -1667,23 +1667,64 @@ object Dedup {
         // n-literal pattern): average cluster ≈ 512 ⇒ linear total pair
         // work; floor at 8 keeps the sf0.01 oracle output unchanged
         val k = math.max(8L, Tables.load(s, dir, "embeddings").count() / 512L)
+        // argmin fold over a broadcast centroid array (q135's machinery:
+        // strict < keeps the lowest cluster id on ties; the array is
+        // cl-sorted so "first seen" IS "lowest id")
+        def argmin(arr: String): org.apache.spark.sql.Column = expr(
+          s"""aggregate($arr,
+             |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
+             |               'cl', CAST(-1 AS BIGINT)),
+             |  (acc, sd) -> CASE WHEN ${dspExpr("embedding", "sd.c")} < acc.dsp
+             |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
+             |                      'cl', sd.cl)
+             |    ELSE acc END).cl""".stripMargin)
         val seeds = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("scl"), col("embedding").as("c"))
           .agg(expr("array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
             .as("seeds"))
-        // map-side argmin against the broadcast seed set (q135's fold:
-        // strict < keeps the lowest cluster id on ties).
-        val assigned = e.crossJoin(broadcast(seeds))
-          .select(col("vec_id"),
-            col("embedding"),
-            expr(
-              s"""aggregate(seeds,
-                 |  named_struct('dsp', CAST(9223372036854775807 AS BIGINT),
-                 |               'cl', CAST(-1 AS BIGINT)),
-                 |  (acc, sd) -> CASE WHEN ${dspExpr("embedding", "sd.c")} < acc.dsp
-                 |    THEN named_struct('dsp', ${dspExpr("embedding", "sd.c")},
-                 |                      'cl', sd.cl)
-                 |    ELSE acc END).cl""".stripMargin).as("cl"))
+        // Assignment cost is n·k distance folds and k ∝ n, so the flat
+        // argmin is QUADRATIC — the round-12 probe measured exp_tail 1.44
+        // (the r11 "k ∝ n ⇒ linear" note priced only the within-cluster
+        // pair stage and missed this term). Past k0 = 64 centroids the
+        // assignment goes TWO-LEVEL (the IVF/coarse-quantizer shape every
+        // vector index uses at scale, nprobe = 1): ⌈√k⌉ super-centroids
+        // (the first ⌈√k⌉ seeds — drawn from the same distribution as the
+        // k centroids, so per-super centroid load concentrates around √k
+        // even on clustered corpora), each point pays √k + load(super)
+        // ≈ 2√k folds instead of k. Nearest-super-then-nearest-member is
+        // a PROCEDURE, not the exact global argmin — a boundary point may
+        // assign to a neighboring cell, the same Voronoi approximation
+        // SemDeDup already accepts — and the DuckDB oracle replicates the
+        // identical two-step rule, so the output stays hash-exact. Below
+        // k0 the flat argmin is cheaper than two stages; the k0 switch is
+        // computed from COUNT(*) on both engines, and k at sf ≤ 1 stays
+        // under it, so every previously pinned output is unchanged.
+        val assigned = if (k < 64) {
+          e.crossJoin(broadcast(seeds))
+            .select(col("vec_id"), col("embedding"), argmin("seeds").as("cl"))
+        } else {
+          val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
+          val sups = e.filter(col("vec_id") < k2)
+            .select(col("vec_id").as("scl"), col("embedding").as("c"))
+            .agg(expr(
+              "array_sort(collect_list(named_struct('cl', scl, 'c', c)))")
+              .as("sups"))
+          // centroid → super (k·√k folds, negligible), then pack each
+          // super's member centroids into one broadcastable array
+          val bySup = e.filter(col("vec_id") < k)
+            .crossJoin(broadcast(sups))
+            .select(col("vec_id").as("ccl"), col("embedding").as("cvec"),
+              argmin("sups").as("sup"))
+            .groupBy("sup")
+            .agg(expr(
+              "array_sort(collect_list(named_struct('cl', ccl, 'c', cvec)))")
+              .as("members"))
+          e.crossJoin(broadcast(sups))
+            .withColumn("sup", argmin("sups"))
+            .join(broadcast(bySup), "sup")
+            .select(col("vec_id"), col("embedding"),
+              argmin("members").as("cl"))
+        }
         // NOTE the a×b self-join below shows the assignment subtree (and
         // its embeddings scan) TWICE in the initial plan — but the join
         // keys both sides on cl, the two shuffle exchanges canonicalize
@@ -1706,31 +1747,70 @@ object Dedup {
           .select(col("cl").as("cluster"), col("id_dup"), col("kept_as"))
           .orderBy("id_dup")
       },
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS cl, embedding AS c FROM embeddings
-         |  WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 512) FROM embeddings)),
-         |dists AS (
-         |  SELECT e.vec_id, e.embedding, s.cl,
-         |    CAST(FLOOR(1e9 * list_sum(list_transform(list_zip(e.embedding, s.c),
-         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
-         |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
-         |      AS BIGINT) AS dsp
-         |  FROM embeddings e, seeds s),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cl FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsp, cl)
-         |      AS rn FROM dists)
-         |  WHERE rn = 1)
-         |SELECT a.cl AS cluster, b.vec_id AS id_dup, MIN(a.vec_id) AS kept_as
-         |FROM assigned a JOIN assigned b
-         |  ON a.cl = b.cl AND a.vec_id < b.vec_id
-         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) > 0.4
-         |GROUP BY a.cl, b.vec_id ORDER BY id_dup""".stripMargin)
+      {
+        // the same floor-scaled squared distance on both engines
+        def d(x: String, y: String): String =
+          s"""CAST(FLOOR(1e9 * list_sum(list_transform(list_zip($x, $y),
+             |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+             |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))
+             |      AS BIGINT)""".stripMargin
+        // two assignment branches, guarded by the SAME k0 = 64 switch the
+        // Spark side computes from COUNT(*); the inactive branch is empty
+        s"""WITH params AS (
+           |  SELECT GREATEST(8, COUNT(*) // 512) AS k,
+           |    CAST(CEIL(SQRT(GREATEST(8, COUNT(*) // 512))) AS BIGINT) AS k2
+           |  FROM embeddings),
+           |seeds AS (
+           |  SELECT vec_id AS cl, embedding AS c FROM embeddings
+           |  WHERE vec_id < (SELECT k FROM params)),
+           |dists AS (
+           |  SELECT e.vec_id, e.embedding, s.cl,
+           |    ${d("e.embedding", "s.c")} AS dsp
+           |  FROM embeddings e, seeds s
+           |  WHERE (SELECT k FROM params) < 64),
+           |asg1 AS (
+           |  SELECT vec_id, embedding, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsp, cl)
+           |      AS rn FROM dists)
+           |  WHERE rn = 1),
+           |sups AS (
+           |  SELECT vec_id AS scl, embedding AS c FROM embeddings
+           |  WHERE vec_id < (SELECT k2 FROM params)
+           |    AND (SELECT k FROM params) >= 64),
+           |csup AS (
+           |  SELECT cl, cvec, scl FROM (
+           |    SELECT s.cl, s.c AS cvec, p.scl,
+           |      row_number() OVER (PARTITION BY s.cl
+           |        ORDER BY ${d("s.c", "p.c")}, p.scl) AS rn
+           |    FROM seeds s, sups p)
+           |  WHERE rn = 1),
+           |psup AS (
+           |  SELECT vec_id, embedding, scl FROM (
+           |    SELECT e.vec_id, e.embedding, p.scl,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${d("e.embedding", "p.c")}, p.scl) AS rn
+           |    FROM embeddings e, sups p)
+           |  WHERE rn = 1),
+           |asg2 AS (
+           |  SELECT vec_id, embedding, cl FROM (
+           |    SELECT pt.vec_id, pt.embedding, cs.cl,
+           |      row_number() OVER (PARTITION BY pt.vec_id
+           |        ORDER BY ${d("pt.embedding", "cs.cvec")}, cs.cl) AS rn
+           |    FROM psup pt JOIN csup cs ON pt.scl = cs.scl)
+           |  WHERE rn = 1),
+           |assigned AS (
+           |  SELECT * FROM asg1 UNION ALL SELECT * FROM asg2)
+           |SELECT a.cl AS cluster, b.vec_id AS id_dup, MIN(a.vec_id) AS kept_as
+           |FROM assigned a JOIN assigned b
+           |  ON a.cl = b.cl AND a.vec_id < b.vec_id
+           |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))) > 0.4
+           |GROUP BY a.cl, b.vec_id ORDER BY id_dup""".stripMargin
+      })
   }
 
   // -- q365: winnowing fingerprints (MOSS local document fingerprinting) ----

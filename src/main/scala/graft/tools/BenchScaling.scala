@@ -45,13 +45,33 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScaling {
 
-  /** Top-10 heavies from the committed sf1 rehearsal (BENCH_SF1.json). */
+  /** Top heavies from the committed sf1 rehearsal (BENCH_SF1.json), plus
+    * q356/q357 (both in the sf3 top-5 cost, neither previously slope-
+    * measured in one JVM — their cross-artifact sf1→sf3 ratios were
+    * confounded by host drift and the mid-round k∝n change, VERDICT r11
+    * #3). */
   val heavies: Seq[String] = Seq(
     "q264_link_prediction", "q283_item_cf_recommend",
     "q248_coshipment_similarity", "q122_zorder_stats",
     "q305_blockhash_neardup", "q170_personalized_pagerank",
     "q236_hits", "q119_pagerank", "q252_weighted_pagerank",
-    "q218_weighted_median")
+    "q218_weighted_median", "q356_substring_dedup_apply",
+    "q357_semdedup")
+
+  /** Queries that run far points past sf3 (VERDICT r11 #2): their
+    * sf1→sf3 super-linearity is a measured output-cardinality crossover
+    * (distinct pairs filling their key space) whose in-source model —
+    * distinct = space·(1−e^(−raw/space)), validated against the
+    * DuckDB-counted 41.7M→202.8M pairs at sf1→sf3 — predicts the
+    * exponent rolls off back toward 1 as the pair space saturates; the
+    * far points turn that prediction into data. q264 rolls off by sf6
+    * (measured exp_last 0.88). q248's OUTPUT cardinality itself still
+    * grows at slope ~1.20 at sf3→sf6 (model 2.29×, drift-free A/B
+    * measured 2.33×; no exact plan can beat its own output), so its
+    * gate point is sf6→sf12, where the model says 2.15× (slope 1.10):
+    * the artifact gates q248's LAST-interval slope at <1.15 there. */
+  val farPoint: Map[String, Int] = Map(
+    "q264_link_prediction" -> 4, "q248_coshipment_similarity" -> 5)
 
   /** Least-squares slope of log(y) vs log(x). */
   def slope(xs: Seq[Double], ys: Seq[Double]): Double = {
@@ -69,7 +89,11 @@ object BenchScaling {
     val sfs: Seq[(Double, String)] = Seq(
       0.1 -> "/root/testdata/sf0.1",
       1.0 -> "/root/repo/testdata-sf1",
-      3.0 -> "/root/repo/testdata-sf3")
+      3.0 -> "/root/repo/testdata-sf3",
+      6.0 -> "/root/repo/testdata-sf6",
+      12.0 -> "/root/repo/testdata-sf12")
+    def sfsFor(name: String): Seq[(Double, String)] =
+      sfs.take(farPoint.getOrElse(name, 3))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -120,7 +144,7 @@ object BenchScaling {
     // the drift is flat, so the ratio is drift-immune.
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
     for (name <- heavies) {
-      for ((sf, dir) <- sfs) {
+      for ((sf, dir) <- sfsFor(name)) {
         Tables.names.foreach(n => Tables.load(spark, dir, n).count())
         val best = bestOf3(name, dir)
         times(name) = times.getOrElse(name, Vector.empty) :+ best
@@ -130,14 +154,16 @@ object BenchScaling {
 
     // post-sweep self-defense: re-run any point >2× its committed same-SF
     // rehearsal reference and keep the better best-of-3 (both recorded;
-    // the one-sided keep-better bias is disclosed via retried/contended)
+    // the one-sided keep-better bias is disclosed via retried/contended).
+    // sf6 has no rehearsal artifact to reference — its defense is the
+    // adjacent-point construction plus the warm best-of-3 alone.
     val refFiles = Map(0.1 -> "BENCH_SELF.json", 1.0 -> "BENCH_SF1.json",
       3.0 -> "BENCH_SF3.json")
     val retriedPoints = Seq.newBuilder[(String, Double, Double, Double)]
     for (((sf, dir), idx) <- sfs.zipWithIndex) {
       val ref = refFiles.get(sf)
         .map(Bench.loadReference(_, dir)).getOrElse(Map.empty)
-      val susp = heavies.filter(n =>
+      val susp = heavies.filter(n => sfsFor(n).size > idx &&
         ref.get(n).exists(r => r > 0 && times(n)(idx) > 2.0 * r))
       if (susp.nonEmpty) {
         Tables.names.foreach(n => Tables.load(spark, dir, n).count())
@@ -153,25 +179,33 @@ object BenchScaling {
     val calibEnd = calibrate(sfs.head._2)
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val sfVals = sfs.map(_._1)
+    def interval(ts: Vector[Double], vals: Seq[Double], i: Int): Double =
+      math.log(ts(i) / ts(i - 1)) / math.log(vals(i) / vals(i - 1))
     val entries = heavies.map { name =>
+      val vals = sfsFor(name).map(_._1)
       val ts = times(name)
-      val expFit = slope(sfVals, ts)
-      val expTail = math.log(ts(2) / ts(1)) / math.log(sfVals(2) / sfVals(1))
+      val expFit = slope(vals, ts)
+      // exp_tail stays the sf1→sf3 segment for every query (comparable
+      // across rounds and to the <1.3 gate); 4-point queries additionally
+      // report exp_last, the sf3→sf6 interval — the saturation readout
+      val expTail = interval(ts, vals, 2)
+      val expLast =
+        if (ts.size > 3) Some(interval(ts, vals, ts.size - 1)) else None
       val flag = if (expTail >= 1.3) ",\"investigate\":true" else ""
-      s""""$name":{"sec":[${ts.map(f3).mkString(",")}]""" +
-        s""","exp_fit":${f3(expFit)},"exp_tail":${f3(expTail)}$flag}"""
+      val last = expLast.map(e => s""","exp_last":${f3(e)}""").getOrElse("")
+      s""""$name":{"sfs":[${vals.map(f3).mkString(",")}]""" +
+        s""","sec":[${ts.map(f3).mkString(",")}]""" +
+        s""","exp_fit":${f3(expFit)},"exp_tail":${f3(expTail)}$last$flag}"""
     }
     val worst = heavies.map { n =>
-      val ts = times(n)
-      math.log(ts(2) / ts(1)) / math.log(sfVals(2) / sfVals(1))
+      interval(times(n), sfsFor(n).map(_._1), 2)
     }.max
     val retr = retriedPoints.result().map { case (n, sf, orig, retry) =>
       s""""$n@sf${f3(sf)}":[${f3(orig)},${f3(retry)}]"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scaling_exponent_max","value":${f3(worst)},"unit":"exp"""" +
-        s""","sfs":[${sfVals.map(f3).mkString(",")}]""" +
+        s""","sfs":[${sfs.map(p => f3(p._1)).mkString(",")}]""" +
         s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
         s""","calib_ratio":${f3(if (calibStart > 0) calibEnd / calibStart else 1.0)}""" +
         s""","contended":${retriedPoints.result().nonEmpty},"retried":$retr""" +
