@@ -1645,12 +1645,16 @@ object Dedup {
     * id, and the quadratic comparison runs inside clusters only — with
     * k ∝ corpus size (the paper uses k ≈ n/10⁴) per-cluster work stays
     * bounded. k scales as max(8, n/512) — average cluster ≈ 512 vectors,
-    * so total pair work is ~256·n, LINEAR in corpus size (a fixed k=8
-    * measured exactly quadratic: sf1 4.8 s → sf3 48 s on 3× data; the
-    * round-11 sf3 tier caught it). The oracle computes the same k from
-    * its own COUNT(*), so the pinned sf0.01 output (n=500 → k=8) is
-    * unchanged. Hot whale clusters would be capped per-key the same way
-    * q248 caps suppliers-per-part.
+    * so total PAIR work is ~256·n, linear (a fixed k=8 measured exactly
+    * quadratic: sf1 4.8 s → sf3 48 s on 3× data; the round-11 sf3 tier
+    * caught it). The ASSIGNMENT term is n·k folds — quadratic under
+    * k ∝ n; the round-12 probe measured it (exp_tail 1.44), so past 64
+    * centroids the assignment is two-level (see the in-code note below):
+    * ~2√k folds per point, leaving the linear pair stage dominant at
+    * every probed SF. The oracle computes the same k and the same k0=64
+    * switch from its own COUNT(*), so the pinned sf0.01 output (n=500 →
+    * k=8) is unchanged. Hot whale clusters would be capped per-key the
+    * same way q248 caps suppliers-per-part.
     */
   val q357 = {
     def dspExpr(e: String, c: String): String =

@@ -861,7 +861,18 @@ object Graph {
       // same packed agg key as q264: the pair aggregation dominates at
       // scale (identical distinct-pair cardinality crossover — one
       // 8-byte key through the hash aggregates instead of a two-long
-      // struct); valid while suppkeys stay under 2³¹
+      // struct); valid while suppkeys stay under 2³¹.
+      // Crossover arithmetic (round 12): distinct pairs follow
+      // space·(1−e^(−raw/space)) with raw ∝ sf and space = C(10k·sf, 2)
+      // ∝ sf² — the model reproduces the DuckDB-counted 41.7M→202.8M at
+      // sf1→sf3 and predicts 2.29× at sf3→sf6 (drift-free A/B measured
+      // 2.33×: time tracks OUTPUT cardinality exactly, and no exact plan
+      // beats its own output) and 2.15× (slope 1.10) at sf6→sf12 — the
+      // probe's far-point gate. A manual two-level (pk-shard, pair)
+      // partial agg was considered and rejected: within a part each pair
+      // occurs once, so Spark's built-in map-side partial agg already
+      // captures all available compression (≤15% at sf6); measured
+      // initialPartitionNum=256 A/B showed no win (112 vs 114 s at sf6).
       val pairs = eCap.as("a").join(eCap.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .select((col("a.sk") * lit(4294967296L) + col("b.sk")).as("pair"))

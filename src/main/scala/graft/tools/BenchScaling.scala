@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Scaling-exponent probe: the sf1 rehearsal shows the heavy tail is
   * sublinear at ONE 10× datapoint; this tool measures the exponent
-  * directly. `runMain graft.tools.BenchScaling` times the top-10 sf1
-  * heavies at sf0.1 / sf1 / sf3 (generate the latter two with
-  * [[GenSf]]), fits the least-squares slope of log(time) vs log(sf) per
-  * query, and writes BENCH_SCALING.json with the three timings and two
+  * directly. `runMain graft.tools.BenchScaling` times the heaviest
+  * queries at sf0.1 / sf1 / sf3 — plus sf6/sf12 far points for the
+  * [[farPoint]] crossover pair (generate the non-sf0.1 corpora with
+  * [[GenSf]]) — fits the least-squares slope of log(time) vs log(sf)
+  * per query, and writes BENCH_SCALING.json with the timings and the
   * exponents:
   *
   *  - `exp_fit`  — slope over all three points. The sf0.1 point sits on
@@ -26,9 +27,9 @@ import org.apache.spark.sql.SparkSession
   * investigate before trusting it).
   *
   * Timing discipline matches [[graft.Bench]]: warm table-cache + codegen
-  * per SF, median of 3 runs per query, blocking cache drop off the clock
-  * between runs, calibration stamp at start and end so a contended
-  * machine is self-evident in the artifact.
+  * per SF, one untimed warm run then best-of-3 per point, blocking cache
+  * drop off the clock between runs, calibration stamp at start and end
+  * so a contended machine is self-evident in the artifact.
   *
   * Self-defense (the Bench retry discipline, tightened): after the full
   * sweep, any (query, sf) point that measured >2× its committed same-SF
