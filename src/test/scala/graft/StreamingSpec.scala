@@ -944,6 +944,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("neardupVerifyStream with retention judges only in-window pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the windowed verify path: same member-expiry rule as neardupStream
+    // retention, verdicts only for pairs within the horizon
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val day0 = t("2024-01-01 00:00:00").getTime
+    def tsOf(id: Long) = new java.sql.Timestamp(day0 + (id % 5) * 86400000L)
+    val docsDf = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val sigOf = graft.operators.Dedup.lshSignatureRowwise(docsDf)
+      .as[(Long, Seq[Long])].collect().toMap
+    val grouped = graft.operators.Dedup.lshBandKeys(docsDf)
+      .as[(Long, Long, String)].collect().toSeq
+    val want = grouped.groupBy(r => (r._2, r._3)).values.flatMap { ds =>
+      val ids = ds.map(_._1).distinct.sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if math.abs(tsOf(ids(i)).getTime - tsOf(ids(j)).getTime) <=
+          2L * 86400000
+      } yield {
+        val m16 = sigOf(ids(i)).iterator.zip(sigOf(ids(j)).iterator)
+          .count { case (a, b) => a == b }
+        (ids(i), ids(j), m16.toLong)
+      }
+    }.toSet
+    val unwindowed = grouped.groupBy(r => (r._2, r._3)).values.flatMap { ds =>
+      val ids = ds.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    assert(want.nonEmpty && unwindowed.size > want.size,
+      "the 2-day window must exclude at least one pair")
+    val rows = docsDf.as[(Long, String)].collect().toSeq
+      .map { case (id, tx) => (id, tx, tsOf(id)) }.sortBy(_._3.getTime)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nvwin").toString
+    val q = Streams.neardupVerifyStream(
+        mem.toDS().toDF("doc_id", "text", "ts"),
+        retention = Some("2 days"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("nvwin_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      def batchFor(days: Set[Long]) =
+        rows.filter(r => days((r._3.getTime - day0) / 86400000L))
+      mem.addData(batchFor(Set(0L, 1L)): _*); q.processAllAvailable()
+      mem.addData(batchFor(Set(2L, 3L)): _*); q.processAllAvailable()
+      mem.addData(batchFor(Set(4L)): _*); q.processAllAvailable()
+      val got = spark.table("nvwin_test")
+        .select("id_a", "id_b", "m16").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"windowed verify diverged: ${got.size} vs ${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("ewmaStream equals batch q241 bit-for-bit across a batch boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
