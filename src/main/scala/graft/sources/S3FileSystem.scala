@@ -731,7 +731,11 @@ class GraftS3FileSystem extends FileSystem {
     if (i <= 0) return // not a committer path, or _temporary at the root
     val dest = parts.take(i).mkString("/") + "/"
     if (sweptPrefixes.add(dest)) {
-      val n = abortStaleUploads(dest, age)
+      // un-mark on failure: setupJob fails loud, and the RETRIED job in
+      // this same FS instance must run the janitor again rather than
+      // find the prefix silently marked as already swept
+      val n = try abortStaleUploads(dest, age)
+        catch { case e: Throwable => sweptPrefixes.remove(dest); throw e }
       if (n > 0) FileSystem.LOG.info(
         s"aborted $n stale multipart upload(s) under s3a://$bucket/$dest " +
           s"(older than ${age}ms) at job setup")

@@ -1021,7 +1021,10 @@ object Streams {
                     val m16 = sig.iterator.zip(osig.iterator)
                       .count { case (a, b) => a == b }.toLong
                     val (a, b) = if (oid < id) (oid, id) else (id, oid)
-                    out += NeardupVerdict(a, b, key._1, m16, m16 / 16.0)
+                    // denominator = the signature length actually in play,
+                    // so the estimator tracks Dedup's sigLen if it changes
+                    out += NeardupVerdict(a, b, key._1, m16,
+                      m16.toDouble / sig.size)
                   }
                 }
                 members :+= ((id, t, sig)); ids += id
