@@ -399,6 +399,69 @@ class S3Spec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("janitor sweep is idempotent across FS instances sweeping the same dest") {
+    // VERDICT r12 #7: sweptPrefixes dedups per FS INSTANCE — on a real
+    // cluster many executor JVMs each sweep the same dest once. Prove
+    // the concurrent multi-instance shape: both sweeps complete (the
+    // second abort of an already-aborted upload is a server-side no-op),
+    // live young uploads survive, and the commit is untouched.
+    val em = new S3Emulator()
+    try {
+      configure(em, creds = false)
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.s3a.multipart.size", "1024") // force MPUs on the wire
+      c.set("fs.s3a.committer.stale.upload.age.ms", "3600000") // 1 h
+      try {
+        val uri = java.net.URI.create("s3a://bucket/")
+        // newInstance: two REAL instances (the per-JVM cache would hand
+        // back one object and the test would only re-prove sweptPrefixes)
+        val fs1 = org.apache.hadoop.fs.FileSystem.newInstance(uri, c)
+          .asInstanceOf[graft.sources.GraftS3FileSystem]
+        val fs2 = org.apache.hadoop.fs.FileSystem.newInstance(uri, c)
+          .asInstanceOf[graft.sources.GraftS3FileSystem]
+        try {
+          // a predecessor's crashed upload: stale, sweepable
+          val dead = fs1.create(new org.apache.hadoop.fs.Path(
+            "s3a://bucket/out/data/_temporary/0/_temporary/attempt_dead/part-0"),
+            true)
+          dead.write(Array.fill[Byte](2000)(9))
+          em.backdateUploads(7200L * 1000)
+          // a concurrent writer's live young upload on the same prefix
+          val live = fs2.create(new org.apache.hadoop.fs.Path(
+            "s3a://bucket/out/data/_temporary/0/_temporary/attempt_live/part-9"),
+            true)
+          live.write(Array.fill[Byte](2000)(3))
+          assert(em.inFlightUploads == 2)
+          // both instances hit their setupJob moment concurrently
+          val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val threads = Seq(fs1, fs2).zipWithIndex.map { case (fs, i) =>
+            new Thread(() =>
+              try fs.mkdirs(new org.apache.hadoop.fs.Path(
+                s"s3a://bucket/out/data/_temporary/0/_temporary/attempt_job$i"))
+              catch { case e: Throwable => errs.add(e) })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          assert(errs.isEmpty, s"a concurrent sweep failed: ${errs.peek()}")
+          // exactly the stale orphan is gone — aborted once, server-side
+          // no-op for whoever lost the race — and the live upload survives
+          assert(em.abortedUploadIds.size == 1,
+            s"aborted=${em.abortedUploadIds}")
+          assert(em.inFlightUploads == 1, "the live young upload must survive")
+          live.close()
+          // the zero-copy commit path is untouched by the double sweep
+          val df = Tables.load(spark, sf0001, "region")
+          df.write.mode("overwrite").parquet("s3a://bucket/out/data")
+          assert(em.copiedDataBytes == 0L,
+            s"commit copied ${em.copiedDataBytes} data bytes")
+          assert(spark.read.parquet("s3a://bucket/out/data").count() == df.count())
+        } finally { fs1.close(); fs2.close() }
+      } finally {
+        c.unset("fs.s3a.multipart.size")
+        c.unset("fs.s3a.committer.stale.upload.age.ms")
+      }
+    } finally em.stop()
+  }
+
   test("rename above the single-COPY cap goes through UploadPartCopy") {
     val em = new S3Emulator()
     try {

