@@ -412,9 +412,87 @@ class ExamplesSpec extends SparkSpec {
     assert(batch == expected, s"batch oracle got $batch")
   }
 
+  test("streaming ingest dedup: incremental verdicts, decision equals batch replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // VERDICT r12 #6: the end-to-end neardupVerifyStream pipeline —
+    // documents land as files, verdicts accumulate, the thresholded
+    // decision joins back to the corpus. Golden-checked against a batch
+    // replay of the SAME rule (pairs from the oracle-anchored band keys,
+    // m16 from the signatures, drop the larger id of a confirmed pair).
+    val work = tmp()
+    val docsDir = s"$work/docs"; new java.io.File(docsDir).mkdirs()
+    val edges = s"$work/dup_edges"; val unique = s"$work/unique"
+    val ckpt = s"$work/ckpt"
+    val all = Tables.load(spark, sf0001, "documents")
+    def drop(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$work/stage_$tag"
+      df.coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$docsDir/$tag-$i.parquet"))
+        }
+    }
+    // batch replay of the online rule over a doc subset
+    def oracle(docs: org.apache.spark.sql.DataFrame): (Set[(Long, Long, Long)], Set[Long]) = {
+      val d = docs.select("doc_id", "text")
+      val sigOf = graft.operators.Dedup.lshSignatureRowwise(d)
+        .as[(Long, Seq[Long])].collect().toMap
+      val pairs = graft.operators.Dedup.lshBandKeys(d)
+        .as[(Long, Long, String)].collect().toSeq
+        .groupBy(r => (r._2, r._3)).values.flatMap { ds =>
+          val ids = ds.map(_._1).distinct.sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length) yield {
+            val m16 = sigOf(ids(i)).iterator.zip(sigOf(ids(j)).iterator)
+              .count { case (a, b) => a == b }
+            (ids(i), ids(j), m16.toLong)
+          }
+        }.toSet
+      val confirmed = pairs.filter(_._3 >= 8L)
+      (confirmed, confirmed.map(_._2))
+    }
+    def uniqueIds() = spark.read.parquet(unique)
+      .select("doc_id").as[Long].collect().toSet
+    // drop 1: the first half of the corpus, by ingest id
+    drop("d1", all.filter(col("doc_id") < 250))
+    StreamingIngestDedup.refresh(spark, docsDir, edges, unique, ckpt)
+    val (_, drops1) = oracle(all.filter(col("doc_id") < 250))
+    val ids1 = all.filter(col("doc_id") < 250)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uniqueIds() == ids1 -- drops1,
+      s"after drop 1: ${uniqueIds().size} vs ${(ids1 -- drops1).size}")
+    // drop 2: the rest lands; refresh processes ONLY the new files, but
+    // new docs pair against the accumulated stream state — the decision
+    // must equal the batch replay over the WHOLE corpus
+    drop("d2", all.filter(col("doc_id") >= 250))
+    StreamingIngestDedup.refresh(spark, docsDir, edges, unique, ckpt)
+    val (confirmed, dropsAll) = oracle(all)
+    val allIds = all.select("doc_id").as[Long].collect().toSet
+    assert(dropsAll.nonEmpty, "fixture must contain confirmed near-dups")
+    assert(drops1.size < dropsAll.size,
+      "drop 2 must confirm additional duplicates")
+    assert(uniqueIds() == allIds -- dropsAll,
+      s"final: ${uniqueIds().size} vs ${(allIds -- dropsAll).size}")
+    // the maintained edge table IS the confirmed verdict set, m16 intact
+    val gotEdges = spark.read.parquet(edges)
+      .select("id_a", "id_b", "m16")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotEdges == confirmed,
+      s"edges: ${gotEdges.size} vs ${confirmed.size}")
+    // golden pins: silent changes to banding/threshold fail here
+    assert(allIds.size == 500, s"corpus size ${allIds.size}")
+    assert(uniqueIds().size == GOLD_STREAM_UNIQUE,
+      s"unique count ${uniqueIds().size}")
+  }
+
   // Golden values pinned from the first sf0.1 run (see test above).
   private val GOLD_DEDUP_KEPT = 4756L
   private val GOLD_QUALITY_KEPT = 4507L
   private val GOLD_CLEAN_KEPT = 3169L
   private val GOLD_MIXED_KEPT = 2739L
+  // Pinned from the first sf0.001 streaming-ingest-dedup run: 500 docs
+  // in, 24 confirmed near-dups (m16 >= 8) dropped.
+  private val GOLD_STREAM_UNIQUE = 476L
 }
