@@ -133,7 +133,19 @@ object Bench {
     // worth sub-second per-query effects.
     if (sys.env.get("SPARK_GRAFT_WARM_SWEEP").contains("true"))
       selected.foreach { case (_, fn) => once(fn); () }
-    val swept = selected.map { case (name, fn) =>
+    // Interleaved calibration timeline (round 13): a start/end bracket
+    // cannot characterize a host whose speed swings ±30–60% inside one
+    // session (observed 0.53→1.31) — BENCH_SF1 twice missed its
+    // calib_ratio band on pure drift. Every SPARK_GRAFT_CALIB_EVERY
+    // queries (default 16, ~1 s each) the fixed-shape job runs again;
+    // the artifact stamps the whole timeline, its spread, and a
+    // calib_mean over ALL points, so a drift segment is localized in
+    // the artifact instead of relitigated in prose.
+    val calibEvery = sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "16").toInt
+    val calibMid = Seq.newBuilder[Double]
+    val swept = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (calibEvery > 0 && i > 0 && i % calibEvery == 0)
+        calibMid += calibrate()
       val a = once(fn)
       val b = if (a < 0) -1.0 else once(fn)
       val v =
@@ -174,16 +186,24 @@ object Bench {
       // units divided out. Cross-round comparisons of the SAME artifact
       // use this, not raw totals — this host drifts ±30% on the hour
       // scale (r11's driver bench read 1.17× median vs r10 purely from a
-      // slow host window).
-      val calibMean = (calibStart + calibEnd) / 2
+      // slow host window). calib_mean averages the WHOLE timeline
+      // (start, every interleaved point, end), so a mid-run drift
+      // segment is weighted by how long it lasted, not by whether it
+      // happened to cover an endpoint.
+      val calibAll = calibStart +: (calibMid.result() :+ calibEnd)
+      val calibMean = calibAll.sum / calibAll.size
       val totalNorm = if (calibMean > 0) total / calibMean else total
       val sweptMap = swept.toMap
       val retr = retried.toSeq.sortBy(_._1).map { case (n, r) =>
         "\"" + keyOf(n) + "\":[" + f3(sweptMap(n)) + "," + f3(r) + "]"
       }.mkString("{", ",", "}")
+      val spread =
+        if (calibAll.forall(_ > 0)) calibAll.max / calibAll.min else -1.0
       s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
         s""","calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}""" +
         s""","calib_ratio":${f3(ratio)},"calib_mean":${f3(calibMean)}""" +
+        s""","calib_points":[${calibAll.map(f3).mkString(",")}]""" +
+        s""","calib_spread":${f3(spread)}""" +
         s""","total_norm":${f3(totalNorm)},"contended":${retried.nonEmpty}""" +
         s""","retried":$retr,"queries":$qs,"sf":"$sfDir"}"""
     }
