@@ -1,0 +1,42 @@
+package graft
+
+import graft.tools.BenchStream
+
+/** Smoke for the streaming perf artifact (VERDICT r12 #2): the full
+  * measurement machinery — both providers, fixed micro-batches, calib
+  * brackets, state readouts, gates — runs end-to-end on sf0.001 and
+  * produces a structurally complete artifact. Ratios are NOT gated here
+  * (sub-second points at sf0.001 are noise); the committed
+  * BENCH_STREAM.json carries the sf0.1 numbers the gates judge.
+  */
+class BenchStreamSpec extends SparkSpec {
+
+  test("BenchStream smoke: every op×provider point, gates, state readout") {
+    val line = BenchStream.runAll(spark, sf0001, sf0001, nBatches = 3)
+    // all six points present
+    for (op <- Seq("neardup", "neardupVerify", "asof");
+        prov <- Seq("heap", "rocksdb"))
+      assert(line.contains(s""""$op@$prov":"""), s"missing $op@$prov in $line")
+    // all five gates present with a boolean verdict
+    for (g <- Seq("neardup_heap_over_rocks", "neardupVerify_heap_over_rocks",
+        "asof_heap_over_rocks", "verify_cost_heap", "verify_cost_rocksdb"))
+      assert(line.contains(s""""$g":{"ratio":"""), s"missing gate $g")
+    // every throughput strictly positive
+    val tputs = "\"rows_per_sec\":(-?[0-9.]+)".r.findAllMatchIn(line)
+      .map(_.group(1).toDouble).toSeq
+    assert(tputs.size == 6 && tputs.forall(_ > 0), s"throughputs: $tputs")
+    // the stateful ops actually grew state the engine can report
+    val stateRows = "\"state_rows\":(-?[0-9]+)".r.findAllMatchIn(line)
+      .map(_.group(1).toLong).toSeq
+    assert(stateRows.size == 6 && stateRows.forall(_ > 0),
+      s"state rows: $stateRows")
+    // identical replay => neardup and verify emit the same pair rows
+    val outs = "\"rows_out\":(-?[0-9]+)".r.findAllMatchIn(line)
+      .map(_.group(1).toLong).toSeq
+    assert(outs(0) == outs(1) && outs(3) == outs(4),
+      s"neardup vs verify rows_out diverged: $outs")
+    // calib bracket fields present and sane
+    assert("\"calib_spread\":([0-9.]+)".r.findFirstMatchIn(line)
+      .exists(_.group(1).toDouble >= 1.0))
+  }
+}
