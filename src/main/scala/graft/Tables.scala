@@ -13,7 +13,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) memo of the ANALYZED read plan. A bare
+    * `spark.read.parquet` pays file listing + parquet footer/schema read +
+    * analysis on EVERY call — measured ~70 ms per call (tools.LoadCost),
+    * ~0.2 s per bench query that loads 2–3 tables. Production engines
+    * amortize this through a catalog/metastore; this memo is the same
+    * thing for the fixed testdata layout. It caches PLAN METADATA only —
+    * every action still scans the parquet files — and the testdata dirs
+    * are immutable (TESTDATA.md), so a stale listing cannot occur.
+    * `-Dgraft.tableCache=off` restores the per-call read (A/B, and any
+    * caller that rewrites a dir mid-session).
+    */
+  private val planMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (sys.props.get("graft.tableCache").contains("off"))
+      loadFresh(spark, dir, name)
+    else
+      planMemo.computeIfAbsent((spark, dir, name),
+        _ => loadFresh(spark, dir, name))
+
+  private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 

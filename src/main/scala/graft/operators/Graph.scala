@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The per-round STATE side (ranks, labels, scores, frontiers — node-
+    * sized) of an edge⋈state join inside an iterative operator: hash-build
+    * it per partition instead of letting the join plan as sort-merge,
+    * which re-SORTS the (ReuseExchange-shared) edge shuffle every round —
+    * the edges never change, so that sort is pure redundant work. A
+    * per-partition hash build is bounded by partition sizing at any scale
+    * (broadcast would not be: state grows with the corpus and PlanAudit
+    * forbids forcing it). All iterative aggregations here sum exact
+    * BIGINTs, so join/reduce order cannot change results.
+    * -Dgraft.iterHint=off restores the unhinted shape (A/B: tools.AbBench).
+    */
+  private[operators] def iterState(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.iterHint").contains("off")) df
+    else df.hint("shuffle_hash")
+
   /** PageRank over an edge list, as plan-level joins (no RDD/graph
     * runtime). `edges` must contain every node as a source at least once —
     * symmetrize first for undirected graphs (dangling nodes would
@@ -60,7 +75,7 @@ object Graph {
       .select(col("src"), col("dst"), col("deg")).barrier()
     var r: DataFrame = deg.select(col("node"), (lit(1.0 / n)).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = undD.join(r, col("src") === col("node"))
+      val contrib = undD.join(iterState(r), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("CAST(FLOOR(rank / deg * 1e15) AS BIGINT)")).as("sm"))
       // LEFT join from the node table: on a directed graph a node with no
@@ -276,7 +291,7 @@ object Graph {
       when(col("node").isin(seeds: _*), lit(1.0) / lit(nS.toDouble))
         .otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = undD.join(r, col("src") === col("node"))
+      val contrib = undD.join(iterState(r), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("CAST(FLOOR(rank / deg * 1e15) AS BIGINT)")).as("sm"))
       r = deg.select(col("node"))
@@ -941,7 +956,7 @@ object Graph {
         .barrier()
       var r: DataFrame = wsum.select(col("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 2) {
-        val contrib = undW.join(r, col("src") === col("node"))
+        val contrib = undW.join(iterState(r), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(expr(
             "CAST(FLOOR(rank * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)" +

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.{Bench, SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Drift-immune A/B timing: `runMain graft.tools.AbBench <prop> <query>[,<query>…] [sfDir] [rounds]`.
+  *
+  * This host's speed swings ±50% on the minute scale (BENCH_SF1 history),
+  * so sequential before/after runs are hostages to drift. AbBench runs the
+  * SAME query with system property `<prop>` alternating off/on INSIDE one
+  * JVM — A,B,A,B,… — and reports per-variant medians; drift hits both
+  * variants equally. The property must be read at PLAN TIME by the code
+  * under test (e.g. `graft.keyedBarrier`).
+  */
+object AbBench {
+  def main(args: Array[String]): Unit = {
+    val prop = args(0)
+    val names = args(1).split(",").toSeq
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 3) args(3).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def once(v: String): Double = {
+        sys.props(prop) = v
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Bench.dropCaches(spark)
+        dt
+      }
+      once("off"); once("on") // warm both variants' codegen, untimed
+      val (as, bs) = (1 to rounds).map(_ => (once("off"), once("on"))).unzip
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString(",")
+      println(f"AB $name off=${med(as)}%.3f on=${med(bs)}%.3f " +
+        f"speedup=${med(as) / med(bs)}%.2fx  offRuns=${fmt(as)} onRuns=${fmt(bs)}")
+      sys.props.remove(prop)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.{Bench, SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Prints the FINAL (post-AQE) physical plan of a query after running it:
+  * `runMain graft.tools.FinalPlan <name> [sfDir]`. `Explain` shows the
+  * initial plan (`isFinalPlan=false`); runtime join-strategy switches and
+  * coalesced reads only appear here.
+  */
+object FinalPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, sfDir)
+    df.collect() // executes df's own QueryExecution (count() would re-plan)
+    println(df.queryExecution.executedPlan.toString)
+    Bench.dropCaches(spark)
+    spark.stop()
+  }
+}

@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Quantify the per-call cost of Tables.load (file listing + parquet
+  * footer/schema read + analysis): `runMain graft.tools.LoadCost [sfDir]`.
+  */
+object LoadCost {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      (1 to 50).foreach { _ =>
+        Tables.load(spark, sfDir, "lineitem").queryExecution.analyzed
+      }
+      println(f"load+analyze lineitem x50: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t1 = System.nanoTime()
+      (1 to 50).foreach { _ =>
+        Tables.load(spark, sfDir, "events").queryExecution.analyzed
+      }
+      println(f"load+analyze events   x50: ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -12,4 +12,5 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
 }
