@@ -1946,14 +1946,30 @@ object Dedup {
           .withColumn("ck", expr("h * 2097152 + (2097151 - i)"))
         val byDoc = Window.partitionBy("doc_id").orderBy("i")
         // per-window argmin (rightmost tie) via the packed key; only real
-        // window starts count (the last w-1 grams begin no window)
-        val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val fp = grams
+        // window starts count (the last w-1 grams begin no window).
+        // n_grams and the full-window test ride the SAME doc-partitioned
+        // window pass: grams are dense (positions 1..n), so the w-row
+        // frame holds exactly w rows iff i ≤ n_grams − (w−1), and a
+        // whole-partition count IS n_grams — the separate groupBy rollup
+        // re-ran the whole rolling-hash+explode pass (its partial agg sat
+        // below the exchange, so ReuseExchange could not share it) and
+        // was joined back twice. -Dgraft.winnowNg=off restores that
+        // shape (A/B: tools.AbBench).
+        val fp = (if (sys.props.get("graft.winnowNg").contains("off")) {
+          val ng0 = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          grams
+            .withColumn("sel",
+              min(col("ck")).over(byDoc.rowsBetween(Window.currentRow, w - 1)))
+            .join(ng0, "doc_id")
+            .filter(col("i") <= col("n_grams") - (w - 1))
+        } else grams
           .withColumn("sel",
             min(col("ck")).over(byDoc.rowsBetween(Window.currentRow, w - 1)))
-          .join(ng, "doc_id")
-          .filter(col("i") <= col("n_grams") - (w - 1))
-          .select(col("doc_id"),
+          .withColumn("wcnt",
+            count(lit(1)).over(byDoc.rowsBetween(Window.currentRow, w - 1)))
+          .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .filter(col("wcnt") === w))
+          .select(col("doc_id"), col("n_grams"),
             (lit(2097151L) - (col("sel") % 2097152L)).as("pos"),
             expr("sel div 2097152").as("fh"))
           .distinct()
@@ -1962,9 +1978,9 @@ object Dedup {
           .agg(countDistinct(col("doc_id")).as("nd"))
         fp.join(docsPerHash, "fh")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_fp"),
+          .agg(max(col("n_grams")).as("n_grams"),
+            count(lit(1)).as("n_fp"),
             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_fp"))
-          .join(ng, "doc_id")
           .select(col("doc_id"), col("n_grams"), col("n_fp"),
             col("shared_fp"),
             (col("n_fp").cast("double") / col("n_grams").cast("double"))

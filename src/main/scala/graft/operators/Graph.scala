@@ -41,6 +41,41 @@ object Graph {
     if (sys.props.get("graft.iterHint").contains("off")) df
     else df.hint("shuffle_hash")
 
+  /** Expand a SORTED array column `psCol` into all index pairs (a, b) with
+    * a < b, keeping every other column — the shared per-basket pair build
+    * of q123/q150/q166/q203/q237/q283. Two codegen'd Generate nodes
+    * (posexplode + explode-of-slice) replace the interpreted
+    * flatten∘transform∘slice lambda, which evaluated per row with nested
+    * array allocations (taskTime-dominant in profiles). The input is also
+    * re-spread to cluster parallelism first: AQE coalesces the upstream
+    * collect_list exchange by its BYTE size (a few MB of arrays), blind to
+    * the ~k²/2 expansion the explode is about to apply — measured 3 tasks
+    * carrying a 2.76M-row expansion on q283. Identical pair multiset:
+    * pair (i, j), i < j, appears once per generation order; equal values
+    * are dropped by the same a < b filter.
+    * -Dgraft.pairGen=off restores the old shape (A/B: tools.AbBench).
+    */
+  private[operators] def pairExplode(df: DataFrame, psCol: String): DataFrame = {
+    val keep = df.columns.filterNot(_ == psCol).map(col).toSeq
+    if (sys.props.get("graft.pairGen").contains("off")) {
+      df.select((keep :+ explode(expr(
+        s"""flatten(transform(sequence(1, greatest(size($psCol) - 1, 1)), i ->
+           |  transform(slice($psCol, i + 1, greatest(size($psCol) - i, 0)), y ->
+           |    struct(element_at($psCol, i) AS a, y AS b))))""".stripMargin))
+        .as("pr")): _*)
+        .filter(col("pr.a") < col("pr.b"))
+        .select((keep :+ col("pr.a").as("a") :+ col("pr.b").as("b")): _*)
+    } else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      df.repartition(p, keep: _*)
+        .select((keep :+ col(psCol) :+
+          posexplode(col(psCol)).as(Seq("i", "a"))): _*)
+        .select((keep :+ col("a") :+ explode(expr(
+          s"slice($psCol, i + 2, size($psCol))")).as("b")): _*)
+        .filter(col("a") < col("b"))
+    }
+  }
+
   /** PageRank over an edge list, as plan-level joins (no RDD/graph
     * runtime). `edges` must contain every node as a source at least once —
     * symmetrize first for undirected graphs (dangling nodes would
@@ -187,15 +222,9 @@ object Graph {
       // strict < keeps multiplicity semantics identical to the oracle's
       // line-pair self-join). The support-filtered edge set is tiny, so
       // checkpoint it: everything downstream re-reads it several times.
-      val e0 = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.p1") < col("pr.p2"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      val e0 = pairExplode(li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps")), "ps")
+        .groupBy(col("a").as("p1"), col("b").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
         .barrier()
@@ -394,15 +423,9 @@ object Graph {
         val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         // q123's one-shuffle pair build (order-key group + map-side index
         // pairs), proven equal to the oracle's line-pair self-join there.
-        val e0 = li.groupBy("l_orderkey")
-          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-              |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-              |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-            .as("pr"))
-          .filter(col("pr.p1") < col("pr.p2"))
-          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        val e0 = pairExplode(li.groupBy("l_orderkey")
+            .agg(sort_array(collect_list(col("l_partkey"))).as("ps")), "ps")
+          .groupBy(col("a").as("p1"), col("b").as("p2"))
           .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
           .select("p1", "p2")
         val sym = e0.select(col("p1").as("u"), col("p2").as("v"))
@@ -434,15 +457,9 @@ object Graph {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
       val item = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("supp_p"))
-      val pairs = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.p1") < col("pr.p2"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      val pairs = pairExplode(li.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")), "ps")
+        .groupBy(col("a").as("p1"), col("b").as("p2"))
         .agg(count(lit(1)).as("supp_pair")).filter(col("supp_pair") >= 3)
       // NOTE the two rule directions below each reference `pairs` and the
       // INITIAL plan shows 3 lineitem scans — but at runtime ReuseExchange
@@ -552,15 +569,9 @@ object Graph {
     "q203_clustering_coeff",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val e0 = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.p1") < col("pr.p2"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      val e0 = pairExplode(li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps")), "ps")
+        .groupBy(col("a").as("p1"), col("b").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
         .barrier()
@@ -792,15 +803,9 @@ object Graph {
     "q237_label_propagation",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val e0 = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.p1") < col("pr.p2"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      val e0 = pairExplode(li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps")), "ps")
+        .groupBy(col("a").as("p1"), col("b").as("p2"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("p1", "p2")
       labelPropagation(e0, "p1", "p2", iters = 2, symmetrize = true)
@@ -1217,14 +1222,8 @@ object Graph {
         .barrier() // pair build + probe baskets + ownership
       val capped = baskets.groupBy("c")
         .agg(slice(sort_array(collect_list(col("p"))), 1, 20).as("ps"))
-      val supports = capped
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS a, y AS b))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.a") < col("pr.b"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      val supports = pairExplode(capped, "ps")
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("supp"))
       val sym = supports.select(col("a"), col("b"), col("supp"))
         .union(supports.select(col("b").as("a"), col("a").as("b"), col("supp")))
@@ -1289,20 +1288,37 @@ object Graph {
   val q287 = Query.sql(
     "q287_frequent_triples",
     (s, dir) => {
-      val tri = Tables.load(s, dir, "lineitem")
+      // Triple expansion via three codegen'd Generate nodes instead of the
+      // interpreted three-level flatten∘transform lambda — the same
+      // rewrite as pairExplode, one level deeper. ps is sorted+distinct,
+      // so index-increasing triples are exactly the a < b < c triples:
+      // a sits at 0-based i, b at 0-based i+1+j (j indexes the slice
+      // starting at 1-based i+2), so c's slice starts at 1-based i+j+3.
+      // -Dgraft.pairGen=off restores the lambda shape (A/B).
+      val grouped287 = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
         .filter(size(col("ps")) >= 3)
-        .select(explode(expr(
+      val tri = (if (sys.props.get("graft.pairGen").contains("off"))
+        grouped287.select(explode(expr(
           """flatten(flatten(
             |  transform(sequence(1, size(ps) - 2), i ->
             |    transform(sequence(i + 1, size(ps) - 1), j ->
             |      transform(slice(ps, j + 1, size(ps) - j), z ->
             |        struct(element_at(ps, i) AS a, element_at(ps, j) AS b,
             |               z AS c))))))""".stripMargin)).as("t"))
-        .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+          .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      else
+        grouped287
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+          .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+          .select(col("ps"), col("i"), col("a"),
+            posexplode(expr("slice(ps, i + 2, size(ps))")).as(Seq("j", "b")))
+          .select(col("a"), col("b"),
+            explode(expr("slice(ps, i + j + 3, size(ps))")).as("c")))
+        .groupBy(col("a"), col("b"), col("c"))
         .agg(count(lit(1)).as("supp"))
         .filter(col("supp") >= 2)
       tri
@@ -1329,17 +1345,11 @@ object Graph {
     "q298_transitivity",
     (s, dir) => {
       // co-purchase edges, q123's derivation: parts sharing ≥2 orders
-      val e0 = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(sequence(1, greatest(size(ps) - 1, 1)), i ->
-            |  transform(slice(ps, i + 1, greatest(size(ps) - i, 0)), y ->
-            |    struct(element_at(ps, i) AS p1, y AS p2))))""".stripMargin))
-          .as("pr"))
-        .filter(col("pr.p1") < col("pr.p2"))
-        .groupBy(col("pr.p1").as("u"), col("pr.p2").as("v"))
+      val e0 = pairExplode(Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps")), "ps")
+        .groupBy(col("a").as("u"), col("b").as("v"))
         .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
         .select("u", "v")
         .barrier() // degrees + the triangle join both reuse it

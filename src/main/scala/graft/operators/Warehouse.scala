@@ -296,12 +296,27 @@ object Warehouse {
       // (distinct values) and broadcast back onto the fact rows.
       val cx = depthCode(li, "l_partkey")
       val cy = depthCode(li, "l_suppkey")
-      li.join(cx, "l_partkey").join(cy, "l_suppkey")
-        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"), expr(
+      // Bit interleave unrolled to 16 shift/mask terms: the equivalent
+      // aggregate(sequence(0,7), …) lambda is a non-codegen higher-order
+      // function evaluated interpreted per row, allocating the sequence
+      // array each time (guide §4: built-in expressions over closures in
+      // the hot path). Same BIGINT, term order irrelevant to a sum.
+      // -Dgraft.zUnroll=off restores the lambda (A/B: tools.AbBench).
+      val zExpr =
+        if (sys.props.get("graft.zUnroll").contains("off"))
           """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
             |  acc + shiftleft(shiftright(l_partkey_code, j) & 1, 2 * j)
             |      + shiftleft(shiftright(l_suppkey_code, j) & 1, 2 * j + 1))"""
-            .stripMargin).as("zval"))
+            .stripMargin
+        else {
+          val zTerms = (0 to 7).flatMap(j => Seq(
+            s"shiftleft(shiftright(l_partkey_code, $j) & 1, ${2 * j})",
+            s"shiftleft(shiftright(l_suppkey_code, $j) & 1, ${2 * j + 1})"))
+          s"CAST(${zTerms.mkString(" + ")} AS BIGINT)"
+        }
+      li.join(cx, "l_partkey").join(cy, "l_suppkey")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          expr(zExpr).as("zval"))
         .groupBy(expr("shiftright(zval, 10)").as("z_bucket"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("x")).as("min_part"), max(col("x")).as("max_part"),
