@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Checkpoints._
 import graft.{Query, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationally-derived graphs. Complements the
@@ -40,6 +40,26 @@ object Graph {
   private[operators] def iterState(df: DataFrame): DataFrame =
     if (sys.props.get("graft.iterHint").contains("off")) df
     else df.hint("shuffle_hash")
+
+  /** Symmetrize an edge frame in ONE pass: each row becomes (src, dst)
+    * and (dst, src) via a map-side explode. The union-of-two-selects
+    * shape evaluates the (distinct-aggregated) input subtree once per
+    * branch — only the exchange is ReuseExchange-shared at runtime; the
+    * scan + partial-aggregate stages run twice (ProfileQuery on q119: two
+    * ~100 MB lineitem scan stages where one suffices). Same row multiset,
+    * different order — every consumer aggregates.
+    * -Dgraft.symExplode=off restores the union (A/B: tools.AbBench).
+    */
+  private[operators] def bothDirections(df: DataFrame, a: Column, b: Column,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val fwdCols = a.as("src") +: b.as("dst") +: extra.map { case (n, c) => c.as(n) }
+    val revCols = b.as("src") +: a.as("dst") +: extra.map { case (n, c) => c.as(n) }
+    if (sys.props.get("graft.symExplode").contains("off"))
+      df.select(fwdCols: _*).union(df.select(revCols: _*))
+    else
+      df.select(explode(array(struct(fwdCols: _*), struct(revCols: _*))).as("e"))
+        .select(("e.src" +: "e.dst" +: extra.map("e." + _._1)).map(col): _*)
+  }
 
   /** Expand a SORTED array column `psCol` into all index pairs (a, b) with
     * a < b, keeping every other column — the shared per-basket pair build
@@ -146,8 +166,7 @@ object Graph {
       // on the final 20-row output. The graph is isomorphic to the oracle's
       // string-keyed one, so degrees, contribution sums, and ranks are
       // bit-identical.
-      val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-        .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+      val und = bothDirections(e, col("sk") * 2, col("pk") * 2 + 1)
       // teleport pinned to decimal 0.15: the oracle computes it as
       // CAST(0.15 AS DOUBLE), and 1.0 - 0.85 is 0.15000000000000002
       pageRank(und, "src", "dst", iters = 3, damping = 0.85,
@@ -529,8 +548,7 @@ object Graph {
         // Same BIGINT-id iteration core as q119 (supplier → 2·sk, part →
         // 2·pk+1); seeds s1..s5 become ids 2,4,6,8,10 and the label is
         // rendered once on the bounded output.
-        val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-          .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+        val und = bothDirections(e, col("sk") * 2, col("pk") * 2 + 1)
         personalizedPageRank(und, "src", "dst", (1 to 5).map(_ * 2L), iters = 3,
             damping = 0.85, teleport = 0.15)
           .select(expr("CASE WHEN node % 2 = 0 THEN 's' || CAST(node DIV 2 AS STRING)" +
@@ -947,10 +965,8 @@ object Graph {
       val ew = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .agg(count(lit(1)).as("w"))
-      val und = ew.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"),
-          col("w"))
-        .union(ew.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"),
-          col("w")))
+      val und = bothDirections(ew, col("sk") * 2, col("pk") * 2 + 1,
+          Seq("w" -> col("w")))
         .barrier()
       val wsum = und.groupBy(col("src").as("node"))
         .agg(sum(col("w")).as("wtot"))
@@ -1158,8 +1174,8 @@ object Graph {
       val e0 = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val und = e0.select((col("sk") * 2).as("u"), (col("pk") * 2 + 1).as("v"))
-        .union(e0.select((col("pk") * 2 + 1).as("u"), (col("sk") * 2).as("v")))
+      val und = bothDirections(e0, col("sk") * 2, col("pk") * 2 + 1)
+        .select(col("src").as("u"), col("dst").as("v"))
         .barrier()
       val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       und

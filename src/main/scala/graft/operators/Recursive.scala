@@ -169,8 +169,7 @@ object Recursive {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val und = e.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-        .union(e.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+      val und = Graph.bothDirections(e, col("sk") * 2, col("pk") * 2 + 1)
         .barrier()
       // Seeds: every 100th supplier — 1 seed at sf0.01, 10 at sf0.1; the
       // seed-set size scales with the data, the radius does not.
