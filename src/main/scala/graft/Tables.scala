@@ -31,8 +31,12 @@ object Tables {
     if (sys.props.get("graft.tableCache").contains("off"))
       loadFresh(spark, dir, name)
     else
-      planMemo.computeIfAbsent((spark, dir, name),
-        _ => loadFresh(spark, dir, name))
+      planMemo.computeIfAbsent((spark, dir, name), _ => {
+        // Evict dead sessions on the (rare) miss path so long-lived JVMs
+        // that create and stop many sessions don't accumulate their plans.
+        planMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+        loadFresh(spark, dir, name)
+      })
 
   private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else

@@ -67,16 +67,38 @@ object Graph {
     * (posexplode + explode-of-slice) replace the interpreted
     * flatten∘transform∘slice lambda, which evaluated per row with nested
     * array allocations (taskTime-dominant in profiles). The input is also
-    * re-spread to cluster parallelism first: AQE coalesces the upstream
-    * collect_list exchange by its BYTE size (a few MB of arrays), blind to
-    * the ~k²/2 expansion the explode is about to apply — measured 3 tasks
-    * carrying a 2.76M-row expansion on q283. Identical pair multiset:
-    * pair (i, j), i < j, appears once per generation order; equal values
-    * are dropped by the same a < b filter.
-    * -Dgraft.pairGen=off restores the old shape (A/B: tools.AbBench).
+    * optionally re-spread to cluster parallelism first (`spread = true`):
+    * AQE coalesces the upstream collect_list exchange by its BYTE size (a
+    * few MB of arrays), blind to the ~k²/2 expansion the explode is about
+    * to apply — measured 3 tasks carrying a 2.76M-row expansion on q283.
+    * The re-spread must be ROUND-ROBIN (`repartition(p)`): r13 shipped
+    * `repartition(p, keep…)`, which hash-partitions on exactly the key the
+    * upstream groupBy exchange already established, so Catalyst elided it
+    * and the expansion still ran on 3–6 AQE-coalesced tasks (r13 verdict).
+    * RoundRobinPartitioning is never satisfied by an existing hash
+    * partitioning, and user-numbered repartitions are exempt from AQE
+    * coalescing, so the explode genuinely runs at cluster width; the
+    * exchange moves only the few-MB grouped arrays. `spread` is opt-in
+    * because the exchange has a fixed ~0.2 s stage cost locally: r14 A/B
+    * measured 1.12–1.16× on q283 (heavy expansion, capped k ≤ 20/customer)
+    * but 0.80–0.90× on the k ≤ 7 order-basket family (q287/q123/q166,
+    * both round-robin and hash-spread variants) whose expansion stages are
+    * sub-second — there the extra exchange is pure loss at any SF where
+    * AQE's byte coalescing already widens with input size. Identical pair
+    * multiset either way: pair (i, j), i < j, appears once per generation
+    * order; equal values are dropped by the same a < b filter.
+    * -Dgraft.pairGen=off restores the lambda shape;
+    * -Dgraft.rrSpread=off restores the r13 elided no-op re-spread
+    * (A/B: tools.AbBench).
     */
-  private[operators] def pairExplode(df: DataFrame, psCol: String): DataFrame = {
+  private[operators] def respread(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.rrSpread").contains("off")) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  private[operators] def pairExplode(df: DataFrame, psCol: String,
+      spread: Boolean = false): DataFrame = {
     val keep = df.columns.filterNot(_ == psCol).map(col).toSeq
+    val in = if (spread) respread(df) else df
     if (sys.props.get("graft.pairGen").contains("off")) {
       df.select((keep :+ explode(expr(
         s"""flatten(transform(sequence(1, greatest(size($psCol) - 1, 1)), i ->
@@ -86,8 +108,7 @@ object Graph {
         .filter(col("pr.a") < col("pr.b"))
         .select((keep :+ col("pr.a").as("a") :+ col("pr.b").as("b")): _*)
     } else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      df.repartition(p, keep: _*)
+      in
         .select((keep :+ col(psCol) :+
           posexplode(col(psCol)).as(Seq("i", "a"))): _*)
         .select((keep :+ col("a") :+ explode(expr(
@@ -1238,7 +1259,10 @@ object Graph {
         .barrier() // pair build + probe baskets + ownership
       val capped = baskets.groupBy("c")
         .agg(slice(sort_array(collect_list(col("p"))), 1, 20).as("ps"))
-      val supports = pairExplode(capped, "ps")
+      // spread = true: the capped-basket expansion is the heavy one (k ≤ 20
+      // ⇒ up to 190 pairs/customer, 2.76M rows at sf0.1 on 3 AQE-coalesced
+      // tasks without it) — r14 A/B 1.12–1.16×; see pairExplode scaladoc.
+      val supports = pairExplode(capped, "ps", spread = true)
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("supp"))
       val sym = supports.select(col("a"), col("b"), col("supp"))
@@ -1328,7 +1352,6 @@ object Graph {
           .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
       else
         grouped287
-          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
           .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
           .select(col("ps"), col("i"), col("a"),
             posexplode(expr("slice(ps, i + 2, size(ps))")).as(Seq("j", "b")))

@@ -41,8 +41,17 @@ object AbBench {
         dt
       }
       once("off"); once("on") // warm both variants' codegen, untimed
-      val (as, bs) = (1 to rounds).map(_ => (once("off"), once("on"))).unzip
-      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      // Alternate the starting variant per round so monotonic host drift
+      // within a round cannot systematically favor either variant.
+      val (as, bs) = (1 to rounds).map { r =>
+        if (r % 2 == 0) { val b = once("on"); val a = once("off"); (a, b) }
+        else { val a = once("off"); val b = once("on"); (a, b) }
+      }.unzip
+      def med(xs: Seq[Double]) = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString(",")
       println(f"AB $name off=${med(as)}%.3f on=${med(bs)}%.3f " +
         f"speedup=${med(as) / med(bs)}%.2fx  offRuns=${fmt(as)} onRuns=${fmt(bs)}")

@@ -24,7 +24,9 @@ object FinalPlan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(0))(spark, sfDir)
-    df.collect() // executes df's own QueryExecution (count() would re-plan)
+    // Execute df's own QueryExecution without materializing rows on the
+    // driver (count() would re-plan; collect() risks OOM on wide results).
+    df.queryExecution.toRdd.foreach(_ => ())
     println(df.queryExecution.executedPlan.toString)
     Bench.dropCaches(spark)
     spark.stop()
