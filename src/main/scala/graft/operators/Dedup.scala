@@ -1412,10 +1412,27 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", L: Int = 20): DataFrame = {
     val grams = lgrams(df, idCol, textCol, L)
-    val dup = grams.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .where(col("nd") >= 2).select("gram")
-    val marked = grams.join(dup, "gram").select(col(idCol), col("pos"))
+    // r14 (guide §2.4, the q365 pattern): the cross-doc test min(id) ≠
+    // max(id) rides window functions on ONE gram-partitioned pass instead
+    // of a groupBy(gram) aggregate joined back onto a second raw-gram
+    // pass (the agg's below-exchange partial agg blocked ReuseExchange, so
+    // the corpus was scanned + re-grammed twice). nd ≥ 2 over distinct
+    // doc ids ⟺ min ≠ max. -Dgraft.gramWin=off restores the agg+join
+    // shape (A/B: tools.AbBench).
+    val marked =
+      if (!sys.props.get("graft.gramWin").contains("off")) {
+        val wg = Window.partitionBy("gram")
+        grams
+          .withColumn("__mn", min(col(idCol)).over(wg))
+          .withColumn("__mx", max(col(idCol)).over(wg))
+          .where(col("__mn") =!= col("__mx"))
+          .select(col(idCol), col("pos"))
+      } else {
+        val dup = grams.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("nd"))
+          .where(col("nd") >= 2).select("gram")
+        grams.join(dup, "gram").select(col(idCol), col("pos"))
+      }
     val spans = mergeStarts(marked, idCol, L)
     val perDoc = spans.groupBy(idCol).agg(
       count(lit(1)).as("dup_spans"),
@@ -1450,14 +1467,35 @@ object Dedup {
     val d = df.select(col(idCol), col(textCol),
       length(col(textCol)).cast("long").as("__n"))
     val grams = lgrams(d, idCol, textCol, L)
-    val gramStats = grams.groupBy("gram").agg(
-        min(struct(col(idCol), col("pos"))).as("first_occ"),
-        countDistinct(col(idCol)).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("gram"), col("first_occ"))
-    val marked = grams.join(gramStats, "gram")
-      .where(struct(col(idCol), col("pos")) =!= col("first_occ"))
-      .select(col(idCol), col("pos"))
+    // r14: same one-pass window rewrite as duplicatedSpans — keeper
+    // election (corpus-first occurrence) and the cross-doc test both ride
+    // the single gram-partitioned pass: first_occ = min(struct(id, pos))
+    // OVER gram, cross-doc ⟺ min(id) ≠ max(id) OVER gram. The monster-
+    // gram caveat moves from "one window group sorts everything" to "one
+    // window group buffers the gram's occurrences" — the same rows the
+    // join probe side already shipped to one SMJ partition, so skew is
+    // unchanged while the second corpus gram pass disappears.
+    // -Dgraft.gramWin=off restores the agg+join shape.
+    val marked =
+      if (!sys.props.get("graft.gramWin").contains("off")) {
+        val wg = Window.partitionBy("gram")
+        grams
+          .withColumn("__first", min(struct(col(idCol), col("pos"))).over(wg))
+          .withColumn("__mn", min(col(idCol)).over(wg))
+          .withColumn("__mx", max(col(idCol)).over(wg))
+          .where(col("__mn") =!= col("__mx") &&
+            struct(col(idCol), col("pos")) =!= col("__first"))
+          .select(col(idCol), col("pos"))
+      } else {
+        val gramStats = grams.groupBy("gram").agg(
+            min(struct(col(idCol), col("pos"))).as("first_occ"),
+            countDistinct(col(idCol)).as("nd"))
+          .where(col("nd") >= 2)
+          .select(col("gram"), col("first_occ"))
+        grams.join(gramStats, "gram")
+          .where(struct(col(idCol), col("pos")) =!= col("first_occ"))
+          .select(col(idCol), col("pos"))
+      }
     // barrier: rem is tiny (one row per removal span) but its lineage is
     // the whole gram shuffle — the stitch below reads it three times
     // (mid, tail, remDocs) and would otherwise recompute that shuffle

@@ -912,11 +912,6 @@ object Graph {
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
       val deg = e.groupBy("sk").agg(count(lit(1)).as("deg"))
-      val byPk248 = org.apache.spark.sql.expressions.Window.partitionBy("pk")
-      val eCap = e
-        .withColumn("rn", row_number().over(byPk248.orderBy("sk")))
-        .filter(col("rn") <= 64)
-        .drop("rn")
       // same packed agg key as q264: the pair aggregation dominates at
       // scale (identical distinct-pair cardinality crossover — one
       // 8-byte key through the hash aggregates instead of a two-long
@@ -932,6 +927,20 @@ object Graph {
       // occurs once, so Spark's built-in map-side partial agg already
       // captures all available compression (≤15% at sf6); measured
       // initialPartitionNum=256 A/B showed no win (112 vs 114 s at sf6).
+      //
+      // r14 pair-build experiment, measured and REJECTED: rebuilding the
+      // capped pairs as slice(sort_array(collect_list)) + the codegen'd
+      // pairExplode Generate (the q283 basket shape; identical pair
+      // multiset) A/B'd 0.67× without re-spread and 1.03× (noise) with
+      // round-robin re-spread — the ReuseExchange'd SMJ self-join streams
+      // the k²/2 pairs cheaper than the collect_list buffers + Generate
+      // here, and the pair AGGREGATION (identical in both shapes) is
+      // what dominates at scale anyway.
+      val byPk248 = org.apache.spark.sql.expressions.Window.partitionBy("pk")
+      val eCap = e
+        .withColumn("rn", row_number().over(byPk248.orderBy("sk")))
+        .filter(col("rn") <= 64)
+        .drop("rn")
       val pairs = eCap.as("a").join(eCap.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .select((col("a.sk") * lit(4294967296L) + col("b.sk")).as("pair"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Checkpoints._
 import graft.{Query, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -31,12 +31,23 @@ object Similarity {
   private def embBalanced(s: SparkSession, dir: String) =
     Tables.loadBalanced(s, dir, "embeddings")
 
-  /** dot(a, b) as a deterministic left-fold in double precision. */
+  /** dot(a, b) as a deterministic left-fold in double precision.
+    * Kept ONLY as the `-Dgraft.nativeCos=off` A/B reference: the hot paths
+    * use the codegen'd `cosine_similarity`/`dot_product` Expressions
+    * (graft.functions), which accumulate in the same left-to-right order
+    * and are bit-identical (the q213/q223 promotion, r6; q50/q52/q244
+    * were missed then and swapped in r14 — guide §4).
+    */
   private def dotExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
   private def cosExpr(a: String, b: String): String =
     s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
+  private def nativeCos: Boolean =
+    !sys.props.get("graft.nativeCos").contains("off")
+  /** cosine as a Column, native codegen unless -Dgraft.nativeCos=off. */
+  private def cosCol(a: String, b: String): Column =
+    if (nativeCos) expr(s"cosine_similarity($a, $b)") else expr(cosExpr(a, b))
 
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -48,12 +59,13 @@ object Similarity {
   val q50 = Query.sql(
     "q50_knn_brute",
     (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(Bounded.probe(q, 1)) // vec_id = 0: exactly one row
         .select(col("vec_id"), col("label"),
-          expr(cosExpr("embedding", "qv")).as("cos_sim"))
+          cosCol("embedding", "qv").as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     },
@@ -90,9 +102,12 @@ object Similarity {
   // -- q52: per-label vector stats (exact decimal-accumulated averages) -----
   val q52 = Query.sql(
     "q52_label_stats",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       emb(s, dir)
-        .select(col("label"), expr(s"sqrt(${dotExpr("embedding", "embedding")})").as("norm"))
+        .select(col("label"),
+          (if (nativeCos) expr("sqrt(dot_product(embedding, embedding))")
+           else expr(s"sqrt(${dotExpr("embedding", "embedding")})")).as("norm"))
         .groupBy("label")
         .agg(
           count(lit(1)).as("n"),
@@ -100,7 +115,8 @@ object Similarity {
             .as("avg_norm"),
           min(col("norm")).as("min_norm"),
           max(col("norm")).as("max_norm"))
-        .orderBy("label"),
+        .orderBy("label")
+    },
     s"""SELECT label, COUNT(*) AS n,
        |  CAST(SUM(CAST(sqrt(${dotSql("embedding", "embedding")}) AS DECIMAL(18,6)))
        |    AS DOUBLE) / COUNT(*) AS avg_norm,
@@ -629,6 +645,7 @@ object Similarity {
     "q244_hard_negatives",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -638,7 +655,7 @@ object Similarity {
       e.filter(col("vec_id") >= 5)
         .crossJoin(Bounded.probe(q, 5)) // vec_id < 5: <= 5 rows
         .select(col("qid"), col("vec_id"), col("label"),
-          expr(cosExpr("embedding", "qv")).as("cos_sim"),
+          cosCol("embedding", "qv").as("cos_sim"),
           when(col("label") === col("qlabel"), lit("positive"))
             .otherwise(lit("hard_negative")).as("kind"))
         .withColumn("rnk", row_number().over(w).cast("long"))
